@@ -1,0 +1,1130 @@
+"""Relational operator coverage (SURVEY.md §2.B — the delegated SQL surface).
+
+The reference delegates this entire surface to SQLite3 (builder.go:353-361,
+README.md:326-334); we delegate it to Spark SQL / Catalyst. Each query below
+exercises one row of SURVEY §2.B's inventory on the driver's TPC-H-ish
+tables and is hash-checked against a DuckDB oracle.
+
+Determinism contract (the oracle hash is exact):
+- Money columns are exact 2-decimal values; every SUM/AVG over them is
+  computed in **integer cents** (LongType), which is order-independent and
+  exact — then converted to double by one deterministic IEEE division.
+  Floating sums would differ from DuckDB in the last ulp (different add
+  order) and ROUND() cannot repair that: Spark rounds the shortest decimal
+  string of the double, DuckDB rounds the binary value, so a true value at a
+  half-boundary (common for 2dp money) rounds differently.
+- Raw column passthroughs are bit-exact (both engines read the same parquet)
+  and are never rounded.
+
+Scale notes (local[32] tests, 100 TB design):
+- dimension joins (region/nation/supplier) are explicitly broadcast;
+- fact-fact joins (orders⋈lineitem) are left to Catalyst/AQE: sort-merge with
+  runtime skew splitting;
+- aggregates are DataFrame-level so map-side partial aggregation is automatic;
+  integer-cents sums are also cheaper to shuffle than doubles+rounding;
+- cents sums fit LongType up to ~9e16 dollars (2^63/100) — beyond any SF here;
+  the charge-style triple product (price·disc·tax in 1e-6 units) holds to
+  ~1e12 rows per group before overflow, documented at each use.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from filesql_spark.queries import load_table, load_views, register
+
+
+def cents(col: str | Column) -> Column:
+    """Exact integer cents of a 2-decimal money double (order-independent sums)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+# DuckDB-side twin of ``cents`` for oracle SQL strings.
+def _c(expr: str) -> str:
+    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)          AS sum_qty,
+           CAST(SUM({_c('l_extendedprice')}) AS BIGINT) / 100.0     AS sum_base_price,
+           CAST(SUM({_c('l_extendedprice')} * (100 - {_c('l_discount')})) AS BIGINT)
+               / 10000.0                                            AS sum_disc_price,
+           CAST(SUM({_c('l_extendedprice')} * (100 - {_c('l_discount')})
+                    * (100 + {_c('l_tax')})) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                                                                    AS avg_qty,
+           CAST(SUM({_c('l_extendedprice')}) AS BIGINT) / (100.0 * COUNT(*))
+                                                                    AS avg_price,
+           CAST(SUM({_c('l_discount')}) AS BIGINT) / (100.0 * COUNT(*))
+                                                                    AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate scan with map-side partial agg.
+
+    Reference parity: GROUP BY + SUM/AVG/COUNT surface
+    (filesql_integration_test.go:180-191). Cents-product sums: price_cents ×
+    disc_pct ≤ 1e9/row, exact in LongType to ~1e9 rows/group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    price_c = cents("l_extendedprice")
+    disc_f = 100 - cents("l_discount")  # (1 - discount) in percent units
+    tax_f = 100 + cents("l_tax")
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * disc_f) / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * disc_f * tax_f) / 1000000.0).alias("sum_charge"),
+            (F.sum(qty) / n.cast("double")).alias("avg_qty"),
+            (F.sum(price_c) / (100.0 * n)).alias("avg_price"),
+            (F.sum(cents("l_discount")) / (100.0 * n)).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT COUNT(*)                          AS n_orders,
+           COUNT(DISTINCT o_custkey)         AS n_customers,
+           COUNT(DISTINCT o_orderpriority)   AS n_priorities,
+           COUNT(o_orderstatus)              AS n_status
+    FROM orders
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) / COUNT(col) / COUNT(DISTINCT) (filesql_integration_test.go:342)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("o_orderstatus").alias("n_status"),
+    )
+
+
+@register(
+    "agg_having",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n,
+           CAST(SUM({_c('o_totalprice')}) AS BIGINT) / 100.0 AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5 AND SUM({_c('o_totalprice')}) > 5000000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (filesql_integration_test.go:190-191).
+
+    HAVING compares exact cents so the cut is identical on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents("o_totalprice")).alias("_total_cents"),
+        )
+        .filter((F.col("n") >= 5) & (F.col("_total_cents") > 5_000_000))
+        .select("o_custkey", "n", (F.col("_total_cents") / 100.0).alias("total"))
+    )
+
+
+@register(
+    "agg_conditional_case",
+    f"""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN {_c('o_totalprice')} > 10000000
+                         THEN {_c('o_totalprice')} ELSE 0 END) AS BIGINT) / 100.0 AS big_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(CASE WHEN …) conditional aggregation (filesql_integration_test.go:409,443-445)."""
+    o = load_table(spark, sf_dir, "orders")
+    tc = cents("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+        (F.sum(F.when(tc > 10_000_000, tc).otherwise(0)) / 100.0).alias("big_total"),
+    )
+
+
+@register(
+    "agg_group_concat",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite group_concat ≡ concat_ws∘sort_array∘collect_list (SURVEY §2.B).
+
+    Both engines' native order is nondeterministic; we pin it by sorting.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / predicates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_predicates",
+    """
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE (p_size BETWEEN 10 AND 30)
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_name LIKE '%a%'
+      AND (p_retailprice > 1200 OR p_size = 15)
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE with AND/OR/BETWEEN/IN/LIKE (filesql_test.go:130-141).
+
+    All predicates are Catalyst-pushable into the parquet scan; comparisons
+    are on raw columns (bit-identical to the oracle's inputs).
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice").filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_name").like("%a%")
+        & ((F.col("p_retailprice") > 1200) | (F.col("p_size") == 15))
+    )
+
+
+@register(
+    "select_case_expr",
+    f"""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 50000  THEN 'medium'
+                ELSE 'small' END AS bucket,
+           {_c('o_totalprice')} * 110 / 10000.0 AS with_tax
+    FROM orders
+    """,
+)
+def select_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection expressions + CASE WHEN (example_test.go:798-802).
+
+    with_tax = price × 1.1 computed as cents×110/10⁴ — exact 4-decimal value,
+    deterministic without rounding.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("bucket"),
+        (cents("o_totalprice") * 110 / 10000.0).alias("with_tax"),
+    )
+
+
+@register(
+    "coalesce_cast",
+    f"""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN COALESCE({_c('value')}, 0) > 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(SUM(COALESCE({_c('value')}, 0)) AS BIGINT) / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def coalesce_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE + CAST (filesql_integration_test.go:228-229)."""
+    e = load_table(spark, sf_dir, "events")
+    vc = cents("value")
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(F.coalesce(vc, F.lit(0)) > 10_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_big"),
+        (F.sum(F.coalesce(vc, F.lit(0))) / 100.0).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_multiway_inner",
+    f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM({_c('c.c_acctbal')}) AS BIGINT) / 100.0 AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way INNER equi-join (README.md:125-132). Dims broadcast explicitly."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(cents("c_acctbal")) / 100.0).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS l_orderkey,
+           CAST(SUM({_c('l.l_extendedprice')} * (100 - {_c('l.l_discount')})) AS BIGINT)
+               / 10000.0 AS revenue,
+           o.o_orderdate AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2024-06-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '2024-06-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact⋈fact join + agg + top-k.
+
+    orders⋈lineitem is a fact-fact join left to AQE (sort-merge w/ skew
+    handling); customer filter is pushed to the scan. Top-k compiles to
+    TakeOrderedAndProject — no global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2024-06-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2024-06-15 00:00:00").cast("timestamp")
+    )
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM({_c('l.l_extendedprice')} * (100 - {_c('l.l_discount')})) AS BIGINT)
+               / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name LIKE 'R%'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a compound join condition."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .filter(F.col("r_name").like("R%"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT n.n_name AS nation, COUNT(c.c_custkey) AS n_customers
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+    GROUP BY n.n_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with ON-clause filter (filesql_integration_test.go:136)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, (c.c_nationkey == n.n_nationkey) & (c.c_acctbal > 9000), "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "join_right_outer",
+    """
+    SELECT n.n_name AS nation, COUNT(s.s_suppkey) AS n_suppliers
+    FROM supplier s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (in SQLite dialect ≥3.39; SURVEY §2.B)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH big_cust AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000
+    ),
+    cust_orders AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(b.c_custkey, co.o_custkey) AS custkey,
+           COALESCE(b.c_acctbal, -1.0) AS acctbal,
+           COALESCE(co.n_orders, 0) AS n_orders
+    FROM big_cust b
+    FULL OUTER JOIN cust_orders co ON b.c_custkey = co.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two derived tables (SURVEY §2.B)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = c.filter(F.col("c_acctbal") > 8000).select("c_custkey", "c_acctbal")
+    co = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return big.join(co, big.c_custkey == co.o_custkey, "full").select(
+        F.coalesce(big.c_custkey, co.o_custkey).alias("custkey"),
+        F.coalesce(big.c_acctbal, F.lit(-1.0)).alias("acctbal"),
+        F.coalesce(co.n_orders, F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "join_cross",
+    """
+    SELECT r.r_name AS r_name, p.o_orderpriority AS o_orderpriority
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (example_test.go:804; filesql_test.go:248-252)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    p = load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(p)
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS ≡ left-semi join (filesql_integration_test.go:458-474)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS ≡ left-anti join (SURVEY §2.B semi/anti row)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta_selfjoin",
+    """
+    SELECT s1.s_suppkey AS s_suppkey, s1.s_name AS s_name,
+           COUNT(s2.s_suppkey) AS n_richer
+    FROM supplier s1
+    LEFT JOIN supplier s2
+      ON s2.s_nationkey = s1.s_nationkey AND s2.s_acctbal > s1.s_acctbal
+    GROUP BY s1.s_suppkey, s1.s_name
+    """,
+)
+def join_theta_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/non-equi self-join — the reference's window-emulation idiom
+    (filesql_integration_test.go:535-553)."""
+    s1 = load_table(spark, sf_dir, "supplier").alias("s1")
+    s2 = load_table(spark, sf_dir, "supplier").alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s2.s_nationkey") == F.col("s1.s_nationkey"))
+            & (F.col("s2.s_acctbal") > F.col("s1.s_acctbal")),
+            "left",
+        )
+        .groupBy(F.col("s1.s_suppkey").alias("s_suppkey"), F.col("s1.s_name").alias("s_name"))
+        .agg(F.count("s2.s_suppkey").alias("n_richer"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_rank
+    FROM customer
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK() OVER (PARTITION BY … ORDER BY …) (filesql.go:66; example_test.go:749)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+    )
+
+
+@register(
+    "window_row_number",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER() (example_test.go:750). Tie-broken on o_orderkey for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("order_seq"))
+
+
+@register(
+    "window_agg_over",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM({_c('o_totalprice')}) OVER (PARTITION BY o_custkey) AS BIGINT)
+               / (100.0 * COUNT(*) OVER (PARTITION BY o_custkey)) AS cust_avg,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+    FROM orders
+    """,
+)
+def window_agg_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG/COUNT OVER (PARTITION BY …) (filesql.go:65-67; example_test.go:51-52)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(cents("o_totalprice")).over(w) / (100.0 * F.count("*").over(w))).alias(
+            "cust_avg"
+        ),
+        F.count("*").over(w).alias("cust_orders"),
+    )
+
+
+@register(
+    "window_running_sum",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM({_c('o_totalprice')}) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) / 100.0 AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame spec ROWS BETWEEN (SURVEY §2.B frame row)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(cents("o_totalprice")).over(w) / 100.0).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_orderkey, o_custkey,
+           LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG / LEAD (SURVEY §2.B) — raw value passthrough, bit-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "window_ntile_dense_first",
+    """
+    SELECT c_custkey,
+           NTILE(4)     OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           DENSE_RANK() OVER (ORDER BY c_mktsegment)              AS seg_dense,
+           FIRST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey) AS seg_top
+    FROM customer
+    """,
+)
+def window_ntile_dense_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / DENSE_RANK / FIRST_VALUE (SURVEY §2.B)."""
+    c = load_table(spark, sf_dir, "customer")
+    w_all = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_seg = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w_all).alias("quartile"),
+        F.dense_rank().over(Window.orderBy("c_mktsegment")).alias("seg_dense"),
+        F.first_value("c_custkey").over(w_seg).alias("seg_top"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k / offset
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject, no global sort
+    (filesql_integration_test.go:92; README.md:278)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice AS total
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT … OFFSET … (SQLite dialect; SURVEY §2.B sort/limit)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", F.col("o_totalprice").alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT 'high_value' AS label, o_orderkey FROM orders WHERE o_totalprice > 250000
+    UNION ALL
+    SELECT 'urgent' AS label, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (filesql_integration_test.go:493-532)."""
+    o = load_table(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 250000).select(
+        F.lit("high_value").alias("label"), "o_orderkey"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("label"), "o_orderkey"
+    )
+    return high.unionAll(urgent)
+
+
+@register(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) (SURVEY §2.B set ops)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SURVEY §2.B set ops)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (SURVEY §2.B set ops)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# CTEs / subqueries — expressed through spark.sql (the SQL front door)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cte_vs_company_avg",
+    f"""
+    WITH seg_avg AS (
+        SELECT c_mktsegment,
+               CAST(SUM({_c('c_acctbal')}) AS BIGINT) / (CAST(100.0 AS DOUBLE) * COUNT(*)) AS seg_bal
+        FROM customer GROUP BY c_mktsegment
+    ),
+    overall AS (
+        SELECT CAST(SUM({_c('c_acctbal')}) AS BIGINT) / (CAST(100.0 AS DOUBLE) * COUNT(*)) AS all_bal
+        FROM customer
+    )
+    SELECT s.c_mktsegment AS c_mktsegment,
+           s.seg_bal AS seg_bal,
+           o.all_bal AS all_bal,
+           s.seg_bal - o.all_bal AS diff
+    FROM seg_avg s CROSS JOIN overall o
+    """,
+)
+def cte_vs_company_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH … CROSS JOIN — the reference's dept-vs-company-average report
+    (example_test.go:777-807; README.md:433-452)."""
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH seg_avg AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       / (CAST(100.0 AS DOUBLE) * COUNT(*)) AS seg_bal
+            FROM customer GROUP BY c_mktsegment
+        ),
+        overall AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       / (CAST(100.0 AS DOUBLE) * COUNT(*)) AS all_bal
+            FROM customer
+        )
+        SELECT s.c_mktsegment AS c_mktsegment,
+               s.seg_bal AS seg_bal,
+               o.all_bal AS all_bal,
+               s.seg_bal - o.all_bal AS diff
+        FROM seg_avg s CROSS JOIN overall o
+        """
+    )
+
+
+@register(
+    "derived_table",
+    f"""
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(total_cents) AS BIGINT) / (CAST(100.0 AS DOUBLE) * COUNT(*)) AS avg_total
+    FROM (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               SUM({_c('o_totalprice')}) AS total_cents,
+               CASE WHEN COUNT(*) >= 10 THEN 'frequent' ELSE 'occasional' END AS bucket
+        FROM orders GROUP BY o_custkey
+    ) t
+    GROUP BY bucket
+    """,
+)
+def derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM (SELECT …) derived table (filesql_test.go:248)."""
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT bucket, COUNT(*) AS n,
+               CAST(SUM(total_cents) AS BIGINT) / (CAST(100.0 AS DOUBLE) * COUNT(*)) AS avg_total
+        FROM (
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   CASE WHEN COUNT(*) >= 10 THEN 'frequent' ELSE 'occasional' END AS bucket
+            FROM orders GROUP BY o_custkey
+        ) t
+        GROUP BY bucket
+        """
+    )
+
+
+@register(
+    "scalar_subquery_correlated",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def scalar_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in WHERE (filesql.go doc :69-73);
+    Catalyst decorrelates to an aggregate+join."""
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
+    "scalar_subquery_select",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           (CAST(100.0 AS DOUBLE) * COUNT(*)) / (SELECT COUNT(*) FROM orders) AS pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in SELECT (example_test.go:1042)."""
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               (CAST(100.0 AS DOUBLE) * COUNT(*)) / (SELECT COUNT(*) FROM orders) AS pct
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "in_subquery",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation n
+                          JOIN region r ON n.n_regionkey = r.r_regionkey
+                          WHERE r.r_name LIKE 'R%')
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) predicate (SURVEY §2.B predicates)."""
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation n
+                              JOIN region r ON n.n_regionkey = r.r_regionkey
+                              WHERE r.r_name LIKE 'R%')
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (string / math / date / json)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           UPPER(p_name)                        AS upper_name,
+           LOWER(p_brand)                       AS lower_brand,
+           CAST(LENGTH(p_name) AS INTEGER)      AS name_len,
+           SUBSTR(p_name, 1, 5)                 AS name_prefix,
+           CAST(STRPOS(p_name, 'a') AS INTEGER) AS a_pos,
+           REPLACE(p_type, ' ', '_')            AS type_slug,
+           TRIM(CONCAT(p_brand, ' ', p_type))   AS brand_type
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTR/UPPER/LOWER/LENGTH/INSTR/REPLACE/TRIM/|| (example_test.go:830-843).
+
+    SQLite INSTR ≡ Spark locate/instr ≡ DuckDB strpos.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.lower("p_brand").alias("lower_brand"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.instr("p_name", "a").cast("int").alias("a_pos"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.trim(F.concat("p_brand", F.lit(" "), "p_type")).alias("brand_type"),
+    )
+
+
+@register(
+    "math_functions",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {_c('l_extendedprice')} * (100 - {_c('l_discount')}) / 10000.0 AS net,
+           ABS(l_discount - 0.05)                       AS disc_dev,
+           PRINTF('%.2f', l_extendedprice)              AS price_str
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND/ABS/PRINTF (SQLite printf ≡ Spark format_string ≡ DuckDB printf).
+
+    net is the exact 4-decimal cents product; disc_dev is the same IEEE
+    subtraction on both engines (bit-identical inputs).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        (cents("l_extendedprice") * (100 - cents("l_discount")) / 10000.0).alias("net"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.format_string("%.2f", "l_extendedprice").alias("price_str"),
+    )
+
+
+@register(
+    "date_functions",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m')           AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)  AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_mon,
+           COUNT(*) AS n,
+           CAST(SUM({_c('o_totalprice')}) AS BIGINT) / 100.0 AS total
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strftime('%Y-%m') monthly rollup (example_test.go:1137) ≡ date_format."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_mon"),
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(cents("o_totalprice")) / 100.0).alias("total"),
+    )
+
+
+@register(
+    "date_julianday_span",
+    """
+    SELECT l_returnflag,
+           (epoch_us(MAX(l_shipdate)) - epoch_us(MIN(l_shipdate)))
+                 / 86400000000.0 AS span_days
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def date_julianday_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """julianday(max)-julianday(min) day-span arithmetic (example_test.go:418),
+    expressed as integer epoch-microseconds difference — exact fractional days."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # parquet ms-timestamps load as TIMESTAMP_NTZ; cast is identity under UTC
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        ((us(F.max("l_shipdate")) - us(F.min("l_shipdate"))) / 86400000000.0).alias(
+            "span_days"
+        )
+    )
+
+
+@register(
+    "date_hour_histogram",
+    f"""
+    SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+           COUNT(*) AS n_events,
+           CAST(SUM({_c('value')}) AS BIGINT) / (100.0 * COUNT(value)) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def date_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST(strftime('%H',ts) AS INTEGER) hourly histogram (example_test.go:1069)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.hour("ts").alias("hour_of_day")).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(cents("value")) / (100.0 * F.count("value"))).alias("avg_value"),
+    )
+
+
+@register(
+    "json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               / CAST(COUNT(json_extract_string(props, '$.k')) AS DOUBLE) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_extract (README.md:331; doc.go:74) ≡ get_json_object."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        (F.sum(k) / F.count(k).cast("double")).alias("avg_k")
+    )
+
+
+@register(
+    "events_tumbling_window",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM({_c('value')}) AS BIGINT) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregate over the events table.
+
+    Batch shape of the Structured Streaming operator (same F.window call works
+    under readStream with a watermark — see filesql_spark/streaming/).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
