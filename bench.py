@@ -1,0 +1,83 @@
+"""Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Protocol (BASELINE.md): warm SparkSession, median of 3 runs per query,
+count() as the action (full plan execution without driver-side collect of
+the payload).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "agg_having",
+    "join_multiway_inner",
+    "join_theta_selfjoin",
+    "window_rank",
+    "window_running_sum",
+    "set_union_all",
+    "cte_vs_company_avg",
+    "scalar_subquery_correlated",
+    "date_functions",
+    "events_tumbling_window",
+    # pipeline operators (appended as they land)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from filesql_spark.queries import all_queries
+    from filesql_spark.session import get_spark
+
+    spark = get_spark(app_name="filesql_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    names = [n for n in HEADLINE if n in queries]
+    # warm-up: JVM/codegen/file-listing caches
+    for n in names[:3]:
+        queries[n](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            queries[n](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[n] = round(statistics.median(samples), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "median_sec_per_headline_query",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
