@@ -1,0 +1,211 @@
+"""Reader round-trips: CSV/TSV/LTSV/XLSX/Parquet ± compression."""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import lzma
+import zipfile
+
+import pytest
+
+from filesql_spark.errors import DuplicateColumnError, EmptyFileError
+from filesql_spark.sources.loader import load_file
+
+SAMPLE_CSV = "id,name,age,email\n1,John Doe,30,john@example.com\n2,Jane Smith,25,jane@example.com\n3,Bob Johnson,35,bob@example.com\n"
+
+
+def _write_minimal_xlsx(path, sheets):
+    """Build a minimal OOXML workbook: sheets = [(name, [[cell,...],...])]."""
+    content_types = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(len(sheets))
+        )
+        + "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId0" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>'
+    )
+    wb_sheets = "".join(
+        f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, (name, _rows) in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        + "</Relationships>"
+    )
+
+    def sheet_xml(rows):
+        out = ['<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>']
+        for r, row in enumerate(rows, 1):
+            out.append(f'<row r="{r}">')
+            for j, cell in enumerate(row):
+                col = chr(ord("A") + j)
+                if isinstance(cell, (int, float)):
+                    out.append(f'<c r="{col}{r}"><v>{cell}</v></c>')
+                else:
+                    out.append(f'<c r="{col}{r}" t="inlineStr"><is><t>{cell}</t></is></c>')
+            out.append("</row>")
+        out.append("</sheetData></worksheet>")
+        return "".join(out)
+
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, (_name, rows) in enumerate(sheets):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(rows))
+
+
+def test_csv_inference_and_types(spark, tmp_path):
+    p = tmp_path / "sample.csv"
+    p.write_text(SAMPLE_CSV)
+    res = load_file(spark, str(p))
+    (name, df), = res.tables
+    assert name == "sample"
+    assert dict(df.dtypes) == {
+        "id": "bigint",
+        "name": "string",
+        "age": "bigint",
+        "email": "string",
+    }
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].name == "John Doe" and rows[1].age == 30
+    assert df.filter("age > 30").count() == 1
+
+
+def test_tsv_gz(spark, tmp_path):
+    p = tmp_path / "products.tsv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("id\tname\tprice\n1\tLaptop\t1000\n2\tMouse\t29\n")
+    res = load_file(spark, str(p))
+    (name, df), = res.tables
+    assert name == "products"
+    assert dict(df.dtypes)["price"] == "bigint"
+    assert df.count() == 2
+
+
+@pytest.mark.parametrize(
+    "ext,opener",
+    [("bz2", bz2.open), ("xz", lzma.open)],
+)
+def test_csv_python_codecs(spark, tmp_path, ext, opener):
+    p = tmp_path / f"users.csv.{ext}"
+    with opener(p, "wt") as f:
+        f.write("id,role\n1,admin\n2,user\n")
+    res = load_file(spark, str(p))
+    (name, df), = res.tables
+    assert name == "users"
+    assert df.count() == 2
+    if ext == "xz":  # bz2 is Hadoop-native; xz spills through Python
+        assert res.temp_files
+
+
+def test_csv_zstd(spark, tmp_path):
+    import pyarrow as pa
+
+    data = pa.Codec("zstd").compress(b"id,v\n1,2\n3,4\n", asbytes=True)
+    p = tmp_path / "z.csv.zst"
+    p.write_bytes(data)
+    res = load_file(spark, str(p))
+    (_, df), = res.tables
+    assert df.count() == 2
+
+
+def test_ltsv_union_of_keys_sorted(spark, tmp_path):
+    p = tmp_path / "logs.ltsv"
+    p.write_text(
+        "time:2024-01-01T10:00:00Z\tlevel:INFO\tmessage:Application started\n"
+        "time:2024-01-01T10:01:00Z\tlevel:ERROR\thost:web1\n"
+    )
+    res = load_file(spark, str(p))
+    (name, df), = res.tables
+    assert name == "logs"
+    assert df.columns == ["host", "level", "message", "time"]  # sorted keys
+    rows = df.orderBy("time").collect()
+    assert rows[0].message == "Application started"
+    assert rows[0].host is None  # missing key → NULL
+    assert rows[1].host == "web1"
+
+
+def test_ltsv_value_with_colon(spark, tmp_path):
+    p = tmp_path / "logs.ltsv"
+    p.write_text("url:http://example.com/x\tlevel:INFO\n")
+    (_, df), = load_file(spark, str(p)).tables
+    assert df.collect()[0].url == "http://example.com/x"  # first-colon split
+
+
+def test_duplicate_columns_raises(spark, tmp_path):
+    p = tmp_path / "duplicate_columns.csv"
+    p.write_text("id,name,id,email\n1,a,2,b\n")
+    with pytest.raises(DuplicateColumnError):
+        load_file(spark, str(p))
+
+
+def test_empty_file_raises(spark, tmp_path):
+    p = tmp_path / "empty.csv"
+    p.write_text("")
+    with pytest.raises(EmptyFileError):
+        load_file(spark, str(p))
+
+
+def test_header_only(spark, tmp_path):
+    p = tmp_path / "h.csv"
+    p.write_text("id,name\n")
+    (_, df), = load_file(spark, str(p)).tables
+    assert df.columns == ["id", "name"]
+    assert df.count() == 0
+    assert dict(df.dtypes) == {"id": "string", "name": "string"}  # all-TEXT
+
+
+def test_xlsx_multi_sheet(spark, tmp_path):
+    p = tmp_path / "sample.xlsx"
+    _write_minimal_xlsx(
+        p,
+        [
+            ("Sheet1", [["id", "name"], [1, "Alice"], [2, "Bob"]]),
+            ("Sheet2", [["id", "value"], [1, 100], [2, 200]]),
+        ],
+    )
+    res = load_file(spark, str(p))
+    names = [n for n, _ in res.tables]
+    assert names == ["sample_Sheet1", "sample_Sheet2"]
+    df1 = dict(res.tables)["sample_Sheet1"]
+    assert dict(df1.dtypes) == {"id": "bigint", "name": "string"}
+    assert df1.count() == 2
+    df2 = dict(res.tables)["sample_Sheet2"]
+    assert df2.filter("value = 200").count() == 1
+
+
+def test_xlsx_short_rows_padded(spark, tmp_path):
+    p = tmp_path / "pad.xlsx"
+    _write_minimal_xlsx(p, [("S", [["a", "b", "c"], [1, "x"], [2, "y"]])])
+    (_, df), = load_file(spark, str(p)).tables
+    assert df.columns == ["a", "b", "c"]
+    assert [r.c for r in df.collect()] == [None, None]
+
+
+def test_parquet_typed(spark, tmp_path):
+    import pandas as pd
+
+    p = tmp_path / "t.parquet"
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(p)
+    (name, df), = load_file(spark, str(p)).tables
+    assert name == "t"
+    assert dict(df.dtypes)["k"] == "bigint"  # real parquet schema, no stringify
