@@ -1,0 +1,270 @@
+"""Engine: the Spark-native equivalent of the reference's in-memory SQLite DB.
+
+Reference architecture (SURVEY §1.1): one `:memory:` SQLite holding N tables,
+queried via database/sql, dumped via DumpDatabase, with auto-save hooks on
+Close()/Commit() (save.go). Here: one SparkSession holding N temp views over
+DataFrames, queried via spark.sql behind the SQLite-dialect shim, dumped via
+the sinks package, with the same auto-save hooks.
+
+State model: ``_tables`` maps name → DataFrame (the current committed-or-
+working version). DML rewrites the DataFrame and re-registers the view —
+a lazy plan mutation, no materialization. Transactions are snapshot/swap of
+the registry dict (begin → shallow copy; rollback → restore; commit → drop
+snapshot + optional auto-save), mirroring save.go:268-294, 340-361.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from filesql_spark import dialect
+from filesql_spark.errors import DuplicateTableError, FilesqlError, TransactionError
+from filesql_spark.session import get_spark
+from filesql_spark.sources.loader import load_file
+from filesql_spark.sources.walker import collect_files_from_paths
+
+
+@dataclass
+class AutoSaveConfig:
+    """Reference: builder.go:196-241 (EnableAutoSave / EnableAutoSaveOnCommit).
+
+    ``output_dir == ""`` means overwrite the original input files'
+    directories (save.go:386-399).
+    """
+
+    output_dir: str
+    on: str = "close"  # "close" | "commit"
+    format: str | None = None  # None → keep each table's original format
+    compression: str | None = None
+
+
+class Engine:
+    """A loaded database: named DataFrames + SQL front door + export."""
+
+    def __init__(self, spark: SparkSession | None = None, auto_save: AutoSaveConfig | None = None):
+        self.spark = spark or get_spark()
+        self.auto_save = auto_save
+        self._tables: dict[str, DataFrame] = {}
+        self._views: dict[str, DataFrame] = {}
+        self._origins: dict[str, str] = {}  # table → original file path
+        self._snapshot: tuple[dict[str, DataFrame], dict[str, DataFrame]] | None = None
+        self._temp_files: list[str] = []
+        self._closed = False
+
+    # ------------------------------------------------------------------ load
+
+    def load_paths(self, paths: list[str]) -> None:
+        """Collect + load every input path (reference Build/Open flow,
+        builder.go:255-344)."""
+        for path in collect_files_from_paths(paths):
+            result = load_file(self.spark, path)
+            self._temp_files.extend(result.temp_files)
+            for name, df in result.tables:
+                if name in self._tables:
+                    # hard error, like stream_processor.go:109-121
+                    raise DuplicateTableError(
+                        f"table {name!r} already exists (from {path})"
+                    )
+                self.register(name, df, origin=path)
+
+    def register(self, name: str, df: DataFrame, origin: str | None = None) -> None:
+        self._tables[name] = df
+        if origin:
+            self._origins[name] = origin
+        df.createOrReplaceTempView(name)
+        self._refresh_catalog_views()
+
+    def _reregister(self, name: str, df: DataFrame) -> None:
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        self._refresh_catalog_views()
+
+    # --------------------------------------------------------------- catalog
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise FilesqlError(f"no such table: {name}")
+        return self._tables[name]
+
+    def table_names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def _ddl_for(self, name: str) -> str:
+        cols = ", ".join(
+            f'"{f.name}" {_sqlite_type(f.dataType.simpleString())}'
+            for f in self._tables[name].schema.fields
+        )
+        return f'CREATE TABLE "{name}" ({cols})'
+
+    def _refresh_catalog_views(self) -> None:
+        """Maintain the ``sqlite_master`` compat view (filesql.go:224-248;
+        README.md:149 queries it verbatim)."""
+        rows = [
+            (kind, name, name, 0, self._ddl_for(name) if kind == "table" else None)
+            for kind, names in (("table", self._tables), ("view", self._views))
+            for name in names
+        ]
+        df = self.spark.createDataFrame(
+            rows, schema="type string, name string, tbl_name string, rootpage int, sql string"
+        )
+        df.createOrReplaceTempView("sqlite_master")
+
+    def pragma_table_info(self, name: str) -> DataFrame:
+        """PRAGMA table_info(t) compat (filesql.go:275-301 uses it)."""
+        fields = self.table(name).schema.fields
+        rows = [
+            (i, f.name, _sqlite_type(f.dataType.simpleString()), 0, None, 0)
+            for i, f in enumerate(fields)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            schema="cid int, name string, type string, notnull int, dflt_value string, pk int",
+        )
+
+    # ----------------------------------------------------------------- query
+
+    def query(self, sql: str) -> DataFrame:
+        """Run a SELECT-shaped statement (SQLite dialect) → DataFrame."""
+        stmt = _first_keyword(sql)
+        if stmt == "PRAGMA":
+            return self._pragma(sql)
+        if stmt in ("SELECT", "WITH", "VALUES"):
+            return self.spark.sql(dialect.rewrite(sql))
+        raise FilesqlError(
+            f"query() handles SELECT statements; use execute() for {stmt}"
+        )
+
+    def execute(self, sql: str) -> int:
+        """Run a DML/DDL/transaction statement; returns affected-row count
+        (database/sql Exec semantics)."""
+        from filesql_spark import dml
+
+        stmt = _first_keyword(sql)
+        if stmt == "BEGIN":
+            self.begin()
+            return 0
+        if stmt == "COMMIT":
+            self.commit()
+            return 0
+        if stmt == "ROLLBACK":
+            self.rollback()
+            return 0
+        if stmt in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP"):
+            return dml.execute(self, sql)
+        # SELECT via execute: run it, report row count
+        return self.query(sql).count()
+
+    def _pragma(self, sql: str) -> DataFrame:
+        import re
+
+        m = re.match(r"\s*PRAGMA\s+table_info\s*\(\s*[\"'`]?([^)\"'`]+)[\"'`]?\s*\)", sql, re.I)
+        if m:
+            return self.pragma_table_info(m.group(1).strip())
+        raise FilesqlError(f"unsupported PRAGMA: {sql.strip()}")
+
+    # ---------------------------------------------------------- transactions
+
+    def begin(self) -> None:
+        if self._snapshot is not None:
+            raise TransactionError("transaction already in progress")
+        self._snapshot = (dict(self._tables), dict(self._views))
+
+    def commit(self) -> None:
+        if self._snapshot is None:
+            raise TransactionError("no transaction in progress")
+        self._snapshot = None
+        if self.auto_save and self.auto_save.on == "commit":
+            self._perform_auto_save()
+
+    def rollback(self) -> None:
+        if self._snapshot is None:
+            raise TransactionError("no transaction in progress")
+        tables, views = self._snapshot
+        self._snapshot = None
+        self._tables, self._views = tables, views
+        for name, df in self._tables.items():
+            df.createOrReplaceTempView(name)
+        self._refresh_catalog_views()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def dump(
+        self,
+        output_dir: str,
+        format: str = "csv",  # noqa: A002
+        compression: str | None = None,
+    ) -> list[str]:
+        from filesql_spark.sinks.dump import dump_database
+
+        return dump_database(self, output_dir, format=format, compression=compression)
+
+    def _perform_auto_save(self) -> None:
+        """save.go:364-399: dump to output_dir, or overwrite originals when
+        the configured dir is empty."""
+        cfg = self.auto_save
+        assert cfg is not None
+        from filesql_spark.sinks.dump import dump_database, dump_table_to_path
+
+        if cfg.output_dir:
+            dump_database(
+                self, cfg.output_dir, format=cfg.format or "csv", compression=cfg.compression
+            )
+            return
+        for name, origin in self._origins.items():
+            if name in self._tables:
+                dump_table_to_path(self._tables[name], origin)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self.auto_save and self.auto_save.on == "close":
+            self._perform_auto_save()
+        for name in list(self._tables) + list(self._views) + ["sqlite_master"]:
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        for tmp in self._temp_files:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        self._tables.clear()
+        self._views.clear()
+        self._closed = True
+
+    def __enter__(self) -> Engine:
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def open(*paths: str, spark: SparkSession | None = None) -> Engine:  # noqa: A001
+    """filesql.Open equivalent (filesql.go:92-94): load paths, return Engine."""
+    if not paths:
+        raise FilesqlError("at least one path is required")
+    eng = Engine(spark=spark)
+    eng.load_paths(list(paths))
+    return eng
+
+
+def _first_keyword(sql: str) -> str:
+    import re
+
+    # strip leading whitespace and -- / /* */ comments
+    s = re.sub(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*\s*", "", sql, flags=re.S)
+    m = re.match(r"(\w+)", s)
+    return m.group(1).upper() if m else ""
+
+
+def _sqlite_type(spark_type: str) -> str:
+    """Spark type → SQLite storage-class name (types.go:172-195 inverse)."""
+    if spark_type in ("bigint", "int", "smallint", "tinyint"):
+        return "INTEGER"
+    if spark_type in ("double", "float"):
+        return "REAL"
+    return "TEXT"

@@ -1,0 +1,141 @@
+"""Export layer: single-file dumps, codecs, round-trips, auto-save hooks."""
+
+from __future__ import annotations
+
+import gzip
+import lzma
+import os
+
+import pytest
+
+import filesql_spark as fs
+from filesql_spark.errors import FilesqlError
+
+CSV = "id,name,score\n1,alice,9.5\n2,bob,8.25\n3,carol,\n"
+
+
+@pytest.fixture
+def eng(spark, tmp_path):
+    (tmp_path / "people.csv").write_text(CSV)
+    e = fs.open(str(tmp_path / "people.csv"), spark=spark)
+    yield e
+    e.close()
+
+
+def test_dump_csv_single_file(eng, tmp_path):
+    out = tmp_path / "out"
+    written = eng.dump(str(out), format="csv")
+    assert written == [str(out / "people.csv")]
+    text = (out / "people.csv").read_text()
+    lines = text.strip().split("\n")
+    assert lines[0] == "id,name,score"
+    assert "1,alice,9.5" in lines
+    # NULL → empty string (filesql.go:370-375)
+    assert any(line.startswith("3,carol,") for line in lines)
+
+
+def test_dump_tsv_gz_roundtrip(eng, spark, tmp_path):
+    out = tmp_path / "out"
+    eng.dump(str(out), format="tsv", compression="gz")
+    p = out / "people.tsv.gz"
+    assert p.exists()
+    with gzip.open(p, "rt") as f:
+        assert f.readline().strip() == "id\tname\tscore"
+    # round-trip through the reader
+    e2 = fs.open(str(p), spark=spark)
+    try:
+        assert e2.query("SELECT COUNT(*) AS n FROM people").collect()[0].n == 3
+    finally:
+        e2.close()
+
+
+def test_dump_ltsv(eng, tmp_path):
+    out = tmp_path / "out"
+    eng.dump(str(out), format="ltsv")
+    lines = (out / "people.ltsv").read_text().strip().split("\n")
+    assert "id:1\tname:alice\tscore:9.5" in lines
+    assert "id:3\tname:carol\tscore:" in lines  # NULL → ""
+
+
+def test_dump_parquet_typed_roundtrip(eng, spark, tmp_path):
+    out = tmp_path / "out"
+    eng.dump(str(out), format="parquet")
+    df = spark.read.parquet(str(out / "people.parquet"))
+    assert df.count() == 3
+    assert dict(df.dtypes)["id"] == "bigint"
+
+
+def test_dump_xlsx_roundtrip(eng, spark, tmp_path):
+    out = tmp_path / "out"
+    eng.dump(str(out), format="xlsx")
+    e2 = fs.open(str(out / "people.xlsx"), spark=spark)
+    try:
+        assert "people_people" in e2.table_names()
+        assert e2.query('SELECT COUNT(*) AS n FROM "people_people"').collect()[0].n == 3
+    finally:
+        e2.close()
+
+
+def test_dump_xz(eng, tmp_path):
+    out = tmp_path / "out"
+    eng.dump(str(out), format="csv", compression="xz")
+    with lzma.open(out / "people.csv.xz", "rt") as f:
+        assert f.readline().strip() == "id,name,score"
+
+
+def test_dump_bz2_write_rejected(eng, tmp_path):
+    with pytest.raises(FilesqlError):
+        eng.dump(str(tmp_path / "o"), format="csv", compression="bz2")
+
+
+def test_dump_parquet_external_codec_rejected(eng, tmp_path):
+    # parity: filesql.go:716-719
+    with pytest.raises(FilesqlError):
+        eng.dump(str(tmp_path / "o"), format="parquet", compression="gz")
+
+
+def test_auto_save_on_close(spark, tmp_path):
+    (tmp_path / "t.csv").write_text("id,v\n1,2\n")
+    out = tmp_path / "saved"
+    eng = (
+        fs.Builder()
+        .add_path(str(tmp_path / "t.csv"))
+        .enable_auto_save(str(out), format="csv")
+        .open(spark=spark)
+    )
+    eng.execute("INSERT INTO t VALUES (2, 3)")
+    eng.close()
+    assert (out / "t.csv").exists()
+    assert len((out / "t.csv").read_text().strip().split("\n")) == 3  # header + 2
+
+
+def test_auto_save_on_commit(spark, tmp_path):
+    (tmp_path / "t.csv").write_text("id,v\n1,2\n")
+    out = tmp_path / "saved"
+    eng = (
+        fs.Builder()
+        .add_path(str(tmp_path / "t.csv"))
+        .enable_auto_save(str(out), format="csv", on="commit")
+        .open(spark=spark)
+    )
+    eng.begin()
+    eng.execute("UPDATE t SET v = 99 WHERE id = 1")
+    eng.commit()
+    assert "1,99" in (out / "t.csv").read_text()
+    eng.close()
+
+
+def test_auto_save_overwrite_original(spark, tmp_path):
+    # empty output_dir → overwrite input files in place (save.go:386-399)
+    src = tmp_path / "t.csv"
+    src.write_text("id,v\n1,2\n")
+    eng = (
+        fs.Builder()
+        .add_path(str(src))
+        .enable_auto_save("", on="close")
+        .open(spark=spark)
+    )
+    eng.execute("DELETE FROM t WHERE id = 1")
+    eng.close()
+    content = src.read_text().strip().split("\n")
+    assert content[0] == "id,v" and len(content) == 1

@@ -1,0 +1,160 @@
+"""Engine API: open/query/DML/transactions/auto-save/catalog compat.
+
+Ports the observable behaviors of the reference's integration tests
+(filesql_test.go:116-180 TestSQLQueries; builder_test.go:609-958 auto-save).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import filesql_spark as fs
+from filesql_spark.engine import Engine
+from filesql_spark.errors import DuplicateTableError, FilesqlError, TransactionError
+
+SAMPLE = "id,name,age,email\n1,John Doe,30,john@example.com\n2,Jane Smith,25,jane@example.com\n3,Bob Johnson,35,bob@example.com\n"
+
+
+@pytest.fixture
+def eng(spark, tmp_path):
+    (tmp_path / "sample.csv").write_text(SAMPLE)
+    e = fs.open(str(tmp_path / "sample.csv"), spark=spark)
+    yield e
+    e.close()
+
+
+def test_open_and_query(eng):
+    # TestSQLQueries' three assertions (filesql_test.go:116-180)
+    assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 3
+    assert eng.query("SELECT name FROM sample WHERE id = 1").collect()[0].name == "John Doe"
+    assert eng.query("SELECT COUNT(*) AS n FROM sample WHERE age > 30").collect()[0].n == 1
+
+
+def test_quoted_identifiers(eng):
+    assert eng.query('SELECT "name" FROM "sample" WHERE "id" = 2').collect()[0].name == "Jane Smith"
+
+
+def test_sqlite_master(eng):
+    rows = eng.query("SELECT name FROM sqlite_master WHERE type='table'").collect()
+    assert [r.name for r in rows] == ["sample"]
+    sql = eng.query("SELECT sql FROM sqlite_master").collect()[0].sql
+    assert 'CREATE TABLE "sample"' in sql and '"age" INTEGER' in sql
+
+
+def test_pragma_table_info(eng):
+    rows = eng.query("PRAGMA table_info(sample)").collect()
+    assert [(r.name, r.type) for r in rows] == [
+        ("id", "INTEGER"),
+        ("name", "TEXT"),
+        ("age", "INTEGER"),
+        ("email", "TEXT"),
+    ]
+
+
+def test_insert_values(eng):
+    n = eng.execute("INSERT INTO sample VALUES (4, 'Ann Lee', 41, 'ann@example.com')")
+    assert n == 1
+    assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 4
+    assert eng.query("SELECT age FROM sample WHERE id = 4").collect()[0].age == 41
+
+
+def test_insert_with_columns(eng):
+    n = eng.execute("INSERT INTO sample (id, name) VALUES (5, 'NoAge'), (6, 'Also')")
+    assert n == 2
+    row = eng.query("SELECT * FROM sample WHERE id = 5").collect()[0]
+    assert row.age is None and row.name == "NoAge"
+
+
+def test_insert_select(eng):
+    n = eng.execute(
+        "INSERT INTO sample SELECT id + 100, name, age, email FROM sample WHERE age >= 30"
+    )
+    assert n == 2
+    assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 5
+
+
+def test_update(eng):
+    n = eng.execute("UPDATE sample SET age = age + 1 WHERE id = 1")
+    assert n == 1
+    assert eng.query("SELECT age FROM sample WHERE id = 1").collect()[0].age == 31
+    # unmatched rows untouched
+    assert eng.query("SELECT age FROM sample WHERE id = 2").collect()[0].age == 25
+
+
+def test_update_all_rows(eng):
+    assert eng.execute("UPDATE sample SET email = 'x@y.z'") == 3
+
+
+def test_delete(eng):
+    n = eng.execute("DELETE FROM sample WHERE age > 30")
+    assert n == 1
+    assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 2
+
+
+def test_transaction_rollback(eng):
+    eng.begin()
+    eng.execute("DELETE FROM sample")
+    assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 0
+    eng.rollback()
+    assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 3
+
+
+def test_transaction_commit(eng):
+    eng.begin()
+    eng.execute("INSERT INTO sample VALUES (9, 'T', 1, 'e')")
+    eng.commit()
+    assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 4
+    with pytest.raises(TransactionError):
+        eng.commit()
+
+
+def test_create_table_and_view(eng):
+    eng.execute("CREATE TABLE extra (k INTEGER, v TEXT)")
+    assert eng.query("SELECT COUNT(*) AS n FROM extra").collect()[0].n == 0
+    eng.execute("INSERT INTO extra VALUES (1, 'a')")
+    eng.execute("CREATE VIEW adults AS SELECT * FROM sample WHERE age >= 30")
+    assert eng.query("SELECT COUNT(*) AS n FROM adults").collect()[0].n == 2
+    kinds = {
+        (r.type, r.name)
+        for r in eng.query("SELECT type, name FROM sqlite_master").collect()
+    }
+    assert ("table", "extra") in kinds and ("view", "adults") in kinds
+    eng.execute("DROP TABLE extra")
+    assert "extra" not in eng.table_names()
+
+
+def test_create_index_noop_and_trigger_error(eng):
+    assert eng.execute("CREATE INDEX idx ON sample(id)") == 0
+    with pytest.raises(FilesqlError):
+        eng.execute("CREATE TRIGGER tr AFTER INSERT ON sample BEGIN SELECT 1; END")
+
+
+def test_duplicate_table_error(spark, tmp_path):
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir()
+    d2.mkdir()
+    (d1 / "users.csv").write_text("id\n1\n")
+    (d2 / "users.csv").write_text("id\n2\n")
+    with pytest.raises(DuplicateTableError):
+        fs.open(str(d1 / "users.csv"), str(d2 / "users.csv"), spark=spark)
+
+
+def test_builder_reader(spark):
+    eng = (
+        fs.Builder()
+        .add_reader(b"id,v\n1,10\n2,20\n", "inline", "csv")
+        .open(spark=spark)
+    )
+    try:
+        assert eng.query("SELECT SUM(v) AS s FROM inline").collect()[0].s == 30
+    finally:
+        eng.close()
+
+
+def test_dialect_through_engine(eng):
+    # strftime through the shim on a datetime-typed string column
+    (row,) = eng.query(
+        "SELECT strftime('%Y', '2024-03-05') AS y"
+    ).collect()
+    assert row.y == "2024"
