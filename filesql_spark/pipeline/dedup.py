@@ -1,0 +1,308 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
+
+Scale design (the whole point — no step is O(n²) on the full corpus):
+- exact: one hash-shuffle on md5(text) — the canonical groupBy dedup;
+- MinHash+LSH: explode shingles → 16-way min-agg (one shuffle, map-side
+  partial min) → band-bucket self-join (pairs only within equal band
+  hashes) → exact-Jaccard verify on the candidates;
+- SimHash: token-count agg → 32 bit-sums per doc → half-band blocking
+  (Hamming ≤ 3 pairs must share one 16-bit half) → bit_count verify;
+- n-gram Jaccard: blocked all-pairs inside (lang, length-bucket) groups;
+- embedding: blocked by label (an IVF-style coarse quantizer at scale).
+
+Portability: base hashes are md5-derived (first 8 hex chars → int), so the
+DuckDB oracles in queries/pipeline_queries.py reproduce every value
+bit-for-bit; Jaccard/cosine are single IEEE divisions over exact integers
+or identically-ordered folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from filesql_spark.pipeline.constants import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+)
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: canonical keep-id per content hash.
+
+    Output: (doc_id, content_hash, keep_id, is_duplicate). One shuffle on
+    the hash; window-min picks the smallest doc_id as canonical.
+    """
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select("doc_id", h.alias("content_hash"))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", (F.col("doc_id") != F.col("keep_id")).cast("int"))
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (text is tokenized on single spaces)."""
+    t = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array(text_col)
+    )
+
+
+def _hash32(col: Column) -> Column:
+    """Portable 32-bit base hash: first 8 hex chars of md5 → int."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, mh0..mh15): one explode + one 16-way min aggregation."""
+    sh = df.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col))).alias("shingle")
+    )
+    h = _hash32(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Candidate pairs via banding, verified with exact shingle Jaccard.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sigs = minhash_signatures(df, text_col)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    shingle_sets = df.select(
+        "doc_id", word_shingles(F.col(text_col)).alias("sh")
+    )
+    a = shingle_sets.alias("sa")
+    b = shingle_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(b, cand.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over token counts (one agg per doc, no joins)."""
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    h = _hash32(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tc.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k over half-band blocking.
+
+    With 2 halves, any pair at distance ≤ 3 < 4 shares at least one exact
+    half (pigeonhole) — blocking is lossless for k ≤ 3.
+    """
+    s = simhash(df, text_col)
+    halves = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("half"), (F.col("simhash") % 65536).alias("hv")),
+                F.struct(
+                    F.lit(1).alias("half"),
+                    F.floor(F.col("simhash") / 65536).cast("long").alias("hv"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.half", "e.hv")
+    l, r = halves.alias("l"), halves.alias("r")
+    ham = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.half") == F.col("r.half"))
+            & (F.col("l.hv") == F.col("r.hv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.4,
+    bucket_chars: int = 50,
+) -> DataFrame:
+    """Exact Jaccard over word-3-gram sets, blocked by (lang, length bucket).
+
+    Blocking keys bound the all-pairs comparison to each block — the classic
+    quadratic-to-linear trick; near-dups rarely differ much in length.
+    """
+    base = df.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / bucket_chars).alias("bucket"),
+        word_shingles(F.col(text_col)).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------- embedding cosine
+
+
+COSINE_SCALE = 10_000
+
+
+def quantize(vec: Column) -> Column:
+    """float32 vector → exact integer vector (×10⁴).
+
+    Integer sums are order-independent, so quantized cosine is
+    bit-deterministic across engines — a floating sum's result would depend
+    on fold order. Rounding at integer granularity is itself safe: X.5 is
+    exactly representable as a double (|X| < 2⁵¹), so Spark's
+    decimal-string rounding and DuckDB's binary rounding always agree on
+    which side of the boundary a value falls.
+    """
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * COSINE_SCALE).cast("long")
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Quantized cosine: exact int64 dot/norms, then three deterministic
+    IEEE ops (÷, √, ÷) — identical bits in the DuckDB oracle."""
+    qa, qb = quantize(a), quantize(b)
+    dot = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(qa, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(qb, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (
+        dot.cast("double") / F.sqrt(na.cast("double")) / F.sqrt(nb.cast("double"))
+    )
+
+
+def embedding_dup_pairs(df: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Near-duplicate embedding pairs within label blocks (coarse IVF cells).
+
+    Output: (vec_a, vec_b, cos) with vec_a < vec_b, cos ≥ threshold.
+    """
+    a, b = df.alias("a"), df.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

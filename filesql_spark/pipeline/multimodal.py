@@ -1,0 +1,113 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed
+through Arrow-batched Pandas UDFs (``mapInPandas``).
+
+The container has no image/audio codecs, so the *decode* itself is stubbed
+(NotImplementedError behind ``REAL_DECODE``) with a deterministic fake —
+but everything Spark-side is real and tested: the binary column schema,
+the mapInPandas batch iteration, the output schema contract, and the
+partition-parallel shape. Swapping ``_fake_decode`` for PIL/ffmpeg is a
+one-function change; the plan doesn't move.
+
+The fake decode derives (width, height, channels) from md5 of the payload
+bytes, which makes it SQL-expressible — the DuckDB oracle reproduces the
+Pandas-UDF output exactly, proving the Arrow plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REAL_DECODE = False  # flip when PIL / torchcodec / ffmpeg are installed
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, mime string, width int, height int, channels int"
+)
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
+    raise NotImplementedError(
+        "image decode requires PIL/libvips — not available in this container"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in: dimensions from the payload's md5."""
+    h = hashlib.md5(payload).hexdigest()
+    width = 1 + int(h[0:4], 16) % 1920
+    height = 1 + int(h[4:8], 16) % 1080
+    channels = 1 + int(h[8:10], 16) % 4
+    return width, height, channels
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → multimodal shape: binary payload + typed metadata.
+
+    (In a real pipeline the payload is the image/audio bytes read from the
+    lake; here we synthesize it from the text so the driver tables suffice.)
+    """
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """mapInPandas decode: binary batches in, feature rows out.
+
+    Arrow moves each partition's rows as columnar batches; the Python
+    worker touches bytes only — no JVM round-trips per row. At 100 TB this
+    is the standard shape for CPU-bound media decode (scale out = more
+    partitions).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_decode if REAL_DECODE else _fake_decode
+        for pdf in batches:
+            dims = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "mime": pdf["mime"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+def resize_plan(df: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize planning over decoded metadata — pure column math (JVM-side):
+    the scale factor and output dims a resize UDF would apply."""
+    scale = F.when(
+        F.greatest(F.col("width"), F.col("height")) > max_side,
+        max_side / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    ).otherwise(F.lit(1.0))
+    return df.select(
+        "doc_id",
+        "width",
+        "height",
+        scale.alias("scale"),
+        F.floor(F.col("width") * scale).cast("int").alias("out_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_height"),
+    )
+
+
+def frame_sample_plan(df: DataFrame, fps: int = 1, max_frames: int = 8) -> DataFrame:
+    """Video-style frame sampling plan: which frame indexes a sampler would
+    decode, as an array column (duration faked from payload size)."""
+    duration_s = (F.col("n_bytes") % 30 + 1).cast("int")
+    n = F.least(duration_s * fps, F.lit(max_frames))
+    return df.select(
+        "doc_id",
+        duration_s.alias("duration_s"),
+        F.sequence(F.lit(0), n - 1).alias("frame_idx"),
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators — pure column expressions, zero UDFs.
+
+Everything here stays inside whole-stage codegen: split/regexp/md5/
+array_intersect are JVM built-ins, so these run at scan speed on 100 TB
+(one pass over the documents table, no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from filesql_spark.pipeline.constants import LANG_PRIORITY, STOPWORDS
+
+# "BPE-ish" token pattern: alpha runs, single digits, or single punctuation
+BPE_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercase word tokens (split on non-letters, empties dropped)."""
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim(c), "\\s+"), lambda t: t != "")).alias("ws_tokens"),
+        F.regexp_count(c, F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+        F.length(c).cast("long").alias("n_chars_actual"),
+    )
+
+
+def _lang_scores(toks: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID; argmax with LANG_PRIORITY tie-break,
+    'und' (undetermined) when no stopword hits at all."""
+    toks = tokens(F.col(text_col))
+    s = _lang_scores(toks)
+    best = F.lit("und")
+    # build the argmax as a priority-ordered CASE: a language wins iff its
+    # score is >= every other score (earlier priority wins ties)
+    expr = None
+    for lang in LANG_PRIORITY:
+        cond = (s[lang] > 0)
+        for other in LANG_PRIORITY:
+            if other != lang:
+                cond = cond & (s[lang] >= s[other])
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    detected = expr.otherwise(best)
+    return df.select(
+        "doc_id",
+        detected.alias("detected_lang"),
+        *[s[lang].alias(f"score_{lang}") for lang in LANG_PRIORITY],
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + composite.
+
+    All counts are exact integers; each ratio is one deterministic IEEE
+    division, so the DuckDB oracle matches bit-for-bit.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    ).cast("long")
+    n_punct = F.length(F.regexp_replace(c, "[a-zA-Z0-9\\s]", "")).cast("long")
+    mean_token_len = F.when(
+        n_tokens > 0,
+        (n_chars - (n_tokens - 1)) / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens.cast("double")).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(0.0)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        mean_token_len.alias("mean_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-text md5, normalized md5, 64-bit prefix
+    (hex→int), and a cheap locality-sensitive head hash."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+    full = F.md5(c)
+    return df.select(
+        "doc_id",
+        full.alias("md5_full"),
+        F.md5(norm).alias("md5_norm"),
+        # 15 hex chars = 60 bits: fits signed int64 in both engines
+        F.conv(F.substring(full, 1, 15), 16, 10).cast("long").alias("h60"),
+        F.md5(F.substring(norm, 1, 64)).alias("head_hash"),
+    )

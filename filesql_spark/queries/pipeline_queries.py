@@ -1,5 +1,500 @@
-"""LLM-data-pipeline operator queries (dedup / similarity / text analysis).
+"""LLM-pipeline operator queries + DuckDB oracles (dedup / similarity /
+text analysis / multimodal).
 
-Populated as filesql_spark.pipeline grows; see that package for the
-implementations. Placeholder module so the registry import graph is stable.
+Every oracle reproduces the Spark implementation bit-for-bit:
+- base hashes are md5-derived (`first-8-hex → int`), portable across engines;
+- set similarities are single IEEE divisions over exact integer counts;
+- embedding math is quantized to exact int64 (see pipeline/dedup.py) so
+  dot products are order-independent integers, and cosine is three
+  deterministic float ops.
+
+The generated SQL fragments (16 minhash exprs, 32 simhash bit-sums, LSH
+plane dots) are built by the same Python constants the Spark side uses.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesql_spark.pipeline.constants import (
+    HYPERPLANES,
+    LANG_PRIORITY,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    STOPWORDS,
+)
+from filesql_spark.queries import load_table, register
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '')"
+_H32 = "('0x' || substr(md5({v}), 1, 8))::BIGINT"
+_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+    " ELSE [text] END"
+)
+_QVEC = "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+
+def _lang_array(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (pipeline/text.py)."""
+    from filesql_spark.pipeline.text import token_count
+
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    scores = {
+        lang: f"CAST(len(list_intersect(toks, {_lang_array(lang)})) AS INTEGER)"
+        for lang in LANG_PRIORITY
+    }
+    cases = []
+    for lang in LANG_PRIORITY:
+        conds = [f"score_{lang} > 0"] + [
+            f"score_{lang} >= score_{other}" for other in LANG_PRIORITY if other != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    score_cols = ",\n           ".join(f"{expr} AS score_{lang}" for lang, expr in scores.items())
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+           {score_cols}
+        FROM tok
+    )
+    SELECT doc_id,
+           CASE {' '.join(cases)} ELSE 'und' END AS detected_lang,
+           {', '.join(f'score_{lang}' for lang in LANG_PRIORITY)}
+    FROM scored
+    """
+
+
+@register("text_lang_id", _lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (pipeline/text.py)."""
+    from filesql_spark.pipeline.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_intersect({_TOKENS}, {_lang_array("en")})) AS BIGINT) AS n_stopwords,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens, n_stopwords, n_punct,
+           CASE WHEN n_tokens > 0
+                THEN (n_chars_actual - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS mean_token_len,
+           CASE WHEN n_tokens > 0 THEN n_stopwords / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS stop_ratio,
+           CASE WHEN n_chars_actual > 0 THEN n_punct / CAST(n_chars_actual AS DOUBLE)
+                ELSE 0.0 END AS punct_ratio
+    FROM base
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword quality features (pipeline/text.py)."""
+    from filesql_spark.pipeline.text import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(text) AS md5_full,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_norm,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS h60,
+           md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 64)) AS head_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints (pipeline/text.py)."""
+    from filesql_spark.pipeline.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+           CAST(doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_duplicate
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash-groupBy dedup (pipeline/dedup.py)."""
+    from filesql_spark.pipeline.dedup import dedup_exact as impl
+
+    return impl(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    h = _H32.format(v="shingle")
+    mh_exprs = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"mh{b * LSH_ROWS + r}::VARCHAR" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sigs"
+        )
+    bands = "\n        UNION ALL ".join(band_selects)
+    return f"""
+    WITH t0 AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    sets AS (
+        SELECT doc_id, {_SHINGLES} AS sh FROM t0
+    ),
+    sh AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM sets
+    ),
+    hashed AS (
+        SELECT doc_id, {h} AS h FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {mh_exprs}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM cand c
+    JOIN sets a ON c.doc_a = a.doc_id
+    JOIN sets b ON c.doc_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (pipeline/dedup.py)."""
+    from filesql_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{j}"
+        for j in range(32)
+    )
+    assemble = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(32))
+    h = _H32.format(v="tok")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+    ),
+    tc2 AS (
+        SELECT doc_id, cnt, {h} AS h FROM tc
+    ),
+    sums AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM tc2 GROUP BY doc_id
+    ),
+    sh AS (
+        SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
+    ),
+    halves AS (
+        SELECT doc_id, simhash, 0 AS half, simhash % 65536 AS hv FROM sh
+        UNION ALL
+        SELECT doc_id, simhash, 1, CAST(FLOOR(simhash / 65536) AS BIGINT) FROM sh
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+        FROM halves l JOIN halves r
+          ON l.half = r.half AND l.hv = r.hv AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs (pipeline/dedup.py)."""
+    from filesql_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+               {_SHINGLES} AS sh
+        FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS t
+              FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM base a JOIN base b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard pairs (pipeline/dedup.py)."""
+    from filesql_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_COS = (
+    "CAST(CAST(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])) AS BIGINT) AS DOUBLE)"
+    " / sqrt(CAST({na} AS DOUBLE)) / sqrt(CAST({nb} AS DOUBLE))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH q AS (
+        SELECT vec_id, label, {_QVEC} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+        FROM q
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS.format(a="a.qv", b="b.qv", na="a.nrm", nb="b.nrm")} AS cos
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a="a.qv", b="b.qv", na="a.nrm", nb="b.nrm")} >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, label-blocked quantized cosine
+    (pipeline/dedup.py)."""
+    from filesql_spark.pipeline.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""
+    WITH q0 AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+        FROM q0
+    ),
+    queries AS (SELECT * FROM n WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               {_COS.format(a="q.qv", b="c.qv", na="q.nrm", nb="c.nrm")} AS cos
+        FROM queries q JOIN n c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id<8 (pipeline/similarity.py)."""
+    from filesql_spark.pipeline.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+def _lsh_oracle() -> str:
+    planes_int = [[round(w * 10_000) for w in plane] for plane in HYPERPLANES]
+    bucket_terms = []
+    for i, plane in enumerate(planes_int):
+        lit = "[" + ", ".join(str(w) for w in plane) + "]"
+        bucket_terms.append(
+            f"CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(qv)), "
+            f"j -> qv[j] * ({lit})[j])) AS BIGINT) > 0 THEN {2**i} ELSE 0 END"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH q0 AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm,
+               ({bucket}) AS bucket
+        FROM q0
+    ),
+    queries AS (SELECT * FROM n WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               {_COS.format(a="q.qv", b="c.qv", na="q.nrm", nb="c.nrm")} AS cos
+        FROM queries q JOIN n c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+    """
+
+
+@register("ann_lsh_topk", _lsh_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed top-5 (pipeline/similarity.py)."""
+    from filesql_spark.pipeline.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (mapInPandas plumbing; fake decode is md5-derived → oracle-able)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'image/fake' AS mime,
+           CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS INTEGER) AS width,
+           CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS INTEGER) AS height,
+           CAST(1 + ('0x' || substr(md5(text), 9, 2))::BIGINT % 4 AS INTEGER) AS channels
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload decode through mapInPandas (pipeline/multimodal.py).
+
+    The Arrow-batched Pandas UDF output hash-matches a pure-SQL oracle —
+    end-to-end proof of the binary-column plumbing.
+    """
+    from filesql_spark.pipeline.multimodal import attach_binary_payload, decode_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bytes % 30 + 1 AS INTEGER) AS duration_s,
+           CAST(LEAST(CAST(n_bytes % 30 + 1 AS INTEGER) * 1, 8) AS INTEGER) AS n_frames
+    FROM d
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame-sampling plan over decoded metadata."""
+    from filesql_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        decode_images,
+        frame_sample_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = frame_sample_plan(decode_images(attach_binary_payload(docs)))
+    return plan.select(
+        "doc_id",
+        "duration_s",
+        F.size("frame_idx").alias("n_frames"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (non-SQL-expressible → rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_events_hourly", None)
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming: readStream over the events parquet with a
+    watermark + tumbling window, availableNow trigger, memory sink.
+
+    The batch twin (events_tumbling_window) carries the SQL oracle; this
+    entry proves the same plan runs under the streaming engine
+    (filesql_spark/streaming.py).
+    """
+    from filesql_spark.streaming import events_hourly_stream
+
+    return events_hourly_stream(spark, sf_dir)

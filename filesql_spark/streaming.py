@@ -1,0 +1,67 @@
+"""Structured Streaming operators.
+
+The reference has NO streaming surface (SURVEY §2.10 — its "streaming" is
+chunked batch ingestion), so this module is pure beyond-reference capability:
+the same tumbling-window aggregate the batch path exposes, run under the
+streaming engine with a watermark for late data.
+
+Pattern: readStream → withWatermark → window agg → writeStream with
+``availableNow`` (process everything present, then stop) into a memory
+sink. On a cluster the sink becomes kafka/delta and the trigger a real
+micro-batch cadence; the plan is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesql_spark.queries import load_table
+
+
+def events_hourly_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hourly per-type event counts/sums as a streaming query; returns the
+    materialized result DataFrame after the availableNow run completes."""
+    from filesql_spark.queries import _pin_session_confs
+    from filesql_spark.queries.relational import cents
+
+    # declare the RAW file schema (ts is int64 nanos under nanosAsLong);
+    # the timestamp conversion happens inside the stream, like the batch path
+    _pin_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource requires a directory; expose the single file through one
+    stream_dir = tempfile.mkdtemp(prefix="filesql_stream_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{stream_dir}/events.parquet")
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    # the driver table stores ns-timestamps read as long; normalize like batch
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+    sink = f"events_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(sink)
