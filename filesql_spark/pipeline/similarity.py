@@ -7,6 +7,9 @@
   → 256 buckets; candidates share the query's bucket, top-k within. At
   100 TB the bucket join replaces the full cross product with a 1/256
   selectivity equi-join; recall is tunable by bands/probes.
+
+Both precompute (quantized vector, squared norm) once per row
+(``with_quantized``) so the pairwise work is a single int64 dot product.
 """
 
 from __future__ import annotations
@@ -16,19 +19,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from filesql_spark.pipeline.constants import HYPERPLANES
-from filesql_spark.pipeline.dedup import cosine, quantize
+from filesql_spark.pipeline.dedup import cosine_pre, with_quantized
 
 # integer hyperplanes (×10⁴): sign tests become exact int arithmetic
 HYPERPLANES_INT = [[round(w * 10_000) for w in plane] for plane in HYPERPLANES]
 
 
-def _bucket(vec: Column) -> Column:
-    """Sign pattern against the fixed hyperplanes → bucket id [0, 256).
-
-    Quantized vector × integer plane coefficients — the sign test is exact,
-    so bucket assignment is bit-identical in the DuckDB oracle.
-    """
-    qv = quantize(vec)
+def _bucket(qv: Column) -> Column:
+    """Sign pattern of the pre-quantized vector against the fixed planes →
+    bucket id [0, 256). Exact int arithmetic ⇒ bit-identical in the oracle."""
     b = F.lit(0)
     for i, plane in enumerate(HYPERPLANES_INT):
         dot = F.aggregate(
@@ -52,13 +51,16 @@ def brute_force_topk(
     ``queries`` is small → broadcast; corpus side streams once. Ties broken
     by vec_id for determinism.
     """
-    q = queries.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    corpus = with_quantized(df).select("vec_id", "qv", "nrm")
+    q = with_quantized(queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
     )
-    cos = cosine(F.col("q_vec"), F.col("embedding"))
+    cos = cosine_pre(F.col("q_qv"), F.col("q_nrm"), F.col("qv"), F.col("nrm"))
     scored = (
         F.broadcast(q)
-        .join(df, F.col("vec_id") != F.col("q_id"))
+        .join(corpus, F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cos.alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -71,13 +73,16 @@ def brute_force_topk(
 
 def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Bucketed approximate top-k: candidates share the query's LSH bucket."""
-    corpus = df.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
-    q = queries.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        _bucket(F.col("embedding")).alias("q_bucket"),
+    corpus = with_quantized(df).select(
+        "vec_id", "qv", "nrm", _bucket(F.col("qv")).alias("bucket")
     )
-    cos = cosine(F.col("q_vec"), F.col("embedding"))
+    q = with_quantized(queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        _bucket(F.col("qv")).alias("q_bucket"),
+    )
+    cos = cosine_pre(F.col("q_qv"), F.col("q_nrm"), F.col("qv"), F.col("nrm"))
     scored = (
         F.broadcast(q)
         .join(
