@@ -131,6 +131,12 @@ class Engine:
         stmt = _first_keyword(sql)
         if stmt == "PRAGMA":
             return self._pragma(sql)
+        if stmt == "WITH":
+            from filesql_spark.recursive import is_recursive, run_recursive
+
+            if is_recursive(sql):
+                # Spark SQL lacks WITH RECURSIVE; emulate by delta iteration
+                return run_recursive(self.spark, sql, dialect.rewrite)
         if stmt in ("SELECT", "WITH", "VALUES"):
             return self.spark.sql(dialect.rewrite(sql))
         raise FilesqlError(

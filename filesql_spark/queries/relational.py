@@ -947,6 +947,37 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "recursive_cte",
+    """
+    WITH RECURSIVE seq(n, total) AS (
+        SELECT 1, 1
+        UNION ALL
+        SELECT n + 1, total + n + 1 FROM seq WHERE n < 15
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total FROM seq
+    """,
+)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (SQLite dialect, doc.go:72) — Spark SQL lacks it, so
+    the engine emulates it by semi-naive delta iteration with lineage
+    checkpointing (filesql_spark/recursive.py). DuckDB runs the same
+    statement natively as the oracle."""
+    from filesql_spark.recursive import run_recursive
+
+    sql = """
+    WITH RECURSIVE seq(n, total) AS (
+        SELECT 1, 1
+        UNION ALL
+        SELECT n + 1, total + n + 1 FROM seq WHERE n < 15
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total FROM seq
+    """
+    from filesql_spark import dialect
+
+    return run_recursive(spark, sql, dialect.rewrite)
+
+
 # --------------------------------------------------------------------------
 # Scalar functions (string / math / date / json)
 # --------------------------------------------------------------------------

@@ -1,0 +1,254 @@
+"""Golden integration suite — ports the reference's tier-2/3 tests
+(SURVEY §5: example_test.go golden outputs + filesql_integration_test.go
+company-dataset queries) onto a deterministic mini company fixture, run
+through the engine's SQLite-dialect front door with exact-value asserts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import filesql_spark as fs
+
+USERS = """id,name,email,age,department_id
+1,Alice,alice@x.com,34,1
+2,Bob,bob@x.com,28,1
+3,Carol,carol@x.com,41,2
+4,Dave,dave@x.com,23,2
+5,Eve,eve@x.com,37,2
+6,Frank,frank@x.com,52,3
+7,Grace,,29,3
+"""
+
+DEPARTMENTS = """id,name,location
+1,Engineering,Tokyo
+2,Sales,Osaka
+3,Marketing,
+"""
+
+ORDERS = """id,user_id,amount,status,created_at
+1,1,120.5,delivered,2023-01-05 10:00:00
+2,1,80.25,pending,2023-02-10 11:30:00
+3,2,200.0,shipped,2023-01-15 09:00:00
+4,3,50.75,delivered,2023-03-01 14:00:00
+5,3,300.0,delivered,2023-03-20 16:45:00
+6,5,10.0,pending,2023-04-02 08:15:00
+7,6,99.99,shipped,2023-04-11 12:00:00
+"""
+
+SALARIES = """id,user_id,base_salary,bonus
+1,1,900000,50000.5
+2,2,650000,
+3,3,800000,30000.0
+4,4,500000,
+5,5,700000,20000.25
+6,6,950000,60000.0
+7,7,600000,
+"""
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("company")
+    (d / "user.csv").write_text(USERS)
+    (d / "department.csv").write_text(DEPARTMENTS)
+    (d / "orders.csv").write_text(ORDERS)
+    (d / "salary.csv").write_text(SALARIES)
+    e = fs.open(str(d), spark=spark)  # directory load (A1 walker)
+    yield e
+    e.close()
+
+
+def test_inferred_schema(eng):
+    # age INTEGER, bonus REAL w/ empties, created_at DATETIME-as-TEXT
+    info = {r.name: r.type for r in eng.query("PRAGMA table_info(user)").collect()}
+    assert info == {
+        "id": "INTEGER",
+        "name": "TEXT",
+        "email": "TEXT",
+        "age": "INTEGER",
+        "department_id": "INTEGER",
+    }
+    sal = {r.name: r.type for r in eng.query("PRAGMA table_info(salary)").collect()}
+    assert sal["bonus"] == "REAL" and sal["base_salary"] == "INTEGER"
+    ords = {r.name: r.type for r in eng.query("PRAGMA table_info(orders)").collect()}
+    assert ords["created_at"] == "TEXT"  # datetime stored as TEXT (parity)
+
+
+def test_multiway_join_with_counts(eng):
+    # filesql_integration_test.go:80-109 shape
+    rows = eng.query(
+        """
+        SELECT d.name AS dept, COUNT(u.id) AS n_users
+        FROM department d
+        LEFT JOIN "user" u ON u.department_id = d.id
+        GROUP BY d.name
+        ORDER BY d.name
+        """
+    ).collect()
+    assert [(r.dept, r.n_users) for r in rows] == [
+        ("Engineering", 2),
+        ("Marketing", 2),
+        ("Sales", 3),
+    ]
+
+
+def test_having_topk(eng):
+    # filesql_integration_test.go:167-200 shape: HAVING + ORDER BY + LIMIT
+    rows = eng.query(
+        """
+        SELECT u.name AS name, COUNT(o.id) AS n, ROUND(SUM(o.amount), 2) AS total
+        FROM "user" u JOIN orders o ON o.user_id = u.id
+        GROUP BY u.name
+        HAVING COUNT(o.id) >= 2
+        ORDER BY total DESC
+        LIMIT 2
+        """
+    ).collect()
+    assert [(r.name, r.n, r.total) for r in rows] == [
+        ("Carol", 2, 350.75),
+        ("Alice", 2, 200.75),
+    ]
+
+
+def test_conditional_aggregation(eng):
+    # SUM(CASE WHEN …) — filesql_integration_test.go:409,443-445
+    (row,) = eng.query(
+        """
+        SELECT SUM(CASE WHEN status = 'delivered' THEN 1 ELSE 0 END) AS delivered,
+               SUM(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS pending,
+               COUNT(DISTINCT user_id) AS buyers
+        FROM orders
+        """
+    ).collect()
+    assert (row.delivered, row.pending, row.buyers) == (3, 2, 5)
+
+
+def test_coalesce_cast_bonus(eng):
+    # COALESCE(CAST(bonus AS REAL), 0) — filesql_integration_test.go:228
+    (row,) = eng.query(
+        """
+        SELECT ROUND(SUM(COALESCE(CAST(bonus AS REAL), 0)), 2) AS total_bonus
+        FROM salary
+        """
+    ).collect()
+    assert row.total_bonus == 160000.75
+
+
+def test_exists_subquery(eng):
+    # filesql_integration_test.go:458-474
+    rows = eng.query(
+        """
+        SELECT name FROM "user" u
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.user_id = u.id AND o.amount > 100)
+        ORDER BY name
+        """
+    ).collect()
+    assert [r.name for r in rows] == ["Alice", "Bob", "Carol"]
+
+
+def test_theta_selfjoin_rank_emulation(eng):
+    # filesql_integration_test.go:535-553: salary rank without window funcs
+    rows = eng.query(
+        """
+        SELECT s1.user_id AS user_id, COUNT(s2.user_id) AS n_higher
+        FROM salary s1
+        LEFT JOIN salary s2 ON s2.base_salary > s1.base_salary
+        GROUP BY s1.user_id
+        ORDER BY n_higher, user_id
+        LIMIT 3
+        """
+    ).collect()
+    assert [(r.user_id, r.n_higher) for r in rows] == [(6, 0), (1, 1), (3, 2)]
+
+
+def test_union_all_tagging(eng):
+    # filesql_integration_test.go:493-532
+    rows = eng.query(
+        """
+        SELECT 'big' AS tag, id FROM orders WHERE amount > 150
+        UNION ALL
+        SELECT 'tiny' AS tag, id FROM orders WHERE amount < 20
+        ORDER BY tag, id
+        """
+    ).collect()
+    assert [(r.tag, r.id) for r in rows] == [("big", 3), ("big", 5), ("tiny", 6)]
+
+
+def test_window_and_cte_report(eng):
+    # example_test.go:777-891: dept-vs-company average + RANK golden output
+    rows = eng.query(
+        """
+        WITH dept_avg AS (
+            SELECT d.name AS dept, AVG(s.base_salary) AS avg_sal
+            FROM salary s
+            JOIN "user" u ON u.id = s.user_id
+            JOIN department d ON d.id = u.department_id
+            GROUP BY d.name
+        ),
+        company AS (SELECT AVG(base_salary) AS overall FROM salary)
+        SELECT dept, ROUND(avg_sal, 2) AS avg_sal,
+               ROUND(avg_sal - c.overall, 2) AS vs_company
+        FROM dept_avg CROSS JOIN company c
+        ORDER BY dept
+        """
+    ).collect()
+    # company avg = 5,100,000/7 = 728,571.43
+    assert [(r.dept, r.avg_sal, r.vs_company) for r in rows] == [
+        ("Engineering", 775000.0, 46428.57),
+        ("Marketing", 775000.0, 46428.57),
+        ("Sales", 666666.67, -61904.76),
+    ]
+
+
+def test_rank_window_golden(eng):
+    rows = eng.query(
+        """
+        SELECT u.name AS name,
+               RANK() OVER (ORDER BY s.base_salary DESC) AS sal_rank
+        FROM salary s JOIN "user" u ON u.id = s.user_id
+        ORDER BY sal_rank, name
+        LIMIT 3
+        """
+    ).collect()
+    assert [(r.name, r.sal_rank) for r in rows] == [
+        ("Frank", 1),
+        ("Alice", 2),
+        ("Carol", 3),
+    ]
+
+
+def test_strftime_monthly_rollup(eng):
+    # example_test.go:1137: strftime('%Y-%m') monthly aggregation
+    rows = eng.query(
+        """
+        SELECT strftime('%Y-%m', created_at) AS month,
+               COUNT(*) AS n, ROUND(SUM(amount), 2) AS total
+        FROM orders GROUP BY month ORDER BY month
+        """
+    ).collect()
+    assert [(r.month, r.n, r.total) for r in rows] == [
+        ("2023-01", 2, 320.5),
+        ("2023-02", 1, 80.25),
+        ("2023-03", 2, 350.75),
+        ("2023-04", 2, 109.99),
+    ]
+
+
+def test_cross_query_consistency(eng):
+    # filesql_integration_test.go:281-335: totals agree across formulations
+    (a,) = eng.query("SELECT COUNT(*) AS n FROM orders").collect()
+    (b,) = eng.query(
+        "SELECT SUM(n) AS n FROM (SELECT COUNT(*) AS n FROM orders GROUP BY user_id) t"
+    ).collect()
+    assert a.n == b.n == 7
+
+
+def test_empty_string_vs_null_divergence_documented(eng):
+    # SURVEY §1.2: reference keeps '' (counted by COUNT(col)); we load NULL.
+    # Grace's empty email is NULL here — COUNT(email) sees 6 of 7.
+    (row,) = eng.query(
+        "SELECT COUNT(*) AS n_all, COUNT(email) AS n_email FROM \"user\""
+    ).collect()
+    assert (row.n_all, row.n_email) == (7, 6)
