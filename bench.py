@@ -32,11 +32,15 @@ HEADLINE = [
     "scalar_subquery_correlated",
     "date_functions",
     "events_tumbling_window",
-    # pipeline operators (appended as they land)
+    # pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "text_quality_score",
+    "text_lang_id",
+    "multimodal_decode",
 ]
 
 RUNS = 3

@@ -288,6 +288,8 @@ def _drop(engine, sql: str) -> int:
             return 0
         raise FilesqlError(f"no such {kind.lower()}: {name}")
     del store[name]
-    engine.spark.catalog.dropTempView(name)
+    from filesql_spark.engine import _view_ident
+
+    engine.spark.catalog.dropTempView(_view_ident(name))
     engine._refresh_catalog_views()
     return 0

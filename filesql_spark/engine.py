@@ -74,12 +74,12 @@ class Engine:
         self._tables[name] = df
         if origin:
             self._origins[name] = origin
-        df.createOrReplaceTempView(name)
+        df.createOrReplaceTempView(_view_ident(name))
         self._refresh_catalog_views()
 
     def _reregister(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
-        df.createOrReplaceTempView(name)
+        df.createOrReplaceTempView(_view_ident(name))
         self._refresh_catalog_views()
 
     # --------------------------------------------------------------- catalog
@@ -192,7 +192,7 @@ class Engine:
         self._snapshot = None
         self._tables, self._views = tables, views
         for name, df in self._tables.items():
-            df.createOrReplaceTempView(name)
+            df.createOrReplaceTempView(_view_ident(name))
         self._refresh_catalog_views()
 
     # ------------------------------------------------------------- lifecycle
@@ -230,7 +230,7 @@ class Engine:
             self._perform_auto_save()
         for name in list(self._tables) + list(self._views) + ["sqlite_master"]:
             try:
-                self.spark.catalog.dropTempView(name)
+                self.spark.catalog.dropTempView(_view_ident(name))
             except Exception:
                 pass
         for tmp in self._temp_files:
@@ -256,6 +256,18 @@ def open(*paths: str, spark: SparkSession | None = None) -> Engine:  # noqa: A00
     eng = Engine(spark=spark)
     eng.load_paths(list(paths))
     return eng
+
+
+def _view_ident(name: str) -> str:
+    """Temp-view identifier for createOrReplaceTempView/dropTempView:
+    Spark rejects names with spaces/unicode/punctuation unless backticked
+    (the reference supports them via double-quoting, filesql_test.go:1736,
+    :1892-2273)."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        return name
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _first_keyword(sql: str) -> str:

@@ -92,6 +92,11 @@ def read_delimited(
         .option("inferSchema", False)
         .option("mode", "PERMISSIVE")
         .option("encoding", "UTF-8")
+        # RFC-4180 embedded newlines (reference uses encoding/csv which
+        # handles them, file.go:452-493). Trade-off: multiLine files are
+        # not split across tasks — for cluster-scale CSVs that are known
+        # newline-free, flip this off to restore splittable scans.
+        .option("multiLine", True)
         .csv(src)
     )
     # normalize header: Spark keeps the BOM and padding; we match the
