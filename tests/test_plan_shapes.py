@@ -1,0 +1,68 @@
+"""Plan-shape regression tests — the scale-design properties the engine
+depends on, asserted against explain() output so they can't silently rot:
+
+- predicate pushdown + column pruning reach the parquet scans;
+- dimension joins broadcast;
+- top-k compiles to TakeOrderedAndProject (no global sort);
+- no CollectLimit/driver funnels in operator paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from filesql_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_q1_pushdown_and_pruning(spark, qs):
+    plan = _formatted(qs["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns of 11 reach the scan
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in schema_line and "l_quantity" in schema_line
+
+
+def test_filter_predicates_all_pushed(spark, qs):
+    plan = _formatted(qs["filter_predicates"](spark, SF))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in ["GreaterThanOrEqual(p_size,10)", "In(p_brand", "StringContains"]:
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_dim_joins_broadcast(spark, qs):
+    plan = _formatted(qs["join_multiway_inner"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact side
+
+
+def test_topk_no_global_sort(spark, qs):
+    plan = _formatted(qs["topk_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_scan_codegen(spark, qs):
+    # scalar-function pipeline stays inside whole-stage codegen
+    # (the '*(n)' node prefix in simple mode marks codegen stages)
+    df = qs["string_functions"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "*(1) Project" in plan
