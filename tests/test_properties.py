@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) — the reference has no randomized
+testing at all (SURVEY §5); these pin the pure-Python kernels.
+
+Spark-free on purpose: properties run hundreds of examples, so they stick
+to driver-side logic (inference, naming, dialect) where a case explosion
+is cheap.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from filesql_spark.dialect import rewrite
+from filesql_spark.inference import ColumnType, classify_value, infer_column_type
+from filesql_spark.naming import sanitize_name, table_name_from_path
+from filesql_spark.sources.detect import SUPPORTED_SUFFIXES, detect_file_type
+
+
+@given(st.lists(st.text(max_size=30), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_inference_total(values):
+    """Never crashes; always returns one of the four types."""
+    assert infer_column_type(values) in set(ColumnType)
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_all_ints_infer_integer(xs):
+    assert infer_column_type([str(x) for x in xs]) == ColumnType.INTEGER
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_floats_infer_numeric(xs):
+    """repr(float) values always classify numeric (INTEGER when integral)."""
+    got = infer_column_type([repr(x) for x in xs])
+    assert got in (ColumnType.REAL, ColumnType.INTEGER)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_classify_total(v):
+    assert classify_value(v) in set(ColumnType)
+
+
+@given(st.text(min_size=1, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_sanitize_always_valid(name):
+    """Sanitized names are non-empty, ASCII, and never digit-leading."""
+    s = sanitize_name(name)
+    assert s and s.isascii()
+    assert not s[0].isdigit()
+    assert all(c.isalnum() or c == "_" for c in s)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_characters="/\0", blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda s: s.strip() and not s.startswith(".")),
+    st.sampled_from(SUPPORTED_SUFFIXES),
+)
+@settings(max_examples=200, deadline=None)
+def test_naming_strips_exactly_the_suffixes(stem, suffix):
+    """table_name_from_path inverts the extension grammar for any stem
+    that doesn't itself end in a supported extension."""
+    if any(stem.lower().endswith(e) for e in (".csv", ".tsv", ".ltsv", ".parquet", ".xlsx", ".gz", ".bz2", ".xz", ".zst")):
+        return
+    path = f"/tmp/{stem}{suffix}"
+    fmt, comp = detect_file_type(path)  # must parse
+    assert table_name_from_path(path) == stem
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_rewrite_total(sql):
+    """The dialect rewriter never raises on arbitrary input text."""
+    try:
+        rewrite(sql)
+    except Exception as ex:  # only the documented error type is allowed
+        from filesql_spark.errors import FilesqlError
+
+        assert isinstance(ex, FilesqlError)
+
+
+@given(st.text(alphabet="abcdefghij ,.'\"()", max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_rewrite_preserves_single_quoted_literals(sql):
+    """Content inside balanced single-quoted strings survives verbatim."""
+    import re
+
+    out = rewrite(sql)
+    if sql.count("'") % 2 == 0:
+        for lit in re.findall(r"'[^']*'", sql):
+            if "(" not in lit:  # function-shaped text may legitimately move
+                assert lit in out

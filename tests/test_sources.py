@@ -209,3 +209,29 @@ def test_parquet_typed(spark, tmp_path):
     (name, df), = load_file(spark, str(p)).tables
     assert name == "t"
     assert dict(df.dtypes)["k"] == "bigint"  # real parquet schema, no stringify
+
+
+def test_xlsx_gz_roundtrip(spark, tmp_path):
+    import gzip as _gzip
+
+    raw = tmp_path / "plain.xlsx"
+    _write_minimal_xlsx(raw, [("S", [["id", "v"], [1, "a"]])])
+    gz = tmp_path / "book.xlsx.gz"
+    gz.write_bytes(_gzip.compress(raw.read_bytes()))
+    res = load_file(spark, str(gz))
+    (name, df), = res.tables
+    assert name == "book_S"
+    assert df.count() == 1
+
+
+def test_builder_reader_compressed(spark):
+    import gzip as _gzip
+
+    import filesql_spark as fs
+
+    data = _gzip.compress(b"id,v\n1,7\n2,8\n")
+    eng = fs.Builder().add_reader(data, "gzdata", "csv.gz").open(spark=spark)
+    try:
+        assert eng.query("SELECT SUM(v) AS s FROM gzdata").collect()[0].s == 15
+    finally:
+        eng.close()
