@@ -206,6 +206,39 @@ def _random(args: list[str]) -> str:
     return "CAST((rand() - 0.5) * 1.8446744073709552E19 AS BIGINT)"
 
 
+def _scalar_minmax(fn: str):
+    """SQLite MIN/MAX are scalar with ≥2 args (→ least/greatest) and
+    aggregates with 1 arg (→ leave untouched)."""
+
+    def build(args: list[str]) -> str:
+        if len(args) >= 2:
+            return f"{fn}({', '.join(args)})"
+        name = "min" if fn == "least" else "max"
+        return f"{name}({', '.join(args)})"
+
+    return build
+
+
+def _now_family(kind: str):
+    """date('now') / datetime('now') / time('now') → TEXT timestamps, like
+    SQLite. Only the 'now' form is supported; modifiers raise."""
+    fmt = {"date": "yyyy-MM-dd", "datetime": "yyyy-MM-dd HH:mm:ss", "time": "HH:mm:ss"}[kind]
+
+    def build(args: list[str]) -> str:
+        stripped = [a.strip().lower() for a in args]
+        if stripped == ["'now'"]:
+            return f"date_format(current_timestamp(), '{fmt}')"
+        if len(args) == 1:
+            # date/datetime/time(expr): normalize a datetime TEXT/timestamp
+            return f"date_format(CAST(({args[0]}) AS TIMESTAMP), '{fmt}')"
+        raise FilesqlError(
+            f"{kind}() supports {kind}('now') or a single datetime expression; "
+            f"modifiers are not implemented"
+        )
+
+    return build
+
+
 _SIMPLE_RENAMES = {
     "printf": "format_string",
     "ifnull": "nvl",
@@ -216,6 +249,11 @@ _CALL_REWRITES = {
     "julianday": _julianday,
     "group_concat": _group_concat,
     "random": _random,
+    "min": _scalar_minmax("least"),
+    "max": _scalar_minmax("greatest"),
+    "date": _now_family("date"),
+    "datetime": _now_family("datetime"),
+    "time": _now_family("time"),
 }
 
 

@@ -70,3 +70,21 @@ def test_unsupported_strftime_code():
 def test_strftime_literal_quoting():
     # literal alpha chars must be single-quoted for Java patterns
     assert translate_strftime_format("%YT%m") == "yyyy'T'MM"
+
+
+def test_scalar_min_max():
+    assert rewrite("SELECT MIN(a, b) FROM t") == "SELECT least(a, b) FROM t"
+    assert rewrite("SELECT MAX(a, b, c) FROM t") == "SELECT greatest(a, b, c) FROM t"
+    # 1-arg stays an aggregate
+    assert rewrite("SELECT MIN(a) FROM t") == "SELECT min(a) FROM t"
+    assert rewrite("SELECT MAX(x) FROM t GROUP BY y") == "SELECT max(x) FROM t GROUP BY y"
+
+
+def test_date_now_family():
+    assert (
+        rewrite("SELECT date('now')")
+        == "SELECT date_format(current_timestamp(), 'yyyy-MM-dd')"
+    )
+    assert "yyyy-MM-dd HH:mm:ss" in rewrite("SELECT datetime(created_at) FROM t")
+    with pytest.raises(FilesqlError):
+        rewrite("SELECT date('now', '-7 days')")
