@@ -948,6 +948,70 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_rollup",
+    f"""
+    SELECT COALESCE(r.r_name, '__all__') AS region,
+           COALESCE(n.n_name, '__all__') AS nation,
+           COUNT(c.c_custkey) AS n_customers,
+           CAST(SUM({_c('c.c_acctbal')}) AS BIGINT) / 100.0 AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — beyond the reference (SQLite has no grouping
+    sets, SURVEY §2.B notes them out of contract; Spark and DuckDB both
+    support them natively)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            (F.sum(cents("c_acctbal")) / 100.0).alias("total_bal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("__all__")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("__all__")).alias("nation"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "agg_median",
+    f"""
+    SELECT o_orderpriority,
+           quantile_cont({_c('o_totalprice')}, 0.5) / 100.0 AS median_price,
+           CAST(MIN({_c('o_totalprice')}) AS BIGINT) / 100.0 AS min_price,
+           CAST(MAX({_c('o_totalprice')}) AS BIGINT) / 100.0 AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + MIN/MAX over integer cents.
+
+    percentile (Spark) and quantile_cont (DuckDB) share the linear-
+    interpolation definition; over exact integers the interpolation is one
+    deterministic float expression on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    tc = cents("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        (F.percentile(tc, F.lit(0.5)) / 100.0).alias("median_price"),
+        (F.min(tc) / 100.0).alias("min_price"),
+        (F.max(tc) / 100.0).alias("max_price"),
+    )
+
+
+@register(
     "recursive_cte",
     """
     WITH RECURSIVE seq(n, total) AS (
