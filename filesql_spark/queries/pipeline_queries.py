@@ -481,6 +481,72 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clean_corpus_oracle() -> str:
+    h = _H32.format(v="shingle")
+    mh_exprs = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"mh{b * LSH_ROWS + r}::VARCHAR" for r in range(LSH_ROWS)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sigs")
+    bands = "\n        UNION ALL ".join(band_selects)
+    jac = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    return f"""
+    WITH gated AS (
+        SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 10
+    ),
+    exact_kept AS (
+        SELECT * EXCLUDE (keep) FROM (
+            SELECT g.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM gated g
+        ) WHERE doc_id = keep
+    ),
+    t0 AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM exact_kept
+    ),
+    sets AS (SELECT doc_id, {_SHINGLES} AS sh FROM t0),
+    hashed AS (
+        SELECT doc_id, {h} AS h
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM sets)
+    ),
+    sigs AS (SELECT doc_id, {mh_exprs} FROM hashed GROUP BY doc_id),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT c.doc_b AS doc_id
+        FROM cand c JOIN sets a ON c.doc_a = a.doc_id
+                    JOIN sets b ON c.doc_b = b.doc_id
+        WHERE {jac} >= 0.5
+    )
+    SELECT k.doc_id, k.lang, k.source, k.n_chars
+    FROM exact_kept k LEFT JOIN dropped d ON k.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL
+    """
+
+
+@register("pipeline_clean_corpus", _clean_corpus_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed clean: length gate → exact dedup → MinHash near-dedup
+    (pipeline/compose.py). One lazy DAG; the oracle reproduces all three
+    stages in a single DuckDB statement."""
+    from filesql_spark.pipeline.compose import clean_corpus
+
+    return clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (non-SQL-expressible → rows-only driver check)
 # ---------------------------------------------------------------------------
