@@ -6,10 +6,17 @@ Scale design (the whole point — no step is O(n²) on the full corpus):
 - MinHash+LSH: explode shingles → 16-way min-agg (one shuffle, map-side
   partial min) → band-bucket self-join (pairs only within equal band
   hashes) → exact-Jaccard verify on the candidates;
-- SimHash: token-count agg → 32 bit-sums per doc → half-band blocking
-  (Hamming ≤ 3 pairs must share one 16-bit half) → bit_count verify;
-- n-gram Jaccard: blocked all-pairs inside (lang, length-bucket) groups;
-- embedding: blocked by label (an IVF-style coarse quantizer at scale).
+- SimHash: token-count agg → 32 bit-sums per doc → 4×8-bit band blocking
+  (pigeonhole: ≤3 flipped bits cannot touch all 4 bands, so every
+  Hamming ≤ 3 pair shares at least one exact band) → bit_count verify;
+- n-gram Jaccard: PPJoin-style prefix filtering — rare-first global token
+  order, candidates must share a prefix token (provably lossless for
+  Jaccard ≥ t), then exact-Jaccard verify. Never all-pairs, no blocking
+  recall loss;
+- embedding: hyperplane-LSH band cells (2 bands × 4 planes over the fixed
+  planes from similarity.py) — bounded ~n/16 cells per band instead of
+  unbounded label blocks; planes-per-band is the scale knob (grow it with
+  log n to keep cells constant-sized).
 
 Portability: base hashes are md5-derived (first 8 hex chars → int), so the
 DuckDB oracles in queries/pipeline_queries.py reproduce every value
@@ -210,36 +217,53 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # k+1 bands for k = 3: lossless for Hamming ≤ 3
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 8
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ k over half-band blocking.
+    """Near-dup pairs by Hamming distance ≤ k over 4×8-bit band blocking.
 
-    With 2 halves, any pair at distance ≤ 3 < 4 shares at least one exact
-    half (pigeonhole) — blocking is lossless for k ≤ 3.
+    Pigeonhole: k ≤ 3 flipped bits cannot touch all 4 bands, so every pair
+    at Hamming ≤ 3 shares at least one *exact* 8-bit band — blocking is
+    lossless for k ≤ 3 (k+1 bands for distance k). The round-1 half-band
+    scheme (2×16 bits) was NOT lossless: it only covered k ≤ 1, silently
+    dropping pairs whose 2-3 differing bits spanned both halves
+    (VERDICT r1 #4); tests/test_pipeline plants such a pair now.
     """
-    s = simhash(df, text_col)
-    halves = s.select(
+    return simhash_band_pairs(simhash(df, text_col), max_hamming)
+
+
+def simhash_band_pairs(s: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Band-blocked pair generation over a (doc_id, simhash) DataFrame —
+    split out so tests can plant adversarial hash values directly."""
+    bands = s.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("half"), (F.col("simhash") % 65536).alias("hv")),
-                F.struct(
-                    F.lit(1).alias("half"),
-                    F.floor(F.col("simhash") / 65536).cast("long").alias("hv"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
+                        .alias("hv"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
             )
         ).alias("e"),
-    ).select("doc_id", "simhash", "e.half", "e.hv")
-    l, r = halves.alias("l"), halves.alias("r")
+    ).select("doc_id", "simhash", "e.band", "e.hv")
+    l, r = bands.alias("l"), bands.alias("r")
     ham = F.bit_count(
         F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
     )
     return (
         l.join(
             r,
-            (F.col("l.half") == F.col("r.half"))
+            (F.col("l.band") == F.col("r.band"))
             & (F.col("l.hv") == F.col("r.hv"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
@@ -260,35 +284,62 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     threshold: float = 0.4,
-    bucket_chars: int = 50,
 ) -> DataFrame:
-    """Exact Jaccard over word-3-gram sets, blocked by (lang, length bucket).
+    """ALL pairs with exact word-3-gram Jaccard ≥ t, via PPJoin-style
+    prefix filtering (Chaudhuri et al. SSJoin '06 / Xiao et al. PPJoin '08).
 
-    Blocking keys bound the all-pairs comparison to each block — the classic
-    quadratic-to-linear trick; near-dups rarely differ much in length.
+    Candidate generation is provably lossless: order every doc's shingles
+    by a global (document-frequency ASC, shingle ASC) total order and keep
+    the first |S| - ⌈t·|S|⌉ + 1 as its *prefix*. If J(A,B) ≥ t then
+    |A∩B| ≥ ⌈t·|A|⌉, so the intersection cannot fit entirely in A's
+    (⌈t·|A|⌉ - 1)-element suffix — some shared shingle sits in both
+    prefixes. Candidates therefore come from one equi-join on prefix
+    shingles (inverted-index style), never an all-pairs block — this
+    replaces round-1's (lang, length-bucket) blocking, which was both
+    quadratic within blocks at scale and missed cross-block pairs.
+    Rare-first ordering keeps prefix posting lists short, bounding the
+    candidate fan-out at 100 TB.
     """
-    base = add_shingles(df, text_col).select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / bucket_chars).alias("bucket"),
-        "sh",
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10_000)
+    num, den = fr.numerator, fr.denominator
+
+    sets = add_shingles(df, text_col).select("doc_id", "sh")
+    tok = sets.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_doc = Window.partitionBy("doc_id")
+    # ceil(t·sz) = (num·sz + den - 1) // den, exact: q + r/den (r ≥ 1)
+    # never rounds across the next integer for den ≤ 10⁴ and sz < 2^40.
+    ceil_t_sz = F.floor((num * F.col("sz") + den - 1) / den)
+    prefix = (
+        tok.join(dfreq, "s")
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("sz", F.count("*").over(w_doc))
+        .filter(F.col("rnk") <= F.col("sz") - ceil_t_sz + 1)
+        .select("doc_id", "s")
     )
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -351,24 +402,67 @@ def cosine_pre(qa: Column, na: Column, qb: Column, nb: Column) -> Column:
     return dot.cast("double") / F.sqrt(na.cast("double")) / F.sqrt(nb.cast("double"))
 
 
+EMB_BANDS = 2  # 8 fixed hyperplanes → 2 bands × 4 planes → 16 cells/band
+EMB_BAND_BITS = 4
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """Near-duplicate embedding pairs within label blocks (coarse IVF cells).
+    """Near-duplicate embedding pairs within hyperplane-LSH band cells.
+
+    Candidate generation: the 8-plane sign bucket (similarity.py's
+    Arrow-batched int matmul) split into 2 bands of 4 bits; a pair is a
+    candidate iff it matches on at least one band's 4-bit signature —
+    a plain equi-join on (band, cell), ~n/16 rows per cell on random
+    signs. This replaces round-1's raw-`label` blocking, whose cell
+    sizes were unbounded (one hot label ⇒ quadratic blow-up at 100 TB).
+    Scale knob: planes-per-band grows with log n to hold cell size
+    constant; recall per band ≈ p⁴ with p = 1 - θ/π, unioned over bands
+    (standard random-hyperplane LSH). Verification is the exact
+    quantized cosine, so every emitted pair truly has cos ≥ threshold.
 
     Output: (vec_a, vec_b, cos) with vec_a < vec_b, cos ≥ threshold.
     """
-    pre = with_quantized(df)
-    a, b = pre.alias("a"), pre.alias("b")
-    cos = cosine_pre(F.col("a.qv"), F.col("a.nrm"), F.col("b.qv"), F.col("b.nrm"))
-    return (
+    from filesql_spark.pipeline.similarity import _bucket  # lazy: avoids cycle
+
+    pre = with_quantized(df).withColumn("bucket", _bucket(F.col("qv")))
+    cells = pre.select(
+        "vec_id",
+        "qv",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("bucket"), b * EMB_BAND_BITS)
+                        .bitwiseAND((1 << EMB_BAND_BITS) - 1)
+                        .alias("cell"),
+                    )
+                    for b in range(EMB_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "qv", "nrm", "e.band", "e.cell")
+    a, b = cells.alias("a"), cells.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
+            F.col("a.qv").alias("qa"),
+            F.col("a.nrm").alias("na"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
+            F.col("b.qv").alias("qb"),
+            F.col("b.nrm").alias("nb"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = cosine_pre(F.col("qa"), F.col("na"), F.col("qb"), F.col("nb"))
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -241,6 +241,11 @@ def _simhash_oracle() -> str:
     )
     assemble = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(32))
     h = _H32.format(v="tok")
+    # 4 bands × 8 bits — lossless blocking for Hamming ≤ 3 (k+1 bands)
+    band_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS hv FROM sh"
+        for b in range(4)
+    )
     return f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -259,16 +264,14 @@ def _simhash_oracle() -> str:
     sh AS (
         SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
     ),
-    halves AS (
-        SELECT doc_id, simhash, 0 AS half, simhash % 65536 AS hv FROM sh
-        UNION ALL
-        SELECT doc_id, simhash, 1, CAST(FLOOR(simhash / 65536) AS BIGINT) FROM sh
+    bands AS (
+        {band_union}
     ),
     pairs AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
                CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
-        FROM halves l JOIN halves r
-          ON l.half = r.half AND l.hv = r.hv AND l.doc_id < r.doc_id
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.hv = r.hv AND l.doc_id < r.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
     """
@@ -285,24 +288,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH base AS (
-        SELECT doc_id, lang,
-               CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
-               {_SHINGLES} AS sh
-        FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS t
-              FROM documents)
+    WITH t0 AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    sets AS (
+        SELECT doc_id, {_SHINGLES} AS sh FROM t0
+    ),
+    tok AS (
+        SELECT doc_id, unnest(sh) AS s FROM sets
+    ),
+    dfreq AS (
+        SELECT s, COUNT(*) AS df FROM tok GROUP BY s
+    ),
+    ranked AS (
+        SELECT tok.doc_id, tok.s,
+               ROW_NUMBER() OVER (PARTITION BY tok.doc_id ORDER BY d.df, tok.s) AS rnk,
+               COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
+        FROM tok JOIN dfreq d ON tok.s = d.s
+    ),
+    -- prefix length |S| - ceil(0.4*|S|) + 1; ceil(2*sz/5) = (2*sz+4)//5 exact
+    prefix AS (
+        SELECT doc_id, s FROM ranked WHERE rnk <= sz - ((2*sz + 4) // 5) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM base a JOIN base b
-      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    FROM cand c
+    JOIN sets a ON c.doc_a = a.doc_id
+    JOIN sets b ON c.doc_b = b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact n-gram Jaccard pairs (pipeline/dedup.py)."""
+    """ALL exact n-gram Jaccard ≥ 0.4 pairs via lossless PPJoin prefix
+    filtering (pipeline/dedup.py) — candidates from an equi-join on
+    rare-first prefix shingles, never an all-pairs block."""
     from filesql_spark.pipeline.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
@@ -314,26 +339,58 @@ _COS = (
 )
 
 
-@register(
-    "dedup_embedding_cosine",
-    f"""
+def _bucket_sql() -> str:
+    """8-plane sign bucket over a quantized vector column ``qv`` — the SQL
+    twin of similarity.py's Arrow-batched bucket UDF (exact int math)."""
+    planes_int = [[round(w * 10_000) for w in plane] for plane in HYPERPLANES]
+    terms = []
+    for i, plane in enumerate(planes_int):
+        lit = "[" + ", ".join(str(w) for w in plane) + "]"
+        terms.append(
+            f"CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(qv)), "
+            f"j -> qv[j] * ({lit})[j])) AS BIGINT) > 0 THEN {2**i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _embedding_dup_oracle() -> str:
+    # 2 bands × 4 bits of the 8-plane bucket (pipeline/dedup.py EMB_BANDS)
+    cells = "\n        UNION ALL ".join(
+        f"SELECT vec_id, qv, nrm, {b} AS band, (bucket >> {b * 4}) & 15 AS cell FROM n"
+        for b in range(2)
+    )
+    return f"""
     WITH q AS (
-        SELECT vec_id, label, {_QVEC} AS qv FROM embeddings
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
     ),
     n AS (
-        SELECT vec_id, label, qv,
-               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm,
+               ({_bucket_sql()}) AS bucket
         FROM q
+    ),
+    cells AS (
+        {cells}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM cells a JOIN cells b
+          ON a.band = b.band AND a.cell = b.cell AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT c.vec_a, c.vec_b,
            {_COS.format(a="a.qv", b="b.qv", na="a.nrm", nb="b.nrm")} AS cos
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM cand c
+    JOIN n a ON c.vec_a = a.vec_id
+    JOIN n b ON c.vec_b = b.vec_id
     WHERE {_COS.format(a="a.qv", b="b.qv", na="a.nrm", nb="b.nrm")} >= 0.35
-    """,
-)
+    """
+
+
+@register("dedup_embedding_cosine", _embedding_dup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, label-blocked quantized cosine
-    (pipeline/dedup.py)."""
+    """Embedding near-dup pairs inside hyperplane-LSH band cells (bounded
+    ~n/16 cells, not unbounded label blocks) with exact quantized-cosine
+    verification (pipeline/dedup.py)."""
     from filesql_spark.pipeline.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
@@ -378,15 +435,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    planes_int = [[round(w * 10_000) for w in plane] for plane in HYPERPLANES]
-    bucket_terms = []
-    for i, plane in enumerate(planes_int):
-        lit = "[" + ", ".join(str(w) for w in plane) + "]"
-        bucket_terms.append(
-            f"CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(qv)), "
-            f"j -> qv[j] * ({lit})[j])) AS BIGINT) > 0 THEN {2**i} ELSE 0 END"
-        )
-    bucket = " + ".join(bucket_terms)
+    bucket = _bucket_sql()
     return f"""
     WITH q0 AS (
         SELECT vec_id, {_QVEC} AS qv FROM embeddings

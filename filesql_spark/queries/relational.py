@@ -323,8 +323,8 @@ def join_multiway_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '2024-06-15 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '2024-06-15 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
     GROUP BY l.l_orderkey, o.o_orderdate
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
@@ -339,10 +339,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("2024-06-15 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-06-15 00:00:00").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("2024-06-15 00:00:00").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-06-15 00:00:00").cast("timestamp")
     )
     rev = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
@@ -368,7 +368,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
     JOIN region r   ON r.r_regionkey = n.n_regionkey
-    WHERE r.r_name LIKE 'R%'
+    WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name
     """,
 )
@@ -390,7 +390,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
-        .filter(F.col("r_name").like("R%"))
+        .filter(F.col("r_name") == "ASIA")
         .groupBy(F.col("n_name").alias("nation"))
         .agg((F.sum(rev) / 10000.0).alias("revenue"))
     )
@@ -501,13 +501,19 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS ≡ left-anti join (SURVEY §2.B semi/anti row)."""
+    """NOT EXISTS ≡ left-anti join (SURVEY §2.B semi/anti row).
+
+    The totalprice cutoff keeps the anti side non-empty on the synthetic data
+    (every customer has *some* order), so a wrong join type actually fails the
+    oracle instead of passing on 0 rows.
+    """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -782,13 +788,22 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (SURVEY §2.B set ops)."""
+    """EXCEPT (SURVEY §2.B set ops).
+
+    The acctbal filter on the subtracted side guarantees a non-empty result
+    on the synthetic data (every nation has suppliers, but not every nation
+    has a rich one), so the check discriminates EXCEPT from EXCEPT ALL/noop.
+    """
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 
@@ -930,7 +945,7 @@ def scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier
     WHERE s_nationkey IN (SELECT n_nationkey FROM nation n
                           JOIN region r ON n.n_regionkey = r.r_regionkey
-                          WHERE r.r_name LIKE 'R%')
+                          WHERE r.r_name = 'ASIA')
     """,
 )
 def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,7 +957,7 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier
         WHERE s_nationkey IN (SELECT n_nationkey FROM nation n
                               JOIN region r ON n.n_regionkey = r.r_regionkey
-                              WHERE r.r_name LIKE 'R%')
+                              WHERE r.r_name = 'ASIA')
         """
     )
 

@@ -66,3 +66,22 @@ def test_scan_codegen(spark, qs):
         )
     )
     assert "*(1) Project" in plan
+
+
+def test_ngram_jaccard_prefix_equijoin(spark, qs):
+    """Candidate generation must be an equi-join on prefix shingles
+    (PPJoin), not an all-pairs block join: the only theta condition
+    allowed is the doc_a < doc_b dedup inequality, and the old
+    (lang, length-bucket) blocking keys must be gone from the plan."""
+    plan = _formatted(qs["dedup_ngram_jaccard"](spark, SF))
+    assert "lang" not in plan and "bucket" not in plan
+    # the prefix self-join is hash-partitioned on the shingle key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_dup_band_equijoin(spark, qs):
+    """Pairs come from a (band, cell) equi-join on the hyperplane-LSH
+    signature — bounded cells — never from raw label blocking."""
+    plan = _formatted(qs["dedup_embedding_cosine"](spark, SF))
+    assert "label" not in plan
+    assert "band" in plan and "cell" in plan
