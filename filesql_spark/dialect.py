@@ -34,7 +34,23 @@ _STRFTIME_MAP = {
     "%e": "d",
     "%I": "hh",
     "%p": "a",
+    "%f": "ss.SSS",
     "%%": "%",
+}
+
+# codes with no Java pattern equivalent — compiled to expressions and
+# spliced into a concat() (see _strftime)
+_STRFTIME_EXPR = {
+    # SQLite %w: day of week 0-6, Sunday = 0; Spark dayofweek: Sunday = 1
+    "%w": "CAST(dayofweek({x}) - 1 AS STRING)",
+    # SQLite %W (= C strftime %W): week of year 00-53, first Monday starts
+    # week 1, days before it are week 0: floor((yday + 6 - mon0_wd) / 7)
+    "%W": (
+        "lpad(CAST(CAST(floor((dayofyear({x}) + 6 - "
+        "((dayofweek({x}) + 5) % 7)) / 7) AS INT) AS STRING), 2, '0')"
+    ),
+    # SQLite %s: seconds since epoch
+    "%s": "CAST(unix_timestamp({x}) AS STRING)",
 }
 
 
@@ -182,10 +198,37 @@ def _strftime(args: list[str]) -> str:
     if not (fmt.startswith("'") and fmt.endswith("'")):
         raise FilesqlError("strftime format must be a string literal")
     inner = fmt[1:-1]
-    if inner == "%s":
-        return f"CAST(unix_timestamp(CAST(({expr}) AS TIMESTAMP)) AS STRING)"
-    java = translate_strftime_format(inner)
-    return f"date_format(CAST(({expr}) AS TIMESTAMP), '{java}')"
+    x = f"CAST(({expr}) AS TIMESTAMP)"
+    # split the format into pattern-translatable runs and expression codes
+    # (%w/%W/%s have no Java pattern form), splicing the result as concat()
+    pieces: list[tuple[str, str]] = []  # ('fmt'|'expr', text)
+    i = 0
+    run = ""
+    while i < len(inner):
+        code = inner[i : i + 2] if inner[i] == "%" else inner[i]
+        if inner[i] == "%" and code in _STRFTIME_EXPR:
+            if run:
+                pieces.append(("fmt", run))
+                run = ""
+            pieces.append(("expr", _STRFTIME_EXPR[code].format(x=x)))
+            i += 2
+        elif inner[i] == "%" and i + 1 < len(inner):
+            run += code
+            i += 2
+        else:
+            run += inner[i]
+            i += 1
+    if run:
+        pieces.append(("fmt", run))
+    parts = [
+        f"date_format({x}, '{translate_strftime_format(t)}')" if kind == "fmt" else t
+        for kind, t in pieces
+    ]
+    if not parts:
+        return "''"
+    if len(parts) == 1:
+        return parts[0]
+    return f"concat({', '.join(parts)})"
 
 
 def _julianday(args: list[str]) -> str:
@@ -219,22 +262,77 @@ def _scalar_minmax(fn: str):
     return build
 
 
+_MOD_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _apply_modifier(x: str, mod: str) -> str:
+    """Fold one SQLite datetime modifier over timestamp expression ``x``.
+
+    Supported (the documented core set, applied left-to-right like SQLite):
+    ±NNN seconds/minutes/hours/days (fractional ok), ±NNN months/years
+    (integer, with SQLite's day-overflow normalization: Jan 31 + 1 month =
+    Mar 2/3, NOT clamped like Spark's add_months), start of day/month/year,
+    weekday N (advance to next weekday N, staying put if already there).
+    """
+    import re
+
+    m = re.fullmatch(r"([+-]?\d+(?:\.\d+)?)\s+(second|minute|hour|day)s?", mod)
+    if m:
+        v, unit = float(m.group(1)), m.group(2)
+        us = round(v * _MOD_UNIT_US[unit])
+        return f"timestampadd(MICROSECOND, {us}, {x})"
+    m = re.fullmatch(r"([+-]?\d+)\s+(month|year)s?", mod)
+    if m:
+        n, unit = int(m.group(1)), m.group(2).upper()
+        # SQLite normalizes day overflow instead of clamping: rebuild from
+        # the first of the month, then re-add (day-1) days and time-of-day.
+        first = f"timestampadd({unit}, {n}, date_trunc('MONTH', {x}))"
+        with_day = f"timestampadd(DAY, day({x}) - 1, {first})"
+        tod = f"unix_micros({x}) - unix_micros(date_trunc('DAY', {x}))"
+        return f"timestampadd(MICROSECOND, {tod}, {with_day})"
+    m = re.fullmatch(r"start\s+of\s+(day|month|year)", mod)
+    if m:
+        return f"date_trunc('{m.group(1).upper()}', {x})"
+    m = re.fullmatch(r"weekday\s+([0-6])", mod)
+    if m:
+        # SQLite: advance to next date with weekday N (0 = Sunday); no
+        # change if already N. Spark dayofweek: Sunday = 1.
+        n = int(m.group(1))
+        return (
+            f"timestampadd(DAY, ({n} - (dayofweek({x}) - 1) + 7) % 7, {x})"
+        )
+    raise FilesqlError(f"unsupported datetime modifier {mod!r}")
+
+
 def _now_family(kind: str):
-    """date('now') / datetime('now') / time('now') → TEXT timestamps, like
-    SQLite. Only the 'now' form is supported; modifiers raise."""
+    """date/datetime/time('now' | expr, modifiers…) → TEXT, like SQLite.
+
+    Modifiers fold left-to-right over the base timestamp (SQLite doc.go:68-77
+    delegates these to the SQLite core dialect; see _apply_modifier for the
+    supported set)."""
     fmt = {"date": "yyyy-MM-dd", "datetime": "yyyy-MM-dd HH:mm:ss", "time": "HH:mm:ss"}[kind]
 
     def build(args: list[str]) -> str:
-        stripped = [a.strip().lower() for a in args]
-        if stripped == ["'now'"]:
-            return f"date_format(current_timestamp(), '{fmt}')"
-        if len(args) == 1:
-            # date/datetime/time(expr): normalize a datetime TEXT/timestamp
-            return f"date_format(CAST(({args[0]}) AS TIMESTAMP), '{fmt}')"
-        raise FilesqlError(
-            f"{kind}() supports {kind}('now') or a single datetime expression; "
-            f"modifiers are not implemented"
-        )
+        if not args:
+            raise FilesqlError(f"{kind}() expects at least one argument")
+        base = args[0].strip()
+        if base.strip().lower() == "'now'":
+            x = "current_timestamp()"
+        else:
+            x = f"CAST(({base}) AS TIMESTAMP)"
+        for raw in args[1:]:
+            s = raw.strip()
+            if not (s.startswith("'") and s.endswith("'")):
+                raise FilesqlError(
+                    f"{kind}() modifiers must be string literals, got {raw!r}"
+                )
+            x = _apply_modifier(x, s[1:-1].strip().lower())
+        return f"date_format({x}, '{fmt}')"
 
     return build
 

@@ -263,8 +263,13 @@ def _create(engine, sql: str) -> int:
                 ctype = _affinity(parts[1]) if len(parts) > 1 else "string"
                 fields.append(f"`{cname}` {ctype}")
             df = engine.spark.createDataFrame([], schema=", ".join(fields))
-        if name in engine._tables and "IF NOT EXISTS" in sql.upper():
-            return 0
+        if name in engine._tables:
+            if "IF NOT EXISTS" in sql.upper():
+                return 0
+            # SQLite raises here; silently replacing would drop user data
+            from filesql_spark.errors import DuplicateTableError
+
+            raise DuplicateTableError(f"table {name!r} already exists")
         engine.register(name, df)
         return 0
     raise FilesqlError(f"cannot parse CREATE: {sql.strip()[:120]}")

@@ -190,6 +190,16 @@ class Engine:
             raise TransactionError("no transaction in progress")
         tables, views = self._snapshot
         self._snapshot = None
+        # drop Spark temp views for objects created inside the transaction —
+        # without this a rolled-back CREATE TABLE stays queryable via
+        # spark.sql even though the engine catalog forgot it
+        for name in (set(self._tables) | set(self._views)) - (
+            set(tables) | set(views)
+        ):
+            try:
+                self.spark.catalog.dropTempView(_view_ident(name))
+            except Exception:
+                pass
         self._tables, self._views = tables, views
         for name, df in self._tables.items():
             df.createOrReplaceTempView(_view_ident(name))

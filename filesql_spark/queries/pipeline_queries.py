@@ -291,28 +291,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t0 AS (
         SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
     ),
+    -- shingles hashed to int64 (same md5-derived hash as the Spark side,
+    -- so any collision collapses identically), set-deduped post-hash
     sets AS (
-        SELECT doc_id, {_SHINGLES} AS sh FROM t0
+        SELECT doc_id,
+               list_distinct(list_transform({_SHINGLES},
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh
+        FROM t0
     ),
     tok AS (
-        SELECT doc_id, unnest(sh) AS s FROM sets
+        SELECT doc_id, unnest(sh) AS h FROM sets
     ),
     dfreq AS (
-        SELECT s, COUNT(*) AS df FROM tok GROUP BY s
+        SELECT h, COUNT(*) AS df FROM tok GROUP BY h
     ),
     ranked AS (
-        SELECT tok.doc_id, tok.s,
-               ROW_NUMBER() OVER (PARTITION BY tok.doc_id ORDER BY d.df, tok.s) AS rnk,
+        SELECT tok.doc_id, tok.h,
+               ROW_NUMBER() OVER (PARTITION BY tok.doc_id ORDER BY d.df, tok.h) AS rnk,
                COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
-        FROM tok JOIN dfreq d ON tok.s = d.s
+        FROM tok JOIN dfreq d ON tok.h = d.h
     ),
     -- prefix length |S| - ceil(0.4*|S|) + 1; ceil(2*sz/5) = (2*sz+4)//5 exact
     prefix AS (
-        SELECT doc_id, s FROM ranked WHERE rnk <= sz - ((2*sz + 4) // 5) + 1
+        SELECT doc_id, h, sz FROM ranked WHERE rnk <= sz - ((2*sz + 4) // 5) + 1
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM prefix a JOIN prefix b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+         AND 5 * least(a.sz, b.sz) >= 2 * greatest(a.sz, b.sz)
     )
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)

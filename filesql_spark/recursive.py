@@ -97,6 +97,12 @@ def _extract(sql: str) -> tuple[str, list[str] | None, str, str]:
         raise FilesqlError("unbalanced parentheses in recursive CTE")
     body = sql[m.end() : i]
     main = sql[i + 1 :].strip()
+    if main.startswith(","):
+        # WITH RECURSIVE a AS (...), b AS (...), ... SELECT — the recursive
+        # CTE is iterated here; the trailing (non-recursive) CTEs re-wrap as
+        # a plain WITH around the main query. They may reference the
+        # recursive name: it is registered as a temp view before main runs.
+        main = "WITH " + main[1:].lstrip()
     if not main:
         raise FilesqlError("recursive CTE needs a main SELECT")
     return name, cols, body, main

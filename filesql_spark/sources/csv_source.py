@@ -40,8 +40,10 @@ def _read_header(path: str, compression: Compression, delimiter: str) -> list[st
     if not first.strip():
         raise EmptyFileError(f"file is empty: {path}")
     text = first.decode("utf-8-sig", errors="replace")
-    line = text.splitlines()[0]
-    reader = csv.reader(io.StringIO(line), delimiter=delimiter)
+    # feed the whole buffer to csv.reader and take its first *record* — a
+    # splitlines()[0] pre-cut would truncate quoted header fields that
+    # contain embedded newlines, diverging from the multiLine=True data read
+    reader = csv.reader(io.StringIO(text), delimiter=delimiter)
     header = next(reader, [])
     cleaned = [h.strip() for h in header]
     dupes = {h for h in cleaned if cleaned.count(h) > 1}

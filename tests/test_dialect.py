@@ -87,4 +87,52 @@ def test_date_now_family():
     )
     assert "yyyy-MM-dd HH:mm:ss" in rewrite("SELECT datetime(created_at) FROM t")
     with pytest.raises(FilesqlError):
-        rewrite("SELECT date('now', '-7 days')")
+        rewrite("SELECT date('now', 'localtime')")
+
+
+def _eval1(spark, sql: str):
+    return spark.sql(rewrite(sql)).collect()[0][0]
+
+
+def test_datetime_modifiers_arithmetic(spark):
+    assert _eval1(spark, "SELECT datetime('2021-01-15 12:30:45', '+2 days', '-1 hours')") \
+        == "2021-01-17 11:30:45"
+    assert _eval1(spark, "SELECT date('2021-01-01', '-1 day')") == "2020-12-31"
+    assert _eval1(spark, "SELECT time('2021-01-15 12:00:00', '+90 minutes')") == "13:30:00"
+
+
+def test_datetime_modifiers_month_overflow_normalizes_like_sqlite(spark):
+    # SQLite: Jan 31 + 1 month = Feb 31 → normalized to Mar 3 (2021), never
+    # clamped to Feb 28 the way Spark's add_months would
+    assert _eval1(spark, "SELECT date('2021-01-31', '+1 month')") == "2021-03-03"
+    assert _eval1(spark, "SELECT date('2024-02-29', '+1 year')") == "2025-03-01"
+    assert _eval1(spark, "SELECT date('2021-03-15', '-1 month')") == "2021-02-15"
+
+
+def test_datetime_modifiers_start_of(spark):
+    assert _eval1(spark, "SELECT date('2021-03-15', 'start of month')") == "2021-03-01"
+    assert _eval1(spark, "SELECT date('2021-03-15', 'start of year')") == "2021-01-01"
+    assert _eval1(spark, "SELECT datetime('2021-03-15 10:11:12', 'start of day')") \
+        == "2021-03-15 00:00:00"
+    # modifiers chain left-to-right (SQLite's "last day of month" idiom)
+    assert _eval1(
+        spark, "SELECT date('2021-02-10', 'start of month', '+1 month', '-1 day')"
+    ) == "2021-02-28"
+
+
+def test_datetime_modifier_weekday(spark):
+    # 2021-02-28 is a Sunday: weekday 0 stays put, weekday 1 → next Monday
+    assert _eval1(spark, "SELECT date('2021-02-28', 'weekday 0')") == "2021-02-28"
+    assert _eval1(spark, "SELECT date('2021-02-28', 'weekday 1')") == "2021-03-01"
+
+
+def test_strftime_expression_codes(spark):
+    # %w/%W/%s have no Java pattern form — compiled to expressions
+    assert _eval1(spark, "SELECT strftime('%w', '2021-02-28')") == "0"  # Sunday
+    assert _eval1(spark, "SELECT strftime('%s', '1970-01-02 00:00:00')") == "86400"
+    # C-strftime %W: 2021-01-03 precedes the first Monday → 00; 01-04 → 01
+    assert _eval1(spark, "SELECT strftime('%W', '2021-01-03')") == "00"
+    assert _eval1(spark, "SELECT strftime('%W', '2021-01-04')") == "01"
+    assert _eval1(spark, "SELECT strftime('%Y-%m %w', '2021-02-28')") == "2021-02 0"
+    assert _eval1(spark, "SELECT strftime('%H:%M:%f', '2021-01-01 10:20:30.123')") \
+        == "10:20:30.123"

@@ -158,3 +158,25 @@ def test_dialect_through_engine(eng):
         "SELECT strftime('%Y', '2024-03-05') AS y"
     ).collect()
     assert row.y == "2024"
+
+
+def test_rollback_drops_views_created_in_txn(eng):
+    """A rolled-back CREATE TABLE/VIEW must vanish from spark.sql too, not
+    just from the engine catalog (ADVICE r1: temp view leak)."""
+    eng.begin()
+    eng.execute("CREATE TABLE txn_tmp (k INTEGER)")
+    assert eng.query("SELECT COUNT(*) AS n FROM txn_tmp").collect()[0].n == 0
+    eng.rollback()
+    assert "txn_tmp" not in eng.table_names()
+    with pytest.raises(Exception):
+        eng.query("SELECT * FROM txn_tmp").collect()
+
+
+def test_create_existing_table_raises(eng):
+    """SQLite: CREATE TABLE over an existing name is an error; silently
+    replacing would drop user data (ADVICE r1)."""
+    eng.execute("CREATE TABLE dup_t (k INTEGER)")
+    with pytest.raises(DuplicateTableError):
+        eng.execute("CREATE TABLE dup_t (k INTEGER)")
+    assert eng.execute("CREATE TABLE IF NOT EXISTS dup_t (k INTEGER)") == 0
+    eng.execute("DROP TABLE dup_t")

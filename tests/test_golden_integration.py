@@ -236,6 +236,23 @@ def test_strftime_monthly_rollup(eng):
     ]
 
 
+def test_datetime_modifiers_through_engine(eng):
+    # SQLite core modifiers (doc.go:68-77 delegates the whole dialect):
+    # billing-style "due end of month after order" date arithmetic
+    rows = eng.query(
+        """
+        SELECT id,
+               date(created_at, 'start of month', '+1 month', '-1 day') AS due,
+               date(created_at, '+30 days') AS net30
+        FROM orders WHERE id <= 2 ORDER BY id
+        """
+    ).collect()
+    assert [(r.id, r.due, r.net30) for r in rows] == [
+        (1, "2023-01-31", "2023-02-04"),
+        (2, "2023-02-28", "2023-03-12"),
+    ]
+
+
 def test_cross_query_consistency(eng):
     # filesql_integration_test.go:281-335: totals agree across formulations
     (a,) = eng.query("SELECT COUNT(*) AS n FROM orders").collect()

@@ -76,3 +76,19 @@ def test_runaway_capped(eng):
             SELECT COUNT(*) AS n FROM r
             """
         )
+
+
+def test_trailing_nonrecursive_ctes(eng):
+    """WITH RECURSIVE a AS (...), b AS (...) SELECT — extra CTEs re-wrap as
+    a plain WITH over the main query and may reference the recursive name."""
+    rows = eng.query(
+        """
+        WITH RECURSIVE cnt(x) AS (
+            SELECT 1 UNION ALL SELECT x + 1 FROM cnt WHERE x < 4
+        ), doubled AS (
+            SELECT x * 2 AS y FROM cnt
+        )
+        SELECT y FROM doubled ORDER BY y
+        """
+    ).collect()
+    assert [r.y for r in rows] == [2, 4, 6, 8]

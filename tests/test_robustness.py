@@ -116,3 +116,17 @@ def test_quoted_fields_with_commas_and_newlines(spark, tmp_path):
         assert rows[2] == "line1\nline2"
     finally:
         eng.close()
+
+
+def test_quoted_header_with_embedded_newline(spark, tmp_path):
+    """A quoted header field containing a newline must parse as ONE record
+    (csv.reader over the buffer), matching the multiLine=True data read —
+    splitlines()[0] would truncate it (ADVICE r1)."""
+    (tmp_path / "h.csv").write_text('id,"note\nfield"\n1,a\n2,b\n')
+    eng = fs.open(str(tmp_path / "h.csv"), spark=spark)
+    try:
+        df = eng.query("SELECT * FROM h")
+        assert "note\nfield" in df.columns
+        assert df.count() == 2
+    finally:
+        eng.close()
