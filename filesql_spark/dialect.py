@@ -20,6 +20,8 @@ function reshapes — not naive regex over the whole text.
 
 from __future__ import annotations
 
+import re
+
 from filesql_spark.errors import FilesqlError
 
 # strftime format codes → Spark/Java datetime pattern fragments
@@ -110,6 +112,22 @@ def _requote_identifiers(sql: str) -> str:
     return "".join(parts)
 
 
+def _in_string(sql: str, pos: int) -> bool:
+    """True if ``pos`` falls inside a single-quoted literal — scans with the
+    same doubled-``''`` escape handling as _split_tokens (a plain quote-parity
+    count miscounts ``'it''s'`` and skips legitimate rewrite sites)."""
+    i = 0
+    in_str = False
+    while i < pos:
+        if sql[i] == "'":
+            if in_str and i + 1 < len(sql) and sql[i + 1] == "'":
+                i += 2  # escaped quote inside the literal
+                continue
+            in_str = not in_str
+        i += 1
+    return in_str
+
+
 def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]] | None:
     """Locate ``name( … )`` at a code position; return (start, end_exclusive,
     args) with balanced-paren, quote-aware arg splitting."""
@@ -132,8 +150,8 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
         if j >= len(sql) or sql[j] != "(":
             i += len(name_l)
             continue
-        # check we're not inside a string literal: count quotes before i
-        if sql[:i].count("'") % 2 == 1:
+        # check we're not inside a string literal ('' escapes handled)
+        if _in_string(sql, i):
             i += len(name_l)
             continue
         depth, k = 0, j
@@ -192,13 +210,13 @@ def translate_strftime_format(fmt: str) -> str:
 
 
 def _strftime(args: list[str]) -> str:
-    if len(args) != 2:
-        raise FilesqlError(f"strftime expects 2 args, got {len(args)}: {args}")
-    fmt, expr = args[0].strip(), args[1]
+    if len(args) < 2:
+        raise FilesqlError(f"strftime expects >= 2 args, got {len(args)}: {args}")
+    fmt = args[0].strip()
     if not (fmt.startswith("'") and fmt.endswith("'")):
         raise FilesqlError("strftime format must be a string literal")
     inner = fmt[1:-1]
-    x = f"CAST(({expr}) AS TIMESTAMP)"
+    x = _base_and_modifiers("strftime", args[1], args[2:])
     # split the format into pattern-translatable runs and expression codes
     # (%w/%W/%s have no Java pattern form), splicing the result as concat()
     pieces: list[tuple[str, str]] = []  # ('fmt'|'expr', text)
@@ -277,10 +295,14 @@ def _apply_modifier(x: str, mod: str) -> str:
     ±NNN seconds/minutes/hours/days (fractional ok), ±NNN months/years
     (integer, with SQLite's day-overflow normalization: Jan 31 + 1 month =
     Mar 2/3, NOT clamped like Spark's add_months), start of day/month/year,
-    weekday N (advance to next weekday N, staying put if already there).
+    weekday N (advance to next weekday N, staying put if already there),
+    localtime/utc (identity: the engine pins the session timezone to UTC —
+    queries/__init__._pin_session_confs — so local time IS UTC, matching
+    SQLite running with TZ=UTC). 'unixepoch' reinterprets the *base* value
+    and is handled in _base_and_modifiers, not here.
     """
-    import re
-
+    if mod in ("localtime", "utc"):
+        return x
     m = re.fullmatch(r"([+-]?\d+(?:\.\d+)?)\s+(second|minute|hour|day)s?", mod)
     if m:
         v, unit = float(m.group(1)), m.group(2)
@@ -309,29 +331,46 @@ def _apply_modifier(x: str, mod: str) -> str:
     raise FilesqlError(f"unsupported datetime modifier {mod!r}")
 
 
+def _base_and_modifiers(kind: str, base: str, raw_mods: list[str]) -> str:
+    """Resolve a SQLite time value + modifier list to a timestamp expr.
+
+    'unixepoch' must be the first modifier (SQLite's rule) and switches the
+    base interpretation from a date/time string to seconds-since-epoch."""
+    mods = []
+    for raw in raw_mods:
+        s = raw.strip()
+        if not (s.startswith("'") and s.endswith("'")):
+            raise FilesqlError(
+                f"{kind}() modifiers must be string literals, got {raw!r}"
+            )
+        mods.append(s[1:-1].strip().lower())
+    base = base.strip()
+    if mods and mods[0] == "unixepoch":
+        x = f"timestamp_seconds(CAST(({base}) AS DOUBLE))"
+        mods = mods[1:]
+    elif base.lower() == "'now'":
+        x = "current_timestamp()"
+    else:
+        x = f"CAST(({base}) AS TIMESTAMP)"
+    for mod in mods:
+        if mod == "unixepoch":
+            raise FilesqlError("'unixepoch' must be the first datetime modifier")
+        x = _apply_modifier(x, mod)
+    return x
+
+
 def _now_family(kind: str):
     """date/datetime/time('now' | expr, modifiers…) → TEXT, like SQLite.
 
     Modifiers fold left-to-right over the base timestamp (SQLite doc.go:68-77
-    delegates these to the SQLite core dialect; see _apply_modifier for the
-    supported set)."""
+    delegates these to the SQLite core dialect; see _apply_modifier /
+    _base_and_modifiers for the supported set)."""
     fmt = {"date": "yyyy-MM-dd", "datetime": "yyyy-MM-dd HH:mm:ss", "time": "HH:mm:ss"}[kind]
 
     def build(args: list[str]) -> str:
         if not args:
             raise FilesqlError(f"{kind}() expects at least one argument")
-        base = args[0].strip()
-        if base.strip().lower() == "'now'":
-            x = "current_timestamp()"
-        else:
-            x = f"CAST(({base}) AS TIMESTAMP)"
-        for raw in args[1:]:
-            s = raw.strip()
-            if not (s.startswith("'") and s.endswith("'")):
-                raise FilesqlError(
-                    f"{kind}() modifiers must be string literals, got {raw!r}"
-                )
-            x = _apply_modifier(x, s[1:-1].strip().lower())
+        x = _base_and_modifiers(kind, args[0], args[1:])
         return f"date_format({x}, '{fmt}')"
 
     return build
@@ -355,9 +394,32 @@ _CALL_REWRITES = {
 }
 
 
+_LIKE_RE = re.compile(r"\blike\b", re.IGNORECASE)
+
+
+def _rewrite_like(sql: str) -> str:
+    """``a LIKE b`` → ``a ILIKE b`` (outside string literals and quoted
+    identifiers).
+
+    SQLite's LIKE is case-insensitive by default (reference exercises it at
+    filesql_test.go:130-141 on mixed-case data); Spark's LIKE is
+    case-sensitive, so the same query text would return different rows.
+    Spark's ILIKE accepts the same wildcards and an ESCAPE clause, so the
+    clause passes through unchanged. Divergence note: SQLite's
+    case-folding is ASCII-only while ILIKE folds full Unicode — pinned in
+    tests/test_dialect.py. ``ILIKE`` in the input is left untouched (the
+    \\b boundary cannot match inside it).
+    """
+    return "".join(
+        _LIKE_RE.sub("ILIKE", text) if kind == "code" else text
+        for kind, text in _split_tokens(sql)
+    )
+
+
 def rewrite(sql: str) -> str:
     """SQLite-dialect SQL → Spark SQL."""
     sql = _requote_identifiers(sql)
+    sql = _rewrite_like(sql)
     for name, fn in _CALL_REWRITES.items():
         sql = _rewrite_calls(sql, name, fn)
     for old, new in _SIMPLE_RENAMES.items():

@@ -55,6 +55,16 @@ _INSERT_RE = re.compile(
 
 
 def _insert(engine, sql: str) -> int:
+    # SQLite upsert forms need a primary-key concept DataFrame views don't
+    # have — reject them explicitly instead of silently inserting
+    # (reference inherits them from SQLite; not exercised in its tests)
+    if re.match(r"\s*INSERT\s+OR\s+\w+", sql, re.I) or re.search(
+        r"\bON\s+CONFLICT\b", sql, re.I
+    ):
+        raise FilesqlError(
+            "INSERT OR REPLACE/IGNORE and ON CONFLICT are not supported "
+            "(no primary-key/unique constraints on DataFrame-backed tables)"
+        )
     m = _INSERT_RE.match(sql)
     if not m:
         raise FilesqlError(f"cannot parse INSERT: {sql.strip()[:120]}")

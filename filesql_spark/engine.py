@@ -163,6 +163,30 @@ class Engine:
         # SELECT via execute: run it, report row count
         return self.query(sql).count()
 
+    def execute_script(self, script: str) -> int:
+        """Run a semicolon-separated multi-statement script (DDL + DML +
+        transaction control), like database/sql's Exec of a script — the
+        reference's examples feed such scripts verbatim
+        (example_test.go:295). Returns the total affected-row count.
+
+        Statement splitting is quote-aware (semicolons inside string
+        literals or quoted identifiers don't split) via the dialect
+        tokenizer; ``--`` and ``/* */`` comments are allowed between
+        statements.
+        """
+        total = 0
+        for stmt in _split_statements(script):
+            kw = _first_keyword(stmt)
+            if not kw:
+                continue  # comment-only fragment
+            if kw in ("SAVEPOINT", "RELEASE"):
+                raise TransactionError("SAVEPOINT is not supported")
+            if kw in ("SELECT", "WITH", "VALUES", "PRAGMA"):
+                self.query(stmt).count()
+            else:
+                total += self.execute(stmt)
+        return total
+
     def _pragma(self, sql: str) -> DataFrame:
         import re
 
@@ -175,7 +199,10 @@ class Engine:
 
     def begin(self) -> None:
         if self._snapshot is not None:
-            raise TransactionError("transaction already in progress")
+            raise TransactionError(
+                "transaction already in progress (nested transactions / "
+                "SAVEPOINT are not supported)"
+            )
         self._snapshot = (dict(self._tables), dict(self._views))
 
     def commit(self) -> None:
@@ -278,6 +305,27 @@ def _view_ident(name: str) -> str:
     if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
         return name
     return "`" + name.replace("`", "``") + "`"
+
+
+def _split_statements(script: str) -> list[str]:
+    """Quote-aware split of a SQL script on ``;`` (string literals and
+    quoted identifiers are opaque to the splitter)."""
+    from filesql_spark.dialect import _split_tokens
+
+    stmts: list[str] = []
+    cur: list[str] = []
+    for kind, text in _split_tokens(script):
+        if kind != "code":
+            cur.append(text)
+            continue
+        while ";" in text:
+            head, text = text.split(";", 1)
+            cur.append(head)
+            stmts.append("".join(cur))
+            cur = []
+        cur.append(text)
+    stmts.append("".join(cur))
+    return [s for s in (x.strip() for x in stmts) if s]
 
 
 def _first_keyword(sql: str) -> str:

@@ -3,10 +3,12 @@
 - brute_force_topk: exact cosine top-k — the correctness baseline. One
   broadcast of the (small) query set against a full scan of the corpus;
   per-query top-k via window row_number (TakeOrdered-style, no global sort).
-- lsh_topk: random-hyperplane LSH — the scale path. 8 fixed hyperplanes
-  → 256 buckets; candidates share the query's bucket, top-k within. At
-  100 TB the bucket join replaces the full cross product with a 1/256
-  selectivity equi-join; recall is tunable by bands/probes.
+- lsh_topk: random-hyperplane LSH — the scale path. A 32-plane sign
+  signature, masked to ``ann_bucket_bits(n)`` low bits (log-n scale knob:
+  2^bits buckets grow with the corpus so the expected bucket population
+  stays ~ANN_TARGET_BUCKET_ROWS, instead of a fixed 256 buckets that go
+  quadratic at 100×). Candidates share the query's bucket, top-k within;
+  recall is tunable by bands/probes.
 
 Both precompute (quantized vector, squared norm) once per row
 (``with_quantized``) so the pairwise work is a single int64 dot product.
@@ -16,39 +18,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from filesql_spark.pipeline.constants import HYPERPLANES
+from filesql_spark.pipeline.constants import HYPERPLANES_ALL, ann_bucket_bits
 from filesql_spark.pipeline.dedup import cosine_pre, with_quantized
 
 # integer hyperplanes (×10⁴): sign tests become exact int arithmetic
-HYPERPLANES_INT = [[round(w * 10_000) for w in plane] for plane in HYPERPLANES]
+HYPERPLANES_INT = [[round(w * 10_000) for w in plane] for plane in HYPERPLANES_ALL]
 
 
 def _make_bucket_udf():
-    """Vectorized (Arrow-batched) bucket assignment: one int64 matmul per
-    batch instead of 8 interpreted fold expressions per row (measured ~5×
-    on the LSH path at sf0.1). Integer arithmetic is exact, so the result
-    is still bit-identical to the pure-SQL DuckDB oracle."""
+    """Vectorized (Arrow-batched) signature assignment: one int64 matmul
+    per batch instead of 32 interpreted fold expressions per row (measured
+    ~5× on the LSH path at sf0.1). Integer arithmetic is exact, so the
+    result is still bit-identical to the pure-SQL DuckDB oracle."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.array(HYPERPLANES_INT, dtype=np.int64)  # 8 × 64
+    planes = np.array(HYPERPLANES_INT, dtype=np.int64)  # 32 × 64
     weights = 1 << np.arange(len(HYPERPLANES_INT), dtype=np.int64)
 
     def bucket_fn(qv: pd.Series) -> pd.Series:
         m = np.vstack(qv.to_numpy()).astype(np.int64)  # n × 64
-        dots = m @ planes.T  # n × 8, exact int64 (|terms| < 2^35)
-        return pd.Series(((dots > 0) * weights).sum(axis=1).astype("int32"))
+        dots = m @ planes.T  # n × 32, exact int64 (|terms| < 2^35)
+        return pd.Series(((dots > 0) * weights).sum(axis=1).astype("int64"))
 
-    return pandas_udf(bucket_fn, "integer")
+    return pandas_udf(bucket_fn, "long")
 
 
 _bucket_udf = None
 
 
 def _bucket(qv: Column) -> Column:
-    """Sign pattern of the pre-quantized vector against the fixed planes →
-    bucket id [0, 256)."""
+    """Full 32-plane sign signature of the pre-quantized vector — callers
+    mask the low bits they need (plane i contributes bit i)."""
     global _bucket_udf
     if _bucket_udf is None:
         _bucket_udf = _make_bucket_udf()
@@ -84,15 +86,24 @@ def brute_force_topk(
 
 
 def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
-    """Bucketed approximate top-k: candidates share the query's LSH bucket."""
+    """Bucketed approximate top-k: candidates share the query's LSH bucket.
+
+    Bucket width = ``ann_bucket_bits(n)`` low bits of the 32-plane
+    signature — 2^bits buckets scale with the corpus (~log2(n/target)),
+    holding the per-bucket candidate count ~constant at 100× instead of
+    the fixed 256 buckets whose population grows linearly with n. The
+    count() feeding the knob is parquet-metadata-only at cluster scale.
+    """
+    n = df.count()
+    mask = (1 << ann_bucket_bits(n)) - 1
     corpus = with_quantized(df).select(
-        "vec_id", "qv", "nrm", _bucket(F.col("qv")).alias("bucket")
+        "vec_id", "qv", "nrm", _bucket(F.col("qv")).bitwiseAND(mask).alias("bucket")
     )
     q = with_quantized(queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("qv").alias("q_qv"),
         F.col("nrm").alias("q_nrm"),
-        _bucket(F.col("qv")).alias("q_bucket"),
+        _bucket(F.col("qv")).bitwiseAND(mask).alias("q_bucket"),
     )
     cos = cosine_pre(F.col("q_qv"), F.col("q_nrm"), F.col("qv"), F.col("nrm"))
     scored = (

@@ -18,7 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from filesql_spark.pipeline.constants import (
-    HYPERPLANES,
+    ANN_MAX_BUCKET_BITS,
+    ANN_MIN_BUCKET_BITS,
+    ANN_TARGET_BUCKET_ROWS,
+    EMB_BANDS,
+    EMB_BAND_STRIDE,
+    EMB_MAX_BAND_BITS,
+    EMB_MIN_BAND_BITS,
+    EMB_TARGET_CELL_ROWS,
+    HYPERPLANES_ALL,
     LANG_PRIORITY,
     LSH_BANDS,
     LSH_ROWS,
@@ -28,6 +36,17 @@ from filesql_spark.pipeline.constants import (
     STOPWORDS,
 )
 from filesql_spark.queries import load_table, register
+
+
+def _bits_sql(table: str, lo: int, hi: int, target: int) -> str:
+    """SQL twin of constants.scaled_bits — a one-row relation computing the
+    log-n LSH width from COUNT(*) with the same exact integer comparisons
+    the Spark side uses (no float log2 on either engine)."""
+    whens = " ".join(f"WHEN cnt <= {(1 << b) * target} THEN {b}" for b in range(lo, hi))
+    return (
+        f"SELECT CASE {whens} ELSE {hi} END AS bits "
+        f"FROM (SELECT COUNT(*) AS cnt FROM {table})"
+    )
 
 # ---------------------------------------------------------------------------
 # shared DuckDB fragments
@@ -235,15 +254,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    # 64-bit simhash: two md5-derived 32-bit halves (same as the Spark side)
     bit_sums = ",\n               ".join(
-        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{j}"
-        for j in range(32)
+        f"SUM(CASE WHEN ({'h_lo' if j < 32 else 'h_hi'} >> {j % 32}) & 1 = 1"
+        f" THEN cnt ELSE -cnt END) AS s{j}"
+        for j in range(64)
     )
-    assemble = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(32))
-    h = _H32.format(v="tok")
-    # 4 bands × 8 bits — lossless blocking for Hamming ≤ 3 (k+1 bands)
+    # bit 63's weight is the int64 sign bit; assemble with bitwise OR over
+    # disjoint weights — no signed-overflow path in either engine
+    _w = lambda j: str(2**j) if j < 63 else "(-9223372036854775807 - 1)"
+    assemble = " | ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({_w(j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
+    )
+    h_lo = _H32.format(v="tok")
+    h_hi = "('0x' || substr(md5(tok), 9, 8))::BIGINT"
+    # 4 bands × 16 bits — lossless blocking for Hamming ≤ 3 (k+1 bands)
     band_union = "\n        UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS hv FROM sh"
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 16}) & 65535 AS hv FROM sh"
         for b in range(4)
     )
     return f"""
@@ -254,7 +282,7 @@ def _simhash_oracle() -> str:
         SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
     ),
     tc2 AS (
-        SELECT doc_id, cnt, {h} AS h FROM tc
+        SELECT doc_id, cnt, {h_lo} AS h_lo, {h_hi} AS h_hi FROM tc
     ),
     sums AS (
         SELECT doc_id,
@@ -347,28 +375,37 @@ _COS = (
 
 
 def _bucket_sql() -> str:
-    """8-plane sign bucket over a quantized vector column ``qv`` — the SQL
-    twin of similarity.py's Arrow-batched bucket UDF (exact int math)."""
-    planes_int = [[round(w * 10_000) for w in plane] for plane in HYPERPLANES]
+    """32-plane sign signature over a quantized vector column ``qv`` — the
+    SQL twin of similarity.py's Arrow-batched bucket UDF (exact int math;
+    plane i contributes bit i, callers mask the low bits they need)."""
+    planes_int = [[round(w * 10_000) for w in plane] for plane in HYPERPLANES_ALL]
     terms = []
     for i, plane in enumerate(planes_int):
         lit = "[" + ", ".join(str(w) for w in plane) + "]"
         terms.append(
             f"CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(qv)), "
-            f"j -> qv[j] * ({lit})[j])) AS BIGINT) > 0 THEN {2**i} ELSE 0 END"
+            f"j -> qv[j] * ({lit})[j])) AS BIGINT) > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
     return " + ".join(terms)
 
 
 def _embedding_dup_oracle() -> str:
-    # 2 bands × 4 bits of the 8-plane bucket (pipeline/dedup.py EMB_BANDS)
+    # EMB_BANDS bands over disjoint EMB_BAND_STRIDE-plane groups; bits/band
+    # from the log-n knob (same integer CASE chain as constants.scaled_bits)
     cells = "\n        UNION ALL ".join(
-        f"SELECT vec_id, qv, nrm, {b} AS band, (bucket >> {b * 4}) & 15 AS cell FROM n"
-        for b in range(2)
+        f"SELECT vec_id, qv, nrm, {b} AS band,"
+        f" (bucket >> {b * EMB_BAND_STRIDE}) & ((1 << bits) - 1) AS cell FROM n, bits"
+        for b in range(EMB_BANDS)
+    )
+    bits = _bits_sql(
+        "embeddings", EMB_MIN_BAND_BITS, EMB_MAX_BAND_BITS, EMB_TARGET_CELL_ROWS
     )
     return f"""
     WITH q AS (
         SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    bits AS (
+        {bits}
     ),
     n AS (
         SELECT vec_id, qv,
@@ -395,9 +432,9 @@ def _embedding_dup_oracle() -> str:
 
 @register("dedup_embedding_cosine", _embedding_dup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs inside hyperplane-LSH band cells (bounded
-    ~n/16 cells, not unbounded label blocks) with exact quantized-cosine
-    verification (pipeline/dedup.py)."""
+    """Embedding near-dup pairs inside hyperplane-LSH band cells (cell
+    count grows ~log-n via emb_band_bits, holding cell population bounded)
+    with exact quantized-cosine verification (pipeline/dedup.py)."""
     from filesql_spark.pipeline.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
@@ -443,15 +480,21 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_oracle() -> str:
     bucket = _bucket_sql()
+    bits = _bits_sql(
+        "embeddings", ANN_MIN_BUCKET_BITS, ANN_MAX_BUCKET_BITS, ANN_TARGET_BUCKET_ROWS
+    )
     return f"""
     WITH q0 AS (
         SELECT vec_id, {_QVEC} AS qv FROM embeddings
     ),
+    bits AS (
+        {bits}
+    ),
     n AS (
         SELECT vec_id, qv,
                CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm,
-               ({bucket}) AS bucket
-        FROM q0
+               ({bucket}) & ((1 << bits) - 1) AS bucket
+        FROM q0, bits
     ),
     queries AS (SELECT * FROM n WHERE vec_id < 8),
     scored AS (
@@ -608,14 +651,26 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("streaming_events_hourly", None)
+@register(
+    "streaming_events_hourly",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming: readStream over the events parquet with a
-    watermark + tumbling window, availableNow trigger, memory sink.
-
-    The batch twin (events_tumbling_window) carries the SQL oracle; this
-    entry proves the same plan runs under the streaming engine
+    watermark + tumbling window, availableNow trigger, memory sink
     (filesql_spark/streaming.py).
+
+    The availableNow run is deterministic — a complete-mode window agg over
+    a finite source equals its batch twin (events_tumbling_window) row for
+    row (asserted in tests/test_pipeline.py) — so it carries the same SQL
+    oracle rather than a weaker rows-only check.
     """
     from filesql_spark.streaming import events_hourly_stream
 

@@ -67,24 +67,40 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
 
 
-def test_simhash_banding_finds_cross_half_pair(spark):
-    """Round-1 regression (VERDICT #4): a distance-2 pair with one flipped
-    bit per 16-bit half shares NEITHER half, so 2-half blocking dropped it;
-    4×8-bit bands must find it (bits 3 and 20 leave bands 1 and 3 intact).
-    Also plants a distance-4 pair sharing a band, which must be filtered by
-    the verify step, and asserts the ≤3-pigeonhole bound end to end."""
+def test_simhash_banding_finds_cross_band_pair(spark):
+    """Round-1 regression (VERDICT #4), updated for the 64-bit scheme: a
+    distance-3 pair with one flipped bit in each of three different 16-bit
+    bands (bits 3, 20, 40) shares only band 3 — any blocking coarser than
+    k+1 bands would drop it. Also plants a distance-4 pair sharing bands
+    1-3, which must survive candidate generation but be filtered by the
+    bit_count verify, asserting the ≤3-pigeonhole bound end to end."""
     from filesql_spark.pipeline.dedup import simhash_band_pairs
 
-    base = 0b1010_1100_0101_0011_1001_0110_0011_1010
-    cross_half = base ^ (1 << 3) ^ (1 << 20)  # d=2, one per half
+    base = 0x1ACD_5339_963A_C5F0
+    cross = base ^ (1 << 3) ^ (1 << 20) ^ (1 << 40)  # d=3, bands 0,1,2
     d4 = base ^ 0b1111  # d=4 from base, all in band 0 — bands 1-3 shared
     s = spark.createDataFrame(
-        [(1, base), (2, cross_half), (3, d4)], "doc_id int, simhash long"
+        [(1, base), (2, cross), (3, d4)], "doc_id int, simhash long"
     )
     got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_band_pairs(s).collect()}
-    assert got[(1, 2)] == 2  # the pair the old half-blocking silently lost
+    assert got[(1, 2)] == 3  # survives only via the untouched band 3
     assert (1, 3) not in got  # candidate via shared bands, rejected: d=4 > 3
-    assert (2, 3) not in got  # d=4 likewise rejected by the verify filter
+    assert (2, 3) not in got  # d > 3 likewise rejected by the verify filter
+
+
+def test_simhash_banding_sign_bit(spark):
+    """Bit 63 is the int64 sign bit: a negative simhash must block and
+    verify exactly like a positive one (band 3 masks off the arithmetic
+    sign-extension; bit_count runs on two's complement in both engines)."""
+    from filesql_spark.pipeline.dedup import simhash_band_pairs
+
+    base = -(2**63) | 0x123456789ABC  # bit 63 set → negative int64
+    near = base ^ (1 << 62) ^ (1 << 5)  # d=2, flips in bands 3 and 0
+    s = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id int, simhash long"
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_band_pairs(s).collect()}
+    assert got == {(1, 2): 2}
 
 
 def test_multimodal_decode_deterministic(spark):

@@ -85,3 +85,61 @@ def test_embedding_dup_band_equijoin(spark, qs):
     plan = _formatted(qs["dedup_embedding_cosine"](spark, SF))
     assert "label" not in plan
     assert "band" in plan and "cell" in plan
+
+
+def test_lsh_scale_knob_bounds_cell_population():
+    """The log-n width knob must keep expected LSH cell population bounded:
+    for every corpus size below the clamp, 2^bits * target >= n (expected
+    rows per cell <= target), and bits never over-shrinks the cells by more
+    than one doubling. Monotone in n, exact integer arithmetic."""
+    from filesql_spark.pipeline.constants import (
+        ANN_TARGET_BUCKET_ROWS,
+        EMB_TARGET_CELL_ROWS,
+        ann_bucket_bits,
+        emb_band_bits,
+    )
+
+    for fn, target, lo, hi in [
+        (emb_band_bits, EMB_TARGET_CELL_ROWS, 4, 16),
+        (ann_bucket_bits, ANN_TARGET_BUCKET_ROWS, 8, 16),
+    ]:
+        prev = 0
+        for n in [1, 10, 100, 1_000, 10_000, 100_000, 1_000_000, 10_000_000, 10**9]:
+            bits = fn(n)
+            assert lo <= bits <= hi
+            assert bits >= prev, "bits must be monotone in corpus size"
+            prev = bits
+            if bits < hi:
+                assert (1 << bits) * target >= n, f"cells under-provisioned at n={n}"
+            if bits > lo:
+                assert (1 << (bits - 1)) * target < n, f"cells over-provisioned at n={n}"
+
+
+def test_embedding_cells_scale_with_corpus(spark):
+    """A 10x corpus must get wider band masks (more, equally-populated
+    cells): the plan's mask literal is (2^bits - 1) with bits from
+    emb_band_bits(n), not a fixed band structure (VERDICT r2 #2)."""
+    import numpy as np
+    import pandas as pd
+
+    from filesql_spark.pipeline.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+
+    def mk(n):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(n),
+                    "embedding": [
+                        rng.standard_normal(64).astype("float32").tolist()
+                        for _ in range(n)
+                    ],
+                }
+            )
+        )
+
+    small = _formatted(embedding_dup_pairs(mk(600)))    # bits=5 → mask 31
+    big = _formatted(embedding_dup_pairs(mk(6000)))     # bits=8 → mask 255
+    assert "& 31)" in small and "& 255)" not in small
+    assert "& 255)" in big and "& 31)" not in big
