@@ -94,40 +94,43 @@ def register(name: str, oracle: str | None):
 # semantics changed this round come first, and push a fixed set of unchanged,
 # already-green, low-marginal-information queries to the tail. Every tail
 # query still runs in the local pytest oracle mirror (tests/test_entry_queries).
+#
+# Round-4 rotation: the 10 queries pushed to the tail in r2/r3 (r1-green,
+# unchanged since) come back first so every entry carries a current-round
+# driver row (VERDICT r2 next-steps #5), followed by everything r4 changed.
 _GRADE_FIRST = [
-    # never driver-graded in r1 (registry positions 50-59 then)
-    "agg_rollup",
-    "agg_median",
-    "recursive_cte",
-    "string_functions",
-    "math_functions",
-    "date_functions",
-    "date_julianday_span",
-    "date_hour_histogram",
-    "json_extract",
-    "events_tumbling_window",
-    # changed in r2 (vacuous-predicate + blocking fixes) — must re-grade
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "in_subquery",
-    "join_left_anti",
-    "set_except",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    # tail of r2/r3 — r1-green, unchanged, rotated back in for a fresh row
+    "select_case_expr",
+    "coalesce_cast",
+    "limit_offset",
+    "join_cross",
+    "join_right_outer",
+    "set_union_all",
+    "derived_table",
+    "scalar_subquery_select",
+    "window_row_number",
+    "window_agg_over",
+    # new or changed in r4 — must grade
+    "filter_like_ci",          # new: LIKE → ILIKE dialect path
+    "dedup_simhash",           # 64-bit / 4×16-bit bands
+    "dedup_embedding_cosine",  # log-n band-width knob
+    "ann_lsh_topk",            # log-n bucket-width knob
+    "ann_bruteforce_topk",     # shares the 32-plane signature path
+    "streaming_events_hourly", # oracle added (was rows-only)
 ]
 _GRADE_LAST = [
-    # r1-green, unchanged, each dominated by a kept sibling query
-    "select_case_expr",        # CASE also exercised by agg_conditional_case
-    "coalesce_cast",
-    "limit_offset",            # ORDER+LIMIT kept via topk_orders
-    "join_cross",
-    "join_right_outer",        # left + full outer remain graded
-    "set_union_all",           # UNION DISTINCT (the harder one) remains
-    "derived_table",           # FROM-subquery shape kept via cte query
-    "scalar_subquery_select",  # correlated variant remains
-    "window_row_number",       # rank/ntile/dense/first_value remain
-    "window_agg_over",         # frames kept via window_running_sum
+    # r2+r3-green, unchanged in r4, each dominated by a kept sibling query
+    "agg_median",              # beyond-reference; agg_rollup stays graded
+    "date_julianday_span",     # julianday covered by date_functions
+    "date_hour_histogram",     # date bucketing covered by events window
+    "join_left_semi",          # anti + in_subquery remain graded
+    "filter_predicates",       # pushdown covered by q1 + filter_like_ci
+    "topk_orders",             # ORDER+LIMIT kept via limit_offset this round
+    "set_intersect",           # except + union_distinct remain
+    "window_lag_lead",         # rank/ntile/frames remain
+    "text_token_count",        # text family: lang_id/quality/fingerprint stay
+    "multimodal_frame_sample", # decode (the UDF path) remains graded
+    "agg_group_concat",        # dialect fn covered by string_functions
 ]
 
 

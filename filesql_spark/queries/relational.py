@@ -229,6 +229,34 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "filter_like_ci",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment ILIKE 'b%' AND c_name NOT ILIKE '%00'
+    """,
+)
+def filter_like_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive LIKE through the full SQLite-dialect shim.
+
+    SQLite's LIKE is case-insensitive for ASCII (the reference exercises
+    mixed-case LIKE at filesql_test.go:130-141); Spark's is not. The query
+    text below goes through dialect.rewrite (LIKE → ILIKE) and would return
+    0 rows under Spark's native LIKE ('b%' vs 'BUILDING') — the oracle runs
+    DuckDB's ILIKE, so a silent loss of the rewrite fails the hash gate.
+    """
+    from filesql_spark import dialect
+
+    load_views(spark, sf_dir)
+    return spark.sql(
+        dialect.rewrite(
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+            "WHERE c_mktsegment LIKE 'b%' AND c_name NOT LIKE '%00'"
+        )
+    )
+
+
+@register(
     "select_case_expr",
     f"""
     SELECT o_orderkey,

@@ -86,8 +86,10 @@ def test_date_now_family():
         == "SELECT date_format(current_timestamp(), 'yyyy-MM-dd')"
     )
     assert "yyyy-MM-dd HH:mm:ss" in rewrite("SELECT datetime(created_at) FROM t")
+    # 'localtime' is supported (identity under the pinned UTC session TZ);
+    # a genuinely unknown modifier still raises
     with pytest.raises(FilesqlError):
-        rewrite("SELECT date('now', 'localtime')")
+        rewrite("SELECT date('now', 'no such modifier')")
 
 
 def _eval1(spark, sql: str):
@@ -136,3 +138,85 @@ def test_strftime_expression_codes(spark):
     assert _eval1(spark, "SELECT strftime('%Y-%m %w', '2021-02-28')") == "2021-02 0"
     assert _eval1(spark, "SELECT strftime('%H:%M:%f', '2021-01-01 10:20:30.123')") \
         == "10:20:30.123"
+
+
+# ----------------------------------------------------------- LIKE rewrite
+
+
+def test_like_becomes_ilike():
+    assert rewrite("SELECT * FROM t WHERE name LIKE 'a%'") == (
+        "SELECT * FROM t WHERE name ILIKE 'a%'"
+    )
+    assert rewrite("SELECT * FROM t WHERE name NOT LIKE '%x'") == (
+        "SELECT * FROM t WHERE name NOT ILIKE '%x'"
+    )
+
+
+def test_like_inside_string_untouched():
+    assert rewrite("SELECT 'I like cats' FROM t") == "SELECT 'I like cats' FROM t"
+
+
+def test_ilike_input_not_double_rewritten():
+    sql = "SELECT * FROM t WHERE a ILIKE 'x%'"
+    assert rewrite(sql) == sql
+
+
+def test_like_escape_clause_passes_through():
+    out = rewrite("SELECT * FROM t WHERE a LIKE 'x!_%' ESCAPE '!'")
+    assert out == "SELECT * FROM t WHERE a ILIKE 'x!_%' ESCAPE '!'"
+
+
+def test_like_case_insensitive_matches_sqlite(spark):
+    """SQLite LIKE is case-insensitive for ASCII by default
+    (reference filesql_test.go:130-141 matches mixed-case names); Spark's
+    LIKE is case-sensitive — the shim must close the divergence.
+    (Known remaining difference: ILIKE folds full Unicode; SQLite only
+    ASCII — documented in _rewrite_like.)"""
+    spark.createDataFrame(
+        [("Alice",), ("ALBERT",), ("bob",)], "name string"
+    ).createOrReplaceTempView("like_t")
+    rows = spark.sql(rewrite("SELECT name FROM like_t WHERE name LIKE 'al%'")).collect()
+    assert sorted(r.name for r in rows) == ["ALBERT", "Alice"]
+
+
+# ------------------------------------- doubled-quote escape vs rewriter
+
+
+def test_find_call_after_doubled_quote_literal():
+    """A '' escape inside a literal must not flip the in-string parity and
+    hide a legitimate rewrite site to its right (VERDICT r2 minor #5)."""
+    out = rewrite("SELECT 'it''s', ifnull(a, 0) FROM t")
+    assert out == "SELECT 'it''s', nvl(a, 0) FROM t"
+
+
+# ------------------------------------------------- datetime modifiers
+
+
+def test_unixepoch_modifier(spark):
+    out = rewrite("SELECT datetime(1092941466, 'unixepoch') AS d")
+    assert spark.sql(out).collect()[0].d == "2004-08-19 18:51:06"
+
+
+def test_unixepoch_with_arithmetic(spark):
+    out = rewrite("SELECT date(0, 'unixepoch', '+1 day') AS d")
+    assert spark.sql(out).collect()[0].d == "1970-01-02"
+
+
+def test_unixepoch_must_be_first():
+    with pytest.raises(FilesqlError, match="unixepoch"):
+        rewrite("SELECT datetime('2024-01-01', '+1 day', 'unixepoch')")
+
+
+def test_localtime_utc_identity(spark):
+    """Engine sessions pin spark.sql.session.timeZone=UTC, so SQLite's
+    localtime/utc conversions are identity (documented in _apply_modifier)."""
+    out = rewrite("SELECT datetime('2024-03-05 12:00:00', 'localtime') AS a, "
+                  "datetime('2024-03-05 12:00:00', 'utc') AS b")
+    row = spark.sql(out).collect()[0]
+    assert row.a == row.b == "2024-03-05 12:00:00"
+
+
+def test_strftime_with_modifiers(spark):
+    out = rewrite("SELECT strftime('%Y-%m-%d', '2024-01-31', '+1 month') AS d")
+    # SQLite month-overflow normalization: Jan 31 + 1 month = Mar 2 (2024 leap)
+    assert spark.sql(out).collect()[0].d == "2024-03-02"

@@ -180,3 +180,40 @@ def test_create_existing_table_raises(eng):
         eng.execute("CREATE TABLE dup_t (k INTEGER)")
     assert eng.execute("CREATE TABLE IF NOT EXISTS dup_t (k INTEGER)") == 0
     eng.execute("DROP TABLE dup_t")
+
+
+def test_execute_script_multi_statement(eng):
+    """database/sql-style script execution (reference example_test.go:295
+    feeds semicolon-separated DDL+DML scripts verbatim)."""
+    n = eng.execute_script(
+        """
+        CREATE TABLE scratch (id INTEGER, tag TEXT);
+        INSERT INTO scratch VALUES (1, 'a; not a split'), (2, 'b');
+        UPDATE scratch SET tag = 'z' WHERE id = 2;
+        -- trailing comment statement
+        """
+    )
+    assert n == 3  # 2 inserted + 1 updated (CREATE contributes 0)
+    rows = eng.query("SELECT id, tag FROM scratch ORDER BY id").collect()
+    assert [(r.id, r.tag) for r in rows] == [(1, "a; not a split"), (2, "z")]
+
+
+def test_execute_script_savepoint_rejected(eng):
+    with pytest.raises(TransactionError, match="SAVEPOINT"):
+        eng.execute_script("SAVEPOINT sp1; INSERT INTO sample VALUES (9,'x',1,'e')")
+
+
+def test_nested_begin_mentions_savepoints(eng):
+    eng.begin()
+    with pytest.raises(TransactionError, match="SAVEPOINT"):
+        eng.begin()
+    eng.rollback()
+
+
+def test_insert_or_replace_clean_error(eng):
+    with pytest.raises(FilesqlError, match="not supported"):
+        eng.execute("INSERT OR REPLACE INTO sample VALUES (1,'x',1,'e')")
+    with pytest.raises(FilesqlError, match="not supported"):
+        eng.execute(
+            "INSERT INTO sample VALUES (9,'x',1,'e') ON CONFLICT (id) DO NOTHING"
+        )

@@ -269,3 +269,35 @@ def test_empty_string_vs_null_divergence_documented(eng):
         "SELECT COUNT(*) AS n_all, COUNT(email) AS n_email FROM \"user\""
     ).collect()
     assert (row.n_all, row.n_email) == (7, 6)
+
+
+def test_example_process_and_aggregate_script(spark, tmp_path):
+    """Reference example_test.go:1585-1605 verbatim shapes: an UPDATE whose
+    predicate uses mixed-case LIKE (SQLite: case-insensitive), then an
+    INSERT ... SELECT with `||` concatenation — run as one script through
+    execute_script, asserted on exact values."""
+    (tmp_path / "sample.csv").write_text(
+        "id,name,age,email\n"
+        "1,John Doe,30,john@example.com\n"
+        "2,Jane Smith,25,jane@example.com\n"
+        "3,bob johnson,35,bob@example.com\n"
+    )
+    with fs.open(str(tmp_path / "sample.csv"), spark=spark) as eng:
+        n = eng.execute_script(
+            """
+            UPDATE sample SET age = age + 1 WHERE name LIKE '%JOHN%';
+            INSERT INTO sample (id, name, age, email)
+            SELECT 999, 'Summary: ' || COUNT(*), AVG(age), 'summary@example.com'
+            FROM sample WHERE id < 999;
+            """
+        )
+        # SQLite-style LIKE matches 'John Doe' AND 'bob johnson' (ASCII
+        # case-insensitive) — Spark's native LIKE would match neither
+        assert n == 2 + 1
+        rows = {r.id: (r.name, r.age) for r in eng.query("SELECT id, name, age FROM sample").collect()}
+        assert rows[1] == ("John Doe", 31)
+        assert rows[3] == ("bob johnson", 36)
+        assert rows[2] == ("Jane Smith", 25)
+        name999, age999 = rows[999]
+        assert name999 == "Summary: 3"
+        assert age999 == 30  # avg(31,25,36) = 30.67, truncated by the INTEGER-column cast

@@ -235,3 +235,25 @@ def test_builder_reader_compressed(spark):
         assert eng.query("SELECT SUM(v) AS s FROM gzdata").collect()[0].s == 15
     finally:
         eng.close()
+
+
+def test_empty_string_fields_are_null_divergence(spark, tmp_path):
+    """Pin the documented ''-vs-NULL divergence surface (SURVEY §1.2,
+    README): the reference keeps empty CSV fields as '' (file.go:476-479),
+    so its COUNT(col) counts them and WHERE col = '' matches; this engine
+    adopts NULL. These assertions are the contract — if they start
+    failing, the divergence decision changed and README must follow."""
+    import filesql_spark as fs
+
+    p = tmp_path / "gaps.csv"
+    p.write_text("id,note\n1,hello\n2,\n3,world\n")
+    with fs.open(str(p), spark=spark) as eng:
+        # empty field loads as NULL…
+        rows = eng.query("SELECT id, note FROM gaps ORDER BY id").collect()
+        assert rows[1].note is None
+        # …so COUNT(note) excludes it (SQLite reference would return 3)
+        assert eng.query("SELECT COUNT(note) AS n FROM gaps").collect()[0].n == 2
+        # …and = '' matches nothing (SQLite reference would match id=2)
+        assert eng.query("SELECT COUNT(*) AS n FROM gaps WHERE note = ''").collect()[0].n == 0
+        # the NULL-standard predicates do the job instead
+        assert eng.query("SELECT id FROM gaps WHERE note IS NULL").collect()[0].id == 2
