@@ -32,6 +32,8 @@ HEADLINE = [
     "scalar_subquery_correlated",
     "date_functions",
     "events_tumbling_window",
+    "events_sessionize",
+    "asof_join_latest_order",
     # pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -112,6 +112,9 @@ _GRADE_FIRST = [
     "window_agg_over",
     # new or changed in r4 — must grade
     "filter_like_ci",          # new: LIKE → ILIKE dialect path
+    "events_sessionize",       # new: session windows (gaps-and-islands oracle)
+    "streaming_events_sessionize",  # new: stateful streaming twin
+    "asof_join_latest_order",  # new: as-of join (union-merge pattern)
     "dedup_simhash",           # 64-bit / 4×16-bit bands
     "dedup_embedding_cosine",  # log-n band-width knob
     "ann_lsh_topk",            # log-n bucket-width knob
@@ -131,6 +134,9 @@ _GRADE_LAST = [
     "text_token_count",        # text family: lang_id/quality/fingerprint stay
     "multimodal_frame_sample", # decode (the UDF path) remains graded
     "agg_group_concat",        # dialect fn covered by string_functions
+    "window_ntile_dense_first",# rank + row_number + frames remain graded
+    "join_full_outer",         # left + right outer remain graded
+    "set_union_distinct",      # union_all + except + intersect siblings cover
 ]
 
 

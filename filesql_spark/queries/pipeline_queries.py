@@ -675,3 +675,22 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.streaming import events_hourly_stream
 
     return events_hourly_stream(spark, sf_dir)
+
+
+def _sessionize_oracle() -> str:
+    from filesql_spark.queries.relational import SESSIONIZE_ORACLE
+
+    return SESSIONIZE_ORACLE
+
+
+@register("streaming_events_sessionize", _sessionize_oracle())
+def streaming_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization: session_window (merging-window
+    state) under the streaming engine with a watermark — beyond the
+    tumbling grid of streaming_events_hourly. Complete-mode availableNow
+    over a finite source equals the batch gaps-and-islands twin
+    (events_sessionize), so it carries the same SQL oracle
+    (filesql_spark/streaming.py)."""
+    from filesql_spark.streaming import events_session_stream
+
+    return events_session_stream(spark, sf_dir)

@@ -1266,3 +1266,134 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# shared with the streaming twin (pipeline_queries.streaming_events_sessionize)
+SESSIONIZE_ORACLE = f"""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM({_c('value')}) AS BIGINT) / 100.0 AS total_value,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS session_us
+    FROM s GROUP BY user_id, sid
+    """
+
+
+@register("events_sessionize", SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap — the
+    training-pipeline sessionization operator (beyond-reference; the
+    reference has no streaming/session surface, SURVEY §2.10).
+
+    Spark side: native ``session_window`` (merges overlapping [ts, ts+gap)
+    intervals per group — one shuffle on user_id, state mergeable, the same
+    plan runs under Structured Streaming with a watermark). Oracle: the
+    equivalent gaps-and-islands formulation (LAG ≥ gap starts an island;
+    running SUM numbers it). Boundary semantics match: Spark's interval is
+    half-open, so a gap of exactly 30:00 starts a new session — the oracle
+    uses ``>=``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+            (F.unix_micros("last_ts") - F.unix_micros(F.col("w.start"))).alias(
+                "session_us"
+            ),
+        )
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    """
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts,
+           o_orderkey AS last_orderkey,
+           o_totalprice AS last_order_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event matched to the customer's most recent order
+    at-or-before the event time (beyond-reference; the standard time-series
+    enrichment operator).
+
+    Scale design — the union-merge pattern, NOT a theta join: a theta join
+    ``o_custkey = user_id AND o_orderdate <= ts`` explodes to every
+    (event, earlier-order) pair before ranking (quadratic per key at
+    100 TB). Instead, union both inputs tagged, sort within one hash
+    shuffle on the key, and propagate the latest order columns to each
+    event row with last(ignoreNulls) over a running frame — O(n log n) per
+    partition, one shuffle, no pair blow-up. Ties: orders sort before
+    events at the same timestamp (an order exactly at ts is visible), and
+    by o_orderkey so equal-date orders resolve to the max key — the
+    oracle's explicit ROW_NUMBER spec.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(1).alias("is_evt"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).alias("is_evt"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_evt", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        e.unionByName(o)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn(
+            "last_order_price", F.last("o_totalprice", ignorenulls=True).over(w)
+        )
+    )
+    return (
+        merged.filter((F.col("is_evt") == 1) & F.col("last_orderkey").isNotNull())
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts"),
+            "last_orderkey",
+            "last_order_price",
+        )
+    )

@@ -117,3 +117,19 @@ def test_real_decode_is_gated():
 
     with pytest.raises(NotImplementedError):
         multimodal._real_decode(b"bytes")
+
+
+def test_streaming_sessionize_equals_batch(spark):
+    """The stateful streaming sessionization (session_window + watermark,
+    complete mode, availableNow) must equal the batch gaps-and-islands twin
+    row for row — the determinism that justifies sharing its SQL oracle."""
+    qs = all_queries()
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value, r.session_us)
+        for r in qs["events_sessionize"](spark, SF).collect()
+    }
+    streamed = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value, r.session_us)
+        for r in qs["streaming_events_sessionize"](spark, SF).collect()
+    }
+    assert batch == streamed and len(batch) > 0

@@ -143,3 +143,21 @@ def test_embedding_cells_scale_with_corpus(spark):
     big = _formatted(embedding_dup_pairs(mk(6000)))     # bits=8 → mask 255
     assert "& 31)" in small and "& 255)" not in small
     assert "& 255)" in big and "& 31)" not in big
+
+
+def test_asof_join_is_union_merge_not_theta(spark, qs):
+    """The as-of join must compile to union + one hash shuffle + running
+    window — NEVER a theta join (BroadcastNestedLoop/Cartesian), whose
+    (event x earlier-order) pair blow-up is quadratic per key at scale."""
+    plan = _formatted(qs["asof_join_latest_order"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # no join operator at all: union-merge
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read), not N
+
+
+def test_sessionize_single_shuffle(spark, qs):
+    """Native session_window agg: one hash shuffle on the session key."""
+    plan = _formatted(qs["events_sessionize"](spark, SF))
+    assert "session_window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
