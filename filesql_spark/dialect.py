@@ -376,16 +376,47 @@ def _now_family(kind: str):
     return build
 
 
+def _unixepoch(args: list[str]) -> str:
+    """unixepoch(time-value, modifiers…) → BIGINT epoch seconds
+    (SQLite 3.38+; no-arg form means 'now')."""
+    if not args or (len(args) == 1 and not args[0].strip()):
+        x = "current_timestamp()"
+    else:
+        x = _base_and_modifiers("unixepoch", args[0], args[1:])
+    return f"CAST(unix_timestamp({x}) AS BIGINT)"
+
+
+def _total(args: list[str]) -> str:
+    """SQLite total(): SUM that returns 0.0 instead of NULL on empty/all-NULL
+    input, always REAL (sqlite doc: aggfunc total)."""
+    if len(args) != 1:
+        raise FilesqlError(f"total() expects 1 arg, got {len(args)}")
+    return f"coalesce(sum(CAST(({args[0]}) AS DOUBLE)), CAST(0 AS DOUBLE))"
+
+
+def _log(args: list[str]) -> str:
+    """SQLite log(X) is base-10 (log(B,X) is base-B) — Spark's 1-arg log is
+    natural; a silent divergence without this rewrite."""
+    if len(args) == 1:
+        return f"log10({args[0]})"
+    return f"log({', '.join(args)})"
+
+
 _SIMPLE_RENAMES = {
     "printf": "format_string",
+    "format": "format_string",  # printf alias (SQLite 3.38+)
     "ifnull": "nvl",
+    "iif": "if",
 }
 
 _CALL_REWRITES = {
     "strftime": _strftime,
     "julianday": _julianday,
+    "unixepoch": _unixepoch,
     "group_concat": _group_concat,
     "random": _random,
+    "total": _total,
+    "log": _log,
     "min": _scalar_minmax("least"),
     "max": _scalar_minmax("greatest"),
     "date": _now_family("date"),
@@ -416,9 +447,63 @@ def _rewrite_like(sql: str) -> str:
     )
 
 
+def _glob_regex(pat: str) -> str:
+    """GLOB pattern → anchored Java regex: ``*`` → ``.*``, ``?`` → ``.``,
+    ``[class]``/``[^class]`` pass through, everything else escaped."""
+    out, i, n = [], 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = pat.find("]", i + 2 if i + 1 < n and pat[i + 1] in "^]" else i + 1)
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                out.append(pat[i : j + 1])
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def _rewrite_glob(sql: str) -> str:
+    """``a GLOB 'pat'`` → ``a RLIKE '^regex$'`` (GLOB is SQLite's
+    case-sensitive ``*``/``?``/``[class]`` matcher; RLIKE keeps the case
+    sensitivity). Only literal patterns are rewritable — a non-literal
+    right-hand side raises instead of silently mis-matching."""
+    toks = _split_tokens(sql)
+    out: list[str] = []
+    for idx, (kind, text) in enumerate(toks):
+        if (
+            kind == "string"
+            and out
+            and toks[idx - 1][0] == "code"
+        ):
+            m = re.search(r"\bglob(\s*)$", toks[idx - 1][1], re.IGNORECASE)
+            if m:
+                out[-1] = toks[idx - 1][1][: m.start()] + "RLIKE" + (m.group(1) or " ")
+                pat = text[1:-1].replace("''", "'")
+                out.append("'" + _glob_regex(pat).replace("'", "''") + "'")
+                continue
+        if kind == "code" and re.search(r"\bglob\b", text, re.IGNORECASE):
+            nxt = toks[idx + 1] if idx + 1 < len(toks) else None
+            if not (nxt and nxt[0] == "string" and re.search(r"\bglob\s*$", text, re.I)):
+                raise FilesqlError(
+                    "GLOB requires a string-literal pattern (non-literal "
+                    "patterns are not supported)"
+                )
+        out.append(text)
+    return "".join(out)
+
+
 def rewrite(sql: str) -> str:
     """SQLite-dialect SQL → Spark SQL."""
     sql = _requote_identifiers(sql)
+    sql = _rewrite_glob(sql)
     sql = _rewrite_like(sql)
     for name, fn in _CALL_REWRITES.items():
         sql = _rewrite_calls(sql, name, fn)

@@ -220,3 +220,57 @@ def test_strftime_with_modifiers(spark):
     out = rewrite("SELECT strftime('%Y-%m-%d', '2024-01-31', '+1 month') AS d")
     # SQLite month-overflow normalization: Jan 31 + 1 month = Mar 2 (2024 leap)
     assert spark.sql(out).collect()[0].d == "2024-03-02"
+
+
+# --------------------------------------------- r4 function-shim additions
+
+
+def test_iif_and_format(spark):
+    out = rewrite("SELECT iif(1 < 2, 'y', 'n') AS a, format('%d-%s', 7, 'x') AS b")
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b) == ("y", "7-x")
+
+
+def test_total_vs_sum_empty(spark):
+    """SQLite total() returns 0.0 where SUM returns NULL."""
+    spark.createDataFrame([(1, None)], "id int, v double").createOrReplaceTempView("tot_t")
+    out = rewrite("SELECT total(v) AS t, sum(v) AS s FROM tot_t")
+    row = spark.sql(out).collect()[0]
+    assert row.t == 0.0 and row.s is None
+
+
+def test_unixepoch_function(spark):
+    out = rewrite("SELECT unixepoch('2004-08-19 18:51:06') AS e, "
+                  "unixepoch('1970-01-02', '+1 hour') AS f")
+    row = spark.sql(out).collect()[0]
+    assert row.e == 1092941466 and row.f == 86400 + 3600
+
+
+def test_log_is_base10(spark):
+    """SQLite's 1-arg log() is base-10 (2-arg log(B,X) is base-B); Spark's
+    1-arg log is natural — the rewrite closes the silent divergence."""
+    out = rewrite("SELECT log(100) AS a, log(2, 8) AS b, ln(1) AS c")
+    row = spark.sql(out).collect()[0]
+    assert row.a == 2.0 and row.b == 3.0 and row.c == 0.0
+
+
+def test_glob_rewrite(spark):
+    spark.createDataFrame(
+        [("abc.txt",), ("ABC.TXT",), ("abc.dat",), ("a1c.txt",)], "f string"
+    ).createOrReplaceTempView("glob_t")
+    out = rewrite("SELECT f FROM glob_t WHERE f GLOB 'a*.txt'")
+    assert "RLIKE" in out
+    rows = sorted(r.f for r in spark.sql(out).collect())
+    assert rows == ["a1c.txt", "abc.txt"]  # case-sensitive, unlike LIKE
+    # character class + ? wildcard
+    out2 = rewrite("SELECT f FROM glob_t WHERE f GLOB 'a[0-9]c.???'")
+    assert [r.f for r in spark.sql(out2).collect()] == ["a1c.txt"]
+
+
+def test_glob_non_literal_raises():
+    with pytest.raises(FilesqlError, match="GLOB"):
+        rewrite("SELECT * FROM t WHERE a GLOB b")
+
+
+def test_glob_inside_string_untouched():
+    assert rewrite("SELECT 'use GLOB here' FROM t") == "SELECT 'use GLOB here' FROM t"
