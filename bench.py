@@ -43,6 +43,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     "text_lang_id",
     "multimodal_decode",

@@ -120,3 +120,143 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos")
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+IVF_ITERS = 3   # unrolled Lloyd iterations (fixed so the oracle can unroll)
+IVF_NPROBE = 2  # centroid cells probed per query
+
+# k scale knob: 2^bits centroids, bits ~ log2(n/IVF_TARGET_CELL_ROWS) in
+# [4, 10] → k in [16, 1024]; expected cell population stays ≤ target
+IVF_MIN_K_BITS = 4
+IVF_MAX_K_BITS = 10
+IVF_TARGET_CELL_ROWS = 256
+
+# training-sample knob: Lloyd iterations run on the deterministic modulo
+# sample vec_id % 2^tbits == 0 with tbits ~ log2(n/IVF_TRAIN_TARGET_ROWS),
+# so quantizer training stays ~IVF_TRAIN_TARGET_ROWS rows no matter the
+# corpus size (standard IVF practice: train on a sample, assign everything).
+# tbits = 0 (no sampling) below 4096 rows.
+IVF_TRAIN_TARGET_ROWS = 4096
+IVF_MAX_TRAIN_BITS = 20
+
+
+def _sqdist(qv: Column, c: Column) -> Column:
+    """Squared L2 between an int64-quantized vector and a double centroid.
+
+    Deterministic across engines: each term is one subtract + one multiply,
+    and the sum is a SEQUENTIAL left fold over the dimension order —
+    bit-identical to the DuckDB oracle's list_reduce((a,b) -> a+b) (the
+    0.0 init is absorbed exactly: terms are ≥ +0.0). Never use a pairwise
+    or vectorized summation here; reordering changes the last ulp and can
+    flip an argmin tie."""
+    terms = F.zip_with(
+        qv, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
+
+
+def ivf_centroids(
+    pts: DataFrame, k: int, iters: int = IVF_ITERS, sample_factor: int = 1
+) -> DataFrame:
+    """K-means coarse quantizer: (cid, c: array<double>) after ``iters``
+    Lloyd iterations from a deterministic seed (the first k vectors of the
+    training set by vec_id — ids < k·sample_factor when the caller passes
+    a vec_id % sample_factor == 0 training sample — as doubles).
+
+    Pure DataFrame dataflow — no driver-side collect: each iteration is
+    corpus × broadcast(centroids) (k ≤ 1024 rows) → argmin assignment via
+    ROW_NUMBER (ties → lowest cid) → per-cell exact int64 dimension sums →
+    one double division per dimension. Cells that lose all points drop out
+    (standard Lloyd behavior, mirrored by the oracle's GROUP BY).
+    Exact-integer sums + single divisions keep every centroid coordinate
+    bit-reproducible in DuckDB."""
+    cents = pts.filter(F.col("vec_id") < k * sample_factor).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("qv", lambda x: x.cast("double")).alias("c"),
+    )
+    dims = range(len(HYPERPLANES_ALL[0]))
+    for _ in range(iters):
+        assign = _assign_cells(pts, cents).select("vec_id", "cid", "qv")
+        sums = assign.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in dims],
+        )
+        cents = sums.select(
+            "cid",
+            F.array(*[F.col(f"s{i}") / F.col("n") for i in dims]).alias("c"),
+        )
+    return cents
+
+
+def _assign_cells(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via map-side ``min_by`` aggregation.
+
+    The broadcast crossJoin fans each point out to k rows, but the argmin
+    collapses them in the SAME map task (partial min_by) — only the n
+    winning structs cross the shuffle, not n·k rows. A window/ROW_NUMBER
+    formulation would shuffle the full n·k fan-out (k× amplification at
+    100 TB — the difference between feasible and not at k=1024). Ties on
+    distance break to the lowest cid, matching the oracle's ROW_NUMBER
+    ORDER BY (dist, cid)."""
+    d = _sqdist(F.col("qv"), F.col("c"))
+    payload = F.struct(F.col("cid"), F.col("qv"), F.col("nrm")) if "nrm" in pts.columns \
+        else F.struct(F.col("cid"), F.col("qv"))
+    best = (
+        pts.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.min_by(payload, F.struct(d.alias("d"), F.col("cid"))).alias("b"))
+    )
+    return best.select("vec_id", "b.*")
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """IVF approximate top-k: k-means cells as the coarse quantizer, exact
+    quantized cosine inside the ``IVF_NPROBE`` cells nearest each query.
+
+    The scale path beyond hyperplane LSH: centroid count 2^bits grows with
+    log(n) (scaled_bits) so expected cell population stays bounded; the
+    candidate set per query is ~IVF_NPROBE · n / k rows reached by one
+    broadcast of the (small) assigned-query set against the cell-keyed
+    corpus — an equi-join on cid, never a cross product over the corpus.
+    """
+    from filesql_spark.pipeline.constants import scaled_bits
+
+    n = df.count()
+    kk = 1 << scaled_bits(n, IVF_MIN_K_BITS, IVF_MAX_K_BITS, IVF_TARGET_CELL_ROWS)
+    m = 1 << scaled_bits(n, 0, IVF_MAX_TRAIN_BITS, IVF_TRAIN_TARGET_ROWS)
+    pts = with_quantized(df).select("vec_id", "qv", "nrm")
+    # persist: read by 3 Lloyd iterations + the final assignment + scoring
+    pts = pts.persist()
+    train = pts.filter(F.col("vec_id") % m == 0)
+    cents = ivf_centroids(train, kk, sample_factor=m).persist()
+    corpus = _assign_cells(pts, cents).select("vec_id", "qv", "nrm", "cid")
+    # query probes: nprobe nearest cells per query — the probe set is tiny
+    # (|queries|·k rows), so a window rank over the broadcast product is fine
+    q = with_quantized(queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dq = _sqdist(F.col("q_qv"), F.col("c"))
+    w_probe = Window.partitionBy("q_id").orderBy(dq.asc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "q_qv", "q_nrm", "cid")
+    )
+    cos = cosine_pre(F.col("q_qv"), F.col("q_nrm"), F.col("qv"), F.col("nrm"))
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+    )
+    w_top = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos")
+    )

@@ -118,6 +118,7 @@ _GRADE_FIRST = [
     "dedup_simhash",           # 64-bit / 4×16-bit bands
     "dedup_embedding_cosine",  # log-n band-width knob
     "ann_lsh_topk",            # log-n bucket-width knob
+    "ann_ivf_topk",            # new: k-means IVF, bit-exact unrolled-Lloyd oracle
     "ann_bruteforce_topk",     # shares the 32-plane signature path
     "streaming_events_hourly", # oracle added (was rows-only)
 ]
@@ -137,6 +138,7 @@ _GRADE_LAST = [
     "window_ntile_dense_first",# rank + row_number + frames remain graded
     "join_full_outer",         # left + right outer remain graded
     "set_union_distinct",      # union_all + except + intersect siblings cover
+    "in_subquery",             # semi/anti/exists family: join_left_anti stays
 ]
 
 

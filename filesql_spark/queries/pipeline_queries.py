@@ -520,6 +520,121 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def _ivf_oracle() -> str:
+    """Unrolled-Lloyd IVF oracle — bit-exact with the Spark implementation:
+    integer dimension sums, one double division per centroid coordinate,
+    and SEQUENTIAL list_reduce distance folds matching F.aggregate's
+    left fold (see similarity._sqdist)."""
+    from filesql_spark.pipeline.similarity import (
+        IVF_ITERS,
+        IVF_MAX_K_BITS,
+        IVF_MAX_TRAIN_BITS,
+        IVF_MIN_K_BITS,
+        IVF_NPROBE,
+        IVF_TARGET_CELL_ROWS,
+        IVF_TRAIN_TARGET_ROWS,
+    )
+
+    dim = 64
+    dist = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (CAST(p.qv[i] AS DOUBLE) - c.c[i]) * (CAST(p.qv[i] AS DOUBLE) - c.c[i])), "
+        "(a, b) -> a + b)"
+    ).format(d=dim)
+    mean_list = "[" + ", ".join(
+        f"CAST(SUM(qv[{i + 1}]) AS BIGINT) / COUNT(*)" for i in range(dim)
+    ) + "]"
+    kbits = _bits_sql(
+        "embeddings", IVF_MIN_K_BITS, IVF_MAX_K_BITS, IVF_TARGET_CELL_ROWS
+    )
+    tbits = _bits_sql(
+        "embeddings", 0, IVF_MAX_TRAIN_BITS, IVF_TRAIN_TARGET_ROWS
+    ).replace(" AS bits ", " AS tbits ")
+    iters = []
+    prev = "c0"
+    for t in range(1, IVF_ITERS + 1):
+        iters.append(f"""
+    a{t} AS (
+        SELECT * FROM (
+            SELECT p.vec_id, p.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM train p CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    c{t} AS (
+        SELECT cid, {mean_list} AS c FROM a{t} GROUP BY cid
+    )""")
+        prev = f"c{t}"
+    its = ",".join(iters)
+    return f"""
+    WITH q0 AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    kb AS (
+        {kbits}
+    ),
+    tb AS (
+        {tbits}
+    ),
+    pts AS (
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+        FROM q0
+    ),
+    train AS (
+        SELECT p.* FROM pts p, tb WHERE p.vec_id % (1 << tbits) = 0
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+        FROM train, kb, tb WHERE vec_id < (1 << bits) * (1 << tbits)
+    ),{its},
+    corpus AS (
+        SELECT vec_id, qv, nrm, cid FROM (
+            SELECT p.vec_id, p.qv, p.nrm, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM pts p CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT q_id, q_qv, q_nrm, cid FROM (
+            SELECT p.vec_id AS q_id, p.qv AS q_qv, p.nrm AS q_nrm, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM pts p CROSS JOIN {prev} c
+            WHERE p.vec_id < 8
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT pr.q_id, co.vec_id,
+               {_COS.format(a="pr.q_qv", b="co.qv", na="pr.q_nrm", nb="co.nrm")} AS cos
+        FROM probes pr JOIN corpus co
+          ON pr.cid = co.cid AND co.vec_id != pr.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+    """
+
+
+@register("ann_ivf_topk", _ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: k-means coarse quantizer (3 unrolled Lloyd
+    iterations, k = 2^bits scaling with log n), exact quantized cosine
+    inside the nprobe=2 nearest cells (pipeline/similarity.py). The whole
+    construction — integer dimension sums, single-division centroid means,
+    sequential-fold distances — is reproduced bit-for-bit by the oracle."""
+    from filesql_spark.pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (mapInPandas plumbing; fake decode is md5-derived → oracle-able)
 # ---------------------------------------------------------------------------

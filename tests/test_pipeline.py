@@ -133,3 +133,30 @@ def test_streaming_sessionize_equals_batch(spark):
         for r in qs["streaming_events_sessionize"](spark, SF).collect()
     }
     assert batch == streamed and len(batch) > 0
+
+
+def test_ivf_results_subset_of_bruteforce_scores(spark):
+    """IVF candidates are a subset of the full score space: every emitted
+    cosine must equal the brute-force cosine for that pair, and the k-means
+    seed/iterations must be deterministic across invocations."""
+    qs = all_queries()
+    brute = {(r.q_id, r.vec_id): r.cos for r in qs["ann_bruteforce_topk"](spark, SF).collect()}
+    a = [(r.q_id, r.rank, r.vec_id, r.cos) for r in qs["ann_ivf_topk"](spark, SF).collect()]
+    b = [(r.q_id, r.rank, r.vec_id, r.cos) for r in qs["ann_ivf_topk"](spark, SF).collect()]
+    assert a == b and len(a) > 0  # deterministic
+    for q_id, _rank, vec_id, cos in a:
+        if (q_id, vec_id) in brute:
+            assert brute[(q_id, vec_id)] == cos
+
+
+def test_ivf_centroid_count_scales_with_corpus():
+    """k = 2^bits grows with log n — same bound contract as the LSH knobs."""
+    from filesql_spark.pipeline.similarity import (
+        IVF_MAX_K_BITS,
+        IVF_MIN_K_BITS,
+        IVF_TARGET_CELL_ROWS,
+    )
+    from filesql_spark.pipeline.constants import scaled_bits
+
+    assert scaled_bits(500, IVF_MIN_K_BITS, IVF_MAX_K_BITS, IVF_TARGET_CELL_ROWS) == 4
+    assert scaled_bits(10**6, IVF_MIN_K_BITS, IVF_MAX_K_BITS, IVF_TARGET_CELL_ROWS) > 4

@@ -161,3 +161,36 @@ def test_sessionize_single_shuffle(spark, qs):
     plan = _formatted(qs["events_sessionize"](spark, SF))
     assert "session_window" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_trains_on_bounded_sample(spark):
+    """Above IVF_TRAIN_TARGET_ROWS the quantizer must train on the
+    deterministic modulo sample (vec_id % 2^tbits == 0), keeping Lloyd
+    cost bounded as the corpus grows; below it, no sampling."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from filesql_spark.pipeline.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+
+    def mk(n):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(n),
+                    "embedding": [
+                        rng.standard_normal(64).astype("float32").tolist()
+                        for _ in range(n)
+                    ],
+                }
+            )
+        )
+
+    big = mk(5000)
+    plan = _formatted(ivf_topk(big, big.filter(F.col("vec_id") < 2), k=3))
+    assert "% 2) = 0" in plan  # sample factor 2 at n=5000
+    small = mk(600)
+    plan_small = _formatted(ivf_topk(small, small.filter(F.col("vec_id") < 2), k=3))
+    assert "% 2) = 0" not in plan_small
