@@ -113,6 +113,7 @@ _GRADE_FIRST = [
     # new or changed in r4 — must grade
     "filter_like_ci",          # new: LIKE → ILIKE dialect path
     "events_sessionize",       # new: session windows (gaps-and-islands oracle)
+    "events_sliding_window",   # new: 1h/15min hopping windows
     "streaming_events_sessionize",  # new: stateful streaming twin
     "asof_join_latest_order",  # new: as-of join (union-merge pattern)
     "dedup_simhash",           # 64-bit / 4×16-bit bands
@@ -139,6 +140,7 @@ _GRADE_LAST = [
     "join_full_outer",         # left + right outer remain graded
     "set_union_distinct",      # union_all + except + intersect siblings cover
     "in_subquery",             # semi/anti/exists family: join_left_anti stays
+    "events_tumbling_window",  # same oracle shape as graded streaming twin
 ]
 
 

@@ -1397,3 +1397,41 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_order_price",
         )
     )
+
+
+@register(
+    "events_sliding_window",
+    f"""
+    WITH ex AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - (k.k * INTERVAL '15 minutes') AS window_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM({_c('value')}) AS BIGINT) / 100.0 AS total_value
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregate: 1-hour windows every 15 minutes.
+
+    Spark's window(ts, '1 hour', '15 minutes') fans each event into 4
+    overlapping windows (a generator, map-side — the fan-out collapses in
+    the partial aggregation, so only group rows shuffle). The oracle
+    reproduces the fan-out explicitly: each event's 4 window starts are
+    floor15(ts) − k·15min, k = 0..3 (both engines' buckets are
+    epoch-aligned for 15-minute periods).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )

@@ -103,3 +103,31 @@ def test_rewrite_preserves_single_quoted_literals(sql):
         for lit in re.findall(r"'[^']*'", sql):
             if "(" not in lit:  # function-shaped text may legitimately move
                 assert lit in out
+
+
+# ---------------------------------------------------- GLOB translation
+
+
+from hypothesis import given, settings as _hyp_settings
+from hypothesis import strategies as _st
+
+_glob_chars = _st.sampled_from(list("abcX.?*-") + ["[a-c]", "[xyz]"])
+
+
+@_hyp_settings(max_examples=200, deadline=None)
+@given(
+    pat=_st.lists(_glob_chars, min_size=0, max_size=6).map("".join),
+    s=_st.text(alphabet="abcxyzX.-", min_size=0, max_size=8),
+)
+def test_glob_regex_matches_fnmatch(pat, s):
+    """_glob_regex must agree with Python's fnmatch (the same */?/[class]
+    semantics SQLite's GLOB implements) on every literal pattern without
+    negated classes."""
+    import fnmatch
+    import re as _re
+
+    from filesql_spark.dialect import _glob_regex
+
+    want = fnmatch.fnmatchcase(s, pat)
+    got = _re.fullmatch(_glob_regex(pat)[1:-1], s) is not None
+    assert got == want, (pat, s)
