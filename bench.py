@@ -32,6 +32,7 @@ HEADLINE = [
     "scalar_subquery_correlated",
     "date_functions",
     "events_tumbling_window",
+    "events_sliding_window",
     "events_sessionize",
     "asof_join_latest_order",
     # pipeline operators

@@ -274,3 +274,12 @@ def test_glob_non_literal_raises():
 
 def test_glob_inside_string_untouched():
     assert rewrite("SELECT 'use GLOB here' FROM t") == "SELECT 'use GLOB here' FROM t"
+
+
+def test_not_glob(spark):
+    spark.createDataFrame(
+        [("a.txt",), ("b.dat",)], "f string"
+    ).createOrReplaceTempView("nglob_t")
+    out = rewrite("SELECT f FROM nglob_t WHERE f NOT GLOB '*.txt'")
+    assert "NOT RLIKE" in out
+    assert [r.f for r in spark.sql(out).collect()] == ["b.dat"]
