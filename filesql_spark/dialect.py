@@ -500,11 +500,33 @@ def _rewrite_glob(sql: str) -> str:
     return "".join(out)
 
 
+_COLLATE_NOCASE_RE = re.compile(r"\bcollate\s+nocase\b", re.IGNORECASE)
+_COLLATE_BINARY_RE = re.compile(r"\bcollate\s+binary\b", re.IGNORECASE)
+_COLLATE_RTRIM_RE = re.compile(r"\bcollate\s+rtrim\b", re.IGNORECASE)
+
+
+def _rewrite_collate(sql: str) -> str:
+    """SQLite collation names → Spark collations: NOCASE → UTF8_LCASE
+    (same ASCII-vs-Unicode folding caveat as the LIKE rewrite), BINARY →
+    UTF8_BINARY (both are the respective defaults). RTRIM has no Spark
+    equivalent and raises."""
+    parts = []
+    for kind, text in _split_tokens(sql):
+        if kind == "code":
+            if _COLLATE_RTRIM_RE.search(text):
+                raise FilesqlError("COLLATE RTRIM is not supported")
+            text = _COLLATE_NOCASE_RE.sub("COLLATE UTF8_LCASE", text)
+            text = _COLLATE_BINARY_RE.sub("COLLATE UTF8_BINARY", text)
+        parts.append(text)
+    return "".join(parts)
+
+
 def rewrite(sql: str) -> str:
     """SQLite-dialect SQL → Spark SQL."""
     sql = _requote_identifiers(sql)
     sql = _rewrite_glob(sql)
     sql = _rewrite_like(sql)
+    sql = _rewrite_collate(sql)
     for name, fn in _CALL_REWRITES.items():
         sql = _rewrite_calls(sql, name, fn)
     for old, new in _SIMPLE_RENAMES.items():

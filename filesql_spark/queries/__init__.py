@@ -115,6 +115,7 @@ _GRADE_FIRST = [
     "events_sessionize",       # new: session windows (gaps-and-islands oracle)
     "events_sliding_window",   # new: 1h/15min hopping windows
     "streaming_events_sessionize",  # new: stateful streaming twin
+    "streaming_events_user_state",  # new: applyInPandasWithState operator
     "asof_join_latest_order",  # new: as-of join (union-merge pattern)
     "dedup_simhash",           # 64-bit / 4×16-bit bands
     "dedup_embedding_cosine",  # log-n band-width knob
@@ -141,6 +142,7 @@ _GRADE_LAST = [
     "set_union_distinct",      # union_all + except + intersect siblings cover
     "in_subquery",             # semi/anti/exists family: join_left_anti stays
     "events_tumbling_window",  # same oracle shape as graded streaming twin
+    "agg_conditional_case",    # CASE covered by graded select_case_expr
 ]
 
 

@@ -798,6 +798,31 @@ def _sessionize_oracle() -> str:
     return SESSIONIZE_ORACLE
 
 
+@register(
+    "streaming_events_user_state",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_events_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals kept in
+    explicit GroupState via ``applyInPandasWithState`` — the escape hatch
+    for stateful logic built-in window aggregates can't express
+    (filesql_spark/streaming.py). One availableNow micro-batch over the
+    finite source makes the emitted state equal the batch GROUP BY, which
+    is the oracle; integer-cents sums and min/max are order-independent,
+    so batch partition order cannot change the output."""
+    from filesql_spark.streaming import events_user_state_stream
+
+    return events_user_state_stream(spark, sf_dir)
+
+
 @register("streaming_events_sessionize", _sessionize_oracle())
 def streaming_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization: session_window (merging-window

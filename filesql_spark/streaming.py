@@ -122,3 +122,116 @@ def events_session_stream(
     )
     q.awaitTermination(timeout=300)
     return spark.table(sink)
+
+
+def events_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running totals (count, exact cents sum, first/last event time)
+    maintained in explicit GroupState — the API for stateful logic the
+    built-in window aggregates can't express.
+
+    Determinism contract: the availableNow trigger over the single-file
+    source runs exactly ONE micro-batch, so each user's state sees all its
+    rows once and the emitted row equals the batch GROUP BY — which is the
+    oracle. Sums are integer cents (order-independent), min/max are
+    order-free, so partition order inside the batch cannot change the
+    output. On a cluster the same operator runs continuously with a
+    timeout-based emission policy.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from filesql_spark.queries import _pin_session_confs
+
+    _pin_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="filesql_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stream_dir}/events.parquet"
+    )
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+            StructField("first_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+            StructField("first_us", LongType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, cents, first_us, last_us = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            # normalize to epoch micros regardless of the pandas unit
+            # (Arrow may deliver datetime64[ns] or [us])
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, cents, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "first_ts": pd.Series([first_us], dtype="int64").astype(
+                    "datetime64[us]"
+                ),
+                "last_ts": pd.Series([last_us], dtype="int64").astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    sink = f"events_user_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(sink).select(
+        "user_id",
+        "n_events",
+        (F.col("total_cents") / 100.0).alias("total_value"),
+        "first_ts",
+        "last_ts",
+    )

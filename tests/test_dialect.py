@@ -283,3 +283,23 @@ def test_not_glob(spark):
     out = rewrite("SELECT f FROM nglob_t WHERE f NOT GLOB '*.txt'")
     assert "NOT RLIKE" in out
     assert [r.f for r in spark.sql(out).collect()] == ["b.dat"]
+
+
+def test_collate_nocase(spark):
+    """SQLite COLLATE NOCASE → Spark COLLATE UTF8_LCASE: case-insensitive
+    comparison and ordering (same ASCII-vs-Unicode folding caveat as
+    LIKE→ILIKE). COLLATE BINARY maps to the UTF8_BINARY default; RTRIM has
+    no Spark equivalent and raises."""
+    spark.createDataFrame(
+        [("b",), ("A",), ("a",), ("B",)], "x string"
+    ).createOrReplaceTempView("coll_t")
+    out = rewrite("SELECT x FROM coll_t WHERE x = 'A' COLLATE NOCASE")
+    assert sorted(r.x for r in spark.sql(out).collect()) == ["A", "a"]
+    out2 = rewrite("SELECT x FROM coll_t ORDER BY x COLLATE NOCASE, x")
+    assert [r.x for r in spark.sql(out2).collect()] == ["A", "a", "B", "b"]
+    out3 = rewrite("SELECT COUNT(*) AS n FROM coll_t WHERE x = 'a' COLLATE BINARY")
+    assert spark.sql(out3).collect()[0].n == 1
+    with pytest.raises(FilesqlError, match="RTRIM"):
+        rewrite("SELECT 1 WHERE 'a ' = 'a' COLLATE RTRIM")
+    # collation keywords inside string literals untouched
+    assert rewrite("SELECT 'collate nocase' FROM t") == "SELECT 'collate nocase' FROM t"
