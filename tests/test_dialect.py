@@ -303,3 +303,17 @@ def test_collate_nocase(spark):
         rewrite("SELECT 1 WHERE 'a ' = 'a' COLLATE RTRIM")
     # collation keywords inside string literals untouched
     assert rewrite("SELECT 'collate nocase' FROM t") == "SELECT 'collate nocase' FROM t"
+
+
+def test_sqlite_idioms_pass_through(spark):
+    """SQLite idioms Spark SQL supports natively — pinned so a future shim
+    change can't silently break them: || concat, IS / IS NOT, hex()
+    (uppercase hex of UTF-8 bytes in both engines), nullif, sign."""
+    out = rewrite(
+        "SELECT 'a' || 'b' AS cat, 1 IS NOT NULL AS nn, hex('AB') AS h, "
+        "nullif(3, 3) AS nf, sign(-7) AS sg"
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.cat == "ab" and row.nn is True
+    assert row.h == "4142"  # uppercase, byte-wise — matches SQLite hex()
+    assert row.nf is None and row.sg == -1
