@@ -154,6 +154,10 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
         if _in_string(sql, i):
             i += len(name_l)
             continue
+        # not a parenthesized TYPE name: `CAST(x AS CHAR(5))` must survive
+        if re.search(r"\bas\s*$", sql[:i], re.IGNORECASE):
+            i += len(name_l)
+            continue
         depth, k = 0, j
         args: list[str] = []
         arg_start = j + 1
@@ -402,11 +406,35 @@ def _log(args: list[str]) -> str:
     return f"log({', '.join(args)})"
 
 
+def _char(args: list[str]) -> str:
+    """SQLite char(C1, C2, …): string from unicode codepoints. Spark's own
+    chr() truncates mod 256, so each codepoint goes through a UTF-32
+    decode (exact for the full range)."""
+    if not args or not args[0].strip():
+        raise FilesqlError("char() expects at least one codepoint")
+    parts = [
+        f"decode(unhex(lpad(hex({a}), 8, '0')), 'UTF-32')" for a in args
+    ]
+    return parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
+
+
+def _quote(args: list[str]) -> str:
+    """SQLite quote(X) for TEXT values: single-quoted SQL literal with ''
+    escaping (the dominant use — building SQL fragments). Divergence note:
+    SQLite renders numeric arguments without quotes; this shim quotes the
+    string form (no schema knowledge at rewrite time)."""
+    if len(args) != 1:
+        raise FilesqlError(f"quote() expects 1 arg, got {len(args)}")
+    x = f"CAST(({args[0]}) AS STRING)"
+    return f"concat('''', replace({x}, '''', ''''''), '''')"
+
+
 _SIMPLE_RENAMES = {
     "printf": "format_string",
     "format": "format_string",  # printf alias (SQLite 3.38+)
     "ifnull": "nvl",
     "iif": "if",
+    "unicode": "ascii",  # first-codepoint (Spark ascii returns full codepoint)
 }
 
 _CALL_REWRITES = {
@@ -417,6 +445,8 @@ _CALL_REWRITES = {
     "random": _random,
     "total": _total,
     "log": _log,
+    "char": _char,
+    "quote": _quote,
     "min": _scalar_minmax("least"),
     "max": _scalar_minmax("greatest"),
     "date": _now_family("date"),

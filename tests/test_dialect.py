@@ -317,3 +317,25 @@ def test_sqlite_idioms_pass_through(spark):
     assert row.cat == "ab" and row.nn is True
     assert row.h == "4142"  # uppercase, byte-wise — matches SQLite hex()
     assert row.nf is None and row.sg == -1
+
+
+def test_char_unicode_quote(spark):
+    """char() builds from full unicode codepoints (Spark's chr truncates
+    mod 256 — the shim decodes UTF-32 instead); unicode() → ascii();
+    quote() emits a ''-escaped SQL literal (TEXT-assuming, documented)."""
+    out = rewrite("SELECT char(65, 66, 8364) AS c, unicode('€') AS u, "
+                  "quote('it''s') AS q")
+    row = spark.sql(out).collect()[0]
+    assert row.c == "AB€"
+    assert row.u == 8364
+    assert row.q == "'it''s'"
+
+
+def test_char_type_in_cast_untouched(spark):
+    """char is also a parenthesized TYPE name — CAST(x AS CHAR(5)) must not
+    be rewritten as the char() codepoint function."""
+    sql = "SELECT CAST('abcdef' AS CHAR(3)) AS c"
+    assert rewrite(sql) == sql
+    # Spark parses CHAR(n) but does not truncate on cast (SQLite's TEXT
+    # affinity ignores the length too) — the point is the query still parses
+    assert spark.sql(rewrite(sql)).collect()[0].c == "abcdef"
