@@ -447,6 +447,10 @@ _CALL_REWRITES = {
     "log": _log,
     "char": _char,
     "quote": _quote,
+    # SQLite planner hints — semantically the identity of their first arg
+    "likely": lambda args: f"({args[0]})",
+    "unlikely": lambda args: f"({args[0]})",
+    "likelihood": lambda args: f"({args[0]})",
     "min": _scalar_minmax("least"),
     "max": _scalar_minmax("greatest"),
     "date": _now_family("date"),

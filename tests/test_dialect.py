@@ -339,3 +339,11 @@ def test_char_type_in_cast_untouched(spark):
     # Spark parses CHAR(n) but does not truncate on cast (SQLite's TEXT
     # affinity ignores the length too) — the point is the query still parses
     assert spark.sql(rewrite(sql)).collect()[0].c == "abcdef"
+
+
+def test_planner_hints_are_identity():
+    assert rewrite("SELECT * FROM t WHERE likely(a > 1)") == (
+        "SELECT * FROM t WHERE (a > 1)"
+    )
+    assert rewrite("SELECT unlikely(b)") == "SELECT (b)"
+    assert rewrite("SELECT likelihood(c = 1, 0.9)") == "SELECT (c = 1)"
