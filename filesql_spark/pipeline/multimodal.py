@@ -111,3 +111,38 @@ def frame_sample_plan(df: DataFrame, fps: int = 1, max_frames: int = 8) -> DataF
         duration_s.alias("duration_s"),
         F.sequence(F.lit(0), n - 1).alias("frame_idx"),
     )
+
+
+FEATURE_SCHEMA = (
+    "doc_id long, "
+    + ", ".join(f"f{i} int" for i in range(8))
+    + ", brightness double"
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: an 8-dim
+    integer feature vector + a derived brightness scalar per payload.
+
+    Real pipelines put the CNN/CLIP forward pass here; the container has
+    no model runtime, so the features are a deterministic md5-derived fake
+    (one byte per dimension) — which makes the whole Arrow path
+    SQL-expressible and oracle-checked end-to-end, exactly like
+    decode_images. Brightness = mean of the 8 features via one exact
+    integer sum and a single IEEE division.
+    """
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f"f{i}": [] for i in range(8)}
+            bright = []
+            for p in pdf["payload"]:
+                h = hashlib.md5(p).hexdigest()
+                feats = [int(h[i * 2 : i * 2 + 2], 16) for i in range(8)]
+                for i, v in enumerate(feats):
+                    rows[f"f{i}"].append(v)
+                bright.append(sum(feats) / 8.0)
+            out = {"doc_id": pdf["doc_id"], **rows, "brightness": bright}
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)

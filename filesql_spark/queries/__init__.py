@@ -121,6 +121,8 @@ _GRADE_FIRST = [
     "dedup_embedding_cosine",  # log-n band-width knob
     "ann_lsh_topk",            # log-n bucket-width knob
     "ann_ivf_topk",            # new: k-means IVF, bit-exact unrolled-Lloyd oracle
+    "multimodal_resize",       # new: resize planning over decoded metadata
+    "multimodal_extract_features",  # new: mapInPandas feature extraction
     "ann_bruteforce_topk",     # shares the 32-plane signature path
     "streaming_events_hourly", # oracle added (was rows-only)
 ]
@@ -143,6 +145,8 @@ _GRADE_LAST = [
     "in_subquery",             # semi/anti/exists family: join_left_anti stays
     "events_tumbling_window",  # same oracle shape as graded streaming twin
     "agg_conditional_case",    # CASE covered by graded select_case_expr
+    "join_left_outer",         # right (graded this round) + full outer cover
+    "scalar_subquery_correlated",  # uncorrelated variant graded this round
 ]
 
 

@@ -834,3 +834,70 @@ def streaming_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.streaming import events_session_stream
 
     return events_session_stream(spark, sf_dir)
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS INTEGER) AS width,
+               CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS INTEGER) AS height
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, width, height,
+               CASE WHEN greatest(width, height) > 512
+                    THEN 512 / CAST(greatest(width, height) AS DOUBLE)
+                    ELSE 1.0 END AS scale
+        FROM d
+    )
+    SELECT doc_id, width, height, scale,
+           CAST(FLOOR(width * scale) AS INTEGER) AS out_width,
+           CAST(FLOOR(height * scale) AS INTEGER) AS out_height
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over decoded image metadata: scale factor + output
+    dims, pure column math after the mapInPandas decode
+    (pipeline/multimodal.py). One double division + floor per row,
+    reproduced exactly by the oracle."""
+    from filesql_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        decode_images,
+        resize_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_plan(decode_images(attach_binary_payload(docs)))
+
+
+@register(
+    "multimodal_extract_features",
+    """
+    SELECT doc_id,
+           """
+    + ",\n           ".join(
+        f"CAST(('0x' || substr(md5(text), {i * 2 + 1}, 2))::BIGINT AS INTEGER) AS f{i}"
+        for i in range(8)
+    )
+    + """,
+           CAST("""
+    + " + ".join(f"('0x' || substr(md5(text), {i * 2 + 1}, 2))::BIGINT" for i in range(8))
+    + """ AS BIGINT) / 8.0 AS brightness
+    FROM documents
+    """,
+)
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through mapInPandas over binary payloads — the
+    model-forward-pass slot in a multimodal pipeline, with a deterministic
+    md5-derived fake making the Arrow plumbing oracle-checked end-to-end
+    (pipeline/multimodal.py)."""
+    from filesql_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs))
