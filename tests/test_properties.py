@@ -131,3 +131,42 @@ def test_glob_regex_matches_fnmatch(pat, s):
     want = fnmatch.fnmatchcase(s, pat)
     got = _re.fullmatch(_glob_regex(pat)[1:-1], s) is not None
     assert got == want, (pat, s)
+
+
+# ------------------------------------------ dialect rewrite is conservative
+
+
+_ident = _st.text(alphabet="abcdefgh_", min_size=1, max_size=8).filter(
+    # exclude every name the shim rewrites (they'd legitimately change)
+    lambda s: s not in {
+        "strftime", "julianday", "unixepoch", "group_concat", "random",
+        "total", "log", "char", "quote", "min", "max", "date", "datetime",
+        "time", "printf", "format", "ifnull", "iif", "unicode",
+        "likely", "unlikely", "likelihood",
+    }
+)
+_str_lit = _st.text(
+    alphabet="abc LIKE GLOB collate ' x%", min_size=0, max_size=12
+).map(lambda s: "'" + s.replace("'", "''") + "'")
+_num = _st.integers(min_value=0, max_value=999).map(str)
+_term = _st.one_of(_ident, _str_lit, _num)
+
+
+@_hyp_settings(max_examples=300, deadline=None)
+@given(
+    cols=_st.lists(_term, min_size=1, max_size=4),
+    tbl=_ident,
+    where_lhs=_ident,
+    where_rhs=_term,
+)
+def test_rewrite_identity_on_plain_ansi(cols, tbl, where_lhs, where_rhs):
+    """rewrite() must be the identity on SQL containing no SQLite-isms —
+    including when string literals contain LIKE/GLOB/COLLATE keywords or
+    doubled-quote escapes. Guards against over-eager token rewrites."""
+    from filesql_spark.dialect import rewrite
+
+    sql = (
+        f"SELECT {', '.join(cols)} FROM {tbl} "
+        f"WHERE {where_lhs} = {where_rhs} ORDER BY {where_lhs}"
+    )
+    assert rewrite(sql) == sql
