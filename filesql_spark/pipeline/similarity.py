@@ -4,21 +4,29 @@
   broadcast of the (small) query set against a full scan of the corpus;
   per-query top-k via window row_number (TakeOrdered-style, no global sort).
 - lsh_topk: random-hyperplane LSH — the scale path. A 32-plane sign
-  signature, masked to ``ann_bucket_bits(n)`` low bits (log-n scale knob:
-  2^bits buckets grow with the corpus so the expected bucket population
-  stays ~ANN_TARGET_BUCKET_ROWS, instead of a fixed 256 buckets that go
-  quadratic at 100×). Candidates share the query's bucket, top-k within;
-  recall is tunable by bands/probes.
+  signature split into ``ann_n_bands`` disjoint bands of
+  ``ann_band_bits(n)`` planes; candidates share ANY band cell
+  (OR-amplification). Band width is the log-n scale knob (per-band cell
+  population stays ~ANN_BAND_TARGET_ROWS as the corpus grows); band
+  count is the recall knob (measured recall@5 vs brute force: 0.05 with
+  one band, 0.80 with 8 disjoint 4-bit bands on the sf0.01 embeddings —
+  see tests/test_pipeline.py recall gates).
 
 Both precompute (quantized vector, squared norm) once per row
 (``with_quantized``) so the pairwise work is a single int64 dot product.
 """
 
-from pyspark.sql import Column, DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from filesql_spark.pipeline.constants import HYPERPLANES_ALL, ann_bucket_bits
+from filesql_spark.pipeline.constants import (
+    HYPERPLANES_ALL,
+    ann_band_bits,
+    ann_n_bands,
+)
 from filesql_spark.pipeline.dedup import cosine_pre, with_quantized
 
 # integer hyperplanes (×10⁴): sign tests become exact int arithmetic
@@ -85,38 +93,75 @@ def brute_force_topk(
     )
 
 
-def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
-    """Bucketed approximate top-k: candidates share the query's LSH bucket.
-
-    Bucket width = ``ann_bucket_bits(n)`` low bits of the 32-plane
-    signature — 2^bits buckets scale with the corpus (~log2(n/target)),
-    holding the per-bucket candidate count ~constant at 100× instead of
-    the fixed 256 buckets whose population grows linearly with n. The
-    count() feeding the knob is parquet-metadata-only at cluster scale.
-    """
-    n = df.count()
-    mask = (1 << ann_bucket_bits(n)) - 1
-    corpus = with_quantized(df).select(
-        "vec_id", "qv", "nrm", _bucket(F.col("qv")).bitwiseAND(mask).alias("bucket")
+def _band_cells(sig: Column, bits: int, nb: int) -> Column:
+    """Explode-ready array of (band, cell): band i is the ``bits``-plane
+    group at offset i·bits of the 32-plane signature (disjoint groups —
+    overlapping strides correlate the bands and cost measurable recall)."""
+    mask = (1 << bits) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sig, i * bits).bitwiseAND(mask).alias("cell"),
+            )
+            for i in range(nb)
+        ]
     )
+
+
+def lsh_topk(
+    df: DataFrame, queries: DataFrame, k: int = 5, n: int | None = None
+) -> DataFrame:
+    """Multi-band LSH approximate top-k: a candidate is any corpus row
+    sharing at least one band cell with the query (OR-amplification over
+    ``ann_n_bands`` disjoint ``ann_band_bits(n)``-plane bands).
+
+    Scale shape: per-band cell population stays ~ANN_BAND_TARGET_ROWS
+    (band width grows with log n), so the candidate set per query is
+    ≤ bands · target rows — bounded as the corpus grows. The per-pair
+    work after the band equi-join is one exact int64 cosine; duplicate
+    (query, candidate) pairs from multiple matching bands collapse in a
+    map-side partial agg before the shuffle. Recall is band-count-bound:
+    with 32 planes, width·bands ≤ 32, so at very large n (wider bands →
+    fewer bands) recall degrades gracefully rather than cost exploding —
+    the standard LSH precision/cost tradeoff. IVF is the
+    high-recall-at-scale path.
+
+    ``n`` feeds the scale knob; pass it explicitly for derived frames —
+    the ``df.count()`` fallback is metadata-only on a parquet scan but a
+    full job on a computed input.
+    """
+    n = df.count() if n is None else n
+    bits = ann_band_bits(n)
+    nb = ann_n_bands(bits)
+    corpus = with_quantized(df).select(
+        "vec_id", "qv", "nrm", _bucket(F.col("qv")).alias("sig")
+    )
+    c = corpus.select(
+        "vec_id", "qv", "nrm", F.explode(_band_cells(F.col("sig"), bits, nb)).alias("b")
+    ).select("vec_id", "qv", "nrm", "b.*")
     q = with_quantized(queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("qv").alias("q_qv"),
         F.col("nrm").alias("q_nrm"),
-        _bucket(F.col("qv")).bitwiseAND(mask).alias("q_bucket"),
+        _bucket(F.col("qv")).alias("sig"),
     )
+    qb = q.select(
+        "q_id", "q_qv", "q_nrm", F.explode(_band_cells(F.col("sig"), bits, nb)).alias("b")
+    ).select("q_id", "q_qv", "q_nrm", "b.*")
     cos = cosine_pre(F.col("q_qv"), F.col("q_nrm"), F.col("qv"), F.col("nrm"))
     scored = (
-        F.broadcast(q)
-        .join(
-            corpus,
-            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
-        )
+        F.broadcast(qb)
+        .join(c, ["band", "cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cos.alias("cos"))
     )
+    # a pair matching in m bands appears m times with the identical cosine;
+    # max() dedupes in the partial agg (map-side) before anything shuffles
+    dedup = scored.groupBy("q_id", "vec_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        dedup.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos")
     )
@@ -125,7 +170,11 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
 # ------------------------------------------------------------------- IVF
 
 IVF_ITERS = 3   # unrolled Lloyd iterations (fixed so the oracle can unroll)
-IVF_NPROBE = 2  # centroid cells probed per query
+# Cells probed per query: the recall knob. Measured recall@5 vs brute
+# force on the synthetic embeddings: nprobe=2 → 0.75 (sf0.01), 3 → 0.80,
+# 4 → 0.85 (0.975 at sf0.1); serving cost is ~nprobe/k of the corpus per
+# query, negligible at the scaled k ≤ 1024. Pinned by recall-gate tests.
+IVF_NPROBE = 4
 
 # k scale knob: 2^bits centroids, bits ~ log2(n/IVF_TARGET_CELL_ROWS) in
 # [4, 10] → k in [16, 1024]; expected cell population stays ≤ target
@@ -249,27 +298,80 @@ def _assign_cells(pts: DataFrame, cents: DataFrame) -> DataFrame:
     return best.select("vec_id", "b.*")
 
 
-def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
-    """IVF approximate top-k: k-means cells as the coarse quantizer, exact
-    quantized cosine inside the ``IVF_NPROBE`` cells nearest each query.
+@dataclass(frozen=True)
+class IvfIndex:
+    """A trained, materialized IVF index — build once, serve many.
 
-    The scale path beyond hyperplane LSH: centroid count 2^bits grows with
-    log(n) (scaled_bits) so expected cell population stays bounded; the
-    candidate set per query is ~IVF_NPROBE · n / k rows reached by one
-    broadcast of the (small) assigned-query set against the cell-keyed
-    corpus — an equi-join on cid, never a cross product over the corpus.
+    ``cents`` is the Lloyd-converged coarse quantizer (cid, c:
+    array<double>), ``corpus`` the cell-assigned base data (vec_id, qv,
+    nrm, cid). Both are lineage-truncated via localCheckpoint at build
+    time, so serving never re-runs training (and survives a
+    ``spark.catalog.clearCache()``, which only drops SQL-cache entries).
+    On a cluster the same split is ``save()``/``load()`` to parquet — the
+    index is a table, training is a batch job, serving is an equi-join.
+    """
+
+    cents: DataFrame
+    corpus: DataFrame
+
+    def save(self, path: str) -> None:
+        """Materialize the index as two parquet tables under ``path``."""
+        self.cents.write.mode("overwrite").parquet(f"{path}/cents")
+        self.corpus.write.mode("overwrite").parquet(f"{path}/corpus")
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IvfIndex":
+        return IvfIndex(
+            cents=spark.read.parquet(f"{path}/cents"),
+            corpus=spark.read.parquet(f"{path}/corpus"),
+        )
+
+
+def ivf_index(df: DataFrame, n: int | None = None) -> IvfIndex:
+    """Train the IVF coarse quantizer and assign every corpus row to its
+    cell — the expensive once-per-corpus half of IVF search.
+
+    Centroid count 2^bits grows with log(n) (scaled_bits) so expected
+    cell population stays bounded; Lloyd runs on a deterministic modulo
+    sample (~IVF_TRAIN_TARGET_ROWS rows) regardless of corpus size, and
+    the final assignment is a map-side ``min_by`` argmin (only n winners
+    shuffle, never n·k rows). Both outputs are eagerly checkpointed, so
+    ``ivf_topk`` over the returned index is pure serving.
+
+    ``n`` feeds the scale knobs; pass it explicitly for derived frames —
+    the ``df.count()`` fallback is metadata-only on a parquet scan but a
+    full job on a computed input.
     """
     from filesql_spark.pipeline.constants import scaled_bits
 
-    n = df.count()
+    n = df.count() if n is None else n
     kk = 1 << scaled_bits(n, IVF_MIN_K_BITS, IVF_MAX_K_BITS, IVF_TARGET_CELL_ROWS)
     m = 1 << scaled_bits(n, 0, IVF_MAX_TRAIN_BITS, IVF_TRAIN_TARGET_ROWS)
     pts = with_quantized(df).select("vec_id", "qv", "nrm")
-    # persist: read by 3 Lloyd iterations + the final assignment + scoring
+    # persist: read by 3 Lloyd iterations + the final assignment
     pts = pts.persist()
     train = pts.filter(F.col("vec_id") % m == 0)
-    cents = ivf_centroids(train, kk, sample_factor=m).persist()
-    corpus = _assign_cells(pts, cents).select("vec_id", "qv", "nrm", "cid")
+    # ivf_centroids localCheckpoints each iteration, so `cents` is already
+    # materialized k≤1024 rows with no lineage back to training
+    cents = ivf_centroids(train, kk, sample_factor=m)
+    corpus = (
+        _assign_cells(pts, cents)
+        .select("vec_id", "qv", "nrm", "cid")
+        .localCheckpoint(eager=True)
+    )
+    pts.unpersist()
+    return IvfIndex(cents=cents, corpus=corpus)
+
+
+def ivf_serve(index: IvfIndex, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Serve top-k from a trained index: probe the ``IVF_NPROBE`` nearest
+    cells per query, exact quantized cosine inside them.
+
+    The candidate set per query is ~IVF_NPROBE · n / cells rows reached
+    by one broadcast of the (small) probe set against the cell-keyed
+    corpus — an equi-join on cid, never a cross product over the corpus.
+    """
+    cents, corpus = index.cents, index.corpus
     # query probes: nprobe nearest cells per query — the probe set is tiny
     # (|queries|·k rows), so a window rank over the broadcast product is fine
     q = with_quantized(queries).select(
@@ -298,3 +400,17 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos")
     )
+
+
+def ivf_topk(
+    df: DataFrame | IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k. Accepts either a raw corpus DataFrame
+    (trains an index inline — the self-contained oracle-checked path) or
+    a pre-built :class:`IvfIndex` (pure serving — what a deployment does:
+    train once with :func:`ivf_index`, serve many)."""
+    index = df if isinstance(df, IvfIndex) else ivf_index(df, n=n)
+    return ivf_serve(index, queries, k=k)

@@ -93,15 +93,15 @@ def test_lsh_scale_knob_bounds_cell_population():
     rows per cell <= target), and bits never over-shrinks the cells by more
     than one doubling. Monotone in n, exact integer arithmetic."""
     from filesql_spark.pipeline.constants import (
-        ANN_TARGET_BUCKET_ROWS,
+        ANN_BAND_TARGET_ROWS,
         EMB_TARGET_CELL_ROWS,
-        ann_bucket_bits,
+        ann_band_bits,
         emb_band_bits,
     )
 
     for fn, target, lo, hi in [
         (emb_band_bits, EMB_TARGET_CELL_ROWS, 4, 16),
-        (ann_bucket_bits, ANN_TARGET_BUCKET_ROWS, 8, 16),
+        (ann_band_bits, ANN_BAND_TARGET_ROWS, 4, 16),
     ]:
         prev = 0
         for n in [1, 10, 100, 1_000, 10_000, 100_000, 1_000_000, 10_000_000, 10**9]:
@@ -113,6 +113,18 @@ def test_lsh_scale_knob_bounds_cell_population():
                 assert (1 << bits) * target >= n, f"cells under-provisioned at n={n}"
             if bits > lo:
                 assert (1 << (bits - 1)) * target < n, f"cells over-provisioned at n={n}"
+
+
+def test_ann_band_structure_fits_signature():
+    """Bands are disjoint plane groups: width x count never exceeds the
+    32-plane signature, and OR-amplification keeps >= 2 bands at any n."""
+    from filesql_spark.pipeline.constants import ann_band_bits, ann_n_bands
+
+    for n in [1, 500, 2_000, 100_000, 10**6, 10**9]:
+        bits = ann_band_bits(n)
+        nb = ann_n_bands(bits)
+        assert bits * nb <= 32
+        assert nb >= 2
 
 
 def test_embedding_cells_scale_with_corpus(spark):
