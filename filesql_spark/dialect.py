@@ -37,6 +37,10 @@ _STRFTIME_MAP = {
     "%I": "hh",
     "%p": "a",
     "%f": "ss.SSS",
+    # pure pattern aliases (C strftime compounds)
+    "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss",
+    "%R": "HH:mm",
     "%%": "%",
 }
 
@@ -53,6 +57,20 @@ _STRFTIME_EXPR = {
     ),
     # SQLite %s: seconds since epoch
     "%s": "CAST(unix_timestamp({x}) AS STRING)",
+    # C strftime %u: ISO day of week 1-7, Monday = 1; Spark dayofweek
+    # is Sunday = 1, so rotate by (d+5) % 7 + 1
+    "%u": "CAST((dayofweek({x}) + 5) % 7 + 1 AS STRING)",
+    # C strftime %U: week of year 00-53, first Sunday starts week 1
+    "%U": (
+        "lpad(CAST(CAST(floor((dayofyear({x}) + 6 - "
+        "(dayofweek({x}) - 1)) / 7) AS INT) AS STRING), 2, '0')"
+    ),
+    # %k / %l: space-padded 24h / 12h hour (SQLite 3.46 additions)
+    "%k": "lpad(CAST(hour({x}) AS STRING), 2, ' ')",
+    "%l": (
+        "lpad(CAST(CASE WHEN hour({x}) % 12 = 0 THEN 12 "
+        "ELSE hour({x}) % 12 END AS STRING), 2, ' ')"
+    ),
 }
 
 
@@ -99,6 +117,23 @@ def _split_tokens(sql: str) -> list[tuple[str, str]]:
     if buf:
         out.append(("code", "".join(buf)))
     return out
+
+
+def _escape_string_backslashes(sql: str) -> str:
+    """SQLite string literals have NO escape character — a backslash is a
+    literal backslash ('' is the only quote escape). Spark's default
+    parser consumes backslashes as C-style escapes, so ``'a\\c'`` would
+    silently become ``ac``. Double them at the boundary; extractors that
+    read literal *contents* afterwards (GLOB patterns) must un-double."""
+    return "".join(
+        text.replace("\\", "\\\\") if kind == "string" else text
+        for kind, text in _split_tokens(sql)
+    )
+
+
+def _literal_content(text: str) -> str:
+    """Original SQLite content of a (post-escaping) string token."""
+    return text[1:-1].replace("\\\\", "\\").replace("''", "'")
 
 
 def _requote_identifiers(sql: str) -> str:
@@ -429,6 +464,66 @@ def _quote(args: list[str]) -> str:
     return f"concat('''', replace({x}, '''', ''''''), '''')"
 
 
+def _regex_literal(rx: str) -> str:
+    """Embed a regex as a Spark SQL string literal: backslashes must be
+    doubled (Spark's literal parser consumes them as escapes — ``'\\.'``
+    reaches RLIKE as ``.``, silently turning an escaped dot into
+    match-anything), quotes doubled."""
+    return "'" + rx.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _glob_call(args: list[str]) -> str:
+    """SQLite's function form glob(P, S) ≡ S GLOB P (note the swapped
+    argument order). Same literal-pattern restriction as the operator
+    rewrite — translation happens at rewrite time."""
+    if len(args) != 2:
+        raise FilesqlError(f"glob() expects 2 args, got {len(args)}")
+    pat = args[0].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise FilesqlError(
+            "glob() requires a string-literal pattern (non-literal "
+            "patterns are not supported)"
+        )
+    rx = _glob_regex(_literal_content(pat))
+    return f"(({args[1]}) RLIKE {_regex_literal(rx)})"
+
+
+def _json_extract(args: list[str]) -> str:
+    """SQLite json1 json_extract(X, P) → get_json_object (path syntax is
+    shared: '$.k', '$[0]', '$.a.b'). Divergence note: SQLite returns SQL
+    values (numbers as numbers); get_json_object returns the text form —
+    pinned in tests. The multi-path form (returns a JSON array) has no
+    single-call Spark equivalent and raises."""
+    if len(args) != 2:
+        raise FilesqlError(
+            f"json_extract with {len(args)} args is not supported "
+            "(only the 2-arg form json_extract(doc, path))"
+        )
+    return f"get_json_object({args[0]}, {args[1]})"
+
+
+def _json_array_length(args: list[str]) -> str:
+    """json_array_length(X[, P]) — Spark's builtin covers the 1-arg form;
+    the path form peels the subarray out with get_json_object first."""
+    if len(args) == 1:
+        return f"json_array_length({args[0]})"
+    if len(args) == 2:
+        return f"json_array_length(get_json_object({args[0]}, {args[1]}))"
+    raise FilesqlError(f"json_array_length expects 1-2 args, got {len(args)}")
+
+
+def _json_valid(args: list[str]) -> str:
+    """json_valid(X) → 1/0 like SQLite (default RFC-8259 flags): Spark's
+    get_json_object(X, '$') yields NULL for malformed input."""
+    if len(args) != 1:
+        raise FilesqlError(f"json_valid expects 1 arg, got {len(args)}")
+    x = args[0]
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN NULL "
+        f"WHEN get_json_object({x}, '$') IS NOT NULL THEN 1 ELSE 0 END)"
+    )
+
+
 _SIMPLE_RENAMES = {
     "printf": "format_string",
     "format": "format_string",  # printf alias (SQLite 3.38+)
@@ -447,6 +542,10 @@ _CALL_REWRITES = {
     "log": _log,
     "char": _char,
     "quote": _quote,
+    "json_extract": _json_extract,
+    "json_array_length": _json_array_length,
+    "json_valid": _json_valid,
+    "glob": _glob_call,
     # SQLite planner hints — semantically the identity of their first arg
     "likely": lambda args: f"({args[0]})",
     "unlikely": lambda args: f"({args[0]})",
@@ -483,7 +582,10 @@ def _rewrite_like(sql: str) -> str:
 
 def _glob_regex(pat: str) -> str:
     """GLOB pattern → anchored Java regex: ``*`` → ``.*``, ``?`` → ``.``,
-    ``[class]``/``[^class]`` pass through, everything else escaped."""
+    ``[class]``/``[^class]`` re-escaped member-by-member (SQLite classes
+    have no escape character, so ``\\``, a leading literal ``]``, and
+    ``&`` — Java class intersection — must be escaped for Java; ``-``
+    ranges share semantics and pass through), everything else escaped."""
     out, i, n = [], 0, len(pat)
     while i < n:
         c = pat[i]
@@ -492,11 +594,23 @@ def _glob_regex(pat: str) -> str:
         elif c == "?":
             out.append(".")
         elif c == "[":
-            j = pat.find("]", i + 2 if i + 1 < n and pat[i + 1] in "^]" else i + 1)
-            if j == -1:
-                out.append(re.escape(c))
+            j = i + 1
+            neg = j < n and pat[j] == "^"
+            if neg:
+                j += 1
+            body_start = j
+            if j < n and pat[j] == "]":
+                j += 1  # leading ] is a literal class member in SQLite
+            while j < n and pat[j] != "]":
+                j += 1
+            if j >= n:
+                out.append(re.escape(c))  # unterminated: a literal '['
             else:
-                out.append(pat[i : j + 1])
+                body = "".join(
+                    "\\" + ch if ch in "\\]&[" else ch
+                    for ch in pat[body_start:j]
+                )
+                out.append("[" + ("^" if neg else "") + body + "]")
                 i = j
         else:
             out.append(re.escape(c))
@@ -520,12 +634,16 @@ def _rewrite_glob(sql: str) -> str:
             m = re.search(r"\bglob(\s*)$", toks[idx - 1][1], re.IGNORECASE)
             if m:
                 out[-1] = toks[idx - 1][1][: m.start()] + "RLIKE" + (m.group(1) or " ")
-                pat = text[1:-1].replace("''", "'")
-                out.append("'" + _glob_regex(pat).replace("'", "''") + "'")
+                out.append(_regex_literal(_glob_regex(_literal_content(text))))
                 continue
-        if kind == "code" and re.search(r"\bglob\b", text, re.IGNORECASE):
-            nxt = toks[idx + 1] if idx + 1 < len(toks) else None
-            if not (nxt and nxt[0] == "string" and re.search(r"\bglob\s*$", text, re.I)):
+        if kind == "code":
+            for m in re.finditer(r"\bglob\b", text, re.IGNORECASE):
+                rest = text[m.end() :]
+                if rest.lstrip().startswith("("):
+                    continue  # function form glob(p, s): _CALL_REWRITES
+                nxt = toks[idx + 1] if idx + 1 < len(toks) else None
+                if rest.strip() == "" and nxt and nxt[0] == "string":
+                    continue  # operator form with literal: rewritten above
                 raise FilesqlError(
                     "GLOB requires a string-literal pattern (non-literal "
                     "patterns are not supported)"
@@ -557,6 +675,7 @@ def _rewrite_collate(sql: str) -> str:
 
 def rewrite(sql: str) -> str:
     """SQLite-dialect SQL → Spark SQL."""
+    sql = _escape_string_backslashes(sql)
     sql = _requote_identifiers(sql)
     sql = _rewrite_glob(sql)
     sql = _rewrite_like(sql)

@@ -33,7 +33,8 @@ def execute(engine, sql: str) -> int:
     head = sql.lstrip()
     kw = head.split(None, 1)[0].upper() if head.split() else ""
     if kw == "INSERT":
-        return _insert(engine, sql)
+        n, _rows = _insert(engine, sql)
+        return n
     if kw == "UPDATE":
         return _update(engine, sql)
     if kw == "DELETE":
@@ -45,6 +46,48 @@ def execute(engine, sql: str) -> int:
     raise FilesqlError(f"unsupported statement: {kw}")
 
 
+def insert_returning(engine, sql: str):
+    """INSERT … RETURNING … → DataFrame of the returned rows (SQLite
+    3.35+, inherited by the reference's engine). The insert is applied as
+    a side effect, like SQLite's."""
+    _n, rows = _insert(engine, sql)
+    if rows is None:
+        raise FilesqlError("query() on INSERT requires a RETURNING clause")
+    return rows
+
+
+def _code_only(sql: str) -> str:
+    """The statement with string literals / quoted identifiers blanked to
+    same-length spaces (positions stay aligned with ``sql``) — keyword
+    guards must never fire on user data inside literals."""
+    return "".join(
+        text if kind == "code" else " " * len(text)
+        for kind, text in dialect._split_tokens(sql)
+    )
+
+
+def _strip_returning(sql: str) -> tuple[str, list[str] | None]:
+    """Split a trailing ``RETURNING expr, …`` off a DML statement.
+
+    The keyword is located on the literal-blanked text (a column value
+    containing the word 'returning' must not trigger), at any paren
+    depth 0 position — SQLite only allows it as the final clause."""
+    code = _code_only(sql)
+    depth = 0
+    for m in re.finditer(r"[()]|\bRETURNING\b", code, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            exprs = _split_level0(sql[m.end() :].strip().rstrip(";"))
+            if not exprs:
+                raise FilesqlError("RETURNING requires at least one expression")
+            return sql[: m.start()], exprs
+    return sql, None
+
+
 # ------------------------------------------------------------------- INSERT
 
 _INSERT_RE = re.compile(
@@ -54,12 +97,16 @@ _INSERT_RE = re.compile(
 )
 
 
-def _insert(engine, sql: str) -> int:
+def _insert(engine, sql: str) -> tuple[int, "object | None"]:
+    """Apply an INSERT; returns (affected rows, RETURNING DataFrame | None)."""
+    sql, returning = _strip_returning(sql)
     # SQLite upsert forms need a primary-key concept DataFrame views don't
     # have — reject them explicitly instead of silently inserting
-    # (reference inherits them from SQLite; not exercised in its tests)
+    # (reference inherits them from SQLite; not exercised in its tests).
+    # Guards scan the literal-blanked text: inserted VALUES containing the
+    # words 'on conflict' must not trip them (ADVICE r4).
     if re.match(r"\s*INSERT\s+OR\s+\w+", sql, re.I) or re.search(
-        r"\bON\s+CONFLICT\b", sql, re.I
+        r"\bON\s+CONFLICT\b", _code_only(sql), re.I
     ):
         raise FilesqlError(
             "INSERT OR REPLACE/IGNORE and ON CONFLICT are not supported "
@@ -94,7 +141,15 @@ def _insert(engine, sql: str) -> int:
     )
     n = aligned.count()
     engine._reregister(table, target.unionByName(aligned))
-    return n
+    if returning is None:
+        return n, None
+    # RETURNING evaluates over the inserted rows (SQLite semantics); '*'
+    # is the aligned row itself, expressions go through the dialect shim
+    cols = [
+        "*" if e.strip() == "*" else F.expr(dialect.rewrite(e))
+        for e in returning
+    ]
+    return n, aligned.select(*cols)
 
 
 # ------------------------------------------------------------------- UPDATE
@@ -147,6 +202,12 @@ def _extract_where(body: str) -> tuple[str, str | None]:
 
 
 def _update(engine, sql: str) -> int:
+    sql, returning = _strip_returning(sql)
+    if returning is not None:
+        raise FilesqlError(
+            "RETURNING is only supported on INSERT (UPDATE/DELETE rewrite "
+            "the whole DataFrame; there is no per-row changed set to return)"
+        )
     m = _UPDATE_RE.match(sql)
     if not m:
         raise FilesqlError(f"cannot parse UPDATE: {sql.strip()[:120]}")
@@ -183,6 +244,12 @@ _DELETE_RE = re.compile(
 
 
 def _delete(engine, sql: str) -> int:
+    sql, returning = _strip_returning(sql)
+    if returning is not None:
+        raise FilesqlError(
+            "RETURNING is only supported on INSERT (UPDATE/DELETE rewrite "
+            "the whole DataFrame; there is no per-row changed set to return)"
+        )
     m = _DELETE_RE.match(sql)
     if not m:
         raise FilesqlError(f"cannot parse DELETE: {sql.strip()[:120]}")

@@ -139,6 +139,12 @@ class Engine:
                 return run_recursive(self.spark, sql, dialect.rewrite)
         if stmt in ("SELECT", "WITH", "VALUES"):
             return self.spark.sql(dialect.rewrite(sql))
+        if stmt == "INSERT":
+            # INSERT … RETURNING behaves as a row-producing statement
+            # (SQLite 3.35+); dml raises if the clause is absent
+            from filesql_spark import dml
+
+            return dml.insert_returning(self, sql)
         raise FilesqlError(
             f"query() handles SELECT statements; use execute() for {stmt}"
         )
@@ -307,14 +313,59 @@ def _view_ident(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def _strip_comments(script: str) -> str:
+    """Blank ``--`` and ``/* */`` comments (outside quotes) to spaces.
+
+    Must run BEFORE tokenizing: a semicolon inside a comment would split
+    mid-statement, and an apostrophe in a comment (``-- don't``) would
+    open a phantom string token swallowing the rest of the script
+    (ADVICE r4). Quote scanning mirrors _split_tokens, including the
+    doubled-``''`` escape."""
+    out: list[str] = []
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "-" and script.startswith("--", i):
+            j = script.find("\n", i)
+            j = j if j != -1 else n
+            out.append(" " * (j - i))
+            i = j
+        elif ch == "/" and script.startswith("/*", i):
+            j = script.find("*/", i + 2)
+            j = j + 2 if j != -1 else n
+            out.append(" " * (j - i))
+            i = j
+        elif ch == "'":
+            j = i + 1
+            while j < n:
+                if script[j] == "'" and j + 1 < n and script[j + 1] == "'":
+                    j += 2
+                    continue
+                if script[j] == "'":
+                    break
+                j += 1
+            out.append(script[i : j + 1])
+            i = j + 1
+        elif ch in '"`':
+            j = script.find(ch, i + 1)
+            j = j if j != -1 else n - 1
+            out.append(script[i : j + 1])
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _split_statements(script: str) -> list[str]:
-    """Quote-aware split of a SQL script on ``;`` (string literals and
-    quoted identifiers are opaque to the splitter)."""
+    """Comment- and quote-aware split of a SQL script on ``;`` (string
+    literals and quoted identifiers are opaque to the splitter; comments
+    are blanked first — see _strip_comments)."""
     from filesql_spark.dialect import _split_tokens
 
     stmts: list[str] = []
     cur: list[str] = []
-    for kind, text in _split_tokens(script):
+    for kind, text in _split_tokens(_strip_comments(script)):
         if kind != "code":
             cur.append(text)
             continue

@@ -495,7 +495,9 @@ def _cosine_vec(qa: Column, na: Column, qb: Column, nb: Column) -> Column:
     return _cosine_udf(qa, na, qb, nb)
 
 
-def embedding_dup_pairs(df: DataFrame, threshold: float = 0.35) -> DataFrame:
+def embedding_dup_pairs(
+    df: DataFrame, threshold: float = 0.35, n: int | None = None
+) -> DataFrame:
     """Near-duplicate embedding pairs within hyperplane-LSH band cells.
 
     Candidate generation: the 32-plane sign signature (similarity.py's
@@ -506,7 +508,9 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.35) -> DataFrame:
     knob (VERDICT r2 #2): 2^bits cells per band grow with the corpus so
     the expected cell population stays ~EMB_TARGET_CELL_ROWS instead of
     a fixed 16 cells going quadratic at 100×. The count() feeding the
-    knob is parquet-metadata-only at cluster scale. Recall per band
+    knob is parquet-metadata-only at cluster scale (pass ``n`` explicitly
+    for a derived input frame, where count() would be a full job). Recall
+    per band
     ≈ p^bits with p = 1 - θ/π, unioned over bands (standard
     random-hyperplane LSH). Verification is the exact quantized cosine,
     so every emitted pair truly has cos ≥ threshold.
@@ -520,7 +524,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.35) -> DataFrame:
     )
     from filesql_spark.pipeline.similarity import _bucket  # lazy: avoids cycle
 
-    bits = emb_band_bits(df.count())
+    bits = emb_band_bits(df.count() if n is None else n)
     # project to the two needed columns BEFORE caching: the cached relation
     # must not carry unused source columns (label) through the pipeline
     # persist: cells (×2 sides) and both vector re-join branches read this;

@@ -101,6 +101,10 @@ def _write_table(
             .option("delimiter", delimiter)
             .option("nullValue", "")
             .option("emptyValue", "")
+            # RFC-4180 output: escape a quote by doubling it, like the
+            # reference's encoding/csv writer — Spark's default backslash
+            # escaping would not round-trip through RFC readers
+            .option("escape", '"')
         )
     else:  # ltsv: k:v pairs joined by tabs, one line per record (filesql.go:396-427)
         cols = [

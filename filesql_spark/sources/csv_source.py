@@ -99,6 +99,10 @@ def read_delimited(
         # not split across tasks — for cluster-scale CSVs that are known
         # newline-free, flip this off to restore splittable scans.
         .option("multiLine", True)
+        # RFC-4180 quote escaping is a doubled quote; Spark's default
+        # escape char is backslash (which encoding/csv does not treat
+        # specially). Without this, `"{""k"": 1}"` splits mid-field.
+        .option("escape", '"')
         .csv(src)
     )
     # normalize header: Spark keeps the BOM and padding; we match the

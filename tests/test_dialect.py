@@ -347,3 +347,82 @@ def test_planner_hints_are_identity():
     )
     assert rewrite("SELECT unlikely(b)") == "SELECT (b)"
     assert rewrite("SELECT likelihood(c = 1, 0.9)") == "SELECT (c = 1)"
+
+
+def test_strftime_compound_aliases(spark):
+    # %F/%T/%R are pure pattern aliases (C strftime; SQLite 3.44+)
+    assert _eval1(spark, "SELECT strftime('%F', '2024-02-03 04:05:06')") == "2024-02-03"
+    assert _eval1(spark, "SELECT strftime('%T', '2024-02-03 04:05:06')") == "04:05:06"
+    assert _eval1(spark, "SELECT strftime('%R', '2024-02-03 04:05:06')") == "04:05"
+
+
+def test_strftime_iso_weekday_and_week(spark):
+    # cross-checked against C strftime (datetime.strftime): Sat=6, Sun=7, Mon=1
+    import datetime
+
+    for d in ["2024-02-03", "2024-02-04", "2024-02-05", "2021-01-03"]:
+        py = datetime.date.fromisoformat(d)
+        assert _eval1(spark, f"SELECT strftime('%u', '{d}')") == py.strftime("%u").lstrip("0") or py.isoweekday()
+        assert _eval1(spark, f"SELECT strftime('%u', '{d}')") == str(py.isoweekday())
+        assert _eval1(spark, f"SELECT strftime('%U', '{d}')") == py.strftime("%U")
+
+
+def test_strftime_space_padded_hours(spark):
+    assert _eval1(spark, "SELECT strftime('%k', '2024-02-03 04:05:06')") == " 4"
+    assert _eval1(spark, "SELECT strftime('%k', '2024-02-03 14:05:06')") == "14"
+    assert _eval1(spark, "SELECT strftime('%l', '2024-02-03 14:05:06')") == " 2"
+    assert _eval1(spark, "SELECT strftime('%l', '2024-02-03 00:05:06')") == "12"
+
+
+def test_json_extract(spark):
+    # sqlite3 3.40: json_extract('{"a": {"b": 7}}', '$.a.b') = 7;
+    # get_json_object returns the text form of the scalar
+    assert _eval1(spark, """SELECT json_extract('{"a": {"b": 7}}', '$.a.b')""") == "7"
+    assert _eval1(spark, """SELECT json_extract('{"a": [1,2,3]}', '$.a[1]')""") == "2"
+    with pytest.raises(FilesqlError, match="json_extract"):
+        rewrite("SELECT json_extract(doc, '$.a', '$.b')")
+
+
+def test_json_array_length(spark):
+    assert _eval1(spark, "SELECT json_array_length('[1,2,3]')") == 3
+    assert _eval1(spark, """SELECT json_array_length('{"a":[1,2,3]}', '$.a')""") == 3
+
+
+def test_json_valid(spark):
+    assert _eval1(spark, "SELECT json_valid('[1,2]')") == 1
+    assert _eval1(spark, "SELECT json_valid('nope')") == 0
+    assert _eval1(spark, "SELECT json_valid(NULL)") is None
+
+
+def test_glob_function_form(spark):
+    # SQLite: glob(P, S) = S GLOB P (swapped args); sqlite3 3.40 confirms
+    assert _eval1(spark, "SELECT glob('a*c', 'abc')") == True  # noqa: E712
+    assert _eval1(spark, "SELECT glob('a*c', 'abd')") == False  # noqa: E712
+    with pytest.raises(FilesqlError, match="string-literal"):
+        rewrite("SELECT glob(pat_col, name) FROM t")
+
+
+def test_glob_class_edge_cases(spark):
+    # sqlite3 3.40 ground truth: ']' GLOB '[]a]'=1, 'a'=1, 'x'=0 (leading ]
+    # is a literal member); backslash in a class is a literal member
+    assert _eval1(spark, "SELECT ']' GLOB '[]a]'") == True  # noqa: E712
+    assert _eval1(spark, "SELECT 'a' GLOB '[]a]'") == True  # noqa: E712
+    assert _eval1(spark, "SELECT 'x' GLOB '[]a]'") == False  # noqa: E712
+    assert _eval1(spark, "SELECT 'abc' GLOB 'a[]b]c'") == True  # noqa: E712
+    assert _eval1(spark, r"SELECT 'a\c' GLOB 'a[\]c'") == True  # noqa: E712
+    assert _eval1(spark, "SELECT 'a&b' GLOB 'a[&x]b'") == True  # noqa: E712
+
+
+def test_glob_metachar_not_swallowed_by_literal_escaping(spark):
+    # regression: the escaped '.' must survive Spark's string-literal
+    # backslash handling — GLOB 'a.c' must NOT match 'axc'
+    assert _eval1(spark, "SELECT 'a.c' GLOB 'a.c'") == True  # noqa: E712
+    assert _eval1(spark, "SELECT 'axc' GLOB 'a.c'") == False  # noqa: E712
+
+
+def test_string_literal_backslash_is_literal(spark):
+    # SQLite literals have no escape character: 'a\c' is three characters.
+    # Spark's parser would consume the backslash without the shim.
+    assert _eval1(spark, r"SELECT 'a\c'") == "a\\c"
+    assert _eval1(spark, r"SELECT length('a\c')") == 3
+    assert _eval1(spark, r"SELECT 'it''s a \'") == "it's a \\"

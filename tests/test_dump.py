@@ -139,3 +139,18 @@ def test_auto_save_overwrite_original(spark, tmp_path):
     eng.close()
     content = src.read_text().strip().split("\n")
     assert content[0] == "id,v" and len(content) == 1
+
+
+def test_csv_rfc4180_quote_roundtrip(spark, tmp_path):
+    """Embedded quotes/commas must round-trip as RFC-4180 doubled quotes
+    (the reference's encoding/csv convention), not backslash escapes."""
+    import filesql_spark as fs
+
+    (tmp_path / "t.csv").write_text('id,txt\n1,"say ""hi"", ok"\n')
+    with fs.open(str(tmp_path / "t.csv"), spark=spark) as eng:
+        assert eng.query("SELECT txt FROM t").collect()[0].txt == 'say "hi", ok'
+        out = tmp_path / "out"
+        eng.dump(str(out))
+        assert '"say ""hi"", ok"' in (out / "t.csv").read_text()
+    with fs.open(str(out / "t.csv"), spark=spark) as eng2:
+        assert eng2.query("SELECT txt FROM t").collect()[0].txt == 'say "hi", ok'

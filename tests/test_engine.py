@@ -217,3 +217,60 @@ def test_insert_or_replace_clean_error(eng):
         eng.execute(
             "INSERT INTO sample VALUES (9,'x',1,'e') ON CONFLICT (id) DO NOTHING"
         )
+
+
+def test_insert_returning(eng):
+    """SQLite 3.35+ RETURNING on INSERT: the inserted rows come back as a
+    result set (query()); execute() applies the insert and reports count."""
+    df = eng.query(
+        "INSERT INTO sample (id, name, age) VALUES (9, 'Zed', 41), (10, 'Yan', 17) "
+        "RETURNING id, name"
+    )
+    assert [(r.id, r.name) for r in df.collect()] == [(9, "Zed"), (10, "Yan")]
+    assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 5
+    df2 = eng.query("INSERT INTO sample (id, name) VALUES (11, 'Quo') RETURNING *")
+    row = df2.collect()[0]
+    assert (row.id, row.name, row.age, row.email) == (11, "Quo", None, None)
+
+
+def test_insert_without_returning_via_query_raises(eng):
+    with pytest.raises(FilesqlError, match="RETURNING"):
+        eng.query("INSERT INTO sample VALUES (9, 'x', 1, 'e')")
+
+
+def test_update_delete_returning_clean_error(eng):
+    with pytest.raises(FilesqlError, match="RETURNING is only supported"):
+        eng.execute("UPDATE sample SET age = 1 WHERE id = 1 RETURNING id")
+    with pytest.raises(FilesqlError, match="RETURNING is only supported"):
+        eng.execute("DELETE FROM sample WHERE id = 1 RETURNING *")
+
+
+def test_returning_in_string_literal_not_detected(eng):
+    # the word 'returning' inside inserted data must not trigger the parser
+    n = eng.execute("INSERT INTO sample (id, name) VALUES (12, 'returning home')")
+    assert n == 1
+    assert eng.query("SELECT name FROM sample WHERE id = 12").collect()[0].name \
+        == "returning home"
+
+
+def test_insert_with_on_conflict_text_in_values(eng):
+    # ADVICE r4: a literal containing 'on conflict' must not trip the
+    # upsert guard (it scans literal-blanked text only)
+    n = eng.execute("INSERT INTO sample (id, name) VALUES (13, 'we are ON CONFLICT here')")
+    assert n == 1
+
+
+def test_execute_script_comment_aware(eng):
+    """ADVICE r4: semicolons and apostrophes inside -- and /* */ comments
+    must not split statements or open phantom string tokens."""
+    n = eng.execute_script(
+        """
+        -- don't split; here
+        CREATE TABLE notes (id INTEGER, t TEXT);
+        /* a block; with 'quotes' and ; semicolons */
+        INSERT INTO notes VALUES (1, 'a'); -- tail comment; with semicolon
+        INSERT INTO notes VALUES (2, 'b');
+        """
+    )
+    assert n == 2
+    assert eng.query("SELECT COUNT(*) AS n FROM notes").collect()[0].n == 2

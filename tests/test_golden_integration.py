@@ -301,3 +301,26 @@ def test_example_process_and_aggregate_script(spark, tmp_path):
         name999, age999 = rows[999]
         assert name999 == "Summary: 3"
         assert age999 == 30  # avg(31,25,36) = 30.67, truncated by the INTEGER-column cast
+
+
+def test_json_family_through_engine(spark, tmp_path):
+    """Reference README.md:331 advertises SQLite's json1 — json_extract /
+    json_array_length / json_valid must run verbatim through the engine's
+    SQLite-dialect front door over CSV-loaded JSON text."""
+    (tmp_path / "cfg.csv").write_text(
+        "id,props\n"
+        '1,"{""kind"": ""a"", ""tags"": [1, 2, 3]}"\n'
+        '2,"{""kind"": ""b"", ""tags"": []}"\n'
+        "3,not json\n"
+    )
+    with fs.open(str(tmp_path / "cfg.csv"), spark=spark) as eng:
+        rows = eng.query(
+            "SELECT id, json_extract(props, '$.kind') AS kind, "
+            "json_array_length(props, '$.tags') AS n_tags, "
+            "json_valid(props) AS ok FROM cfg ORDER BY id"
+        ).collect()
+        assert [(r.id, r.kind, r.n_tags, r.ok) for r in rows] == [
+            (1, "a", 3, 1),
+            (2, "b", 0, 1),
+            (3, None, None, 0),
+        ]
