@@ -1,12 +1,19 @@
 """Multimodal columns: opaque binary payloads + typed metadata, processed
 through Arrow-batched Pandas UDFs (``mapInPandas``).
 
-The container has no image/audio codecs, so the *decode* itself is stubbed
-(NotImplementedError behind ``REAL_DECODE``) with a deterministic fake —
-but everything Spark-side is real and tested: the binary column schema,
-the mapInPandas batch iteration, the output schema contract, and the
-partition-parallel shape. Swapping ``_fake_decode`` for PIL/ffmpeg is a
-one-function change; the plan doesn't move.
+Two decode paths behind ``REAL_DECODE``:
+
+- ``_real_decode``: genuine image-header metadata extraction (PNG/GIF/BMP
+  dims + channels via stdlib struct; PIL fallback for other containers)
+  — exercised in tests over a stdlib-built PNG through the full
+  mapInPandas plan.
+- ``_fake_decode`` (default for the registry/bench queries, whose
+  payloads are synthesized text bytes): deterministic md5-derived dims,
+  which keeps the operator SQL-expressible for the DuckDB oracle.
+
+Everything Spark-side — binary column schema, Arrow batch iteration,
+output schema contract, partition-parallel shape — is identical between
+the two; the plan doesn't move when the decode function swaps.
 
 The fake decode derives (width, height, channels) from md5 of the payload
 bytes, which makes it SQL-expressible — the DuckDB oracle reproduces the
@@ -22,17 +29,50 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-REAL_DECODE = False  # flip when PIL / torchcodec / ffmpeg are installed
+# False: registry/bench payloads are synthesized text bytes (oracle-able
+# md5 fake). True: parse real image headers (see _real_decode) — what a
+# deployment over actual image bytes sets.
+REAL_DECODE = False
 
 DECODE_SCHEMA = (
     "doc_id long, n_bytes long, mime string, width int, height int, channels int"
 )
 
 
-def _real_decode(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
-    raise NotImplementedError(
-        "image decode requires PIL/libvips — not available in this container"
-    )
+def _real_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real image metadata decode: (width, height, channels).
+
+    PNG/GIF/BMP dimensions come from pure-stdlib header parsing (what a
+    metadata-extraction pass at 100 TB actually does — no pixel decode
+    needed for dims); any other container falls through to PIL when it is
+    installed, else raises. Exercised end-to-end by
+    tests/test_pipeline.py::test_real_decode_png_headers with a
+    stdlib-built PNG, and by the PIL-gated twin when PIL exists."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return w, h, channels
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h, 3
+    if payload[:2] == b"BM" and len(payload) >= 30:
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        return w, abs(h), max(1, bpp // 8)
+    try:  # pragma: no cover — PIL not installed in the test container
+        import io
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            f"unrecognized image container {payload[:8]!r} and PIL is not "
+            "available for full decode"
+        ) from e
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover
+    return img.width, img.height, len(img.getbands())  # pragma: no cover
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -57,17 +97,21 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_images(df: DataFrame) -> DataFrame:
+def decode_images(df: DataFrame, real: bool | None = None) -> DataFrame:
     """mapInPandas decode: binary batches in, feature rows out.
 
     Arrow moves each partition's rows as columnar batches; the Python
     worker touches bytes only — no JVM round-trips per row. At 100 TB this
     is the standard shape for CPU-bound media decode (scale out = more
     partitions).
+
+    ``real`` overrides the module default REAL_DECODE; the decode function
+    is chosen driver-side at plan-build time so the closure ships the
+    right path to every worker.
     """
+    decode = _real_decode if (REAL_DECODE if real is None else real) else _fake_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _real_decode if REAL_DECODE else _fake_decode
         for pdf in batches:
             dims = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(

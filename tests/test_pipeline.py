@@ -150,10 +150,79 @@ def test_multimodal_decode_deterministic(spark):
 
 
 def test_real_decode_is_gated():
+    # unrecognized container + no PIL in this environment → clean error
     from filesql_spark.pipeline import multimodal
 
-    with pytest.raises(NotImplementedError):
-        multimodal._real_decode(b"bytes")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            multimodal._real_decode(b"bytes")
+
+
+def _tiny_png(width: int, height: int, rgb=(10, 20, 30)) -> bytes:
+    """A valid PNG built with only the stdlib (zlib CRCs + deflate)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decode_png_headers(spark):
+    """REAL_DECODE path end-to-end: genuine PNG bytes through the same
+    mapInPandas plan, dimensions/channels from the actual IHDR."""
+    from filesql_spark.pipeline.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [(1, _tiny_png(7, 3), "image/png"), (2, _tiny_png(640, 2), "image/png")],
+        "doc_id long, payload binary, mime string",
+    )
+    got = {r.doc_id: (r.width, r.height, r.channels, r.n_bytes)
+           for r in decode_images(df, real=True).collect()}
+    assert got[1][:3] == (7, 3, 3)
+    assert got[2][:3] == (640, 2, 3)
+    assert got[1][3] == len(_tiny_png(7, 3))
+
+
+def test_real_decode_gif_bmp_headers():
+    import struct
+
+    from filesql_spark.pipeline.multimodal import _real_decode
+
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 10
+    assert _real_decode(gif) == (12, 34, 3)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 5, -9) + b"\x00\x00" + struct.pack("<H", 24) + b"\x00" * 10
+    assert _real_decode(bmp) == (5, 9, 3)
+
+
+def test_real_decode_pil_fallback(spark):
+    """PIL-backed full decode for non-header formats (skips where PIL is
+    absent; the container has no codecs — README documents this)."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from filesql_spark.pipeline.multimodal import _real_decode
+
+    buf = io.BytesIO()
+    Image.new("L", (11, 4)).save(buf, format="TIFF")
+    assert _real_decode(buf.getvalue()) == (11, 4, 1)
 
 
 def test_streaming_sessionize_equals_batch(spark):
