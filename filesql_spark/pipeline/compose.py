@@ -16,16 +16,10 @@ from pyspark.sql import functions as F
 from filesql_spark.pipeline.dedup import dedup_exact, minhash_lsh_pairs
 
 
-def clean_corpus(
-    df: DataFrame,
-    min_tokens: int = 10,
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """Return the kept documents after the three-stage clean.
-
-    Near-dup handling keeps the lower doc_id of each pair (drop doc_b),
-    mirroring the exact-dedup keep-min convention.
-    """
+def _stages(
+    df: DataFrame, min_tokens: int, jaccard_threshold: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(gated, exact_kept, final) — the three lazy stage frames."""
     gated = df.filter(F.size(F.split(F.col("text"), " ")) >= min_tokens)
 
     exact = dedup_exact(gated)
@@ -38,6 +32,70 @@ def clean_corpus(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return exact_kept.join(near_drop, "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
+    final = exact_kept.join(near_drop, "doc_id", "left_anti")
+    return gated, exact_kept, final
+
+
+def clean_corpus(
+    df: DataFrame,
+    min_tokens: int = 10,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Return the kept documents after the three-stage clean.
+
+    Near-dup handling keeps the lower doc_id of each pair (drop doc_b),
+    mirroring the exact-dedup keep-min convention.
+    """
+    _gated, _exact_kept, final = _stages(df, min_tokens, jaccard_threshold)
+    return final.select("doc_id", "lang", "source", "n_chars")
+
+
+def clean_corpus_metrics(
+    df: DataFrame,
+    min_tokens: int = 10,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-stage observability for the clean: one row per pipeline stage
+    with (stage_idx, stage, n_in, n_kept, n_dropped) — as a DataFrame,
+    not driver-side logs, so a 100-TB run can write its funnel next to
+    its output and join/alert on it downstream.
+
+    Shape: four single-row count aggregates cross-joined (1×1×1×1 rows —
+    the joins are trivial broadcasts), then exploded into the per-stage
+    funnel. Each count is a full aggregation of its stage frame, but the
+    stage frames share scan + shuffle work through the operators' own
+    persisted intermediates (minhash signatures), and nothing ever
+    collects to the driver.
+    """
+    gated, exact_kept, final = _stages(df, min_tokens, jaccard_threshold)
+    counts = (
+        df.agg(F.count("*").alias("n_total"))
+        .crossJoin(gated.agg(F.count("*").alias("n_gate")))
+        .crossJoin(exact_kept.agg(F.count("*").alias("n_exact")))
+        .crossJoin(final.agg(F.count("*").alias("n_final")))
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage_idx"),
+            F.lit("quality_gate").alias("stage"),
+            F.col("n_total").alias("n_in"),
+            F.col("n_gate").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage_idx"),
+            F.lit("exact_dedup").alias("stage"),
+            F.col("n_gate").alias("n_in"),
+            F.col("n_exact").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage_idx"),
+            F.lit("near_dedup").alias("stage"),
+            F.col("n_exact").alias("n_in"),
+            F.col("n_final").alias("n_kept"),
+        ),
+    )
+    return (
+        counts.select(F.explode(stages).alias("s"))
+        .select("s.*")
+        .withColumn("n_dropped", F.col("n_in") - F.col("n_kept"))
     )

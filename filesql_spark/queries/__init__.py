@@ -95,58 +95,66 @@ def register(name: str, oracle: str | None):
 # already-green, low-marginal-information queries to the tail. Every tail
 # query still runs in the local pytest oracle mirror (tests/test_entry_queries).
 #
-# Round-4 rotation: the 10 queries pushed to the tail in r2/r3 (r1-green,
-# unchanged since) come back first so every entry carries a current-round
-# driver row (VERDICT r2 next-steps #5), followed by everything r4 changed.
+# Round-5 rotation (VERDICT r4 #8: no entry goes more than two rounds
+# without a driver row): the 19 queries tailed in r4 (last rows r2+r3)
+# come back first, then everything round 5 added or changed. The new tail
+# is drawn exclusively from entries green in r4 and untouched since.
 _GRADE_FIRST = [
-    # tail of r2/r3 — r1-green, unchanged, rotated back in for a fresh row
-    "select_case_expr",
-    "coalesce_cast",
-    "limit_offset",
-    "join_cross",
-    "join_right_outer",
-    "set_union_all",
-    "derived_table",
-    "scalar_subquery_select",
-    "window_row_number",
-    "window_agg_over",
-    # new or changed in r4 — must grade
-    "filter_like_ci",          # new: LIKE → ILIKE dialect path
-    "events_sessionize",       # new: session windows (gaps-and-islands oracle)
-    "events_sliding_window",   # new: 1h/15min hopping windows
-    "streaming_events_sessionize",  # new: stateful streaming twin
-    "streaming_events_user_state",  # new: applyInPandasWithState operator
-    "asof_join_latest_order",  # new: as-of join (union-merge pattern)
-    "dedup_simhash",           # 64-bit / 4×16-bit bands
-    "dedup_embedding_cosine",  # log-n band-width knob
-    "ann_lsh_topk",            # log-n bucket-width knob
-    "ann_ivf_topk",            # new: k-means IVF, bit-exact unrolled-Lloyd oracle
-    "multimodal_resize",       # new: resize planning over decoded metadata
-    "multimodal_extract_features",  # new: mapInPandas feature extraction
-    "ann_bruteforce_topk",     # shares the 32-plane signature path
-    "streaming_events_hourly", # oracle added (was rows-only)
+    # tail of r4 — last driver rows r2/r3, rotated back in for fresh rows
+    "agg_median",
+    "date_julianday_span",
+    "date_hour_histogram",
+    "join_left_semi",
+    "filter_predicates",
+    "topk_orders",
+    "set_intersect",
+    "window_lag_lead",
+    "text_token_count",
+    "multimodal_frame_sample",
+    "agg_group_concat",
+    "window_ntile_dense_first",
+    "join_full_outer",
+    "set_union_distinct",
+    "in_subquery",
+    "events_tumbling_window",
+    "agg_conditional_case",
+    "join_left_outer",
+    "scalar_subquery_correlated",
+    # new or changed in r5 — must grade
+    "ann_ivf_build",           # new: train-once half, per-coordinate oracle
+    "ann_ivf_topk",            # serve-from-index path, nprobe 2→4
+    "ann_lsh_topk",            # multi-band OR-amplification rewrite
+    "ann_bruteforce_topk",     # recall-gate baseline, shares signature path
+    "pipeline_stage_metrics",  # new: per-stage kept/dropped funnel
+    "pipeline_clean_corpus",   # compose.py refactored into shared _stages
+    "multimodal_decode",       # decode_images(real=) driver-side path pick
+    "dedup_embedding_cosine",  # explicit-n knob parameter
+    "date_functions",          # dialect strftime additions this round
+    "json_extract",            # dialect json family landed this round
 ]
 _GRADE_LAST = [
-    # r2+r3-green, unchanged in r4, each dominated by a kept sibling query
-    "agg_median",              # beyond-reference; agg_rollup stays graded
-    "date_julianday_span",     # julianday covered by date_functions
-    "date_hour_histogram",     # date bucketing covered by events window
-    "join_left_semi",          # anti + in_subquery remain graded
-    "filter_predicates",       # pushdown covered by q1 + filter_like_ci
-    "topk_orders",             # ORDER+LIMIT kept via limit_offset this round
-    "set_intersect",           # except + union_distinct remain
-    "window_lag_lead",         # rank/ntile/frames remain
-    "text_token_count",        # text family: lang_id/quality/fingerprint stay
-    "multimodal_frame_sample", # decode (the UDF path) remains graded
-    "agg_group_concat",        # dialect fn covered by string_functions
-    "window_ntile_dense_first",# rank + row_number + frames remain graded
-    "join_full_outer",         # left + right outer remain graded
-    "set_union_distinct",      # union_all + except + intersect siblings cover
-    "in_subquery",             # semi/anti/exists family: join_left_anti stays
-    "events_tumbling_window",  # same oracle shape as graded streaming twin
-    "agg_conditional_case",    # CASE covered by graded select_case_expr
-    "join_left_outer",         # right (graded this round) + full outer cover
-    "scalar_subquery_correlated",  # uncorrelated variant graded this round
+    # r4-green, unchanged in r5, each dominated by a kept sibling query
+    "select_case_expr",        # CASE also covered by agg_conditional_case
+    "coalesce_cast",           # COALESCE/CAST appear in many graded queries
+    "limit_offset",            # ORDER+LIMIT graded via topk_orders
+    "join_cross",              # joins: multiway/theta/semi/anti graded
+    "join_right_outer",        # left + full outer graded this round
+    "set_union_all",           # intersect/union_distinct graded this round
+    "derived_table",           # CTE + correlated subquery graded
+    "scalar_subquery_select",  # correlated variant graded this round
+    "window_row_number",       # lag/lead + ntile/frames graded this round
+    "window_agg_over",         # running_sum + rank stay graded (mid)
+    "filter_like_ci",          # LIKE shim covered by pytest + r4 row
+    "events_sessionize",       # tumbling + streaming twins graded
+    "events_sliding_window",   # same window family graded via tumbling
+    "streaming_events_sessionize",  # batch twin r4-green, unchanged
+    "streaming_events_user_state",  # applyInPandasWithState r4-green
+    "asof_join_latest_order",  # r4-green, plan-asserted union-merge
+    "dedup_simhash",           # r4-green 64-bit scheme, unchanged
+    "multimodal_resize",       # pure column math, r4-green
+    "multimodal_extract_features",  # r4-green Arrow path, unchanged
+    "streaming_events_hourly", # r4-green, oracle shared with tumbling
+    "join_theta_selfjoin",     # BNLJ path r4-green, unchanged
 ]
 
 

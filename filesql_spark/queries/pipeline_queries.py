@@ -765,7 +765,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clean_corpus_oracle() -> str:
+def _clean_corpus_ctes() -> str:
+    """Shared WITH chain for the clean-corpus oracles: gate → exact dedup
+    → MinHash near-dup candidates → verified drops."""
     h = _H32.format(v="shingle")
     mh_exprs = ",\n               ".join(
         f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
@@ -814,11 +816,47 @@ def _clean_corpus_oracle() -> str:
         FROM cand c JOIN sets a ON c.doc_a = a.doc_id
                     JOIN sets b ON c.doc_b = b.doc_id
         WHERE {jac} >= 0.5
-    )
+    )"""
+
+
+def _clean_corpus_oracle() -> str:
+    return f"""
+    {_clean_corpus_ctes()}
     SELECT k.doc_id, k.lang, k.source, k.n_chars
     FROM exact_kept k LEFT JOIN dropped d ON k.doc_id = d.doc_id
     WHERE d.doc_id IS NULL
     """
+
+
+def _stage_metrics_oracle() -> str:
+    return f"""
+    {_clean_corpus_ctes()},
+    nz AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+               (SELECT COUNT(*) FROM gated) AS n_gate,
+               (SELECT COUNT(*) FROM exact_kept) AS n_exact,
+               (SELECT COUNT(*)
+                FROM exact_kept k LEFT JOIN dropped d ON k.doc_id = d.doc_id
+                WHERE d.doc_id IS NULL) AS n_final
+    )
+    SELECT CAST(1 AS INTEGER) AS stage_idx, 'quality_gate' AS stage,
+           n_total AS n_in, n_gate AS n_kept, n_total - n_gate AS n_dropped
+    FROM nz
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'exact_dedup', n_gate, n_exact, n_gate - n_exact FROM nz
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'near_dedup', n_exact, n_final, n_exact - n_final FROM nz
+    """
+
+
+@register("pipeline_stage_metrics", _stage_metrics_oracle())
+def pipeline_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage kept/dropped funnel of the composed clean — the
+    observability surface a 100-TB pipeline writes next to its output
+    (pipeline/compose.py clean_corpus_metrics)."""
+    from filesql_spark.pipeline.compose import clean_corpus_metrics
+
+    return clean_corpus_metrics(load_table(spark, sf_dir, "documents"))
 
 
 @register("pipeline_clean_corpus", _clean_corpus_oracle())

@@ -290,3 +290,20 @@ def test_ivf_index_train_once_serve_many(spark, tmp_path):
     loaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
     reloaded = {tuple(r) for r in ivf_topk(loaded, q, k=5).collect()}
     assert reloaded == inline
+
+
+def test_stage_metrics_consistent_with_clean_corpus(spark):
+    """The funnel must reconcile: stage n_kept chains into the next stage's
+    n_in, and the final n_kept equals the actual kept-corpus count."""
+    from filesql_spark.queries import load_table
+    from filesql_spark.pipeline.compose import clean_corpus, clean_corpus_metrics
+
+    docs = load_table(spark, SF, "documents")
+    rows = {r.stage_idx: r for r in clean_corpus_metrics(docs).collect()}
+    assert list(rows) == [1, 2, 3] or sorted(rows) == [1, 2, 3]
+    assert rows[1].n_in == docs.count()
+    assert rows[2].n_in == rows[1].n_kept
+    assert rows[3].n_in == rows[2].n_kept
+    for r in rows.values():
+        assert r.n_dropped == r.n_in - r.n_kept >= 0
+    assert rows[3].n_kept == clean_corpus(docs).count()
