@@ -16,24 +16,33 @@ from pyspark.sql import functions as F
 from filesql_spark.pipeline.dedup import dedup_exact, minhash_lsh_pairs
 
 
-def _stages(
-    df: DataFrame, min_tokens: int, jaccard_threshold: float
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(gated, exact_kept, final) — the three lazy stage frames."""
-    gated = df.filter(F.size(F.split(F.col("text"), " ")) >= min_tokens)
+def _gate(df: DataFrame, min_tokens: int) -> DataFrame:
+    return df.filter(F.size(F.split(F.col("text"), " ")) >= min_tokens)
 
+
+def _exact_kept(gated: DataFrame) -> DataFrame:
     exact = dedup_exact(gated)
-    exact_kept = gated.join(
+    return gated.join(
         exact.filter(F.col("is_duplicate") == 0).select("doc_id"), "doc_id"
     )
 
+
+def _near_final(exact_kept: DataFrame, jaccard_threshold: float) -> DataFrame:
     near_drop = (
         minhash_lsh_pairs(exact_kept, jaccard_threshold=jaccard_threshold)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    final = exact_kept.join(near_drop, "doc_id", "left_anti")
-    return gated, exact_kept, final
+    return exact_kept.join(near_drop, "doc_id", "left_anti")
+
+
+def _stages(
+    df: DataFrame, min_tokens: int, jaccard_threshold: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(gated, exact_kept, final) — the three lazy stage frames."""
+    gated = _gate(df, min_tokens)
+    exact_kept = _exact_kept(gated)
+    return gated, exact_kept, _near_final(exact_kept, jaccard_threshold)
 
 
 def clean_corpus(
@@ -62,12 +71,14 @@ def clean_corpus_metrics(
 
     Shape: four single-row count aggregates cross-joined (1×1×1×1 rows —
     the joins are trivial broadcasts), then exploded into the per-stage
-    funnel. Each count is a full aggregation of its stage frame, but the
-    stage frames share scan + shuffle work through the operators' own
-    persisted intermediates (minhash signatures), and nothing ever
-    collects to the driver.
+    funnel. ``exact_kept`` is persisted because three of the four counts
+    read it (directly or through the near-dup stage); the minhash
+    signatures persist inside their own operator. Nothing collects to
+    the driver.
     """
-    gated, exact_kept, final = _stages(df, min_tokens, jaccard_threshold)
+    gated = _gate(df, min_tokens)
+    exact_kept = _exact_kept(gated).persist()
+    final = _near_final(exact_kept, jaccard_threshold)
     counts = (
         df.agg(F.count("*").alias("n_total"))
         .crossJoin(gated.agg(F.count("*").alias("n_gate")))

@@ -1009,3 +1009,22 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs))
+
+@register(
+    "streaming_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (filesql_spark/streaming.py): content-hash
+    grouping under Structured Streaming emitting (canonical doc_id, copy
+    count). min/count are arrival-order-free and the availableNow run is
+    complete-mode, so the batch GROUP BY is the exact oracle."""
+    from filesql_spark.streaming import documents_dedup_stream
+
+    return documents_dedup_stream(spark, sf_dir)

@@ -23,25 +23,50 @@ from pyspark.sql import functions as F
 from filesql_spark.queries import load_table
 
 
+def _file_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """readStream over one driver parquet table.
+
+    Declares the RAW file schema (events.ts is int64 nanos under
+    nanosAsLong) and normalizes the timestamp inside the stream like the
+    batch path. FileStreamSource requires a directory; the single file is
+    exposed through a symlinked temp dir."""
+    from filesql_spark.queries import _pin_session_confs
+
+    _pin_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="filesql_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/{table}.parquet"), f"{stream_dir}/{table}.parquet"
+    )
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(agg: DataFrame, prefix: str, mode: str = "complete") -> str:
+    """Start an availableNow writeStream into a memory sink; returns the
+    sink table name after the run completes."""
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return sink
+
+
 def events_hourly_stream(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:
     """Hourly per-type event counts/sums as a streaming query; returns the
     materialized result DataFrame after the availableNow run completes."""
-    from filesql_spark.queries import _pin_session_confs
     from filesql_spark.queries.relational import cents
 
-    # declare the RAW file schema (ts is int64 nanos under nanosAsLong);
-    # the timestamp conversion happens inside the stream, like the batch path
-    _pin_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # FileStreamSource requires a directory; expose the single file through one
-    stream_dir = tempfile.mkdtemp(prefix="filesql_stream_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{stream_dir}/events.parquet")
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    # the driver table stores ns-timestamps read as long; normalize like batch
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _file_stream(spark, sf_dir, "events")
 
     agg = (
         stream.withWatermark("ts", watermark)
@@ -54,17 +79,7 @@ def events_hourly_stream(
             F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
         )
     )
-
-    sink = f"events_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
-    return spark.table(sink)
+    return spark.table(_run_to_memory(agg, "events_hourly"))
 
 
 def events_session_stream(
@@ -80,18 +95,9 @@ def events_session_stream(
     becomes a micro-batch cadence and the sink kafka/delta; the watermark
     bounds session state so late events merge or drop deterministically.
     """
-    from filesql_spark.queries import _pin_session_confs
     from filesql_spark.queries.relational import cents
 
-    _pin_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="filesql_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stream_dir}/events.parquet"
-    )
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _file_stream(spark, sf_dir, "events")
 
     agg = (
         stream.withWatermark("ts", watermark)
@@ -111,17 +117,7 @@ def events_session_stream(
             ),
         )
     )
-
-    sink = f"events_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
-    return spark.table(sink)
+    return spark.table(_run_to_memory(agg, "events_sessions"))
 
 
 def events_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,18 +144,7 @@ def events_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         TimestampType,
     )
 
-    from filesql_spark.queries import _pin_session_confs
-
-    _pin_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="filesql_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stream_dir}/events.parquet"
-    )
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.select(
+    stream = _file_stream(spark, sf_dir, "events").select(
         "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
 
@@ -219,15 +204,7 @@ def events_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    sink = f"events_user_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
+    sink = _run_to_memory(result, "events_user_state", mode="update")
     return spark.table(sink).select(
         "user_id",
         "n_events",
@@ -235,3 +212,29 @@ def events_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ts",
         "last_ts",
     )
+
+
+def documents_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over the documents table: group by content
+    hash, emit the canonical representative (lowest doc_id) and the copy
+    count — the dedup ledger a continuously-ingesting corpus pipeline
+    maintains.
+
+    Deterministic by construction (min/count are arrival-order-free,
+    complete mode over an availableNow run), so the batch GROUP BY is the
+    exact oracle. Content state here is unbounded like any global-key
+    streaming agg; a production deployment bounds it with
+    ``dropDuplicatesWithinWatermark`` (dedup only within the late-data
+    horizon) or ages state out by retention policy — the grouping shape
+    is unchanged.
+    """
+    stream = _file_stream(spark, sf_dir, "documents")
+    agg = (
+        stream.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    return spark.table(_run_to_memory(agg, "documents_dedup"))
