@@ -454,14 +454,22 @@ def _char(args: list[str]) -> str:
 
 
 def _quote(args: list[str]) -> str:
-    """SQLite quote(X) for TEXT values: single-quoted SQL literal with ''
-    escaping (the dominant use — building SQL fragments). Divergence note:
-    SQLite renders numeric arguments without quotes; this shim quotes the
-    string form (no schema knowledge at rewrite time)."""
+    """SQLite quote(X): NULL → 'NULL', numbers unquoted, text as a
+    ''-escaped single-quoted literal. The numeric branch keys off Spark's
+    typeof() — the static expression type, constant-folded by Catalyst,
+    which matches SQLite's dynamic type for typed table columns (the only
+    divergence left is TEXT columns holding numerals, which SQLite also
+    quotes — same behavior)."""
     if len(args) != 1:
         raise FilesqlError(f"quote() expects 1 arg, got {len(args)}")
-    x = f"CAST(({args[0]}) AS STRING)"
-    return f"concat('''', replace({x}, '''', ''''''), '''')"
+    x = f"({args[0]})"
+    s = f"CAST({x} AS STRING)"
+    quoted = f"concat('''', replace({s}, '''', ''''''), '''')"
+    return (
+        f"(CASE WHEN {x} IS NULL THEN 'NULL' "
+        f"WHEN typeof{x} RLIKE '^(tinyint|smallint|int|bigint|float|double|decimal)' "
+        f"THEN {s} ELSE {quoted} END)"
+    )
 
 
 def _regex_literal(rx: str) -> str:
@@ -524,6 +532,38 @@ def _json_valid(args: list[str]) -> str:
     )
 
 
+def _json_object(args: list[str]) -> str:
+    """json_object(K1, V1, …) → to_json(named_struct(…)) — byte-identical
+    output for the common cases (compact separators, null kept via
+    ignoreNullFields=false, SQLite-given key order preserved).
+    named_struct needs foldable names, so keys must be string literals
+    (SQLite's dynamic-key form has no Spark equivalent)."""
+    if not args or not args[0].strip():
+        return "'{}'"
+    if len(args) % 2 != 0:
+        raise FilesqlError("json_object expects an even number of arguments")
+    for k in args[::2]:
+        ks = k.strip()
+        if not (ks.startswith("'") and ks.endswith("'")):
+            raise FilesqlError(
+                "json_object keys must be string literals "
+                f"(got {ks[:40]!r})"
+            )
+    return (
+        f"to_json(named_struct({', '.join(args)}), "
+        "map('ignoreNullFields', 'false'))"
+    )
+
+
+def _json_array(args: list[str]) -> str:
+    """json_array(V1, …) → to_json(array(…)). Divergence note: Spark
+    arrays are homogeneous — mixed-type arguments coerce to a common type
+    (json_array(1, 'a') yields ["1","a"], SQLite keeps [1,"a"])."""
+    if not args or not args[0].strip():
+        return "'[]'"
+    return f"to_json(array({', '.join(args)}))"
+
+
 _SIMPLE_RENAMES = {
     "printf": "format_string",
     "format": "format_string",  # printf alias (SQLite 3.38+)
@@ -545,6 +585,8 @@ _CALL_REWRITES = {
     "json_extract": _json_extract,
     "json_array_length": _json_array_length,
     "json_valid": _json_valid,
+    "json_object": _json_object,
+    "json_array": _json_array,
     "glob": _glob_call,
     # SQLite planner hints — semantically the identity of their first arg
     "likely": lambda args: f"({args[0]})",

@@ -322,13 +322,17 @@ def test_sqlite_idioms_pass_through(spark):
 def test_char_unicode_quote(spark):
     """char() builds from full unicode codepoints (Spark's chr truncates
     mod 256 — the shim decodes UTF-32 instead); unicode() → ascii();
-    quote() emits a ''-escaped SQL literal (TEXT-assuming, documented)."""
+    quote() matches SQLite: NULL → 'NULL', numbers unquoted, text as a
+    ''-escaped literal (typeof-keyed, constant-folded)."""
     out = rewrite("SELECT char(65, 66, 8364) AS c, unicode('€') AS u, "
                   "quote('it''s') AS q")
     row = spark.sql(out).collect()[0]
     assert row.c == "AB€"
     assert row.u == 8364
     assert row.q == "'it''s'"
+    assert _eval1(spark, "SELECT quote(42)") == "42"
+    assert _eval1(spark, "SELECT quote(4.5)") == "4.5"
+    assert _eval1(spark, "SELECT quote(NULL)") == "NULL"
 
 
 def test_char_type_in_cast_untouched(spark):
@@ -426,3 +430,21 @@ def test_string_literal_backslash_is_literal(spark):
     assert _eval1(spark, r"SELECT 'a\c'") == "a\\c"
     assert _eval1(spark, r"SELECT length('a\c')") == 3
     assert _eval1(spark, r"SELECT 'it''s a \'") == "it's a \\"
+
+
+def test_json_object_constructor(spark):
+    # sqlite3 ground truth: compact separators, nulls kept, key order kept
+    assert _eval1(spark, "SELECT json_object('a', 1, 'b', 'x')") == '{"a":1,"b":"x"}'
+    assert _eval1(spark, "SELECT json_object('a', NULL, 'b', 2)") == '{"a":null,"b":2}'
+    assert _eval1(spark, "SELECT json_object('a', 1.5)") == '{"a":1.5}'
+    assert _eval1(spark, "SELECT json_object()") == "{}"
+    with pytest.raises(FilesqlError, match="even number"):
+        rewrite("SELECT json_object('a')")
+    with pytest.raises(FilesqlError, match="string literals"):
+        rewrite("SELECT json_object(k, v) FROM t")
+
+
+def test_json_array_constructor(spark):
+    assert _eval1(spark, "SELECT json_array(1, 2, 3)") == "[1,2,3]"
+    assert _eval1(spark, "SELECT json_array('a', 'b')") == '["a","b"]'
+    assert _eval1(spark, "SELECT json_array()") == "[]"

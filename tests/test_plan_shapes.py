@@ -215,3 +215,43 @@ def test_ivf_trains_on_bounded_sample(spark):
     seeds = ivf_centroids(train, 16, iters=0, sample_factor=m)
     cids = [r.cid for r in seeds.select("cid").collect()]
     assert len(cids) == 16 and all(c % m == 0 for c in cids)
+
+
+def test_ivf_serve_plan_has_no_training(spark):
+    """Train-once/serve-many: the plan of a query served from a pre-built
+    IvfIndex must contain ZERO Lloyd machinery — no k-means aggregates, no
+    training-sample filter, only the probe + cell equi-join. (The fused
+    path re-plans training; the index path must not.)"""
+    from pyspark.sql import functions as F
+
+    from filesql_spark.queries import load_table
+    from filesql_spark.pipeline.similarity import ivf_index, ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = ivf_index(emb)
+    plan = _formatted(ivf_topk(idx, emb.filter(F.col("vec_id") < 8), k=5))
+    # the index frames surface as lineage-truncated scans, not computations
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    # no training-sample modulo filter and no per-dimension mean aggregates
+    assert "% " not in plan.replace("(0 + 1) %", "")  # vec_id % m filter
+    assert plan.count("HashAggregate") <= 2  # top-k only, no Lloyd sums
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_multiband_dedup_is_partial_agg(spark):
+    """The multi-band candidate dedupe must collapse duplicate
+    (query, candidate) pairs map-side (partial HashAggregate before the
+    exchange), and candidates must come from a band/cell EQUI-join —
+    never a nested-loop over the corpus."""
+    from pyspark.sql import functions as F
+
+    from filesql_spark.queries import load_table
+    from filesql_spark.pipeline.similarity import lsh_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _formatted(lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band" in plan and "cell" in plan
+    # partial_max(cos) before the shuffle = map-side dedupe
+    assert "partial_max" in plan
