@@ -652,7 +652,18 @@ def _glob_regex(pat: str) -> str:
                     "\\" + ch if ch in "\\]&[" else ch
                     for ch in pat[body_start:j]
                 )
-                out.append("[" + ("^" if neg else "") + body + "]")
+                cls = "[" + ("^" if neg else "") + body + "]"
+                try:
+                    # degenerate ranges ([b-a], [a-*]) are rejected by
+                    # both Python and Java regex; SQLite's matcher has
+                    # its own quirks for them — refuse at translate time
+                    # instead of failing inside RLIKE at runtime
+                    re.compile(cls)
+                except re.error as e:
+                    raise FilesqlError(
+                        f"unsupported GLOB class {pat[i : j + 1]!r}: {e}"
+                    ) from None
+                out.append(cls)
                 i = j
         else:
             out.append(re.escape(c))

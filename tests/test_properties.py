@@ -170,3 +170,29 @@ def test_rewrite_identity_on_plain_ansi(cols, tbl, where_lhs, where_rhs):
         f"WHERE {where_lhs} = {where_rhs} ORDER BY {where_lhs}"
     )
     assert rewrite(sql) == sql
+
+
+@_hyp_settings(max_examples=500, deadline=None)
+@given(
+    pat=_st.text(alphabet="ab*?[]^-\\c", min_size=0, max_size=6),
+    s=_st.text(alphabet="abc]-^\\", min_size=0, max_size=5),
+)
+def test_glob_regex_matches_real_sqlite(pat, s):
+    """_glob_regex against the REAL oracle — sqlite3's own GLOB — over
+    adversarial class/escape characters. Degenerate class ranges
+    ([b-a], [a-*]), which regex engines reject, must surface as a clean
+    translate-time FilesqlError, never a runtime RLIKE failure."""
+    import re as _re
+    import sqlite3
+
+    from filesql_spark.dialect import _glob_regex
+    from filesql_spark.errors import FilesqlError
+
+    con = sqlite3.connect(":memory:")
+    want = con.execute("SELECT ? GLOB ?", (s, pat)).fetchone()[0]
+    try:
+        rx = _glob_regex(pat)
+    except FilesqlError:
+        return  # refused degenerate class — documented divergence
+    got = 1 if _re.fullmatch(rx[1:-1], s) else 0
+    assert got == want, (pat, s, rx)
