@@ -127,6 +127,8 @@ _GRADE_FIRST = [
     "ann_bruteforce_topk",     # recall-gate baseline, shares signature path
     "pipeline_stage_metrics",  # new: per-stage kept/dropped funnel
     "streaming_dedup_exact",   # new: streaming content-hash dedup ledger
+    "pipeline_train_val_split",    # new: deterministic split assignment
+    "pipeline_stratified_sample",  # new: per-stratum hash downsampling
     "pipeline_clean_corpus",   # compose.py refactored into shared _stages
     "multimodal_decode",       # decode_images(real=) driver-side path pick
     "dedup_embedding_cosine",  # explicit-n knob parameter
@@ -136,6 +138,8 @@ _GRADE_FIRST = [
 _GRADE_LAST = [
     # r4-green, unchanged in r5, each dominated by a kept sibling query
     "math_functions",          # ROUND/ABS/printf family; string_functions stays
+    "agg_count_distinct",      # COUNT family covered by q1 + agg_having
+    "set_except",              # intersect/union_distinct graded this round
     "select_case_expr",        # CASE also covered by agg_conditional_case
     "coalesce_cast",           # COALESCE/CAST appear in many graded queries
     "limit_offset",            # ORDER+LIMIT graded via topk_orders

@@ -1028,3 +1028,49 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.streaming import documents_dedup_stream
 
     return documents_dedup_stream(spark, sf_dir)
+
+_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000"
+
+
+@register(
+    "pipeline_train_val_split",
+    f"""
+    WITH b AS (
+        SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 500 THEN 'val'
+                WHEN bucket < 1000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM b
+    """,
+)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by md5-hash bucket
+    (pipeline/sampling.py): a property of the row, not the run — stable
+    under any partitioning, zero shuffle, scan-speed at 100 TB."""
+    from filesql_spark.pipeline.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(docs).select("doc_id", "bucket", "split")
+
+
+@register(
+    "pipeline_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN 3000 ELSE 10000 END
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (pipeline/sampling.py):
+    keep 30% of English, all of the tail languages — the rebalancing
+    step of a corpus pipeline, as a scan-level hash predicate (unlike
+    sampleBy: re-runs keep exactly the same rows)."""
+    from filesql_spark.pipeline.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return stratified_sample(docs, "lang", fractions).select("doc_id", "lang")

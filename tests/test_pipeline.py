@@ -307,3 +307,43 @@ def test_stage_metrics_consistent_with_clean_corpus(spark):
     for r in rows.values():
         assert r.n_dropped == r.n_in - r.n_kept >= 0
     assert rows[3].n_kept == clean_corpus(docs).count()
+
+
+def test_train_val_split_deterministic_and_exhaustive(spark):
+    """Split labels must partition the corpus (every row exactly one
+    label), be identical across runs, and land near the target fractions
+    on the uniform hash."""
+    from filesql_spark.queries import load_table
+    from filesql_spark.pipeline.sampling import train_val_test_split
+
+    docs = load_table(spark, SF_RECALL, "documents")
+    a = {r.doc_id: r.split for r in train_val_test_split(docs).collect()}
+    b = {r.doc_id: r.split for r in train_val_test_split(docs).collect()}
+    assert a == b and len(a) == docs.count()
+    from collections import Counter
+
+    frac = Counter(a.values())
+    n = len(a)
+    assert 0.01 <= frac["val"] / n <= 0.12      # 5% target on 500 rows
+    assert 0.01 <= frac["test"] / n <= 0.12
+    assert frac["train"] / n >= 0.8
+
+
+def test_stratified_sample_respects_fractions(spark):
+    """Kept rows are a deterministic subset: full strata survive intact,
+    downsampled strata shrink to ~frac, and membership is stable."""
+    from filesql_spark.queries import load_table
+    from filesql_spark.pipeline.sampling import stratified_sample
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_RECALL, "documents")
+    fr = {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    kept = stratified_sample(docs, "lang", fr)
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang in ("de", "es", "fr", "zh"):
+        assert after[lang] == before[lang]
+    assert 0.15 <= after["en"] / before["en"] <= 0.45
+    assert {tuple(r) for r in kept.select("doc_id").collect()} == \
+        {tuple(r) for r in stratified_sample(docs, "lang", fr).select("doc_id").collect()}
