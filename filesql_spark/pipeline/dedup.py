@@ -227,13 +227,12 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     tc = (
         toks.groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5(F.col("tok")))  # one md5 per (doc, token)
         .select(
             "doc_id",
             "cnt",
-            _hash32(F.col("tok")).alias("h_lo"),
-            F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10)
-            .cast("long")
-            .alias("h_hi"),
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("h_lo"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("h_hi"),
         )
     )
     bit_sums = [
