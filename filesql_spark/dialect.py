@@ -532,6 +532,24 @@ def _json_valid(args: list[str]) -> str:
     )
 
 
+def _typeof(args: list[str]) -> str:
+    """SQLite typeof(X) → 'integer'/'real'/'text'/'blob'/'null', keyed off
+    Spark's static expression type (constant-folded CASE over typeof()).
+    Divergence note: SQLite types are per-VALUE; with this engine's
+    inference making columns homogeneous, the static type matches except
+    for mixed-affinity columns, which inference already stringifies."""
+    if len(args) != 1:
+        raise FilesqlError(f"typeof() expects 1 arg, got {len(args)}")
+    x = f"({args[0]})"
+    return (
+        f"(CASE WHEN {x} IS NULL THEN 'null' "
+        f"WHEN typeof{x} RLIKE '^(tinyint|smallint|int|bigint|boolean)$' THEN 'integer' "
+        f"WHEN typeof{x} RLIKE '^(float|double|decimal)' THEN 'real' "
+        f"WHEN typeof{x} = 'binary' THEN 'blob' "
+        f"ELSE 'text' END)"
+    )
+
+
 def _json_object(args: list[str]) -> str:
     """json_object(K1, V1, …) → to_json(named_struct(…)) — byte-identical
     output for the common cases (compact separators, null kept via
@@ -581,6 +599,9 @@ _CALL_REWRITES = {
     "total": _total,
     "log": _log,
     "char": _char,
+    # typeof must precede quote: quote's expansion emits Spark typeof()
+    # calls, which the (single-sweep) typeof pass must not re-rewrite
+    "typeof": _typeof,
     "quote": _quote,
     "json_extract": _json_extract,
     "json_array_length": _json_array_length,

@@ -448,3 +448,12 @@ def test_json_array_constructor(spark):
     assert _eval1(spark, "SELECT json_array(1, 2, 3)") == "[1,2,3]"
     assert _eval1(spark, "SELECT json_array('a', 'b')") == '["a","b"]'
     assert _eval1(spark, "SELECT json_array()") == "[]"
+
+
+def test_typeof(spark):
+    # sqlite3 ground truth: integer / real / text / null (blob via binary)
+    assert _eval1(spark, "SELECT typeof(42)") == "integer"
+    assert _eval1(spark, "SELECT typeof(4.5)") == "real"
+    assert _eval1(spark, "SELECT typeof('a')") == "text"
+    assert _eval1(spark, "SELECT typeof(NULL)") == "null"
+    assert _eval1(spark, "SELECT typeof(unhex('00'))") == "blob"
