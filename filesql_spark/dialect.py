@@ -468,7 +468,9 @@ def _quote(args: list[str]) -> str:
     return (
         f"(CASE WHEN {x} IS NULL THEN 'NULL' "
         f"WHEN typeof{x} RLIKE '^(tinyint|smallint|int|bigint|float|double|decimal)' "
-        f"THEN {s} ELSE {quoted} END)"
+        f"THEN {s} "
+        f"WHEN typeof{x} = 'binary' THEN concat('X''', upper(hex{x}), '''') "
+        f"ELSE {quoted} END)"
     )
 
 

@@ -457,3 +457,8 @@ def test_typeof(spark):
     assert _eval1(spark, "SELECT typeof('a')") == "text"
     assert _eval1(spark, "SELECT typeof(NULL)") == "null"
     assert _eval1(spark, "SELECT typeof(unhex('00'))") == "blob"
+
+
+def test_quote_blob(spark):
+    # sqlite3 ground truth: quote(x'001f') => X'001F'
+    assert _eval1(spark, "SELECT quote(unhex('001f'))") == "X'001F'"
