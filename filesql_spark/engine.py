@@ -16,6 +16,7 @@ snapshot + optional auto-save), mirroring save.go:268-294, 340-361.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -145,6 +146,20 @@ class Engine:
             from filesql_spark import dml
 
             return dml.insert_returning(self, sql)
+        if stmt == "EXPLAIN":
+            # SQLite's EXPLAIN [QUERY PLAN] <select> — surface Spark's
+            # plan the same way: one text row per plan line
+            inner = re.sub(
+                r"^\s*EXPLAIN(\s+QUERY\s+PLAN)?\s+", "", sql, count=1, flags=re.I
+            )
+            plan = self.query(inner)._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "detail string"
+            )
         raise FilesqlError(
             f"query() handles SELECT statements; use execute() for {stmt}"
         )

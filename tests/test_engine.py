@@ -274,3 +274,13 @@ def test_execute_script_comment_aware(eng):
     )
     assert n == 2
     assert eng.query("SELECT COUNT(*) AS n FROM notes").collect()[0].n == 2
+
+
+def test_explain_query_plan(eng):
+    """SQLite's EXPLAIN QUERY PLAN surface: one text row per plan line of
+    the underlying Spark physical plan."""
+    rows = eng.query("EXPLAIN QUERY PLAN SELECT name FROM sample WHERE id = 1").collect()
+    text = "\n".join(r.detail for r in rows)
+    assert "Filter" in text and len(rows) > 3
+    rows2 = eng.query("EXPLAIN SELECT COUNT(*) FROM sample").collect()
+    assert any("Aggregate" in r.detail for r in rows2)

@@ -347,3 +347,22 @@ def test_stratified_sample_respects_fractions(spark):
     assert 0.15 <= after["en"] / before["en"] <= 0.45
     assert {tuple(r) for r in kept.select("doc_id").collect()} == \
         {tuple(r) for r in stratified_sample(docs, "lang", fr).select("doc_id").collect()}
+
+
+def test_explicit_n_matches_count_knob(spark):
+    """Passing n= (derived-frame path: no count() job at plan build) must
+    give identical results to the count()-fallback for both LSH and the
+    embedding dedup."""
+    from pyspark.sql import functions as F
+
+    from filesql_spark.queries import load_table
+    from filesql_spark.pipeline.dedup import embedding_dup_pairs
+    from filesql_spark.pipeline.similarity import lsh_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    n = emb.count()
+    assert {tuple(r) for r in lsh_topk(emb, q, k=5).collect()} == \
+        {tuple(r) for r in lsh_topk(emb, q, k=5, n=n).collect()}
+    assert {tuple(r) for r in embedding_dup_pairs(emb).collect()} == \
+        {tuple(r) for r in embedding_dup_pairs(emb, n=n).collect()}
