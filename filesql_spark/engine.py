@@ -180,7 +180,9 @@ class Engine:
             self.rollback()
             return 0
         if stmt in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP"):
-            return dml.execute(self, sql)
+            # comments are legal anywhere in SQLite DML; the dml regex
+            # parsers anchor on the keyword, so blank comments first
+            return dml.execute(self, _strip_comments(sql).strip())
         # SELECT via execute: run it, report row count
         return self.query(sql).count()
 

@@ -284,3 +284,10 @@ def test_explain_query_plan(eng):
     assert "Filter" in text and len(rows) > 3
     rows2 = eng.query("EXPLAIN SELECT COUNT(*) FROM sample").collect()
     assert any("Aggregate" in r.detail for r in rows2)
+
+
+def test_dml_with_comments(eng):
+    n = eng.execute("-- add a row; carefully\nINSERT INTO sample (id, name) VALUES (20, 'Cmt')")
+    assert n == 1
+    n = eng.execute("/* block 'comment' */ DELETE FROM sample WHERE id = 20")
+    assert n == 1
