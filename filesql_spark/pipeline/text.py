@@ -108,3 +108,26 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.conv(F.substring(full, 1, 15), 16, 10).cast("long").alias("h60"),
         F.md5(F.substring(norm, 1, 64)).alias("head_hash"),
     )
+
+
+LENGTH_QUANTILES = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999]
+
+
+def length_percentiles(
+    df: DataFrame, col: str = "n_chars", approximate: bool = False
+) -> DataFrame:
+    """Corpus length-distribution summary: one row per quantile of ``col``
+    — the sanity dashboard a data pipeline checks before/after cleaning.
+
+    ``approximate=False`` uses Spark's exact interpolated percentile
+    (identical last-ulp to DuckDB's quantile_cont — the oracle); at
+    100 TB flip ``approximate=True`` for percentile_approx, which
+    aggregates a bounded sketch instead of sorting the column.
+    """
+    qarr = F.array(*[F.lit(q) for q in LENGTH_QUANTILES])
+    fn = F.percentile_approx if approximate else F.percentile
+    agg = df.agg(fn(F.col(col), qarr).alias("v"))
+    return agg.select(F.posexplode("v").alias("i", "value")).select(
+        F.element_at(qarr, F.col("i") + 1).alias("q"),
+        F.col("value").cast("double").alias("value"),
+    )

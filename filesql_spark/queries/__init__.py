@@ -129,17 +129,20 @@ _GRADE_FIRST = [
     "streaming_dedup_exact",   # new: streaming content-hash dedup ledger
     "pipeline_train_val_split",    # new: deterministic split assignment
     "pipeline_stratified_sample",  # new: per-stratum hash downsampling
+    "text_length_percentiles",     # new: corpus length-quantile summary
     "pipeline_clean_corpus",   # compose.py refactored into shared _stages
     "multimodal_decode",       # decode_images(real=) driver-side path pick
     "dedup_embedding_cosine",  # explicit-n knob parameter
     "date_functions",          # dialect strftime additions this round
     "json_extract",            # dialect json family landed this round
+    "dedup_simhash",           # one-md5-per-token optimization this round
 ]
 _GRADE_LAST = [
     # r4-green, unchanged in r5, each dominated by a kept sibling query
     "math_functions",          # ROUND/ABS/printf family; string_functions stays
     "agg_count_distinct",      # COUNT family covered by q1 + agg_having
     "set_except",              # intersect/union_distinct graded this round
+    "join_left_anti",          # semi/anti family: in_subquery + left_semi graded
     "select_case_expr",        # CASE also covered by agg_conditional_case
     "coalesce_cast",           # COALESCE/CAST appear in many graded queries
     "limit_offset",            # ORDER+LIMIT graded via topk_orders
@@ -156,7 +159,7 @@ _GRADE_LAST = [
     "streaming_events_sessionize",  # batch twin r4-green, unchanged
     "streaming_events_user_state",  # applyInPandasWithState r4-green
     "asof_join_latest_order",  # r4-green, plan-asserted union-merge
-    "dedup_simhash",           # r4-green 64-bit scheme, unchanged
+    "window_rank",             # row_number/ntile/lag graded this round
     "multimodal_resize",       # pure column math, r4-green
     "multimodal_extract_features",  # r4-green Arrow path, unchanged
     "streaming_events_hourly", # r4-green, oracle shared with tumbling

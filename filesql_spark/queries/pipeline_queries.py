@@ -1074,3 +1074,25 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
     return stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
+
+
+def _length_percentiles_oracle() -> str:
+    from filesql_spark.pipeline.text import LENGTH_QUANTILES
+
+    qs = ", ".join(f"({i + 1}, {q})" for i, q in enumerate(LENGTH_QUANTILES))
+    arr = "[" + ", ".join(str(q) for q in LENGTH_QUANTILES) + "]"
+    return f"""
+    WITH v AS (SELECT quantile_cont(n_chars, {arr}) AS v FROM documents)
+    SELECT qs.q, CAST(v.v[qs.i] AS DOUBLE) AS value
+    FROM v, (VALUES {qs}) qs(i, q)
+    """
+
+
+@register("text_length_percentiles", _length_percentiles_oracle())
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution quantiles (pipeline/text.py): exact
+    interpolated percentile, bit-identical to DuckDB quantile_cont at
+    every tested SF; percentile_approx is the documented 100-TB path."""
+    from filesql_spark.pipeline.text import length_percentiles
+
+    return length_percentiles(load_table(spark, sf_dir, "documents"))
