@@ -480,10 +480,13 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    """Multi-band twin of lsh_topk: the same 32-plane signature split into
-    LEAST(ANN_MAX_BANDS, 32 // bits) disjoint `bits`-plane bands; a
-    candidate matches on ANY band, duplicates collapse via GROUP BY
-    (cosine identical across bands, so MAX is a no-op dedupe)."""
+    """Multi-band multi-probe twin of lsh_topk: the same 32-plane
+    signature split into LEAST(ANN_MAX_BANDS, 32 // bits) disjoint
+    `bits`-plane bands; each QUERY band probes its exact cell plus every
+    Hamming-1 neighbor (p.range = 0 → exact, p.range = j → flip bit
+    j−1); a candidate matches on ANY probe, duplicates collapse via
+    GROUP BY (cosine identical across probes, so MAX is a no-op
+    dedupe)."""
     bucket = _bucket_sql()
     bits = _bits_sql(
         "embeddings", ANN_BAND_MIN_BITS, ANN_BAND_MAX_BITS, ANN_BAND_TARGET_ROWS
@@ -507,11 +510,17 @@ def _lsh_oracle() -> str:
         FROM n, bits CROSS JOIN range(0, {ANN_MAX_BANDS}) r
         WHERE r.range < LEAST({ANN_MAX_BANDS}, 32 // bits)
     ),
-    qcells AS (SELECT * FROM cells WHERE vec_id < 8),
+    qprobes AS (
+        SELECT vec_id, qv, nrm, band,
+               CASE WHEN p.range = 0 THEN cell
+                    ELSE xor(cell, 1 << CAST(p.range - 1 AS INTEGER)) END AS cell
+        FROM cells, bits CROSS JOIN range(0, {ANN_BAND_MAX_BITS + 1}) p
+        WHERE vec_id < 8 AND p.range <= bits
+    ),
     matched AS (
         SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
                MAX({_COS.format(a="q.qv", b="c.qv", na="q.nrm", nb="c.nrm")}) AS cos
-        FROM qcells q JOIN cells c
+        FROM qprobes q JOIN cells c
           ON c.band = q.band AND c.cell = q.cell AND c.vec_id != q.vec_id
         GROUP BY q.vec_id, c.vec_id
     ),

@@ -59,12 +59,13 @@ def _recall_at_5(spark, approx_fn):
 
 def test_lsh_recall_gate(spark):
     """Retrieval QUALITY gate (the oracles only prove implementation
-    fidelity): multi-band LSH must recover >= 60% of the true top-5.
-    Measured 0.80 with 8 disjoint 4-bit bands; a mis-tuned knob (e.g. the
-    old single-band path: 0.05) fails loudly here."""
+    fidelity): multi-band multi-probe LSH must recover >= 80% of the
+    true top-5. Measured 1.0 at sf0.01 / 0.825 at sf0.1 (8 disjoint
+    4-bit bands + Hamming-1 probes); the old single-band path scored
+    0.05 and passed every oracle — this gate fails loudly instead."""
     from filesql_spark.pipeline.similarity import lsh_topk
 
-    assert _recall_at_5(spark, lambda emb, q: lsh_topk(emb, q, k=5)) >= 0.6
+    assert _recall_at_5(spark, lambda emb, q: lsh_topk(emb, q, k=5)) >= 0.8
 
 
 def test_ivf_recall_gate(spark):
