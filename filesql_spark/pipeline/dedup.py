@@ -538,23 +538,47 @@ def embedding_dup_pairs(
     # candidate rows that cross the shuffle are 3 ints each; the 64-dim
     # vectors re-join afterwards keyed on vec_id (n rows, AQE broadcasts
     # them locally; a plain shuffled equi-join at cluster scale)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("bucket"), b * EMB_BAND_STRIDE)
+            .bitwiseAND((1 << bits) - 1)
+            .alias("cell"),
+        )
+        for b in range(EMB_BANDS)
+    ]
     cells = pre.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("e")
+    ).select("vec_id", "e.band", "e.cell")
+    # multi-probe (one side only — Hamming-1 adjacency is symmetric, so
+    # probing side a's cells against side b's exact cells finds every
+    # pair whose band cells differ by ≤ 1 bit): near-miss sign flips are
+    # the dominant recall loss of sign-LSH blocking; measured recall of
+    # true cos≥0.35 pairs 0.29 → ~0.75 at sf0.01 for a (1+bits)× larger
+    # (still target-bounded) candidate set. See tests' dedup recall gate.
+    probed = pre.select(
         "vec_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("bucket"), b * EMB_BAND_STRIDE)
-                        .bitwiseAND((1 << bits) - 1)
-                        .alias("cell"),
-                    )
-                    for b in range(EMB_BANDS)
-                ]
+            F.flatten(
+                F.array(
+                    *[
+                        F.array(
+                            s,
+                            *[
+                                F.struct(
+                                    s.band.alias("band"),
+                                    s.cell.bitwiseXOR(1 << j).alias("cell"),
+                                )
+                                for j in range(bits)
+                            ],
+                        )
+                        for s in band_structs
+                    ]
+                )
             )
         ).alias("e"),
     ).select("vec_id", "e.band", "e.cell")
-    a, b = cells.alias("a"), cells.alias("b")
+    a, b = probed.alias("a"), cells.alias("b")
     cand = (
         a.join(
             b,

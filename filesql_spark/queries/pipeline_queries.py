@@ -417,9 +417,16 @@ def _embedding_dup_oracle() -> str:
     cells AS (
         {cells}
     ),
+    probed AS (
+        SELECT vec_id, band,
+               CASE WHEN p.range = 0 THEN cell
+                    ELSE xor(cell, 1 << CAST(p.range - 1 AS INTEGER)) END AS cell
+        FROM cells, bits CROSS JOIN range(0, {EMB_MAX_BAND_BITS + 1}) p
+        WHERE p.range <= bits
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM cells a JOIN cells b
+        FROM probed a JOIN cells b
           ON a.band = b.band AND a.cell = b.cell AND a.vec_id < b.vec_id
     )
     SELECT c.vec_a, c.vec_b,

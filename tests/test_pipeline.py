@@ -367,3 +367,36 @@ def test_explicit_n_matches_count_knob(spark):
         {tuple(r) for r in lsh_topk(emb, q, k=5, n=n).collect()}
     assert {tuple(r) for r in embedding_dup_pairs(emb).collect()} == \
         {tuple(r) for r in embedding_dup_pairs(emb, n=n).collect()}
+
+
+def test_embedding_dedup_recall_gate(spark):
+    """Blocking-quality gate for the embedding dedup (the oracle mirrors
+    the blocking, so it can never catch a recall collapse): multi-probe
+    banding must recover >= 60% of ALL true cos>=0.35 pairs at sf0.01
+    (measured 0.749; single-probe scored 0.29). The 0.35 threshold on
+    near-random synthetic vectors is the stress case — true near-dups
+    (cos >= 0.9) have far higher per-band match probability."""
+    from pyspark.sql import functions as F
+
+    from filesql_spark.queries import load_table
+    from filesql_spark.pipeline.dedup import (
+        cosine_pre,
+        embedding_dup_pairs,
+        with_quantized,
+    )
+
+    emb = load_table(spark, SF_RECALL, "embeddings")
+    pre = with_quantized(emb).select("vec_id", "qv", "nrm")
+    a = pre.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), F.col("nrm").alias("na"))
+    b = pre.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"), F.col("nrm").alias("nb"))
+    cos = cosine_pre(F.col("qa"), F.col("na"), F.col("qb"), F.col("nb"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+        .collect()
+    }
+    got = {(r.vec_a, r.vec_b) for r in embedding_dup_pairs(emb).collect()}
+    assert got <= exact  # precision 1.0: every emitted pair is verified
+    assert len(exact & got) / len(exact) >= 0.6
