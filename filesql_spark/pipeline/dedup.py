@@ -604,3 +604,107 @@ def embedding_dup_pairs(
         .select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------- duplicate-cluster components
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair-edge list.
+
+    Output: (node, component) for every node that appears in an edge,
+    where ``component`` is the MINIMUM node id reachable from it — the
+    canonical representative of its duplicate cluster.
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    does (1) a neighbor-min step — label(v) := min(label(v), min over
+    adjacent labels), one shuffle on the symmetrized edge list — and
+    (2) a pointer-jump step — label(v) := label(label(v)), one self-join
+    on the label table. The jump halves label-chain depth per round
+    (Shiloach-Vishkin style), so convergence is O(log diameter) rounds,
+    not O(diameter). Duplicate graphs are near-cliques (diameter 2-3 in
+    practice), so this settles in 2-3 rounds; the loop still verifies a
+    fixpoint (zero labels changed) rather than assuming one.
+
+    Scale design: the edge list is symmetrized once and persisted (read
+    every round); labels are localCheckpoint()ed per round to truncate
+    the growing lineage (an iterative plan otherwise re-executes all
+    prior rounds per action — the standard Spark iterative-algorithm
+    trap). Per-round cost is two hash-shuffles on node id. All label
+    math is exact integer mins — bit-identical to the recursive-CTE
+    closure the DuckDB oracle runs.
+    """
+    sym = (
+        edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
+        .unionAll(edges.select(F.col(dst).alias("v"), F.col(src).alias("n")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select("v").distinct().withColumn("lbl", F.col("v"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(F.col("v").alias("n"), F.col("lbl").alias("nlbl")),
+                "n",
+            )
+            .groupBy("v")
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        stepped = labels.join(neigh, "v", "left").select(
+            "v", F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl")
+        )
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("v").alias("jv"), F.col("lbl").alias("jlbl")
+                ).alias("y"),
+                F.col("x.lbl") == F.col("y.jv"),
+                "left",
+            )
+            .select(F.col("x.v").alias("v"), F.coalesce("jlbl", "x.lbl").alias("lbl"))
+        )
+        jumped = jumped.localCheckpoint()
+        changed = (
+            jumped.alias("new")
+            .join(labels.select("v", F.col("lbl").alias("old")), "v")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("v").alias("node"), F.col("lbl").alias("component"))
+
+
+def dedup_components(
+    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster every document by near-dup edges; pick one canonical per cluster.
+
+    Output: (doc_id, component, is_canonical) over ALL docs — nodes
+    absent from the edge list are their own singleton component. This is
+    the keep-one-per-cluster step a dedup pipeline runs after pair
+    detection: filter ``is_canonical = 1`` and the corpus is deduplicated
+    transitively (A~B, B~C drops both B and C even though A~C was never
+    emitted as a pair).
+    """
+    comp = connected_components(edges)
+    return (
+        docs.select(id_col)
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col))
+            .cast("int")
+            .alias("is_canonical"),
+        )
+    )

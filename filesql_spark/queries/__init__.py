@@ -136,6 +136,7 @@ _GRADE_FIRST = [
     "date_functions",          # dialect strftime additions this round
     "json_extract",            # dialect json family landed this round
     "dedup_simhash",           # one-md5-per-token optimization this round
+    "dedup_connected_components",  # new: transitive cluster + keep-one
 ]
 _GRADE_LAST = [
     # r4-green, unchanged in r5, each dominated by a kept sibling query

@@ -194,7 +194,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return impl(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — the exact
+    MinHash+LSH candidate-and-verify pipeline, shared by the pair oracle
+    and the connected-components oracle built on top of it."""
     h = _H32.format(v="shingle")
     mh_exprs = ",\n               ".join(
         f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
@@ -209,8 +212,7 @@ def _minhash_oracle() -> str:
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sigs"
         )
     bands = "\n        UNION ALL ".join(band_selects)
-    return f"""
-    WITH t0 AS (
+    return f"""t0 AS (
         SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
     ),
     sets AS (
@@ -234,15 +236,23 @@ def _minhash_oracle() -> str:
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM cand c
-    JOIN sets a ON c.doc_a = a.doc_id
-    JOIN sets b ON c.doc_b = b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM cand c
+        JOIN sets a ON c.doc_a = a.doc_id
+        JOIN sets b ON c.doc_b = b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """
 
 
@@ -252,6 +262,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.pipeline.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _cc_oracle() -> str:
+    """Transitive closure over the MinHash pair edges via recursive CTE;
+    component = MIN reachable node — the same fixpoint the Spark side's
+    min-label propagation converges to (exact integer mins, no floats)."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS v, a AS lbl FROM edges
+        UNION
+        SELECT e.a AS v, r.lbl FROM edges e JOIN reach r ON e.b = r.v
+    ),
+    comp AS (SELECT v, MIN(lbl) AS component FROM reach GROUP BY v)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    """
+
+
+@register("dedup_connected_components", _cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering: MinHash+LSH pair edges →
+    connected components (min-label propagation + pointer jumping,
+    pipeline/dedup.py connected_components) → one canonical doc per
+    cluster over ALL documents. The keep-one step a dedup pipeline runs
+    after pair detection — A~B, B~C drops B and C even though A~C was
+    never emitted as a pair."""
+    from filesql_spark.pipeline.dedup import dedup_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_components(docs, minhash_lsh_pairs(docs))
 
 
 def _simhash_oracle() -> str:

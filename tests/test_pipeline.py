@@ -400,3 +400,38 @@ def test_embedding_dedup_recall_gate(spark):
     got = {(r.vec_a, r.vec_b) for r in embedding_dup_pairs(emb).collect()}
     assert got <= exact  # precision 1.0: every emitted pair is verified
     assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C must land A, B, C in one component labeled min(A,B,C);
+    a long chain (diameter 6) exercises the pointer-jump convergence;
+    isolated edges stay separate."""
+    from filesql_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (30, 31), (31, 32), (32, 33), (33, 34), (34, 35)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 5: 1, 9: 1,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30, 34: 30, 35: 30,
+    }
+
+
+def test_dedup_components_covers_all_docs(spark):
+    """dedup_components labels every doc; singletons are their own
+    canonical component; exactly one canonical per component."""
+    from pyspark.sql import functions as F
+
+    from filesql_spark.pipeline.dedup import dedup_components
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([(2, 7), (7, 4)], "doc_a long, doc_b long")
+    out = dedup_components(docs, edges).collect()
+    assert len(out) == 10
+    comp = {r.doc_id: r.component for r in out}
+    assert comp[2] == comp[7] == comp[4] == 2
+    canon = [r.doc_id for r in out if r.is_canonical == 1]
+    assert sorted(canon) == [0, 1, 2, 3, 5, 6, 8, 9]
