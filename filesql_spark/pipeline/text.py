@@ -131,3 +131,132 @@ def length_percentiles(
         F.element_at(qarr, F.col("i") + 1).alias("q"),
         F.col("value").cast("double").alias("value"),
     )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus-wide vocabulary: top-k tokens by frequency, with document
+    frequency — the term-statistics pass a tokenizer-training or TF-IDF
+    pipeline runs first.
+
+    Output: (tok, cnt, doc_freq), ordered by (cnt desc, tok) with LIMIT k
+    — a total order, so the result set is deterministic.
+
+    Scale: explode → groupBy(token) is one shuffle with map-side partial
+    aggregation (token cardinality ≪ token instances); the final top-k is
+    TakeOrderedAndProject over the aggregated vocabulary, never a full
+    sort of the corpus. count_distinct(doc_id) uses Spark's two-phase
+    distinct aggregation — at 100 TB swap approx_count_distinct if ±2%
+    doc_freq is acceptable.
+    """
+    toks = df.repartition("doc_id").select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(k)
+    )
+
+
+# PII patterns: RE2-compatible (the oracle engine) AND Java-regex-compatible
+# (Spark) — ASCII classes and \b word boundaries only, no lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: mask emails / SSNs / phone numbers / IPv4 addresses,
+    counting each class before masking — the pre-training scrub pass.
+
+    Output: (doc_id, redacted, n_email, n_ssn, n_phone, n_ipv4). Counts
+    are taken on the ORIGINAL text (replacement order can't hide a class
+    from its own counter); masks apply in PII_PATTERNS order. Pure
+    regexp column expressions — whole-stage codegen, zero shuffle, scan
+    speed at 100 TB.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = c
+    for _, pat, mask in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, mask)
+    return df.select("doc_id", red.alias("redacted"), *counts)
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-token fraction, most-common-token fraction, top-bigram
+    fraction, duplicate-trigram fraction, and a keep/drop flag.
+
+    All counts are per-document array expressions (no explode, no
+    shuffle): the mode count scans distinct×total token pairs per doc —
+    O(L²) in doc length but zero-shuffle and codegen'd; documents are
+    bounded (hundreds of tokens), so this stays CPU-trivial at 100 TB
+    where an explode+groupBy+window alternative would shuffle every
+    token instance. Ratios are single IEEE divisions of exact ints.
+    """
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda x: F.size(F.filter(t, lambda y: y == x)),
+        )
+    )
+    empty = F.array().cast("array<string>")
+    # when-guards keep element_at off index 0 for 0/1-token docs (ANSI
+    # mode raises there; the guarded branch is never evaluated)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+        ),
+    ).otherwise(empty)
+    top_bi_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bi),
+            lambda x: F.size(F.filter(bi, lambda y: y == x)),
+        )
+    )
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+                F.element_at(t, i + 3),
+            ),
+        ),
+    ).otherwise(empty)
+    n_tri = F.size(tri)
+    nd_tri = F.size(F.array_distinct(tri))
+    dup_tok = F.when(n > 0, (n - nd) / n.cast("double")).otherwise(0.0)
+    top_tok = F.when(n > 0, top_cnt / n.cast("double")).otherwise(0.0)
+    top_bigram = F.when(n >= 2, top_bi_cnt / (n - 1).cast("double")).otherwise(0.0)
+    dup_trigram = F.when(n >= 3, (n_tri - nd_tri) / n_tri.cast("double")).otherwise(0.0)
+    keep = (
+        (top_tok <= F.lit(0.20)) & (dup_trigram <= F.lit(0.35))
+    ).cast("int")
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup_tok.alias("dup_token_frac"),
+        top_tok.alias("top_token_frac"),
+        top_bigram.alias("top_bigram_frac"),
+        dup_trigram.alias("dup_trigram_frac"),
+        keep.alias("pass_repetition"),
+    )

@@ -137,6 +137,9 @@ _GRADE_FIRST = [
     "json_extract",            # dialect json family landed this round
     "dedup_simhash",           # one-md5-per-token optimization this round
     "dedup_connected_components",  # new: transitive cluster + keep-one
+    "text_top_tokens",         # new: corpus vocabulary term stats
+    "text_pii_redact",         # new: PII masking + per-class counts
+    "text_repetition_filter",  # new: Gopher repetition signals
 ]
 _GRADE_LAST = [
     # r4-green, unchanged in r5, each dominated by a kept sibling query

