@@ -140,6 +140,10 @@ _GRADE_FIRST = [
     "text_top_tokens",         # new: corpus vocabulary term stats
     "text_pii_redact",         # new: PII masking + per-class counts
     "text_repetition_filter",  # new: Gopher repetition signals
+    "agg_grouping_sets",       # new: explicit grouping sets
+    "agg_cube",                # new: CUBE expansion
+    "pivot_status_by_priority",  # new: explicit-values pivot
+    "window_percent_rank",     # new: percent_rank/cume_dist/ntile
 ]
 _GRADE_LAST = [
     # r4-green, unchanged in r5, each dominated by a kept sibling query

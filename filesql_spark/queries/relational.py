@@ -1435,3 +1435,143 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
         )
     )
+
+
+@register(
+    "agg_grouping_sets",
+    f"""
+    SELECT COALESCE(r.r_name, '__all__') AS region,
+           COALESCE(n.n_name, '__all__') AS nation,
+           COUNT(c.c_custkey) AS n_customers,
+           CAST(SUM({_c('c.c_acctbal')}) AS BIGINT) / 100.0 AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), (n.n_name), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind ROLLUP/CUBE
+    (beyond the reference: SQLite has no grouping sets, SURVEY §2.B).
+    One shuffle: Spark expands the four sets map-side (Expand node) and
+    aggregates them in a single pass, same as ROLLUP. The name columns
+    are NULL-free in the data, so the '__all__' coalesce marker is
+    unambiguous without grouping_id."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupingSets(
+            [["r_name", "n_name"], ["r_name"], ["n_name"], []],
+            "r_name",
+            "n_name",
+        )
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            (F.sum(cents("c_acctbal")) / 100.0).alias("total_bal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("__all__")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("__all__")).alias("nation"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT COALESCE(o_orderpriority, '__all__') AS priority,
+           COALESCE(o_orderstatus, '__all__') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_c('o_totalprice')}) AS BIGINT) / 100.0 AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over priority × status — all four grouping sets in
+    one Expand + single-shuffle aggregation (beyond the reference)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("__all__")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("__all__")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    f"""
+    SELECT o_orderpriority AS priority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN {_c('o_totalprice')} ELSE 0 END) AS BIGINT) / 100.0 AS open_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-status categories widened to columns per priority.
+
+    The explicit value list ('O','F','P') keeps the plan a single
+    groupBy-aggregate (no extra distinct-values job, stable schema) —
+    the form to use at 100 TB; Spark's value-discovering pivot overload
+    runs an eager distinct first. The oracle is the equivalent
+    conditional aggregation (DuckDB's PIVOT is syntax sugar for the
+    same)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count(*) is rejected inside Pivot
+            F.sum(cents("o_totalprice")).alias("cents"),
+        )
+        .select(
+            "priority",
+            F.coalesce("O_n", F.lit(0)).alias("n_open"),
+            F.coalesce("F_n", F.lit(0)).alias("n_finished"),
+            F.coalesce("P_n", F.lit(0)).alias("n_pending"),
+            (F.coalesce("O_cents", F.lit(0)) / 100.0).alias("open_total"),
+        )
+    )
+
+
+@register(
+    "window_percent_rank",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(10) OVER w AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / decile ntile over a totally-ordered
+    window (o_orderkey tie-break ⇒ identical ranks on both engines;
+    each value is a single IEEE division of exact integer ranks)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
