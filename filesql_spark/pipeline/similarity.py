@@ -443,3 +443,36 @@ def ivf_topk(
     train once with :func:`ivf_index`, serve many)."""
     index = df if isinstance(df, IvfIndex) else ivf_index(df, n=n)
     return ivf_serve(index, queries, k=k)
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid of an embedding column — the class-prototype /
+    cluster-summary statistic (e.g. seeding nearest-class-mean
+    classifiers, drift dashboards, IVF warm starts).
+
+    Output: one row per (label, pos) with the centroid coordinate and the
+    label's vector count — exploded scalar rows, not an array column, so
+    downstream SQL (and the DuckDB oracle) can compare values directly.
+
+    Determinism: vectors are quantized to int64 (×1e4) BEFORE summing, so
+    the per-coordinate sum is order-independent exact integer math; the
+    mean is two chained IEEE divisions (sum/1e4/n) — identical on any
+    partitioning and in the oracle. Scale: posexplode fans each vector
+    into dim rows map-side, then one hash-shuffle on (label, pos) with
+    map-side partial sums — group cardinality is labels × dim, tiny.
+    """
+    from filesql_spark.pipeline.dedup import quantize
+
+    exploded = df.select(
+        "label", F.posexplode(quantize(F.col(vec_col))).alias("pos", "q")
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.sum("q").alias("sq"), F.count("*").alias("n_vecs"))
+        .select(
+            "label",
+            "pos",
+            (F.col("sq").cast("double") / 10000.0 / F.col("n_vecs")).alias("mean_val"),
+            "n_vecs",
+        )
+    )

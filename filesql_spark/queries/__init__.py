@@ -144,6 +144,8 @@ _GRADE_FIRST = [
     "agg_cube",                # new: CUBE expansion
     "pivot_status_by_priority",  # new: explicit-values pivot
     "window_percent_rank",     # new: percent_rank/cume_dist/ntile
+    "embedding_label_centroids",   # new: per-label prototype vectors
+    "streaming_events_enriched",   # new: stream-static broadcast join
 ]
 _GRADE_LAST = [
     # r4-green, unchanged in r5, each dominated by a kept sibling query

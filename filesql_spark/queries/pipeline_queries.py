@@ -1281,3 +1281,49 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.pipeline.text import repetition_metrics
 
     return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_label_centroids",
+    f"""
+    WITH qv AS (
+        SELECT label, {_QVEC} AS q FROM embeddings
+    ),
+    pos AS (
+        SELECT label, q, unnest(generate_series(1, len(q))) AS p FROM qv
+    )
+    SELECT label,
+           CAST(p - 1 AS INTEGER) AS pos,
+           CAST(SUM(q[p]) AS BIGINT)::DOUBLE / 10000.0 / COUNT(*) AS mean_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM pos GROUP BY label, p
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, exploded to (label, pos, mean_val,
+    n_vecs) scalar rows (pipeline/similarity.py label_centroids)."""
+    from filesql_spark.pipeline.similarity import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "streaming_events_enriched",
+    f"""
+    SELECT n.n_name, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, e.event_type
+    """,
+)
+def streaming_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + aggregate (streaming.py
+    events_enriched_stream); the batch three-way join is the exact
+    oracle — enrichment joins are state-free, so streaming and batch
+    results coincide."""
+    from filesql_spark.streaming import events_enriched_stream
+
+    return events_enriched_stream(spark, sf_dir)

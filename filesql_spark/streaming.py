@@ -238,3 +238,35 @@ def documents_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spark.table(_run_to_memory(agg, "documents_dedup"))
+
+
+def events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    customer→nation dimension (static side), aggregated per (nation,
+    event_type) — the canonical streaming-ETL enrichment shape.
+
+    The static side is a batch DataFrame joined into every micro-batch;
+    dimension tables are broadcast (plan-wise identical to the batch
+    path's broadcast-hash join), so the stream never shuffles for the
+    join — only the final aggregate shuffles on the tiny group key. At
+    scale the dimension refreshes by re-reading per micro-batch; no
+    stream-stream state is involved. Exact integer-cents money sum.
+    """
+    stream = _file_stream(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+            F.col("c_custkey").alias("user_id"), "n_name"
+        )
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        stream.join(dim, "user_id")
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents) / 100.0).alias("total_value"),
+        )
+    )
+    return spark.table(_run_to_memory(agg, "events_enriched"))
