@@ -260,3 +260,83 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         dup_trigram.alias("dup_trigram_frac"),
         keep.alias("pass_repetition"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword search: top-k documents for a fixed query-term list.
+
+    Output: (doc_id, dl, tf_<term>..., score), ordered by (score desc,
+    doc_id) LIMIT k — a total order.
+
+    Scoring uses the rational Robertson-Sparck-Jones idf
+    ``(N - df + 0.5) / (df + 0.5)`` — deliberately NOT ``ln`` of it:
+    every op here (+,-,*,/) is IEEE-754 correctly-rounded and therefore
+    bit-identical across engines, while ``ln`` is implementation-defined
+    and measured to differ by 1 ulp between the JVM and DuckDB on ~8% of
+    inputs — enough to flip an exact result hash. Per-term idf is
+    monotone in df exactly like the log form, so per-term ranking is
+    unchanged; the summed score weighs rare terms more sharply.
+
+    Scale: one corpus pass computes per-doc (dl, tf_i) as column
+    expressions (no shuffle); one scalar aggregate derives (N, avgdl,
+    df_i); the one-row stats broadcast back (crossJoin(broadcast)) — no
+    inverted index is materialized, which is the right shape when the
+    query set is small and ad hoc. The final top-k is
+    TakeOrderedAndProject, never a full sort.
+    """
+    c = F.col(text_col)
+    t = tokens(c)
+    base = df.select(
+        "doc_id",
+        F.size(t).cast("long").alias("dl"),
+        # NB: the closure must keep arity 1 — a `lambda x, trm=trm:` default
+        # arg makes PySpark bind the second param to the array INDEX
+        *[
+            F.size(F.filter(t, (lambda trm: lambda x: x == F.lit(trm))(trm)))
+            .cast("long")
+            .alias(f"tf_{trm}")
+            for trm in terms
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf_{trm}") > 0).cast("long")).alias(f"df_{trm}")
+            for trm in terms
+        ],
+    ).select(
+        "n",
+        (F.col("sdl").cast("double") / F.col("n")).alias("avgdl"),
+        *[
+            (
+                ((F.col("n") - F.col(f"df_{trm}")).cast("double") + F.lit(0.5))
+                / (F.col(f"df_{trm}").cast("double") + F.lit(0.5))
+            ).alias(f"idf_{trm}")
+            for trm in terms
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    one_minus_b = 1.0 - b
+    norm = F.lit(k1) * (
+        F.lit(one_minus_b) + ((F.lit(b) * F.col("dl")) / F.col("avgdl"))
+    )
+    score = None
+    for trm in terms:
+        tf = F.col(f"tf_{trm}")
+        s = F.col(f"idf_{trm}") * ((tf * F.lit(k1 + 1.0)) / (tf + norm))
+        score = s if score is None else score + s
+    return (
+        joined.select(
+            "doc_id", "dl", *[f"tf_{trm}" for trm in terms], score.alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )

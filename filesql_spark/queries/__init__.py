@@ -146,6 +146,7 @@ _GRADE_FIRST = [
     "window_percent_rank",     # new: percent_rank/cume_dist/ntile
     "embedding_label_centroids",   # new: per-label prototype vectors
     "streaming_events_enriched",   # new: stream-static broadcast join
+    "text_bm25_search",        # new: BM25 top-k keyword search
 ]
 _GRADE_LAST = [
     # r4-green, unchanged in r5, each dominated by a kept sibling query

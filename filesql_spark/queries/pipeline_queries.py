@@ -1327,3 +1327,68 @@ def streaming_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.streaming import events_enriched_stream
 
     return events_enriched_stream(spark, sf_dir)
+
+
+_BM25_TERMS = ["spark", "vector", "the"]  # varied df: mid / rare / common
+
+
+def _bm25_oracle(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Twin of text.bm25_topk — arithmetic written with the same shape and
+    float literals (repr round-trip) so every op is the identical IEEE
+    correctly-rounded step; no transcendentals anywhere (see bm25_topk's
+    rational-idf rationale)."""
+    # DuckDB parses bare float literals as DECIMAL (exact arithmetic!) —
+    # BIGINT * DECIMAL stays exact where the JVM does IEEE double math
+    # (measured: 6 * 2.2 differs in the last ulp). CAST every float
+    # literal to DOUBLE so both engines run the identical IEEE ops.
+    d = lambda v: f"CAST({v!r} AS DOUBLE)"
+    k1p1, omb = d(k1 + 1.0), d(1.0 - b)
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    idf_cols = ",\n               ".join(
+        f"(CAST(n - df_{t} AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_{t} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS idf_{t}"
+        for t in terms
+    )
+    norm = f"({d(k1)} * ({omb} + (({d(b)} * dl) / avgdl)))"
+    score = None
+    for t in terms:
+        s = f"(idf_{t} * ((tf_{t} * {k1p1}) / (tf_{t} + {norm})))"
+        score = s if score is None else f"({score} + {s})"
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS BIGINT) AS sdl,
+               {df_cols}
+        FROM base
+    ),
+    one AS (
+        SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl,
+               {idf_cols}
+        FROM stats
+    )
+    SELECT doc_id, dl, {', '.join(f'tf_{t}' for t in terms)},
+           {score} AS score
+    FROM base, one
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@register("text_bm25_search", _bm25_oracle(_BM25_TERMS))
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search top-10 for a three-term query with varied
+    document frequencies (pipeline/text.py bm25_topk)."""
+    from filesql_spark.pipeline.text import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS)

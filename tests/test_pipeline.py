@@ -435,3 +435,24 @@ def test_dedup_components_covers_all_docs(spark):
     assert comp[2] == comp[7] == comp[4] == 2
     canon = [r.doc_id for r in out if r.is_canonical == 1]
     assert sorted(canon) == [0, 1, 2, 3, 5, 6, 8, 9]
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    """On a constructed corpus, the doc saturated with query terms must
+    outrank a doc with one hit, which outranks a doc with none; rare
+    terms must carry more weight than common ones (idf monotone)."""
+    from filesql_spark.pipeline.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark fast fast"),
+            (2, "spark slow slow slow slow"),
+            (3, "slow slow slow slow slow"),
+            (4, "fast slow slow slow slow"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["spark", "fast"], k=4).collect()
+    order = [r.doc_id for r in out]
+    assert order[0] == 1 and order[-1] == 3
+    assert {r.doc_id: r.tf_spark for r in out}[1] == 3
