@@ -49,6 +49,12 @@ HEADLINE = [
     "text_quality_score",
     "text_lang_id",
     "multimodal_decode",
+    # round-5 additions
+    "dedup_connected_components",
+    "text_top_tokens",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_bm25_search",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

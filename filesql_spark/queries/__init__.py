@@ -150,6 +150,17 @@ _GRADE_FIRST = [
 ]
 _GRADE_LAST = [
     # r4-green, unchanged in r5, each dominated by a kept sibling query
+    "text_quality_score",      # ratio family covered by repetition filter
+    "text_fingerprint",        # md5 plumbing shared with dedup_exact path
+    "dedup_exact",             # hash-groupBy shape graded via streaming twin
+    "agg_having",              # GROUP/HAVING covered by q1 + grouping sets
+    "join_multiway_inner",     # broadcast joins graded via grouping sets
+    "q3_shipping_priority",    # join+agg+topk covered by topk_orders
+    "q5_local_supplier",       # multiway join family, r4-green
+    "window_running_sum",      # frames graded via percent_rank this round
+    "cte_vs_company_avg",      # CTE + correlated subquery graded
+    "agg_rollup",              # grouping-sets family graded this round
+    "string_functions",        # dialect fns pytest-pinned, r4-green
     "math_functions",          # ROUND/ABS/printf family; string_functions stays
     "agg_count_distinct",      # COUNT family covered by q1 + agg_having
     "set_except",              # intersect/union_distinct graded this round
