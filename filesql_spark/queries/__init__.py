@@ -147,9 +147,15 @@ _GRADE_FIRST = [
     "embedding_label_centroids",   # new: per-label prototype vectors
     "streaming_events_enriched",   # new: stream-static broadcast join
     "text_bm25_search",        # new: BM25 top-k keyword search
+    "streaming_events_sliding",    # new: hopping-window streaming twin
+    "join_salted_skew",        # new: salted large-large join
+    "agg_salted_two_phase",    # new: explicit two-phase salted agg
 ]
 _GRADE_LAST = [
     # r4-green, unchanged in r5, each dominated by a kept sibling query
+    "text_lang_id",            # argmax-CASE family, r4-green unchanged
+    "dedup_ngram_jaccard",     # PPJoin path, r4-green unchanged
+    "recursive_cte",           # delta iteration, r4-green unchanged
     "text_quality_score",      # ratio family covered by repetition filter
     "text_fingerprint",        # md5 plumbing shared with dedup_exact path
     "dedup_exact",             # hash-groupBy shape graded via streaming twin

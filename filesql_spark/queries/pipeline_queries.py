@@ -1392,3 +1392,79 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.pipeline.text import bm25_topk
 
     return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@register(
+    "streaming_events_sliding",
+    f"""
+    WITH ex AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - (k.k * INTERVAL '15 minutes') AS window_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate under Structured Streaming (streaming.py
+    events_sliding_stream); shares the batch twin's explicit-fan-out
+    oracle — window fan-out and watermarked state eviction are
+    arrival-order-free under availableNow."""
+    from filesql_spark.streaming import events_sliding_stream
+
+    return events_sliding_stream(spark, sf_dir)
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (pipeline/skew.py salted_join): the hot-key
+    mitigation for large-large joins AQE can't rescue. The salt is a
+    key refinement the final aggregate removes, so the plain join+agg
+    is the exact oracle."""
+    from filesql_spark.pipeline.skew import salted_join
+    from filesql_spark.queries.relational import cents
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(e, c, "user_id", "c_custkey", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(cents("value")) / 100.0).alias("total_value"),
+    )
+
+
+@register(
+    "agg_salted_two_phase",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation (pipeline/skew.py): the hot
+    group-key spreads over 32 salt sub-groups before the per-key merge.
+    Decomposable exact-integer aggregates merge associatively, so the
+    plain GROUP BY is the exact oracle."""
+    from filesql_spark.pipeline.skew import salted_two_phase_agg
+    from filesql_spark.queries.relational import cents
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_two_phase_agg(
+        e, ["event_type"], {"value_cents": cents("value")}, n_salt=32
+    )

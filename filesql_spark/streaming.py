@@ -270,3 +270,34 @@ def events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spark.table(_run_to_memory(agg, "events_enriched"))
+
+
+def events_sliding_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding (hopping) 1-hour/15-minute window aggregate under
+    Structured Streaming — the streaming twin of the batch
+    ``events_sliding_window`` query, sharing its oracle.
+
+    Each event fans into 4 overlapping windows map-side (generator); the
+    fan-out collapses in the partial aggregation exactly as in batch, so
+    only per-(window, type) group rows hit the state store. The watermark
+    bounds state: windows older than (watermark + window length) are
+    finalized and evicted — without it, a hopping window's state grows
+    forever.
+    """
+    from filesql_spark.queries.relational import cents
+
+    stream = _file_stream(spark, sf_dir, "events")
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    return spark.table(_run_to_memory(agg, "events_sliding"))

@@ -456,3 +456,39 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     order = [r.doc_id for r in out]
     assert order[0] == 1 and order[-1] == 3
     assert {r.doc_id: r.tf_spark for r in out}[1] == 3
+
+
+def test_salted_ops_match_unsalted(spark):
+    """Salting is a key refinement the merge removes: salted_join and
+    salted_two_phase_agg must equal their plain one-shot counterparts
+    row-for-row, including a deliberately hot key (80% of rows)."""
+    from pyspark.sql import functions as F
+
+    from filesql_spark.pipeline.skew import salted_join, salted_two_phase_agg
+
+    left = spark.createDataFrame(
+        [(i, 7 if i % 5 else i % 3, float(i)) for i in range(200)],
+        "row_id long, k long, v double",
+    )
+    right = spark.createDataFrame(
+        [(j, f"g{j % 4}") for j in range(10)], "k long, grp string"
+    )
+    plain = (
+        left.join(right, "k")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("row_id").alias("s"))
+    )
+    salted = (
+        salted_join(left, right, "k", "k", n_salt=4)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("row_id").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    plain_agg = left.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum(F.col("row_id")).alias("s")
+    )
+    two_phase = salted_two_phase_agg(left, ["k"], {"s": F.col("row_id")}, n_salt=4)
+    assert sorted(map(tuple, plain_agg.collect())) == sorted(
+        map(tuple, two_phase.collect())
+    )
