@@ -53,9 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     _pin_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → microsecond timestamp (floor), matching DuckDB's truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos → microsecond timestamp (floor), matching DuckDB's truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer testdata writes TIMESTAMP(MICROS, isAdjustedToUTC=false),
+            # which Spark reads as TIMESTAMP_NTZ. unix_micros/watermarks need
+            # TIMESTAMP; the cast is an identity under the pinned UTC session
+            # timezone, restoring the dtype every operator was verified with.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

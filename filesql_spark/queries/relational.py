@@ -1320,9 +1320,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("session_start"),
             "n_events",
             "total_value",
-            (F.unix_micros("last_ts") - F.unix_micros(F.col("w.start"))).alias(
-                "session_us"
-            ),
+            (
+                F.unix_micros(F.col("last_ts").cast("timestamp"))
+                - F.unix_micros(F.col("w.start").cast("timestamp"))
+            ).alias("session_us"),
         )
     )
 

@@ -39,8 +39,13 @@ def _file_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         os.path.abspath(f"{sf_dir}/{table}.parquet"), f"{stream_dir}/{table}.parquet"
     )
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # otherwise); identity cast under the pinned UTC session timezone.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -112,9 +117,10 @@ def events_session_stream(
             F.col("w.start").alias("session_start"),
             "n_events",
             "total_value",
-            (F.unix_micros("last_ts") - F.unix_micros(F.col("w.start"))).alias(
-                "session_us"
-            ),
+            (
+                F.unix_micros(F.col("last_ts").cast("timestamp"))
+                - F.unix_micros(F.col("w.start").cast("timestamp"))
+            ).alias("session_us"),
         )
     )
     return spark.table(_run_to_memory(agg, "events_sessions"))
