@@ -55,6 +55,16 @@ HEADLINE = [
     "text_pii_redact",
     "text_repetition_filter",
     "text_bm25_search",
+    # round-6 additions (streaming_interval_join excluded: memory-sink
+    # streaming runs measure checkpoint setup, not the operator)
+    "sketch_hll_users",
+    "sketch_histogram_quantiles",
+    "layout_zorder_stats",
+    "pipeline_weighted_sample",
+    "dedup_incremental",
+    "text_rarity_score",
+    "window_range_interval",
+    "scd2_user_tier",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

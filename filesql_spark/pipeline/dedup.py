@@ -142,15 +142,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, text_col: str = "text", jaccard_threshold: float = 0.5
-) -> DataFrame:
-    """Candidate pairs via banding, verified with exact shingle Jaccard.
-
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
-    """
-    sigs = minhash_signatures(df, text_col)
-    bands = sigs.select(
+def band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): LSH band hashes from a signature table — the
+    equi-joinable bucket key shared by self-dedup and incremental dedup."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -169,6 +164,16 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Candidate pairs via banding, verified with exact shingle Jaccard.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    bands = band_table(minhash_signatures(df, text_col))
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -707,4 +712,78 @@ def dedup_components(
             .cast("int")
             .alias("is_canonical"),
         )
+    )
+
+
+def incremental_dedup(
+    base: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Snapshot-delta dedup: flag each INCOMING document against the BASE
+    corpus only — the daily-increment shape of a production pipeline.
+
+    The full-corpus self-dedup is O(candidate pairs over base ∪ delta)
+    every run; at 100 TB the base signatures/band table are materialized
+    ONCE and each day's delta joins against them, so per-run work is
+    incoming×(band collisions) — never base×base again. Two layers:
+
+    - exact: md5(text) equi-join against the base content-hash ledger;
+    - near: incoming band hashes equi-joined to base band hashes (the
+      same banding as :func:`minhash_lsh_pairs`), candidates verified
+      with exact shingle Jaccard.
+
+    Output: one row per incoming doc —
+    (doc_id, exact_dup_of, near_dup_of, near_jaccard), with the
+    deterministic MIN base doc as the canonical attribution and NULLs
+    for novel documents.
+    """
+    base_ledger = (
+        base.select(F.md5(F.col(text_col)).alias("ch"), "doc_id")
+        .groupBy("ch")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    # NOT broadcast: the ledger is base-corpus-sized. At scale this is a
+    # shuffle of the (small) delta against a bucketed-by-ch ledger table;
+    # here a plain hash join.
+    exact = (
+        incoming.select("doc_id", F.md5(F.col(text_col)).alias("ch"))
+        .join(base_ledger, "ch", "left")
+        .select("doc_id", "exact_dup_of")
+    )
+
+    bands_base = band_table(minhash_signatures(base, text_col)).withColumnRenamed(
+        "doc_id", "base_id"
+    )
+    bands_inc = band_table(minhash_signatures(incoming, text_col))
+    cand = (
+        bands_inc.join(bands_base, ["band", "bh"])
+        .select("doc_id", "base_id")
+        .distinct()
+    )
+
+    sets_base = add_shingles(base, text_col).select(
+        F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b")
+    )
+    sets_inc = add_shingles(incoming, text_col).select("doc_id", "sh")
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_b")))
+    union = F.size(F.col("sh")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union
+    ver = (
+        cand.join(sets_inc, "doc_id")
+        .join(sets_base, "base_id")
+        .select("doc_id", "base_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    near = ver.groupBy("doc_id").agg(F.min("base_id").alias("near_dup_of"))
+    nearj = near.join(
+        ver,
+        (near.doc_id == ver.doc_id) & (near.near_dup_of == ver.base_id),
+    ).select(near.doc_id, "near_dup_of", F.col("jaccard").alias("near_jaccard"))
+
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(nearj, "doc_id", "left")
     )

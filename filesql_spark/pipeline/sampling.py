@@ -15,7 +15,7 @@ and runs at scan speed on 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SPLIT_BUCKETS = 10_000
@@ -76,3 +76,81 @@ def stratified_sample(
             F.col(strata_col) == value, int(round(frac * SPLIT_BUCKETS))
         ).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+ORDER_BUCKET_BITS = 8  # 256 range buckets for the distributed prefix sum
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fully deterministic —
+    systematic (fixed-stride) selection over a hashed order. The
+    token-budgeted corpus subset pass: "give me k documents, long
+    documents proportionally more likely, same k documents every run on
+    any cluster". Yields exactly k rows whenever no single weight
+    exceeds total/k (a row spanning multiple stride points is picked
+    once, collapsing them).
+
+    How: rows are ordered by the md5-hash of their key (uniform, so the
+    order is independent of the weights), the integer weights are
+    prefix-summed along that order, and the k sample points
+    ``p_t = floor(t·total/k)+1`` pick the row whose cumulative interval
+    contains them — selection is ``ceil(cw·k/total)`` strictly
+    increasing across a row's interval, all integer arithmetic (`div`),
+    so DuckDB's window-function formulation is the exact oracle.
+
+    Scale: a naive running sum over a global ORDER BY is one task. Here
+    the prefix sum is distributed the classic way — the top
+    ORDER_BUCKET_BITS bits of the hash range-bucket the order (bucket
+    order == hash order because it's a bit-prefix), the running sum runs
+    per-bucket in parallel, and only the ≤256-row bucket-total table
+    pays a single-task window before being broadcast back as offsets.
+    Every weight ≥ 1 guarantees exactly k selected rows.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    t = df.select(
+        F.col(key_col),
+        w.alias("w"),
+        h.alias("h"),
+        F.shiftright(h, 60 - ORDER_BUCKET_BITS).alias("bkt"),
+    )
+    intra = (
+        Window.partitionBy("bkt")
+        .orderBy("h", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("cw_in", F.sum("w").over(intra))
+    totals = t.groupBy("bkt").agg(F.sum("w").alias("bw"))
+    prior = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("bw").over(prior), F.lit(0)).alias("off")
+    )
+    total = df.agg(F.sum(w).alias("total"))
+    return (
+        t.join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            key_col,
+            "w",
+            "off + cw_in AS cw",
+            "off + cw_in - w AS pw",
+            "total",
+        )
+        .selectExpr(
+            key_col,
+            "w AS weight",
+            "cw AS cum_weight",
+            f"(pw * {k} + total - 1) div total AS sample_idx",
+            f"(cw * {k} + total - 1) div total AS c_now",
+            f"(pw * {k} + total - 1) div total AS c_prev",
+        )
+        .where("c_now > c_prev")
+        .drop("c_now", "c_prev")
+    )

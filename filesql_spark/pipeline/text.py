@@ -340,3 +340,46 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
+
+
+def rarity_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mean corpus frequency of each document's tokens — the lexical
+    rarity/OOV quality signal: documents whose tokens are rare in the
+    corpus (typos, code dumps, foreign scripts, boilerplate IDs) score
+    low and get routed to heavier filters. The rational surrogate for a
+    unigram-LM log-likelihood that stays engine-exact: one IEEE division
+    of two exact integers per document, no ``ln`` (libm last-ulp
+    differences would break the oracle hash).
+
+    Two-pass dataflow: (1) explode tokens → groupBy(token) builds the
+    corpus term-frequency table (one shuffle, map-side combine; vocab ≪
+    corpus); (2) tokens join the vocab — BROADCAST, since even a 100-TB
+    web corpus's a-z vocabulary is millions of rows, not billions — and
+    re-aggregate per document (shuffle on doc_id). No skew trap: the
+    hot tokens ("the") sit on the broadcast side.
+
+    Output: (doc_id, n_tokens, freq_sum, mean_token_freq), zero-token
+    documents kept with 0/0/0.0.
+    """
+    toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    per_doc = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("tf").alias("freq_sum"))
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("freq_sum"), F.lit(0)).cast("long").alias("freq_sum"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.col("freq_sum").cast("double") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_token_freq"),
+        )
+    )

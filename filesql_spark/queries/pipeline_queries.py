@@ -1468,3 +1468,228 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_two_phase_agg(
         e, ["event_type"], {"value_cents": cents("value")}, n_salt=32
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: stream-stream join, sketches, layout, weighted sampling, rarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming.py
+    events_interval_join_stream): clicks joined to same-user purchases
+    within 30 minutes. State evicts by watermark + time bound; the
+    availableNow run is arrival-order-free, so the plain batch
+    self-join is the exact oracle."""
+    from filesql_spark.streaming import events_interval_join_stream
+
+    return events_interval_join_stream(spark, sf_dir)
+
+
+def _hll_oracle() -> str:
+    from filesql_spark.pipeline.sketch import hll_oracle_sql
+
+    return hll_oracle_sql("event_type", "user_id", "events")
+
+
+@register("sketch_hll_users", _hll_oracle())
+def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event type
+    (pipeline/sketch.py): md5-bit registers, exact-integer harmonic sum,
+    mergeable MAX state — the COUNT(DISTINCT)-without-the-shuffle
+    operator, with the exact count alongside for calibration."""
+    from filesql_spark.pipeline.sketch import hll_distinct
+
+    return hll_distinct(load_table(spark, sf_dir, "events"), ["event_type"], "user_id")
+
+
+def _zorder_oracle() -> str:
+    from filesql_spark.pipeline.layout import z_value_sql
+
+    hour_rel = (
+        "((epoch_us(ts) - (SELECT MIN(epoch_us(ts)) FROM events)) // 3600000000)"
+    )
+    z = z_value_sql("user_id", hour_rel)
+    return f"""
+    WITH b AS (
+        SELECT (user_id & 65535) AS da,
+               ({hour_rel} & 65535) AS db,
+               ({z} >> 12) AS zfile
+        FROM events
+    )
+    SELECT zfile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(da) AS BIGINT) AS a_min, CAST(MAX(da) AS BIGINT) AS a_max,
+           CAST(MIN(db) AS BIGINT) AS b_min, CAST(MAX(db) AS BIGINT) AS b_max
+    FROM b GROUP BY zfile
+    """
+
+
+@register("layout_zorder_stats", _zorder_oracle())
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of events on (user_id, hours since
+    corpus start) with per-file min/max spans of both dimensions
+    (pipeline/layout.py) — the layout-maintenance pass that makes
+    two-dimensional predicate pruning work on a 100-TB table. The hour
+    offset anchors the key space at zero so files tile the occupied
+    grid; file_shift=12 → each file a 64x64-cell rectangle."""
+    from filesql_spark.pipeline.layout import zorder_file_stats
+
+    e = load_table(spark, sf_dir, "events")
+    t0 = e.agg(F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("t0"))
+    ehr = e.crossJoin(F.broadcast(t0)).withColumn(
+        "hour_rel",
+        F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) - t0) div 3600000000"),
+    )
+    return zorder_file_stats(
+        ehr, F.col("user_id"), F.col("hour_rel"), file_shift=12
+    )
+
+
+@register(
+    "pipeline_weighted_sample",
+    """
+    WITH t AS (
+        SELECT doc_id, GREATEST(n_chars, 1)::BIGINT AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w,
+               CAST(SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER () AS BIGINT) AS total
+        FROM t
+    )
+    SELECT doc_id, w AS weight, cw AS cum_weight,
+           ((cw - w) * 100 + total - 1) // total AS sample_idx
+    FROM c
+    WHERE (cw * 100 + total - 1) // total
+        > ((cw - w) * 100 + total - 1) // total
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-document weighted sample, char-count weighted,
+    deterministic across runs and cluster layouts (pipeline/sampling.py
+    weighted_systematic_sample; distributed two-phase prefix sum). The
+    oracle is the single-window formulation of the same stride rule."""
+    from filesql_spark.pipeline.sampling import weighted_systematic_sample
+
+    return weighted_systematic_sample(
+        load_table(spark, sf_dir, "documents"), 100, "n_chars"
+    )
+
+
+@register(
+    "text_rarity_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf) AS BIGINT) AS freq_sum
+        FROM toks JOIN freq USING (tok) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.freq_sum, 0) AS freq_sum,
+           CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                THEN COALESCE(p.freq_sum, 0)::DOUBLE / p.n_tokens
+                ELSE 0.0 END AS mean_token_freq
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean corpus token frequency (pipeline/text.py
+    rarity_score) — the unigram-LM quality surrogate kept rational for
+    engine-exact comparison; broadcast vocab join, hot tokens never
+    shuffle."""
+    from filesql_spark.pipeline.text import rarity_score
+
+    return rarity_score(load_table(spark, sf_dir, "documents"))
+
+
+def _hist_oracle() -> str:
+    from filesql_spark.pipeline.sketch import histogram_quantiles_oracle_sql
+
+    return histogram_quantiles_oracle_sql("event_type", "value", "events")
+
+
+@register("sketch_histogram_quantiles", _hist_oracle())
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch per event type
+    (pipeline/sketch.py): p50/p95 read off a SUM-mergeable (group, bin)
+    count table — the no-sort quantile path; exact integer binning makes
+    the sketch and the answers engine-identical."""
+    from filesql_spark.pipeline.sketch import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value"
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()},
+    inc_cand AS (
+        SELECT DISTINCT i.doc_id AS doc_id, b.doc_id AS base_id
+        FROM bands i JOIN bands b ON i.band = b.band AND i.bh = b.bh
+        WHERE i.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    ),
+    ver AS (
+        SELECT c.doc_id, c.base_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS jaccard
+        FROM inc_cand c
+        JOIN sets a ON c.doc_id = a.doc_id
+        JOIN sets b ON c.base_id = b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= 0.5
+    ),
+    near AS (SELECT doc_id, MIN(base_id) AS near_dup_of FROM ver GROUP BY doc_id),
+    nearj AS (
+        SELECT v.doc_id, v.base_id AS near_dup_of, v.jaccard AS near_jaccard
+        FROM ver v JOIN near n
+          ON v.doc_id = n.doc_id AND v.base_id = n.near_dup_of
+    ),
+    ex AS (
+        SELECT i.doc_id, MIN(b.doc_id) AS exact_dup_of
+        FROM documents i JOIN documents b ON md5(i.text) = md5(b.text)
+        WHERE i.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+        GROUP BY i.doc_id
+    )
+    SELECT d.doc_id, ex.exact_dup_of, nearj.near_dup_of, nearj.near_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN ex USING (doc_id)
+    LEFT JOIN nearj USING (doc_id)
+    """
+
+
+@register("dedup_incremental", _incremental_dedup_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-delta dedup (pipeline/dedup.py incremental_dedup): docs
+    with doc_id % 10 == 0 play the daily delta, the rest the standing
+    base corpus — each delta doc flagged exact (content-hash ledger) and
+    near (incoming-vs-base band join, Jaccard-verified), base×base never
+    recomputed."""
+    from filesql_spark.pipeline.dedup import incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 10 != 0)
+    incoming = d.where(F.col("doc_id") % 10 == 0)
+    return incremental_dedup(base, incoming)

@@ -1576,3 +1576,120 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@register(
+    "window_range_interval",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS cents_last_hour
+    FROM (SELECT event_id, user_id, value,
+                 epoch_us(ts) // 1000000 AS sec
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window over event time: per event, how many events
+    (and how much value) the same user produced in the preceding hour —
+    the rate/velocity feature a fraud or engagement pipeline computes.
+
+    ROWS frames count rows; this is a true VALUE-range frame
+    (``rangeBetween`` on integer epoch seconds, peers included), the
+    window-frame family member SURVEY §2.B's frame row didn't yet
+    exercise. One shuffle on user_id; integer-cents SUM keeps the frame
+    aggregate order-independent, and truncated whole seconds make the
+    frame boundary identical in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select("event_id", "user_id", sec.alias("sec"), cents("value").alias("cts")).select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum("cts").over(w).alias("cents_last_hour"),
+    )
+
+
+@register(
+    "scd2_user_tier",
+    """
+    WITH t AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS tier
+        FROM events
+    ),
+    x AS (
+        SELECT user_id, ts, event_id, tier,
+               CASE WHEN tier IS DISTINCT FROM
+                         LAG(tier) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS chg
+        FROM t
+    ),
+    runs AS (
+        SELECT user_id, ts, tier,
+               CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM x
+    ),
+    iv AS (
+        SELECT user_id, version, tier,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, version, tier
+    )
+    SELECT user_id, version, tier, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           n_events
+    FROM iv
+    """,
+)
+def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build — collapse a change
+    stream into validity intervals: per user, consecutive runs of the
+    same derived attribute ("tier" = value band of each event) become
+    one versioned row with [valid_from, valid_to), open-ended for the
+    current version. The CDC→dimension-history operator a warehouse
+    maintains from an event feed.
+
+    Gaps-and-islands: LAG marks change points, a running SUM numbers the
+    runs (exact integers), one groupBy collapses them, LEAD closes each
+    interval with the next run's start. One shuffle on user_id — every
+    window and the aggregate reuse the same partitioning.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tier = F.when(F.col("value") >= 100, "high").otherwise("low")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = (
+        e.select("user_id", "ts", "event_id", tier.alias("tier"))
+        .withColumn(
+            "chg",
+            F.when(
+                ~F.col("tier").eqNullSafe(F.lag("tier").over(order_w)), 1
+            ).otherwise(0),
+        )
+        .withColumn("version", F.sum("chg").over(run_w))
+    )
+    iv = runs.groupBy("user_id", "version", "tier").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    lead_w = Window.partitionBy("user_id").orderBy("version")
+    return iv.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(lead_w).alias("valid_to"),
+        "n_events",
+    )

