@@ -65,6 +65,7 @@ HEADLINE = [
     "text_rarity_score",
     "window_range_interval",
     "scd2_user_tier",
+    "pipeline_pack_sequences",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -81,35 +81,19 @@ def stratified_sample(
 ORDER_BUCKET_BITS = 8  # 256 range buckets for the distributed prefix sum
 
 
-def weighted_systematic_sample(
-    df: DataFrame,
-    k: int,
-    weight_col: str,
-    key_col: str = "doc_id",
+def hashed_prefix_sum(
+    df: DataFrame, key_col: str, weight_col: str
 ) -> DataFrame:
-    """Weighted sampling WITHOUT replacement, fully deterministic —
-    systematic (fixed-stride) selection over a hashed order. The
-    token-budgeted corpus subset pass: "give me k documents, long
-    documents proportionally more likely, same k documents every run on
-    any cluster". Yields exactly k rows whenever no single weight
-    exceeds total/k (a row spanning multiple stride points is picked
-    once, collapsing them).
+    """(key, w, cw, total): exclusive-start cumulative weights along the
+    md5-hash order of ``key_col`` — the distributed prefix sum shared by
+    weighted sampling and sequence packing.
 
-    How: rows are ordered by the md5-hash of their key (uniform, so the
-    order is independent of the weights), the integer weights are
-    prefix-summed along that order, and the k sample points
-    ``p_t = floor(t·total/k)+1`` pick the row whose cumulative interval
-    contains them — selection is ``ceil(cw·k/total)`` strictly
-    increasing across a row's interval, all integer arithmetic (`div`),
-    so DuckDB's window-function formulation is the exact oracle.
-
-    Scale: a naive running sum over a global ORDER BY is one task. Here
-    the prefix sum is distributed the classic way — the top
-    ORDER_BUCKET_BITS bits of the hash range-bucket the order (bucket
-    order == hash order because it's a bit-prefix), the running sum runs
-    per-bucket in parallel, and only the ≤256-row bucket-total table
-    pays a single-task window before being broadcast back as offsets.
-    Every weight ≥ 1 guarantees exactly k selected rows.
+    Scale: a running sum over a global ORDER BY is one task. Here the
+    top ORDER_BUCKET_BITS bits of the hash range-bucket the order
+    (bucket order == hash order because it's a bit-prefix), the running
+    sum runs per-bucket in parallel, and only the ≤256-row bucket-total
+    table pays a single-task window before being broadcast back as
+    offsets. Weights are clamped to ≥ 1 integers.
     """
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
@@ -136,13 +120,39 @@ def weighted_systematic_sample(
     return (
         t.join(F.broadcast(offsets), "bkt")
         .crossJoin(F.broadcast(total))
-        .selectExpr(
-            key_col,
-            "w",
-            "off + cw_in AS cw",
-            "off + cw_in - w AS pw",
-            "total",
-        )
+        .selectExpr(key_col, "w", "off + cw_in AS cw", "total")
+    )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fully deterministic —
+    systematic (fixed-stride) selection over a hashed order. The
+    token-budgeted corpus subset pass: "give me k documents, long
+    documents proportionally more likely, same k documents every run on
+    any cluster". Yields exactly k rows whenever no single weight
+    exceeds total/k (a row spanning multiple stride points is picked
+    once, collapsing them).
+
+    How: rows are ordered by the md5-hash of their key (uniform, so the
+    order is independent of the weights), the integer weights are
+    prefix-summed along that order, and the k sample points
+    ``p_t = floor(t·total/k)+1`` pick the row whose cumulative interval
+    contains them — selection is ``ceil(cw·k/total)`` strictly
+    increasing across a row's interval, all integer arithmetic (`div`),
+    so DuckDB's window-function formulation is the exact oracle.
+
+    Scale: the distributed prefix sum is :func:`hashed_prefix_sum` (only
+    a ≤256-row bucket-total table is single-task). Every weight ≥ 1
+    guarantees exactly k selected rows.
+    """
+    return (
+        hashed_prefix_sum(df, key_col, weight_col)
+        .selectExpr(key_col, "w", "cw", "cw - w AS pw", "total")
         .selectExpr(
             key_col,
             "w AS weight",
@@ -153,4 +163,34 @@ def weighted_systematic_sample(
         )
         .where("c_now > c_prev")
         .drop("c_now", "c_prev")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the training-prep step that
+    turns a token-counted corpus into fixed-budget training sequences:
+    documents are laid end-to-end along a deterministic hashed order and
+    the concatenation is cut every ``budget`` tokens.
+
+    Output per document: (key, n_tokens, start_offset, pack_id,
+    end_pack_id) — the global token offset where the document starts,
+    the pack that offset falls in (``start div budget``), and the pack
+    its last token falls in (documents longer than the remaining room
+    straddle packs; end_pack_id - pack_id = extra chunks the loader
+    splits it into). Everything is exact integer arithmetic over
+    :func:`hashed_prefix_sum`, so the single-window SQL formulation is
+    the exact oracle, and the layout is identical on any cluster/run —
+    resumable training needs that.
+    """
+    return hashed_prefix_sum(df, key_col, weight_col).selectExpr(
+        key_col,
+        "w AS n_tokens",
+        "cw - w AS start_offset",
+        f"(cw - w) div {budget} AS pack_id",
+        f"(cw - 1) div {budget} AS end_pack_id",
     )

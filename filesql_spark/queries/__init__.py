@@ -121,6 +121,8 @@ _GRADE_FIRST = [
     "text_rarity_score",         # rational unigram-rarity quality score
     "window_range_interval",     # RANGE-framed (value-range) window
     "scd2_user_tier",            # SCD2 validity-interval history build
+    "pipeline_pack_sequences",   # concat-and-chunk token packing
+    "streaming_dedup_within_watermark",  # watermark-bounded key dedup
     # events-family whose ts dtype changed this round, last driver row r4
     "events_sessionize",
     "events_sliding_window",
@@ -162,16 +164,16 @@ _GRADE_FIRST = [
     "derived_table",
     "scalar_subquery_select",
     "window_row_number",
-    "window_agg_over",
-    "filter_like_ci",
     "window_rank",
 ]
 _GRADE_LAST = [
-    # r4-tail overflow — the 50-slot window is full this round; these three
+    # r4-tail overflow — the 50-slot window is full this round; these five
     # are pytest-pinned (oracle mirror green) and go first in the r7 window
     "multimodal_resize",
     "multimodal_extract_features",
     "join_theta_selfjoin",
+    "window_agg_over",
+    "filter_like_ci",
     # all r5-green (regenerated CORRECTNESS_r05 after the ts fix), unchanged
     "agg_median",
     "date_julianday_span",

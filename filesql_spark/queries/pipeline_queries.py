@@ -1693,3 +1693,47 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.where(F.col("doc_id") % 10 != 0)
     incoming = d.where(F.col("doc_id") % 10 == 0)
     return incremental_dedup(base, incoming)
+
+
+@register(
+    "pipeline_pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id, GREATEST(n_chars, 1)::BIGINT AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w,
+               CAST(SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw
+        FROM t
+    )
+    SELECT doc_id, w AS n_tokens, cw - w AS start_offset,
+           (cw - w) // 2048 AS pack_id,
+           (cw - 1) // 2048 AS end_pack_id
+    FROM c
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 2048-token budgets
+    (pipeline/sampling.py pack_sequences): deterministic hashed layout +
+    distributed prefix sum assigns every document its pack and offset —
+    the batch-prep step feeding a training dataloader."""
+    from filesql_spark.pipeline.sampling import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), 2048, "n_chars")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key dedup under Structured Streaming with watermark-bounded state
+    (streaming.py events_dedup_keys_stream, dropDuplicatesWithinWatermark
+    — state for a key is dropped once the watermark passes it; emitted
+    key set equals DISTINCT, the exact oracle)."""
+    from filesql_spark.streaming import events_dedup_keys_stream
+
+    return events_dedup_keys_stream(spark, sf_dir)

@@ -366,3 +366,27 @@ def events_interval_join_stream(
         ).alias("gap_us"),
     )
     return spark.table(_run_to_memory(joined, "events_funnel", mode="append"))
+
+
+def events_dedup_keys_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming key dedup via ``dropDuplicatesWithinWatermark``: emit
+    each (user_id, event_type) pair once. Unlike plain dropDuplicates
+    (whose key state grows forever), the within-watermark variant evicts
+    a key's state once the watermark passes its event time — the only
+    sane config for an unbounded stream at cluster scale.
+
+    Determinism: which physical row survives depends on arrival order,
+    so the operator projects to the KEY COLUMNS (+ts for the watermark)
+    and returns keys only — the emitted set equals DISTINCT keys, the
+    exact oracle."""
+    stream = _file_stream(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return spark.table(_run_to_memory(deduped, "events_key_dedup", mode="append"))

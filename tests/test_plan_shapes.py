@@ -255,3 +255,46 @@ def test_lsh_multiband_dedup_is_partial_agg(spark):
     assert "band" in plan and "cell" in plan
     # partial_max(cos) before the shuffle = map-side dedupe
     assert "partial_max" in plan
+
+
+def test_rarity_vocab_join_broadcasts(spark, qs):
+    """text_rarity_score's token→vocab join must broadcast the vocab side
+    (hot tokens like 'the' would otherwise skew a shuffle join)."""
+    plan = _formatted(qs["text_rarity_score"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark, qs):
+    """dedup_incremental: band candidates and both verify joins are
+    equi-joins; nothing may degenerate to a cartesian/BNLJ pair blow-up."""
+    plan = _formatted(qs["dedup_incremental"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_partial_aggregation(spark, qs):
+    """HLL registers must partial-aggregate map-side: a HashAggregate
+    runs before each Exchange, so at most m rows per group per task hit
+    the wire — the sketch's whole point."""
+    from filesql_spark.pipeline.sketch import hll_registers
+    from filesql_spark.queries import load_table
+
+    plan = _formatted(
+        hll_registers(load_table(spark, SF, "events"), ["event_type"], "user_id")
+    )
+    assert "HashAggregate" in plan
+    # partial_max marks the map-side combine of the register MAX, and the
+    # one exchange partitions on (group, bucket)
+    assert "partial_max" in plan
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_pack_sequences_single_task_window_is_bucket_totals_only(spark, qs):
+    """The only single-partition window in the prefix-sum plan must be
+    over the ≤256-row bucket-total table, never the corpus: the corpus
+    window is partitioned by bkt."""
+    plan = _formatted(qs["pipeline_pack_sequences"](spark, SF))
+    # corpus-side running sum partitioned by bkt
+    assert "Window" in plan
+    assert "hashpartitioning(bkt" in plan

@@ -272,3 +272,35 @@ def test_scd2_intervals_are_contiguous(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
             assert a.tier != b.tier
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Packing invariants: offsets tile the concatenation exactly (sorted
+    start_offsets + lengths chain with no gap/overlap), every pack except
+    the last is full, and the layout is stable under repartitioning."""
+    from filesql_spark.pipeline.sampling import pack_sequences
+
+    d = load_table(spark, SF, "documents")
+    rows = pack_sequences(d, 2048, "n_chars").collect()
+    rows.sort(key=lambda r: r.start_offset)
+    off = 0
+    for r in rows:
+        assert r.start_offset == off
+        assert r.pack_id == r.start_offset // 2048
+        assert r.end_pack_id == (r.start_offset + r.n_tokens - 1) // 2048
+        off += r.n_tokens
+    again = pack_sequences(d.repartition(5), 2048, "n_chars").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_dedup_within_watermark_equals_distinct(spark):
+    from filesql_spark.streaming import events_dedup_keys_stream
+
+    out = events_dedup_keys_stream(spark, SF)
+    e = load_table(spark, SF, "events")
+    distinct = e.select("user_id", "event_type").distinct()
+    assert out.count() == distinct.count()
+    assert out.exceptAll(distinct).count() == 0
