@@ -66,6 +66,8 @@ HEADLINE = [
     "window_range_interval",
     "scd2_user_tier",
     "pipeline_pack_sequences",
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -65,6 +65,15 @@ _STRFTIME_EXPR = {
         "lpad(CAST(CAST(floor((dayofyear({x}) + 6 - "
         "(dayofweek({x}) - 1)) / 7) AS INT) AS STRING), 2, '0')"
     ),
+    # SQLite %J: Julian day number incl. fraction, rendered with %.16g —
+    # 16 significant digits = 9 decimals for the 7-integer-digit julian
+    # days of the modern era — trailing zeros (and a bare trailing dot)
+    # stripped; fuzz-tested vs sqlite3
+    "%J": (
+        "regexp_replace(CAST(CAST("
+        "unix_micros(CAST({x} AS TIMESTAMP)) / 86400000000.0 + 2440587.5 "
+        "AS DECIMAL(20, 9)) AS STRING), '\\\\.?0+$', '')"
+    ),
     # %k / %l: space-padded 24h / 12h hour (SQLite 3.46 additions)
     "%k": "lpad(CAST(hour({x}) AS STRING), 2, ' ')",
     "%l": (

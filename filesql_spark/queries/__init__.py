@@ -123,6 +123,8 @@ _GRADE_FIRST = [
     "scd2_user_tier",            # SCD2 validity-interval history build
     "pipeline_pack_sequences",   # concat-and-chunk token packing
     "streaming_dedup_within_watermark",  # watermark-bounded key dedup
+    "events_funnel",             # ordered conversion funnel
+    "events_retention_cohorts",  # cohort retention triangle
     # events-family whose ts dtype changed this round, last driver row r4
     "events_sessionize",
     "events_sliding_window",
@@ -163,17 +165,17 @@ _GRADE_FIRST = [
     "set_union_all",
     "derived_table",
     "scalar_subquery_select",
-    "window_row_number",
-    "window_rank",
 ]
 _GRADE_LAST = [
-    # r4-tail overflow — the 50-slot window is full this round; these five
-    # are pytest-pinned (oracle mirror green) and go first in the r7 window
+    # r4-tail overflow — the 50-slot window is full this round; these are
+    # pytest-pinned (oracle mirror green) and go first in the r7 window
     "multimodal_resize",
     "multimodal_extract_features",
     "join_theta_selfjoin",
     "window_agg_over",
     "filter_like_ci",
+    "window_row_number",
+    "window_rank",
     # all r5-green (regenerated CORRECTNESS_r05 after the ts fix), unchanged
     "agg_median",
     "date_julianday_span",

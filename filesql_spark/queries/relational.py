@@ -1693,3 +1693,118 @@ def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(lead_w).alias("valid_to"),
         "n_events",
     )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    counts AS (
+        SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+               CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT)
+                   AS n_click,
+               CAST(COUNT(CASE WHEN t_click > t_signup AND t_purchase > t_click
+                          THEN 1 END) AS BIGINT) AS n_purchase
+        FROM firsts
+    )
+    SELECT step, n_users,
+           CAST(n_users AS DOUBLE) / NULLIF(prev_users, 0) AS conversion
+    FROM (
+        SELECT 1 AS step_no, 'signup' AS step, n_signup AS n_users,
+               n_signup AS prev_users FROM counts
+        UNION ALL
+        SELECT 2, 'click', n_click, n_signup FROM counts
+        UNION ALL
+        SELECT 3, 'purchase', n_purchase, n_click FROM counts
+    ) ORDER BY step_no
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → click → purchase): a user
+    counts at step k only if their FIRST step-k event follows their
+    first step-(k-1) event — the product-analytics funnel, as one
+    conditional-aggregation pass.
+
+    One shuffle (groupBy user collapses each user's history to three
+    first-times), then a single-row aggregate fanned back out to one row
+    per step — no self-joins, no window over the raw stream, scales as a
+    plain two-level aggregation. Conversion is one IEEE division of
+    exact counts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    counts = firsts.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias("n_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_purchase"),
+    )
+    steps = counts.selectExpr(
+        "stack(3, "
+        "1, 'signup', n_signup, n_signup, "
+        "2, 'click', n_click, n_signup, "
+        "3, 'purchase', n_purchase, n_click) "
+        "AS (step_no, step, n_users, prev_users)"
+    )
+    return steps.select(
+        "step",
+        "n_users",
+        (F.col("n_users").cast("double") / F.nullif("prev_users", F.lit(0))).alias(
+            "conversion"
+        ),
+    ).orderBy("step_no").drop("step_no")
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+        FROM events
+    ),
+    activity AS (SELECT DISTINCT user_id, cohort_day, day FROM d)
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day - cohort_day AS BIGINT) AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by their first-activity
+    day, counted on each later day they return — the (cohort, offset)
+    triangle a growth dashboard plots.
+
+    One shuffle on user_id serves both the cohort-day window and the
+    per-day distinct; the final groupBy is over the tiny (cohort,
+    offset) grid. Exact date arithmetic on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id")
+    activity = (
+        e.select("user_id", day.alias("day"))
+        .withColumn("cohort_day", F.min("day").over(w))
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+    ).agg(F.count("*").alias("n_users"))

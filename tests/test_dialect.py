@@ -462,3 +462,25 @@ def test_typeof(spark):
 def test_quote_blob(spark):
     # sqlite3 ground truth: quote(x'001f') => X'001F'
     assert _eval1(spark, "SELECT quote(unhex('001f'))") == "X'001F'"
+
+
+def test_strftime_julian_day_matches_sqlite(spark):
+    """%J fuzz vs the real sqlite3: julian day with SQLite's trailing-zero
+    stripping, across whole days, half days, and fractional seconds."""
+    import sqlite3
+
+    from tests.test_dialect import _eval1  # self-import safe under pytest
+
+    con = sqlite3.connect(":memory:")
+    cases = [
+        "2024-01-01 00:00:00",
+        "2024-01-15 12:00:00",
+        "2024-01-15 18:30:45.123",
+        "2000-02-29 06:00:00",
+        "1970-01-01 00:00:00",
+        "2024-07-04 23:59:59.999",
+    ]
+    for ts in cases:
+        want = con.execute("SELECT strftime('%J', ?)", (ts,)).fetchone()[0]
+        got = _eval1(spark, f"SELECT strftime('%J', '{ts}')")
+        assert got == want, (ts, got, want)

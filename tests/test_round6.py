@@ -304,3 +304,28 @@ def test_dedup_within_watermark_equals_distinct(spark):
     distinct = e.select("user_id", "event_type").distinct()
     assert out.count() == distinct.count()
     assert out.exceptAll(distinct).count() == 0
+
+
+# --------------------------------------------------------- funnel / cohorts
+
+
+def test_funnel_monotonic(spark):
+    from filesql_spark.queries.relational import events_funnel
+
+    rows = {r.step: r for r in events_funnel(spark, SF).collect()}
+    assert rows["signup"].n_users >= rows["click"].n_users >= rows["purchase"].n_users
+    assert rows["signup"].conversion == 1.0
+    for r in rows.values():
+        assert r.conversion is None or 0.0 <= r.conversion <= 1.0
+
+
+def test_retention_cohort_day_zero_counts_all_users(spark):
+    """Every user appears in their own cohort at offset 0, so the sum of
+    offset-0 counts equals the distinct-user count."""
+    from filesql_spark.queries.relational import events_retention_cohorts
+
+    rows = events_retention_cohorts(spark, SF).collect()
+    zero = sum(r.n_users for r in rows if r.offset_days == 0)
+    e = load_table(spark, SF, "events")
+    assert zero == e.select("user_id").distinct().count()
+    assert all(r.offset_days >= 0 for r in rows)
