@@ -68,6 +68,8 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "events_funnel",
     "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "embedding_quantize_int8",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -125,6 +125,8 @@ _GRADE_FIRST = [
     "streaming_dedup_within_watermark",  # watermark-bounded key dedup
     "events_funnel",             # ordered conversion funnel
     "events_retention_cohorts",  # cohort retention triangle
+    "events_anomaly_zscore",     # exact-moment outlier flagging
+    "embedding_quantize_int8",   # int8 vector quantization summary
     # events-family whose ts dtype changed this round, last driver row r4
     "events_sessionize",
     "events_sliding_window",
@@ -163,10 +165,10 @@ _GRADE_FIRST = [
     "join_cross",
     "join_right_outer",
     "set_union_all",
-    "derived_table",
-    "scalar_subquery_select",
 ]
 _GRADE_LAST = [
+    "derived_table",
+    "scalar_subquery_select",
     # r4-tail overflow — the 50-slot window is full this round; these are
     # pytest-pinned (oracle mirror green) and go first in the r7 window
     "multimodal_resize",

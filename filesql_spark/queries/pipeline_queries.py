@@ -1737,3 +1737,100 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     from filesql_spark.streaming import events_dedup_keys_stream
 
     return events_dedup_keys_stream(spark, sf_dir)
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH c AS (
+        SELECT event_id, event_type, value,
+               CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+        FROM c GROUP BY event_type
+    )
+    SELECT event_id, event_type, value,
+           (x - s1::DOUBLE / n)
+               / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / n) / (n - 1)) AS z
+    FROM c JOIN s USING (event_type)
+    WHERE abs((x - s1::DOUBLE / n)
+              / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / n) / (n - 1))) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging — the monitoring/quality gate
+    over a metric stream. Moments (n, Σx, Σx²) are exact integer-cents
+    aggregates (order-independent, map-side combinable, one shuffle);
+    the per-row z is a fixed chain of IEEE ops over those integers —
+    identical operand order on both engines, so even the float z values
+    hash-match. The tiny per-type moment table broadcasts back onto the
+    stream; nothing re-shuffles the fact rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.selectExpr(
+        "event_id",
+        "event_type",
+        "value",
+        "CAST(ROUND(value * 100) AS BIGINT) AS x",
+    )
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+    )
+    z = (
+        "(x - CAST(s1 AS DOUBLE) / n)"
+        " / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))"
+    )
+    return (
+        c.join(F.broadcast(s), "event_type")
+        .where(F.expr(f"abs({z}) > 2.5"))
+        .selectExpr("event_id", "event_type", "value", f"{z} AS z")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               len(embedding) AS n_dims,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   AS max_abs,
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 127 /
+                        list_max(list_transform(embedding,
+                                 y -> abs(CAST(y AS DOUBLE))))) AS BIGINT)) AS qv
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, max_abs,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_l2sq
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization — the 4× storage/bandwidth
+    compression an ANN serving tier applies before indexing: per vector,
+    scale = max|x|/127, q_i = round(x_i/scale). Pure array expressions
+    (transform/aggregate), zero shuffle, scan-speed on 100 TB of
+    vectors. Output is the quantization summary (dims, scale basis,
+    exact integer Σq and Σq²) — the integers an int8 dot-product kernel
+    consumes; float steps are the same fixed op chain on both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    max_abs = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    qv = (
+        f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 127 / {max_abs})"
+        " AS BIGINT))"
+    )
+    return e.selectExpr(
+        "vec_id",
+        "CAST(size(embedding) AS BIGINT) AS n_dims",
+        f"{max_abs} AS max_abs",
+        f"CAST(aggregate({qv}, 0L, (a, v) -> a + v) AS BIGINT) AS q_sum",
+        f"CAST(aggregate({qv}, 0L, (a, v) -> a + v * v) AS BIGINT) AS q_l2sq",
+    )

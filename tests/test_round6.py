@@ -329,3 +329,37 @@ def test_retention_cohort_day_zero_counts_all_users(spark):
     e = load_table(spark, SF, "events")
     assert zero == e.select("user_id").distinct().count()
     assert all(r.offset_days >= 0 for r in rows)
+
+
+# ------------------------------------------------- z-score / quantization
+
+
+def test_zscore_flags_are_the_tails(spark):
+    """Every flagged row really is > 2.5 sample std-devs from its
+    type mean, recomputed independently in Python."""
+    from filesql_spark.queries.pipeline_queries import events_anomaly_zscore
+    import statistics
+
+    flagged = events_anomaly_zscore(spark, SF).collect()
+    assert flagged
+    e = load_table(spark, SF, "events").collect()
+    by_type = {}
+    for r in e:
+        by_type.setdefault(r.event_type, []).append(round(r.value * 100))
+    for r in flagged:
+        xs = by_type[r.event_type]
+        mu, sd = statistics.fmean(xs), statistics.stdev(xs)
+        assert abs((round(r.value * 100) - mu) / sd) > 2.49
+
+
+def test_quantize_int8_range_and_reconstruction(spark):
+    """Quantized values must fit int8 (|q| ≤ 127 ⇒ q_l2sq ≤ d·127²) and
+    the max-magnitude coordinate must quantize to ±127."""
+    from filesql_spark.queries.pipeline_queries import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.q_l2sq <= r.n_dims * 127 * 127
+        assert r.q_l2sq >= 127 * 127  # the argmax coordinate hits ±127
+        assert r.max_abs > 0
