@@ -1834,3 +1834,63 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(aggregate({qv}, 0L, (a, v) -> a + v) AS BIGINT) AS q_sum",
         f"CAST(aggregate({qv}, 0L, (a, v) -> a + v * v) AS BIGINT) AS q_l2sq",
     )
+
+
+@register(
+    "pipeline_dataset_manifest",
+    """
+    WITH t AS (
+        SELECT doc_id, GREATEST(n_chars, 1)::BIGINT AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w,
+               CAST(SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER () AS BIGINT) AS total
+        FROM t
+    ),
+    packs AS (
+        SELECT doc_id, w, cw - w AS start_offset, total,
+               (cw - w) // 2048 AS pack_id
+        FROM c
+    )
+    SELECT pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(arg_min(doc_id, start_offset) AS BIGINT) AS first_doc,
+           CAST(arg_max(doc_id, start_offset) AS BIGINT) AS last_doc,
+           LEAST(2048, MAX(total) - pack_id * 2048) AS fill_tokens
+    FROM packs GROUP BY pack_id
+    """,
+)
+def pipeline_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest over the packed dataset (pipeline/sampling.py
+    pack_sequences): per 2048-token pack — documents starting in it,
+    first/last doc by offset, and the pack's token fill (budget, except
+    the ragged tail). The dataset card a training job reads to plan
+    loading; deterministic because the packing layout is.
+
+    Note: a pack entirely inside one giant straddling document has no
+    starting docs and is omitted from this view (identically on both
+    engines); the loader derives such continuation packs from the
+    previous entry's end_pack_id.
+    """
+    from filesql_spark.pipeline.sampling import pack_sequences
+
+    packed = pack_sequences(load_table(spark, sf_dir, "documents"), 2048, "n_chars")
+    total = packed.agg(
+        (F.max(F.col("start_offset") + F.col("n_tokens"))).alias("total")
+    )
+    return (
+        packed.crossJoin(F.broadcast(total))
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min_by("doc_id", "start_offset").alias("first_doc"),
+            F.max_by("doc_id", "start_offset").alias("last_doc"),
+            F.least(
+                F.lit(2048), F.max("total") - F.col("pack_id") * 2048
+            ).alias("fill_tokens"),
+        )
+    )

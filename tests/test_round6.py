@@ -363,3 +363,23 @@ def test_quantize_int8_range_and_reconstruction(spark):
         assert r.q_l2sq <= r.n_dims * 127 * 127
         assert r.q_l2sq >= 127 * 127  # the argmax coordinate hits ±127
         assert r.max_abs > 0
+
+
+def test_dataset_manifest_accounts_for_every_token(spark):
+    """Σ fill_tokens over packs == total corpus tokens; every pack but
+    the ragged tail is exactly full."""
+    from filesql_spark.queries.pipeline_queries import pipeline_dataset_manifest
+    from filesql_spark.pipeline.sampling import pack_sequences
+
+    man = sorted(
+        pipeline_dataset_manifest(spark, SF).collect(), key=lambda r: r.pack_id
+    )
+    total = (
+        pack_sequences(load_table(spark, SF, "documents"), 2048, "n_chars")
+        .agg(F.max(F.col("start_offset") + F.col("n_tokens")))
+        .first()[0]
+    )
+    assert sum(r.fill_tokens for r in man) == total
+    for r in man[:-1]:
+        assert r.fill_tokens == 2048
+    assert 0 < man[-1].fill_tokens <= 2048
