@@ -244,3 +244,128 @@ def histogram_quantiles_oracle_sql(
            {q_his}
     FROM agg
     """
+
+
+# ------------------------------------------------------ bloom semi-join
+
+BLOOM_WORDS = 64  # filter size: 64 int64 words
+BLOOM_BITS_PER_WORD = 63  # bits 0..62 — keeps 1<<bit off the int64 sign bit
+BLOOM_BITS = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+# two independent md5-derived probes (first/second 15-hex-char halves)
+_PROBE_SQL = [
+    "('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 15))::BIGINT % {m}",
+    "('0x' || substr(md5(CAST({v} AS VARCHAR)), 17, 15))::BIGINT % {m}",
+]
+_PROBE_SPARK = [
+    "CAST(conv(substring(md5(CAST({v} AS STRING)), 1, 15), 16, 10) AS BIGINT) % {m}",
+    "CAST(conv(substring(md5(CAST({v} AS STRING)), 17, 15), 16, 10) AS BIGINT) % {m}",
+]
+
+
+def bloom_filter_table(keys: DataFrame, key_col: str) -> DataFrame:
+    """(word, bits): a 64-word/4032-bit Bloom filter of the key set,
+    built with one bit_or aggregation — the kilobyte-sized summary that
+    replaces shuffling a 100-TB fact table for a selective semi-join:
+    broadcast the filter, drop non-matching rows at the scan, and only
+    survivors (matches + a deterministic ~0.5% of false positives at
+    this sizing) pay the exact join. Deterministic md5 probes make even
+    the false-positive set engine-identical, so the whole reduction is
+    oracle-checkable."""
+    probes = [p.format(v=key_col, m=BLOOM_BITS) for p in _PROBE_SPARK]
+    stacked = keys.selectExpr(
+        f"stack(2, {probes[0]}, {probes[1]}) AS p"
+    )
+    return stacked.selectExpr(
+        f"p div {BLOOM_BITS_PER_WORD} AS word",
+        f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_BITS_PER_WORD} AS INT)) AS m",
+    ).groupBy("word").agg(F.expr("bit_or(m)").alias("bits"))
+
+
+def bloom_semi_join_counts(
+    fact: DataFrame, fact_key: str, dim_keys: DataFrame, dim_key: str
+) -> DataFrame:
+    """One-row summary proving the reduction: total fact rows, rows the
+    broadcast Bloom filter passes (candidates), and the exact semi-join
+    matches — candidates - matches = false positives the exact join
+    discards, never false negatives."""
+    bloom = bloom_filter_table(dim_keys.select(dim_key), dim_key)
+    probes = [p.format(v=fact_key, m=BLOOM_BITS) for p in _PROBE_SPARK]
+    # probe once per DISTINCT key (probes are a pure function of the key),
+    # then count fact rows of passing keys — at scale the filter test is
+    # a scan-side predicate; the distinct set here keeps the demo exact
+    probed = (
+        fact.select(fact_key)
+        .distinct()
+        .selectExpr(fact_key, f"stack(2, {probes[0]}, {probes[1]}) AS p")
+        .selectExpr(
+            fact_key,
+            f"p div {BLOOM_BITS_PER_WORD} AS word",
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_BITS_PER_WORD} AS INT)) AS m",
+        )
+    )
+    passing = (
+        probed.join(F.broadcast(bloom), "word")
+        .selectExpr(fact_key, "CAST((bits & m) != 0 AS INT) AS hit")
+        .groupBy(fact_key)
+        .agg(F.sum("hit").alias("nhit"))
+        .where(F.col("nhit") == 2)
+        .select(fact_key)
+    )
+    n_total = fact.count()
+    n_cand = fact.join(F.broadcast(passing), fact_key, "left_semi").count()
+    n_exact = fact.join(
+        dim_keys.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    ).count()
+    spark = fact.sparkSession
+    return spark.createDataFrame(
+        [(n_total, n_cand, n_exact, n_cand - n_exact)],
+        "n_fact long, n_candidates long, n_exact long, n_false_positive long",
+    )
+
+
+def bloom_oracle_sql(
+    fact_table: str, fact_key: str, dim_sql: str, dim_key: str
+) -> str:
+    """DuckDB SQL reproducing :func:`bloom_semi_join_counts` bit-for-bit
+    (same probes, same word layout, same bit_or filter)."""
+    bpw, m = BLOOM_BITS_PER_WORD, BLOOM_BITS
+    dprobes = [p.format(v=dim_key, m=m) for p in _PROBE_SQL]
+    fprobes = [p.format(v=fact_key, m=m) for p in _PROBE_SQL]
+    return f"""
+    WITH dim AS ({dim_sql}),
+    dprobe AS (
+        SELECT ({dprobes[0]}) AS p FROM dim
+        UNION ALL SELECT ({dprobes[1]}) FROM dim
+    ),
+    bloom AS (
+        SELECT p // {bpw} AS word, bit_or(1::BIGINT << CAST(p % {bpw} AS INT)) AS bits
+        FROM dprobe GROUP BY 1
+    ),
+    fkeys AS (SELECT DISTINCT {fact_key} FROM {fact_table}),
+    fprobe AS (
+        SELECT {fact_key}, ({fprobes[0]}) AS p FROM fkeys
+        UNION ALL
+        SELECT {fact_key}, ({fprobes[1]}) FROM fkeys
+    ),
+    passing AS (
+        SELECT f.{fact_key}
+        FROM fprobe f JOIN bloom b ON f.p // {bpw} = b.word
+        GROUP BY f.{fact_key}
+        HAVING SUM(CASE WHEN (b.bits & (1::BIGINT << CAST(f.p % {bpw} AS INT))) != 0
+                        THEN 1 ELSE 0 END) = 2
+    ),
+    cand AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {fact_table}
+        WHERE {fact_key} IN (SELECT {fact_key} FROM passing)
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {fact_table}
+        WHERE {fact_key} IN (SELECT {dim_key} FROM dim)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {fact_table}) AS n_fact,
+           (SELECT n FROM cand) AS n_candidates,
+           (SELECT n FROM exact) AS n_exact,
+           (SELECT n FROM cand) - (SELECT n FROM exact) AS n_false_positive
+    """

@@ -1894,3 +1894,29 @@ def pipeline_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_tokens"),
         )
     )
+
+
+def _bloom_oracle() -> str:
+    from filesql_spark.pipeline.sketch import bloom_oracle_sql
+
+    return bloom_oracle_sql(
+        "events",
+        "user_id",
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 9000",
+        "c_custkey",
+    )
+
+
+@register("join_bloom_semireduction", _bloom_oracle())
+def join_bloom_semireduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (pipeline/sketch.py): a 4032-bit
+    filter of the high-balance customers broadcasts to the events scan
+    and discards non-members before any shuffle — the kilobyte summary
+    that replaces shuffling the fact table. Output proves the reduction:
+    total rows, bloom candidates, exact matches, false positives (the
+    deterministic md5 probes make even the FP set engine-identical)."""
+    from filesql_spark.pipeline.sketch import bloom_semi_join_counts
+
+    e = load_table(spark, sf_dir, "events")
+    vips = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return bloom_semi_join_counts(e, "user_id", vips, "c_custkey")

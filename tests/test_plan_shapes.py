@@ -298,3 +298,30 @@ def test_pack_sequences_single_task_window_is_bucket_totals_only(spark, qs):
     # corpus-side running sum partitioned by bkt
     assert "Window" in plan
     assert "hashpartitioning(bkt" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Bucketing both sides of a recurring join key eliminates the
+    shuffle entirely — the co-located-join lever for repeated 100-TB
+    joins. Write documents bucketed by doc_id twice, join, and assert
+    the plan has a SortMergeJoin with NO Exchange feeding it."""
+    from filesql_spark.queries import load_table
+
+    spark.sql("DROP TABLE IF EXISTS _bkt_a")
+    spark.sql("DROP TABLE IF EXISTS _bkt_b")
+    d = load_table(spark, SF, "documents")
+    d.select("doc_id", "n_chars").write.bucketBy(8, "doc_id").sortBy(
+        "doc_id"
+    ).mode("overwrite").saveAsTable("_bkt_a")
+    d.select("doc_id", "lang").write.bucketBy(8, "doc_id").sortBy(
+        "doc_id"
+    ).mode("overwrite").saveAsTable("_bkt_b")
+    try:
+        joined = spark.table("_bkt_a").join(spark.table("_bkt_b"), "doc_id")
+        plan = _formatted(joined)
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+        # the decisive check: no shuffle exchange anywhere in the plan
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _bkt_a")
+        spark.sql("DROP TABLE IF EXISTS _bkt_b")

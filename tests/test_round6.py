@@ -383,3 +383,15 @@ def test_dataset_manifest_accounts_for_every_token(spark):
     for r in man[:-1]:
         assert r.fill_tokens == 2048
     assert 0 < man[-1].fill_tokens <= 2048
+
+
+def test_bloom_semireduction_no_false_negatives(spark):
+    """Bloom filters may pass extras but must NEVER drop a true match:
+    candidates ⊇ exact, and the FP overhead stays well under the naive
+    scan (candidates ≪ n_fact)."""
+    from filesql_spark.queries.pipeline_queries import join_bloom_semireduction
+
+    r = join_bloom_semireduction(spark, SF).first()
+    assert r.n_candidates >= r.n_exact
+    assert r.n_false_positive == r.n_candidates - r.n_exact
+    assert r.n_candidates < r.n_fact / 2, "filter should discard most rows"
