@@ -23,21 +23,28 @@ from pyspark.sql import functions as F
 from filesql_spark.queries import load_table
 
 
-def _file_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _file_stream(
+    spark: SparkSession, sf_dir: str, table: str, stream_dir: str | None = None
+) -> DataFrame:
     """readStream over one driver parquet table.
 
     Declares the RAW file schema (events.ts is int64 nanos under
     nanosAsLong) and normalizes the timestamp inside the stream like the
     batch path. FileStreamSource requires a directory; the single file is
-    exposed through a symlinked temp dir."""
+    exposed through a symlinked temp dir. Pass a stable ``stream_dir``
+    when the query uses a durable checkpoint — the checkpoint pins the
+    source path, so a fresh random dir would break resume."""
     from filesql_spark.queries import _pin_session_confs
 
     _pin_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="filesql_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/{table}.parquet"), f"{stream_dir}/{table}.parquet"
-    )
+    if stream_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix="filesql_stream_")
+    else:
+        os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/{table}.parquet"
+    if not os.path.lexists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), link)
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
@@ -390,3 +397,66 @@ def events_dedup_keys_stream(
         .select("user_id", "event_type")
     )
     return spark.table(_run_to_memory(deduped, "events_key_dedup", mode="append"))
+
+
+def events_hourly_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hourly aggregate streamed into parquet through ``foreachBatch``
+    with an idempotent, exactly-once write: each micro-batch lands in a
+    ``batch_id=N`` subdirectory and a batch that already exists is
+    skipped, so a retried/restarted batch (Spark replays the last
+    uncommitted batch after failure) cannot double-write. Paired with
+    the checkpoint, a re-run of the whole query is a no-op — asserted in
+    tests by running twice against the same checkpoint.
+
+    This is the cluster sink shape: at scale ``out_dir`` is a table
+    location (delta/iceberg make the commit transactional; plain parquet
+    here makes the idempotency explicit), and foreachBatch is also where
+    batch-only operations (MERGE, JDBC upserts) run.
+
+    Returns the read-back result for verification.
+    """
+    import os as _os
+
+    from filesql_spark.queries.relational import cents
+
+    # stable source dir derived from the checkpoint: the checkpoint pins
+    # the FileStreamSource path, so re-runs must see the same directory
+    stream = _file_stream(
+        spark, sf_dir, "events", stream_dir=checkpoint_dir + "_src"
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = _os.path.join(out_dir, f"batch_id={batch_id}")
+        if _os.path.exists(_os.path.join(target, "_SUCCESS")):
+            return  # replayed batch: already committed, skip
+        batch_df.write.mode("overwrite").parquet(target)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    if not _os.path.exists(out_dir):
+        # a re-run over a committed checkpoint processes zero batches
+        return spark.createDataFrame([], "window_start timestamp, event_type string, n long, total_value double")
+    return spark.read.parquet(out_dir).drop("batch_id")

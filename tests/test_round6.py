@@ -395,3 +395,22 @@ def test_bloom_semireduction_no_false_negatives(spark):
     assert r.n_candidates >= r.n_exact
     assert r.n_false_positive == r.n_candidates - r.n_exact
     assert r.n_candidates < r.n_fact / 2, "filter should discard most rows"
+
+
+def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
+    """Run the foreachBatch parquet sink twice against one checkpoint:
+    the second run replays nothing and the output equals the batch
+    aggregate exactly once."""
+    from filesql_spark.streaming import events_hourly_to_parquet
+    from filesql_spark.queries.relational import events_tumbling_window
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = events_hourly_to_parquet(spark, SF, out, ckpt)
+    n1 = first.count()
+    batch = events_tumbling_window(spark, SF)
+    assert n1 == batch.count()
+    # second run: same checkpoint → no new batches, no duplicated rows
+    second = events_hourly_to_parquet(spark, SF, out, ckpt)
+    assert second.count() == n1
+    assert first.exceptAll(batch).count() == 0
