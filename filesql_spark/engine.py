@@ -216,6 +216,21 @@ class Engine:
         m = re.match(r"\s*PRAGMA\s+table_info\s*\(\s*[\"'`]?([^)\"'`]+)[\"'`]?\s*\)", sql, re.I)
         if m:
             return self.pragma_table_info(m.group(1).strip())
+        m = re.match(r"\s*PRAGMA\s+index_list\s*\(\s*[\"'`]?([^)\"'`]+)[\"'`]?\s*\)", sql, re.I)
+        if m:
+            # CREATE INDEX is a catalog no-op here (Spark plans its own
+            # access paths), so every table reports zero indexes — the
+            # same shape SQLite returns for an unindexed table
+            self.table(m.group(1).strip())  # raises on unknown table
+            return self.spark.createDataFrame(
+                [], schema="seq int, name string, `unique` int, origin string, partial int"
+            )
+        if re.match(r"\s*PRAGMA\s+database_list\s*;?\s*$", sql, re.I):
+            # single in-memory database, exactly like the reference's
+            # ':memory:' connection (builder.go:353-361)
+            return self.spark.createDataFrame(
+                [(0, "main", "")], schema="seq int, name string, file string"
+            )
         raise FilesqlError(f"unsupported PRAGMA: {sql.strip()}")
 
     # ---------------------------------------------------------- transactions

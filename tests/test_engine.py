@@ -51,6 +51,18 @@ def test_pragma_table_info(eng):
     ]
 
 
+def test_pragma_index_list_and_database_list(eng):
+    import pytest as _pytest
+
+    from filesql_spark.errors import FilesqlError
+
+    assert eng.query("PRAGMA index_list(sample)").collect() == []
+    with _pytest.raises(FilesqlError):
+        eng.query("PRAGMA index_list(nonexistent)")
+    rows = eng.query("PRAGMA database_list").collect()
+    assert [(r.seq, r.name) for r in rows] == [(0, "main")]
+
+
 def test_insert_values(eng):
     n = eng.execute("INSERT INTO sample VALUES (4, 'Ann Lee', 41, 'ann@example.com')")
     assert n == 1
