@@ -248,9 +248,21 @@ def histogram_quantiles_oracle_sql(
 
 # ------------------------------------------------------ bloom semi-join
 
-BLOOM_WORDS = 64  # filter size: 64 int64 words
+BLOOM_MIN_WORDS = 64  # floor: 64 int64 words = 4032 bits
 BLOOM_BITS_PER_WORD = 63  # bits 0..62 — keeps 1<<bit off the int64 sign bit
-BLOOM_BITS = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+BLOOM_BITS_PER_KEY = 10  # m/n sizing target: with k=2 probes, FP ≈ 3%
+
+
+def bloom_words(n: int) -> int:
+    """Log-n filter-size knob: the smallest power-of-two word count
+    giving ≥ BLOOM_BITS_PER_KEY bits per key (≥ the 64-word floor). A
+    FIXED filter saturates as the key set grows — the same scale trap as
+    fixed LSH bands (VERDICT r2) — so the width follows n: exact integer
+    arithmetic (`1 << bit_length(target-1)`), reproduced in SQL with
+    `1 << length(bin(t-1))` so the oracle sizes identically from its own
+    COUNT(*)."""
+    target = (n * BLOOM_BITS_PER_KEY + BLOOM_BITS_PER_WORD - 1) // BLOOM_BITS_PER_WORD
+    return max(BLOOM_MIN_WORDS, 1 << max(0, target - 1).bit_length())
 # two independent md5-derived probes (first/second 15-hex-char halves)
 _PROBE_SQL = [
     "('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 15))::BIGINT % {m}",
@@ -262,16 +274,25 @@ _PROBE_SPARK = [
 ]
 
 
-def bloom_filter_table(keys: DataFrame, key_col: str) -> DataFrame:
-    """(word, bits): a 64-word/4032-bit Bloom filter of the key set,
-    built with one bit_or aggregation — the kilobyte-sized summary that
+def bloom_filter_table(
+    keys: DataFrame, key_col: str, n: int | None = None
+) -> DataFrame:
+    """(word, bits): a log-n-sized Bloom filter of the key set, built
+    with one bit_or aggregation — the kilobyte-scale summary that
     replaces shuffling a 100-TB fact table for a selective semi-join:
     broadcast the filter, drop non-matching rows at the scan, and only
-    survivors (matches + a deterministic ~0.5% of false positives at
-    this sizing) pay the exact join. Deterministic md5 probes make even
-    the false-positive set engine-identical, so the whole reduction is
-    oracle-checkable."""
-    probes = [p.format(v=key_col, m=BLOOM_BITS) for p in _PROBE_SPARK]
+    survivors (matches + a deterministic ~3% of false positives at the
+    BLOOM_BITS_PER_KEY sizing) pay the exact join. Deterministic md5
+    probes make even the false-positive set engine-identical, so the
+    whole reduction is oracle-checkable.
+
+    ``n`` (key-set size) drives :func:`bloom_words`; omitting it costs
+    one ``keys.count()`` action at build time (metadata-only on a
+    parquet scan, a real job on a derived frame — pass n explicitly
+    then)."""
+    nwords = bloom_words(n if n is not None else keys.count())
+    nbits = nwords * BLOOM_BITS_PER_WORD
+    probes = [p.format(v=key_col, m=nbits) for p in _PROBE_SPARK]
     stacked = keys.selectExpr(
         f"stack(2, {probes[0]}, {probes[1]}) AS p"
     )
@@ -288,8 +309,10 @@ def bloom_semi_join_counts(
     broadcast Bloom filter passes (candidates), and the exact semi-join
     matches — candidates - matches = false positives the exact join
     discards, never false negatives."""
-    bloom = bloom_filter_table(dim_keys.select(dim_key), dim_key)
-    probes = [p.format(v=fact_key, m=BLOOM_BITS) for p in _PROBE_SPARK]
+    n_dim = dim_keys.count()
+    bloom = bloom_filter_table(dim_keys.select(dim_key), dim_key, n=n_dim)
+    nbits = bloom_words(n_dim) * BLOOM_BITS_PER_WORD
+    probes = [p.format(v=fact_key, m=nbits) for p in _PROBE_SPARK]
     # probe once per DISTINCT key (probes are a pure function of the key),
     # then count fact rows of passing keys — at scale the filter test is
     # a scan-side predicate; the distinct set here keeps the demo exact
@@ -329,12 +352,24 @@ def bloom_oracle_sql(
     fact_table: str, fact_key: str, dim_sql: str, dim_key: str
 ) -> str:
     """DuckDB SQL reproducing :func:`bloom_semi_join_counts` bit-for-bit
-    (same probes, same word layout, same bit_or filter)."""
-    bpw, m = BLOOM_BITS_PER_WORD, BLOOM_BITS
+    (same probes, same word layout, same bit_or filter). The filter size
+    is computed from the oracle's own COUNT(*) with the same integer
+    power-of-two formula as :func:`bloom_words` (`1 << length(bin(t-1))`
+    == `1 << (t-1).bit_length()` for t ≥ 2; the t ≤ 1 divergence is
+    buried under the {BLOOM_MIN_WORDS}-word floor)."""
+    bpw = BLOOM_BITS_PER_WORD
+    m = f"(SELECT nbits FROM bsize)"
     dprobes = [p.format(v=dim_key, m=m) for p in _PROBE_SQL]
     fprobes = [p.format(v=fact_key, m=m) for p in _PROBE_SQL]
     return f"""
     WITH dim AS ({dim_sql}),
+    bsize AS (
+        SELECT GREATEST({BLOOM_MIN_WORDS},
+                 1::BIGINT << length(bin(
+                     (COUNT(*) * {BLOOM_BITS_PER_KEY} + {bpw - 1}) // {bpw} - 1)))
+               * {bpw} AS nbits
+        FROM dim
+    ),
     dprobe AS (
         SELECT ({dprobes[0]}) AS p FROM dim
         UNION ALL SELECT ({dprobes[1]}) FROM dim

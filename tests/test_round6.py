@@ -414,3 +414,29 @@ def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
     second = events_hourly_to_parquet(spark, SF, out, ckpt)
     assert second.count() == n1
     assert first.exceptAll(batch).count() == 0
+
+
+def test_bloom_words_knob_matches_sql_formula():
+    """The Python sizing (1 << bit_length) and the oracle's SQL sizing
+    (1 << length(bin)) must agree for every key-set size above the
+    floor — and the filter keeps ≥ BLOOM_BITS_PER_KEY bits per key."""
+    import duckdb
+
+    from filesql_spark.pipeline.sketch import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_BITS_PER_WORD,
+        BLOOM_MIN_WORDS,
+        bloom_words,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 6, 7, 153, 403, 404, 1530, 10_000, 100_000, 10**7]:
+        sql = (
+            f"SELECT GREATEST({BLOOM_MIN_WORDS}, 1::BIGINT << length(bin("
+            f"({n}::BIGINT * {BLOOM_BITS_PER_KEY} + {BLOOM_BITS_PER_WORD - 1})"
+            f" // {BLOOM_BITS_PER_WORD} - 1)))"
+        )
+        assert con.execute(sql).fetchone()[0] == bloom_words(n), n
+        assert bloom_words(n) * BLOOM_BITS_PER_WORD >= min(
+            n * BLOOM_BITS_PER_KEY, 10**9
+        ) or bloom_words(n) == BLOOM_MIN_WORDS
