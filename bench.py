@@ -70,6 +70,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_anomaly_zscore",
     "embedding_quantize_int8",
+    "pipeline_train_prep",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

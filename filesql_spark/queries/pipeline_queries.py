@@ -1920,3 +1920,54 @@ def join_bloom_semireduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     vips = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
     return bloom_semi_join_counts(e, "user_id", vips, "c_custkey")
+
+
+def _train_prep_oracle() -> str:
+    return f"""
+    {_clean_corpus_ctes()},
+    kept AS (
+        SELECT k.doc_id, k.n_chars
+        FROM exact_kept k LEFT JOIN dropped d ON k.doc_id = d.doc_id
+        WHERE d.doc_id IS NULL
+    ),
+    train AS (
+        SELECT doc_id, n_chars FROM kept
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10000 >= 1000
+    ),
+    t AS (
+        SELECT doc_id, GREATEST(n_chars, 1)::BIGINT AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM train
+    ),
+    c AS (
+        SELECT doc_id, w,
+               CAST(SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw
+        FROM t
+    )
+    SELECT doc_id, w AS n_tokens, cw - w AS start_offset,
+           (cw - w) // 2048 AS pack_id, (cw - 1) // 2048 AS end_pack_id
+    FROM c
+    """
+
+
+@register("pipeline_train_prep", _train_prep_oracle())
+def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-prep pipeline as one lazy DAG: quality gate
+    → exact dedup → MinHash near-dedup (compose.py) → reproducible
+    train-split selection (hash buckets ≥ 10%) → concat-and-chunk
+    packing into 2048-token sequences. What a user actually runs before
+    a training job — proving the primitives compose without
+    materialization barriers; the oracle replays all five stages in a
+    single DuckDB statement."""
+    from filesql_spark.pipeline.compose import clean_corpus
+    from filesql_spark.pipeline.sampling import pack_sequences, train_val_test_split
+
+    kept = clean_corpus(load_table(spark, sf_dir, "documents"))
+    train = (
+        train_val_test_split(kept)
+        .where(F.col("split") == "train")
+        .select("doc_id", "n_chars")
+    )
+    return pack_sequences(train, 2048, "n_chars")
