@@ -1808,3 +1808,122 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_day").cast("string").alias("cohort_day"),
         F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
     ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p
+    FROM t
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-model feature (what follows what, how
+    often) a sequence model or anomaly detector trains on. One shuffle
+    on user_id orders each user's history (LAG), the bigram counts
+    collapse map-side into a |types|² matrix, and the row-normalized
+    probability is one IEEE division of exact counts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(row).cast("long")).alias("p"),
+    )
+
+
+@register(
+    "customers_rfm_segments",
+    """
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, frequency, monetary_cents,
+               NTILE(4) OVER (ORDER BY last_order DESC, custkey) AS r_quartile,
+               NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_quartile,
+               NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_quartile
+        FROM rfm
+    )
+    SELECT CAST(r_quartile AS BIGINT) AS r_quartile,
+           CAST(f_quartile AS BIGINT) AS f_quartile,
+           CAST(m_quartile AS BIGINT) AS m_quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: customers
+    quartiled on each exact aggregate, then counted per (R,F,M) cell —
+    the 64-segment marketing cube. NTILE over a totally-ordered window
+    (custkey tie-break ⇒ identical quartiles on both engines); one
+    shuffle for the per-customer aggregate; the three global NTILEs run
+    on the compact per-customer table. Exact integer cents throughout.
+
+    Scale note: a global NTILE is a single task over the per-customer
+    table — fine up to ~10⁷ customers; for a billion-customer table,
+    derive the quartile thresholds from the mergeable
+    ``histogram_quantiles`` sketch and broadcast-join them instead.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "custkey",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), "custkey"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "custkey"))
+        .alias("m_quartile"),
+    )
+    return scored.groupBy(
+        F.col("r_quartile").cast("long").alias("r_quartile"),
+        F.col("f_quartile").cast("long").alias("f_quartile"),
+        F.col("m_quartile").cast("long").alias("m_quartile"),
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
