@@ -43,8 +43,20 @@ def _file_stream(
     else:
         os.makedirs(stream_dir, exist_ok=True)
     link = f"{stream_dir}/{table}.parquet"
-    if not os.path.lexists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), link)
+    target = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    if os.path.lexists(link):
+        # A stable stream_dir is reused across runs because the checkpoint
+        # pins the source path. Reusing it against a DIFFERENT dataset would
+        # silently stream the old data — fail loudly instead.
+        existing = os.readlink(link)
+        if existing != target:
+            raise ValueError(
+                f"stream dir {stream_dir!r} already streams {existing!r}; "
+                f"refusing to reuse it for {target!r} — use a fresh "
+                "stream_dir/checkpoint per dataset"
+            )
+    else:
+        os.symlink(target, link)
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
@@ -67,8 +79,20 @@ def _run_to_memory(agg: DataFrame, prefix: str, mode: str = "complete") -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    _await_or_raise(q, 300)
     return sink
+
+
+def _await_or_raise(q, timeout: int) -> None:
+    """awaitTermination returns False when the query is STILL RUNNING at
+    the timeout; proceeding then would read a partial result. Stop the
+    query and fail loudly instead."""
+    if not q.awaitTermination(timeout=timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{timeout}s; stopped it rather than return a partial result"
+        )
 
 
 def events_hourly_stream(
@@ -414,12 +438,23 @@ def events_hourly_to_parquet(
     the checkpoint, a re-run of the whole query is a no-op — asserted in
     tests by running twice against the same checkpoint.
 
+    Complete-mode semantics: EVERY micro-batch emits the FULL aggregate
+    (a snapshot, not a delta), so when the source grows and a later run
+    processes batch N+1, the older batch dirs are superseded — readers
+    must see exactly one snapshot. The read-back therefore returns ONLY
+    the highest committed ``batch_id`` dir; unioning all batch dirs
+    would double-count every group (asserted in tests by streaming a
+    grown source through the same checkpoint). Keeping the superseded
+    dirs on disk (rather than delete-and-swap) keeps the commit
+    append-only and the replay check trivial; a janitor or table format
+    (delta/iceberg) handles retention at scale.
+
     This is the cluster sink shape: at scale ``out_dir`` is a table
     location (delta/iceberg make the commit transactional; plain parquet
     here makes the idempotency explicit), and foreachBatch is also where
     batch-only operations (MERGE, JDBC upserts) run.
 
-    Returns the read-back result for verification.
+    Returns the read-back result (the latest snapshot) for verification.
     """
     import os as _os
 
@@ -455,8 +490,20 @@ def events_hourly_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
-    if not _os.path.exists(out_dir):
+    _await_or_raise(q, 300)
+    # complete mode: each batch dir is a full snapshot — read ONLY the
+    # latest committed one (highest batch_id with a _SUCCESS marker)
+    committed = sorted(
+        int(d.split("=", 1)[1])
+        for d in (_os.listdir(out_dir) if _os.path.isdir(out_dir) else [])
+        if d.startswith("batch_id=")
+        and _os.path.exists(_os.path.join(out_dir, d, "_SUCCESS"))
+    )
+    if not committed:
         # a re-run over a committed checkpoint processes zero batches
-        return spark.createDataFrame([], "window_start timestamp, event_type string, n long, total_value double")
-    return spark.read.parquet(out_dir).drop("batch_id")
+        return spark.createDataFrame(
+            [], "window_start timestamp, event_type string, n long, total_value double"
+        )
+    return spark.read.parquet(
+        _os.path.join(out_dir, f"batch_id={committed[-1]}")
+    )

@@ -416,6 +416,47 @@ def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
     assert first.exceptAll(batch).count() == 0
 
 
+def test_foreach_batch_sink_complete_mode_snapshot(spark, tmp_path):
+    """Complete mode emits the FULL aggregate each micro-batch. Grow the
+    source so a later run processes batch_id=1 against the same
+    checkpoint: the read-back must return ONLY the latest snapshot —
+    same group rows, doubled counts — not the union of both batch dirs
+    (which would duplicate every group)."""
+    import os
+
+    from filesql_spark.streaming import events_hourly_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = events_hourly_to_parquet(spark, SF, out, ckpt)
+    n_groups = first.count()
+    total1 = first.agg({"n": "sum"}).first()[0]
+    # grow the source: a second copy of the events file lands in the
+    # stream dir → the next run processes one more micro-batch
+    src_dir = ckpt + "_src"
+    os.symlink(
+        os.path.realpath(os.path.join(src_dir, "events.parquet")),
+        os.path.join(src_dir, "events_more.parquet"),
+    )
+    second = events_hourly_to_parquet(spark, SF, out, ckpt)
+    assert os.path.exists(os.path.join(out, "batch_id=1", "_SUCCESS"))
+    assert second.count() == n_groups, "latest snapshot only, no union dup"
+    assert second.agg({"n": "sum"}).first()[0] == 2 * total1
+
+
+def test_file_stream_refuses_mismatched_reuse(spark, tmp_path):
+    """Reusing a stable stream_dir against a different dataset must fail
+    loudly instead of silently streaming the old data."""
+    import pytest
+
+    from filesql_spark.streaming import _file_stream
+
+    d = str(tmp_path / "src")
+    _file_stream(spark, SF, "events", stream_dir=d)
+    with pytest.raises(ValueError, match="refusing to reuse"):
+        _file_stream(spark, "/root/testdata/sf0.001", "events", stream_dir=d)
+
+
 def test_bloom_words_knob_matches_sql_formula():
     """The Python sizing (1 << bit_length) and the oracle's SQL sizing
     (1 << length(bin)) must agree for every key-set size above the
