@@ -4,9 +4,14 @@ SQLite mutates B-trees; Spark DataFrames are immutable. Each statement
 rewrites the table's DataFrame lazily and re-registers the view:
 
 - INSERT  → union of the existing plan with a literal VALUES (or SELECT) plan
+- UPSERT  → ``INSERT OR REPLACE/IGNORE`` and ``ON CONFLICT(key) DO
+  UPDATE/NOTHING`` as key-joins against the standing view (SQLite 3.24+;
+  the reference inherits them, doc.go:68-77)
 - UPDATE  → ``withColumns(when(pred, new).otherwise(old))``
 - DELETE  → ``filter(NOT coalesce(pred, false))`` (NULL predicate keeps the
   row, matching SQL three-valued DELETE semantics)
+- RETURNING on all three DML forms (SQLite 3.35+): the affected-rows frame
+  is built on the immutable pre-swap plan and handed back lazily
 - CREATE TABLE/VIEW, DROP, CREATE INDEX (accepted no-op), TRIGGER (error) —
   reference advertises these via SQLite (README.md:333-334)
 
@@ -36,9 +41,11 @@ def execute(engine, sql: str) -> int:
         n, _rows = _insert(engine, sql)
         return n
     if kw == "UPDATE":
-        return _update(engine, sql)
+        n, _rows = _update(engine, sql)
+        return n
     if kw == "DELETE":
-        return _delete(engine, sql)
+        n, _rows = _delete(engine, sql)
+        return n
     if kw == "CREATE":
         return _create(engine, sql)
     if kw == "DROP":
@@ -46,13 +53,15 @@ def execute(engine, sql: str) -> int:
     raise FilesqlError(f"unsupported statement: {kw}")
 
 
-def insert_returning(engine, sql: str):
-    """INSERT … RETURNING … → DataFrame of the returned rows (SQLite
-    3.35+, inherited by the reference's engine). The insert is applied as
-    a side effect, like SQLite's."""
-    _n, rows = _insert(engine, sql)
+def dml_returning(engine, sql: str):
+    """INSERT/UPDATE/DELETE … RETURNING … → DataFrame of the returned
+    rows (SQLite 3.35+, inherited by the reference's engine). The
+    mutation is applied as a side effect, like SQLite's."""
+    kw = sql.lstrip().split(None, 1)[0].upper()
+    fn = {"INSERT": _insert, "UPDATE": _update, "DELETE": _delete}[kw]
+    _n, rows = fn(engine, sql)
     if rows is None:
-        raise FilesqlError("query() on INSERT requires a RETURNING clause")
+        raise FilesqlError(f"query() on {kw} requires a RETURNING clause")
     return rows
 
 
@@ -91,30 +100,144 @@ def _strip_returning(sql: str) -> tuple[str, list[str] | None]:
 # ------------------------------------------------------------------- INSERT
 
 _INSERT_RE = re.compile(
-    rf"^\s*INSERT\s+(?:OR\s+\w+\s+)?INTO\s+{_IDENT}\s*"
+    rf"^\s*INSERT\s+(?:OR\s+(?P<or_act>\w+)\s+)?INTO\s+{_IDENT}\s*"
     r"(?:\((?P<cols>[^)]*)\))?\s*(?P<body>VALUES\b.*|SELECT\b.*|WITH\b.*)$",
     re.I | re.S,
 )
 
+_ON_CONFLICT_TAIL_RE = re.compile(
+    r"^\s*(?:\(\s*(?P<cols>[^)]*)\)\s*)?DO\s+(?P<act>NOTHING\b|UPDATE\s+SET\b)"
+    r"(?P<rest>.*)$",
+    re.I | re.S,
+)
+
+
+def _strip_on_conflict(sql: str) -> tuple[str, str | None]:
+    """Split a depth-0 ``ON CONFLICT …`` tail off an INSERT (located on
+    literal-blanked text, like RETURNING — data containing the words must
+    not trigger)."""
+    code = _code_only(sql)
+    depth = 0
+    for m in re.finditer(r"[()]|\bON\s+CONFLICT\b", code, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return sql[: m.start()], sql[m.end() :].strip().rstrip(";")
+    return sql, None
+
+
+def _resolve_key(engine, table, target, cols_src: str | None, form: str) -> list[str]:
+    """Conflict-target columns: explicit ``ON CONFLICT(cols)``, else the
+    table's declared PRIMARY KEY (CREATE TABLE). File-loaded tables have
+    no PK, so the implicit forms fail cleanly there."""
+    if cols_src:
+        by_lower = {c.lower(): c for c in target.columns}
+        key = []
+        for c in _split_level0(cols_src):
+            name = c.strip().strip('"`')
+            if name.lower() not in by_lower:
+                raise FilesqlError(
+                    f"{form}: no such column {name!r} in {table!r}"
+                )
+            key.append(by_lower[name.lower()])
+        return key
+    pk = engine._primary_keys.get(table)
+    if not pk:
+        raise FilesqlError(
+            f"{form} needs a conflict target: table {table!r} has no "
+            "declared PRIMARY KEY — use ON CONFLICT(col, …) or declare "
+            "the key in CREATE TABLE"
+        )
+    return pk
+
+
+def _rewrite_excluded(expr: str) -> str:
+    """``excluded.col`` → the joined incoming-row column ``__exc_col``
+    (SQLite upsert's name for the row that failed to insert). Operates on
+    code positions only — literals containing 'excluded.' are data."""
+    code = _code_only(expr)
+    out, last = [], 0
+    pat = re.compile(rf"\bexcluded\s*\.\s*{_IDENT}", re.I)
+    for m in pat.finditer(code):
+        # the identifier text lives in sql at the same positions
+        sub = expr[m.start() : m.end()]
+        name = pat.match(sub)
+        out.append(expr[last : m.start()])
+        out.append(f"`__exc_{_ident(name)}`")
+        last = m.end()
+    out.append(expr[last:])
+    return "".join(out)
+
+
+def _with_seq(df):
+    """Statement-order sequence for intra-batch conflict resolution.
+    Deterministic for literal VALUES (single local relation); for
+    INSERT…SELECT sources the order is whatever the SELECT produced,
+    matching SQLite's unordered-SELECT behavior."""
+    return df.withColumn("__seq", F.monotonically_increasing_id())
+
+
+def _dedup_by_key(aligned, key: list[str], keep: str):
+    """One row per conflict key within the incoming batch (first or last
+    in statement order). Rows with any NULL key column never conflict
+    (SQLite: NULLs are distinct) and all pass through."""
+    from pyspark.sql import Window
+
+    null_key = None
+    for k in key:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    seq = _with_seq(aligned)
+    nk = seq.filter(null_key)
+    order = F.col("__seq").desc() if keep == "last" else F.col("__seq").asc()
+    w = Window.partitionBy(*key).orderBy(order)
+    deduped = (
+        seq.filter(~null_key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return deduped.unionByName(nk).drop("__seq"), null_key
+
 
 def _insert(engine, sql: str) -> tuple[int, "object | None"]:
-    """Apply an INSERT; returns (affected rows, RETURNING DataFrame | None)."""
+    """Apply an INSERT (incl. SQLite upsert forms); returns
+    (affected rows, RETURNING DataFrame | None).
+
+    Upsert semantics (SQLite doc.go:68-77 pins the dialect; SQLite 3.24+):
+
+    - ``INSERT OR REPLACE``: delete the existing row with the same key,
+      insert the new one. Key = declared PRIMARY KEY.
+    - ``INSERT OR IGNORE`` / ``ON CONFLICT … DO NOTHING``: skip rows whose
+      key already exists.
+    - ``ON CONFLICT(key) DO UPDATE SET col = expr [WHERE pred]``: update
+      the existing row; ``excluded.col`` refers to the incoming row.
+
+    All forms are one anti/left join on the key against the current view —
+    a broadcast-sized incoming batch never shuffles the standing table.
+    NULL key columns never conflict (SQLite: NULL ≠ NULL), so such rows
+    always insert. Divergence: duplicate keys WITHIN one DO UPDATE batch
+    raise (SQLite applies them sequentially; a distributed plan has no
+    row-at-a-time order — PostgreSQL makes the same call).
+    """
     sql, returning = _strip_returning(sql)
-    # SQLite upsert forms need a primary-key concept DataFrame views don't
-    # have — reject them explicitly instead of silently inserting
-    # (reference inherits them from SQLite; not exercised in its tests).
-    # Guards scan the literal-blanked text: inserted VALUES containing the
-    # words 'on conflict' must not trip them (ADVICE r4).
-    if re.match(r"\s*INSERT\s+OR\s+\w+", sql, re.I) or re.search(
-        r"\bON\s+CONFLICT\b", _code_only(sql), re.I
-    ):
-        raise FilesqlError(
-            "INSERT OR REPLACE/IGNORE and ON CONFLICT are not supported "
-            "(no primary-key/unique constraints on DataFrame-backed tables)"
-        )
+    sql, conflict_tail = _strip_on_conflict(sql)
     m = _INSERT_RE.match(sql)
     if not m:
         raise FilesqlError(f"cannot parse INSERT: {sql.strip()[:120]}")
+    or_act = (m.group("or_act") or "").upper()
+    if or_act in ("ABORT", "FAIL", "ROLLBACK"):
+        # conflict-ERROR behaviors; with no constraints to violate outside
+        # the upsert machinery they reduce to a plain INSERT (OR ABORT is
+        # SQLite's default)
+        or_act = ""
+    if or_act and or_act not in ("REPLACE", "IGNORE"):
+        raise FilesqlError(f"unsupported INSERT OR {or_act}")
+    if or_act and conflict_tail is not None:
+        raise FilesqlError("INSERT OR … cannot be combined with ON CONFLICT")
     table = _ident(m)
     target = engine.table(table)
     body = m.group("body").rstrip().rstrip(";")
@@ -139,17 +262,130 @@ def _insert(engine, sql: str) -> tuple[int, "object | None"]:
             for c in target.columns
         ]
     )
+
+    if or_act == "REPLACE":
+        key = _resolve_key(engine, table, target, None, "INSERT OR REPLACE")
+        return _upsert_replace(engine, table, target, aligned, key, returning)
+    if or_act == "IGNORE":
+        key = _resolve_key(engine, table, target, None, "INSERT OR IGNORE")
+        return _upsert_nothing(engine, table, target, aligned, key, returning)
+    if conflict_tail is not None:
+        t = _ON_CONFLICT_TAIL_RE.match(conflict_tail)
+        if not t:
+            raise FilesqlError(
+                f"cannot parse ON CONFLICT clause: {conflict_tail[:80]}"
+            )
+        key = _resolve_key(engine, table, target, t.group("cols"), "ON CONFLICT")
+        if t.group("act").upper() == "NOTHING":
+            return _upsert_nothing(engine, table, target, aligned, key, returning)
+        return _upsert_update(
+            engine, table, target, aligned, key, t.group("rest"), returning
+        )
+
     n = aligned.count()
     engine._reregister(table, target.unionByName(aligned))
+    return n, _returning_over(aligned, returning)
+
+
+def _returning_over(rows_df, returning: list[str] | None):
+    """RETURNING evaluates over the affected rows (SQLite semantics); '*'
+    is the row itself, expressions go through the dialect shim."""
     if returning is None:
-        return n, None
-    # RETURNING evaluates over the inserted rows (SQLite semantics); '*'
-    # is the aligned row itself, expressions go through the dialect shim
+        return None
     cols = [
         "*" if e.strip() == "*" else F.expr(dialect.rewrite(e))
         for e in returning
     ]
-    return n, aligned.select(*cols)
+    return rows_df.select(*cols)
+
+
+def _upsert_replace(engine, table, target, aligned, key, returning):
+    """OR REPLACE: last incoming row per key wins; matching standing rows
+    are dropped. changes() counts each attempted row, like SQLite."""
+    n = aligned.count()
+    incoming, _ = _dedup_by_key(aligned, key, keep="last")
+    survivors = target.join(incoming.select(*key).distinct(), key, "left_anti")
+    engine._reregister(table, survivors.unionByName(incoming))
+    return n, _returning_over(incoming, returning)
+
+
+def _upsert_nothing(engine, table, target, aligned, key, returning):
+    """OR IGNORE / DO NOTHING: only rows whose key is absent insert; the
+    first incoming row per key wins. changes() counts inserted rows only,
+    and RETURNING omits skipped rows, like SQLite."""
+    incoming, _ = _dedup_by_key(aligned, key, keep="first")
+    inserted = incoming.join(target.select(*key).distinct(), key, "left_anti")
+    n = inserted.count()
+    engine._reregister(table, target.unionByName(inserted))
+    return n, _returning_over(inserted, returning)
+
+
+def _upsert_update(engine, table, target, aligned, key, rest, returning):
+    """DO UPDATE SET …: matched standing rows get the SET expressions
+    (``excluded.col`` = incoming row), unmatched incoming rows insert."""
+    set_part, where = _extract_where(rest)
+    if re.match(r"(?i)^\s*NOTHING", set_part):  # defensive; caught earlier
+        raise FilesqlError("DO NOTHING parsed as DO UPDATE")
+
+    # duplicate keys within one batch have no distributed row-at-a-time
+    # order to apply sequentially — refuse, like PostgreSQL
+    dup = (
+        _dedup_by_key(aligned, key, keep="first")[0].count() != aligned.count()
+    )
+    if dup:
+        raise FilesqlError(
+            "ON CONFLICT DO UPDATE: the incoming rows contain duplicate "
+            "conflict keys; a set-oriented upsert cannot apply them "
+            "sequentially — de-duplicate the batch first"
+        )
+
+    exc = aligned.select(
+        F.lit(True).alias("__exc_present"),
+        *[F.col(c).alias(f"__exc_{c}") for c in aligned.columns],
+    )
+    # alias the standing side so SET/WHERE can qualify columns by table
+    # name (SQLite allows `SET x = t.x + excluded.x`)
+    tgt = target.alias(table)
+    cond = None
+    for k in key:
+        c = tgt[k].eqNullSafe(F.col(f"__exc_{k}")) & F.col(f"__exc_{k}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    joined = tgt.join(F.broadcast(exc), cond, "left")
+
+    matched = F.coalesce(F.col("__exc_present"), F.lit(False))
+    if where:
+        matched = matched & F.coalesce(
+            F.expr(dialect.rewrite(_rewrite_excluded(where))).cast("boolean"),
+            F.lit(False),
+        )
+
+    types = {f.name: f.dataType for f in target.schema.fields}
+    out_cols = []
+    assigns = {}
+    for piece in _split_level0(set_part):
+        col, _eq, expr_src = piece.partition("=")
+        name = col.strip().strip('"`')
+        if name not in types:
+            raise FilesqlError(f"DO UPDATE: no such column {name!r} in {table!r}")
+        assigns[name] = F.expr(
+            dialect.rewrite(_rewrite_excluded(expr_src.strip()))
+        ).cast(types[name])
+    for c in target.columns:
+        val = F.when(matched, assigns[c]).otherwise(tgt[c]) if c in assigns else tgt[c]
+        out_cols.append(val.alias(c))
+
+    updated = joined.select(*out_cols)
+    n_updated = joined.filter(matched).count()
+    to_insert = aligned.join(target.select(*key).distinct(), key, "left_anti")
+    n_inserted = to_insert.count()
+    engine._reregister(table, updated.unionByName(to_insert))
+    if returning is None:
+        return n_updated + n_inserted, None
+    # RETURNING sees the post-upsert rows: updated (new values) + inserted
+    updated_rows = joined.filter(matched).select(*out_cols)
+    return n_updated + n_inserted, _returning_over(
+        updated_rows.unionByName(to_insert), returning
+    )
 
 
 # ------------------------------------------------------------------- UPDATE
@@ -201,13 +437,10 @@ def _extract_where(body: str) -> tuple[str, str | None]:
     return body.strip().rstrip(";"), None
 
 
-def _update(engine, sql: str) -> int:
+def _update(engine, sql: str) -> tuple[int, "object | None"]:
+    """Apply an UPDATE; returns (affected rows, RETURNING DataFrame | None).
+    RETURNING evaluates over the affected rows' NEW values (SQLite 3.35+)."""
     sql, returning = _strip_returning(sql)
-    if returning is not None:
-        raise FilesqlError(
-            "RETURNING is only supported on INSERT (UPDATE/DELETE rewrite "
-            "the whole DataFrame; there is no per-row changed set to return)"
-        )
     m = _UPDATE_RE.match(sql)
     if not m:
         raise FilesqlError(f"cannot parse UPDATE: {sql.strip()[:120]}")
@@ -233,7 +466,9 @@ def _update(engine, sql: str) -> int:
 
     n = df.filter(pred).count()
     engine._reregister(table, df.withColumns(assigns))
-    return n
+    # the pre-update plan is immutable, so the RETURNING frame (affected
+    # rows with assignments applied) stays valid after the view swap
+    return n, _returning_over(df.filter(pred).withColumns(assigns), returning)
 
 
 # ------------------------------------------------------------------- DELETE
@@ -243,13 +478,10 @@ _DELETE_RE = re.compile(
 )
 
 
-def _delete(engine, sql: str) -> int:
+def _delete(engine, sql: str) -> tuple[int, "object | None"]:
+    """Apply a DELETE; returns (affected rows, RETURNING DataFrame | None).
+    RETURNING evaluates over the deleted rows (their last values)."""
     sql, returning = _strip_returning(sql)
-    if returning is not None:
-        raise FilesqlError(
-            "RETURNING is only supported on INSERT (UPDATE/DELETE rewrite "
-            "the whole DataFrame; there is no per-row changed set to return)"
-        )
     m = _DELETE_RE.match(sql)
     if not m:
         raise FilesqlError(f"cannot parse DELETE: {sql.strip()[:120]}")
@@ -266,7 +498,7 @@ def _delete(engine, sql: str) -> int:
         pred = F.lit(True)
     n = df.filter(pred).count()
     engine._reregister(table, df.filter(~pred))
-    return n
+    return n, _returning_over(df.filter(pred), returning)
 
 
 # --------------------------------------------------------------------- DDL
@@ -327,17 +559,26 @@ def _create(engine, sql: str) -> int:
     if m:
         name = _ident(m)
         body = m.group("body").strip().rstrip(";")
+        pk: list[str] = []
         if body.upper().startswith("AS"):
             df = engine.spark.sql(dialect.rewrite(body[2:].strip()))
         else:
             cols = _split_level0(body[1:-1])
             fields = []
             for c in cols:
+                tm = re.match(r"(?i)^PRIMARY\s+KEY\s*\(([^)]*)\)", c)
+                if tm:
+                    # table-level PRIMARY KEY (a, b): recorded as the
+                    # implicit conflict target for upserts
+                    pk = [p.strip().strip('"`') for p in tm.group(1).split(",")]
+                    continue
                 if re.match(r"(?i)^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\b", c):
-                    continue  # table-level constraints: accepted, ignored
+                    continue  # other table-level constraints: accepted, ignored
                 parts = c.split()
                 cname = parts[0].strip('"`')
                 ctype = _affinity(parts[1]) if len(parts) > 1 else "string"
+                if re.search(r"(?i)\bPRIMARY\s+KEY\b", c):
+                    pk = [cname]  # column-level PRIMARY KEY
                 fields.append(f"`{cname}` {ctype}")
             df = engine.spark.createDataFrame([], schema=", ".join(fields))
         if name in engine._tables:
@@ -348,6 +589,8 @@ def _create(engine, sql: str) -> int:
 
             raise DuplicateTableError(f"table {name!r} already exists")
         engine.register(name, df)
+        if pk:
+            engine._primary_keys[name] = pk
         return 0
     raise FilesqlError(f"cannot parse CREATE: {sql.strip()[:120]}")
 
@@ -370,6 +613,7 @@ def _drop(engine, sql: str) -> int:
             return 0
         raise FilesqlError(f"no such {kind.lower()}: {name}")
     del store[name]
+    engine._primary_keys.pop(name, None)
     from filesql_spark.engine import _view_ident
 
     engine.spark.catalog.dropTempView(_view_ident(name))

@@ -51,6 +51,9 @@ class Engine:
         self._tables: dict[str, DataFrame] = {}
         self._views: dict[str, DataFrame] = {}
         self._origins: dict[str, str] = {}  # table → original file path
+        # declared PRIMARY KEY columns (from CREATE TABLE), the implicit
+        # conflict target for INSERT OR REPLACE/IGNORE and bare ON CONFLICT
+        self._primary_keys: dict[str, list[str]] = {}
         self._snapshot: tuple[dict[str, DataFrame], dict[str, DataFrame]] | None = None
         self._temp_files: list[str] = []
         self._closed = False
@@ -116,8 +119,10 @@ class Engine:
     def pragma_table_info(self, name: str) -> DataFrame:
         """PRAGMA table_info(t) compat (filesql.go:275-301 uses it)."""
         fields = self.table(name).schema.fields
+        pk = {c.lower(): i + 1 for i, c in enumerate(self._primary_keys.get(name, []))}
         rows = [
-            (i, f.name, _sqlite_type(f.dataType.simpleString()), 0, None, 0)
+            (i, f.name, _sqlite_type(f.dataType.simpleString()), 0, None,
+             pk.get(f.name.lower(), 0))
             for i, f in enumerate(fields)
         ]
         return self.spark.createDataFrame(
@@ -140,12 +145,12 @@ class Engine:
                 return run_recursive(self.spark, sql, dialect.rewrite)
         if stmt in ("SELECT", "WITH", "VALUES"):
             return self.spark.sql(dialect.rewrite(sql))
-        if stmt == "INSERT":
-            # INSERT … RETURNING behaves as a row-producing statement
+        if stmt in ("INSERT", "UPDATE", "DELETE"):
+            # DML … RETURNING behaves as a row-producing statement
             # (SQLite 3.35+); dml raises if the clause is absent
             from filesql_spark import dml
 
-            return dml.insert_returning(self, sql)
+            return dml.dml_returning(self, _strip_comments(sql).strip())
         if stmt == "EXPLAIN":
             # SQLite's EXPLAIN [QUERY PLAN] <select> — surface Spark's
             # plan the same way: one text row per plan line
@@ -242,6 +247,7 @@ class Engine:
                 "SAVEPOINT are not supported)"
             )
         self._snapshot = (dict(self._tables), dict(self._views))
+        self._pk_snapshot = dict(self._primary_keys)
 
     def commit(self) -> None:
         if self._snapshot is None:
@@ -255,6 +261,7 @@ class Engine:
             raise TransactionError("no transaction in progress")
         tables, views = self._snapshot
         self._snapshot = None
+        self._primary_keys = getattr(self, "_pk_snapshot", self._primary_keys)
         # drop Spark temp views for objects created inside the transaction —
         # without this a rolled-back CREATE TABLE stays queryable via
         # spark.sql even though the engine catalog forgot it

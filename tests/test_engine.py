@@ -222,13 +222,117 @@ def test_nested_begin_mentions_savepoints(eng):
     eng.rollback()
 
 
-def test_insert_or_replace_clean_error(eng):
-    with pytest.raises(FilesqlError, match="not supported"):
+def test_implicit_upsert_without_pk_clean_error(eng):
+    """File-loaded tables declare no PRIMARY KEY, so the implicit-target
+    upsert forms must fail with a clear message (the explicit
+    ON CONFLICT(col) forms work — tested below)."""
+    with pytest.raises(FilesqlError, match="no.*declared PRIMARY KEY"):
         eng.execute("INSERT OR REPLACE INTO sample VALUES (1,'x',1,'e')")
-    with pytest.raises(FilesqlError, match="not supported"):
+    with pytest.raises(FilesqlError, match="no.*declared PRIMARY KEY"):
+        eng.execute("INSERT OR IGNORE INTO sample VALUES (1,'x',1,'e')")
+    with pytest.raises(FilesqlError, match="no.*declared PRIMARY KEY"):
         eng.execute(
-            "INSERT INTO sample VALUES (9,'x',1,'e') ON CONFLICT (id) DO NOTHING"
+            "INSERT INTO sample VALUES (9,'x',1,'e') ON CONFLICT DO NOTHING"
         )
+
+
+def test_on_conflict_do_nothing_explicit_target(eng):
+    """ON CONFLICT(col) needs no declared PK: id=1 exists → skipped;
+    id=9 is new → inserted. changes() counts inserted rows only."""
+    n = eng.execute(
+        "INSERT INTO sample VALUES (1,'Dup',1,'d'), (9,'New',9,'n') "
+        "ON CONFLICT (id) DO NOTHING"
+    )
+    assert n == 1
+    rows = {r.id: r.name for r in eng.query("SELECT id, name FROM sample").collect()}
+    assert rows[9] == "New"
+    assert rows[1] != "Dup"  # existing row untouched
+
+
+def test_on_conflict_do_update(eng):
+    """DO UPDATE SET with excluded.* and a WHERE guard, SQLite 3.24+."""
+    before = {r.id: (r.name, r.age) for r in eng.query("SELECT * FROM sample").collect()}
+    n = eng.execute(
+        "INSERT INTO sample (id, name, age) VALUES (1, 'Upd', 99), (9, 'New', 9) "
+        "ON CONFLICT (id) DO UPDATE SET name = excluded.name, age = excluded.age + 1"
+    )
+    assert n == 2  # one updated + one inserted
+    rows = {r.id: (r.name, r.age) for r in eng.query("SELECT * FROM sample").collect()}
+    assert rows[1] == ("Upd", 100)
+    assert rows[9] == ("New", 9)
+    assert rows[2] == before[2]  # untouched row
+
+    # WHERE guard: only update when the incoming age is larger
+    n = eng.execute(
+        "INSERT INTO sample (id, name, age) VALUES (1, 'Low', 5) "
+        "ON CONFLICT (id) DO UPDATE SET age = excluded.age WHERE excluded.age > sample.age"
+    )
+    assert n == 0  # guard false → neither updated nor inserted
+    rows = {r.id: r.age for r in eng.query("SELECT id, age FROM sample").collect()}
+    assert rows[1] == 100
+
+
+def test_on_conflict_do_update_duplicate_batch_keys_raise(eng):
+    with pytest.raises(FilesqlError, match="duplicate conflict keys"):
+        eng.execute(
+            "INSERT INTO sample (id, name) VALUES (1, 'a'), (1, 'b') "
+            "ON CONFLICT (id) DO UPDATE SET name = excluded.name"
+        )
+
+
+def test_insert_or_replace_with_declared_pk(eng):
+    """CREATE TABLE declares the PK; OR REPLACE swaps the conflicting row
+    and PRAGMA table_info reports the pk ordinal."""
+    eng.execute("CREATE TABLE kv (k TEXT PRIMARY KEY, v INTEGER)")
+    eng.execute("INSERT INTO kv VALUES ('a', 1), ('b', 2)")
+    n = eng.execute("INSERT OR REPLACE INTO kv VALUES ('a', 10), ('c', 3)")
+    assert n == 2  # each attempted row counts, like SQLite changes()
+    rows = {r.k: r.v for r in eng.query("SELECT * FROM kv").collect()}
+    assert rows == {"a": 10, "b": 2, "c": 3}
+    n = eng.execute("INSERT OR IGNORE INTO kv VALUES ('a', 99), ('d', 4)")
+    assert n == 1
+    rows = {r.k: r.v for r in eng.query("SELECT * FROM kv").collect()}
+    assert rows == {"a": 10, "b": 2, "c": 3, "d": 4}
+    info = {r.name: r.pk for r in eng.query("PRAGMA table_info(kv)").collect()}
+    assert info == {"k": 1, "v": 0}
+    eng.execute("DROP TABLE kv")
+
+
+def test_upsert_composite_pk_and_intra_batch_last_wins(eng):
+    eng.execute(
+        "CREATE TABLE m (a INTEGER, b INTEGER, v TEXT, PRIMARY KEY (a, b))"
+    )
+    eng.execute("INSERT INTO m VALUES (1, 1, 'x')")
+    # same key twice in one OR REPLACE: last wins (SQLite row-at-a-time)
+    eng.execute("INSERT OR REPLACE INTO m VALUES (1, 1, 'first'), (1, 1, 'second')")
+    rows = eng.query("SELECT * FROM m").collect()
+    assert [(r.a, r.b, r.v) for r in rows] == [(1, 1, "second")]
+    eng.execute("DROP TABLE m")
+
+
+def test_upsert_null_keys_never_conflict(eng):
+    """SQLite: NULL PK/unique values never conflict with anything."""
+    eng.execute("CREATE TABLE nk (k INTEGER PRIMARY KEY, v TEXT)")
+    eng.execute("INSERT INTO nk VALUES (NULL, 'a')")
+    n = eng.execute("INSERT OR IGNORE INTO nk VALUES (NULL, 'b'), (NULL, 'c')")
+    assert n == 2
+    assert eng.query("SELECT COUNT(*) AS n FROM nk").collect()[0].n == 3
+    eng.execute("DROP TABLE nk")
+
+
+def test_upsert_returning(eng):
+    """RETURNING on upsert returns the post-upsert rows: updated rows with
+    their new values plus inserted rows; DO NOTHING omits skipped rows."""
+    df = eng.query(
+        "INSERT INTO sample (id, name, age) VALUES (1, 'Up', 50), (9, 'New', 9) "
+        "ON CONFLICT (id) DO UPDATE SET age = excluded.age RETURNING id, age"
+    )
+    assert {(r.id, r.age) for r in df.collect()} == {(1, 50), (9, 9)}
+    df = eng.query(
+        "INSERT INTO sample (id, name) VALUES (1, 'skip'), (20, 'kept') "
+        "ON CONFLICT (id) DO NOTHING RETURNING id, name"
+    )
+    assert [(r.id, r.name) for r in df.collect()] == [(20, "kept")]
 
 
 def test_insert_returning(eng):
@@ -250,11 +354,31 @@ def test_insert_without_returning_via_query_raises(eng):
         eng.query("INSERT INTO sample VALUES (9, 'x', 1, 'e')")
 
 
-def test_update_delete_returning_clean_error(eng):
-    with pytest.raises(FilesqlError, match="RETURNING is only supported"):
-        eng.execute("UPDATE sample SET age = 1 WHERE id = 1 RETURNING id")
-    with pytest.raises(FilesqlError, match="RETURNING is only supported"):
-        eng.execute("DELETE FROM sample WHERE id = 1 RETURNING *")
+def test_update_returning(eng):
+    """UPDATE … RETURNING returns the affected rows' NEW values
+    (SQLite 3.35+); the table is mutated as a side effect."""
+    df = eng.query(
+        "UPDATE sample SET age = age + 10 WHERE id <= 2 RETURNING id, age"
+    )
+    got = {(r.id, r.age) for r in df.collect()}
+    table = {r.id: r.age for r in eng.query("SELECT id, age FROM sample").collect()}
+    assert got == {(i, table[i]) for i in (1, 2)}
+    assert len(got) == 2
+
+
+def test_delete_returning(eng):
+    """DELETE … RETURNING returns the deleted rows (their last values)."""
+    before = {r.id: r.name for r in eng.query("SELECT id, name FROM sample").collect()}
+    df = eng.query("DELETE FROM sample WHERE id = 1 RETURNING id, name")
+    assert [(r.id, r.name) for r in df.collect()] == [(1, before[1])]
+    assert eng.query("SELECT COUNT(*) AS n FROM sample WHERE id = 1").collect()[0].n == 0
+
+
+def test_update_delete_without_returning_via_query_raises(eng):
+    with pytest.raises(FilesqlError, match="RETURNING"):
+        eng.query("UPDATE sample SET age = 1 WHERE id = 1")
+    with pytest.raises(FilesqlError, match="RETURNING"):
+        eng.query("DELETE FROM sample WHERE id = 1")
 
 
 def test_returning_in_string_literal_not_detected(eng):
@@ -303,3 +427,63 @@ def test_dml_with_comments(eng):
     assert n == 1
     n = eng.execute("/* block 'comment' */ DELETE FROM sample WHERE id = 20")
     assert n == 1
+
+
+def test_upsert_golden_vs_sqlite(eng):
+    """Golden integration: run one upsert-heavy script through this engine
+    AND through the actual reference dialect engine (stdlib sqlite3);
+    the final table contents must be identical."""
+    import sqlite3
+
+    script = """
+    CREATE TABLE inv (sku TEXT PRIMARY KEY, qty INTEGER, price REAL);
+    INSERT INTO inv VALUES ('a', 1, 1.50), ('b', 2, 2.25);
+    INSERT OR REPLACE INTO inv VALUES ('a', 10, 1.00), ('c', 3, 3.00);
+    INSERT OR IGNORE INTO inv VALUES ('b', 99, 9.99), ('d', 4, 4.00);
+    INSERT INTO inv VALUES ('a', 5, 0.10)
+        ON CONFLICT (sku) DO UPDATE SET qty = inv.qty + excluded.qty;
+    INSERT INTO inv VALUES ('e', 6, 6.00)
+        ON CONFLICT (sku) DO UPDATE SET qty = excluded.qty;
+    INSERT INTO inv VALUES ('d', 40, 0.40)
+        ON CONFLICT (sku) DO UPDATE SET qty = excluded.qty
+        WHERE excluded.qty > inv.qty;
+    INSERT INTO inv VALUES ('d', 1, 0.01)
+        ON CONFLICT (sku) DO UPDATE SET qty = excluded.qty
+        WHERE excluded.qty > inv.qty;
+    UPDATE inv SET price = price * 2 WHERE qty >= 10;
+    DELETE FROM inv WHERE sku = 'b';
+    """
+    con = sqlite3.connect(":memory:")
+    con.executescript(script)
+    expected = con.execute("SELECT sku, qty, price FROM inv ORDER BY sku").fetchall()
+    con.close()
+
+    eng.execute_script(script)
+    got = [
+        (r.sku, r.qty, r.price)
+        for r in eng.query("SELECT sku, qty, price FROM inv ORDER BY sku").collect()
+    ]
+    assert got == [tuple(row) for row in expected]
+
+
+def test_returning_golden_vs_sqlite(eng):
+    """UPDATE/DELETE RETURNING row sets match the real SQLite."""
+    import sqlite3
+
+    setup = "CREATE TABLE r (id INTEGER PRIMARY KEY, v INTEGER);" \
+            "INSERT INTO r VALUES (1, 10), (2, 20), (3, 30);"
+    upd = "UPDATE r SET v = v + 1 WHERE id >= 2 RETURNING id, v"
+    dele = "DELETE FROM r WHERE v > 25 RETURNING id, v"
+
+    con = sqlite3.connect(":memory:")
+    con.executescript(setup)
+    exp_upd = sorted(con.execute(upd).fetchall())
+    exp_del = sorted(con.execute(dele).fetchall())
+    exp_final = con.execute("SELECT id, v FROM r ORDER BY id").fetchall()
+    con.close()
+
+    eng.execute_script(setup)
+    assert sorted((r.id, r.v) for r in eng.query(upd).collect()) == exp_upd
+    assert sorted((r.id, r.v) for r in eng.query(dele).collect()) == exp_del
+    got = [(r.id, r.v) for r in eng.query("SELECT id, v FROM r ORDER BY id").collect()]
+    assert got == [tuple(row) for row in exp_final]
