@@ -71,6 +71,8 @@ HEADLINE = [
     "events_anomaly_zscore",
     "embedding_quantize_int8",
     "pipeline_train_prep",
+    # round-7 additions
+    "pipeline_decontaminate",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -1,0 +1,98 @@
+"""Benchmark decontamination: flag training documents that share any
+exact word-n-gram with an evaluation/benchmark document set.
+
+This is the contamination gate every serious training-data pipeline runs
+before training (the published recipe — GPT-3 appendix C, PaLM, Llama —
+uses exact 13-gram overlap; n=13 is the default here). Beyond-reference:
+the reference engine (nao1215/filesql) has no corpus operators at all
+(SURVEY §2.A); this belongs to the LLM-pipeline family next to
+``incremental_dedup``, and has the same incoming-vs-base join shape.
+
+100-TB design:
+- The benchmark side is small by construction (benchmarks are ~10⁵ docs
+  against a 100-TB corpus), so its distinct n-gram hash set — grams
+  hashed to 60-bit ints, ~8 bytes each instead of ~100-char strings —
+  is BROADCAST, and the corpus-side probe is a map-side broadcast-hash
+  join: the 100-TB side never shuffles for the match; the only shuffle
+  is the final per-doc hit aggregation, which the map-side partial
+  aggregation collapses to one row per contaminated doc per partition.
+- If the benchmark gram set ever outgrows the broadcast budget
+  (``broadcast_bench=False``), the join degrades to a plain shuffled
+  equi-join on the 60-bit hash — still never all-pairs — or the Bloom
+  pre-filter from ``pipeline/sketch.py`` drops clean docs before the
+  join, the same audit-vs-production split documented there.
+- Documents shorter than n words produce no n-gram and cannot be
+  flagged (matching the published recipe, which operates on n-gram
+  overlap only); run the exact-dedup ledger alongside for short docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NGRAM_DEFAULT = 13  # the published decontamination window (GPT-3 App. C)
+
+
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit gram hash: first 15 md5 hex chars → int64 (the
+    DuckDB oracle applies the identical transform, so the engines agree
+    bit-for-bit, collisions included — at 2⁻⁶⁰ they are negligible at
+    10⁹ grams, unlike a 32-bit hash whose birthday bound is ~2¹⁶)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def ngram_hashes(
+    df: DataFrame, text_col: str = "text", n: int = NGRAM_DEFAULT
+) -> DataFrame:
+    """(doc_id, h): one row per DISTINCT word-n-gram of each document,
+    hashed to 60 bits. Docs with fewer than n words yield no rows.
+
+    Same evaluation-shape rules as ``dedup.add_shingles``: the token
+    array is materialized once and indexed with ``t[i]`` (GetArrayItem),
+    and the explode sits in the same projection as the gram transform so
+    the generator keeps its one-shot pruned evaluation."""
+    gram = "concat(" + ", ' ', ".join(f"__fsql_t[i+{j}]" for j in range(n)) + ")"
+    grams = (
+        f"array_distinct(transform(sequence(0, size(__fsql_t) - {n}), i -> {gram}))"
+    )
+    return (
+        df.repartition("doc_id")
+        .withColumn("__fsql_t", F.split(F.col(text_col), " "))
+        .filter(F.size("__fsql_t") >= n)
+        .select("doc_id", F.explode(F.expr(grams)).alias("__g"))
+        .select("doc_id", _hash60(F.col("__g")).alias("h"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = NGRAM_DEFAULT,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per contaminated training doc: (doc_id, n_shared_ngrams,
+    contaminated_by) — the count of distinct n-grams it shares with ANY
+    benchmark document, and the smallest benchmark doc_id sharing one
+    (deterministic evidence pointer). Clean docs are absent; the caller
+    anti-joins this frame to drop contaminated docs:
+
+        clean = train.join(decontaminate(train, bench), "doc_id", "left_anti")
+    """
+    bench = (
+        ngram_hashes(benchmark, text_col, n)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("__bench_id"))
+    )
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    return (
+        ngram_hashes(train, text_col, n)
+        .join(bench, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_ngrams"),
+            F.min("__bench_id").alias("contaminated_by"),
+        )
+    )

@@ -1971,3 +1971,46 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
     )
     return pack_sequences(train, 2048, "n_chars")
+
+
+def _decontaminate_oracle(n: int = 13, mod: int = 17) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+    WITH t0 AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {n - 1}), i -> {gram}))) AS g
+        FROM t0 WHERE len(t) >= {n}
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM sh
+    ),
+    bench AS (
+        SELECT h, MIN(doc_id) AS bench_id
+        FROM h WHERE doc_id % {mod} = 0 GROUP BY h
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams,
+           MIN(b.bench_id) AS contaminated_by
+    FROM h s JOIN bench b USING (h)
+    WHERE s.doc_id % {mod} != 0
+    GROUP BY s.doc_id
+    """
+
+
+@register("pipeline_decontaminate", _decontaminate_oracle())
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline/contamination.py): docs with
+    doc_id % 17 == 0 play the held-out benchmark suite, the rest the
+    training corpus; every training doc sharing an exact 13-gram with
+    any benchmark doc is flagged with its shared-gram count and a
+    deterministic evidence pointer. The benchmark gram-hash set is
+    broadcast; the corpus side never shuffles for the probe."""
+    from filesql_spark.pipeline.contamination import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 0)
+    train = d.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(train, bench)

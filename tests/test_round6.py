@@ -481,3 +481,46 @@ def test_bloom_words_knob_matches_sql_formula():
         assert bloom_words(n) * BLOOM_BITS_PER_WORD >= min(
             n * BLOOM_BITS_PER_KEY, 10**9
         ) or bloom_words(n) == BLOOM_MIN_WORDS
+
+
+def test_decontaminate_planted(spark):
+    """A training doc embedding an exact 13-gram from a benchmark doc is
+    flagged with the right evidence; clean and too-short docs are not."""
+    from filesql_spark.pipeline.contamination import decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(20))  # 20 words
+    # train doc 10 copies bench words 3..15 (13 words) verbatim
+    leaked = "x y z " + " ".join(f"b{i}" for i in range(3, 16)) + " q r"
+    clean = " ".join(f"c{i}" for i in range(30))
+    short = " ".join(f"b{i}" for i in range(12))  # < 13 words, no gram
+    bench = spark.createDataFrame(
+        [(1, bench_text), (2, "unrelated " * 15)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(10, leaked), (11, clean), (12, short)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_shared_ngrams, r.contaminated_by)
+           for r in decontaminate(train, bench).collect()}
+    assert got == {10: (1, 1)}  # exactly one shared 13-gram, from bench doc 1
+
+
+def test_decontaminate_matches_duckdb_oracle(spark):
+    """Registry entry vs its DuckDB oracle at sf0.001 (value-level)."""
+    import duckdb
+
+    from filesql_spark.queries.pipeline_queries import (
+        _decontaminate_oracle,
+        pipeline_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        (r.doc_id, r.n_shared_ngrams, r.contaminated_by)
+        for r in pipeline_decontaminate(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = sorted(map(tuple, con.execute(_decontaminate_oracle()).fetchall()))
+    assert got == exp and len(got) > 0
