@@ -73,6 +73,7 @@ HEADLINE = [
     "pipeline_train_prep",
     # round-7 additions
     "pipeline_decontaminate",
+    "customers_rfm_sketch",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings
@@ -120,6 +121,20 @@ def main() -> None:
         build_samples.append(time.perf_counter() - t0)
     ivf_build_sec = round(statistics.median(build_samples), 4)
 
+    # Same split for incremental dedup's standing-base index: the build
+    # (ledger + band table + shingle sets, localCheckpointed) is reported
+    # as dedup_base_build_sec; the timed dedup_incremental samples below
+    # serve from it and measure the per-delta cost a daily run pays.
+    from filesql_spark.queries.pipeline_queries import ensure_dedup_base
+
+    build_samples = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ensure_dedup_base(spark, sf_dir, fresh=True)  # checkpoint is eager
+        build_samples.append(time.perf_counter() - t0)
+    dedup_base_build_sec = round(statistics.median(build_samples), 4)
+
     timings: dict[str, float] = {}
     for n in names:
         samples = []
@@ -149,6 +164,7 @@ def main() -> None:
                     sum(timings[n] for n in R1_COMPARABLE if n in timings), 4
                 ),
                 "ann_ivf_build_sec": ivf_build_sec,
+                "dedup_base_build_sec": dedup_base_build_sec,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

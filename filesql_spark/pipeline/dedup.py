@@ -29,6 +29,8 @@ or identically-ordered folds.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pandas as pd  # module-level: pandas_udf resolves stringified hints here
 
 from pyspark.sql import Column, DataFrame
@@ -715,19 +717,69 @@ def dedup_components(
     )
 
 
+@dataclass(frozen=True)
+class DedupBaseIndex:
+    """The standing-base artifacts incremental dedup serves from:
+    content-hash ledger, MinHash band table, shingle sets. Build once
+    per base snapshot (``dedup_base_index``), reuse for every delta."""
+
+    ledger: DataFrame  # (ch, exact_dup_of)
+    bands: DataFrame  # (band, bh, base_id)
+    sets: DataFrame  # (base_id, sh_b)
+
+
+def dedup_base_index(
+    base: DataFrame, text_col: str = "text", materialize: bool = True
+) -> DedupBaseIndex:
+    """Build the base-corpus index for :func:`incremental_dedup` — the
+    build-once half of the train-once/serve-many split (same shape as
+    ``similarity.ivf_index``).
+
+    ``materialize=True`` localCheckpoints all three frames so every later
+    delta run pays only the incoming-side work (and so
+    ``spark.catalog.clearCache()`` between bench samples cannot silently
+    re-derive the base — checkpoints are not SQL-cache entries). At
+    cluster scale the same three frames are written once as tables
+    bucketed by their join keys (ch / (band, bh) / base_id), making each
+    delta's joins shuffle-free on the base side; localCheckpoint is the
+    single-job stand-in for that."""
+    ledger = (
+        base.select(F.md5(F.col(text_col)).alias("ch"), "doc_id")
+        .groupBy("ch")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    bands = band_table(minhash_signatures(base, text_col)).withColumnRenamed(
+        "doc_id", "base_id"
+    )
+    sets = add_shingles(base, text_col).select(
+        F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b")
+    )
+    if materialize:
+        ledger, bands, sets = (
+            ledger.localCheckpoint(),
+            bands.localCheckpoint(),
+            sets.localCheckpoint(),
+        )
+    return DedupBaseIndex(ledger, bands, sets)
+
+
 def incremental_dedup(
-    base: DataFrame,
+    base: DataFrame | None,
     incoming: DataFrame,
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
+    index: "DedupBaseIndex | None" = None,
 ) -> DataFrame:
     """Snapshot-delta dedup: flag each INCOMING document against the BASE
     corpus only — the daily-increment shape of a production pipeline.
 
     The full-corpus self-dedup is O(candidate pairs over base ∪ delta)
     every run; at 100 TB the base signatures/band table are materialized
-    ONCE and each day's delta joins against them, so per-run work is
-    incoming×(band collisions) — never base×base again. Two layers:
+    ONCE (``dedup_base_index``) and each day's delta joins against them,
+    so per-run work is incoming×(band collisions) — never base×base
+    again. Pass ``index=`` to serve from a standing index (``base`` may
+    then be None); without it the index is derived inline from ``base``,
+    which re-pays the build on every call. Two layers:
 
     - exact: md5(text) equi-join against the base content-hash ledger;
     - near: incoming band hashes equi-joined to base band hashes (the
@@ -739,33 +791,27 @@ def incremental_dedup(
     deterministic MIN base doc as the canonical attribution and NULLs
     for novel documents.
     """
-    base_ledger = (
-        base.select(F.md5(F.col(text_col)).alias("ch"), "doc_id")
-        .groupBy("ch")
-        .agg(F.min("doc_id").alias("exact_dup_of"))
-    )
+    if index is None:
+        if base is None:
+            raise ValueError("incremental_dedup needs base or index")
+        index = dedup_base_index(base, text_col, materialize=False)
     # NOT broadcast: the ledger is base-corpus-sized. At scale this is a
     # shuffle of the (small) delta against a bucketed-by-ch ledger table;
     # here a plain hash join.
     exact = (
         incoming.select("doc_id", F.md5(F.col(text_col)).alias("ch"))
-        .join(base_ledger, "ch", "left")
+        .join(index.ledger, "ch", "left")
         .select("doc_id", "exact_dup_of")
     )
 
-    bands_base = band_table(minhash_signatures(base, text_col)).withColumnRenamed(
-        "doc_id", "base_id"
-    )
     bands_inc = band_table(minhash_signatures(incoming, text_col))
     cand = (
-        bands_inc.join(bands_base, ["band", "bh"])
+        bands_inc.join(index.bands, ["band", "bh"])
         .select("doc_id", "base_id")
         .distinct()
     )
 
-    sets_base = add_shingles(base, text_col).select(
-        F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b")
-    )
+    sets_base = index.sets
     sets_inc = add_shingles(incoming, text_col).select("doc_id", "sh")
     inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_b")))
     union = F.size(F.col("sh")) + F.size(F.col("sh_b")) - inter

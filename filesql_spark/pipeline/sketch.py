@@ -302,13 +302,60 @@ def bloom_filter_table(
     ).groupBy("word").agg(F.expr("bit_or(m)").alias("bits"))
 
 
+def bloom_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim_keys: DataFrame,
+    dim_key: str,
+    n_keys: int | None = None,
+) -> DataFrame:
+    """THE PRODUCTION PATH: fact rows whose key passes the broadcast
+    Bloom filter, as ONE lazy plan with zero driver actions (pass
+    ``n_keys``; omitting it costs the build's sizing count).
+
+    Each row's two word lookups are two broadcast-hash joins against the
+    kilobyte (word, bits) table followed by a bit-test filter — entirely
+    map-side: the fact table is never shuffled, never probed twice, and
+    survivors (matches + ~3% deterministic false positives) flow
+    straight into the exact join that discards the FPs. Asserted
+    window-and-exchange-free in test_plan_shapes."""
+    bloom = bloom_filter_table(dim_keys.select(dim_key), dim_key, n=n_keys)
+    nbits = bloom_words(n_keys if n_keys is not None else dim_keys.count()) * BLOOM_BITS_PER_WORD
+    out_cols = fact.columns
+    probed = fact
+    for i, p in enumerate(_PROBE_SPARK):
+        expr = p.format(v=fact_key, m=nbits)
+        b = bloom.withColumnRenamed("word", f"__w{i}").withColumnRenamed(
+            "bits", f"__bits{i}"
+        )
+        probed = (
+            probed.withColumn(f"__p{i}", F.expr(expr))
+            .join(
+                F.broadcast(b),
+                F.expr(f"__p{i} div {BLOOM_BITS_PER_WORD}") == F.col(f"__w{i}"),
+                "inner",
+            )
+            .where(
+                F.expr(
+                    f"(__bits{i} & shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(__p{i} % {BLOOM_BITS_PER_WORD} AS INT))) != 0"
+                )
+            )
+        )
+    return probed.select(*out_cols)
+
+
 def bloom_semi_join_counts(
     fact: DataFrame, fact_key: str, dim_keys: DataFrame, dim_key: str
 ) -> DataFrame:
-    """One-row summary proving the reduction: total fact rows, rows the
-    broadcast Bloom filter passes (candidates), and the exact semi-join
-    matches — candidates - matches = false positives the exact join
-    discards, never false negatives."""
+    """AUDIT QUERY, not the production path: a one-row summary proving
+    the reduction — total fact rows, rows the broadcast Bloom filter
+    passes (candidates), and the exact semi-join matches; candidates -
+    matches = false positives the exact join discards, never false
+    negatives. It deliberately runs four driver actions (three counts +
+    the build's sizing count) to report all three numbers side by side;
+    a production pipeline runs :func:`bloom_semi_join` instead — the
+    filter as a lazy scan-side predicate with zero extra actions."""
     n_dim = dim_keys.count()
     bloom = bloom_filter_table(dim_keys.select(dim_key), dim_key, n=n_dim)
     nbits = bloom_words(n_dim) * BLOOM_BITS_PER_WORD

@@ -1927,3 +1927,146 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum("monetary_cents").alias("segment_cents"),
     )
+
+
+def _rfm_sketch_oracle() -> str:
+    # identical integer logic; DuckDB may use windows for the cumulative
+    # histogram — only the VALUES must match, the Spark plan is the one
+    # that has to stay window-free
+    thr = """
+    {m}_hist AS (
+        SELECT {expr} // {w} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rfm GROUP BY 1
+    ),
+    {m}_cum AS (
+        SELECT bin,
+               CAST(SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM {m}_hist
+    ),
+    {m}_thr AS (
+        SELECT MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN bin END) AS t25,
+               MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END) AS t50,
+               MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN bin END) AS t75
+        FROM {m}_cum
+    )"""
+    quart = (
+        "CASE WHEN {b} > {m}_thr.t75 THEN 1 WHEN {b} > {m}_thr.t50 THEN 2 "
+        "WHEN {b} > {m}_thr.t25 THEN 3 ELSE 4 END"
+    )
+    return (
+        """
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               datediff('day', DATE '1970-01-01', MAX(o_orderdate))::BIGINT
+                   AS r_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),"""
+        + thr.format(m="r", expr="r_days", w=1)
+        + ","
+        + thr.format(m="f", expr="frequency", w=1)
+        + ","
+        + thr.format(m="mo", expr="monetary_cents", w=1000)
+        + f"""
+    SELECT CAST({quart.format(b="r_days", m="r")} AS BIGINT) AS r_quartile,
+           CAST({quart.format(b="frequency", m="f")} AS BIGINT) AS f_quartile,
+           CAST({quart.format(b="monetary_cents // 1000", m="mo")} AS BIGINT)
+               AS m_quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM rfm, r_thr, f_thr, mo_thr
+    GROUP BY 1, 2, 3
+    """
+    )
+
+
+def _hist_thresholds(rfm: DataFrame, expr: str, width: int) -> DataFrame:
+    """Quartile-threshold bins of one integer metric via a fixed-bin
+    histogram — NO window anywhere: the cumulative histogram is a
+    bounded self-join (bins are bounded by value-range/width, not by
+    row count), and each threshold is a conditional MIN. Returns one
+    row (t25, t50, t75)."""
+    hist = (
+        rfm.select(F.expr(f"({expr}) div {width}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum("b.c").alias("cum"))
+    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    c = cum.crossJoin(F.broadcast(tot))
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.expr(f"({q} * n + 99) div 100"), F.col("bin"))
+        ).alias(f"t{q}")
+        for q in (25, 50, 75)
+    ]
+    return c.agg(*aggs)
+
+
+@register(
+    "customers_rfm_sketch",
+    _rfm_sketch_oracle(),
+)
+def customers_rfm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with SKETCH-DERIVED quartile thresholds — the
+    scale-out variant ``customers_rfm_segments``'s docstring promises:
+    no global NTILE (a single task over the per-customer table at 10⁹
+    customers). Instead each metric's quartile boundaries come from a
+    fixed-bin histogram (one tiny mergeable groupBy per metric, same
+    construction as ``sketch.histogram_quantiles``), the three 1-row
+    threshold frames are broadcast, and quartile assignment is a pure
+    per-row comparison. The plan contains NO window operator at all
+    (asserted in test_plan_shapes) — one shuffle for the per-customer
+    aggregate, map-side work for everything else.
+
+    Quartiles are value-based at bin resolution (customers tied in one
+    bin share a quartile), vs NTILE's position-based equal-count cells —
+    the documented trade for unbounded scale; both engines reproduce the
+    identical integer logic bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(cents("o_totalprice")).alias("monetary_cents"),
+        )
+        .withColumn("r_days", F.datediff("last_order", F.lit("1970-01-01")).cast("long"))
+    )
+    thr_r = _hist_thresholds(rfm, "r_days", 1).toDF("r_t25", "r_t50", "r_t75")
+    thr_f = _hist_thresholds(rfm, "frequency", 1).toDF("f_t25", "f_t50", "f_t75")
+    thr_m = _hist_thresholds(rfm, "monetary_cents", 1000).toDF(
+        "m_t25", "m_t50", "m_t75"
+    )
+
+    def quart(bin_expr: str, m: str):
+        return (
+            F.when(F.expr(bin_expr) > F.col(f"{m}_t75"), 1)
+            .when(F.expr(bin_expr) > F.col(f"{m}_t50"), 2)
+            .when(F.expr(bin_expr) > F.col(f"{m}_t25"), 3)
+            .otherwise(4)
+            .cast("long")
+        )
+
+    return (
+        rfm.crossJoin(F.broadcast(thr_r))
+        .crossJoin(F.broadcast(thr_f))
+        .crossJoin(F.broadcast(thr_m))
+        .groupBy(
+            quart("r_days", "r").alias("r_quartile"),
+            quart("frequency", "f").alias("f_quartile"),
+            quart("monetary_cents div 1000", "m").alias("m_quartile"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+    )

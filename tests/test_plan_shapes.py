@@ -325,3 +325,47 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS _bkt_a")
         spark.sql("DROP TABLE IF EXISTS _bkt_b")
+
+
+def test_rfm_sketch_has_no_window(spark, qs):
+    """The scale-out RFM variant must contain NO window operator at all
+    (the NTILE twin's global windows are its single-task bottleneck at
+    10⁹ customers): thresholds come from bounded histogram self-joins
+    and broadcast back onto the per-customer table."""
+    plan = _formatted(qs["customers_rfm_sketch"](spark, SF))
+    assert "Window" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # three 1-row threshold frames
+
+
+def test_bloom_production_path_is_pure_filter(spark):
+    """The production bloom path (bloom_semi_join, filter-as-predicate)
+    must be ONE lazy map-side plan: two broadcast word-lookups + bit
+    tests, NO shuffle of the fact side, no second fact scan (the counts
+    summary in bloom_semi_join_counts is the audit query, not this) —
+    and it must pass a superset of the exact semi-join (no false
+    negatives)."""
+    from pyspark.sql import functions as F
+
+    from filesql_spark.pipeline.sketch import bloom_semi_join
+    from filesql_spark.queries import load_table
+
+    dim = load_table(spark, SF, "customer").where("c_custkey % 7 = 0")
+    fact = load_table(spark, SF, "orders")
+    cand = bloom_semi_join(fact, "o_custkey", dim, "c_custkey", n_keys=200)
+    import re
+
+    plan = _formatted(cand)
+    # formatted mode lists each node twice (tree + numbered detail);
+    # count the numbered headers
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    # fact side is never shuffled: every hash-shuffle in the plan is the
+    # kilobyte bloom build's word aggregation, none keys on the fact
+    for m in re.finditer(r"hashpartitioning\((\w+)", plan):
+        assert m.group(1).startswith(("word", "__w")), plan[:2000]
+    # fact scanned once, dim twice (the two word-table builds)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    exact = fact.join(
+        dim.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    )
+    cols = fact.columns  # the semi-join hoists the key column first
+    assert exact.select(*cols).exceptAll(cand.select(*cols)).count() == 0

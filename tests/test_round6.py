@@ -524,3 +524,19 @@ def test_decontaminate_matches_duckdb_oracle(spark):
     )
     exp = sorted(map(tuple, con.execute(_decontaminate_oracle()).fetchall()))
     assert got == exp and len(got) > 0
+
+
+def test_incremental_dedup_index_served_equals_inline(spark):
+    """Serving from a materialized dedup_base_index must produce exactly
+    the inline (index-less) result — the build-once/serve-many contract."""
+    from filesql_spark.pipeline.dedup import dedup_base_index, incremental_dedup
+
+    d = load_table(spark, SF, "documents")
+    base = d.where(F.col("doc_id") % 10 != 0)
+    incoming = d.where(F.col("doc_id") % 10 == 0)
+    inline = incremental_dedup(base, incoming).collect()
+    idx = dedup_base_index(base)
+    served = incremental_dedup(None, incoming, index=idx).collect()
+    key = lambda r: (r.doc_id, r.exact_dup_of, r.near_dup_of, r.near_jaccard)
+    assert sorted(map(key, served)) == sorted(map(key, inline))
+    assert len(served) == incoming.count()
