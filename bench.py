@@ -74,6 +74,11 @@ HEADLINE = [
     # round-7 additions
     "pipeline_decontaminate",
     "customers_rfm_sketch",
+    "embedding_kmeans",
+    "embedding_random_projection",
+    "snapshot_diff_docs",
+    "pipeline_mixture_resample",
+    "corpus_datacard",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -1,0 +1,172 @@
+"""Distributed k-means over embedding columns (Lloyd's iterations).
+
+The missing piece between dedup/ANN and a real curation pipeline: cluster
+the corpus embeddings (topic balancing, diversity sampling, per-cluster
+quota enforcement all start from an assignment column). Spark-first
+design, one pass + one tiny collect per iteration:
+
+- **Assignment is a zero-shuffle map**: the k current centroids are tiny
+  (k × d ints) and are embedded as a literal array-of-arrays, so each row
+  computes its nearest centroid inside whole-stage codegen
+  (``transform`` + ``zip_with`` + ``array_min``) during the scan. No
+  join, no shuffle, no UDF.
+- **Update is one partial-aggregated groupBy**: 64 per-dimension SUMs +
+  COUNT per cluster — map-side combine reduces each partition to ≤k rows,
+  so the shuffle is k·(d+1) longs per partition regardless of data size.
+  The k result rows come back to the driver (k × 65 ints — bytes), which
+  is exactly the structure every production k-means (MLlib included)
+  uses: centroids are driver state, data never moves.
+- **Everything is exact int64 arithmetic** on the ×10⁴-quantized vectors
+  (same ``with_quantized`` basis as the dedup/ANN family), and the
+  centroid mean is the deterministic round-half-up
+  ``FLOOR((2·Σ + n) / (2·n))`` — both engines evaluate the identical
+  IEEE-double expression, so the DuckDB oracle (the same iterations
+  unrolled in SQL) is bit-identical, ties and all.
+- Ties in assignment break to the lowest centroid id
+  (``array_position`` returns the first minimum); empty clusters keep
+  their previous centroid.
+
+At 100 TB: cost is iters × (scan + k·(d+1)-long shuffle); the driver
+holds k·d ints. The quadratic-in-k assignment work stays cheap because
+k is small by construction here; for k in the thousands, the standard
+escalation is pre-pruning candidate centroids with the same hyperplane
+LSH used by ``similarity.lsh_topk`` (assign within the centroid's band
+cell only) — noted, not needed at this k.
+
+No counterpart in the reference (nao1215/filesql has no vector ops at
+all); modeled on the public Lloyd/MLlib formulation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from filesql_spark.pipeline.dedup import with_quantized
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _centroid_literal_sql(centroids: list[list[int]]) -> str:
+    """`array(array(...), ...)` literal of the current centroids."""
+    inner = ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in c) + ")" for c in centroids
+    )
+    return f"array({inner})"
+
+
+def assign_clusters(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Add (cluster, dist) — nearest centroid by squared L2 over the
+    quantized vectors, ties to the lowest centroid id. Pure column
+    expressions over a literal centroid array: zero shuffle, scan-speed.
+    """
+    lit = _centroid_literal_sql(centroids)
+    dists = (
+        f"transform({lit}, c -> aggregate(zip_with(qv, c,"
+        " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"
+    )
+    return qdf.withColumn("_dists", F.expr(dists)).select(
+        "*",
+        (F.expr("array_position(_dists, array_min(_dists))") - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.expr("array_min(_dists)").cast("long").alias("dist"),
+    ).drop("_dists")
+
+
+def _round_half_up_mean(s: int, n: int) -> int:
+    """FLOOR((2s + n) / (2n)) with double division — the exact expression
+    the DuckDB oracle runs, so the two engines can never disagree."""
+    return math.floor((2.0 * s + n) / (2 * n))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], DataFrame]:
+    """Lloyd's k-means: deterministic init (the k lowest-`key_col` vectors,
+    in key order), `iters` assignment/update rounds, returns the final
+    centroids and the assignment DataFrame (input + qv/nrm + cluster/dist).
+
+    The per-iteration driver traffic is k·(d+1) longs — independent of
+    data size; the data-side cost is one scan plus one map-combined
+    groupBy per iteration.
+    """
+    q = with_quantized(df, vec_col)
+    seed_rows = q.orderBy(key_col).limit(k).select("qv").collect()
+    centroids = [list(r.qv) for r in seed_rows]
+    dims = len(centroids[0])
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.element_at("qv", i + 1)).alias(f"_s{i}") for i in range(dims)
+    ]
+    for _ in range(iters):
+        stats = assign_clusters(q, centroids).groupBy("cluster").agg(*aggs).collect()
+        updated = {
+            row["cluster"]: [
+                _round_half_up_mean(row[f"_s{i}"], row["_n"]) for i in range(dims)
+            ]
+            for row in stats
+        }
+        centroids = [updated.get(c, centroids[c]) for c in range(len(centroids))]
+    return centroids, assign_clusters(q, centroids)
+
+
+def kmeans_assignment(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """(key, cluster, dist) for every vector after `iters` Lloyd rounds —
+    the registry/bench entry shape."""
+    _, assigned = kmeans_fit(df, k=k, iters=iters, key_col=key_col)
+    return assigned.select(
+        F.col(key_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def srp_signs(dims: int, out_dims: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix (dims × out_dims) from md5 — the same
+    literal matrix is embedded in the Spark expression and the DuckDB
+    oracle, so the projection is engine-portable by construction."""
+    import hashlib
+
+    signs: list[list[int]] = []
+    for i in range(dims):
+        row = []
+        for j in range(out_dims):
+            h = hashlib.md5(f"srp:{i}:{j}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def random_projection(
+    df: DataFrame,
+    out_dims: int = 16,
+    dims: int = 64,
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Signed random projection d → out_dims (Achlioptas/SRP): each output
+    coordinate is Σᵢ qᵥ[i]·s(i,j) with s a deterministic ±1 matrix. Exact
+    int64 arithmetic over the quantized vectors; one column expression per
+    output dim, zero shuffle, zero UDF — the projection runs at scan
+    speed, which is the point of using it as the cheap first stage before
+    clustering/ANN at 100 TB. Output: key + p0..p{out_dims-1} (long)."""
+    signs = srp_signs(dims, out_dims)
+    q = with_quantized(df)
+    cols = [F.col(key_col)]
+    for j in range(out_dims):
+        terms = " + ".join(
+            f"element_at(qv, {i + 1}) * ({signs[i][j]})" for i in range(dims)
+        )
+        cols.append(F.expr(f"CAST({terms} AS BIGINT)").alias(f"p{j}"))
+    return q.select(*cols)

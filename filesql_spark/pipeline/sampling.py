@@ -194,3 +194,57 @@ def pack_sequences(
         f"(cw - w) div {budget} AS pack_id",
         f"(cw - 1) div {budget} AS end_pack_id",
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, int],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Resample the corpus to a target stratum mixture — the domain/
+    language-rebalancing step of a training-data recipe ("2 parts web :
+    1 part books : 1 part code"). ``weights`` are integer mixture parts
+    per stratum value; strata not listed are dropped.
+
+    The feasible total T = min over strata of n_s·W/w_s (the largest
+    corpus whose mixture matches the targets exactly — the scarcest
+    stratum is kept whole); every stratum then keeps
+    floor(10⁴·T·w_s/(W·n_s)) of its 10⁴ hash buckets. Because the
+    per-stratum keep-rate derives only from the observed counts and the
+    integer weights through a fixed expression, the kept SET is a
+    deterministic property of the data — re-runs, repartitioning and
+    cluster changes cannot change it, unlike ``sampleBy``.
+
+    Scale shape: one count aggregate over the strata column (map-side
+    combined to |strata| rows), a |strata|-row threshold table broadcast
+    back, and a scan-level bucket filter — the corpus itself is never
+    shuffled. At 100 TB that is a single pass, and the thresholds are
+    bytes.
+    """
+    W = sum(weights.values())
+    w_expr = F.lit(None).cast("long")
+    for value, parts in sorted(weights.items()):
+        w_expr = F.when(F.col(strata_col) == value, F.lit(parts)).otherwise(w_expr)
+    counts = (
+        df.withColumn("_w", w_expr)
+        .filter(F.col("_w").isNotNull())
+        .groupBy(strata_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # T = min(n_s * W / w_s); threshold_s = floor(10^4 * T * w_s / (W * n_s)).
+    # Fixed double-op order on both engines => bit-identical thresholds.
+    t = counts.agg(F.min(F.col("_n") * W / F.col("_w")).alias("_t"))
+    thr = counts.crossJoin(F.broadcast(t)).select(
+        F.col(strata_col),
+        F.floor(
+            F.lit(float(SPLIT_BUCKETS)) * F.col("_t") * F.col("_w") / (W * F.col("_n"))
+        )
+        .cast("long")
+        .alias("_thresh"),
+    )
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(_bucket(F.col(key_col)) < F.col("_thresh"))
+        .drop("_thresh")
+    )

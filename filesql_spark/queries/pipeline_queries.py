@@ -2039,3 +2039,241 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("doc_id") % 17 == 0)
     train = d.where(F.col("doc_id") % 17 != 0)
     return decontaminate(train, bench)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: clustering, projection, snapshot diff, mixture resample, datacard
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    """Lloyd's k-means unrolled in SQL: the same deterministic init (k
+    lowest vec_ids), the same exact-int distances, the same
+    FLOOR((2Σ+n)/(2n)) centroid rounding as pipeline/clustering.py — so
+    the assignment matches the Spark loop bit-for-bit, ties included."""
+    r = f"range(1, {dims + 1})"
+    blocks = [
+        f"""q AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+               qv AS cv
+        FROM q ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        blocks.append(
+            f"""d{i} AS (
+        SELECT q.vec_id, c.cid,
+               CAST(SUM((q.qv[r.range] - c.cv[r.range])
+                        * (q.qv[r.range] - c.cv[r.range])) AS BIGINT) AS d
+        FROM q CROSS JOIN {prev} c CROSS JOIN {r} r
+        GROUP BY q.vec_id, c.cid
+    ),
+    a{i} AS (
+        SELECT vec_id, cid, d FROM (
+            SELECT vec_id, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    s{i} AS (
+        SELECT a.cid, r.range AS p,
+               CAST(FLOOR((2.0 * SUM(q.qv[r.range]) + COUNT(*))
+                          / (2 * COUNT(*))) AS BIGINT) AS cval
+        FROM a{i} a JOIN q USING (vec_id) CROSS JOIN {r} r
+        GROUP BY a.cid, r.range
+    ),
+    c{i} AS (
+        SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN (
+            SELECT cid, list(cval ORDER BY p) AS cv FROM s{i} GROUP BY cid
+        ) u USING (cid)
+    )"""
+        )
+        prev = f"c{i}"
+    blocks.append(
+        f"""df AS (
+        SELECT q.vec_id, c.cid,
+               CAST(SUM((q.qv[r.range] - c.cv[r.range])
+                        * (q.qv[r.range] - c.cv[r.range])) AS BIGINT) AS d
+        FROM q CROSS JOIN {prev} c CROSS JOIN {r} r
+        GROUP BY q.vec_id, c.cid
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + """
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster, d AS dist FROM (
+        SELECT vec_id, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM df
+    ) WHERE rn = 1"""
+    )
+
+
+@register("embedding_kmeans", _kmeans_oracle())
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (pipeline/clustering.py): k=8,
+    deterministic lowest-vec_id init, 2 exact-integer iterations.
+    Assignment is a zero-shuffle literal-centroid map; each update is one
+    map-combined groupBy collecting k×(d+1) longs to the driver. Output:
+    (vec_id, cluster, dist) for every vector."""
+    from filesql_spark.pipeline.clustering import kmeans_assignment
+
+    return kmeans_assignment(load_table(spark, sf_dir, "embeddings"))
+
+
+def _srp_oracle(out_dims: int = 16, dims: int = 64) -> str:
+    from filesql_spark.pipeline.clustering import srp_signs
+
+    signs = srp_signs(dims, out_dims)
+    cols = ",\n           ".join(
+        "CAST("
+        + " + ".join(f"qv[{i + 1}] * ({signs[i][j]})" for i in range(dims))
+        + f" AS BIGINT) AS p{j}"
+        for j in range(out_dims)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
+    SELECT vec_id, {cols} FROM q
+    """
+
+
+@register("embedding_random_projection", _srp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection 64→16 dims (pipeline/clustering.py):
+    deterministic ±1 md5-derived sign matrix, exact int64 arithmetic over
+    quantized vectors, one column expression per output dim — zero
+    shuffle, zero UDF, scan-speed dimensionality reduction."""
+    from filesql_spark.pipeline.clustering import random_projection
+
+    return random_projection(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "snapshot_diff_docs",
+    """
+    WITH o AS (
+        SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 20 != 3
+    ),
+    n AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 20 IN (1, 2) THEN text || ' v2'
+                        ELSE text END) AS new_hash
+        FROM documents WHERE doc_id % 20 != 7
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN n.new_hash IS NULL THEN 'removed'
+                WHEN o.old_hash IS NULL THEN 'added'
+                ELSE 'changed' END AS status,
+           o.old_hash, n.new_hash
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE o.old_hash IS NULL OR n.new_hash IS NULL OR o.old_hash != n.new_hash
+    """,
+)
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two corpus snapshots (pipeline/snapshot.py):
+    docs with doc_id%20==3 exist only in the old snapshot, %20==7 only
+    in the new one, %20∈{1,2} changed text between snapshots. One
+    full-outer join over (key, md5) scan-level fingerprints; unchanged
+    rows (the steady-state majority) are dropped before output."""
+    from filesql_spark.pipeline.snapshot import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.expr("doc_id % 20 != 3"))
+    new = d.filter(F.expr("doc_id % 20 != 7")).withColumn(
+        "text",
+        F.when(
+            F.expr("doc_id % 20 IN (1, 2)"), F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", ["text"])
+
+
+_MIXTURE_WEIGHTS = {"en": 2, "de": 1, "es": 1, "fr": 1, "zh": 1}
+
+
+def _mixture_oracle() -> str:
+    W = sum(_MIXTURE_WEIGHTS.values())
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIXTURE_WEIGHTS.items()))
+    return f"""
+    WITH w(lang_v, parts) AS (VALUES {vals}),
+    counts AS (
+        SELECT d.lang, w.parts, COUNT(*) AS n
+        FROM documents d JOIN w ON d.lang = w.lang_v
+        GROUP BY d.lang, w.parts
+    ),
+    t AS (SELECT MIN(n * {W} / parts) AS t FROM counts),
+    thr AS (
+        SELECT lang,
+               CAST(FLOOR(10000.0 * t.t * parts / ({W} * n)) AS BIGINT) AS thresh
+        FROM counts, t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < thr.thresh
+    """
+
+
+@register("pipeline_mixture_resample", _mixture_oracle())
+def pipeline_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a target language mixture 2:1:1:1:1
+    (pipeline/sampling.py mixture_resample): scarcest stratum kept whole,
+    every stratum hash-filtered to its exact mixture share. Counts
+    aggregate → broadcast threshold table → scan-level bucket predicate;
+    the corpus is never shuffled."""
+    from filesql_spark.pipeline.sampling import mixture_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_resample(d, "lang", _MIXTURE_WEIGHTS).select("doc_id", "lang")
+
+
+@register(
+    "corpus_datacard",
+    """
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         x -> x != '')) AS BIGINT)) AS BIGINT)
+               AS n_ws_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+           CAST(FLOOR(100.0 * SUM(n_chars) / COUNT(*)) AS BIGINT) AS avg_chars_x100
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card a corpus release ships: per (lang, source) cell
+    plus ROLLUP subtotals — document count, whitespace-token total,
+    exact-duplicate count (n_docs − distinct fingerprints) and avg doc
+    length (×100, exact floor). One pass, one shuffle (the rollup);
+    token counting and fingerprints are scan-level expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split(F.trim(F.col("text")), "\\s+"), lambda t: t != "")
+    ).cast("long")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).alias("n_ws_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
+            F.floor(F.lit(100.0) * F.sum("n_chars") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_chars_x100"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "n_ws_tokens",
+            "n_dup_docs",
+            "avg_chars_x100",
+        )
+    )

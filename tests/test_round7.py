@@ -1,0 +1,197 @@
+"""Round-7 operators: k-means, random projection, snapshot diff,
+mixture resample, datacard (plus their plan-shape gates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from filesql_spark.pipeline.clustering import (
+    assign_clusters,
+    kmeans_fit,
+    random_projection,
+    srp_signs,
+)
+from filesql_spark.pipeline.dedup import with_quantized
+from filesql_spark.pipeline.sampling import mixture_resample
+from filesql_spark.pipeline.snapshot import snapshot_diff
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from filesql_spark.queries import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from filesql_spark.queries import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------- k-means
+
+
+def test_kmeans_assignment_complete_and_deterministic(emb):
+    cents1, a1 = kmeans_fit(emb, k=4, iters=2)
+    cents2, a2 = kmeans_fit(emb, k=4, iters=2)
+    assert cents1 == cents2
+    rows1 = sorted((r.vec_id, r.cluster, r.dist) for r in a1.collect())
+    rows2 = sorted((r.vec_id, r.cluster, r.dist) for r in a2.collect())
+    assert rows1 == rows2
+    n = emb.count()
+    assert len(rows1) == n
+    assert all(0 <= c < 4 for _, c, _ in rows1)
+    assert all(d >= 0 for _, _, d in rows1)
+
+
+def test_kmeans_iterations_do_not_increase_inertia(emb):
+    """Lloyd's guarantee holds for the exact-int variant too (rounding the
+    centroid to the int grid perturbs by <1 quantum per dim; assert the
+    inertia trend with a tolerance for that)."""
+    q = with_quantized(emb)
+    seed = [list(r.qv) for r in q.orderBy("vec_id").limit(4).select("qv").collect()]
+    init_inertia = assign_clusters(q, seed).agg(F.sum("dist")).collect()[0][0]
+    cents, assigned = kmeans_fit(emb, k=4, iters=2)
+    final_inertia = assigned.agg(F.sum("dist")).collect()[0][0]
+    assert final_inertia <= init_inertia
+
+
+def test_kmeans_assignment_is_nearest_centroid(emb):
+    """Cross-check one row's assignment against a brute-force python dist."""
+    cents, assigned = kmeans_fit(emb, k=4, iters=1)
+    row = assigned.orderBy("vec_id").limit(1).collect()[0]
+    dists = [
+        sum((x - c) * (x - c) for x, c in zip(row.qv, cent)) for cent in cents
+    ]
+    best = min(range(len(dists)), key=lambda j: (dists[j], j))
+    assert row.cluster == best and row.dist == dists[best]
+
+
+def test_kmeans_assign_is_shuffle_free(emb):
+    q = with_quantized(emb)
+    seed = [list(r.qv) for r in q.orderBy("vec_id").limit(4).select("qv").collect()]
+    plan = assign_clusters(q, seed)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ----------------------------------------------------- random projection
+
+
+def test_srp_signs_deterministic_and_pm1():
+    s1 = srp_signs(64, 16)
+    s2 = srp_signs(64, 16)
+    assert s1 == s2
+    assert all(v in (-1, 1) for row in s1 for v in row)
+    # not degenerate: both signs appear in every output column
+    for j in range(16):
+        col = [s1[i][j] for i in range(64)]
+        assert -1 in col and 1 in col
+
+
+def test_random_projection_matches_manual(emb):
+    out = random_projection(emb, out_dims=4).orderBy("vec_id").limit(2).collect()
+    signs = srp_signs(64, 4)
+    src = (
+        with_quantized(emb).orderBy("vec_id").limit(2).select("vec_id", "qv").collect()
+    )
+    for o, s in zip(out, src):
+        assert o.vec_id == s.vec_id
+        for j in range(4):
+            assert o[f"p{j}"] == sum(q * signs[i][j] for i, q in enumerate(s.qv))
+
+
+def test_random_projection_is_shuffle_free(emb):
+    plan = (
+        random_projection(emb, out_dims=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# --------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, payload string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "id long, payload string"
+    )
+    got = {
+        r.id: r.status
+        for r in snapshot_diff(old, new, "id", ["payload"]).collect()
+    }
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_multicol_fingerprint(spark):
+    old = spark.createDataFrame([(1, "a", 10)], "id long, s string, v long")
+    new = spark.createDataFrame([(1, "a", 11)], "id long, s string, v long")
+    rows = snapshot_diff(old, new, "id", ["s", "v"]).collect()
+    assert len(rows) == 1 and rows[0].status == "changed"
+
+
+def test_snapshot_diff_unchanged_dropped(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, payload string")
+    assert snapshot_diff(df, df, "id", ["payload"]).count() == 0
+
+
+# ------------------------------------------------------ mixture resample
+
+
+def test_mixture_resample_hits_target_ratio(docs):
+    kept = mixture_resample(docs, "lang", {"en": 2, "de": 1, "es": 1, "fr": 1, "zh": 1})
+    counts = {r.lang: r.cnt for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(counts) <= {"en", "de", "es", "fr", "zh"}
+    # en should get ~2x the weight-1 strata; hash sampling is approximate,
+    # so assert direction + the scarcest stratum being kept (near-)whole
+    others = [counts[k] for k in counts if k != "en"]
+    assert counts["en"] > max(others)
+    orig = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    W, weights = 6, {"en": 2, "de": 1, "es": 1, "fr": 1, "zh": 1}
+    t = min(orig[s] * W / weights[s] for s in weights)
+    scarcest = min(weights, key=lambda s: orig[s] * W / weights[s])
+    assert counts[scarcest] >= orig[scarcest] * 0.8
+
+
+def test_mixture_resample_deterministic_and_subset(docs):
+    w = {"en": 1, "de": 1}
+    a = sorted(r.doc_id for r in mixture_resample(docs, "lang", w).collect())
+    b = sorted(r.doc_id for r in mixture_resample(docs, "lang", w).collect())
+    assert a == b
+    langs = {
+        r.lang for r in mixture_resample(docs, "lang", w).select("lang").distinct().collect()
+    }
+    assert langs <= {"en", "de"}
+
+
+def test_mixture_resample_broadcasts_thresholds(docs):
+    plan = (
+        mixture_resample(docs, "lang", {"en": 1, "de": 1})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------- datacard
+
+
+def test_datacard_rollup_total(spark, sf_dir):
+    from filesql_spark.queries import all_queries
+
+    df = all_queries()["corpus_datacard"](spark, sf_dir)
+    rows = {(r.lang, r.source): r for r in df.collect()}
+    total = rows[("ALL", "ALL")]
+    n_docs_sum = sum(
+        r.n_docs for (lang, src), r in rows.items() if lang != "ALL" and src != "ALL"
+    )
+    assert total.n_docs == n_docs_sum
+    assert total.n_dup_docs >= 0 and total.n_ws_tokens > 0
