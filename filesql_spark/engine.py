@@ -55,6 +55,12 @@ class Engine:
         # conflict target for INSERT OR REPLACE/IGNORE and bare ON CONFLICT
         self._primary_keys: dict[str, list[str]] = {}
         self._snapshot: tuple[dict[str, DataFrame], dict[str, DataFrame]] | None = None
+        # SAVEPOINT stack: (lowercased name, (tables, views), primary_keys).
+        # A savepoint issued outside BEGIN starts an implicit transaction
+        # (SQLite semantics: releasing the outermost savepoint commits it).
+        self._savepoints: list[
+            tuple[str, tuple[dict[str, DataFrame], dict[str, DataFrame]], dict]
+        ] = []
         self._temp_files: list[str] = []
         self._closed = False
 
@@ -182,7 +188,19 @@ class Engine:
             self.commit()
             return 0
         if stmt == "ROLLBACK":
-            self.rollback()
+            name = _savepoint_target(sql)
+            if name is not None:
+                self.rollback_to(name)
+            else:
+                self.rollback()
+            return 0
+        if stmt == "SAVEPOINT":
+            name = _savepoint_ident(sql, "SAVEPOINT")
+            self.savepoint(name)
+            return 0
+        if stmt == "RELEASE":
+            name = _savepoint_ident(sql, "RELEASE")
+            self.release(name)
             return 0
         if stmt in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP"):
             # comments are legal anywhere in SQLite DML; the dml regex
@@ -207,8 +225,6 @@ class Engine:
             kw = _first_keyword(stmt)
             if not kw:
                 continue  # comment-only fragment
-            if kw in ("SAVEPOINT", "RELEASE"):
-                raise TransactionError("SAVEPOINT is not supported")
             if kw in ("SELECT", "WITH", "VALUES", "PRAGMA"):
                 self.query(stmt).count()
             else:
@@ -241,28 +257,79 @@ class Engine:
     # ---------------------------------------------------------- transactions
 
     def begin(self) -> None:
-        if self._snapshot is not None:
+        if self._snapshot is not None or self._savepoints:
             raise TransactionError(
-                "transaction already in progress (nested transactions / "
-                "SAVEPOINT are not supported)"
+                "transaction already in progress (nested BEGIN is not "
+                "supported; use SAVEPOINT for nesting)"
             )
         self._snapshot = (dict(self._tables), dict(self._views))
         self._pk_snapshot = dict(self._primary_keys)
 
     def commit(self) -> None:
-        if self._snapshot is None:
+        if self._snapshot is None and not self._savepoints:
             raise TransactionError("no transaction in progress")
         self._snapshot = None
+        self._savepoints.clear()
         if self.auto_save and self.auto_save.on == "commit":
             self._perform_auto_save()
 
     def rollback(self) -> None:
-        if self._snapshot is None:
+        """Cancel the whole transaction — back to BEGIN, or (for a
+        savepoint-started implicit transaction) to the first SAVEPOINT."""
+        if self._snapshot is not None:
+            tables, views = self._snapshot
+            pks = getattr(self, "_pk_snapshot", self._primary_keys)
+        elif self._savepoints:
+            _, (tables, views), pks = self._savepoints[0]
+        else:
             raise TransactionError("no transaction in progress")
-        tables, views = self._snapshot
         self._snapshot = None
-        self._primary_keys = getattr(self, "_pk_snapshot", self._primary_keys)
-        # drop Spark temp views for objects created inside the transaction —
+        self._savepoints.clear()
+        self._restore_state(tables, views, pks)
+
+    # SQLite savepoint semantics (lang_savepoint.html): a savepoint outside
+    # a transaction starts one; RELEASE of the outermost savepoint commits
+    # it; ROLLBACK TO rewinds state but keeps the savepoint on the stack.
+    # Names match case-insensitively; the most recent binding wins.
+
+    def savepoint(self, name: str) -> None:
+        self._savepoints.append(
+            (
+                name.lower(),
+                (dict(self._tables), dict(self._views)),
+                dict(self._primary_keys),
+            )
+        )
+
+    def _find_savepoint(self, name: str) -> int:
+        key = name.lower()
+        for i in range(len(self._savepoints) - 1, -1, -1):
+            if self._savepoints[i][0] == key:
+                return i
+        raise TransactionError(f"no such savepoint: {name}")
+
+    def release(self, name: str) -> None:
+        i = self._find_savepoint(name)
+        del self._savepoints[i:]
+        if not self._savepoints and self._snapshot is None:
+            # outermost savepoint of an implicit transaction → commit
+            if self.auto_save and self.auto_save.on == "commit":
+                self._perform_auto_save()
+
+    def rollback_to(self, name: str) -> None:
+        i = self._find_savepoint(name)
+        _, (tables, views), pks = self._savepoints[i]
+        del self._savepoints[i + 1 :]
+        self._restore_state(dict(tables), dict(views), dict(pks))
+
+    def _restore_state(
+        self,
+        tables: dict[str, DataFrame],
+        views: dict[str, DataFrame],
+        pks: dict,
+    ) -> None:
+        self._primary_keys = pks
+        # drop Spark temp views for objects created since the snapshot —
         # without this a rolled-back CREATE TABLE stays queryable via
         # spark.sql even though the engine catalog forgot it
         for name in (set(self._tables) | set(self._views)) - (
@@ -425,6 +492,42 @@ def _first_keyword(sql: str) -> str:
     s = re.sub(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*\s*", "", sql, flags=re.S)
     m = re.match(r"(\w+)", s)
     return m.group(1).upper() if m else ""
+
+
+_IDENT = r"""(?:"([^"]+)"|`([^`]+)`|\[([^\]]+)\]|'([^']+)'|([A-Za-z_][\w$]*))"""
+
+
+def _ident_of(m) -> str:
+    return next(g for g in m.groups()[-5:] if g is not None)
+
+
+def _savepoint_ident(sql: str, kind: str) -> str:
+    """Name from `SAVEPOINT name` / `RELEASE [SAVEPOINT] name` (quoted or
+    bare, per the SQLite grammar)."""
+    import re
+
+    pat = (
+        rf"\s*{kind}\s+(?:SAVEPOINT\s+)?{_IDENT}\s*;?\s*$"
+        if kind == "RELEASE"
+        else rf"\s*{kind}\s+{_IDENT}\s*;?\s*$"
+    )
+    m = re.match(pat, sql, re.I)
+    if not m:
+        raise TransactionError(f"cannot parse {kind} statement: {sql.strip()}")
+    return _ident_of(m)
+
+
+def _savepoint_target(sql: str) -> str | None:
+    """`ROLLBACK [TRANSACTION] TO [SAVEPOINT] name` → name; plain
+    ROLLBACK → None."""
+    import re
+
+    m = re.match(
+        rf"\s*ROLLBACK\s+(?:TRANSACTION\s+)?TO\s+(?:SAVEPOINT\s+)?{_IDENT}\s*;?\s*$",
+        sql,
+        re.I,
+    )
+    return _ident_of(m) if m else None
 
 
 def _sqlite_type(spark_type: str) -> str:

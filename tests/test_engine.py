@@ -210,9 +210,13 @@ def test_execute_script_multi_statement(eng):
     assert [(r.id, r.tag) for r in rows] == [(1, "a; not a split"), (2, "z")]
 
 
-def test_execute_script_savepoint_rejected(eng):
-    with pytest.raises(TransactionError, match="SAVEPOINT"):
-        eng.execute_script("SAVEPOINT sp1; INSERT INTO sample VALUES (9,'x',1,'e')")
+def test_execute_script_savepoint_autocommits(eng):
+    # a script's un-released savepoint leaves the implicit txn open;
+    # a following plain ROLLBACK undoes the whole script
+    eng.execute_script("SAVEPOINT sp1; INSERT INTO sample VALUES (9,'x',1,'e')")
+    assert _count(eng) == 4
+    eng.execute("ROLLBACK")
+    assert _count(eng) == 3
 
 
 def test_nested_begin_mentions_savepoints(eng):
@@ -487,3 +491,112 @@ def test_returning_golden_vs_sqlite(eng):
     assert sorted((r.id, r.v) for r in eng.query(dele).collect()) == exp_del
     got = [(r.id, r.v) for r in eng.query("SELECT id, v FROM r ORDER BY id").collect()]
     assert got == [tuple(row) for row in exp_final]
+
+
+# ------------------------------------------------------------- savepoints
+# SQLite lang_savepoint.html semantics: nesting, case-insensitive names,
+# most-recent binding wins, ROLLBACK TO keeps the savepoint, RELEASE of
+# the outermost savepoint of an implicit transaction commits it.
+
+
+def _count(eng):
+    return eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n
+
+
+def test_savepoint_rollback_to(eng):
+    eng.begin()
+    eng.execute("DELETE FROM sample WHERE id = 1")
+    eng.execute("SAVEPOINT sp1")
+    eng.execute("DELETE FROM sample")
+    assert _count(eng) == 0
+    eng.execute("ROLLBACK TO sp1")
+    assert _count(eng) == 2  # sp1 state: one row deleted
+    eng.rollback()
+    assert _count(eng) == 3
+
+
+def test_savepoint_nested_release(eng):
+    eng.execute("SAVEPOINT outer")
+    eng.execute("DELETE FROM sample WHERE id = 1")
+    eng.execute("SAVEPOINT inner")
+    eng.execute("DELETE FROM sample WHERE id = 2")
+    eng.execute("RELEASE SAVEPOINT inner")  # folds inner into outer
+    assert _count(eng) == 1
+    eng.execute("ROLLBACK TO SAVEPOINT outer")
+    assert _count(eng) == 3
+    eng.execute("RELEASE outer")  # outermost release of implicit txn = commit
+    with pytest.raises(TransactionError):
+        eng.commit()  # nothing left in progress
+
+
+def test_savepoint_rollback_to_keeps_savepoint(eng):
+    eng.execute("SAVEPOINT a")
+    eng.execute("DELETE FROM sample WHERE id = 1")
+    eng.execute("ROLLBACK TO a")
+    eng.execute("DELETE FROM sample WHERE id = 2")
+    eng.execute("ROLLBACK TO a")  # still on the stack
+    assert _count(eng) == 3
+    eng.execute("RELEASE a")
+
+
+def test_savepoint_case_insensitive_and_most_recent_wins(eng):
+    eng.execute("SAVEPOINT SP")
+    eng.execute("DELETE FROM sample WHERE id = 1")
+    eng.execute("SAVEPOINT sp")  # same name, new binding
+    eng.execute("DELETE FROM sample WHERE id = 2")
+    eng.execute('ROLLBACK TO "sp"')  # hits the most recent binding
+    assert _count(eng) == 2
+    eng.execute("RELEASE sp")  # releases the inner binding only
+    eng.execute("ROLLBACK TO sp")  # now resolves to the outer one
+    assert _count(eng) == 3
+    eng.execute("RELEASE sp")
+
+
+def test_savepoint_unknown_name_errors(eng):
+    with pytest.raises(TransactionError, match="no such savepoint"):
+        eng.execute("RELEASE nope")
+    eng.execute("SAVEPOINT a")
+    with pytest.raises(TransactionError, match="no such savepoint"):
+        eng.execute("ROLLBACK TO b")
+    eng.execute("RELEASE a")
+
+
+def test_plain_rollback_cancels_implicit_savepoint_txn(eng):
+    eng.execute("SAVEPOINT s1")
+    eng.execute("DELETE FROM sample")
+    eng.execute("ROLLBACK")
+    assert _count(eng) == 3
+    with pytest.raises(TransactionError):
+        eng.execute("ROLLBACK TO s1")  # txn gone, savepoint with it
+
+
+def test_begin_inside_savepoint_txn_errors(eng):
+    eng.execute("SAVEPOINT s1")
+    with pytest.raises(TransactionError):
+        eng.begin()
+    eng.execute("RELEASE s1")
+
+
+def test_savepoint_rollback_drops_tables_created_after_it(eng):
+    eng.execute("SAVEPOINT s1")
+    eng.execute("CREATE TABLE tmp_sp (k INTEGER)")
+    eng.execute("INSERT INTO tmp_sp VALUES (1)")
+    eng.execute("ROLLBACK TO s1")
+    assert "tmp_sp" not in eng.table_names()
+    with pytest.raises(Exception):
+        eng.query("SELECT * FROM tmp_sp").collect()
+    eng.execute("RELEASE s1")
+
+
+def test_savepoint_script(eng):
+    eng.execute_script(
+        """
+        SAVEPOINT s1;
+        DELETE FROM sample WHERE id = 3;
+        SAVEPOINT s2;
+        DELETE FROM sample WHERE id = 2;
+        ROLLBACK TO s2;
+        RELEASE s1;
+        """
+    )
+    assert _count(eng) == 2
