@@ -72,6 +72,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "pipeline_train_prep",
     # round-7 additions
+    "q6_forecast_revenue",
     "pipeline_decontaminate",
     "customers_rfm_sketch",
     "embedding_kmeans",

@@ -425,6 +425,44 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(SUM({_c('l_extendedprice')} * {_c('l_discount')}) AS BIGINT)
+               / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND {_c('l_discount')} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + ungrouped aggregate — the pushdown
+    showcase. The shipdate range and quantity predicates reach the
+    parquet scan (PushedFilters, asserted in test_plan_shapes), only the
+    four referenced columns are read, and the whole query is one
+    map-side partial sum + a single-row final agg: no shuffle of data
+    rows at any scale. Discount is compared in exact cents so the
+    revenue sum is integer-exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & cents("l_discount").between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * cents("l_discount")) / 10000.0).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "join_left_outer",
     """
     SELECT n.n_name AS nation, COUNT(c.c_custkey) AS n_customers

@@ -369,3 +369,33 @@ def test_bloom_production_path_is_pure_filter(spark):
     )
     cols = fact.columns  # the semi-join hoists the key column first
     assert exact.select(*cols).exceptAll(cand.select(*cols)).count() == 0
+
+
+def test_q6_pushdown_partial_agg(spark, qs):
+    """Q6 is the pushdown showcase: range + quantity predicates at the
+    scan, only the 4 referenced lineitem columns read, and a partial →
+    final ungrouped aggregate (no data-row shuffle)."""
+    plan = _formatted(qs["q6_forecast_revenue"](spark, SF))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"]:
+        assert col in schema_line
+    assert "l_orderkey" not in schema_line and "l_tax" not in schema_line
+    assert "partial" in plan.lower()  # map-side partial aggregation
+
+
+def test_kmeans_assignment_plan_no_join(spark, qs):
+    """k-means assignment is a literal-centroid map: the executed plan of
+    the final assignment must contain no join operator at all."""
+    plan = _formatted(qs["embedding_kmeans"](spark, SF))
+    assert "Join" not in plan
+
+
+def test_mixture_resample_corpus_not_shuffled(spark, qs):
+    """The corpus side of mixture_resample joins the broadcast threshold
+    table without an Exchange on the document stream."""
+    plan = _formatted(qs["pipeline_mixture_resample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
