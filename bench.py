@@ -80,6 +80,10 @@ HEADLINE = [
     "snapshot_diff_docs",
     "pipeline_mixture_resample",
     "corpus_datacard",
+    "interval_join_banded",
+    "pipeline_per_source_cap",
+    "pipeline_diversity_sample",
+    "cdc_merge_apply",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -62,3 +62,35 @@ def snapshot_diff(
             "new_hash",
         )
     )
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change set to a standing snapshot (Delta/Hudi
+    ``MERGE INTO`` semantics, expressed as one join + one union):
+
+    - ``op = 'delete'`` — drop the key from the base;
+    - ``op = 'upsert'`` — replace the key's row with the change row
+      (or insert it if the key is new).
+
+    The base is left-anti joined against the (delete ∪ upsert) key set —
+    ONE equi-join on the key, shuffling only the change keys against the
+    base — then the upsert payload is unioned in. The change set is
+    delta-sized, so Spark broadcasts its key side and the base is never
+    shuffled at all (plan-asserted in tests); at 100 TB with a
+    non-broadcastable delta this degrades gracefully to a sort-merge
+    anti join on the key, still a single pass.
+
+    Returns the new snapshot with the base's columns (``op`` dropped).
+    """
+    cols = [c for c in base.columns]
+    touched = changes.select(F.col(key_col).alias("_mk")).distinct()
+    kept = base.join(
+        F.broadcast(touched), base[key_col] == F.col("_mk"), "left_anti"
+    )
+    upserts = changes.filter(F.col(op_col) == "upsert").select(*cols)
+    return kept.select(*cols).unionByName(upserts)

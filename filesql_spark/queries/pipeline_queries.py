@@ -14,7 +14,7 @@ plane dots) are built by the same Python constants the Spark side uses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from filesql_spark.pipeline.constants import (
@@ -2277,3 +2277,129 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars_x100",
         )
     )
+
+
+@register(
+    "pipeline_per_source_cap",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10000, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def pipeline_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the crawl-pipeline rule "at most N pages
+    per host": keep the 10 hash-first docs of every source, chosen by the
+    same deterministic md5 bucket the split/sample family uses (so the
+    kept set is a property of the data, not the run).
+
+    One hash shuffle partitioned BY SOURCE — windows parallelize across
+    sources, so scale is bounded by the largest single host. For a
+    pathological host (10⁹ pages on one key) the standard refinement is a
+    two-phase cap: hash-bucket pre-filter to ~N·fudge candidates
+    map-side, then the exact window over the survivors — same shape as
+    agg_salted_two_phase."""
+    from filesql_spark.pipeline.sampling import _bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        _bucket(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+def _diversity_oracle(per_cluster: int = 2) -> str:
+    """kmeans assignment (the unrolled-SQL oracle) + hash-ordered top-N
+    per cluster."""
+    base = _kmeans_oracle()
+    return f"""
+    WITH asg AS ({base})
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster
+                   ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10000, vec_id
+               ) AS rn
+        FROM asg
+    ) WHERE rn <= {per_cluster}
+    """
+
+
+@register("pipeline_diversity_sample", _diversity_oracle())
+def pipeline_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: k-means the embeddings, then keep a fixed
+    per-cluster quota (2) chosen by deterministic hash order — the
+    cheap way to get a topically-spread subset for eval sets or seed
+    corpora. Composition of embedding_kmeans (zero-shuffle assignment)
+    with a per-cluster window (k partitions, trivially parallel)."""
+    from filesql_spark.pipeline.clustering import kmeans_assignment
+    from filesql_spark.pipeline.sampling import _bucket
+
+    asg = kmeans_assignment(load_table(spark, sf_dir, "embeddings"))
+    w = Window.partitionBy("cluster").orderBy(
+        _bucket(F.col("vec_id")), F.col("vec_id")
+    )
+    return (
+        asg.select("vec_id", "cluster", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "cluster")
+    )
+
+
+@register(
+    "cdc_merge_apply",
+    """
+    WITH changes AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+               CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = d.doc_id)
+    ),
+    merged AS (
+        SELECT doc_id, text FROM kept
+        UNION ALL
+        SELECT doc_id, text FROM changes WHERE op = 'upsert'
+    )
+    SELECT doc_id, md5(text) AS content_hash FROM merged
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over a standing snapshot (pipeline/snapshot.py
+    merge_apply): docs with doc_id % 10 == 0 are deleted, other
+    doc_id % 5 == 0 rows upserted (% 10 == 5 with changed text). One
+    broadcast anti join on the key + a union of the upsert payload —
+    the base is never shuffled. Output is the merged snapshot as
+    (doc_id, content_hash)."""
+    from filesql_spark.pipeline.snapshot import merge_apply
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    changes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.expr("doc_id % 5 = 0"))
+        .select(
+            "doc_id",
+            F.when(F.expr("doc_id % 10 = 0"), F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            F.when(F.expr("doc_id % 10 = 5"), F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    merged = merge_apply(d, changes, "doc_id")
+    return merged.select("doc_id", F.md5("text").alias("content_hash"))

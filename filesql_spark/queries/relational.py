@@ -2108,3 +2108,72 @@ def customers_rfm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary_cents").alias("segment_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Banded interval join (batch): the scale path for time-window theta joins
+# --------------------------------------------------------------------------
+
+
+_IVJ_DELTA_US = 600_000_000  # 10 minutes, microseconds
+
+
+@register(
+    "interval_join_banded",
+    f"""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS dt_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) - epoch_us(v.ts) BETWEEN 0 AND {_IVJ_DELTA_US}
+    """,
+)
+def interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join — each view matched to the same user's
+    purchases within the next 10 minutes — WITHOUT the nested-loop
+    theta join the naive formulation produces.
+
+    Band trick: bucket both sides by floor(ts / Δ); a right row in
+    [tl, tl+Δ] can only sit in the left row's bucket or the next one, so
+    the left side probes {b, b+1} (a 2× explode of the SMALL projection,
+    not the payload) and the join is a pure equi-join on
+    (user_id, bucket) with a residual range filter. One hash shuffle on
+    a compound key; no BroadcastNestedLoopJoin at any scale
+    (plan-asserted). Contrast with `join_theta_selfjoin` (the BNLJ
+    shape kept for dialect parity) and `streaming_interval_join` (the
+    watermarked streaming twin).
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            us.alias("v_us"),
+            F.expr(f"unix_micros(ts) div {_IVJ_DELTA_US}").alias("b"),
+        )
+        .withColumn("probe_b", F.explode(F.array(F.col("b"), F.col("b") + 1)))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        us.alias("p_us"),
+        F.expr(f"unix_micros(ts) div {_IVJ_DELTA_US}").alias("p_b"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user")) & (F.col("probe_b") == F.col("p_b")),
+        )
+        .filter(
+            (F.col("p_us") - F.col("v_us") >= 0)
+            & (F.col("p_us") - F.col("v_us") <= _IVJ_DELTA_US)
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            (F.col("p_us") - F.col("v_us")).cast("long").alias("dt_us"),
+        )
+    )

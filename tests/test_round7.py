@@ -195,3 +195,90 @@ def test_datacard_rollup_total(spark, sf_dir):
     )
     assert total.n_docs == n_docs_sum
     assert total.n_dup_docs >= 0 and total.n_ws_tokens > 0
+
+
+# ------------------------------------------------- banded interval join
+
+
+def test_interval_join_banded_matches_theta(spark, sf_dir):
+    from filesql_spark.queries import all_queries
+    from filesql_spark.queries import load_table
+
+    banded = all_queries()["interval_join_banded"](spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id", "unix_micros(ts) AS v_us"
+    )
+    p = e.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_user", "unix_micros(ts) AS p_us"
+    )
+    theta = (
+        v.join(p, (v.user_id == p.p_user))
+        .filter("p_us - v_us BETWEEN 0 AND 600000000")
+        .selectExpr("view_id", "purchase_id", "CAST(p_us - v_us AS LONG) AS dt_us")
+    )
+    got = sorted(map(tuple, banded.collect()))
+    want = sorted(map(tuple, theta.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_banded_no_nested_loop(spark, sf_dir):
+    from filesql_spark.queries import all_queries
+
+    plan = (
+        all_queries()["interval_join_banded"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------ merge apply
+
+
+def test_merge_apply_semantics(spark):
+    from filesql_spark.pipeline.snapshot import merge_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, payload string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "delete", None), (3, "upsert", "C2"), (4, "upsert", "d")],
+        "id long, op string, payload string",
+    )
+    got = {r.id: r.payload for r in merge_apply(base, changes, "id").collect()}
+    assert got == {1: "a", 3: "C2", 4: "d"}
+
+
+def test_merge_apply_base_not_shuffled(spark):
+    from filesql_spark.pipeline.snapshot import merge_apply
+
+    base = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS payload")
+    changes = spark.createDataFrame(
+        [(1, "delete", None)], "id long, op string, payload string"
+    )
+    plan = (
+        merge_apply(base, changes, "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# -------------------------------------------------------- per-source cap
+
+
+def test_per_source_cap(spark, sf_dir):
+    from filesql_spark.queries import all_queries
+
+    df = all_queries()["pipeline_per_source_cap"](spark, sf_dir)
+    counts = df.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in counts)
+    a = sorted(r.doc_id for r in df.collect())
+    b = sorted(
+        r.doc_id for r in all_queries()["pipeline_per_source_cap"](spark, sf_dir).collect()
+    )
+    assert a == b
