@@ -2403,3 +2403,39 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = merge_apply(d, changes, "doc_id")
     return merged.select("doc_id", F.md5("text").alias("content_hash"))
+
+
+@register(
+    "streaming_cdc_apply",
+    """
+    WITH changes AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+               CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = d.doc_id)
+    ),
+    merged AS (
+        SELECT doc_id, text FROM kept
+        UNION ALL
+        SELECT doc_id, text FROM changes WHERE op = 'upsert'
+    )
+    SELECT doc_id, md5(text) AS content_hash FROM merged
+    """,
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming.py cdc_apply_stream): the change
+    feed streamed under availableNow and merge-applied into a versioned
+    standing snapshot via foreachBatch with exactly-once version
+    commits. Final state equals the batch merge — the shared oracle."""
+    import tempfile
+
+    from filesql_spark.streaming import cdc_apply_stream
+
+    work = tempfile.mkdtemp(prefix="filesql_cdc_apply_")
+    return cdc_apply_stream(
+        spark, sf_dir, out_dir=f"{work}/snap", checkpoint_dir=f"{work}/ckpt"
+    )

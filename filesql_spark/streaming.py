@@ -507,3 +507,87 @@ def events_hourly_to_parquet(
     return spark.read.parquet(
         _os.path.join(out_dir, f"batch_id={committed[-1]}")
     )
+
+
+def cdc_apply_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming CDC apply: a change feed (delete/upsert ops on the
+    documents table) is merged into a standing snapshot via
+    ``foreachBatch`` + ``pipeline.snapshot.merge_apply`` — the streaming
+    twin of the batch ``cdc_merge_apply`` entry, and the composition the
+    README's incremental-pipeline story ends in: dedup, diff, and apply
+    all delta-incremental.
+
+    Exactly-once shape (same discipline as events_hourly_to_parquet):
+    snapshots are versioned append-only dirs ``version=N`` — version 0
+    seeds the standing base, each micro-batch B reads the latest
+    committed snapshot, merge-applies its changes (one broadcast anti
+    join; the base is never shuffled), and commits ``version=B+1``; a
+    replayed batch sees its version dir already committed and skips. At
+    scale the version dir becomes a delta/iceberg table version and
+    foreachBatch runs MERGE INTO — the plan is identical.
+
+    Each key's changes must arrive within one micro-batch for the final
+    state to be order-independent (true here: the feed is one parquet
+    file; in production the feed is keyed/log-compacted upstream).
+
+    Returns the latest snapshot as (doc_id, content_hash).
+    """
+    import os as _os
+
+    from filesql_spark.pipeline.snapshot import merge_apply
+
+    def _latest(d: str) -> int | None:
+        if not _os.path.isdir(d):
+            return None
+        vs = [
+            int(p.split("=", 1)[1])
+            for p in _os.listdir(d)
+            if p.startswith("version=")
+            and _os.path.exists(_os.path.join(d, p, "_SUCCESS"))
+        ]
+        return max(vs) if vs else None
+
+    # seed the standing base (version=0): all documents, unchanged
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if _latest(out_dir) is None:
+        base.write.mode("overwrite").parquet(_os.path.join(out_dir, "version=0"))
+
+    # the change feed: doc_id % 5 == 0 rows carry an op (delete / upsert)
+    stream = _file_stream(
+        spark, sf_dir, "documents", stream_dir=checkpoint_dir + "_src"
+    )
+    changes = stream.filter(F.expr("doc_id % 5 = 0")).select(
+        "doc_id",
+        F.when(F.expr("doc_id % 10 = 0"), F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.when(F.expr("doc_id % 10 = 5"), F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = _os.path.join(out_dir, f"version={batch_id + 1}")
+        if _os.path.exists(_os.path.join(target, "_SUCCESS")):
+            return  # replayed batch: already committed
+        cur = _latest(out_dir)
+        snapshot = spark.read.parquet(_os.path.join(out_dir, f"version={cur}"))
+        merged = merge_apply(snapshot, batch_df.select("doc_id", "op", "text"), "doc_id")
+        merged.write.mode("overwrite").parquet(target)
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 300)
+    latest = _latest(out_dir)
+    snap = spark.read.parquet(_os.path.join(out_dir, f"version={latest}"))
+    return snap.select("doc_id", F.md5("text").alias("content_hash"))

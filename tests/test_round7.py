@@ -282,3 +282,39 @@ def test_per_source_cap(spark, sf_dir):
         r.doc_id for r in all_queries()["pipeline_per_source_cap"](spark, sf_dir).collect()
     )
     assert a == b
+
+
+# ----------------------------------------------------- streaming CDC apply
+
+
+def test_cdc_apply_stream_exactly_once(spark, sf_dir, tmp_path):
+    """Re-running against the same checkpoint must be a no-op: no new
+    version committed, same final state."""
+    from filesql_spark.streaming import cdc_apply_stream
+
+    out, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    first = cdc_apply_stream(spark, sf_dir, out, ckpt)
+    rows1 = sorted(map(tuple, first.collect()))
+    import os
+
+    versions1 = sorted(p for p in os.listdir(out) if p.startswith("version="))
+    second = cdc_apply_stream(spark, sf_dir, out, ckpt)
+    rows2 = sorted(map(tuple, second.collect()))
+    versions2 = sorted(p for p in os.listdir(out) if p.startswith("version="))
+    assert rows1 == rows2
+    assert versions1 == versions2  # replay committed nothing new
+
+
+def test_cdc_apply_stream_matches_batch_merge(spark, sf_dir, tmp_path):
+    from filesql_spark.queries import all_queries
+
+    streamed = sorted(
+        map(tuple, all_queries()["streaming_cdc_apply"](spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            all_queries()["cdc_merge_apply"](spark, sf_dir).collect(),
+        )
+    )
+    assert streamed == batch
