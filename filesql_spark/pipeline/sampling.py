@@ -207,12 +207,13 @@ def mixture_resample(
     1 part books : 1 part code"). ``weights`` are integer mixture parts
     per stratum value; strata not listed are dropped.
 
-    The feasible total T = min over strata of n_s·W/w_s (the largest
-    corpus whose mixture matches the targets exactly — the scarcest
-    stratum is kept whole); every stratum then keeps
-    floor(10⁴·T·w_s/(W·n_s)) of its 10⁴ hash buckets. Because the
+    The scarcest stratum m (the one minimizing n_s/w_s) pins the
+    feasible total — it is kept WHOLE (threshold exactly 10⁴, by
+    integer arithmetic) — and every other stratum keeps
+    floor(10⁴·n_m·w_s / (w_m·n_s)) of its 10⁴ hash buckets, the exact
+    bucket count that matches the target mixture. Because the
     per-stratum keep-rate derives only from the observed counts and the
-    integer weights through a fixed expression, the kept SET is a
+    integer weights through exact integer expressions, the kept SET is a
     deterministic property of the data — re-runs, repartitioning and
     cluster changes cannot change it, unlike ``sampleBy``.
 
@@ -232,14 +233,19 @@ def mixture_resample(
         .groupBy(strata_col, "_w")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    # T = min(n_s * W / w_s); threshold_s = floor(10^4 * T * w_s / (W * n_s)).
-    # Fixed double-op order on both engines => bit-identical thresholds.
-    t = counts.agg(F.min(F.col("_n") * W / F.col("_w")).alias("_t"))
-    thr = counts.crossJoin(F.broadcast(t)).select(
-        F.col(strata_col),
-        F.floor(
-            F.lit(float(SPLIT_BUCKETS)) * F.col("_t") * F.col("_w") / (W * F.col("_n"))
+    # scarcest stratum (min n/w, ties by stratum value) pins the total;
+    # thresholds are exact integer floor division — no float anywhere, so
+    # the scarcest stratum's threshold is exactly 10^4 (kept whole)
+    m = (
+        counts.orderBy(
+            (F.col("_n") * W / F.col("_w")).asc(), F.col(strata_col).asc()
         )
+        .limit(1)
+        .select(F.col("_n").alias("_n_m"), F.col("_w").alias("_w_m"))
+    )
+    thr = counts.crossJoin(F.broadcast(m)).select(
+        F.col(strata_col),
+        F.expr(f"({SPLIT_BUCKETS} * _n_m * _w) div (_w_m * _n)")
         .cast("long")
         .alias("_thresh"),
     )

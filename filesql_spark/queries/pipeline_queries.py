@@ -2207,11 +2207,14 @@ def _mixture_oracle() -> str:
         FROM documents d JOIN w ON d.lang = w.lang_v
         GROUP BY d.lang, w.parts
     ),
-    t AS (SELECT MIN(n * {W} / parts) AS t FROM counts),
+    m AS (
+        SELECT n AS n_m, parts AS w_m FROM counts
+        ORDER BY n * {W} * 1.0 / parts ASC, lang ASC LIMIT 1
+    ),
     thr AS (
         SELECT lang,
-               CAST(FLOOR(10000.0 * t.t * parts / ({W} * n)) AS BIGINT) AS thresh
-        FROM counts, t
+               CAST((10000 * m.n_m * parts) // (m.w_m * n) AS BIGINT) AS thresh
+        FROM counts, m
     )
     SELECT d.doc_id, d.lang
     FROM documents d JOIN thr ON d.lang = thr.lang

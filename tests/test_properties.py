@@ -196,3 +196,64 @@ def test_glob_regex_matches_real_sqlite(pat, s):
         return  # refused degenerate class — documented divergence
     got = 1 if _re.fullmatch(rx[1:-1], s) else 0
     assert got == want, (pat, s, rx)
+
+
+# ---------------------------------------------------------------- round 7
+
+
+@given(
+    st.integers(min_value=0, max_value=2**50),
+    st.integers(min_value=0, max_value=600_000_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_band_covers_window(tl, dt):
+    """The banded interval join's coverage invariant: a right row within
+    [tl, tl+D] always falls in the left row's band or the next one —
+    the two probe buckets are sufficient (no missed pairs)."""
+    D = 600_000_000
+    bl = tl // D
+    br = (tl + dt) // D
+    assert br in (bl, bl + 1)
+
+
+@given(
+    st.integers(min_value=-(10**7), max_value=10**7),
+    st.integers(min_value=1, max_value=10**4),
+)
+@settings(max_examples=300, deadline=None)
+def test_kmeans_centroid_rounding_is_half_up(s, n):
+    """FLOOR((2s+n)/(2n)) == round-half-up(s/n), the exact-rational check
+    of the double-arithmetic formula both engines evaluate."""
+    from filesql_spark.pipeline.clustering import _round_half_up_mean
+
+    r = _round_half_up_mean(s, n)
+    # rational half-up: floor((2s + n) / (2n)) in exact integer arithmetic
+    expect = (2 * s + n) // (2 * n)
+    assert r == expect
+    assert abs(s / n - r) <= 0.5 + 1e-12
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.tuples(
+            st.integers(min_value=1, max_value=10**6),  # observed count
+            st.integers(min_value=1, max_value=9),  # weight parts
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_mixture_thresholds_feasible(strata):
+    """The mixture-resample threshold formula (exact integer arithmetic):
+    every stratum's bucket threshold is in [0, 10^4], and the scarcest
+    stratum is kept exactly whole."""
+    W = sum(w for _, w in strata.values())
+    scarcest = min(strata, key=lambda s: (strata[s][0] * W / strata[s][1], s))
+    n_m, w_m = strata[scarcest]
+    thresholds = {
+        s: (10000 * n_m * w) // (w_m * n) for s, (n, w) in strata.items()
+    }
+    assert all(0 <= t <= 10000 for t in thresholds.values())
+    assert thresholds[scarcest] == 10000

@@ -155,9 +155,9 @@ def test_mixture_resample_hits_target_ratio(docs):
     assert counts["en"] > max(others)
     orig = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     W, weights = 6, {"en": 2, "de": 1, "es": 1, "fr": 1, "zh": 1}
-    t = min(orig[s] * W / weights[s] for s in weights)
-    scarcest = min(weights, key=lambda s: orig[s] * W / weights[s])
-    assert counts[scarcest] >= orig[scarcest] * 0.8
+    scarcest = min(weights, key=lambda s: (orig[s] * W / weights[s], s))
+    # exact-integer thresholds keep the scarcest stratum exactly whole
+    assert counts[scarcest] == orig[scarcest]
 
 
 def test_mixture_resample_deterministic_and_subset(docs):
