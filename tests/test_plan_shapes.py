@@ -334,7 +334,7 @@ def test_rfm_sketch_has_no_window(spark, qs):
     and broadcast back onto the per-customer table."""
     plan = _formatted(qs["customers_rfm_sketch"](spark, SF))
     assert "Window" not in plan
-    assert plan.count("BroadcastExchange") >= 3  # three 1-row threshold frames
+    assert "BroadcastExchange" in plan  # the 1-row nine-threshold frame
 
 
 def test_bloom_production_path_is_pure_filter(spark):
