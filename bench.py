@@ -84,6 +84,7 @@ HEADLINE = [
     "pipeline_per_source_cap",
     "pipeline_diversity_sample",
     "cdc_merge_apply",
+    "text_dup_spans",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

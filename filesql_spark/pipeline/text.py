@@ -383,3 +383,65 @@ def rarity_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("mean_token_freq"),
         )
     )
+
+
+def dup_spans(
+    df: DataFrame, text_col: str = "text", n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document duplicated-substring spans — the span-level exact
+    substring dedup of Lee et al. ("Deduplicating Training Data Makes
+    Language Models Better"): find every maximal run of word positions
+    whose n-grams also occur in at least ``min_docs - 1`` OTHER
+    documents, so a cleaning stage can excise the span instead of
+    dropping the whole document.
+
+    Shape (two passes over the gram stream, never all-pairs):
+    1. positional n-gram hashes (doc_id, p, h) — the same 60-bit
+       md5-derived gram hash the decontamination gate uses, evaluated
+       inside one generator projection;
+    2. the corpus-wide duplicated-gram set: one groupBy h with a
+       distinct-doc count — the only corpus-sized shuffle;
+    3. flagged positions (equi-join back on h) merged into maximal
+       spans by gaps-and-islands (p − row_number over the per-doc
+       window; windows partition by doc, so parallelism is per-doc).
+
+    At 100 TB the dup-gram set is still corpus-sized: the standard
+    refinements are (a) broadcasting a Bloom filter of the dup hashes
+    (sketch.bloom_filter_table) so pass 3's join prunes map-side, and
+    (b) the suffix-array formulation when byte-level (not word-level)
+    spans are required. Output: (doc_id, span_start, span_tokens), one
+    row per maximal span, 0-based token offsets.
+    """
+    from pyspark.sql import Window
+
+    from filesql_spark.pipeline.contamination import _hash60
+
+    t = (
+        df.repartition("doc_id")
+        .withColumn("__w", F.split(F.col(text_col), " "))
+        .filter(F.size("__w") >= n)
+    )
+    gram = "concat(" + ", ' ', ".join(f"__w[i+{j}]" for j in range(n)) + ")"
+    pg = f"transform(sequence(0, size(__w) - {n}), i -> struct(i AS p, {gram} AS gm))"
+    g = t.select("doc_id", F.explode(F.expr(pg)).alias("pg")).select(
+        "doc_id",
+        F.col("pg.p").cast("long").alias("p"),
+        _hash60(F.col("pg.gm")).alias("h"),
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    flagged = g.join(dup, "h")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = flagged.withColumn("grp", F.col("p") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") - F.min("p") + n).cast("long").alias("span_tokens"),
+        )
+        .drop("grp")
+    )

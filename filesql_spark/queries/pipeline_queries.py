@@ -2442,3 +2442,42 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply_stream(
         spark, sf_dir, out_dir=f"{work}/snap", checkpoint_dir=f"{work}/ckpt"
     )
+
+
+def _dup_spans_oracle(n: int = 5, min_docs: int = 2) -> str:
+    parts = ", ' ', ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+               ('0x' || substr(md5(concat({parts})), 1, 15))::BIGINT AS h
+        FROM t, unnest(generate_series(1, len(w) - {n - 1})) AS s(i)
+        WHERE len(w) >= {n}
+    ),
+    dup AS (
+        SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ),
+    d AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (h)),
+    isl AS (
+        SELECT doc_id, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) - MIN(p) + {n} AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """
+
+
+@register("text_dup_spans", _dup_spans_oracle())
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring spans (pipeline/text.py
+    dup_spans): maximal runs of word positions whose 5-grams occur in
+    ≥2 documents, merged by gaps-and-islands — span-level exact
+    substring dedup (excise the span, keep the document)."""
+    from filesql_spark.pipeline.text import dup_spans
+
+    return dup_spans(load_table(spark, sf_dir, "documents"))

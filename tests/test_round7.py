@@ -318,3 +318,55 @@ def test_cdc_apply_stream_matches_batch_merge(spark, sf_dir, tmp_path):
         )
     )
     assert streamed == batch
+
+
+# --------------------------------------------------------------- dup spans
+
+
+def test_dup_spans_planted(spark):
+    """Plant one shared 6-word phrase in two docs; the span must cover
+    exactly that phrase (n=5 grams -> two gram positions merge into one
+    6-token island), and unique docs must yield nothing."""
+    from filesql_spark.pipeline.text import dup_spans
+
+    shared = "the quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+            (3, "entirely unique words only here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.span_start, r.span_tokens) for r in dup_spans(docs).collect()}
+    assert rows[1] == (2, 6)  # phrase starts after 2 lead words
+    assert rows[2] == (3, 6)
+    assert 3 not in rows
+
+
+def test_dup_spans_merges_adjacent_grams(spark):
+    """A 7-word shared run = three overlapping 5-grams = ONE span of 7."""
+    from filesql_spark.pipeline.text import dup_spans
+
+    run = "a b c d e f g"
+    docs = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"p q {run}")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.span_start, r.span_tokens) for r in dup_spans(docs).collect()}
+    assert rows[1] == (1, 7) and rows[2] == (2, 7)
+
+
+def test_dup_spans_within_doc_repeat_not_flagged(spark):
+    """A phrase repeated within ONE doc (but in no other doc) is not a
+    cross-document duplicate."""
+    from filesql_spark.pipeline.text import dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "r s t u v w r s t u v w"),
+            (2, "completely different content with no overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    assert dup_spans(docs).count() == 0
