@@ -198,6 +198,19 @@ class Engine:
             name = _savepoint_ident(sql, "SAVEPOINT")
             self.savepoint(name)
             return 0
+        if stmt in ("VACUUM", "ANALYZE", "REINDEX"):
+            # SQLite maintenance statements. All three are storage/stats
+            # chores with no observable query effect here: Spark has no
+            # freelist to VACUUM, Catalyst collects its own statistics
+            # (ANALYZE), and CREATE INDEX is already a catalog no-op
+            # (REINDEX). Accepted so scripts written for SQLite run
+            # unchanged; VACUUM keeps SQLite's one observable rule —
+            # it refuses inside a transaction.
+            if stmt == "VACUUM" and (
+                self._snapshot is not None or self._savepoints
+            ):
+                raise TransactionError("cannot VACUUM from within a transaction")
+            return 0
         if stmt == "RELEASE":
             name = _savepoint_ident(sql, "RELEASE")
             self.release(name)

@@ -600,3 +600,22 @@ def test_savepoint_script(eng):
         """
     )
     assert _count(eng) == 2
+
+
+def test_vacuum_analyze_reindex_noops(eng):
+    assert eng.execute("VACUUM") == 0
+    assert eng.execute("ANALYZE") == 0
+    assert eng.execute("REINDEX") == 0
+    assert _count(eng) == 3  # data untouched
+    eng.execute_script("ANALYZE; VACUUM;")
+
+
+def test_vacuum_refuses_inside_transaction(eng):
+    eng.begin()
+    with pytest.raises(TransactionError, match="VACUUM"):
+        eng.execute("VACUUM")
+    eng.rollback()
+    eng.execute("SAVEPOINT s")
+    with pytest.raises(TransactionError, match="VACUUM"):
+        eng.execute("VACUUM")
+    eng.execute("RELEASE s")
