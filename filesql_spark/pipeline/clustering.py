@@ -96,7 +96,12 @@ def kmeans_fit(
 
     The per-iteration driver traffic is k·(d+1) longs — independent of
     data size; the data-side cost is one scan plus one map-combined
-    groupBy per iteration.
+    groupBy per iteration. Each iteration re-reads the source (the
+    quantization is a scan-level expression, so this is the cheapest
+    default at few iterations); for many-iteration runs at scale,
+    persist ``with_quantized(df)`` once before calling — the loop
+    composes with a cached input transparently, which is exactly what
+    MLlib's KMeans does with its input RDD.
     """
     q = with_quantized(df, vec_col)
     seed_rows = q.orderBy(key_col).limit(k).select("qv").collect()

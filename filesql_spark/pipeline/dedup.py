@@ -663,8 +663,12 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("nlbl").alias("nmin"))
         )
+        # carry the pre-step label through the round so the fixpoint test
+        # is a filter over the checkpointed rows, not another join+shuffle
         stepped = labels.join(neigh, "v", "left").select(
-            "v", F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl")
+            "v",
+            F.col("lbl").alias("old"),
+            F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
         )
         jumped = (
             stepped.alias("x")
@@ -675,16 +679,17 @@ def connected_components(
                 F.col("x.lbl") == F.col("y.jv"),
                 "left",
             )
-            .select(F.col("x.v").alias("v"), F.coalesce("jlbl", "x.lbl").alias("lbl"))
+            .select(
+                F.col("x.v").alias("v"),
+                F.col("x.old").alias("old"),
+                F.coalesce("jlbl", "x.lbl").alias("lbl"),
+            )
         )
-        jumped = jumped.localCheckpoint()
-        changed = (
-            jumped.alias("new")
-            .join(labels.select("v", F.col("lbl").alias("old")), "v")
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = jumped
+        # lazy checkpoint: the fixpoint count is the materializing action,
+        # so each round runs ONE job instead of checkpoint-job + count-job
+        jumped = jumped.localCheckpoint(eager=False)
+        changed = jumped.filter(F.col("lbl") != F.col("old")).count()
+        labels = jumped.select("v", "lbl")
         if changed == 0:
             break
     sym.unpersist()
