@@ -85,6 +85,7 @@ HEADLINE = [
     "pipeline_diversity_sample",
     "cdc_merge_apply",
     "text_dup_spans",
+    "pipeline_curate_full",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -2481,3 +2481,117 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.pipeline.text import dup_spans
 
     return dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+def _curate_full_oracle(n: int = 13, mod: int = 17) -> str:
+    """Six curation stages replayed as ONE DuckDB statement: benchmark
+    decontamination → quality gate → exact dedup → mixture resample →
+    train split → sequence packing."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    W = sum(_MIXTURE_WEIGHTS.values())
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIXTURE_WEIGHTS.items()))
+    return f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % {mod} != 0),
+    tb AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {n - 1}), i -> {gram}))) AS g
+        FROM tb WHERE len(t) >= {n}
+    ),
+    hh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM shg),
+    benchh AS (SELECT DISTINCT h FROM hh WHERE doc_id % {mod} = 0),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id FROM hh s JOIN benchh USING (h)
+        WHERE s.doc_id % {mod} != 0
+    ),
+    decon AS (
+        SELECT c.* FROM corpus c LEFT JOIN contaminated x ON c.doc_id = x.doc_id
+        WHERE x.doc_id IS NULL
+    ),
+    gated AS (SELECT * FROM decon WHERE len(string_split(text, ' ')) >= 10),
+    exact_kept AS (
+        SELECT * EXCLUDE (keep) FROM (
+            SELECT g.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM gated g
+        ) WHERE doc_id = keep
+    ),
+    wparts(lang_v, parts) AS (VALUES {vals}),
+    counts AS (
+        SELECT e.lang, wparts.parts, COUNT(*) AS n
+        FROM exact_kept e JOIN wparts ON e.lang = wparts.lang_v
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT n AS n_m, parts AS w_m FROM counts
+        ORDER BY n * {W} * 1.0 / parts ASC, lang ASC LIMIT 1
+    ),
+    thr AS (
+        SELECT lang,
+               CAST((10000 * m.n_m * parts) // (m.w_m * n) AS BIGINT) AS thresh
+        FROM counts, m
+    ),
+    mixed AS (
+        SELECT e.* FROM exact_kept e JOIN thr ON e.lang = thr.lang
+        WHERE ('0x' || substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10000 < thr.thresh
+    ),
+    train AS (
+        SELECT doc_id, n_chars FROM mixed
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10000 >= 1000
+    ),
+    tp AS (
+        SELECT doc_id, GREATEST(n_chars, 1)::BIGINT AS w2,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h2
+        FROM train
+    ),
+    cp AS (
+        SELECT doc_id, w2,
+               CAST(SUM(w2) OVER (ORDER BY h2, doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw
+        FROM tp
+    )
+    SELECT doc_id, w2 AS n_tokens, cw - w2 AS start_offset,
+           (cw - w2) // 2048 AS pack_id, (cw - 1) // 2048 AS end_pack_id
+    FROM cp
+    """
+
+
+@register("pipeline_curate_full", _curate_full_oracle())
+def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline as one lazy DAG — six stages, every
+    one a standalone graded operator:
+
+        benchmark decontamination (13-gram broadcast probe)
+        → quality gate (≥10 tokens)
+        → exact dedup (keep-min-per-fingerprint)
+        → language-mixture resample (2:1:1:1:1 integer thresholds)
+        → reproducible train split (hash buckets ≥ 10%)
+        → concat-and-chunk packing into 2048-token sequences
+
+    No materialization barrier anywhere: Catalyst plans the whole chain —
+    the gate and the split predicates sink toward the scan, the
+    decontamination probe and the mixture thresholds ride broadcasts, and
+    the only corpus-wide shuffles are the gram aggregation, the exact-
+    dedup fingerprint window and the packing prefix sum. The oracle
+    replays all six stages in a single DuckDB statement."""
+    from filesql_spark.pipeline.compose import _exact_kept, _gate
+    from filesql_spark.pipeline.contamination import decontaminate
+    from filesql_spark.pipeline.sampling import (
+        mixture_resample,
+        pack_sequences,
+        train_val_test_split,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 0)
+    corpus = d.where(F.col("doc_id") % 17 != 0)
+    decon = corpus.join(decontaminate(corpus, bench), "doc_id", "left_anti")
+    exact_kept = _exact_kept(_gate(decon, 10))
+    mixed = mixture_resample(exact_kept, "lang", _MIXTURE_WEIGHTS)
+    train = (
+        train_val_test_split(mixed)
+        .where(F.col("split") == "train")
+        .select("doc_id", "n_chars")
+    )
+    return pack_sequences(train, 2048, "n_chars")
