@@ -86,6 +86,7 @@ HEADLINE = [
     "cdc_merge_apply",
     "text_dup_spans",
     "pipeline_curate_full",
+    "events_gap_fill",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -2198,3 +2198,78 @@ def interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_us") - F.col("v_us")).cast("long").alias("dt_us"),
         )
     )
+
+
+@register(
+    "events_gap_fill",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+        FROM events WHERE user_id % 50 = 0
+        GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    joined AS (
+        SELECT g.user_id, g.h,
+               COALESCE(hh.n_events, 0) AS n_events, hh.v_cents
+        FROM grid g LEFT JOIN hourly hh
+          ON g.user_id = hh.user_id AND g.h = hh.h
+    )
+    SELECT user_id, h,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(LAST_VALUE(v_cents IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) / 100.0 AS filled_value
+    FROM joined
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per user (2% id-sample), an hourly
+    grid from first to last activity with the hours that saw no events
+    FILLED FORWARD from the last observed hourly total — the asfreq +
+    ffill step every metrics/feature pipeline runs before training or
+    anomaly scoring on regular series.
+
+    Spark shape: hourly aggregate (one shuffle) → per-user bounds →
+    ``sequence()`` + explode to materialize each user's grid (bounded by
+    the user's own activity span, not the global one) → left join back
+    → ``last(ignoreNulls)`` running window per user. Windows partition
+    by user, so parallelism survives any user count; grid size is
+    span-bounded per user, so no user inflates another's output."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("v_cents"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        (F.last("v_cents", ignorenulls=True).over(w) / 100.0).alias(
+            "filled_value"
+        ),
+    )

@@ -370,3 +370,31 @@ def test_dup_spans_within_doc_repeat_not_flagged(spark):
         "doc_id long, text string",
     )
     assert dup_spans(docs).count() == 0
+
+
+# --------------------------------------------------------------- gap fill
+
+
+def test_gap_fill_grid_complete_and_filled(spark, sf_dir):
+    """Every user's grid is contiguous hourly, gaps carry the previous
+    hour's value forward, and observed hours keep their own totals."""
+    from filesql_spark.queries import all_queries
+
+    rows = all_queries()["events_gap_fill"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    import datetime
+
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.h)
+        # contiguous hourly grid
+        for a, b in zip(rs, rs[1:]):
+            assert (b.h - a.h) == datetime.timedelta(hours=1), (uid, a.h, b.h)
+        # first row is an observed hour (grid starts at first activity)
+        assert rs[0].n_events > 0
+        # forward fill: a zero-event hour repeats the previous filled value
+        for a, b in zip(rs, rs[1:]):
+            if b.n_events == 0:
+                assert b.filled_value == a.filled_value
