@@ -87,6 +87,7 @@ HEADLINE = [
     "text_dup_spans",
     "pipeline_curate_full",
     "events_gap_fill",
+    "events_robust_stats",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

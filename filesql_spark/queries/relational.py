@@ -2273,3 +2273,105 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_value"
         ),
     )
+
+
+@register(
+    "events_robust_stats",
+    """
+    WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+    ),
+    hist AS (
+        SELECT event_type, c // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY event_type, c // 100
+    ),
+    cum AS (
+        SELECT a.event_type, a.bin, CAST(SUM(b.n) AS BIGINT) AS cum
+        FROM hist a JOIN hist b
+          ON a.event_type = b.event_type AND b.bin <= a.bin
+        GROUP BY a.event_type, a.bin
+    ),
+    tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n FROM hist GROUP BY event_type),
+    thr AS (
+        SELECT c.event_type,
+               MIN(CASE WHEN cum >= (5 * t.n + 99) // 100 THEN bin END) * 100 AS lo,
+               (MIN(CASE WHEN cum >= (95 * t.n + 99) // 100 THEN bin END) + 1) * 100 - 1 AS hi
+        FROM cum c JOIN tot t USING (event_type) GROUP BY c.event_type
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v.c < thr.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN v.c > thr.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(LEAST(GREATEST(v.c, thr.lo), thr.hi)) AS BIGINT) AS winsor_sum_cents,
+           CAST(SUM(LEAST(GREATEST(v.c, thr.lo), thr.hi)) AS BIGINT)
+               / (100.0 * COUNT(*)) AS winsor_mean
+    FROM v JOIN thr USING (event_type)
+    GROUP BY v.event_type
+    """,
+)
+def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) per-type value statistics — the
+    robust-aggregation step that stops a handful of outlier rows from
+    dominating a mean at 100 TB. The clip thresholds come from the same
+    mergeable fixed-bin histogram construction as ``customers_rfm_sketch``
+    ($1 bins over exact cents; bounded bin count by value range, not row
+    count), the per-type (lo, hi) frame is broadcast back, and the
+    clipped sum is exact integer arithmetic — no sort, no percentile
+    shuffle, bit-identical on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", cents("value").alias("c"))
+    hist = v.groupBy("event_type", F.expr("c div 100").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    cum = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.bin") <= F.col("a.bin")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.bin").alias("bin"))
+        .agg(F.sum("b.n").alias("cum"))
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("n").alias("n"))
+    thr = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.min(
+                    F.when(F.col("cum") >= F.expr("(5 * n + 99) div 100"), F.col("bin"))
+                )
+                * 100
+            ).alias("lo"),
+            (
+                (
+                    F.min(
+                        F.when(
+                            F.col("cum") >= F.expr("(95 * n + 99) div 100"),
+                            F.col("bin"),
+                        )
+                    )
+                    + 1
+                )
+                * 100
+                - 1
+            ).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            F.sum(clipped).alias("winsor_sum_cents"),
+            (F.sum(clipped) / (100.0 * F.count(F.lit(1)))).alias("winsor_mean"),
+        )
+    )

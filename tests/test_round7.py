@@ -398,3 +398,35 @@ def test_gap_fill_grid_complete_and_filled(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             if b.n_events == 0:
                 assert b.filled_value == a.filled_value
+
+
+# ------------------------------------------------------------ robust stats
+
+
+def test_robust_stats_clipping_bounds(spark, sf_dir):
+    """Winsorized mean sits inside the raw value range, ~10% of rows are
+    clipped (5% each tail at bin resolution), and clipping only ever
+    pulls the mean toward the middle."""
+    from filesql_spark.queries import all_queries, load_table
+    from pyspark.sql import functions as F
+
+    rows = all_queries()["events_robust_stats"](spark, sf_dir).collect()
+    assert rows
+    raw = {
+        r.event_type: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.avg("value").alias("mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for r in rows:
+        base = raw[r.event_type]
+        assert base.lo <= r.winsor_mean <= base.hi
+        assert r.n == base.n
+        clipped_frac = (r.n_clipped_lo + r.n_clipped_hi) / r.n
+        assert clipped_frac <= 0.12  # ≤ ~5% per tail + bin-resolution slack
