@@ -88,6 +88,7 @@ HEADLINE = [
     "pipeline_curate_full",
     "events_gap_fill",
     "events_robust_stats",
+    "text_token_drift",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

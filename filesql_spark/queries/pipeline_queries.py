@@ -2595,3 +2595,77 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
     )
     return pack_sequences(train, 2048, "n_chars")
+
+
+@register(
+    "text_token_drift",
+    f"""
+    WITH halves AS (
+        SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS half, {_TOKENS} AS t
+        FROM documents
+    ),
+    tok AS (SELECT half, unnest(t) AS tok FROM halves),
+    counts AS (
+        SELECT tok, half, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY tok, half
+    ),
+    tots AS (SELECT half, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY half),
+    rates AS (
+        SELECT c.tok, c.half, (c.c * 1000000) // t.n AS r, c.c
+        FROM counts c JOIN tots t USING (half)
+    ),
+    paired AS (
+        SELECT COALESCE(a.tok, b.tok) AS tok,
+               COALESCE(a.c, 0) AS c_old, COALESCE(b.c, 0) AS c_new,
+               COALESCE(a.r, 0) AS r_old, COALESCE(b.r, 0) AS r_new
+        FROM (SELECT * FROM rates WHERE half = 0) a
+        FULL OUTER JOIN (SELECT * FROM rates WHERE half = 1) b
+          ON a.tok = b.tok
+    )
+    SELECT tok, c_old, c_new,
+           CAST(ABS(r_old - r_new) AS BIGINT) AS drift_ppm
+    FROM paired
+    ORDER BY drift_ppm DESC, tok LIMIT 20
+    """,
+)
+def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots (docs split
+    by doc_id parity stand in for yesterday/today): per-token rate in
+    integer parts-per-million on each side, full-outer joined, top-20 by
+    absolute rate delta — the drift monitor a continuously-ingesting
+    corpus runs to catch scraper breakage or domain shift before
+    training on the new slice.
+
+    Exact integer arithmetic end to end: ppm rates are integer floor
+    division (c·10⁶ div n — overflow-safe while any single token's count
+    stays < 9.2e12; at larger scales widen to DECIMAL or per-billion
+    buckets), so both engines rank identically, ties broken by token.
+    One shuffle for the token counts, one for the rate join; the top-20
+    is a TakeOrdered, never a global sort."""
+    from filesql_spark.pipeline.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).cast("int").alias("half"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    counts = tok.groupBy("tok", "half").agg(F.count(F.lit(1)).alias("c"))
+    tots = counts.groupBy("half").agg(F.sum("c").alias("n"))
+    rates = counts.join(F.broadcast(tots), "half").select(
+        "tok", "half", "c", F.expr("(c * 1000000) div n").alias("r")
+    )
+    a = rates.filter("half = 0").select(
+        F.col("tok").alias("tok_a"), F.col("c").alias("c_old"), F.col("r").alias("r_old")
+    )
+    b = rates.filter("half = 1").select(
+        F.col("tok").alias("tok_b"), F.col("c").alias("c_new"), F.col("r").alias("r_new")
+    )
+    paired = a.join(b, a.tok_a == b.tok_b, "full_outer").select(
+        F.coalesce("tok_a", "tok_b").alias("tok"),
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        (
+            F.abs(F.coalesce("r_old", F.lit(0)) - F.coalesce("r_new", F.lit(0)))
+        ).cast("long").alias("drift_ppm"),
+    )
+    return paired.orderBy(F.col("drift_ppm").desc(), "tok").limit(20)
