@@ -89,6 +89,14 @@ HEADLINE = [
     "events_gap_fill",
     "events_robust_stats",
     "text_token_drift",
+    # round-7b additions
+    "text_chunk_stride",
+    "text_bigram_lm",
+    "events_skew_report",
+    "profile_orders_stats",
+    "sketch_cms_heavy_hitters",
+    "pipeline_semantic_decontaminate",
+    "dedup_cluster_representatives",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

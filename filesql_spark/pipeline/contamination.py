@@ -96,3 +96,115 @@ def decontaminate(
             F.min("__bench_id").alias("contaminated_by"),
         )
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.35,
+    n: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors whose
+    cosine to ANY benchmark vector is ≥ ``threshold`` — the semantic
+    sibling of the exact-13-gram gate above, catching paraphrased or
+    reformatted benchmark leakage that shares no exact n-gram.
+
+    Output: (vec_id, bench_id, cos) — one row per contaminated training
+    vector with its highest-cosine benchmark match (ties broken toward
+    the smallest bench_id). Clean vectors are absent; anti-join to drop.
+
+    100-TB design — deliberately ASYMMETRIC, unlike ``embedding_dup_pairs``:
+    - The benchmark side is small by construction, so its exact LSH band
+      cells AND its quantized vectors are both BROADCAST; the corpus side
+      never self-joins — train×train candidates (the quadratic term of
+      symmetric dedup) are never generated.
+    - The corpus side explodes its multi-probe cells map-side (Hamming-1
+      flips recover near-miss sign splits, same recall argument as
+      embedding_dup_pairs) and probes the broadcast bench cells: a
+      map-side hash join with zero shuffle of the 100-TB side. Only the
+      matched (train, bench) candidate pairs — bounded by bench cell
+      population — pay the distinct + exact-cosine verify.
+    - Band width follows the log-n knob from the CORPUS size (pass ``n``
+      to avoid a count job on a derived frame), so bench cell population
+      per cell stays bounded as the corpus grows.
+    """
+    from filesql_spark.pipeline.constants import (
+        EMB_BANDS,
+        EMB_BAND_STRIDE,
+        emb_band_bits,
+    )
+    from filesql_spark.pipeline.dedup import _cosine_vec, with_quantized
+    from filesql_spark.pipeline.similarity import _bucket
+
+    bits = emb_band_bits(train.count() if n is None else n)
+    pre_t = (
+        with_quantized(train.select("vec_id", "embedding"))
+        .select("vec_id", "qv", "nrm")
+        .withColumn("bucket", _bucket(F.col("qv")))
+        .persist()
+    )
+    pre_b = (
+        with_quantized(bench.select("vec_id", "embedding"))
+        .select("vec_id", "qv", "nrm")
+        .withColumn("bucket", _bucket(F.col("qv")))
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("bucket"), b * EMB_BAND_STRIDE)
+            .bitwiseAND((1 << bits) - 1)
+            .alias("cell"),
+        )
+        for b in range(EMB_BANDS)
+    ]
+    bench_cells = pre_b.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("e")
+    ).select(F.col("vec_id").alias("bench_id"), "e.band", "e.cell")
+    probed = pre_t.select(
+        "vec_id",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.array(
+                            s,
+                            *[
+                                F.struct(
+                                    s.band.alias("band"),
+                                    s.cell.bitwiseXOR(1 << j).alias("cell"),
+                                )
+                                for j in range(bits)
+                            ],
+                        )
+                        for s in band_structs
+                    ]
+                )
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.band", "e.cell")
+    cand = (
+        probed.join(F.broadcast(bench_cells), ["band", "cell"])
+        .select("vec_id", "bench_id")
+        .distinct()
+    )
+    vt = pre_t.select("vec_id", F.col("qv").alias("qa"), F.col("nrm").alias("na"))
+    vb = pre_b.select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _cosine_vec(F.col("qa"), F.col("na"), F.col("qb"), F.col("nb"))
+    scored = (
+        cand.join(vt, "vec_id")
+        .join(F.broadcast(vb), "bench_id")
+        .select("vec_id", "bench_id", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("bench_id")).alias("nb"))).alias("__m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("__m.nb")).cast("long").alias("bench_id"),
+        F.col("__m.cos").alias("cos"),
+    )

@@ -838,3 +838,50 @@ def incremental_dedup(
         .join(exact, "doc_id", "left")
         .join(nearj, "doc_id", "left")
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Keep-BEST-per-cluster canonicalization: for each near-dup
+    component, elect the member with the highest ``score_col`` (ties to
+    the smallest id) instead of ``dedup_components``' min-id policy —
+    the curation rule real pipelines use ("of N copies, keep the
+    longest / highest-quality one", per the C4 / RefinedWeb recipes).
+
+    Output: (component, rep_doc_id, n_members, rep_score) — one row per
+    cluster over ALL docs (singletons included, their own rep).
+
+    100-TB design: component labels come from the O(log d)-round
+    min-label propagation above; the election itself is ONE groupBy
+    with an exact-integer ``max(struct(score, -id))`` argmax — no
+    window, no secondary sort, map-side partially aggregated, so the
+    added cost over plain dedup is a single shuffle of (component,
+    score, id) triples.
+    """
+    comp = connected_components(edges)
+    labeled = (
+        docs.select(id_col, score_col)
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            F.col(id_col),
+            F.col(score_col).cast("long").alias("__s"),
+        )
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.struct(F.col("__s"), (-F.col(id_col)).alias("ni"))).alias("__m"),
+        )
+        .select(
+            F.col("component").cast("long").alias("component"),
+            (-F.col("__m.ni")).cast("long").alias("rep_doc_id"),
+            "n_members",
+            F.col("__m.__s").alias("rep_score"),
+        )
+    )

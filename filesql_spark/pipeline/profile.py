@@ -1,0 +1,89 @@
+"""Table profiler: per-column statistics in one scan.
+
+The reference exposes table metadata through ``PRAGMA table_info`` and
+``sqlite_master`` (engine.py twins; reference: sqlite3 builtins exercised
+by builder_test.go) but has no value-level profiler — this is the
+beyond-reference operator a data engineer runs FIRST against an unknown
+100-TB table: row count, null count, exact distinct count, and min/max
+per column, as one tall (column, stats) relation.
+
+100-TB design:
+- ONE scan: every per-column statistic is an aggregate expression in a
+  single ``agg`` — Spark's planner turns the N exact ``count(DISTINCT
+  col)``s into one Expand (N× row multiplication, map-side partially
+  aggregated) rather than N scans. At petabyte scale swap
+  ``exact=False`` to use ``approx_count_distinct`` (HLL, fixed-size
+  mergeable state, no Expand at all) — the default stays exact because
+  the driver oracle hash-compares values.
+- The wide→tall unpivot is a ``stack`` projection over the SINGLE
+  aggregated row — driver-side-free, no shuffle.
+- min/max are split by type family: numerics surface as DOUBLE rounded
+  to 6 dp (cross-engine float-format safe), everything else (strings,
+  dates) as lexical strings — so one schema fits every column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """(col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str,
+    max_str) — one row per profiled column, ordered by col_name.
+
+    ``n_distinct`` counts non-null values. ``min_num``/``max_num`` are
+    NULL for non-numeric columns and vice versa, keeping one stable
+    schema across heterogeneous tables.
+    """
+    dtypes = dict(df.dtypes)
+    cols = cols if cols is not None else list(dtypes)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
+        if exact:
+            aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+        if _is_numeric(dtypes[c]):
+            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"__min_{c}"))
+            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"__max_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        if _is_numeric(dtypes[c]):
+            mn, mx = f"__min_{c}", f"__max_{c}"
+            ms, xs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"__min_{c}", f"__max_{c}"
+        rows.append(f"'{c}', __rows, __null_{c}, __nd_{c}, {mn}, {mx}, {ms}, {xs}")
+    stack = (
+        f"stack({len(cols)}, {', '.join(rows)}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return (
+        wide.select(F.expr(stack))
+        .select(
+            "col_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+        )
+        .orderBy("col_name")
+    )

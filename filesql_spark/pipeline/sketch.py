@@ -451,3 +451,92 @@ def bloom_oracle_sql(
            (SELECT n FROM exact) AS n_exact,
            (SELECT n FROM cand) - (SELECT n FROM exact) AS n_false_positive
     """
+
+
+# --------------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 4  # independent hash rows; error prob decays as 2^-depth
+CMS_WIDTH = 512  # counters per row; overestimate ~ total_count / width
+
+# per-row md5-derived bucket hash: the '#r' suffix makes the rows
+# independent; first 15 hex chars → int64 (same portability argument as
+# contamination._hash60)
+_CMS_SQL = "('0x' || substr(md5({v} || '#{r}'), 1, 15))::BIGINT % {w}"
+_CMS_SPARK = (
+    "CAST(conv(substring(md5({v} || '#{r}'), 1, 15), 16, 10) AS BIGINT) % {w}"
+)
+
+
+def cms_counters(
+    counted: DataFrame,
+    value_col: str,
+    count_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(r, bucket, c): a count-min sketch of a (value, count) relation —
+    ``depth`` independent hash rows of ``width`` counters each; every
+    value adds its count to one counter per row.
+
+    The sketch answers "how often does value v occur?" with
+    min_r counter[r][h_r(v)] — never an underestimate, overestimating
+    only by colliding values' mass (expected total/width per counter).
+
+    100-TB design: the sketch is SUM-mergeable — per-partition partial
+    maps combine into depth×width total counters, so the full corpus
+    frequency table compresses to ~2k rows regardless of vocabulary
+    size (the same mergeability contract as ``hll_registers`` /
+    ``histogram_quantiles``). Per-executor state is bounded by
+    depth×width, not by distinct values — the whole point vs the exact
+    groupBy, whose hash table grows with vocabulary.
+    """
+    probes = ", ".join(
+        f"{r}, {_CMS_SPARK.format(v=value_col, r=r, w=width)}" for r in range(depth)
+    )
+    return (
+        counted.selectExpr(
+            f"stack({depth}, {probes}) AS (r, bucket)", f"{count_col} AS __c"
+        )
+        .groupBy("r", "bucket")
+        .agg(F.sum("__c").alias("c"))
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("c").cast("long").alias("c"),
+        )
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each candidate value: adds an
+    ``est`` column = min over rows of the hashed counter.
+
+    The sketch is kilobytes (≤ depth×width rows), so it broadcasts and
+    the probe is a map-side join however large the candidate set is.
+    """
+    probes = ", ".join(
+        f"{r}, {_CMS_SPARK.format(v=value_col, r=r, w=width)}" for r in range(depth)
+    )
+    probed = candidates.selectExpr(
+        "*", f"stack({depth}, {probes}) AS (__r, __bucket)"
+    )
+    counters = sketch.select(
+        F.col("r").alias("__sr"),
+        F.col("bucket").alias("__sbucket"),
+        F.col("c").alias("__sc"),
+    )
+    return (
+        probed.join(
+            F.broadcast(counters),
+            (F.col("__r") == F.col("__sr"))
+            & (F.col("__bucket") == F.col("__sbucket")),
+        )
+        .groupBy(*candidates.columns)
+        .agg(F.min("__sc").cast("long").alias("est"))
+    )

@@ -98,3 +98,44 @@ def salted_two_phase_agg(
         F.sum("__n").alias("n"),
         *[F.sum(f"__s_{name}").alias(name) for name in sum_cols],
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnostic: the ``top`` heaviest values of
+    ``key_col`` with count, integer-ppm share of all rows, and the
+    cumulative share of the top-k so far — the report you run BEFORE
+    choosing a join/aggregation key at 100 TB, to decide whether the key
+    needs salting (``salted_join``) or AQE skew handling. A top key
+    holding >~5% of rows (50 000 ppm) is a stuck-reducer risk.
+
+    100-TB design: one map-side-combined groupBy produces the per-key
+    counts; the grand total is an aggregate OF those counts (cardinality
+    ≈ distinct keys, not rows) broadcast back; the top-k is a
+    TakeOrderedAndProject, never a global sort; and the cumulative sum
+    runs over only the k surviving rows (a single tiny task by
+    construction — k rows, not a data-sized window). Shares are exact
+    integer ppm (c·10⁶ div total) so ranking and hashing are
+    engine-stable; ties break on the key value.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    topk = (
+        counts.join(F.broadcast(total))
+        .select(
+            key_col,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr("(n_rows * 1000000) div __total").alias("share_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), key_col)
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), key_col)
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        key_col,
+        "n_rows",
+        "share_ppm",
+        F.sum("share_ppm").over(w).cast("long").alias("cum_ppm"),
+    )

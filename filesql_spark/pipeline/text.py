@@ -445,3 +445,115 @@ def dup_spans(
         )
         .drop("grp")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the chunking step that turns raw documents into training sequences
+    when a context window is shorter than a document (RAG indexing and
+    pretraining both run this before packing).
+
+    Chunk starts are 0, stride, 2·stride, …; the last start is the
+    smallest multiple of ``stride`` ≥ n − window (ceil division), so the
+    document tail is always covered and every chunk except possibly the
+    last has exactly ``window`` tokens. A doc with ≤ window tokens is one
+    chunk. Deterministic layout: (doc_id, chunk_id) is a stable key, so a
+    resumed job reproduces the same chunks (same property the sequence
+    packer relies on).
+
+    100-TB design: zero shuffles — tokenization, the start-sequence
+    explode, and the slice/join are all per-row column expressions inside
+    one whole-stage-codegen projection; output rows ≈ input tokens ÷
+    stride, produced at scan speed. The ceil division is written as
+    ``greatest(0, (n - window + stride - 1) div stride)`` — Spark's `div`
+    truncates toward zero while DuckDB's `//` floors, but both land on 0
+    for the only negative case (n < window), which `greatest` pins anyway.
+    """
+    t = tokens(F.col(text_col))
+    d = df.select("doc_id", t.alias("__t"), F.size(t).alias("__n")).filter(
+        F.col("__n") > 0
+    )
+    k = F.greatest(
+        F.lit(0), F.expr(f"(__n - {window} + {stride - 1}) div {stride}")
+    )
+    c = d.select(
+        "doc_id",
+        "__t",
+        "__n",
+        F.explode(F.sequence(F.lit(0), k)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("long").alias("start_tok"),
+        F.least(
+            F.lit(window), F.col("__n") - F.col("chunk_id") * stride
+        ).cast("long").alias("chunk_len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__t"),
+                F.col("chunk_id") * stride + 1,
+                F.least(F.lit(window), F.col("__n") - F.col("chunk_id") * stride),
+            ),
+        ).alias("chunk_text"),
+    )
+    return c.filter(F.col("chunk_len") > 0)
+
+
+def bigram_model(df: DataFrame, text_col: str = "text", top_prev: int = 100) -> DataFrame:
+    """Bigram next-token model over the corpus: for the ``top_prev`` most
+    frequent context tokens, the single most likely next token with its
+    integer-ppm conditional probability — the cheapest corpus language
+    model, used as a generation-quality / boilerplate probe (a corpus
+    whose top bigram probabilities approach 10⁶ ppm is template spam).
+
+    100-TB design: the bigram explode is a per-row projection (slice +
+    transform, no self-join); one shuffle counts (prev, next) pairs with
+    map-side partial aggregation, a second tiny shuffle sums per-prev
+    totals over the already-aggregated pair counts (≪ token count), and
+    the per-prev argmax is a window over pair counts grouped by prev —
+    partitioned, never global. The final top-100 is a TakeOrdered.
+    Probabilities are exact integers (c·10⁶ div total), so both engines
+    rank identically; ties break lexicographically on the next token.
+    """
+    from pyspark.sql import Window
+
+    t = tokens(F.col(text_col))
+    pairs = (
+        df.select(t.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(__t[i-1] AS prev, __t[i] AS next))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.prev", "bg.next")
+    )
+    pc = pairs.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("c_pair"))
+    tot = pc.groupBy("prev").agg(F.sum("c_pair").alias("c_prev"))
+    w = Window.partitionBy("prev").orderBy(F.col("c_pair").desc(), F.col("next"))
+    best = (
+        pc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        best.join(tot, "prev")
+        .select(
+            "prev",
+            F.col("next").alias("next_top"),
+            F.col("c_pair").cast("long").alias("c_pair"),
+            F.col("c_prev").cast("long").alias("c_prev"),
+            F.expr("(c_pair * 1000000) div c_prev").alias("prob_ppm"),
+        )
+        .orderBy(F.col("c_prev").desc(), "prev")
+        .limit(top_prev)
+    )

@@ -2669,3 +2669,336 @@ def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("drift_ppm"),
     )
     return paired.orderBy(F.col("drift_ppm").desc(), "tok").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Round 7b: chunking, bigram LM, skew report, profiler, CMS, semantic
+# decontamination, cluster representatives
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+@register(
+    "text_chunk_stride",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    nn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tok WHERE len(t) > 0),
+    ch AS (
+        SELECT doc_id, t, n,
+               unnest(range(0, greatest(0, (n - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S}) + 1)) AS i
+        FROM nn
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           CAST(i * {_CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_W}, n - i * {_CHUNK_S}) AS BIGINT) AS chunk_len,
+           array_to_string(
+               t[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + least({_CHUNK_W}, n - i * {_CHUNK_S})],
+               ' ') AS chunk_text
+    FROM ch
+    WHERE least({_CHUNK_W}, n - i * {_CHUNK_S}) > 0
+    """,
+)
+def text_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with stride/overlap (pipeline/text.py
+    chunk_tokens): window 64, stride 48 → 16-token overlap between
+    adjacent chunks, tail always covered."""
+    from filesql_spark.pipeline.text import chunk_tokens
+
+    return chunk_tokens(
+        load_table(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
+@register(
+    "text_bigram_lm",
+    f"""
+    WITH tok AS (
+        SELECT {_TOKENS} AS t FROM documents WHERE len({_TOKENS}) >= 2
+    ),
+    idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM tok),
+    pairs AS (SELECT t[i] AS prev, t[i+1] AS next FROM idx),
+    pc AS (
+        SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS c_pair
+        FROM pairs GROUP BY prev, next
+    ),
+    tot AS (SELECT prev, CAST(SUM(c_pair) AS BIGINT) AS c_prev FROM pc GROUP BY prev),
+    best AS (
+        SELECT prev, next, c_pair,
+               ROW_NUMBER() OVER (PARTITION BY prev ORDER BY c_pair DESC, next) AS rn
+        FROM pc
+    )
+    SELECT b.prev, b.next AS next_top, b.c_pair, t.c_prev,
+           CAST((b.c_pair * 1000000) // t.c_prev AS BIGINT) AS prob_ppm
+    FROM best b JOIN tot t USING (prev)
+    WHERE rn = 1
+    ORDER BY t.c_prev DESC, b.prev LIMIT 100
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram next-token model: argmax next token + integer-ppm
+    conditional probability for the 100 hottest context tokens
+    (pipeline/text.py bigram_model)."""
+    from filesql_spark.pipeline.text import bigram_model
+
+    return bigram_model(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_skew_report",
+    """
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM counts),
+    topk AS (
+        SELECT user_id, n_rows, (n_rows * 1000000) // total AS share_ppm
+        FROM counts, tot
+        ORDER BY n_rows DESC, user_id LIMIT 10
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS INTEGER) AS rank,
+           user_id, n_rows,
+           CAST(share_ppm AS BIGINT) AS share_ppm,
+           CAST(SUM(share_ppm) OVER (ORDER BY n_rows DESC, user_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ppm
+    FROM topk
+    """,
+)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over events.user_id: top-10 heaviest
+    keys with exact-ppm share + cumulative coverage (pipeline/skew.py
+    key_skew_report) — the pre-flight check for salting decisions."""
+    from filesql_spark.pipeline.skew import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "events"), "user_id")
+
+
+def _profile_oracle() -> str:
+    num = lambda c: (  # noqa: E731
+        f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_num,"
+        f" ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_num,"
+        f" CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        f" FROM orders"
+    )
+    s = lambda c: (  # noqa: E731
+        f"SELECT '{c}', CAST(COUNT(*) AS BIGINT),"
+        f" CAST(COUNT(*) - COUNT({c}) AS BIGINT),"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT),"
+        f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+        f" MIN(CAST({c} AS VARCHAR)), MAX(CAST({c} AS VARCHAR)) FROM orders"
+    )
+    parts = [
+        num("o_orderkey"),
+        num("o_custkey"),
+        s("o_orderstatus"),
+        num("o_totalprice"),
+        s("o_orderdate"),
+        s("o_orderpriority"),
+    ]
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY col_name"
+    )
+
+
+@register("profile_orders_stats", _profile_oracle())
+def profile_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan per-column profiler over orders: rows / nulls / exact
+    distinct / typed min-max as one tall relation (pipeline/profile.py)
+    — the first query an engineer runs against an unknown 100-TB table."""
+    from filesql_spark.pipeline.profile import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "orders"))
+
+
+def _cms_oracle(depth: int = 4, width: int = 512, k: int = 20) -> str:
+    from filesql_spark.pipeline.sketch import _CMS_SQL
+
+    probes = " UNION ALL ".join(
+        f"SELECT tok, c_exact, {r} AS r,"
+        f" {_CMS_SQL.format(v='tok', r=r, w=width)} AS bucket FROM tc"
+        for r in range(depth)
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+    tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_exact FROM toks GROUP BY tok),
+    pr AS ({probes}),
+    counters AS (
+        SELECT r, bucket, CAST(SUM(c_exact) AS BIGINT) AS c
+        FROM pr GROUP BY r, bucket
+    ),
+    cand AS (SELECT tok, c_exact FROM tc ORDER BY c_exact DESC, tok LIMIT {k})
+    SELECT c.tok, c.c_exact,
+           CAST(MIN(ct.c) AS BIGINT) AS c_est,
+           CAST(MIN(ct.c) - c.c_exact AS BIGINT) AS overcount
+    FROM cand c
+    JOIN pr ON pr.tok = c.tok
+    JOIN counters ct ON ct.r = pr.r AND ct.bucket = pr.bucket
+    GROUP BY c.tok, c.c_exact
+    """
+
+
+@register("sketch_cms_heavy_hitters", _cms_oracle())
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit: build the 4×512 SUM-mergeable sketch over
+    corpus token counts, then point-query it for the exact top-20 tokens
+    — (tok, c_exact, c_est, overcount) with c_est ≥ c_exact guaranteed
+    (pipeline/sketch.py cms_counters/cms_estimate). The production path
+    keeps only the ~2k-row sketch; the exact side here is the audit."""
+    from filesql_spark.pipeline.sketch import cms_counters, cms_estimate
+    from filesql_spark.pipeline.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_exact"))
+    )
+    sketch = cms_counters(tc, "tok", "c_exact")
+    cand = tc.orderBy(F.col("c_exact").desc(), "tok").limit(20)
+    est = cms_estimate(sketch, cand, "tok")
+    return est.select(
+        "tok",
+        F.col("c_exact").cast("long").alias("c_exact"),
+        F.col("est").alias("c_est"),
+        (F.col("est") - F.col("c_exact")).cast("long").alias("overcount"),
+    )
+
+
+def _semantic_decon_oracle() -> str:
+    """Asymmetric twin of ``_embedding_dup_oracle``: bench-side exact
+    band cells, train-side multi-probed cells, per-train-vector argmax."""
+    bcells = "\n        UNION ALL ".join(
+        f"SELECT vec_id AS bench_id, {b} AS band,"
+        f" (bucket >> {b * EMB_BAND_STRIDE}) & ((1 << bits) - 1) AS cell"
+        f" FROM bench, bits"
+        for b in range(EMB_BANDS)
+    )
+    tcells = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" (bucket >> {b * EMB_BAND_STRIDE}) & ((1 << bits) - 1) AS cell"
+        f" FROM train, bits"
+        for b in range(EMB_BANDS)
+    )
+    bits = _bits_sql(
+        "embeddings", EMB_MIN_BAND_BITS, EMB_MAX_BAND_BITS, EMB_TARGET_CELL_ROWS
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    bits AS (
+        {bits}
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm,
+               ({_bucket_sql()}) AS bucket
+        FROM q
+    ),
+    bench AS (SELECT * FROM n WHERE vec_id % 17 = 0),
+    train AS (SELECT * FROM n WHERE vec_id % 17 != 0),
+    bcells AS (
+        {bcells}
+    ),
+    tcells AS (
+        {tcells}
+    ),
+    probed AS (
+        SELECT vec_id, band,
+               CASE WHEN p.range = 0 THEN cell
+                    ELSE xor(cell, 1 << CAST(p.range - 1 AS INTEGER)) END AS cell
+        FROM tcells, bits CROSS JOIN range(0, {EMB_MAX_BAND_BITS + 1}) p
+        WHERE p.range <= bits
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id, b.bench_id
+        FROM probed a JOIN bcells b ON a.band = b.band AND a.cell = b.cell
+    ),
+    scored AS (
+        SELECT c.vec_id, c.bench_id,
+               {_COS.format(a="a.qv", b="b.qv", na="a.nrm", nb="b.nrm")} AS cos
+        FROM cand c
+        JOIN train a ON c.vec_id = a.vec_id
+        JOIN bench b ON c.bench_id = b.vec_id
+        WHERE {_COS.format(a="a.qv", b="b.qv", na="a.nrm", nb="b.nrm")} >= 0.35
+    )
+    SELECT vec_id, CAST(bench_id AS BIGINT) AS bench_id, cos
+    FROM (
+        SELECT vec_id, bench_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    """
+
+
+@register("pipeline_semantic_decontaminate", _semantic_decon_oracle())
+def pipeline_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (contamination.py
+    semantic_decontaminate): vectors with vec_id % 17 == 0 stand in for
+    the benchmark/eval set; training vectors within cosine 0.35 of any
+    benchmark vector are flagged with their best match. Asymmetric LSH:
+    bench cells broadcast, the corpus side never self-joins."""
+    from filesql_spark.pipeline.contamination import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the log-n band knob keys off the FULL table size on both sides
+    # (parquet-metadata count), so Spark and the oracle pick identical bits
+    n = emb.count()
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    train = emb.filter(F.col("vec_id") % 17 != 0)
+    return semantic_decontaminate(train, bench, threshold=0.35, n=n)
+
+
+def _cluster_reps_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS v, a AS lbl FROM edges
+        UNION
+        SELECT e.a AS v, r.lbl FROM edges e JOIN reach r ON e.b = r.v
+    ),
+    comp AS (SELECT v, MIN(lbl) AS component FROM reach GROUP BY v),
+    labeled AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    ),
+    ranked AS (
+        SELECT component, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS nm
+        FROM labeled
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(doc_id AS BIGINT) AS rep_doc_id,
+           CAST(nm AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS rep_score
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("dedup_cluster_representatives", _cluster_reps_oracle())
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster canonicalization: MinHash near-dup edges →
+    connected components → elect the LONGEST member per cluster (ties to
+    the smallest doc_id), the C4/RefinedWeb curation policy
+    (pipeline/dedup.py cluster_representatives)."""
+    from filesql_spark.pipeline.dedup import cluster_representatives, minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return cluster_representatives(
+        d, minhash_lsh_pairs(d), id_col="doc_id", score_col="n_chars"
+    )
