@@ -14,6 +14,8 @@ rewrites the table's DataFrame lazily and re-registers the view:
   is built on the immutable pre-swap plan and handed back lazily
 - CREATE TABLE/VIEW, DROP, CREATE INDEX (accepted no-op), TRIGGER (error) —
   reference advertises these via SQLite (README.md:333-334)
+- ALTER TABLE RENAME TO / RENAME COLUMN / ADD COLUMN / DROP COLUMN
+  (SQLite 3.35+ forms) as plan rewrites + view re-registration
 
 Affected-row counts match database/sql's Exec contract.
 """
@@ -50,6 +52,8 @@ def execute(engine, sql: str) -> int:
         return _create(engine, sql)
     if kw == "DROP":
         return _drop(engine, sql)
+    if kw == "ALTER":
+        return _alter(engine, sql)
     raise FilesqlError(f"unsupported statement: {kw}")
 
 
@@ -619,3 +623,127 @@ def _drop(engine, sql: str) -> int:
     engine.spark.catalog.dropTempView(_view_ident(name))
     engine._refresh_catalog_views()
     return 0
+
+
+# ------------------------------------------------------------------ ALTER
+
+_ALTER_RE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+{_IDENT}\s+(?P<rest>.+?)\s*;?\s*$"
+)
+
+
+def _alter_ident(text: str) -> tuple[str, str]:
+    """Pop one (possibly quoted) identifier off the front of ``text``;
+    returns (identifier, remainder)."""
+    m = re.match(rf"\s*{_IDENT}\s*", text)
+    if not m:
+        raise FilesqlError(f"cannot parse identifier at: {text[:60]!r}")
+    return _ident(m), text[m.end():]
+
+
+def _alter(engine, sql: str) -> int:
+    """SQLite's four ALTER TABLE forms (3.35+), over the versioned-view
+    registry — each rewrites the table's DataFrame plan and re-registers
+    the view, so ALTER participates in transactions/savepoints the same
+    way DML does (the snapshot dicts capture the pre-ALTER plans).
+
+    - RENAME TO new_name
+    - RENAME [COLUMN] old TO new
+    - ADD [COLUMN] name [type] [DEFAULT literal]
+    - DROP [COLUMN] name
+    """
+    m = _ALTER_RE.match(sql)
+    if not m:
+        raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")
+    table = _ident(m)
+    rest = m.group("rest")
+    if table not in engine._tables:
+        raise FilesqlError(f"no such table: {table}")
+    df = engine._tables[table]
+    low = rest.lstrip().lower()
+
+    if low.startswith("rename to"):
+        new, tail = _alter_ident(rest.lstrip()[len("rename to"):])
+        if tail.strip():
+            raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")
+        if new in engine._tables or new in engine._views:
+            raise FilesqlError(f"there is already another table or view named {new!r}")
+        from filesql_spark.engine import _view_ident
+
+        del engine._tables[table]
+        try:
+            engine.spark.catalog.dropTempView(_view_ident(table))
+        except Exception:
+            pass
+        if table in engine._primary_keys:
+            engine._primary_keys[new] = engine._primary_keys.pop(table)
+        if table in engine._origins:
+            engine._origins[new] = engine._origins.pop(table)
+        engine._reregister(new, df)
+        return 0
+
+    if low.startswith("rename"):
+        body = rest.lstrip()[len("rename"):]
+        if re.match(r"(?is)^\s*column\b", body):
+            body = re.sub(r"(?is)^\s*column\b", "", body, count=1)
+        old, tail = _alter_ident(body)
+        tm = re.match(r"(?is)^TO\s+", tail.lstrip())
+        if not tm:
+            raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")
+        new, tail2 = _alter_ident(tail.lstrip()[tm.end():])
+        if tail2.strip():
+            raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")
+        if old not in df.columns:
+            raise FilesqlError(f"no such column: {old}")
+        if new in df.columns:
+            raise FilesqlError(f"duplicate column name: {new}")
+        if table in engine._primary_keys:
+            engine._primary_keys[table] = [
+                new if c == old else c for c in engine._primary_keys[table]
+            ]
+        engine._reregister(table, df.withColumnRenamed(old, new))
+        return 0
+
+    if low.startswith("add"):
+        body = rest.lstrip()[len("add"):]
+        if re.match(r"(?is)^\s*column\b", body):
+            body = re.sub(r"(?is)^\s*column\b", "", body, count=1)
+        name, tail = _alter_ident(body)
+        if name in df.columns:
+            raise FilesqlError(f"duplicate column name: {name}")
+        tail = tail.strip()
+        default_sql = None
+        dm = re.search(r"(?is)\bDEFAULT\s+(?P<v>.+)$", tail)
+        if dm:
+            default_sql = dm.group("v").strip()
+            tail = tail[: dm.start()].strip()
+        # SQLite forbids these on ADD COLUMN outright
+        if re.search(r"(?is)\b(PRIMARY\s+KEY|UNIQUE)\b", tail):
+            raise FilesqlError(
+                "Cannot add a PRIMARY KEY or UNIQUE column with ALTER TABLE"
+            )
+        ctype = _affinity(tail.split()[0]) if tail.split() else "string"
+        col = (
+            F.expr(default_sql) if default_sql is not None else F.lit(None)
+        ).cast(ctype)
+        engine._reregister(table, df.withColumn(name, col))
+        return 0
+
+    if low.startswith("drop"):
+        body = rest.lstrip()[len("drop"):]
+        if re.match(r"(?is)^\s*column\b", body):
+            body = re.sub(r"(?is)^\s*column\b", "", body, count=1)
+        name, tail = _alter_ident(body)
+        if tail.strip():
+            raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")
+        if name not in df.columns:
+            raise FilesqlError(f"no such column: {name}")
+        if len(df.columns) == 1:
+            raise FilesqlError(f"cannot drop the only column of {table!r}")
+        if name in engine._primary_keys.get(table, []):
+            # SQLite: "error if the column ... is a PRIMARY KEY"
+            raise FilesqlError(f"cannot drop PRIMARY KEY column: {name}")
+        engine._reregister(table, df.drop(name))
+        return 0
+
+    raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")

@@ -215,7 +215,7 @@ class Engine:
             name = _savepoint_ident(sql, "RELEASE")
             self.release(name)
             return 0
-        if stmt in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP"):
+        if stmt in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER"):
             # comments are legal anywhere in SQLite DML; the dml regex
             # parsers anchor on the keyword, so blank comments first
             return dml.execute(self, _strip_comments(sql).strip())

@@ -619,3 +619,82 @@ def test_vacuum_refuses_inside_transaction(eng):
     with pytest.raises(TransactionError, match="VACUUM"):
         eng.execute("VACUUM")
     eng.execute("RELEASE s")
+
+
+# ----------------------------------------------------------- ALTER TABLE
+
+
+def test_alter_rename_table(eng):
+    eng.execute("ALTER TABLE sample RENAME TO people")
+    assert eng.query("SELECT COUNT(*) AS n FROM people").collect()[0].n == 3
+    with pytest.raises(Exception):  # Spark TABLE_OR_VIEW_NOT_FOUND
+        eng.query("SELECT * FROM sample").collect()
+    assert "people" in eng.table_names() and "sample" not in eng.table_names()
+
+
+def test_alter_rename_table_collision(eng, spark):
+    eng.execute("CREATE TABLE other (x INTEGER)")
+    with pytest.raises(FilesqlError, match="already another table"):
+        eng.execute("ALTER TABLE sample RENAME TO other")
+
+
+def test_alter_rename_column(eng):
+    eng.execute("ALTER TABLE sample RENAME COLUMN name TO full_name")
+    r = eng.query("SELECT full_name FROM sample WHERE id = 1").collect()
+    assert r[0].full_name == "John Doe"
+    # COLUMN keyword optional (SQLite accepts both)
+    eng.execute("ALTER TABLE sample RENAME full_name TO nm")
+    assert eng.query("SELECT nm FROM sample WHERE id = 2").collect()[0].nm == "Jane Smith"
+    with pytest.raises(FilesqlError, match="no such column"):
+        eng.execute("ALTER TABLE sample RENAME COLUMN ghost TO x")
+    with pytest.raises(FilesqlError, match="duplicate column"):
+        eng.execute("ALTER TABLE sample RENAME COLUMN nm TO age")
+
+
+def test_alter_add_column_default_and_null(eng):
+    eng.execute("ALTER TABLE sample ADD COLUMN score INTEGER DEFAULT 7")
+    rows = eng.query("SELECT id, score FROM sample ORDER BY id").collect()
+    assert [r.score for r in rows] == [7, 7, 7]
+    eng.execute("ALTER TABLE sample ADD COLUMN note TEXT")
+    rows = eng.query("SELECT note FROM sample").collect()
+    assert all(r.note is None for r in rows)
+    with pytest.raises(FilesqlError, match="duplicate column"):
+        eng.execute("ALTER TABLE sample ADD COLUMN score REAL")
+    with pytest.raises(FilesqlError, match="PRIMARY KEY or UNIQUE"):
+        eng.execute("ALTER TABLE sample ADD COLUMN k INTEGER PRIMARY KEY")
+
+
+def test_alter_drop_column(eng):
+    eng.execute("ALTER TABLE sample DROP COLUMN email")
+    cols = eng.query("SELECT * FROM sample").columns
+    assert "email" not in cols and "name" in cols
+    with pytest.raises(FilesqlError, match="no such column"):
+        eng.execute("ALTER TABLE sample DROP COLUMN email")
+
+
+def test_alter_drop_pk_column_refused(eng):
+    eng.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+    with pytest.raises(FilesqlError, match="PRIMARY KEY"):
+        eng.execute("ALTER TABLE t DROP COLUMN k")
+
+
+def test_alter_rolls_back_with_transaction(eng):
+    eng.execute("BEGIN")
+    eng.execute("ALTER TABLE sample ADD COLUMN tmp INTEGER DEFAULT 1")
+    eng.execute("ALTER TABLE sample RENAME TO renamed")
+    assert eng.query("SELECT COUNT(*) AS n FROM renamed").collect()[0].n == 3
+    eng.execute("ROLLBACK")
+    assert "sample" in eng.table_names() and "renamed" not in eng.table_names()
+    assert "tmp" not in eng.query("SELECT * FROM sample").columns
+
+
+def test_alter_interacts_with_dml(eng):
+    eng.execute("ALTER TABLE sample ADD COLUMN score INTEGER DEFAULT 0")
+    assert eng.execute("UPDATE sample SET score = age * 2 WHERE id <= 2") == 2
+    rows = {r.id: r.score for r in eng.query("SELECT id, score FROM sample").collect()}
+    assert rows == {1: 60, 2: 50, 3: 0}
+
+
+def test_alter_no_such_table(eng):
+    with pytest.raises(FilesqlError, match="no such table"):
+        eng.execute("ALTER TABLE ghost RENAME TO x")
