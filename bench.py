@@ -97,6 +97,9 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "pipeline_semantic_decontaminate",
     "dedup_cluster_representatives",
+    # (streaming_cms_tokens excluded like the other streaming twins)
+    "events_window_topk",
+    "docs_source_reputation",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

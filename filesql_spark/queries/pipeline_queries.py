@@ -3002,3 +3002,132 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     return cluster_representatives(
         d, minhash_lsh_pairs(d), id_col="doc_id", score_col="n_chars"
     )
+
+
+def _cms_counters_oracle(depth: int = 4, width: int = 512) -> str:
+    from filesql_spark.pipeline.sketch import _CMS_SQL
+
+    probes = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_CMS_SQL.format(v='tok', r=r, w=width)} AS bucket FROM toks"
+        for r in range(depth)
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+    pr AS ({probes})
+    SELECT CAST(r AS INTEGER) AS r, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM pr GROUP BY r, bucket
+    """
+
+
+@register("streaming_cms_tokens", _cms_counters_oracle())
+def streaming_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: running token-frequency counters with
+    state bounded at depth×width rows by construction — no watermark
+    needed (streaming.py documents_cms_stream). Oracle = the batch
+    sketch (counter sums are arrival-order-free)."""
+    from filesql_spark.streaming import documents_cms_stream
+
+    return documents_cms_stream(spark, sf_dir)
+
+
+@register(
+    "events_window_topk",
+    """
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                    ORDER BY n DESC, event_type) AS INTEGER) AS rnk
+        FROM counts
+    )
+    SELECT window_start, rnk, event_type, n
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hourly window — the trending-items query of
+    every analytics dashboard. The rank window is PARTITIONED by the
+    time bucket (thousands of independent small windows, never a global
+    sort), and the per-(window, type) pre-aggregation is map-side
+    combined, so rows entering the rank stage ≈ windows × types, not
+    events. Ties break lexicographically on the event type."""
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.select(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "rnk", "event_type", "n")
+    )
+
+
+@register(
+    "docs_source_reputation",
+    f"""
+    WITH d AS (
+        SELECT source, lang, n_chars, md5(text) AS h,
+               len({_TOKENS}) AS n_toks
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           CAST(((COUNT(*) - COUNT(DISTINCT h)) * 1000000) // COUNT(*) AS BIGINT)
+               AS dup_ppm,
+           CAST(CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST((SUM(CASE WHEN n_toks < 5 THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS short_ppm
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def docs_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reputation scorecard: volume, exact-duplicate rate,
+    mean length, language diversity, and short-doc rate — the rollup a
+    curation pipeline uses to DROP entire low-quality domains before
+    any per-document scoring (dup-heavy and short-doc-heavy sources are
+    the strongest spam signals at corpus scale).
+
+    One shuffle on source; the distinct counts ride the same Expand
+    rewrite as the profiler (per-group, map-side partially aggregated).
+    All rates are exact integer ppm — engine-stable hashing."""
+    from filesql_spark.pipeline.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text")).alias("h"),
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("h").alias("n_unique_texts"),
+            F.sum("n_chars").alias("__chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("n_toks") < 5, 1).otherwise(0)).alias("__short"),
+        )
+        .select(
+            "source",
+            F.col("__n").cast("long").alias("n_docs"),
+            F.col("n_unique_texts").cast("long"),
+            F.expr("((__n - n_unique_texts) * 1000000) div __n").alias("dup_ppm"),
+            F.expr("__chars div __n").alias("avg_chars"),
+            F.col("n_langs").cast("long"),
+            F.expr("(__short * 1000000) div __n").alias("short_ppm"),
+        )
+        .orderBy("source")
+    )

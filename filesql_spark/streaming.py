@@ -591,3 +591,29 @@ def cdc_apply_stream(
     latest = _latest(out_dir)
     snap = spark.read.parquet(_os.path.join(out_dir, f"version={latest}"))
     return snap.select("doc_id", F.md5("text").alias("content_hash"))
+
+
+def documents_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch over the document token stream: the
+    running (r, bucket) counter table maintained as a streaming
+    aggregation — the frequency monitor an ingest pipeline keeps to
+    watch token distributions WITHOUT unbounded state.
+
+    This inverts the usual streaming-aggregation state problem: a plain
+    per-token count's state grows with vocabulary (unbounded on an open
+    stream), while the CMS counters are capped at depth×width rows BY
+    CONSTRUCTION (pipeline/sketch.py cms_counters) — the hash projection
+    bounds the state, no watermark needed. Counter sums are
+    arrival-order-free integers, so the batch sketch is the exact
+    oracle, and the complete-mode sink re-emits the merged sketch each
+    micro-batch (kilobytes).
+    """
+    from filesql_spark.pipeline.sketch import cms_counters
+    from filesql_spark.pipeline.text import tokens
+
+    stream = _file_stream(spark, sf_dir, "documents")
+    counted = stream.select(
+        F.explode(tokens(F.col("text"))).alias("tok"), F.lit(1).alias("c")
+    )
+    counters = cms_counters(counted, "tok", "c")
+    return spark.table(_run_to_memory(counters, "documents_cms"))

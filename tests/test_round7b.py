@@ -250,3 +250,67 @@ def test_cluster_reps_tie_breaks_to_smallest_id(spark):
     edges = spark.createDataFrame([(4, 5)], "doc_a long, doc_b long")
     (rep,) = cluster_representatives(docs, edges).collect()
     assert rep.rep_doc_id == 4
+
+
+# ------------------------------------------- streaming CMS / topk / sources
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir):
+    from filesql_spark.queries import load_table
+    from filesql_spark.streaming import documents_cms_stream
+
+    streamed = documents_cms_stream(spark, sf_dir)
+    assert streamed.count() <= CMS_DEPTH * CMS_WIDTH  # state bounded
+    d = load_table(spark, sf_dir, "documents")
+    batch = cms_counters(
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"), F.lit(1).alias("c")),
+        "tok",
+        "c",
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_window_topk_shape(spark, sf_dir):
+    from filesql_spark.queries import all_queries
+
+    df = all_queries()["events_window_topk"](spark, sf_dir)
+    per_window = df.groupBy("window_start").count()
+    assert per_window.filter("count > 3").count() == 0
+    # rank 1 row holds the max n of its window
+    mx = df.groupBy("window_start").agg(F.max("n").alias("mx"))
+    r1 = df.filter("rnk = 1").join(mx, "window_start")
+    assert r1.filter(F.col("n") != F.col("mx")).count() == 0
+
+
+def test_source_reputation_planted_dups(spark):
+    from filesql_spark.queries import register  # noqa: F401 (import check)
+    from filesql_spark.pipeline.text import tokens as _t  # noqa: F401
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "good.com", 30),
+        (2, "alpha beta gamma delta epsilon", "en", "spam.com", 30),
+        (3, "alpha beta gamma delta epsilon", "en", "spam.com", 30),
+        (4, "zeta eta", "de", "spam.com", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from pyspark.sql import functions as FF
+
+    d = df.select(
+        "source", "lang", "n_chars",
+        FF.md5("text").alias("h"),
+        FF.size(_t(FF.col("text"))).alias("n_toks"),
+    )
+    rep = (
+        d.groupBy("source")
+        .agg(
+            FF.count(FF.lit(1)).alias("n"),
+            FF.countDistinct("h").alias("u"),
+        )
+        .collect()
+    )
+    by = {r.source: r for r in rep}
+    assert by["spam.com"].n == 3 and by["spam.com"].u == 2
+    assert by["good.com"].n == 1 and by["good.com"].u == 1
