@@ -100,6 +100,8 @@ HEADLINE = [
     # (streaming_cms_tokens excluded like the other streaming twins)
     "events_window_topk",
     "docs_source_reputation",
+    "pipeline_curriculum_order",
+    "window_nth_last_value",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

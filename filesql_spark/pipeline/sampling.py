@@ -254,3 +254,61 @@ def mixture_resample(
         .filter(_bucket(F.col(key_col)) < F.col("_thresh"))
         .drop("_thresh")
     )
+
+
+def curriculum_order(
+    df: DataFrame, stage_col: str = "stage", key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global training order WITHOUT a global sort: every
+    row gets a 1-based ``global_pos`` that walks the stages in order
+    (all of stage 0, then stage 1, …) and shuffles uniformly WITHIN each
+    stage by the md5-hash of its key — the curriculum-learning data
+    order ("easy examples first, shuffled within difficulty") that must
+    be reproducible across re-runs and cluster sizes.
+
+    Decomposition (same trick as :func:`hashed_prefix_sum`): the hash's
+    top ORDER_BUCKET_BITS bits range-bucket the within-stage order, a
+    row_number runs per (stage, bucket) partition in parallel, and only
+    the ≤ stages×256-row bucket-count table pays single-task windows
+    before broadcasting back as offsets. The invariant — global_pos ==
+    ROW_NUMBER() over (stage, hash, key) — is what the DuckDB oracle
+    checks, so the parallel decomposition is verified against the very
+    global sort it avoids.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    t = df.select(
+        F.col(key_col),
+        F.col(stage_col).alias("__stage"),
+        h.alias("__h"),
+        F.shiftright(h, 60 - ORDER_BUCKET_BITS).alias("__bkt"),
+    )
+    intra = Window.partitionBy("__stage", "__bkt").orderBy("__h", key_col)
+    t = t.withColumn("__rk", F.row_number().over(intra))
+    bkt_tot = t.groupBy("__stage", "__bkt").agg(F.count(F.lit(1)).alias("__bn"))
+    prior_b = (
+        Window.partitionBy("__stage")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bkt_off = bkt_tot.withColumn(
+        "__boff", F.coalesce(F.sum("__bn").over(prior_b), F.lit(0))
+    )
+    stage_tot = bkt_tot.groupBy("__stage").agg(F.sum("__bn").alias("__sn"))
+    prior_s = Window.orderBy("__stage").rowsBetween(Window.unboundedPreceding, -1)
+    stage_off = stage_tot.withColumn(
+        "__soff", F.coalesce(F.sum("__sn").over(prior_s), F.lit(0))
+    )
+    return (
+        t.join(F.broadcast(bkt_off.select("__stage", "__bkt", "__boff")),
+               ["__stage", "__bkt"])
+        .join(F.broadcast(stage_off.select("__stage", "__soff")), "__stage")
+        .select(
+            F.col(key_col),
+            F.col("__stage").cast("int").alias(stage_col),
+            (F.col("__soff") + F.col("__boff") + F.col("__rk"))
+            .cast("long")
+            .alias("global_pos"),
+        )
+    )

@@ -3131,3 +3131,68 @@ def docs_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _curriculum_oracle(bin_cents: int = 1000) -> str:
+    return f"""
+    WITH hist AS (
+        SELECT CAST(ROUND(n_chars * 100) AS BIGINT) // {bin_cents} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, c,
+               CAST(SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    th AS (
+        SELECT MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN bin END) AS p25,
+               MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END) AS p50,
+               MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN bin END) AS p75
+        FROM cum
+    ),
+    staged AS (
+        SELECT doc_id,
+               CASE WHEN CAST(ROUND(n_chars * 100) AS BIGINT) // {bin_cents} > th.p75 THEN 3
+                    WHEN CAST(ROUND(n_chars * 100) AS BIGINT) // {bin_cents} > th.p50 THEN 2
+                    WHEN CAST(ROUND(n_chars * 100) AS BIGINT) // {bin_cents} > th.p25 THEN 1
+                    ELSE 0 END AS stage,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents, th
+    )
+    SELECT doc_id, CAST(stage AS INTEGER) AS stage,
+           CAST(ROW_NUMBER() OVER (ORDER BY stage, h, doc_id) AS BIGINT) AS global_pos
+    FROM staged
+    """
+
+
+@register("pipeline_curriculum_order", _curriculum_oracle())
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: stages = length quartiles from the
+    MERGEABLE histogram-quantile sketch (no exact global percentile
+    sort), position = deterministic hash-shuffled order within stages,
+    computed by the bucketed prefix decomposition (pipeline/sampling.py
+    curriculum_order). The oracle re-derives global_pos as ROW_NUMBER()
+    over the full (stage, hash, key) sort — proving the parallel
+    decomposition equals the global sort it replaces."""
+    from filesql_spark.pipeline.sampling import curriculum_order
+    from filesql_spark.pipeline.sketch import histogram_quantiles
+
+    d = load_table(spark, sf_dir, "documents")
+    th = histogram_quantiles(d, [], "n_chars", quantiles=(25, 50, 75)).select(
+        "p25_bin", "p50_bin", "p75_bin"
+    )
+    binned = d.select(
+        "doc_id",
+        F.expr("CAST(ROUND(n_chars * 100) AS BIGINT) div 1000").alias("__bin"),
+    )
+    staged = binned.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        F.when(F.col("__bin") > F.col("p75_bin"), 3)
+        .when(F.col("__bin") > F.col("p50_bin"), 2)
+        .when(F.col("__bin") > F.col("p25_bin"), 1)
+        .otherwise(0)
+        .alias("stage"),
+    )
+    return curriculum_order(staged, "stage", "doc_id")

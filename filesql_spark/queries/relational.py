@@ -2375,3 +2375,39 @@ def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(clipped) / (100.0 * F.count(F.lit(1)))).alias("winsor_mean"),
         )
     )
+
+
+@register(
+    "window_nth_last_value",
+    """
+    SELECT o_orderkey, o_custkey,
+           LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS latest_price,
+           NTH_VALUE(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+    FROM orders
+    """,
+)
+def window_nth_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST_VALUE / NTH_VALUE over the whole partition (SQLite window
+    functions, SURVEY §2.B) — both pinned to an explicit
+    UNBOUNDED-UNBOUNDED frame because the default frame ends at the
+    current row, which silently turns LAST_VALUE into "current value"
+    (the classic window-function trap; the explicit frame gives the
+    per-customer latest and second-ever order price). Partitioned by
+    customer — parallel, never a global window. Raw value passthrough,
+    bit-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

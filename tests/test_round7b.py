@@ -314,3 +314,36 @@ def test_source_reputation_planted_dups(spark):
     by = {r.source: r for r in rep}
     assert by["spam.com"].n == 3 and by["spam.com"].u == 2
     assert by["good.com"].n == 1 and by["good.com"].u == 1
+
+
+# ----------------------------------------------------- curriculum order
+
+
+def test_curriculum_positions_are_permutation(spark, sf_dir):
+    from filesql_spark.queries import all_queries
+
+    df = all_queries()["pipeline_curriculum_order"](spark, sf_dir)
+    rows = df.collect()
+    n = len(rows)
+    assert sorted(r.global_pos for r in rows) == list(range(1, n + 1))
+    # stage is non-decreasing along the global order
+    by_pos = sorted(rows, key=lambda r: r.global_pos)
+    stages = [r.stage for r in by_pos]
+    assert stages == sorted(stages)
+    # quartile stages are reasonably balanced (sketch resolution ±bin)
+    from collections import Counter
+
+    c = Counter(stages)
+    assert all(c[s] > 0 for s in range(4))
+
+
+def test_curriculum_order_deterministic(spark):
+    from filesql_spark.pipeline.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(200)], "doc_id long, stage int"
+    )
+    a = {r.doc_id: r.global_pos for r in curriculum_order(df).collect()}
+    b = {r.doc_id: r.global_pos for r in curriculum_order(df).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 201))
