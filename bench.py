@@ -102,6 +102,7 @@ HEADLINE = [
     "docs_source_reputation",
     "pipeline_curriculum_order",
     "window_nth_last_value",
+    "q10_returned_items",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

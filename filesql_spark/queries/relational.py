@@ -2411,3 +2411,59 @@ def window_nth_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("latest_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_c('l.l_extendedprice')} * (100 - {_c('l.l_discount')})) AS BIGINT)
+               / 10000.0 AS revenue,
+           CAST({_c('c.c_acctbal')} AS BIGINT) / 100.0 AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting, adapted to the driver schema's
+    columns): who returned the most revenue in a quarter. The
+    optimizer showcase for join ordering — the date filter prunes orders
+    at the scan (PushedFilters), the returnflag filter prunes lineitem,
+    the filtered orders↔lineitem join shuffles only survivors, and the
+    customer/nation dimensions broadcast. Revenue is the exact
+    cents×cent-percent integer sum (÷10⁴ once at the end), and the
+    top-20 is a TakeOrderedAndProject with c_custkey tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.sum(
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    ).cast("long") / 10000.0
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            (cents("c_acctbal").cast("long") / 100.0).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
