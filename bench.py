@@ -103,6 +103,7 @@ HEADLINE = [
     "pipeline_curriculum_order",
     "window_nth_last_value",
     "q10_returned_items",
+    "ann_pq_topk",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings
@@ -164,6 +165,19 @@ def main() -> None:
         build_samples.append(time.perf_counter() - t0)
     dedup_base_build_sec = round(statistics.median(build_samples), 4)
 
+    # And for product quantization: codebook training (4 sub-k-means) is
+    # ann_pq_build_sec; the timed ann_pq_topk samples serve from the
+    # cached codebooks (shortlist + rerank, the steady-state path).
+    from filesql_spark.queries.pipeline_queries import ensure_pq_books
+
+    build_samples = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ensure_pq_books(spark, sf_dir, fresh=True)  # fit collects eagerly
+        build_samples.append(time.perf_counter() - t0)
+    pq_build_sec = round(statistics.median(build_samples), 4)
+
     timings: dict[str, float] = {}
     for n in names:
         samples = []
@@ -194,6 +208,7 @@ def main() -> None:
                 ),
                 "ann_ivf_build_sec": ivf_build_sec,
                 "dedup_base_build_sec": dedup_base_build_sec,
+                "ann_pq_build_sec": pq_build_sec,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
