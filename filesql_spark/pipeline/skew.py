@@ -119,7 +119,10 @@ def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    # persisted: both the grand total and the top-k read this relation —
+    # uncached, each branch would re-scan and re-aggregate the raw table
+    # (2× the only data-sized work in the operator)
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows")).persist()
     total = counts.agg(F.sum("n_rows").alias("__total"))
     topk = (
         counts.join(F.broadcast(total))

@@ -399,3 +399,61 @@ def test_mixture_resample_corpus_not_shuffled(spark, qs):
     table without an Exchange on the document stream."""
     plan = _formatted(qs["pipeline_mixture_resample"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_zero_shuffle(spark, qs):
+    plan = _formatted(qs["text_chunk_stride"](spark, SF))
+    assert "Exchange" not in plan  # pure per-row projection at scan speed
+
+
+def test_q10_pushdown_broadcast_takeordered(spark, qs):
+    plan = _formatted(qs["q10_returned_items"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # filter reaches the lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date prunes the orders scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_zero_shuffle(spark):
+    from filesql_spark.pipeline.similarity import pq_encode, pq_fit
+    from filesql_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_fit(emb)
+    plan = _formatted(pq_encode(emb, books))
+    assert "Exchange" not in plan  # literal-codebook map: encoding at scan speed
+
+
+def _n_scans(plan: str) -> int:
+    """Parquet scans as numbered plan nodes (formatted mode lists each
+    node twice — tree + detail — and cached subplans inline more text,
+    so a raw substring count overstates)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_skew_report_single_scan_no_global_sort(spark, qs):
+    plan = _formatted(qs["events_skew_report"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    # the persisted counts relation feeds both total and top-k: the raw
+    # table is scanned once (the second branch reads the cache)
+    assert _n_scans(plan) <= 1
+
+
+def test_profiler_split_aggregation_shape(spark, qs):
+    plan = _formatted(qs["profile_orders_stats"](spark, SF))
+    # split-aggregation design: the multi-distinct Expand runs in its own
+    # HashAggregate chain, never mixed into the plain-stats aggregate
+    # (the mixed form degrades to SortAggregate over the expanded rows)
+    assert "Expand" in plan
+    assert _n_scans(plan) == 2  # one per aggregation half
+    # the distinct half (the Expand side) must be hash-aggregated
+    assert "HashAggregate" in plan
+
+
+def test_semantic_decon_bench_side_broadcast(spark, qs):
+    plan = _formatted(qs["pipeline_semantic_decontaminate"](spark, SF))
+    # the candidate join against bench cells must be broadcast (corpus
+    # side never shuffles for the probe)
+    assert "BroadcastHashJoin" in plan
