@@ -104,6 +104,8 @@ HEADLINE = [
     "window_nth_last_value",
     "q10_returned_items",
     "ann_pq_topk",
+    "text_bpe_merges",
+    "events_top_paths",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

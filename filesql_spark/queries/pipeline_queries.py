@@ -3364,3 +3364,104 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     books = ensure_pq_books(spark, sf_dir)
     return pq_topk_rerank(load_table(spark, sf_dir, "embeddings"), books)
+
+
+@register(
+    "text_bpe_merges",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    pos AS (
+        SELECT tok, c, unnest(range(1, length(tok))) AS i
+        FROM vocab WHERE length(tok) >= 2
+    ),
+    pairs AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair, c FROM pos)
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 10
+    """,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First byte-pair-encoding merge candidates: the 10 most frequent
+    word-internal character pairs, weighted by token frequency — the
+    statistic round one of BPE tokenizer training computes (each
+    training round merges the top pair and recounts; this is the exact
+    round-one count).
+
+    100-TB design: the corpus-sized work is ONE token-count groupBy;
+    the character-pair explode runs over the DISTINCT vocabulary
+    (rows ≈ Σ token lengths over vocab — millions, not trillions —
+    each carrying its corpus frequency), so tokenizer statistics cost
+    barely more than word counting. Top-10 is a TakeOrdered; counts
+    are exact integers, ties break lexicographically."""
+    from filesql_spark.pipeline.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(10)
+    )
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+               LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+        FROM events
+    ),
+    paths AS (
+        SELECT p2 || '>' || p1 || '>' || event_type AS path
+        FROM seq WHERE p2 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM paths GROUP BY path
+    ORDER BY cnt DESC, path LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavior paths (a>b>c) across users — path
+    mining one level deeper than the Markov transition matrix (which
+    sees only pairs; a funnel like view>cart>purchase vs
+    cart>view>purchase is invisible to it).
+
+    One shuffle on user_id drives both LAGs (same partitioned window),
+    the path counts aggregate map-side (cardinality ≤ |types|³), and
+    the top-10 is a TakeOrdered. Tie-break on the path string."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "path")
+        .limit(10)
+    )

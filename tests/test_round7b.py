@@ -416,3 +416,59 @@ def test_pq_rerank_recall_gate(spark, emb):
         pq.setdefault(r.q_id, set()).add(r.vec_id)
     recall = sum(len(ex[k] & pq.get(k, set())) / len(ex[k]) for k in ex) / len(ex)
     assert recall >= 0.9, f"PQ rerank recall {recall}"
+
+
+# ------------------------------------------------- BPE merges / top paths
+
+
+def test_bpe_merges_known_corpus(spark):
+    from filesql_spark.queries import all_queries  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab")], "doc_id long, text string"
+    )
+    from filesql_spark.pipeline.text import tokens as _t
+    vocab = (
+        df.select(F.explode(_t(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"
+        )).alias("pair"), "c",
+    ).groupBy("pair").agg(F.sum("c").alias("cnt")).collect()
+    got = {r.pair: r.cnt for r in pairs}
+    # 'aaab' ×3 contributes aa×2, ab×1 each; 'ab' ×1 contributes ab×1
+    assert got == {"aa": 6, "ab": 4}
+
+
+def test_top_paths_order_sensitivity(spark):
+    """a>b>c and c>b>a are distinct paths — the property the Markov
+    bigram matrix cannot express."""
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i, et in enumerate(["a", "b", "c"]):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), 1, et))
+    for i, et in enumerate(["c", "b", "a"]):
+        rows.append((10 + i, t0 + datetime.timedelta(minutes=i), 2, et))
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    got = {
+        r.path
+        for r in seq.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        ).collect()
+    }
+    assert got == {"a>b>c", "c>b>a"}
