@@ -257,3 +257,29 @@ def test_mixture_thresholds_feasible(strata):
     }
     assert all(0 <= t <= 10000 for t in thresholds.values())
     assert thresholds[scarcest] == 10000
+
+
+@given(
+    st.integers(min_value=1, max_value=5000),  # n tokens
+    st.integers(min_value=1, max_value=256),  # window
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_layout_formula_covers_exactly(n, window, data):
+    """The chunk-start formula used by pipeline/text.py chunk_tokens
+    (greatest(0, (n - window + stride - 1) div stride) last start) tiles
+    [0, n) with no gap for any stride ≤ window: every token is covered,
+    the tail chunk ends exactly at n, middles are full windows."""
+    stride = data.draw(st.integers(min_value=1, max_value=window))
+    k = max(0, -((-(n - window)) // stride)) if n > window else 0
+    starts = [i * stride for i in range(k + 1)]
+    lens = [min(window, n - s) for s in starts]
+    assert all(ln >= 1 for ln in lens)  # no empty chunk emitted
+    assert starts[-1] + lens[-1] == n  # tail covered exactly
+    for i in range(len(starts) - 1):
+        assert lens[i] == window  # all but last are full windows
+        assert starts[i + 1] <= starts[i] + lens[i]  # no gap
+    # spark `div` truncates, python // floors; they agree on the only
+    # negative operand case because greatest(0, .) pins it — mirror that
+    spark_k = max(0, int((n - window + stride - 1) / stride))
+    assert spark_k == k
