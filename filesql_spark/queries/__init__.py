@@ -109,10 +109,13 @@ def register(name: str, oracle: str | None):
 # Round-7 rotation (VERDICT r6 #1): the five round-6 late adds that never got
 # a driver row (events_markov_transitions, customers_rfm_segments,
 # pipeline_train_prep, pipeline_dataset_manifest, join_bloom_semireduction)
-# plus any new round-7 operators sort first automatically (no map entry),
-# then the nine r4-stale entries, then as much of the r5 cohort as fits.
-# The r5 entries that overflow the 50-slot window are the _DEFER_OK tail;
-# they head the r8 queue.
+# plus the 35 new round-7 operators sort first automatically (no map entry:
+# 40 never-graded), then the nine r4-stale entries — 49 of the 50 slots,
+# deliberately capped so EVERY r4-stale entry gets its r7 row (registry
+# additions froze at 144 for this round once the window filled). The r5/r6
+# cohorts defer to r8, where ~50 of the then-stalest grade; full coverage
+# of 144 entries cycles in ~3 rounds, and every deferred entry still runs
+# in the local pytest oracle mirror (tests/test_entry_queries) each round.
 
 # name -> last round with a green driver row (rows+schema+hash, err==null),
 # regenerated each round from CORRECTNESS_r0*.json (see tools note in
