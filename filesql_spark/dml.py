@@ -641,16 +641,27 @@ def _alter_ident(text: str) -> tuple[str, str]:
     return _ident(m), text[m.end():]
 
 
+def _resolve_col(df, name: str) -> str | None:
+    """Actual column name for a case-insensitive identifier (SQLite and
+    Spark SQL both resolve identifiers case-insensitively — the same
+    by_lower matching the INSERT path uses)."""
+    return {c.lower(): c for c in df.columns}.get(name.lower())
+
+
 def _alter(engine, sql: str) -> int:
     """SQLite's four ALTER TABLE forms (3.35+), over the versioned-view
     registry — each rewrites the table's DataFrame plan and re-registers
     the view, so ALTER participates in transactions/savepoints the same
-    way DML does (the snapshot dicts capture the pre-ALTER plans).
+    way DML does (the snapshot dicts capture the pre-ALTER plans,
+    origins included).
 
     - RENAME TO new_name
     - RENAME [COLUMN] old TO new
-    - ADD [COLUMN] name [type] [DEFAULT literal]
+    - ADD [COLUMN] name [type] [constraints] [DEFAULT literal]
     - DROP [COLUMN] name
+
+    Column identifiers match case-insensitively, like every other
+    statement here.
     """
     m = _ALTER_RE.match(sql)
     if not m:
@@ -662,25 +673,34 @@ def _alter(engine, sql: str) -> int:
     df = engine._tables[table]
     low = rest.lstrip().lower()
 
-    if low.startswith("rename to"):
-        new, tail = _alter_ident(rest.lstrip()[len("rename to"):])
-        if tail.strip():
-            raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")
-        if new in engine._tables or new in engine._views:
-            raise FilesqlError(f"there is already another table or view named {new!r}")
-        from filesql_spark.engine import _view_ident
-
-        del engine._tables[table]
+    # Table rename only wins on a COMPLETE "RENAME TO <ident>" parse:
+    # "RENAME total TO t2" must not match (TO is a prefix of the column
+    # name), and "RENAME to TO x" (column literally named "to") falls
+    # through to the column branch below.
+    tm = re.match(r"(?is)^\s*RENAME\s+TO\s+(?P<after>.+)$", rest)
+    if tm:
         try:
-            engine.spark.catalog.dropTempView(_view_ident(table))
-        except Exception:
-            pass
-        if table in engine._primary_keys:
-            engine._primary_keys[new] = engine._primary_keys.pop(table)
-        if table in engine._origins:
-            engine._origins[new] = engine._origins.pop(table)
-        engine._reregister(new, df)
-        return 0
+            new, tail = _alter_ident(tm.group("after"))
+        except FilesqlError:
+            new, tail = None, "x"
+        if new is not None and not tail.strip():
+            if new in engine._tables or new in engine._views:
+                raise FilesqlError(
+                    f"there is already another table or view named {new!r}"
+                )
+            from filesql_spark.engine import _view_ident
+
+            del engine._tables[table]
+            try:
+                engine.spark.catalog.dropTempView(_view_ident(table))
+            except Exception:
+                pass
+            if table in engine._primary_keys:
+                engine._primary_keys[new] = engine._primary_keys.pop(table)
+            if table in engine._origins:
+                engine._origins[new] = engine._origins.pop(table)
+            engine._reregister(new, df)
+            return 0
 
     if low.startswith("rename"):
         body = rest.lstrip()[len("rename"):]
@@ -693,15 +713,16 @@ def _alter(engine, sql: str) -> int:
         new, tail2 = _alter_ident(tail.lstrip()[tm.end():])
         if tail2.strip():
             raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")
-        if old not in df.columns:
+        actual = _resolve_col(df, old)
+        if actual is None:
             raise FilesqlError(f"no such column: {old}")
-        if new in df.columns:
+        if _resolve_col(df, new) is not None:
             raise FilesqlError(f"duplicate column name: {new}")
         if table in engine._primary_keys:
             engine._primary_keys[table] = [
-                new if c == old else c for c in engine._primary_keys[table]
+                new if c == actual else c for c in engine._primary_keys[table]
             ]
-        engine._reregister(table, df.withColumnRenamed(old, new))
+        engine._reregister(table, df.withColumnRenamed(actual, new))
         return 0
 
     if low.startswith("add"):
@@ -709,24 +730,55 @@ def _alter(engine, sql: str) -> int:
         if re.match(r"(?is)^\s*column\b", body):
             body = re.sub(r"(?is)^\s*column\b", "", body, count=1)
         name, tail = _alter_ident(body)
-        if name in df.columns:
+        if _resolve_col(df, name) is not None:
             raise FilesqlError(f"duplicate column name: {name}")
         tail = tail.strip()
+        # DEFAULT takes ONE constant: a parenthesized expression, a
+        # string literal, or a bare token — constraints may follow
+        # (SQLite: ALTER ADD COLUMN defaults must be constants)
         default_sql = None
-        dm = re.search(r"(?is)\bDEFAULT\s+(?P<v>.+)$", tail)
+        dm = re.search(
+            r"(?is)\bDEFAULT\s+(?P<v>\((?:[^()]|\([^()]*\))*\)"
+            r"|'(?:[^']|'')*'|\S+)",
+            tail,
+        )
         if dm:
-            default_sql = dm.group("v").strip()
-            tail = tail[: dm.start()].strip()
+            default_sql = dm.group("v")
+            tail = (tail[: dm.start()] + " " + tail[dm.end():]).strip()
         # SQLite forbids these on ADD COLUMN outright
         if re.search(r"(?is)\b(PRIMARY\s+KEY|UNIQUE)\b", tail):
             raise FilesqlError(
                 "Cannot add a PRIMARY KEY or UNIQUE column with ALTER TABLE"
             )
-        ctype = _affinity(tail.split()[0]) if tail.split() else "string"
-        col = (
-            F.expr(default_sql) if default_sql is not None else F.lit(None)
-        ).cast(ctype)
-        engine._reregister(table, df.withColumn(name, col))
+        not_null = re.search(r"(?is)\bNOT\s+NULL\b", tail) is not None
+        if not_null and default_sql is None:
+            # SQLite: "Cannot add a NOT NULL column with default value NULL"
+            raise FilesqlError(
+                "Cannot add a NOT NULL column with default value NULL"
+            )
+        # strip accepted constraints before reading the type token
+        type_src = re.sub(
+            r"(?is)\bNOT\s+NULL\b|\bCOLLATE\s+\w+", " ", tail
+        ).strip()
+        ctype = _affinity(type_src.split()[0]) if type_src.split() else None
+        if default_sql is not None:
+            # typeless column (BLOB affinity): the constant keeps its own
+            # type, matching SQLite's store-as-is behavior
+            try:
+                col = F.expr(default_sql)
+                if ctype is not None:
+                    col = col.cast(ctype)
+                new_df = df.withColumn(name, col)  # parse/analyze happens here
+            except FilesqlError:
+                raise
+            except Exception as e:
+                raise FilesqlError(
+                    f"cannot parse DEFAULT expression {default_sql!r}"
+                ) from e
+        else:
+            col = F.lit(None).cast(ctype if ctype is not None else "string")
+            new_df = df.withColumn(name, col)
+        engine._reregister(table, new_df)
         return 0
 
     if low.startswith("drop"):
@@ -736,14 +788,15 @@ def _alter(engine, sql: str) -> int:
         name, tail = _alter_ident(body)
         if tail.strip():
             raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")
-        if name not in df.columns:
+        actual = _resolve_col(df, name)
+        if actual is None:
             raise FilesqlError(f"no such column: {name}")
         if len(df.columns) == 1:
             raise FilesqlError(f"cannot drop the only column of {table!r}")
-        if name in engine._primary_keys.get(table, []):
+        if actual in engine._primary_keys.get(table, []):
             # SQLite: "error if the column ... is a PRIMARY KEY"
             raise FilesqlError(f"cannot drop PRIMARY KEY column: {name}")
-        engine._reregister(table, df.drop(name))
+        engine._reregister(table, df.drop(actual))
         return 0
 
     raise FilesqlError(f"cannot parse ALTER: {sql.strip()[:120]}")

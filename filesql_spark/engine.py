@@ -277,6 +277,10 @@ class Engine:
             )
         self._snapshot = (dict(self._tables), dict(self._views))
         self._pk_snapshot = dict(self._primary_keys)
+        # origins too: a rolled-back ALTER … RENAME must not leave the
+        # auto-save origin map pointing at the phantom new name (that
+        # would silently detach the table from its save-back file)
+        self._origin_snapshot = dict(self._origins)
 
     def commit(self) -> None:
         if self._snapshot is None and not self._savepoints:
@@ -292,13 +296,14 @@ class Engine:
         if self._snapshot is not None:
             tables, views = self._snapshot
             pks = getattr(self, "_pk_snapshot", self._primary_keys)
+            origins = getattr(self, "_origin_snapshot", self._origins)
         elif self._savepoints:
-            _, (tables, views), pks = self._savepoints[0]
+            _, (tables, views), pks, origins = self._savepoints[0]
         else:
             raise TransactionError("no transaction in progress")
         self._snapshot = None
         self._savepoints.clear()
-        self._restore_state(tables, views, pks)
+        self._restore_state(tables, views, pks, origins)
 
     # SQLite savepoint semantics (lang_savepoint.html): a savepoint outside
     # a transaction starts one; RELEASE of the outermost savepoint commits
@@ -311,6 +316,7 @@ class Engine:
                 name.lower(),
                 (dict(self._tables), dict(self._views)),
                 dict(self._primary_keys),
+                dict(self._origins),
             )
         )
 
@@ -331,17 +337,20 @@ class Engine:
 
     def rollback_to(self, name: str) -> None:
         i = self._find_savepoint(name)
-        _, (tables, views), pks = self._savepoints[i]
+        _, (tables, views), pks, origins = self._savepoints[i]
         del self._savepoints[i + 1 :]
-        self._restore_state(dict(tables), dict(views), dict(pks))
+        self._restore_state(dict(tables), dict(views), dict(pks), dict(origins))
 
     def _restore_state(
         self,
         tables: dict[str, DataFrame],
         views: dict[str, DataFrame],
         pks: dict,
+        origins: dict | None = None,
     ) -> None:
         self._primary_keys = pks
+        if origins is not None:
+            self._origins = origins
         # drop Spark temp views for objects created since the snapshot —
         # without this a rolled-back CREATE TABLE stays queryable via
         # spark.sql even though the engine catalog forgot it

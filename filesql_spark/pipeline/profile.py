@@ -8,11 +8,15 @@ beyond-reference operator a data engineer runs FIRST against an unknown
 per column, as one tall (column, stats) relation.
 
 100-TB design:
-- ONE scan: every per-column statistic is an aggregate expression in a
-  single ``agg`` — Spark's planner turns the N exact ``count(DISTINCT
-  col)``s into one Expand (N× row multiplication, map-side partially
-  aggregated) rather than N scans. At petabyte scale swap
-  ``exact=False`` to use ``approx_count_distinct`` (HLL, fixed-size
+- TWO scans, both single-pass: one hash aggregation computes every
+  plain statistic, a second carries the N exact ``count(DISTINCT
+  col)``s through one Expand (N× row multiplication, map-side
+  partially aggregated) — NOT N scans. They are deliberately separate
+  aggregations cross-joined at one row each: mixed into a single
+  ``agg``, the distinct rewrite drags the plain aggregates into
+  SortAggregate over the expanded rows (measured 1.9× slower; the
+  plan-shape test pins the split). At petabyte scale swap
+  ``exact=False`` for ``approx_count_distinct`` (HLL, fixed-size
   mergeable state, no Expand at all) — the default stays exact because
   the driver oracle hash-compares values.
 - The wide→tall unpivot is a ``stack`` projection over the SINGLE

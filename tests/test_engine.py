@@ -698,3 +698,62 @@ def test_alter_interacts_with_dml(eng):
 def test_alter_no_such_table(eng):
     with pytest.raises(FilesqlError, match="no such table"):
         eng.execute("ALTER TABLE ghost RENAME TO x")
+
+
+def test_alter_rename_column_starting_with_to(eng):
+    # "total" begins with TO — must route to the COLUMN branch, not be
+    # garbled by the table-rename keyword match
+    eng.execute("ALTER TABLE sample ADD COLUMN total INTEGER DEFAULT 1")
+    eng.execute("ALTER TABLE sample RENAME total TO t2")
+    assert eng.query("SELECT t2 FROM sample").collect()[0].t2 == 1
+    # invalid: RENAME without TO must error, never silently rename the table
+    with pytest.raises(FilesqlError, match="cannot parse"):
+        eng.execute("ALTER TABLE sample RENAME tonew")
+    assert "sample" in eng.table_names()
+
+
+def test_alter_column_matching_is_case_insensitive(eng):
+    eng.execute("ALTER TABLE sample RENAME COLUMN NAME TO nm")
+    assert "nm" in eng.query("SELECT * FROM sample").columns
+    with pytest.raises(FilesqlError, match="duplicate column"):
+        eng.execute("ALTER TABLE sample ADD COLUMN NM TEXT")
+    eng.execute("ALTER TABLE sample DROP COLUMN EMAIL")
+    assert "email" not in eng.query("SELECT * FROM sample").columns
+    eng.execute("CREATE TABLE t (K INTEGER PRIMARY KEY, v TEXT)")
+    with pytest.raises(FilesqlError, match="PRIMARY KEY"):
+        eng.execute("ALTER TABLE t DROP COLUMN k")
+
+
+def test_alter_add_column_default_with_constraints(eng):
+    # constraints after DEFAULT must not leak into the default expression
+    eng.execute("ALTER TABLE sample ADD COLUMN score INTEGER DEFAULT 5 NOT NULL")
+    assert eng.query("SELECT score FROM sample").collect()[0].score == 5
+    # NOT NULL without a default is SQLite's hard error
+    with pytest.raises(FilesqlError, match="NOT NULL"):
+        eng.execute("ALTER TABLE sample ADD COLUMN z INTEGER NOT NULL")
+    # typeless column with a DEFAULT keeps the constant's own type
+    eng.execute("ALTER TABLE sample ADD COLUMN n DEFAULT 7")
+    row = eng.query("SELECT n FROM sample").collect()[0]
+    assert row.n == 7 and not isinstance(row.n, str)
+    # garbage default is a clean engine error, not a raw ParseException
+    with pytest.raises(FilesqlError, match="DEFAULT"):
+        eng.execute("ALTER TABLE sample ADD COLUMN bad INTEGER DEFAULT ,")
+
+
+def test_alter_rename_rollback_restores_origins(spark, tmp_path):
+    # a rolled-back RENAME must leave auto-save still writing the
+    # original file (regression: origins were not snapshot)
+    (tmp_path / "users.csv").write_text("id,name\n1,Ann\n")
+    out = tmp_path / "users.csv"
+    e = fs.Builder().add_path(str(out)).enable_auto_save("", on="close").open(
+        spark=spark
+    )
+    try:
+        e.execute("BEGIN")
+        e.execute("ALTER TABLE users RENAME TO members")
+        e.execute("ROLLBACK")
+        assert "users" in e._origins and "members" not in e._origins
+        e.execute("UPDATE users SET name = 'Zoe' WHERE id = 1")
+    finally:
+        e.close()  # auto-save on close → must overwrite the ORIGINAL file
+    assert "Zoe" in out.read_text()
