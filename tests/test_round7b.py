@@ -472,3 +472,50 @@ def test_top_paths_order_sensitivity(spark):
         ).collect()
     }
     assert got == {"a>b>c", "c>b>a"}
+
+
+def test_streaming_cms_merges_across_batches(spark, sf_dir, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1 over two copies of the
+    table) must yield counters exactly 2× the single-pass sketch — the
+    cross-batch state-merge property the single-batch availableNow run
+    can't exercise."""
+    import shutil
+    import uuid
+
+    from filesql_spark.queries import load_table
+
+    src = f"{sf_dir}/documents.parquet"
+    d = tmp_path / "cms_stream"
+    d.mkdir()
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    counted = stream.select(
+        F.explode(tokens(F.col("text"))).alias("tok"), F.lit(1).alias("c")
+    )
+    counters = cms_counters(counted, "tok", "c")
+    sink = f"cms_twobatch_{uuid.uuid4().hex[:8]}"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=300)
+    assert len(q.recentProgress) >= 2  # really ran as two micro-batches
+    streamed = spark.table(sink)
+    once = cms_counters(
+        load_table(spark, sf_dir, "documents").select(
+            F.explode(tokens(F.col("text"))).alias("tok"), F.lit(1).alias("c")
+        ),
+        "tok",
+        "c",
+    ).withColumn("c", F.col("c") * 2)
+    assert streamed.exceptAll(once).count() == 0
+    assert once.exceptAll(streamed).count() == 0
