@@ -557,3 +557,48 @@ def bigram_model(df: DataFrame, text_col: str = "text", top_prev: int = 100) -> 
         .orderBy(F.col("c_prev").desc(), "prev")
         .limit(top_prev)
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-distribution concentration signals: Shannon entropy and
+    Gini-Simpson diversity of each document's token histogram — the
+    compression-ratio proxy used as a quality gate (low entropy =
+    templated/repetitive text; complements the Gopher fractions in
+    ``repetition_metrics`` with a whole-distribution statistic).
+
+    Per-doc token counts are the same zero-shuffle O(L²) array
+    expressions as ``repetition_metrics`` (documents are bounded at
+    hundreds of tokens, so this is CPU-trivial and codegen'd; long-doc
+    corpora would switch to the explode+groupBy path).
+
+    Determinism: Σc and Σc² are exact integers, so Simpson diversity
+    (1 − Σc²/n²) is two IEEE ops on exact operands — bit-stable with no
+    rounding. Shannon entropy needs libm log2 (engines differ in the
+    last ulp, and the Σ c·log2 c fold order differs), so it alone is
+    rounded to 6 decimals: H = log2(n) − (Σ c·log2 c)/n.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    counts = F.transform(
+        F.array_distinct(t),
+        lambda x: F.size(F.filter(t, lambda y: y == x)),
+    )
+    sum_c2 = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, c: acc + (c * c).cast("long")
+    )
+    ent_sum = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    nd = n.cast("double")
+    simpson = F.lit(1.0) - sum_c2.cast("double") / (nd * nd)
+    entropy = F.round(F.log2(nd) - ent_sum / nd, 6)
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.when(n > 0, simpson).otherwise(0.0).alias("simpson_diversity"),
+        F.when(n > 0, entropy).otherwise(0.0).alias("token_entropy"),
+        (F.when(n > 0, entropy).otherwise(0.0) >= 3.0).cast("int").alias("pass_entropy"),
+    )

@@ -227,6 +227,24 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "embedding_quantize_int8": 6,
 }
 
+# Operators added AFTER the round-7 window filled (49 of 50 slots were
+# committed to the 40 never-graded r6/r7a/r7b entries + the nine r4-stale
+# ones — VERDICT r6 #1's "no entry older than r5" goal). These sort BETWEEN
+# the r4-stale batch and the r5 cohort: new code should still grade at the
+# first opportunity, but not by evicting the entries the round was
+# explicitly asked to re-verify. One of these takes the 50th slot this
+# round (registry order); the rest lead the r8 window as never-graded.
+_HOLD_AFTER_R4 = frozenset({
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "events_cumulative_distinct",
+    "text_token_entropy",
+    "graph_pagerank_events",
+    "embedding_standardize",
+    "embedding_knn_label",
+})
+_HOLD_RANK = 4.5  # after the r4-stale batch (4), before the r5 cohort (5)
+
 # Within one staleness class, these trivially-stable plain-SQL entries yield
 # their window slot to operator-family entries (dedup/ANN/pipeline/streaming)
 # of the same age: they are single-shuffle relational queries whose inputs and
@@ -259,7 +277,9 @@ def _grade_order() -> list[str]:
     return sorted(
         names,
         key=lambda n: (
-            _LAST_DRIVER_ROUND.get(n, 0),  # never-graded (0) first
+            _HOLD_RANK
+            if n in _HOLD_AFTER_R4
+            else _LAST_DRIVER_ROUND.get(n, 0),  # never-graded (0) first
             n in _DEFER_OK,                # stable plain-SQL yields its slot
             idx[n],                        # stable registry order
         ),

@@ -3465,3 +3465,52 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7c additions (graded from the r8 window; queries/__init__.py
+# _HOLD_AFTER_R4 keeps the r7 slots on the r4-stale backlog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_entropy",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS ndist,
+               list_transform(list_distinct(toks),
+                              x -> len(list_filter(toks, y -> y = x))) AS counts
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(ndist AS BIGINT) AS n_distinct,
+           CASE WHEN n > 0 THEN
+               CAST(1.0 AS DOUBLE)
+               - CAST(list_sum(list_transform(counts,
+                     c -> CAST(c AS BIGINT) * CAST(c AS BIGINT))) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           ELSE 0.0 END AS simpson_diversity,
+           CASE WHEN n > 0 THEN
+               ROUND(log2(CAST(n AS DOUBLE))
+                     - list_sum(list_transform(counts,
+                           c -> CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))))
+                       / CAST(n AS DOUBLE), 6)
+           ELSE 0.0 END AS token_entropy,
+           CAST(CASE WHEN n > 0 THEN
+               ROUND(log2(CAST(n AS DOUBLE))
+                     - list_sum(list_transform(counts,
+                           c -> CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))))
+                       / CAST(n AS DOUBLE), 6)
+           ELSE 0.0 END >= 3.0 AS INTEGER) AS pass_entropy
+    FROM c
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy / Simpson-diversity quality gate over documents
+    (see pipeline/text.py::token_entropy for the determinism and
+    100-TB notes — zero-shuffle array expressions, scan-speed)."""
+    from filesql_spark.pipeline.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))

@@ -2467,3 +2467,165 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7c additions (graded from the r8 window; see queries/__init__.py
+# _HOLD_AFTER_R4 — the r7 slots were committed to the r4-stale backlog)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    WITH j AS (
+        SELECT {_c('l_extendedprice')} * (100 - {_c('l_discount')}) AS rev4,
+               p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    )
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev4
+                                      ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / CAST(SUM(rev4) AS BIGINT) AS promo_pct,
+           CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev4 ELSE 0 END)
+                AS BIGINT) / 10000.0 AS promo_revenue,
+           CAST(SUM(rev4) AS BIGINT) / 10000.0 AS total_revenue
+    FROM j
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), adapted to the driver schema — the
+    share of one month's discounted revenue from PROMO-type parts.
+
+    Reference contract: filesql delegates this SELECT shape (join +
+    conditional aggregate arithmetic) to SQLite (builder.go:353-361); we
+    express it as one DataFrame plan.
+
+    100-TB design: the one-month shipdate range is pushed into the
+    lineitem scan (PushedFilters prunes ~99% of the fact table before
+    the join); `part` is a dimension and is explicitly broadcast, so the
+    only shuffle is the final single-group aggregate, which combines
+    map-side into one row per task. Both sums are exact integers in
+    1e-4 dollar units (cents × cent-percent); the percentage is computed
+    by ONE IEEE division of those exact integers, so the hash is
+    bit-stable across engines and partition orders."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    promo4 = F.when(F.col("p_type").startswith("PROMO"), rev4).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo4).cast("long").alias("promo4"),
+            F.sum(rev4).cast("long").alias("total4"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo4").cast("double") / F.col("total4"))
+            .alias("promo_pct"),
+            (F.col("promo4") / 10000.0).alias("promo_revenue"),
+            (F.col("total4") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds 250, with their customer, biggest-ticket first.
+
+    Canonical Q18 phrases this as `o_orderkey IN (SELECT … HAVING …)`
+    plus a second lineitem aggregation; both aggregations are the SAME
+    relation, so we compute it once and join — the rewrite Catalyst
+    cannot do across an IN-subquery boundary (it would scan lineitem
+    twice). Reference contract: SQLite evaluates the subquery form
+    row-at-a-time (doc.go:68-77 pins the dialect); ours is set-based.
+
+    100-TB design: one hash-shuffle aggregate over lineitem on
+    l_orderkey (map-side partial combine first), the HAVING filter
+    shrinks it to the ~1% tail BEFORE any join, the orders join
+    shuffles only survivors, and customer would broadcast under AQE
+    once filtered (at sf it sort-merges — both inputs are already
+    small). Quantities are integral by contract (asserted in tests),
+    so the sum is an exact BIGINT; top-100 is a TakeOrderedAndProject
+    with o_orderkey as the total-order tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "events_cumulative_distinct",
+    """
+    WITH first_day AS (
+        SELECT user_id, CAST(MIN(CAST(ts AS DATE)) AS TIMESTAMP) AS d
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_day GROUP BY d
+    )
+    SELECT d, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily
+    """,
+)
+def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — 'users to date' growth curve.
+
+    The naive phrasing (COUNT(DISTINCT user_id) OVER (ORDER BY d)) is
+    quadratic AND forces every event into one window task. The linear
+    rewrite: a user contributes to the cumulative count exactly on
+    their FIRST day, so min(date) per user → per-day new-user counts →
+    running sum over days.
+
+    100-TB design: the data-sized work is two hash aggregates (user_id,
+    then day), both with map-side partial combine; the unpartitioned
+    running-sum window runs over the per-DAY relation only — bounded by
+    the calendar (≤ 36.6k rows for a century), not by the data, so the
+    single window task is safe at any corpus size (contrast with the
+    RFM NTILE case in customers_rfm_segments, whose per-customer
+    relation required the sketch variant)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).cast("timestamp").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
