@@ -106,6 +106,14 @@ HEADLINE = [
     "ann_pq_topk",
     "text_bpe_merges",
     "events_top_paths",
+    # round-7c additions
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "events_cumulative_distinct",
+    "text_token_entropy",
+    "graph_pagerank_events",
+    "embedding_standardize",
+    "embedding_knn_label",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -652,3 +652,103 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "d")
     )
+
+
+def standardize(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Per-dimension whitening (z-score) of an embedding column — the
+    standard preprocessing before PCA/clustering/quantization so no
+    dimension dominates by scale.
+
+    100-TB design: per-dim moments come from ONE global aggregate with
+    2·d+1 map-side-combining sum expressions over the ×10⁴-quantized
+    integer vectors — no explode (which would shuffle n·d rows), no
+    second pass. The one-row stats relation is cross-joined back
+    broadcast, and the z-transform is a pure array expression at scan
+    speed.
+
+    Determinism: Σq and Σq² are exact integers, so mean, E[x²],
+    var = E[x²] − mean², and sd = sqrt(var) are fixed IEEE op sequences
+    on exact operands (sqrt is correctly rounded by IEEE-754, so both
+    engines agree bit-for-bit); z is rounded to 6 only to absorb the
+    final division's representation at the hash boundary.
+
+    ``dim`` defaults to probing one row (embeddings are fixed-width by
+    contract; pass it explicitly in pipelines to keep the plan
+    action-free).
+    """
+    from filesql_spark.pipeline.dedup import quantize
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    qdf = df.withColumn("qv", quantize(F.col(vec_col)))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(dim):
+        el = F.element_at("qv", i + 1)
+        aggs.append(F.sum(el).alias(f"s{i}"))
+        aggs.append(F.sum(el * el).alias(f"sq{i}"))
+    stats = qdf.agg(*aggs)
+    nd = F.col("n").cast("double")
+    means = F.array(*[(F.col(f"s{i}").cast("double") / nd) for i in range(dim)])
+    sds = F.array(
+        *[
+            F.sqrt(
+                F.col(f"sq{i}").cast("double") / nd
+                - (F.col(f"s{i}").cast("double") / nd)
+                * (F.col(f"s{i}").cast("double") / nd)
+            )
+            for i in range(dim)
+        ]
+    )
+    moments = stats.select(means.alias("means"), sds.alias("sds"))
+    z = F.transform(
+        F.col("qv"),
+        lambda x, i: F.when(
+            F.element_at(F.col("sds"), i + 1) > 0.0,
+            F.round(
+                (x.cast("double") - F.element_at(F.col("means"), i + 1))
+                / F.element_at(F.col("sds"), i + 1),
+                6,
+            ),
+        ).otherwise(0.0),
+    )
+    return (
+        qdf.crossJoin(F.broadcast(moments))
+        .select("vec_id", "label", z.alias("zvec"))
+    )
+
+
+def knn_label(df: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """k-NN label vote: classify each query vector by the majority label
+    among its k exact-cosine nearest corpus neighbors — the
+    label-propagation step a curation pipeline uses to extend a small
+    labeled seed set (e.g. a hand-rated quality sample) over the whole
+    corpus.
+
+    This entry serves the exact path for oracle parity
+    (``brute_force_topk``); at 100 TB the neighbor list comes from the
+    IVF/LSH shortlist (``ivf_serve``/``lsh_topk``) instead — the voting
+    tail is identical. The (q·k)-row neighbor relation is broadcast into
+    the label lookup, so the corpus-sized side never shuffles; votes
+    tie-break (count desc, label asc) for determinism.
+    """
+    topk = brute_force_topk(df, queries, k)
+    labels = df.select("vec_id", "label")
+    votes = (
+        labels.join(F.broadcast(topk), "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("label"))
+    picked = (
+        votes.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("q_id", F.col("label").alias("predicted_label"), "votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    return picked.join(F.broadcast(truth), "q_id").select(
+        "q_id", "predicted_label", "votes", "true_label"
+    )

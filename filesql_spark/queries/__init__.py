@@ -111,11 +111,14 @@ def register(name: str, oracle: str | None):
 # pipeline_train_prep, pipeline_dataset_manifest, join_bloom_semireduction)
 # plus the 35 new round-7 operators sort first automatically (no map entry:
 # 40 never-graded), then the nine r4-stale entries — 49 of the 50 slots,
-# deliberately capped so EVERY r4-stale entry gets its r7 row (registry
-# additions froze at 144 for this round once the window filled). The r5/r6
-# cohorts defer to r8, where ~50 of the then-stalest grade; full coverage
-# of 144 entries cycles in ~3 rounds, and every deferred entry still runs
-# in the local pytest oracle mirror (tests/test_entry_queries) each round.
+# deliberately capped so EVERY r4-stale entry gets its r7 row. Operators
+# added after that cap (the round-7c batch) carry _HOLD_AFTER_R4 below:
+# they rank between the r4-stale batch and the r5 cohort, so the first of
+# them takes the one remaining slot and the rest lead the r8 window. The
+# r5/r6 cohorts defer to r8, where ~50 of the then-stalest grade; full
+# coverage of 151 entries cycles in ~3 rounds, and every deferred entry
+# still runs in the local pytest oracle mirror (tests/test_entry_queries)
+# each round.
 
 # name -> last round with a green driver row (rows+schema+hash, err==null),
 # regenerated each round from CORRECTNESS_r0*.json (see tools note in

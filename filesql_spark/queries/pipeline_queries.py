@@ -3514,3 +3514,189 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.pipeline.text import token_entropy
 
     return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Chained-CTE twin of pipeline/graph.py::pagerank — one CTE triple
+    (dangling mass, contributions, new ranks) per iteration, with every
+    float literal CAST to DOUBLE so both engines run the identical IEEE
+    op sequence ((1-d)/N is evaluated once in Python on the Spark side;
+    the same division of the same doubles here). Every CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, and r{i} referencing
+    r{i-1} three times would re-expand the whole chain exponentially
+    (3^10 copies of the event-window scan) — the materialization is the
+    oracle-side twin of the Spark loop's localCheckpoint."""
+    D = "CAST(0.85 AS DOUBLE)"
+    ONE = "CAST(1.0 AS DOUBLE)"
+    Z = "CAST(0.0 AS DOUBLE)"
+    parts = [
+        f"""
+    WITH edges AS MATERIALIZED (
+        SELECT p1 AS src, event_type AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM (SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS p1
+              FROM events)
+        WHERE p1 IS NOT NULL GROUP BY p1, event_type
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    out_w AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    trans AS MATERIALIZED (SELECT src, dst, w / out_w AS p
+                           FROM edges JOIN out_w USING (src)),
+    r0 AS MATERIALIZED (SELECT node, {ONE} / n AS rank FROM nodes CROSS JOIN nc)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), {Z}) AS dang
+             FROM r{i - 1} WHERE node NOT IN (SELECT src FROM out_w)),
+    c{i} AS MATERIALIZED (SELECT dst AS node, SUM(rank * p) AS contrib
+             FROM trans JOIN r{i - 1} r ON r.node = trans.src GROUP BY dst),
+    r{i} AS MATERIALIZED (SELECT n.node,
+                    ({ONE} - {D}) / nc.n
+                    + {D} * (COALESCE(c.contrib, {Z}) + d.dang / nc.n) AS rank
+             FROM nodes n CROSS JOIN nc CROSS JOIN d{i} d
+             LEFT JOIN c{i} c ON c.node = n.node)"""
+        )
+    parts.append(
+        f"\n    SELECT node, ROUND(rank, 6) AS pagerank FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+@register("graph_pagerank_events", _pagerank_oracle())
+def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (the edge
+    weights are the Markov-transition counts of events_markov_transitions)
+    — 'which state do user journeys accumulate in'. The graph here is
+    small (|event types| nodes) but the implementation is the generic
+    edge-list loop in pipeline/graph.py, whose per-iteration cost is one
+    rank join + one contribution aggregate over the EDGE relation — the
+    same shape that ranks a billion-node web/citation graph (see the
+    module docstring for the persist/localCheckpoint/dangling-mass
+    design). Fixed 10 iterations keeps the DAG static so the DuckDB
+    oracle mirrors it CTE-for-CTE; ranks round to 6 (float fold order)."""
+    from pyspark.sql import Window as W
+
+    from filesql_spark.pipeline.graph import pagerank
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(edges, iterations=10, damping=0.85, weight="w")
+
+
+@register(
+    "embedding_standardize",
+    f"""
+    WITH q AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    st AS (
+        SELECT i,
+               CAST(SUM(qv[i]) AS BIGINT) AS s,
+               CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM q CROSS JOIN dims GROUP BY i
+    ),
+    mo AS (
+        SELECT list(CAST(s AS DOUBLE) / n ORDER BY i) AS means,
+               list(sqrt(CAST(s2 AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                    ORDER BY i) AS sds
+        FROM st
+    )
+    , z AS (
+        SELECT vec_id, label,
+               list_transform(generate_series(1, 64),
+                   i -> CASE WHEN sds[i] > 0.0
+                        THEN ROUND((CAST(qv[i] AS DOUBLE) - means[i]) / sds[i], 6)
+                        ELSE CAST(0.0 AS DOUBLE) END) AS zvec
+        FROM q CROSS JOIN mo
+    )
+    SELECT vec_id, label,
+           ROUND(list_sum(zvec), 6) AS z_sum,
+           ROUND(list_sum(list_transform(zvec, v -> v * v)), 6) AS z_l2sq,
+           list_min(zvec) AS z_min,
+           list_max(zvec) AS z_max
+    FROM z
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score whitening of the embeddings table — see
+    pipeline/similarity.py::standardize (one 2·d+1-expression global
+    aggregate, broadcast moments, scan-speed transform; exact-integer
+    moments make mean/sd bit-deterministic). The graded projection
+    hashes per-row scalar summaries of the z-vector (sum, Σz², min,
+    max — each sensitive to every element) because the driver's
+    row-sort hash, like this repo's local mirror, has no total order
+    over array cells; the array itself is the operator's product (the
+    same reduction embedding_quantize_int8 uses)."""
+    from filesql_spark.pipeline.similarity import standardize
+
+    z = standardize(load_table(spark, sf_dir, "embeddings"), dim=64)
+    zs = F.aggregate(F.col("zvec"), F.lit(0.0), lambda a, v: a + v)
+    zl2 = F.aggregate(F.col("zvec"), F.lit(0.0), lambda a, v: a + v * v)
+    return z.select(
+        "vec_id",
+        "label",
+        F.round(zs, 6).alias("z_sum"),
+        F.round(zl2, 6).alias("z_l2sq"),
+        F.array_min("zvec").alias("z_min"),
+        F.array_max("zvec").alias("z_max"),
+    )
+
+
+@register(
+    "embedding_knn_label",
+    f"""
+    WITH q0 AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings),
+    n AS (
+        SELECT vec_id, label, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+        FROM q0
+    ),
+    queries AS (SELECT * FROM n WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.label AS label,
+               {_COS.format(a="q.qv", b="c.qv", na="q.nrm", nb="c.nrm")} AS cos
+        FROM queries q JOIN n c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+    ),
+    votes AS (
+        SELECT q_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM ranked WHERE rank <= 10 GROUP BY q_id, label
+    ),
+    picked AS (
+        SELECT q_id, label AS predicted_label, votes,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY votes DESC, label) AS rnk
+        FROM votes
+    )
+    SELECT p.q_id, p.predicted_label, p.votes, q.label AS true_label
+    FROM picked p JOIN queries q ON q.vec_id = p.q_id
+    WHERE p.rnk = 1
+    """,
+)
+def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label propagation for the 8 query vectors —
+    see pipeline/similarity.py::knn_label (exact-cosine top-10 for
+    oracle parity; the 100-TB path swaps in the IVF/LSH shortlist and
+    keeps the identical broadcast voting tail)."""
+    from filesql_spark.pipeline.similarity import knn_label
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label(emb, emb.filter(F.col("vec_id") < 8), k=10)

@@ -1,0 +1,171 @@
+"""Round-7c operators: PageRank, embedding whitening, kNN label vote,
+token entropy, cumulative-distinct rewrite — behavioral invariants
+beyond the oracle mirror (tests/test_entry_queries.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from filesql_spark.pipeline.graph import pagerank
+from filesql_spark.pipeline.similarity import knn_label, standardize
+from filesql_spark.pipeline.text import token_entropy
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def test_pagerank_mass_conserved(spark):
+    # ranks form a probability distribution: Σ rank = 1 every iteration
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    out = pagerank(edges, iterations=5).collect()
+    assert len(out) == 3
+    assert abs(sum(r.pagerank for r in out) - 1.0) < 1e-4
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # d is a sink (no out-edges); its mass must be redistributed, not
+    # lost — total still sums to 1 and d's rank exceeds the (1-d)/N floor
+    edges = spark.createDataFrame(
+        [("a", "d"), ("b", "d"), ("c", "d"), ("a", "b"), ("b", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, iterations=20).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert out["d"] > (1 - 0.85) / 4  # sink accumulated real mass
+    assert out["d"] == max(out.values())
+
+
+def test_pagerank_star_ranks_hub_highest(spark):
+    # every leaf points at the hub; hub must dominate
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "hub") for i in range(5)] + [("hub", "leaf0")],
+        "src string, dst string",
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, iterations=10).collect()}
+    # hub collects all five leaves' mass; leaf0 in turn receives ALL of
+    # the hub's (hub's only out-edge), so those two dominate the rest
+    assert out["hub"] > 0.4
+    assert out["leaf0"] > out["hub"] > out["leaf1"]
+    for i in range(1, 5):
+        assert out[f"leaf{i}"] == pytest.approx((1 - 0.85) / 6, abs=1e-6)
+
+
+def test_pagerank_weighted_follows_weight(spark):
+    # a sends 90% of its weight to b, 10% to c → b outranks c
+    edges = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, iterations=15, weight="w").collect()}
+    assert out["b"] > out["c"]
+
+
+# ------------------------------------------------------- standardize
+
+
+def test_standardize_moments(spark):
+    # whitened columns have mean ~0 and variance ~1 (up to the ×1e4
+    # quantization and the 6-decimal rounding)
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) * (j + 1) for j in range(4)], i % 2)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    z = standardize(df, dim=4).collect()
+    for j in range(4):
+        col = [r.zvec[j] for r in z]
+        n = len(col)
+        mean = sum(col) / n
+        var = sum(v * v for v in col) / n - mean * mean
+        assert abs(mean) < 1e-3
+        assert abs(var - 1.0) < 1e-3
+
+
+def test_standardize_constant_dim_zeroed(spark):
+    df = spark.createDataFrame(
+        [(i, [1.5, float(i)], 0) for i in range(10)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    z = standardize(df, dim=2).collect()
+    assert all(r.zvec[0] == 0.0 for r in z)  # sd=0 dim → 0, not NaN
+    assert any(r.zvec[1] != 0.0 for r in z)
+
+
+# --------------------------------------------------------- knn label
+
+
+def test_knn_label_planted_clusters(spark):
+    # two tight clusters far apart: every query's vote must be unanimous
+    # for its own cluster's label
+    rows = []
+    for i in range(20):
+        base = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, [base + 0.01 * i, base], i % 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = knn_label(df, df.filter(F.col("vec_id") < 4), k=5).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.predicted_label == r.true_label
+        assert r.votes == 5  # unanimous within the planted cluster
+
+
+# ----------------------------------------------------- token entropy
+
+
+def test_token_entropy_extremes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert out[1].token_entropy == 0.0  # single repeated token
+    assert out[1].simpson_diversity == pytest.approx(0.0)
+    assert out[2].token_entropy == pytest.approx(3.0)  # 8 uniform tokens
+    assert out[2].simpson_diversity == pytest.approx(1 - 8 / 64)
+    assert out[2].pass_entropy == 1 and out[1].pass_entropy == 0
+    assert out[3].n_tokens == 0 and out[3].token_entropy == 0.0
+
+
+def test_token_entropy_matches_math(spark):
+    # 2 of one token + 6 distinct: H = log2(8) - (2*log2(2))/8
+    df = spark.createDataFrame(
+        [(1, "a a b c d e f g")], "doc_id long, text string"
+    )
+    r = token_entropy(df).collect()[0]
+    expect = math.log2(8) - (2 * math.log2(2)) / 8
+    assert r.token_entropy == pytest.approx(expect, abs=1e-6)
+    assert r.n_distinct == 7
+
+
+# ------------------------------------------- cumulative distinct users
+
+
+def test_cumulative_distinct_final_equals_total(spark, sf_dir):
+    from filesql_spark.queries import load_table
+    from filesql_spark.queries.relational import events_cumulative_distinct
+
+    out = events_cumulative_distinct(spark, sf_dir).orderBy("d").collect()
+    total = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert out[-1].cum_users == total  # curve ends at the distinct total
+    assert all(a.cum_users < b.cum_users or b.new_users == 0
+               for a, b in zip(out, out[1:]))  # monotone
+    assert out[0].cum_users == out[0].new_users
