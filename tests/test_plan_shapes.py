@@ -457,3 +457,69 @@ def test_semantic_decon_bench_side_broadcast(spark, qs):
     # the candidate join against bench cells must be broadcast (corpus
     # side never shuffles for the probe)
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------- round-7c
+
+
+def test_q14_pushdown_broadcast_part(spark, qs):
+    plan = _formatted(qs["q14_promo_revenue"](spark, SF))
+    # the one-month range reaches the lineitem scan; part broadcasts
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThanOrEqual(l_shipdate" in l for l in pushed)
+    assert any("LessThan(l_shipdate" in l for l in pushed)
+    assert "BroadcastHashJoin" in plan
+    # column pruning: the lineitem scan reads no join-irrelevant columns
+    sch = [l for l in plan.splitlines() if "ReadSchema" in l and "l_partkey" in l]
+    assert sch and all("l_orderkey" not in l for l in sch)
+
+
+def test_q18_single_lineitem_scan(spark, qs):
+    plan = _formatted(qs["q18_large_orders"](spark, SF))
+    # the aggregate-once rewrite scans lineitem ONCE (the IN-subquery
+    # phrasing would scan it twice) and top-100 is a TakeOrdered
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cumulative_distinct_window_over_days_only(spark, qs):
+    plan = _formatted(qs["events_cumulative_distinct"](spark, SF))
+    # the aggregates (user_id, then day) run BEFORE the window: the
+    # single-task running-sum window's input is the 2-column per-DAY
+    # relation (calendar-bounded), never the raw events
+    win_input = next(
+        l2 for l1, l2 in zip(plan.splitlines(), plan.splitlines()[1:])
+        if l1.endswith("Window") and l2.startswith("Input")
+    )
+    assert win_input.startswith("Input [2]:"), win_input
+    assert "new_users" in win_input
+
+
+def test_token_entropy_zero_shuffle(spark, qs):
+    plan = _formatted(qs["text_token_entropy"](spark, SF))
+    assert "Exchange" not in plan  # pure per-row array expressions
+
+
+def test_standardize_no_explode_broadcast_moments(spark):
+    from filesql_spark.pipeline.similarity import standardize
+    from filesql_spark.queries import load_table
+
+    z = standardize(load_table(spark, SF, "embeddings"), dim=64)
+    plan = _formatted(z)
+    assert "Generate" not in plan  # moments via sums, not explode
+    assert "BroadcastNestedLoopJoin" in plan
+    # ONE aggregate pair (partial+final) computes all 129 moments
+    # (formatted mode lists each node twice — count detail sections only)
+    import re
+
+    n_aggs = len(re.findall(r"^\(\d+\) \w*HashAggregate", plan, re.M))
+    assert n_aggs == 2, plan
+
+
+def test_knn_label_corpus_never_shuffled(spark, qs):
+    plan = _formatted(qs["embedding_knn_label"](spark, SF))
+    # the corpus-sized side joins only against broadcast relations; every
+    # Exchange in the plan is over the (q·k)-row neighbor/vote relation,
+    # which follows the q_id-keyed window — assert no sort-merge join
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
