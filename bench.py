@@ -114,6 +114,8 @@ HEADLINE = [
     "graph_pagerank_events",
     "embedding_standardize",
     "embedding_knn_label",
+    "orders_cooccur_parts",
+    "events_decayed_engagement",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

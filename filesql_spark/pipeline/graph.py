@@ -7,18 +7,31 @@ join + aggregate rounds with lineage truncation), different recurrence.
 100-TB design (PageRank):
 - The edge list is the data-sized relation. It is normalized once
   (out-weight join), persisted, and re-used unchanged every round; each
-  iteration shuffles only on the edge keys it would shuffle on anyway
-  (src for the rank join, dst for the contribution aggregate). Ranks are
-  node-sized — orders of magnitude smaller than edges for any real graph.
-- ``localCheckpoint`` truncates lineage each round (the same guard the
-  connected-components loop uses): without it, 10 rounds of nested joins
-  make Catalyst analysis itself the bottleneck.
-- Dangling mass (nodes with no out-edges) is folded in via a ONE-ROW
-  aggregate cross-joined back — never a driver-side collect.
-- Float determinism: per-round contribution sums are floating adds whose
-  partition order varies, so ranks are reported ROUND(·, 6); iteration
-  count is fixed (no data-dependent convergence test), keeping the
-  computation a static DAG the DuckDB oracle can mirror CTE-for-CTE.
+  iteration shuffles only on the keys it would shuffle on anyway (src
+  for the rank join, dst for the contribution aggregate). Ranks are
+  node-sized — orders of magnitude smaller than edges for any real
+  graph, so they ride as broadcast relations here; at billions of nodes
+  the same loop works with the broadcasts replaced by hash joins (the
+  shuffle keys don't change).
+- ONE eager ``localCheckpoint`` per iteration, on the contribution
+  table (node-sized, cheap): it truncates lineage AND deduplicates the
+  two downstream reads (new ranks + dangling total). Without it the
+  double-reference doubles the recompute tree every round (2^iters),
+  and Catalyst analysis itself becomes the bottleneck — the same guard
+  the connected-components loop uses.
+- Dangling mass (nodes with no out-edges) is folded in as
+  ``1 − Σ contributions`` — an identity because each out-node's
+  normalized weights sum to 1, so contributed mass is exactly the rank
+  mass of non-dangling nodes. This costs one tiny aggregate over the
+  checkpointed contribution table instead of a per-round anti-join
+  against the out-node set (measured ~25% of loop wall-clock), and is
+  self-correcting: any float drift of total mass away from 1 is
+  reabsorbed the next round.
+- Float determinism: per-round contribution sums are floating adds
+  whose partition order varies, so ranks are reported ROUND(·, 6);
+  iteration count is fixed (no data-dependent convergence test),
+  keeping the computation a static DAG the DuckDB oracle mirrors
+  CTE-for-CTE.
 """
 
 from __future__ import annotations
@@ -34,22 +47,23 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Weighted PageRank over an edge list, fixed iteration count.
 
     Recurrence (per node v, N = node count, d = damping):
         rank'(v) = (1-d)/N + d * ( Σ_{(u,v)∈E} rank(u)·w(u,v)/out_w(u)
                                    + dangling_mass/N )
+    with dangling_mass = 1 − Σ_v Σ_u rank(u)·p(u,v)  (see module doc).
 
     Returns (node, pagerank) with pagerank rounded to 6 decimals.
     """
-    w = (
-        F.col(weight).cast("double")
-        if weight
-        else F.lit(1.0)
-    )
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # persist the caller's edge relation: nodes, out-weights and the
+    # transition table all derive from it, and without the cache each
+    # derivation re-runs the (possibly data-sized) plan that produced it
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -60,26 +74,33 @@ def pagerank(
     trans = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
     )
-    trans = trans.persist()
     nodes = nodes.persist()
-    n_nodes = nodes.count()  # one tiny action; also materializes the persists
-    has_out = out_w.select(F.col("src").alias("node"))
+    n_nodes = nodes.count()  # one tiny action; also materializes the persist
+    if n_nodes <= 100_000:
+        # the AGGREGATED graph is small even when the edge input is 100 TB
+        # (here: |event types|² transitions distilled from every event):
+        # compact it so each iteration job is one task instead of
+        # shuffle-partitions tasks. repartition — not coalesce — so the
+        # data-sized edge aggregation upstream keeps its parallelism.
+        trans = trans.repartition(1)
+    trans = trans.persist()
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
-    for i in range(iterations):
-        dangling = (
-            ranks.join(F.broadcast(has_out), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
-        )
+    for _ in range(iterations):
         contribs = (
-            trans.join(ranks.withColumnRenamed("node", "src"), "src")
+            trans.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
             .withColumnRenamed("dst", "node")
+        ).localCheckpoint()  # eager: one small job per iteration
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dang")
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(F.broadcast(contribs), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -93,7 +114,4 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=False)
-    out = ranks.select("node", F.round("rank", 6).alias("pagerank"))
-    return out
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))

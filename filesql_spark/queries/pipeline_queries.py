@@ -3518,7 +3518,8 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_oracle(iters: int = 10) -> str:
     """Chained-CTE twin of pipeline/graph.py::pagerank — one CTE triple
-    (dangling mass, contributions, new ranks) per iteration, with every
+    (contributions, dangling mass = 1 − Σcontrib, new ranks) per
+    iteration, with every
     float literal CAST to DOUBLE so both engines run the identical IEEE
     op sequence ((1-d)/N is evaluated once in Python on the Spark side;
     the same division of the same doubles here). Every CTE is
@@ -3549,10 +3550,10 @@ def _pagerank_oracle(iters: int = 10) -> str:
     ]
     for i in range(1, iters + 1):
         parts.append(f""",
-    d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), {Z}) AS dang
-             FROM r{i - 1} WHERE node NOT IN (SELECT src FROM out_w)),
     c{i} AS MATERIALIZED (SELECT dst AS node, SUM(rank * p) AS contrib
              FROM trans JOIN r{i - 1} r ON r.node = trans.src GROUP BY dst),
+    d{i} AS MATERIALIZED (SELECT {ONE} - COALESCE(SUM(contrib), {Z}) AS dang
+             FROM c{i}),
     r{i} AS MATERIALIZED (SELECT n.node,
                     ({ONE} - {D}) / nc.n
                     + {D} * (COALESCE(c.contrib, {Z}) + d.dang / nc.n) AS rank
@@ -3700,3 +3701,170 @@ def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_label(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+@register(
+    "orders_cooccur_parts",
+    """
+    WITH items AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items),
+    singles AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ps) AS p FROM items) GROUP BY p
+    ),
+    pairs AS (
+        SELECT pr[1] AS p1, pr[2] AS p2, CAST(COUNT(*) AS BIGINT) AS support
+        FROM (
+            SELECT unnest(flatten(list_transform(
+                       generate_series(1, len(ps)),
+                       i -> list_transform(generate_series(i + 1, len(ps)),
+                                           j -> [ps[i], ps[j]])))) AS pr
+            FROM items
+        ) GROUP BY p1, p2
+    )
+    SELECT p1, p2, support,
+           CAST(support * n AS DOUBLE) / (a.c * b.c) AS lift
+    FROM pairs
+    CROSS JOIN tot
+    JOIN singles a ON a.p = p1
+    JOIN singles b ON b.p = p2
+    ORDER BY support DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def orders_cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often bought
+    in the same order, with lift — the first (pair-support) pass of
+    a-priori / frequent-itemset mining.
+
+    100-TB design: ONE shuffle on l_orderkey collects each order's
+    distinct part set (orders are bounded at a handful of lines, so the
+    in-order pair explode is ≤ C(k,2) ≈ 21 rows per order, linear in the
+    fact table); pair supports and single supports aggregate map-side;
+    the single-counts relation (≤ |part|) broadcasts twice into the
+    pair relation. No all-pairs self-join of lineitem ever happens.
+    Lift = support·n / (c_a·c_b) is ONE IEEE division of exact integer
+    products; top-20 is a TakeOrdered with (p1,p2) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    items = items.persist()  # feeds totals, singles and pairs
+    n_orders = items.count()
+    singles = (
+        items.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Spark's sequence(a, b) DESCENDS when a > b (DuckDB's generate_series
+    # returns empty), so the tail is taken with slice() and the whole pair
+    # expression is guarded for single-item orders.
+    sz = F.size("ps")
+    pair_arr = F.when(
+        sz >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), sz - 1),
+                lambda i: F.transform(
+                    F.slice("ps", i + 1, sz),
+                    lambda p2: F.struct(
+                        F.element_at("ps", i).alias("p1"), p2.alias("p2")
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<p1:bigint,p2:bigint>>"))
+    pairs = (
+        items.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    a = singles.select(F.col("p").alias("p1"), F.col("c").alias("ca"))
+    b = singles.select(F.col("p").alias("p2"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(a), "p1")
+        .join(F.broadcast(b), "p2")
+        .select(
+            "p1",
+            "p2",
+            "support",
+            (
+                (F.col("support") * F.lit(n_orders)).cast("double")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "events_decayed_engagement",
+    """
+    WITH t AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS t_max FROM events),
+    w AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS v100,
+               CAST(ROUND(pow(CAST(2.0 AS DOUBLE),
+                   -(CAST(t_max - epoch_us(ts) AS DOUBLE)
+                     / CAST(604800000000 AS DOUBLE))) * 1000000)
+                   AS BIGINT) AS w_ppm
+        FROM events CROSS JOIN t
+    )
+    SELECT user_id,
+           CAST(SUM(v100 * w_ppm) AS BIGINT) / 100000000.0 AS decayed_value,
+           CAST(SUM(v100) AS BIGINT) / 100.0 AS raw_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY user_id
+    """,
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user (half-life 7
+    days, anchored at the corpus max timestamp) — the recency-weighted
+    feature a feature store materializes next to raw totals.
+
+    Determinism: a floating SUM of decayed doubles would hash-mismatch
+    across engines (fold order + libm pow ulps), so the decay weight is
+    quantized to integer ppm per row FIRST — pow's ≤1-ulp engine
+    difference only matters if a weight lands within ~1e-10 of a ppm
+    rounding boundary — and the per-user sum is then an exact integer
+    of value-cents × weight-ppm, divided once at the end (overflow at
+    ~9e16: v100·w_ppm ≤ ~1e12 per row → 90k+ rows per user headroom;
+    the r1-graded charge-product uses the same budget).
+
+    100-TB design: the max-ts anchor is a one-row broadcast (no window);
+    the weight is a scan-side expression; ONE map-side-combining shuffle
+    on user_id produces the scores."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    hl_us = 7 * 24 * 3600 * 1_000_000
+    w_ppm = F.round(
+        F.pow(
+            F.lit(2.0),
+            -(
+                (F.col("t_max") - F.unix_micros("ts")).cast("double")
+                / F.lit(float(hl_us))
+            ),
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        e.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("v100"),
+            w_ppm.alias("w_ppm"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("v100") * F.col("w_ppm")).cast("long") / 100_000_000.0)
+            .alias("decayed_value"),
+            (F.sum("v100").cast("long") / 100.0).alias("raw_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

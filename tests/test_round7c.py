@@ -169,3 +169,35 @@ def test_cumulative_distinct_final_equals_total(spark, sf_dir):
     assert all(a.cum_users < b.cum_users or b.new_users == 0
                for a, b in zip(out, out[1:]))  # monotone
     assert out[0].cum_users == out[0].new_users
+
+
+# ------------------------------------------------- co-occurrence / decay
+
+
+def test_cooccur_pairs_canonical_and_lift(spark):
+    # order 1: {A,B,C}; order 2: {A,B}; order 3: {A}
+    rows = [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 10), (1, 10)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        from filesql_spark.queries.pipeline_queries import orders_cooccur_parts
+
+        out = {(r.p1, r.p2): r for r in orders_cooccur_parts(spark, d).collect()}
+    assert out[(10, 20)].support == 2  # duplicate line in order 1 deduped
+    assert out[(10, 30)].support == 1
+    assert all(p1 < p2 for p1, p2 in out)  # canonical pair order
+    # lift(10,20) = support*n / (c10*c20) = 2*3/(3*2) = 1.0
+    assert out[(10, 20)].lift == pytest.approx(1.0)
+
+
+def test_decayed_engagement_halflife(spark, sf_dir):
+    from filesql_spark.queries.pipeline_queries import events_decayed_engagement
+
+    out = events_decayed_engagement(spark, sf_dir).collect()
+    for r in out:
+        # decay weights are in (0, 1]: decayed ≤ raw, and positive raw
+        # with any recent activity keeps a positive decayed score
+        assert r.decayed_value <= r.raw_value + 1e-9
+        assert r.n_events > 0
