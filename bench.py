@@ -116,6 +116,8 @@ HEADLINE = [
     "embedding_knn_label",
     "orders_cooccur_parts",
     "events_decayed_engagement",
+    "quality_expectations_orders",
+    "text_tfidf_topterms",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -602,3 +602,47 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(n > 0, entropy).otherwise(0.0).alias("token_entropy"),
         (F.when(n > 0, entropy).otherwise(0.0) >= 3.0).cast("int").alias("pass_entropy"),
     )
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-document top-k characteristic terms by TF·IDF — the document
+    keyword extraction / sparse-vectorization step (what a corpus
+    indexer materializes per doc before retrieval or topic labeling).
+
+    IDF uses the rational Robertson–Sparck-Jones form
+    (N − df + 0.5)/(df + 0.5), the same no-libm choice as
+    ``bm25_topk``: tf is an exact integer, idf is ONE IEEE division of
+    exact operands, score = tf·idf is one multiply — bit-deterministic
+    across engines with no rounding at all (a log-based idf measured
+    1-ulp JVM↔DuckDB divergence; see bm25_topk).
+
+    Scale: one explode → (doc, term) count shuffle for tf, a term-keyed
+    aggregate for df (map-side combined), the df table joined back on
+    term, and a per-doc top-k window (shuffle on doc_id). Term
+    cardinality ≪ token instances, so both aggregates shrink the data;
+    no corpus-wide sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (
+            F.col("tf")
+            * (
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "score")
+    )

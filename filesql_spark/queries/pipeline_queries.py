@@ -3868,3 +3868,123 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "quality_expectations_orders",
+    """
+    WITH plain AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_min,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS custkey_not_null,
+               CAST(SUM(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000
+                             THEN 0 ELSE 1 END) AS BIGINT) AS totalprice_range,
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS status_domain,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
+                              AND o_orderdate <  TIMESTAMP '2030-01-01 00:00:00'
+                             THEN 0 ELSE 1 END) AS BIGINT) AS orderdate_range
+        FROM orders
+    ),
+    uniq AS (
+        SELECT CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS orderkey_unique
+        FROM orders
+    ),
+    ref AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS custkey_references
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT 'rows_min' AS check, rows_min AS observed,
+           CAST(rows_min >= 1 AS INTEGER) AS passed FROM plain
+    UNION ALL SELECT 'custkey_not_null', custkey_not_null,
+           CAST(custkey_not_null = 0 AS INTEGER) FROM plain
+    UNION ALL SELECT 'totalprice_range', totalprice_range,
+           CAST(totalprice_range = 0 AS INTEGER) FROM plain
+    UNION ALL SELECT 'status_domain', status_domain,
+           CAST(status_domain = 0 AS INTEGER) FROM plain
+    UNION ALL SELECT 'orderdate_range', orderdate_range,
+           CAST(orderdate_range = 0 AS INTEGER) FROM plain
+    UNION ALL SELECT 'orderkey_unique', orderkey_unique,
+           CAST(orderkey_unique = 0 AS INTEGER) FROM uniq
+    UNION ALL SELECT 'custkey_references', custkey_references,
+           CAST(custkey_references = 0 AS INTEGER) FROM ref
+    """,
+)
+def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders (Deequ-style): row
+    floor, null rate, value ranges, status domain, key uniqueness, and
+    referential integrity against customer — the pre-ingest gate a
+    production pipeline runs before publishing a snapshot.
+
+    See pipeline/quality.py: the five row-level checks share ONE
+    aggregation pass; the uniqueness check runs as a separate
+    aggregation (Expand-rewrite avoidance); the referential check is a
+    broadcast anti-join count. Observations are exact violation counts
+    (BIGINT) — nothing floats."""
+    from filesql_spark.pipeline.quality import Check, referential_check, run_checks
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    suite = [
+        Check("rows_min", "min_rows", threshold=1),
+        Check("custkey_not_null", "violations", cond=F.col("o_custkey").isNotNull()),
+        Check(
+            "totalprice_range",
+            "violations",
+            cond=(F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1_000_000),
+        ),
+        Check(
+            "status_domain",
+            "violations",
+            cond=F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        Check(
+            "orderdate_range",
+            "violations",
+            cond=(F.col("o_orderdate") >= "1990-01-01")
+            & (F.col("o_orderdate") < "2030-01-01"),
+        ),
+        Check("orderkey_unique", "unique", col="o_orderkey"),
+    ]
+    base = run_checks(o, suite)
+    ref = referential_check(o, "o_custkey", c, "c_custkey", "custkey_references")
+    return base.unionAll(ref)
+
+
+@register(
+    "text_tfidf_topterms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, tf.term AS term, tf,
+               tf * ((n - df + CAST(0.5 AS DOUBLE))
+                     / (df + CAST(0.5 AS DOUBLE))) AS score
+        FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT doc_id, rank, term, tf, score FROM ranked WHERE rank <= 5
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF·IDF terms per document — see pipeline/text.py::tfidf_topk
+    (rational RSJ idf: bit-exact, no libm; two shrinking aggregates +
+    per-doc window, no corpus sort)."""
+    from filesql_spark.pipeline.text import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)

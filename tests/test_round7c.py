@@ -201,3 +201,102 @@ def test_decayed_engagement_halflife(spark, sf_dir):
         # with any recent activity keeps a positive decayed score
         assert r.decayed_value <= r.raw_value + 1e-9
         assert r.n_events > 0
+
+
+# ------------------------------------------------- expectation suite
+
+
+def test_quality_checks_planted_violations(spark):
+    from filesql_spark.pipeline.quality import Check, referential_check, run_checks
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 20.0), (None, 30.0)],
+        "k int, v double",
+    )
+    out = {r.check: r for r in run_checks(df, [
+        Check("rows_min", "min_rows", threshold=10),
+        Check("k_not_null", "violations", cond=F.col("k").isNotNull()),
+        Check("v_positive", "violations", cond=F.col("v") > 0),
+        Check("k_unique", "unique", col="k"),
+    ]).collect()}
+    assert out["rows_min"].observed == 4 and out["rows_min"].passed == 0
+    assert out["k_not_null"].observed == 1 and out["k_not_null"].passed == 0
+    assert out["v_positive"].observed == 1
+    # k=2 appears twice; NULLs don't count toward uniqueness
+    assert out["k_unique"].observed == 1 and out["k_unique"].passed == 0
+
+    dim = spark.createDataFrame([(1,), (3,)], "k int")
+    ref = referential_check(df, "k", dim, "k", "k_refs").collect()[0]
+    # k=2 twice orphaned + the NULL key (NULL never equi-matches — the
+    # documented NOT-EXISTS semantics; SQL-FK vacuous-NULL needs a
+    # paired not-null check)
+    assert ref.observed == 3
+    assert ref.passed == 0
+
+
+def test_quality_checks_all_green_at_sf(spark, sf_dir):
+    from filesql_spark.queries.pipeline_queries import quality_expectations_orders
+
+    out = quality_expectations_orders(spark, sf_dir).collect()
+    assert len(out) == 7
+    assert all(r.passed == 1 for r in out)  # driver data satisfies the suite
+
+
+# -------------------------------------------- partitioning invariance
+
+
+def test_pagerank_partition_invariant(spark):
+    # ranks (rounded to 6) must not depend on input partitioning — the
+    # exactness contract the oracle hash relies on
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (f"n{rng.randrange(12)}", f"n{rng.randrange(12)}", float(rng.randrange(1, 5)))
+        for _ in range(60)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, w double")
+    a = {r.node: r.pagerank
+         for r in pagerank(edges.repartition(1), iterations=8, weight="w").collect()}
+    b = {r.node: r.pagerank
+         for r in pagerank(edges.repartition(13), iterations=8, weight="w").collect()}
+    assert a == b
+
+
+def test_decayed_engagement_partition_invariant(spark, sf_dir):
+    # exact-integer ppm sums ⇒ bit-identical across partitionings
+    from filesql_spark.queries.pipeline_queries import events_decayed_engagement
+
+    base = {r.user_id: (r.decayed_value, r.raw_value)
+            for r in events_decayed_engagement(spark, sf_dir).collect()}
+    n0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = {r.user_id: (r.decayed_value, r.raw_value)
+                 for r in events_decayed_engagement(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", n0)
+    assert base == again
+
+
+# ----------------------------------------------------------- tf-idf
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    from filesql_spark.pipeline.text import tfidf_topk
+
+    # "zebra" appears only in doc 1; "common" appears everywhere —
+    # zebra must outrank common for doc 1 despite equal tf
+    df = spark.createDataFrame(
+        [
+            (1, "common zebra common zebra"),
+            (2, "common boring common boring"),
+            (3, "common plain common plain"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [r for r in tfidf_topk(df, k=2).collect() if r.doc_id == 1]
+    assert [r.term for r in sorted(out, key=lambda r: r.rank)] == ["zebra", "common"]
+    z = next(r for r in out if r.term == "zebra")
+    # rational RSJ idf: tf * (N - df + .5)/(df + .5) = 2 * (3-1+.5)/1.5
+    assert z.score == pytest.approx(2 * 2.5 / 1.5)
