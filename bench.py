@@ -118,6 +118,8 @@ HEADLINE = [
     "events_decayed_engagement",
     "quality_expectations_orders",
     "text_tfidf_topterms",
+    "q7_nation_volume",
+    "q8_market_share",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -2629,3 +2629,158 @@ def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    WITH shipping AS (
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+               {_c('l_extendedprice')} * (100 - {_c('l_discount')}) AS rev4
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+            OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev4) AS BIGINT) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by shipment year — the canonical 6-way join with a
+    symmetric nation-pair predicate.
+
+    100-TB design: the two-year shipdate range pushes into the lineitem
+    scan; supplier, customer and both nation aliases are dimensions and
+    broadcast, so the ONLY fact-fact shuffle is orders⋈lineitem (left to
+    Catalyst/AQE: sort-merge with runtime skew splitting). The
+    nation-pair disjunction evaluates on the broadcast side BEFORE the
+    final aggregate, pruning ~99% of joined rows map-side. Revenue is
+    the exact cents×cent-percent integer sum, divided once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            (F.sum(rev4).cast("long") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH all_orders AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               {_c('l_extendedprice')} * (100 - {_c('l_discount')}) AS rev4,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = cn.n_regionkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev4
+                              ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / CAST(SUM(rev4) AS BIGINT) AS mkt_share,
+           CAST(SUM(rev4) AS BIGINT) / 10000.0 AS total_revenue
+    FROM all_orders GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_2's share of ASIA-market
+    ECONOMY-part revenue by order year — the deepest canonical join in
+    the suite (7 relations joined, one aliased twice).
+
+    100-TB design: part (type-filtered), supplier, customer and the two
+    nation roles + region all broadcast — Catalyst collapses this into
+    ONE pass over the order-date-pruned lineitem⋈orders shuffle, the
+    only data-sized exchange. The share is conditional-sum / total-sum
+    over exact 1e-4-unit integers with ONE IEEE division per year row
+    (the same pattern as q14's promo share)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    nation2 = F.when(F.col("supp_nation") == "NATION_2", rev4).otherwise(F.lit(0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nation2).cast("long").alias("n2_rev4"),
+            F.sum(rev4).cast("long").alias("tot_rev4"),
+        )
+        .select(
+            "o_year",
+            (F.col("n2_rev4").cast("double") / F.col("tot_rev4")).alias("mkt_share"),
+            (F.col("tot_rev4") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )

@@ -523,3 +523,15 @@ def test_knn_label_corpus_never_shuffled(spark, qs):
     # which follows the q_id-keyed window — assert no sort-merge join
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_q7_q8_single_fact_shuffle(spark, qs):
+    # every dimension broadcasts: the only fact-fact join is
+    # orders<->lineitem; no dimension may fall back to sort-merge
+    for name in ["q7_nation_volume", "q8_market_share"]:
+        plan = _formatted(qs[name](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 5, name
+        assert plan.count("SortMergeJoin") <= 1, name
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        date_col = "l_shipdate" if name == "q7_nation_volume" else "o_orderdate"
+        assert any(f"GreaterThanOrEqual({date_col}" in l for l in pushed), name
