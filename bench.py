@@ -120,6 +120,8 @@ HEADLINE = [
     "text_tfidf_topterms",
     "q7_nation_volume",
     "q8_market_share",
+    "embedding_outliers",
+    "events_conversion_latency",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

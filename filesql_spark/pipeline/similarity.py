@@ -752,3 +752,63 @@ def knn_label(df: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     return picked.join(F.broadcast(truth), "q_id").select(
         "q_id", "predicted_label", "votes", "true_label"
     )
+
+
+def centroid_outliers(df: DataFrame, k: int = 3, dim: int | None = None) -> DataFrame:
+    """Per-label embedding outliers: the k vectors farthest from their
+    label's centroid — the mis-embedded / mislabeled-row gate a curation
+    pipeline runs over labeled embedding sets.
+
+    Exactness: with per-label counts n and integer centroid NUMERATORS
+    s_i (the quantized coordinate sums), n²·dist² = Σ_i (q_i·n − s_i)²
+    is an exact integer — no float centroid ever materializes, so the
+    ranking is bit-deterministic. The reported distance divides once at
+    the end. Overflow bound: |q_i·n| ≤ 2¹⁵·n keeps the square inside
+    int64 for n ≲ 3·10⁵ rows per label; beyond that switch the ranking
+    to double (monotonicity is preserved far before the square wraps).
+
+    Scale: the centroid sums come from one groupBy(label) with d
+    map-side-combining sum expressions (same shape as ``standardize`` —
+    never a collect_list of group members); the d-wide sum rows
+    broadcast back, and the per-label top-k is a window — no pairwise
+    joins anywhere. ``dim`` defaults to probing one row.
+    """
+    from filesql_spark.pipeline.dedup import quantize
+
+    if dim is None:
+        dim = len(df.select("embedding").first()[0])
+    q = df.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
+    cents = q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    ).select(
+        "label", "n", F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("s")
+    )
+    joined = q.join(F.broadcast(cents), "label")
+    dist2n2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("s"),
+            lambda qi, si: (qi * F.col("n") - si) * (qi * F.col("n") - si),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2n2").desc(), F.col("vec_id"))
+    return (
+        joined.select("vec_id", "label", "n", dist2n2.alias("d2n2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "label",
+            "rank",
+            (
+                F.col("d2n2").cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+            ).alias("dist2"),
+        )
+    )

@@ -3988,3 +3988,115 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.pipeline.text import tfidf_topk
 
     return tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "embedding_outliers",
+    f"""
+    WITH q AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    st AS (
+        SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s
+        FROM q CROSS JOIN dims GROUP BY label, i
+    ),
+    cn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY label),
+    cents AS (
+        SELECT st.label, n, list(s ORDER BY i) AS sl
+        FROM st JOIN cn ON cn.label = st.label GROUP BY st.label, n
+    ),
+    scored AS (
+        SELECT vec_id, q.label AS label, n,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> (qv[i] * n - sl[i]) * (qv[i] * n - sl[i])))
+                   AS BIGINT) AS d2n2
+        FROM q JOIN cents ON cents.label = q.label
+    ),
+    ranked AS (
+        SELECT vec_id, label, d2n2, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY d2n2 DESC, vec_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT vec_id, label, rank,
+           CAST(d2n2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS dist2
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 farthest-from-centroid vectors per label — see
+    pipeline/similarity.py::centroid_outliers (exact integer n²·dist²
+    ranking, no float centroid; one label groupBy + broadcast +
+    window)."""
+    from filesql_spark.pipeline.similarity import centroid_outliers
+
+    return centroid_outliers(load_table(spark, sf_dir, "embeddings"), k=3, dim=64)
+
+
+@register(
+    "events_conversion_latency",
+    """
+    WITH marked AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+               MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view_us
+        FROM events
+    ),
+    conv AS (
+        SELECT CAST(ts_us - last_view_us AS BIGINT) AS lat_us
+        FROM marked
+        WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           (CAST(SUM(lat_us) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0
+               AS mean_latency_sec,
+           quantile_cont(lat_us, 0.5) / 1000000.0 AS median_latency_sec,
+           quantile_cont(lat_us, 0.9) / 1000000.0 AS p90_latency_sec
+    FROM conv
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: for every purchase, the time
+    since the user's most recent PRECEDING view, summarized as count /
+    mean / median / p90 seconds — the funnel-latency metric next to
+    events_funnel's conversion counts.
+
+    One shuffle on user_id drives the as-of lookup (last-view running
+    MAX over the ordered user timeline — the same union-merge idea as
+    asof_join_latest_order, here within one stream); the global summary
+    aggregates microsecond-exact integer latencies: the mean is
+    Σ/n on exact ints, and the exact interpolated percentile matches
+    DuckDB's quantile_cont to the last ulp (the
+    text_length_percentiles precedent; percentile_approx is the 100-TB
+    swap). The frame excludes the current row so a purchase never
+    matches itself even if event ordering ties."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).over(w).alias("last_view_us"),
+    )
+    conv = marked.filter(
+        (F.col("event_type") == "purchase") & F.col("last_view_us").isNotNull()
+    ).select((F.col("ts_us") - F.col("last_view_us")).alias("lat_us"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        (
+            (F.sum("lat_us").cast("long") / F.count(F.lit(1)).cast("double"))
+            / 1_000_000.0
+        ).alias("mean_latency_sec"),
+        (F.percentile("lat_us", F.lit(0.5)) / 1_000_000.0).alias(
+            "median_latency_sec"
+        ),
+        (F.percentile("lat_us", F.lit(0.9)) / 1_000_000.0).alias(
+            "p90_latency_sec"
+        ),
+    )

@@ -300,3 +300,46 @@ def test_tfidf_ranks_distinctive_terms(spark):
     z = next(r for r in out if r.term == "zebra")
     # rational RSJ idf: tf * (N - df + .5)/(df + .5) = 2 * (3-1+.5)/1.5
     assert z.score == pytest.approx(2 * 2.5 / 1.5)
+
+
+# --------------------------------------- outliers / conversion latency
+
+
+def test_centroid_outliers_planted(spark):
+    from filesql_spark.pipeline.similarity import centroid_outliers
+
+    # label 0: tight cluster at (1,1) + one far point → vec 9 must rank 1
+    rows = [(i, [1.0 + 0.001 * i, 1.0], 0) for i in range(9)]
+    rows.append((9, [50.0, 50.0], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = centroid_outliers(df, k=2, dim=2).collect()
+    top = next(r for r in out if r.rank == 1)
+    assert top.vec_id == 9
+    assert top.dist2 > 1e6  # quantized units (×10⁴ per axis, squared)
+
+
+def test_conversion_latency_exact(spark):
+    import datetime as dt
+    import os, tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 100, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=30), 100, "purchase", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=40), 100, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(seconds=100), 100, "purchase", 1.0, "{}"),
+        (5, base, 200, "purchase", 1.0, "{}"),  # no prior view → excluded
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        from filesql_spark.queries.pipeline_queries import events_conversion_latency
+
+        r = events_conversion_latency(spark, d).collect()[0]
+    assert r.n_conversions == 2  # latencies 30s and 60s
+    assert r.mean_latency_sec == pytest.approx(45.0)
+    assert r.median_latency_sec == pytest.approx(45.0)
