@@ -122,6 +122,7 @@ HEADLINE = [
     "q8_market_share",
     "embedding_outliers",
     "events_conversion_latency",
+    "sketch_hll_rollup",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

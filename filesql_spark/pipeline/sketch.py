@@ -540,3 +540,55 @@ def cms_estimate(
         .groupBy(*candidates.columns)
         .agg(F.min("__sc").cast("long").alias("est"))
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a (group…, bucket, r) register table into per-group
+    (nonzero_registers, sum_scaled, hll_estimate) — the read side of the
+    sketch, shared by :func:`hll_distinct` and any rollup that first
+    MAX-merges registers to a coarser grain."""
+    s = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("nonzero_registers"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {SCALE} - r)")
+        ).alias("present_scaled"),
+    )
+    sum_scaled = (
+        F.col("present_scaled")
+        + (F.lit(M) - F.col("nonzero_registers")) * F.lit(EMPTY_TERM)
+    ).cast("long")
+    return s.select(
+        *group_cols,
+        F.col("nonzero_registers").cast("long").alias("nonzero_registers"),
+        sum_scaled.alias("sum_scaled"),
+        F.round(F.lit(_NUMERATOR) / sum_scaled, 2).alias("hll_estimate"),
+    )
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_col,
+    coarse_col,
+    value_col: str,
+    fine_name: str = "fine",
+    coarse_name: str = "coarse",
+) -> DataFrame:
+    """Hierarchical distinct-count rollup on ONE scan: registers are
+    built once at the fine grain (e.g. day), then MAX-merged to the
+    coarse grain (e.g. week) — the hypertable/cube pattern where every
+    level of a time hierarchy reads the same materialized sketch
+    instead of re-scanning the fact table.
+
+    Correct by the HLL merge property: max-merging per-day registers
+    yields BIT-IDENTICAL registers to hashing the week's raw rows
+    directly (each bucket keeps its max rank either way) — the oracle
+    asserts exactly that. Returns the coarse-grain estimates.
+    """
+    with_grains = df.select(
+        fine_col.alias(fine_name), coarse_col.alias(coarse_name), value_col
+    )
+    fine_regs = hll_registers(with_grains, [fine_name, coarse_name], value_col)
+    coarse_regs = fine_regs.groupBy(coarse_name, "bucket").agg(
+        F.max("r").alias("r")
+    )
+    return hll_estimate_from_registers(coarse_regs, [coarse_name])

@@ -4100,3 +4100,45 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_latency_sec"
         ),
     )
+
+
+def _hll_rollup_oracle() -> str:
+    from filesql_spark.pipeline.sketch import hll_oracle_sql
+
+    inner = (
+        "(SELECT date_trunc('week', CAST(ts AS DATE)) AS week, user_id "
+        "FROM events) t"
+    )
+    # week-level DIRECT computation: by the MAX-merge property this is
+    # bit-identical to the Spark side's day-registers→week merge
+    sql = hll_oracle_sql("week", "user_id", inner)
+    return sql.replace(
+        "SELECT e.week,",
+        "SELECT CAST(e.week AS TIMESTAMP) AS week,",
+    )
+
+
+@register("sketch_hll_rollup", _hll_rollup_oracle())
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via hierarchical HLL rollup: registers are
+    built ONCE at day grain, then MAX-merged to weeks — the
+    hypertable/continuous-aggregate pattern where month/quarter/year
+    all read the same materialized day sketch instead of re-scanning
+    events (pipeline/sketch.py::hll_rollup). The DuckDB oracle computes
+    the week sketch DIRECTLY from raw rows; hash equality proves the
+    merge property bit-for-bit. The exact count joins alongside, as in
+    sketch_hll_users."""
+    from filesql_spark.pipeline.sketch import hll_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    week = F.date_trunc("week", day).cast("timestamp")
+    est = hll_rollup(e, day, week, "user_id", "day", "week")
+    exact = (
+        e.select(week.alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return exact.join(est, "week").select(
+        "week", "n_exact", "nonzero_registers", "sum_scaled", "hll_estimate"
+    )

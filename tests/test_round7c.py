@@ -343,3 +343,33 @@ def test_conversion_latency_exact(spark):
     assert r.n_conversions == 2  # latencies 30s and 60s
     assert r.mean_latency_sec == pytest.approx(45.0)
     assert r.median_latency_sec == pytest.approx(45.0)
+
+
+# ------------------------------------------------------- hll rollup
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    # MAX-merging fine-grain registers must equal computing the sketch
+    # at the coarse grain directly — the property the oracle hashes
+    from filesql_spark.pipeline.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+        hll_rollup,
+    )
+
+    rows = [(d, d // 7, f"u{v}") for d in range(28) for v in range(d * 3 + 1)]
+    df = spark.createDataFrame(rows, "day int, wk int, user string")
+    merged = {
+        r.wk: (r.nonzero_registers, r.sum_scaled, r.hll_estimate)
+        for r in hll_rollup(
+            df, F.col("day"), F.col("wk"), "user", "day", "wk"
+        ).collect()
+    }
+    direct = {
+        r.wk: (r.nonzero_registers, r.sum_scaled, r.hll_estimate)
+        for r in hll_estimate_from_registers(
+            hll_registers(df.select("wk", "user"), ["wk"], "user"), ["wk"]
+        ).collect()
+    }
+    assert merged == direct
+    assert len(merged) == 4
