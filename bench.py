@@ -123,6 +123,7 @@ HEADLINE = [
     "embedding_outliers",
     "events_conversion_latency",
     "sketch_hll_rollup",
+    "features_user_wide",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -4142,3 +4142,107 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "week").select(
         "week", "n_exact", "nonzero_registers", "sum_scaled", "hll_estimate"
     )
+
+
+@register(
+    "features_user_wide",
+    """
+    WITH t AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS t_max FROM events),
+    base AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS v100,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v100) AS BIGINT) / 100.0 AS total_value,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST((t_max - MAX(ts_us)) // 86400000000 AS BIGINT) AS recency_days,
+           CAST(SUM(v100 * CAST(ROUND(pow(CAST(2.0 AS DOUBLE),
+               -(CAST(t_max - ts_us AS DOUBLE) / CAST(604800000000 AS DOUBLE)))
+               * 1000000) AS BIGINT)) AS BIGINT) / 100000000.0 AS decayed_value,
+           CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions
+    FROM base CROSS JOIN t
+    GROUP BY user_id, t_max
+    """,
+)
+def features_user_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-store materialization: event counts by type,
+    total and 7-day-decayed value, recency, and 30-minute-gap session
+    counts — the wide feature table a training pipeline or ranking
+    service refreshes nightly.
+
+    Single-shuffle design: the session-boundary LAG window shuffles and
+    sorts on user_id ONCE; the groupBy(user_id) that computes EVERY
+    feature (counts, conditional counts, decayed sum, recency, session
+    count) then reuses that partitioning in the same stage — one scan,
+    one exchange, no joins (the max-timestamp anchor rides in as a
+    one-row broadcast). A branch-per-feature phrasing costs a scan and
+    a shuffle per branch — and a cached repartition does NOT save it:
+    under AQE the cached plan's coalesced partitioning no longer
+    matches the consumer's required distribution, so every branch
+    re-exchanges anyway (measured; the plan-shape test pins this
+    formulation to exactly one data-sized exchange).
+
+    Determinism: counts and value-cents are exact integers; the decay
+    weight is ppm-quantized per row before summing (see
+    events_decayed_engagement); recency is integer-div whole days."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(uw)
+            > 1_800_000_000,
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    hl_us = 7 * 24 * 3600 * 1_000_000
+    w_ppm = F.round(
+        F.pow(
+            F.lit(2.0),
+            -(
+                (F.col("t_max") - F.col("ts_us")).cast("double")
+                / F.lit(float(hl_us))
+            ),
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        base.crossJoin(F.broadcast(t))
+        .groupBy("user_id", "t_max")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("v100").cast("long") / 100.0).alias("total_value"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long").alias("n_view"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long").alias("n_click"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long").alias("n_purchase"),
+            F.max("ts_us").alias("last_us"),
+            (F.sum(F.col("v100") * w_ppm).cast("long") / 100_000_000.0)
+            .alias("decayed_value"),
+            (F.lit(1) + F.sum("is_new")).cast("long").alias("n_sessions"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.expr("(t_max - last_us) div 86400000000").alias("recency_days"),
+            "decayed_value",
+            "n_sessions",
+        )
+    )

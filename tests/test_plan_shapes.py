@@ -535,3 +535,18 @@ def test_q7_q8_single_fact_shuffle(spark, qs):
         pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
         date_col = "l_shipdate" if name == "q7_nation_volume" else "o_orderdate"
         assert any(f"GreaterThanOrEqual({date_col}" in l for l in pushed), name
+
+
+def test_features_user_wide_single_exchange(spark, qs):
+    # one scan, one data-sized exchange: the LAG window's user_id
+    # shuffle; the all-features groupBy reuses it in the same stage
+    # (the one-row max-ts anchor broadcasts, its exchange is 1-row)
+    import re
+
+    plan = _formatted(qs["features_user_wide"](spark, SF))
+    assert plan.count("events.parquet") == 2  # fact scan + 1-row anchor
+    hash_ex = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    # exchanges: one hashpartitioning(user_id) + the anchor's
+    # SinglePartition one-row exchange — nothing else
+    assert len(hash_ex) <= 2, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
