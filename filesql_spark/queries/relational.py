@@ -2660,7 +2660,10 @@ def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): bilateral trade revenue between two
     nations by shipment year — the canonical 6-way join with a
-    symmetric nation-pair predicate.
+    symmetric nation-pair predicate. Reference contract: filesql
+    delegates arbitrary multi-join SELECTs to SQLite
+    (builder.go:353-361); q7/q8 exercise the deepest join shapes a
+    user would run through that surface.
 
     100-TB design: the two-year shipdate range pushes into the lineitem
     scan; supplier, customer and both nation aliases are dimensions and
@@ -2739,7 +2742,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): NATION_2's share of ASIA-market
     ECONOMY-part revenue by order year — the deepest canonical join in
-    the suite (7 relations joined, one aliased twice).
+    the suite (7 relations joined, one aliased twice; same delegated
+    contract as q7, builder.go:353-361).
 
     100-TB design: part (type-filtered), supplier, customer and the two
     nation roles + region all broadcast — Catalyst collapses this into
