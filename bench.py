@@ -124,6 +124,8 @@ HEADLINE = [
     "events_conversion_latency",
     "sketch_hll_rollup",
     "features_user_wide",
+    "events_changepoint_cusum",
+    "events_forecast_seasonal",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

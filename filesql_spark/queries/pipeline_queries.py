@@ -4246,3 +4246,156 @@ def features_user_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions",
         )
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v100
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(SUM(v100) AS BIGINT) AS s_total,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+        SELECT d.event_type, d.d,
+               SUM(d.v100 * st.n_days - st.s_total)
+                   OVER (PARTITION BY d.event_type ORDER BY d.d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cusum_n
+        FROM daily d JOIN stats st ON st.event_type = d.event_type
+    ),
+    ranked AS (
+        SELECT event_type, d, cusum_n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(cusum_n) DESC, d) AS rnk
+        FROM cusum
+    )
+    SELECT r.event_type, r.d AS changepoint_day,
+           CAST(r.cusum_n AS BIGINT) AS cusum_scaled,
+           CAST(r.cusum_n AS DOUBLE)
+               / (CAST(st.n_days AS DOUBLE) * 100.0) AS cusum_value
+    FROM ranked r JOIN stats st ON st.event_type = r.event_type
+    WHERE rnk = 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of daily value from the series mean peaks —
+    where the level shift most plausibly happened (the page-view-drop /
+    metric-regression detector next to events_anomaly_zscore's
+    point-outlier flags).
+
+    Exactness trick: the running Σ(xᵢ − μ) needs the float mean μ =
+    S/n; multiplying through by n keeps EVERYTHING integer:
+    cusum_n(d) = Σ(xᵢ·n − S) — exact cents·days, bit-stable, divided
+    back once for the reported value. One day-grain aggregate (map-side
+    combined), a broadcast per-type moment row, and a per-type ordered
+    window over the DAY relation (calendar-bounded, like
+    events_cumulative_distinct); the argmax is a per-type window over
+    the same tiny relation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.to_date("ts").cast("timestamp").alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v100"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("v100").alias("s_total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "n_days",
+            F.sum(
+                F.col("v100") * F.col("n_days") - F.col("s_total")
+            ).over(w).alias("cusum_n"),
+        )
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_n")).desc(), "d"
+    )
+    return (
+        cusum.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.col("cusum_n").alias("cusum_scaled"),
+            (
+                F.col("cusum_n").cast("double")
+                / (F.col("n_days").cast("double") * 100.0)
+            ).alias("cusum_value"),
+        )
+    )
+
+
+@register(
+    "events_forecast_seasonal",
+    """
+    WITH hourly AS (
+        SELECT event_type, EXTRACT(HOUR FROM ts) AS hr,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, hr, d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hourly GROUP BY event_type, hr, d
+    ),
+    profile AS (
+        SELECT event_type, hr,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM counts GROUP BY event_type, hr
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr,
+           CAST(total AS DOUBLE) / n_days AS forecast,
+           total AS observed_total, n_days
+    FROM profile
+    """,
+)
+def events_forecast_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive hourly forecast per event type: tomorrow's
+    expected count for hour h = the mean count of hour h over the
+    observed days (the baseline every capacity planner / anomaly
+    alerter starts from; only days where the (type,hour) occurred
+    enter the mean, making it a rate-when-active forecast).
+
+    Exactness: the forecast is Σcounts / n_days — ONE IEEE division of
+    exact integers per output row. Two shrinking aggregates (hour-day
+    grain, then hour grain), both map-side combined; output is
+    |types|·24 rows."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.to_date("ts").cast("timestamp").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("event_type", F.col("hr").cast("long").alias("hr"))
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            "event_type",
+            "hr",
+            (F.col("total").cast("double") / F.col("n_days")).alias("forecast"),
+            F.col("total").alias("observed_total"),
+            "n_days",
+        )
+    )

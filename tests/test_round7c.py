@@ -373,3 +373,44 @@ def test_hll_rollup_merge_equals_direct(spark):
     }
     assert merged == direct
     assert len(merged) == 4
+
+
+# ---------------------------------------------- changepoint / forecast
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    import datetime as dt
+    import os, tempfile
+
+    # 10 days at 100/day then 10 days at 500/day → changepoint at the
+    # last low day (|CUSUM| peaks where the prefix deviates most)
+    rows = []
+    eid = 0
+    for day in range(20):
+        val = 100.0 if day < 10 else 500.0
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1 + day), 1, "shift", val, "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        from filesql_spark.queries.pipeline_queries import events_changepoint_cusum
+
+        r = events_changepoint_cusum(spark, d).collect()[0]
+    assert r.changepoint_day == dt.datetime(2024, 1, 10)  # day 10 (last low)
+    # prefix mean 100 vs global 300: cusum_value = 10 days × −200
+    assert r.cusum_value == pytest.approx(-2000.0)
+
+
+def test_forecast_is_hourly_mean(spark, sf_dir):
+    from filesql_spark.queries.pipeline_queries import events_forecast_seasonal
+
+    out = events_forecast_seasonal(spark, sf_dir).collect()
+    assert all(r.forecast == r.observed_total / r.n_days for r in out)
+    assert len({(r.event_type, r.hr) for r in out}) == len(out)
+    assert all(0 <= r.hr <= 23 for r in out)
