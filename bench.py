@@ -126,6 +126,7 @@ HEADLINE = [
     "features_user_wide",
     "events_changepoint_cusum",
     "events_forecast_seasonal",
+    "orders_association_rules",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

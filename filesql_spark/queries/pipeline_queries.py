@@ -4399,3 +4399,117 @@ def events_forecast_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+@register(
+    "orders_association_rules",
+    """
+    WITH items AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items),
+    singles AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ps) AS p FROM items) GROUP BY p
+    ),
+    pairs AS (
+        SELECT pr[1] AS pa, pr[2] AS pb, CAST(COUNT(*) AS BIGINT) AS support
+        FROM (
+            SELECT unnest(flatten(list_transform(
+                       generate_series(1, len(ps)),
+                       i -> list_transform(generate_series(i + 1, len(ps)),
+                                           j -> [ps[i], ps[j]])))) AS pr
+            FROM items
+        ) GROUP BY pa, pb
+    ),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, support,
+               CAST(support AS DOUBLE) / a.c AS confidence,
+               CAST(support * n AS DOUBLE) / (a.c * b.c) AS lift
+        FROM pairs CROSS JOIN tot
+        JOIN singles a ON a.p = pa JOIN singles b ON b.p = pb
+        UNION ALL
+        SELECT pb, pa, support,
+               CAST(support AS DOUBLE) / b.c,
+               CAST(support * n AS DOUBLE) / (a.c * b.c)
+        FROM pairs CROSS JOIN tot
+        JOIN singles a ON a.p = pa JOIN singles b ON b.p = pb
+    )
+    SELECT antecedent, consequent, support, confidence, lift
+    FROM rules WHERE support >= 2
+    ORDER BY confidence DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A→B from the market-basket pair
+    supports: confidence = P(B|A) = support/c_A, plus lift — the
+    recommendation-rule mining step after orders_cooccur_parts'
+    symmetric counts (each unordered pair yields both directions; a
+    minimum-support floor of 2 prunes noise rules).
+
+    Same scale shape as orders_cooccur_parts (ONE orderkey shuffle,
+    bounded pair explode, broadcast singles); the direction expansion
+    is a union of two projections of the SAME pair relation, and both
+    ratios are single IEEE divisions of exact integers. Top-20 by
+    (confidence desc, antecedent, consequent) — a total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .persist()
+    )
+    n_orders = items.count()
+    singles = (
+        items.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sz = F.size("ps")
+    pair_arr = F.when(
+        sz >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), sz - 1),
+                lambda i: F.transform(
+                    F.slice("ps", i + 1, sz),
+                    lambda p2: F.struct(
+                        F.element_at("ps", i).alias("pa"), p2.alias("pb")
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<pa:bigint,pb:bigint>>"))
+    pairs = (
+        items.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    a = singles.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
+    b = singles.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
+    joined = pairs.join(F.broadcast(a), "pa").join(F.broadcast(b), "pb")
+    lift = (F.col("support") * F.lit(n_orders)).cast("double") / (
+        F.col("ca") * F.col("cb")
+    )
+    fwd = joined.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "support",
+        (F.col("support").cast("double") / F.col("ca")).alias("confidence"),
+        lift.alias("lift"),
+    )
+    rev = joined.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "support",
+        (F.col("support").cast("double") / F.col("cb")).alias("confidence"),
+        lift.alias("lift"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("confidence").desc(), "antecedent", "consequent")
+        .limit(20)
+    )

@@ -414,3 +414,20 @@ def test_forecast_is_hourly_mean(spark, sf_dir):
     assert all(r.forecast == r.observed_total / r.n_days for r in out)
     assert len({(r.event_type, r.hr) for r in out}) == len(out)
     assert all(0 <= r.hr <= 23 for r in out)
+
+
+def test_association_rules_directional_confidence(spark):
+    import os, tempfile
+
+    # {A,B} in 2 of 3 orders; A in 3, B in 2 → conf(A→B)=2/3, conf(B→A)=1
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        from filesql_spark.queries.pipeline_queries import orders_association_rules
+
+        out = {(r.antecedent, r.consequent): r
+               for r in orders_association_rules(spark, d).collect()}
+    assert out[(20, 10)].confidence == pytest.approx(1.0)
+    assert out[(10, 20)].confidence == pytest.approx(2 / 3)
+    assert out[(10, 20)].lift == out[(20, 10)].lift  # lift is symmetric
