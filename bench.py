@@ -127,6 +127,7 @@ HEADLINE = [
     "events_changepoint_cusum",
     "events_forecast_seasonal",
     "orders_association_rules",
+    "text_lm_perplexity",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

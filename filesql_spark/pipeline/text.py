@@ -646,3 +646,78 @@ def tfidf_topk(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "score")
     )
+
+
+def lm_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM perplexity per document — the KenLM-style quality
+    filter (CCNet / RedPajama lineage): score each doc under a language
+    model trained on the corpus itself; implausible token sequences
+    (boilerplate, shredded text, spam) score high.
+
+    Model: add-one-smoothed bigram probabilities
+    p(b|a) = (c_ab + 1) / (c_a + V). Per-doc score is the mean negative
+    log-prob of its bigrams; perplexity = exp(mean NLL).
+
+    Determinism: a float Σ log p across partitions would be
+    fold-order-unstable, so each bigram's log-prob is quantized to
+    integer MICRO-NATS once (libm ln differs by ≤1 ulp between engines
+    — only a value within ~1e-10 of a micro-nat boundary could round
+    apart), making the per-doc sum exact; the mean is one division and
+    only the final exp() is rounded (6 dp).
+
+    Scale: the model IS two count tables — unigrams (vocab-sized,
+    broadcast; switch to a shuffle join past ~10⁷ vocab) and bigrams
+    (joined on the bigram key, the one data-sized shuffle alongside the
+    doc regroup). Training and scoring are the same two passes — no
+    external model artifact.
+    """
+    toks = df.select("doc_id", tokens(F.col(text_col)).alias("t"))
+    n = F.size("t")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at("t", i + 1).alias("a"),
+                F.element_at("t", i + 2).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    doc_bi = toks.select("doc_id", F.explode(bigrams).alias("bi")).select(
+        "doc_id", "bi.a", "bi.b"
+    )
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bi_counts = doc_bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    lp_micro = F.round(
+        F.log(
+            (F.col("cab") + F.lit(1)).cast("double")
+            / (F.col("ca") + F.col("v")).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        doc_bi.join(bi_counts, ["a", "b"])
+        .join(F.broadcast(uni), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp_micro.alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp").alias("sum_lp_micro"),
+    )
+    avg_nll = (
+        -F.col("sum_lp_micro").cast("double")
+        / (F.col("n_bigrams").cast("double") * 1_000_000.0)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_lp_micro",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 6).alias("perplexity"),
+    )

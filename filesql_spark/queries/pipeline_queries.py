@@ -4513,3 +4513,60 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("confidence").desc(), "antecedent", "consequent")
         .limit(20)
     )
+
+
+@register(
+    "text_lm_perplexity",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    doc_bi AS (
+        SELECT doc_id, pr[1] AS a, pr[2] AS b
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+                       generate_series(1, len(t) - 1), i -> [t[i], t[i + 1]])
+                   ELSE [] END) AS pr
+            FROM toks
+        )
+    ),
+    uni AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS ca
+        FROM (SELECT doc_id, unnest(t) AS a FROM toks) GROUP BY a
+    ),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    bi_counts AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM doc_bi GROUP BY a, b
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(ROUND(ln(CAST(cab + 1 AS DOUBLE)
+                             / CAST(ca + v AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS lp
+        FROM doc_bi
+        JOIN bi_counts USING (a, b)
+        JOIN uni USING (a)
+        CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp) AS BIGINT) AS sum_lp_micro
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_lp_micro,
+           -CAST(sum_lp_micro AS DOUBLE)
+               / (CAST(n_bigrams AS DOUBLE) * 1000000.0) AS avg_nll,
+           ROUND(exp(-CAST(sum_lp_micro AS DOUBLE)
+               / (CAST(n_bigrams AS DOUBLE) * 1000000.0)), 6) AS perplexity
+    FROM per_doc
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality scores over documents — see
+    pipeline/text.py::lm_perplexity (micro-nat-quantized log-probs →
+    exact integer per-doc sums; vocab-sized broadcast + one bigram-key
+    shuffle; the KenLM-style CCNet filter)."""
+    from filesql_spark.pipeline.text import lm_perplexity
+
+    return lm_perplexity(load_table(spark, sf_dir, "documents"))

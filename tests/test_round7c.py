@@ -431,3 +431,40 @@ def test_association_rules_directional_confidence(spark):
     assert out[(20, 10)].confidence == pytest.approx(1.0)
     assert out[(10, 20)].confidence == pytest.approx(2 / 3)
     assert out[(10, 20)].lift == out[(20, 10)].lift  # lift is symmetric
+
+
+# ------------------------------------------------------ lm perplexity
+
+
+def test_lm_perplexity_ranks_shredded_text_higher(spark):
+    from filesql_spark.pipeline.text import lm_perplexity
+
+    # corpus with a strong "the cat sat" pattern; doc 4 shreds it —
+    # its bigrams are rare under the corpus LM → higher perplexity
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "the cat sat on the bed"),
+            (4, "mat the on sat bed cat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_perplexity(df).collect()}
+    assert out[4].perplexity > max(out[i].perplexity for i in (1, 2, 3))
+    for r in out.values():
+        assert r.n_bigrams == 5
+        assert r.avg_nll > 0  # probabilities < 1 → positive NLL
+
+
+def test_lm_perplexity_partition_invariant(spark, sf_dir):
+    from filesql_spark.queries.pipeline_queries import text_lm_perplexity
+
+    base = {r.doc_id: r.sum_lp_micro for r in text_lm_perplexity(spark, sf_dir).collect()}
+    n0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        again = {r.doc_id: r.sum_lp_micro for r in text_lm_perplexity(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", n0)
+    assert base == again  # micro-nat integer sums: exact at any partitioning
