@@ -128,6 +128,8 @@ HEADLINE = [
     "events_forecast_seasonal",
     "orders_association_rules",
     "text_lm_perplexity",
+    "events_ab_test_lift",
+    "sketch_hll_sliding_wau",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

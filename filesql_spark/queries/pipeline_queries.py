@@ -4570,3 +4570,202 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.pipeline.text import lm_perplexity
 
     return lm_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_ab_test_lift",
+    """
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS s2
+        FROM per_user GROUP BY grp
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN grp = 0 THEN s END) AS s_a,
+               MAX(CASE WHEN grp = 0 THEN s2 END) AS s2_a,
+               MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN grp = 1 THEN s END) AS s_b,
+               MAX(CASE WHEN grp = 1 THEN s2 END) AS s2_b
+        FROM g
+    )
+    SELECT n_a, n_b,
+           CAST(s_a AS DOUBLE) / n_a AS mean_a,
+           CAST(s_b AS DOUBLE) / n_b AS mean_b,
+           CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a AS abs_lift,
+           ROUND((CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a)
+               / sqrt(((CAST(s2_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+                       / (n_a - 1)) / n_a
+                    + ((CAST(s2_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
+                       / (n_b - 1)) / n_b), 6) AS z_stat
+    FROM wide
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout on a continuous metric: user_id parity
+    assigns arms, the metric is purchases per user; reports per-arm
+    means, absolute lift, and the Welch z-statistic — the
+    experimentation-analytics primitive next to the descriptive funnel
+    (a binary-conversion variant degenerates here because every
+    driver-data user converts — pooled variance 0).
+
+    Exactness: per-arm (n, Σx, Σx²) are exact integers from one
+    user-grain aggregate + one 2-row pivot; means and the z-statistic
+    are fixed IEEE op chains over them (sqrt correctly rounded),
+    rounded at 6 only because the engines' division chains can part in
+    the final ulp. Parity assignment is the same reproducible
+    hash-bucketing idea as pipeline_train_val_split."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("x")
+        )
+        .select((F.col("user_id") % 2).cast("long").alias("grp"), "x")
+    )
+    g = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2"))).alias("s2_b"),
+    )
+    ma = F.col("s_a").cast("double") / F.col("n_a")
+    mb = F.col("s_b").cast("double") / F.col("n_b")
+    va = (
+        F.col("s2_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    vb = (
+        F.col("s2_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    z = (mb - ma) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    return wide.select(
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        (mb - ma).alias("abs_lift"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def _hll_wau_oracle() -> str:
+    from filesql_spark.pipeline.sketch import (
+        EMPTY_TERM,
+        M,
+        REM_BITS,
+        REM_MASK,
+        SCALE,
+        _NUMERATOR,
+    )
+
+    return f"""
+    WITH days AS (
+        SELECT DISTINCT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d FROM events
+    ),
+    h AS (
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ed, user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h60
+        FROM events
+    ),
+    win AS (
+        SELECT days.d, h.h60, h.user_id
+        FROM days JOIN h
+          ON h.ed BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    ),
+    regs AS (
+        SELECT d, h60 >> {REM_BITS} AS bucket,
+               MAX(CASE WHEN (h60 & {REM_MASK}) = 0 THEN {SCALE}
+                        ELSE {REM_BITS} - length(bin(h60 & {REM_MASK})) + 1
+                   END) AS r
+        FROM win GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS nonzero_registers,
+               CAST(SUM(1::BIGINT << ({SCALE} - r)) AS BIGINT) AS present_scaled
+        FROM regs GROUP BY 1
+    ),
+    e AS (
+        SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_exact
+        FROM win GROUP BY d
+    )
+    SELECT e.d, e.wau_exact, s.nonzero_registers,
+           CAST(s.present_scaled + ({M} - s.nonzero_registers) * {EMPTY_TERM}
+                AS BIGINT) AS sum_scaled,
+           ROUND({_NUMERATOR!r} /
+                 (s.present_scaled + ({M} - s.nonzero_registers) * {EMPTY_TERM}),
+                 2) AS wau_estimate
+    FROM e JOIN s USING (d)
+    """
+
+
+@register("sketch_hll_sliding_wau", _hll_wau_oracle())
+def sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day via sliding HLL merge:
+    day-grain registers are built ONCE, then each day's registers serve
+    the 7 as-of days they fall into (a 7× explode of the REGISTER
+    table, never of events) and MAX-merge per as-of day — the sliding
+    cousin of sketch_hll_rollup's hierarchy, and the way a dashboard
+    computes every trailing-window distinct from one materialized day
+    sketch. The oracle computes each day's 7-day window directly from
+    raw rows; hash equality is again the merge property. Exact WAU
+    joins alongside (at 100 TB that exact pass is the thing you drop).
+
+    Scale: events are touched once (day-register build, map-side MAX);
+    the exploded relation is |days|·7·≤m rows — calendar-bounded."""
+    from filesql_spark.pipeline.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("timestamp")
+    days = e.select(day.alias("d")).distinct()
+    regs = hll_registers(e.select(day.alias("ed"), "user_id"), ["ed"], "user_id")
+    served = (
+        regs.select(
+            F.explode(
+                F.expr("sequence(ed, ed + interval 6 days, interval 1 day)")
+            ).alias("d"),
+            "bucket",
+            "r",
+        )
+        .join(F.broadcast(days), "d", "left_semi")
+        .groupBy("d", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate_from_registers(served, ["d"]).withColumnRenamed(
+        "hll_estimate", "wau_estimate"
+    )
+    pairs = e.select(day.alias("ed"), "user_id").distinct()
+    exact = (
+        pairs.select(
+            F.explode(
+                F.expr("sequence(ed, ed + interval 6 days, interval 1 day)")
+            ).alias("d"),
+            "user_id",
+        )
+        .join(F.broadcast(days), "d", "left_semi")
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    return exact.join(est, "d").select(
+        "d", "wau_exact", "nonzero_registers", "sum_scaled", "wau_estimate"
+    )
