@@ -130,6 +130,7 @@ HEADLINE = [
     "text_lm_perplexity",
     "events_ab_test_lift",
     "sketch_hll_sliding_wau",
+    "text_tokenizer_coverage",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

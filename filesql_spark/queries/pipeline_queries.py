@@ -4769,3 +4769,72 @@ def sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "d").select(
         "d", "wau_exact", "nonzero_registers", "sum_scaled", "wau_estimate"
     )
+
+
+@register(
+    "text_tokenizer_coverage",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY tok
+            ORDER BY c DESC, tok LIMIT 64
+        )
+    ),
+    flags AS (
+        SELECT t.doc_id,
+               CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm,
+           CAST(SUM(oov) * 1000000 // COUNT(*) <= 500000 AS INTEGER)
+               AS pass_coverage
+    FROM flags GROUP BY doc_id
+    """,
+)
+def text_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage per document: out-of-vocabulary
+    token rate against the corpus top-64 vocabulary — the diagnostic a
+    tokenizer-training pipeline runs to size its vocab (high OOV docs
+    either need a bigger vocab or are noise; the gate keeps docs at
+    ≤ 50% OOV).
+
+    Scale: the vocabulary is a TakeOrdered over the token aggregate
+    (vocab-sized) and broadcasts into the token stream — the stream
+    itself never shuffles for the membership test; per-doc rates are
+    one map-side-combining groupBy. OOV rate is exact integer ppm
+    (floor division — no float anywhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    from filesql_spark.pipeline.text import tokens
+
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(64)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flags = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"),
+            (F.expr("n_oov * 1000000 div n_tokens") <= 500_000)
+            .cast("int").alias("pass_coverage"),
+        )
+    )

@@ -512,3 +512,12 @@ def test_sliding_wau_bounds(spark, sf_dir):
     days = sorted(wau)
     for a, b in zip(days[:6], days[1:7]):
         assert wau[b].wau_exact >= wau[a].wau_exact
+
+
+def test_tokenizer_coverage_ppm_exact(spark, sf_dir):
+    from filesql_spark.queries.pipeline_queries import text_tokenizer_coverage
+
+    out = text_tokenizer_coverage(spark, sf_dir).collect()
+    for r in out:
+        assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
+        assert 0 <= r.n_oov <= r.n_tokens
