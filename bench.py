@@ -131,6 +131,7 @@ HEADLINE = [
     "events_ab_test_lift",
     "sketch_hll_sliding_wau",
     "text_tokenizer_coverage",
+    "pipeline_near_dup_eval",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -885,3 +885,64 @@ def cluster_representatives(
             F.col("__m.__s").alias("rep_score"),
         )
     )
+
+
+def near_dup_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    sample_mod: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Measured recall/precision of the MinHash+LSH detector against
+    brute-force ground truth on a deterministic sample — the
+    eval-harness-as-operator that turns "the banding should catch most
+    pairs" into a number a pipeline can alert on (the in-engine twin of
+    the pytest recall gates).
+
+    Ground truth: ALL pairs with exact shingle Jaccard ≥ τ among docs
+    with ``doc_id % sample_mod == 0`` — an O(s²) cross-join, which is
+    exactly why it runs on a sample: s = n/mod keeps the quadratic
+    ground-truth affordable while the detector under test
+    (``minhash_lsh_pairs``) runs its normal bucketed path on the same
+    sample. τ = 0.5 compares as 3·|∩| ≥ |A|+|B| in exact integers.
+
+    Output (one row): n_truth_pairs, n_detected_pairs, true_positives,
+    recall_ppm, precision_ppm (floor-division exact ppm; precision is
+    1e6 by construction here since the detector verifies candidates
+    with the same exact Jaccard — the number to watch is recall, i.e.
+    pairs the BANDS never surfaced)."""
+    sample = df.filter(F.col("doc_id") % sample_mod == 0)
+    sets = add_shingles(sample, text_col).select("doc_id", "sh").persist()
+    a = sets.alias("ta")
+    b = sets.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.sh"), F.col("tb.sh")))
+    la, lb = F.size(F.col("ta.sh")), F.size(F.col("tb.sh"))
+    truth = (
+        a.join(b, F.col("ta.doc_id") < F.col("tb.doc_id"))
+        .filter(F.lit(3) * inter >= la + lb)
+        .select(
+            F.col("ta.doc_id").alias("doc_a"), F.col("tb.doc_id").alias("doc_b")
+        )
+    )
+    detected = minhash_lsh_pairs(sample, text_col, jaccard_threshold).select(
+        "doc_a", "doc_b"
+    )
+    tp = truth.join(detected, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+        .crossJoin(detected.agg(F.count(F.lit(1)).alias("n_detected_pairs")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("true_positives")))
+    )
+    return counts.select(
+        "n_truth_pairs",
+        "n_detected_pairs",
+        "true_positives",
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.expr("true_positives * 1000000 div n_truth_pairs"),
+        ).otherwise(F.lit(1_000_000)).alias("recall_ppm"),
+        F.when(
+            F.col("n_detected_pairs") > 0,
+            F.expr("true_positives * 1000000 div n_detected_pairs"),
+        ).otherwise(F.lit(1_000_000)).alias("precision_ppm"),
+    )

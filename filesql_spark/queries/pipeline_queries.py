@@ -4838,3 +4838,43 @@ def text_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("pass_coverage"),
         )
     )
+
+
+def _near_dup_eval_oracle() -> str:
+    ctes = _minhash_ctes().replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) documents",
+    )
+    return f"""
+    WITH {ctes},
+    tr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE 3 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh)
+    ),
+    tp AS (SELECT doc_a, doc_b FROM tr INTERSECT SELECT doc_a, doc_b FROM pairs),
+    m AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_truth_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_detected_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS true_positives
+    )
+    SELECT n_truth_pairs, n_detected_pairs, true_positives,
+           CASE WHEN n_truth_pairs > 0
+                THEN true_positives * 1000000 // n_truth_pairs
+                ELSE 1000000 END AS recall_ppm,
+           CASE WHEN n_detected_pairs > 0
+                THEN true_positives * 1000000 // n_detected_pairs
+                ELSE 1000000 END AS precision_ppm
+    FROM m
+    """
+
+
+@register("pipeline_near_dup_eval", _near_dup_eval_oracle())
+def pipeline_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash+LSH recall/precision vs brute-force ground truth
+    on the doc_id%5 sample — see pipeline/dedup.py::near_dup_eval (the
+    eval harness as a first-class operator; quadratic truth bounded to
+    the sample, detector on its normal bucketed path)."""
+    from filesql_spark.pipeline.dedup import near_dup_eval
+
+    return near_dup_eval(load_table(spark, sf_dir, "documents"))

@@ -521,3 +521,20 @@ def test_tokenizer_coverage_ppm_exact(spark, sf_dir):
     for r in out:
         assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
         assert 0 <= r.n_oov <= r.n_tokens
+
+
+def test_near_dup_eval_planted_duplicates(spark):
+    import os, tempfile
+    from filesql_spark.pipeline.dedup import near_dup_eval
+
+    # docs 0/5/10 identical (all in the %5 sample) → truth pairs = 3;
+    # detector must find them all (identical docs share every band)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base if i in (0, 5, 10) else f"{i} unique words " + " ".join(
+        f"w{i}{j}" for j in range(10))) for i in range(0, 25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = near_dup_eval(df).collect()[0]
+    assert r.n_truth_pairs == 3
+    assert r.true_positives == 3
+    assert r.recall_ppm == 1_000_000
+    assert r.precision_ppm == 1_000_000
