@@ -132,6 +132,7 @@ HEADLINE = [
     "sketch_hll_sliding_wau",
     "text_tokenizer_coverage",
     "pipeline_near_dup_eval",
+    "events_session_funnel",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

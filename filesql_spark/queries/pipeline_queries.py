@@ -4878,3 +4878,114 @@ def pipeline_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesql_spark.pipeline.dedup import near_dup_eval
 
     return near_dup_eval(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_session_funnel",
+    """
+    WITH x AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   AS first_view_us,
+               MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS last_purchase_us
+        FROM s GROUP BY user_id, sid
+    ),
+    flags AS (
+        SELECT CASE WHEN first_view_us IS NOT NULL
+                     AND last_purchase_us IS NOT NULL
+                     AND last_purchase_us > first_view_us
+                    THEN 1 ELSE 0 END AS converted,
+               CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END AS viewed
+        FROM per_session
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(viewed) AS BIGINT) AS n_with_view,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) * 1000000 // SUM(viewed) AS BIGINT)
+               AS conversion_ppm
+    FROM flags
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session funnel conversion: of sessions that contained a
+    view, how many saw a purchase AFTER that view in the SAME session —
+    the session-scoped funnel next to events_funnel's global one (a
+    user who views today and buys next week converts globally but not
+    here; session attribution is what ad/product analytics reports).
+
+    One user_id shuffle drives the gaps-and-islands session numbering
+    (same formulation events_sessionize shares with its streaming
+    twin); per-session view/purchase extrema and the global rollup are
+    shrinking aggregates. Conversion is exact integer ppm."""
+    e = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(uw).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(uw))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = x.select(
+        "user_id", "ts", "event_type", F.sum("new_s").over(sw).alias("sid")
+    )
+    per_session = s.groupBy("user_id", "sid").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view_us"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("last_purchase_us"),
+    )
+    converted = (
+        F.col("first_view_us").isNotNull()
+        & F.col("last_purchase_us").isNotNull()
+        & (F.col("last_purchase_us") > F.col("first_view_us"))
+    ).cast("int")
+    viewed = F.col("first_view_us").isNotNull().cast("int")
+    return (
+        per_session.select(
+            converted.alias("converted"), viewed.alias("viewed")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("viewed").cast("long").alias("n_with_view"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "n_sessions",
+            "n_with_view",
+            "n_converted",
+            F.expr("n_converted * 1000000 div n_with_view")
+            .alias("conversion_ppm"),
+        )
+    )

@@ -538,3 +538,35 @@ def test_near_dup_eval_planted_duplicates(spark):
     assert r.true_positives == 3
     assert r.recall_ppm == 1_000_000
     assert r.precision_ppm == 1_000_000
+
+
+def test_session_funnel_attribution(spark):
+    import datetime as dt
+    import os, tempfile
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        # session 1 of user 1: view then purchase → converts
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=5), 1, "purchase", 1.0, "{}"),
+        # user 2: view, then purchase in a LATER session → no conversion
+        (3, base, 2, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(hours=2), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase BEFORE view in one session → no conversion
+        (5, base, 3, "purchase", 1.0, "{}"),
+        (6, base + dt.timedelta(minutes=1), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        from filesql_spark.queries.pipeline_queries import events_session_funnel
+
+        r = events_session_funnel(spark, d).collect()[0]
+    assert r.n_sessions == 4  # users 1 and 3 one each, user 2 two
+    assert r.n_with_view == 3  # user 2's purchase-only session has none
+    assert r.n_converted == 1  # only user 1's session
+    assert r.conversion_ppm == 1_000_000 // 3
