@@ -927,6 +927,12 @@ def near_dup_eval(
     detected = minhash_lsh_pairs(sample, text_col, jaccard_threshold).select(
         "doc_a", "doc_b"
     )
+    # the quadratic truth relation and the detector output each feed TWO
+    # branches (their own count + the intersection); without lineage
+    # truncation both recompute per branch (measured 2x) — they are
+    # pair-sized, so the eager checkpoint is cheap
+    truth = truth.localCheckpoint()
+    detected = detected.localCheckpoint()
     tp = truth.join(detected, ["doc_a", "doc_b"], "left_semi")
     counts = (
         truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))

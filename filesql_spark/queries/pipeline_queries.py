@@ -4493,23 +4493,36 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (F.col("support") * F.lit(n_orders)).cast("double") / (
         F.col("ca") * F.col("cb")
     )
-    fwd = joined.select(
-        F.col("pa").alias("antecedent"),
-        F.col("pb").alias("consequent"),
-        "support",
-        (F.col("support").cast("double") / F.col("ca")).alias("confidence"),
-        lift.alias("lift"),
-    )
-    rev = joined.select(
-        F.col("pb").alias("antecedent"),
-        F.col("pa").alias("consequent"),
-        "support",
-        (F.col("support").cast("double") / F.col("cb")).alias("confidence"),
-        lift.alias("lift"),
-    )
+    # both directions from ONE pass over the joined pair relation — a
+    # unionAll of two projections would recompute the pair aggregate and
+    # its joins per branch (no subtree CSE across DataFrame reuse;
+    # measured 2x)
+    both = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                    F.col("support").alias("support"),
+                    (F.col("support").cast("double") / F.col("ca")).alias(
+                        "confidence"
+                    ),
+                    lift.alias("lift"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                    F.col("support").alias("support"),
+                    (F.col("support").cast("double") / F.col("cb")).alias(
+                        "confidence"
+                    ),
+                    lift.alias("lift"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.support", "r.confidence", "r.lift")
     return (
-        fwd.unionAll(rev)
-        .filter(F.col("support") >= 2)
+        both.filter(F.col("support") >= 2)
         .orderBy(F.col("confidence").desc(), "antecedent", "consequent")
         .limit(20)
     )
