@@ -133,6 +133,7 @@ HEADLINE = [
     "text_tokenizer_coverage",
     "pipeline_near_dup_eval",
     "events_session_funnel",
+    "events_ltv_cohort",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

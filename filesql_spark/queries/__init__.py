@@ -116,7 +116,7 @@ def register(name: str, oracle: str | None):
 # they rank between the r4-stale batch and the r5 cohort, so the first of
 # them takes the one remaining slot and the rest lead the r8 window. The
 # r5/r6 cohorts defer to r8, where ~50 of the then-stalest grade; full
-# coverage of 170 entries cycles in ~3 rounds, and every deferred entry
+# coverage of 171 entries cycles in ~3 rounds, and every deferred entry
 # still runs in the local pytest oracle mirror (tests/test_entry_queries)
 # each round.
 
@@ -264,6 +264,7 @@ _HOLD_AFTER_R4 = frozenset({
     "text_tokenizer_coverage",
     "pipeline_near_dup_eval",
     "events_session_funnel",
+    "events_ltv_cohort",
 })
 _HOLD_RANK = 4.5  # after the r4-stale batch (4), before the r5 cohort (5)
 

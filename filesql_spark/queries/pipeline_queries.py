@@ -5002,3 +5002,98 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conversion_ppm"),
         )
     )
+
+
+@register(
+    "events_ltv_cohort",
+    """
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS TIMESTAMP)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    spend AS (
+        SELECT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              CAST(CAST(e.ts AS DATE) AS TIMESTAMP)) // 7
+                    AS BIGINT) AS week_n,
+               CAST(ROUND(e.value * 100) AS BIGINT) AS v100
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    wk AS (
+        SELECT cohort_week, week_n,
+               CAST(SUM(v100) AS BIGINT) AS rev100,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_buyers
+        FROM spend GROUP BY cohort_week, week_n
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first_seen GROUP BY cohort_week
+    )
+    SELECT w.cohort_week, w.week_n, s.cohort_size, w.active_buyers,
+           w.rev100 / 100.0 AS revenue,
+           CAST(SUM(w.rev100) OVER (PARTITION BY w.cohort_week ORDER BY w.week_n
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               / 100.0 / s.cohort_size AS cum_ltv_per_user
+    FROM wk w JOIN sizes s ON s.cohort_week = w.cohort_week
+    """,
+)
+def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    purchase revenue accumulated per weeks-since-cohort — the LTV
+    triangle a growth team reads next to events_retention_cohorts'
+    activity version.
+
+    One user-grain aggregate pins each user's cohort; the broadcast of
+    that user→cohort map back onto purchases keys ONE (cohort, week)
+    aggregate (map-side combined; revenue in exact cents); the running
+    LTV window runs over the (cohorts × weeks) relation — calendar²-
+    bounded, like the other day/week-grain windows. Per-user division
+    happens once per output row on exact integers.
+
+    The user→cohort map is user-sized: broadcast here, a co-partitioned
+    user_id join at 100 TB (both sides already hash by user_id)."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts")))
+        .cast("timestamp").alias("cohort_week")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date("ts").cast("timestamp").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    spend = purchases.join(F.broadcast(first_seen), "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.expr("CAST(datediff(d, cohort_week) div 7 AS BIGINT)").alias("week_n"),
+        "v100",
+    )
+    wk = spend.groupBy("cohort_week", "week_n").agg(
+        F.sum("v100").alias("rev100"),
+        F.count_distinct("user_id").alias("active_buyers"),
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        wk.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_n",
+            "cohort_size",
+            "active_buyers",
+            (F.col("rev100") / 100.0).alias("revenue"),
+            (
+                F.sum("rev100").over(w).cast("long") / 100.0
+                / F.col("cohort_size")
+            ).alias("cum_ltv_per_user"),
+        )
+    )

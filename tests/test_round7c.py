@@ -570,3 +570,19 @@ def test_session_funnel_attribution(spark):
     assert r.n_with_view == 3  # user 2's purchase-only session has none
     assert r.n_converted == 1  # only user 1's session
     assert r.conversion_ppm == 1_000_000 // 3
+
+
+def test_ltv_cohort_monotone_and_bounded(spark, sf_dir):
+    from filesql_spark.queries.pipeline_queries import events_ltv_cohort
+
+    rows = events_ltv_cohort(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for series in by_cohort.values():
+        series.sort(key=lambda r: r.week_n)
+        ltv = [r.cum_ltv_per_user for r in series]
+        assert all(a <= b + 1e-9 for a, b in zip(ltv, ltv[1:]))  # cumulative
+        for r in series:
+            assert 0 <= r.active_buyers <= r.cohort_size
+            assert r.week_n >= 0
