@@ -283,3 +283,78 @@ def test_chunk_layout_formula_covers_exactly(n, window, data):
     # negative operand case because greatest(0, .) pins it — mirror that
     spark_k = max(0, int((n - window + stride - 1) / stride))
     assert spark_k == k
+
+
+# ------------------------------------------------- round-7c kernels
+
+
+@given(
+    st.lists(
+        st.sampled_from("abcdefgh"), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_entropy_identity_matches_reference(tokens):
+    """The H = log2(n) − (Σ c·log2 c)/n rearrangement used by
+    text.token_entropy equals the textbook −Σ p·log2 p within float
+    noise, and Simpson diversity stays in [0, 1)."""
+    import math
+    from collections import Counter
+
+    n = len(tokens)
+    counts = Counter(tokens).values()
+    direct = -sum((c / n) * math.log2(c / n) for c in counts)
+    rearranged = math.log2(n) - sum(c * math.log2(c) for c in counts) / n
+    assert abs(direct - rearranged) < 1e-9
+    simpson = 1.0 - sum(c * c for c in counts) / (n * n)
+    assert 0.0 <= simpson < 1.0
+    # entropy maxes at log2(distinct): equality iff uniform counts
+    assert rearranged <= math.log2(len(counts)) + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8), st.integers(1, 5)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_pagerank_reference_mass_conserved(edge_list, iters):
+    """Driver-side reference of pipeline/graph.py's recurrence (incl.
+    the dangling mass = 1 − Σcontrib identity): total mass stays 1 for
+    ANY weighted digraph and iteration count, and every rank keeps the
+    (1−d)/N floor."""
+    d = 0.85
+    edges = {}
+    for a, b, w in edge_list:
+        edges[(a, b)] = edges.get((a, b), 0) + w
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out_w = {}
+    for (a, _), w in edges.items():
+        out_w[a] = out_w.get(a, 0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for (a, b), w in edges.items():
+            contrib[b] += rank[a] * (w / out_w[a])
+        dang = 1.0 - sum(contrib.values())
+        rank = {
+            v: (1 - d) / n + d * (contrib[v] + dang / n) for v in nodes
+        }
+        assert abs(sum(rank.values()) - 1.0) < 1e-9
+        assert all(r >= (1 - d) / n - 1e-12 for r in rank.values())
+
+
+@given(st.integers(1, 10**6), st.integers(1, 10**6))
+@settings(max_examples=200, deadline=None)
+def test_ppm_floor_division_bounds(num, den):
+    """The exact integer-ppm idiom (x·10⁶ div n) used across the
+    round-7c gates never exceeds 10⁶ for x ≤ n and loses < 1 ppm vs
+    the real ratio."""
+    x = min(num, den)
+    ppm = x * 1_000_000 // den
+    assert 0 <= ppm <= 1_000_000
+    assert 0 <= (x / den) * 1_000_000 - ppm < 1 + 1e-6
