@@ -150,7 +150,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "agg_conditional_case": 5,
     "agg_group_concat": 5,
     "filter_predicates": 5,
-    "filter_like_ci": 4,
+    "filter_like_ci": 7,
     "select_case_expr": 6,
     "coalesce_cast": 6,
     "join_multiway_inner": 6,
@@ -162,10 +162,10 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "join_cross": 6,
     "join_left_semi": 5,
     "join_left_anti": 6,
-    "join_theta_selfjoin": 4,
-    "window_rank": 4,
-    "window_row_number": 4,
-    "window_agg_over": 4,
+    "join_theta_selfjoin": 7,
+    "window_rank": 7,
+    "window_row_number": 7,
+    "window_agg_over": 7,
     "window_running_sum": 6,
     "window_lag_lead": 5,
     "window_ntile_dense_first": 5,
@@ -176,9 +176,9 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "set_intersect": 5,
     "set_except": 6,
     "cte_vs_company_avg": 6,
-    "derived_table": 4,
+    "derived_table": 7,
     "scalar_subquery_correlated": 5,
-    "scalar_subquery_select": 4,
+    "scalar_subquery_select": 7,
     "in_subquery": 5,
     "agg_rollup": 6,
     "agg_median": 5,
@@ -202,8 +202,8 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_funnel": 6,
     "events_retention_cohorts": 6,
     "streaming_events_sessionize": 6,
-    "multimodal_resize": 4,
-    "multimodal_extract_features": 4,
+    "multimodal_resize": 7,
+    "multimodal_extract_features": 7,
     "streaming_dedup_exact": 5,
     "pipeline_train_val_split": 5,
     "pipeline_stratified_sample": 5,
@@ -228,45 +228,57 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "streaming_dedup_within_watermark": 6,
     "events_anomaly_zscore": 6,
     "embedding_quantize_int8": 6,
+    "q6_forecast_revenue": 7,
+    "events_markov_transitions": 7,
+    "customers_rfm_segments": 7,
+    "customers_rfm_sketch": 7,
+    "interval_join_banded": 7,
+    "events_gap_fill": 7,
+    "events_robust_stats": 7,
+    "window_nth_last_value": 7,
+    "q10_returned_items": 7,
+    "pipeline_dataset_manifest": 7,
+    "join_bloom_semireduction": 7,
+    "pipeline_train_prep": 7,
+    "pipeline_decontaminate": 7,
+    "embedding_kmeans": 7,
+    "embedding_random_projection": 7,
+    "snapshot_diff_docs": 7,
+    "pipeline_mixture_resample": 7,
+    "corpus_datacard": 7,
+    "pipeline_per_source_cap": 7,
+    "pipeline_diversity_sample": 7,
+    "cdc_merge_apply": 7,
+    "streaming_cdc_apply": 7,
+    "text_dup_spans": 7,
+    "pipeline_curate_full": 7,
+    "text_token_drift": 7,
+    "text_chunk_stride": 7,
+    "text_bigram_lm": 7,
+    "events_skew_report": 7,
+    "profile_orders_stats": 7,
+    "sketch_cms_heavy_hitters": 7,
+    "pipeline_semantic_decontaminate": 7,
+    "dedup_cluster_representatives": 7,
+    "streaming_cms_tokens": 7,
+    "events_window_topk": 7,
+    "docs_source_reputation": 7,
+    "pipeline_curriculum_order": 7,
+    "ann_pq_build": 7,
+    "ann_pq_topk": 7,
+    "text_bpe_merges": 7,
+    "events_top_paths": 7,
+    "q14_promo_revenue": 7,
 }
 
-# Operators added AFTER the round-7 window filled (49 of 50 slots were
-# committed to the 40 never-graded r6/r7a/r7b entries + the nine r4-stale
-# ones — VERDICT r6 #1's "no entry older than r5" goal). These sort BETWEEN
-# the r4-stale batch and the r5 cohort: new code should still grade at the
-# first opportunity, but not by evicting the entries the round was
-# explicitly asked to re-verify. One of these takes the 50th slot this
-# round (registry order); the rest lead the r8 window as never-graded.
-_HOLD_AFTER_R4 = frozenset({
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "events_cumulative_distinct",
-    "text_token_entropy",
-    "graph_pagerank_events",
-    "embedding_standardize",
-    "embedding_knn_label",
-    "orders_cooccur_parts",
-    "events_decayed_engagement",
-    "quality_expectations_orders",
-    "text_tfidf_topterms",
-    "q7_nation_volume",
-    "q8_market_share",
-    "embedding_outliers",
-    "events_conversion_latency",
-    "sketch_hll_rollup",
-    "features_user_wide",
-    "events_changepoint_cusum",
-    "events_forecast_seasonal",
-    "orders_association_rules",
-    "text_lm_perplexity",
-    "events_ab_test_lift",
-    "sketch_hll_sliding_wau",
-    "text_tokenizer_coverage",
-    "pipeline_near_dup_eval",
-    "events_session_funnel",
-    "events_ltv_cohort",
-})
-_HOLD_RANK = 4.5  # after the r4-stale batch (4), before the r5 cohort (5)
+# Round-8 rotation (VERDICT r7 #2): _HOLD_AFTER_R4 (the round-7c late-add
+# cohort, pinned between the r4-stale batch and the r5 cohort for the r7
+# window) is retired: after CORRECTNESS_r07 landed, its ungraded members are
+# plain never-graded entries (no _LAST_DRIVER_ROUND row) and sort first
+# automatically. If a future round again adds operators after its window
+# commitment, reintroduce a hold set whose rank applies ONLY to entries with
+# no driver row yet (self-expiring — ADVICE r7 #5), e.g.:
+#   rank = _HOLD_RANK if n in hold and n not in _LAST_DRIVER_ROUND else ...
 
 # Within one staleness class, these trivially-stable plain-SQL entries yield
 # their window slot to operator-family entries (dedup/ANN/pipeline/streaming)
@@ -300,9 +312,7 @@ def _grade_order() -> list[str]:
     return sorted(
         names,
         key=lambda n: (
-            _HOLD_RANK
-            if n in _HOLD_AFTER_R4
-            else _LAST_DRIVER_ROUND.get(n, 0),  # never-graded (0) first
+            _LAST_DRIVER_ROUND.get(n, 0),  # never-graded (0) first
             n in _DEFER_OK,                # stable plain-SQL yields its slot
             idx[n],                        # stable registry order
         ),
