@@ -917,9 +917,13 @@ def near_dup_eval(
     b = sets.alias("tb")
     inter = F.size(F.array_intersect(F.col("ta.sh"), F.col("tb.sh")))
     la, lb = F.size(F.col("ta.sh")), F.size(F.col("tb.sh"))
+    # la + lb > 0 excludes degenerate pairs where BOTH shingle sets are
+    # empty (docs shorter than the shingle width): 3·|∩| ≥ |A|+|B| is
+    # vacuously true for them, yet they never enter the signature table,
+    # so leaving them in permanently deflates recall (ADVICE r7 #4)
     truth = (
         a.join(b, F.col("ta.doc_id") < F.col("tb.doc_id"))
-        .filter(F.lit(3) * inter >= la + lb)
+        .filter((F.lit(3) * inter >= la + lb) & (la + lb > 0))
         .select(
             F.col("ta.doc_id").alias("doc_a"), F.col("tb.doc_id").alias("doc_b")
         )

@@ -49,24 +49,36 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     uniqueness checks are present). Returns (check, observed, passed)."""
     plain = [c for c in checks if c.kind in ("min_rows", "violations")]
     uniq = [c for c in checks if c.kind == "unique"]
+    if not checks:
+        raise ValueError("run_checks requires at least one Check")
 
     aggs = []
     for c in plain:
         if c.kind == "min_rows":
             aggs.append(F.count(F.lit(1)).alias(c.name))
         else:
+            # CASE WHEN cond THEN 0 ELSE 1: a NULL predicate result (e.g.
+            # a range check over a NULL value) counts as a VIOLATION, the
+            # documented semantics and the oracle's phrasing. The earlier
+            # F.when(~cond, 1).otherwise(0) silently passed NULLs
+            # (ADVICE r7 #1).
             aggs.append(
-                F.sum(F.when(~c.cond, 1).otherwise(0)).cast("long").alias(c.name)
+                F.sum(F.when(c.cond, 0).otherwise(1)).cast("long").alias(c.name)
             )
-    out = df.agg(*aggs)
-    if uniq:
-        # separate aggregation: COUNT DISTINCT would force the Expand
-        # rewrite over the plain counts if mixed into the same agg
-        uaggs = [
-            (F.count(c.col) - F.count_distinct(F.col(c.col))).alias(c.name)
-            for c in uniq
-        ]
-        out = out.crossJoin(F.broadcast(df.agg(*uaggs)))
+    uaggs = [
+        (F.count(c.col) - F.count_distinct(F.col(c.col))).alias(c.name)
+        for c in uniq
+    ]
+    if plain:
+        out = df.agg(*aggs)
+        if uniq:
+            # separate aggregation: COUNT DISTINCT would force the Expand
+            # rewrite over the plain counts if mixed into the same agg
+            out = out.crossJoin(F.broadcast(df.agg(*uaggs)))
+    else:
+        # all-unique suite: df.agg() with zero expressions raises
+        # (ADVICE r7 #2) — the distinct agg stands alone
+        out = df.agg(*uaggs)
 
     rows = []
     for c in checks:

@@ -4153,7 +4153,7 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(value * 100) AS BIGINT) AS v100,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
                          OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > 1800000000 THEN 1 ELSE 0 END AS is_new
+                         >= 1800000000 THEN 1 ELSE 0 END AS is_new
         FROM events
     )
     SELECT user_id,
@@ -4200,9 +4200,13 @@ def features_user_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros("ts").alias("ts_us"),
         F.round(F.col("value") * 100).cast("long").alias("v100"),
+        # >= 30 min starts a new session, matching events_sessionize /
+        # events_session_funnel's shared boundary (ADVICE r7 #3: the
+        # strict > here made a gap of exactly 30 min reconcile
+        # differently from the sessionize operators)
         F.when(
             F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(uw)
-            > 1_800_000_000,
+            >= 1_800_000_000,
             1,
         ).otherwise(0).alias("is_new"),
     )
@@ -4864,6 +4868,7 @@ def _near_dup_eval_oracle() -> str:
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
         WHERE 3 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh)
+          AND len(a.sh) + len(b.sh) > 0
     ),
     tp AS (SELECT doc_a, doc_b FROM tr INTERSECT SELECT doc_a, doc_b FROM pairs),
     m AS (

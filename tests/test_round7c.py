@@ -210,7 +210,7 @@ def test_quality_checks_planted_violations(spark):
     from filesql_spark.pipeline.quality import Check, referential_check, run_checks
 
     df = spark.createDataFrame(
-        [(1, 10.0), (2, -5.0), (2, 20.0), (None, 30.0)],
+        [(1, 10.0), (2, -5.0), (2, 20.0), (None, 30.0), (5, None)],
         "k int, v double",
     )
     out = {r.check: r for r in run_checks(df, [
@@ -219,18 +219,26 @@ def test_quality_checks_planted_violations(spark):
         Check("v_positive", "violations", cond=F.col("v") > 0),
         Check("k_unique", "unique", col="k"),
     ]).collect()}
-    assert out["rows_min"].observed == 4 and out["rows_min"].passed == 0
+    assert out["rows_min"].observed == 5 and out["rows_min"].passed == 0
     assert out["k_not_null"].observed == 1 and out["k_not_null"].passed == 0
-    assert out["v_positive"].observed == 1
+    # v=-5 fails the range check AND the NULL v counts as a violation
+    # (CASE WHEN cond THEN 0 ELSE 1 — ADVICE r7 #1)
+    assert out["v_positive"].observed == 2
     # k=2 appears twice; NULLs don't count toward uniqueness
     assert out["k_unique"].observed == 1 and out["k_unique"].passed == 0
 
+    # all-unique suite: df.agg() with zero plain expressions used to raise
+    uniq_only = {r.check: r for r in run_checks(df, [
+        Check("k_unique", "unique", col="k"),
+    ]).collect()}
+    assert uniq_only["k_unique"].observed == 1
+
     dim = spark.createDataFrame([(1,), (3,)], "k int")
     ref = referential_check(df, "k", dim, "k", "k_refs").collect()[0]
-    # k=2 twice orphaned + the NULL key (NULL never equi-matches — the
-    # documented NOT-EXISTS semantics; SQL-FK vacuous-NULL needs a
+    # k=2 twice orphaned + k=5 + the NULL key (NULL never equi-matches —
+    # the documented NOT-EXISTS semantics; SQL-FK vacuous-NULL needs a
     # paired not-null check)
-    assert ref.observed == 3
+    assert ref.observed == 4
     assert ref.passed == 0
 
 
