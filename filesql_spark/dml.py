@@ -36,9 +36,25 @@ def _ident(m: re.Match) -> str:
     return m.group("q") or m.group("b") or m.group("p")
 
 
+def _replace_alias(sql: str) -> str:
+    """``REPLACE INTO t …`` → ``INSERT OR REPLACE INTO t …``. SQLite
+    defines REPLACE as a pure alias for INSERT OR REPLACE (inherited by
+    the reference via its SQLite engine, go.mod:11); rewriting the
+    keyword routes it through the existing upsert machinery, RETURNING
+    included."""
+    out = re.sub(
+        r"^\s*REPLACE\s+INTO\b", "INSERT OR REPLACE INTO", sql, count=1, flags=re.I
+    )
+    if out == sql:
+        raise FilesqlError(f"cannot parse REPLACE: {sql.strip()[:120]}")
+    return out
+
+
 def execute(engine, sql: str) -> int:
     head = sql.lstrip()
     kw = head.split(None, 1)[0].upper() if head.split() else ""
+    if kw == "REPLACE":
+        sql, kw = _replace_alias(sql), "INSERT"
     if kw == "INSERT":
         n, _rows = _insert(engine, sql)
         return n
@@ -62,6 +78,8 @@ def dml_returning(engine, sql: str):
     rows (SQLite 3.35+, inherited by the reference's engine). The
     mutation is applied as a side effect, like SQLite's."""
     kw = sql.lstrip().split(None, 1)[0].upper()
+    if kw == "REPLACE":
+        sql, kw = _replace_alias(sql), "INSERT"
     fn = {"INSERT": _insert, "UPDATE": _update, "DELETE": _delete}[kw]
     _n, rows = fn(engine, sql)
     if rows is None:

@@ -151,9 +151,10 @@ class Engine:
                 return run_recursive(self.spark, sql, dialect.rewrite)
         if stmt in ("SELECT", "WITH", "VALUES"):
             return self.spark.sql(dialect.rewrite(sql))
-        if stmt in ("INSERT", "UPDATE", "DELETE"):
+        if stmt in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
             # DML … RETURNING behaves as a row-producing statement
-            # (SQLite 3.35+); dml raises if the clause is absent
+            # (SQLite 3.35+); dml raises if the clause is absent.
+            # REPLACE is SQLite's alias for INSERT OR REPLACE.
             from filesql_spark import dml
 
             return dml.dml_returning(self, _strip_comments(sql).strip())
@@ -215,7 +216,7 @@ class Engine:
             name = _savepoint_ident(sql, "RELEASE")
             self.release(name)
             return 0
-        if stmt in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER"):
+        if stmt in ("INSERT", "REPLACE", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER"):
             # comments are legal anywhere in SQLite DML; the dml regex
             # parsers anchor on the keyword, so blank comments first
             return dml.execute(self, _strip_comments(sql).strip())

@@ -302,6 +302,24 @@ def test_insert_or_replace_with_declared_pk(eng):
     eng.execute("DROP TABLE kv")
 
 
+def test_replace_into_alias(eng):
+    """SQLite: ``REPLACE INTO`` is a pure alias for INSERT OR REPLACE
+    (the reference inherits it via its SQLite engine); RETURNING works
+    through the alias like on any INSERT."""
+    eng.execute("CREATE TABLE kv (k TEXT PRIMARY KEY, v INTEGER)")
+    eng.execute("INSERT INTO kv VALUES ('a', 1), ('b', 2)")
+    n = eng.execute("REPLACE INTO kv VALUES ('a', 10), ('c', 3)")
+    assert n == 2  # each attempted row counts, like SQLite changes()
+    rows = {r.k: r.v for r in eng.query("SELECT * FROM kv").collect()}
+    assert rows == {"a": 10, "b": 2, "c": 3}
+    df = eng.query("REPLACE INTO kv VALUES ('b', 20) RETURNING k, v")
+    assert [(r.k, r.v) for r in df.collect()] == [("b", 20)]
+    # not-an-INTO REPLACE still errors cleanly
+    with pytest.raises(FilesqlError):
+        eng.execute("REPLACE kv SET v = 1")
+    eng.execute("DROP TABLE kv")
+
+
 def test_upsert_composite_pk_and_intra_batch_last_wins(eng):
     eng.execute(
         "CREATE TABLE m (a INTEGER, b INTEGER, v TEXT, PRIMARY KEY (a, b))"
