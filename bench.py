@@ -212,6 +212,31 @@ def main() -> None:
         build_samples.append(time.perf_counter() - t0)
     pq_build_sec = round(statistics.median(build_samples), 4)
 
+    # Standing near-dup components table (dedup_cluster_representatives
+    # serves from it — the election is one groupBy) and the diversity
+    # k-means fit (assignment serves from the fitted centroid literal):
+    # both build halves timed separately, same protocol as IVF/PQ.
+    from filesql_spark.queries.pipeline_queries import (
+        ensure_components,
+        ensure_diversity_centroids,
+    )
+
+    build_samples = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ensure_components(spark, sf_dir, fresh=True).count()  # checkpoint is eager
+        build_samples.append(time.perf_counter() - t0)
+    components_build_sec = round(statistics.median(build_samples), 4)
+
+    build_samples = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ensure_diversity_centroids(spark, sf_dir, fresh=True)  # fit collects
+        build_samples.append(time.perf_counter() - t0)
+    diversity_fit_sec = round(statistics.median(build_samples), 4)
+
     timings: dict[str, float] = {}
     for n in names:
         samples = []
@@ -254,6 +279,8 @@ def main() -> None:
         "ann_ivf_build_sec": ivf_build_sec,
         "dedup_base_build_sec": dedup_base_build_sec,
         "ann_pq_build_sec": pq_build_sec,
+        "components_build_sec": components_build_sec,
+        "diversity_fit_sec": diversity_fit_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LOCAL.json",
     }

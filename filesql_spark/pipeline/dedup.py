@@ -842,9 +842,10 @@ def incremental_dedup(
 
 def cluster_representatives(
     docs: DataFrame,
-    edges: DataFrame,
+    edges: DataFrame | None,
     id_col: str = "doc_id",
     score_col: str = "n_chars",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Keep-BEST-per-cluster canonicalization: for each near-dup
     component, elect the member with the highest ``score_col`` (ties to
@@ -861,8 +862,15 @@ def cluster_representatives(
     window, no secondary sort, map-side partially aggregated, so the
     added cost over plain dedup is a single shuffle of (component,
     score, id) triples.
+
+    Steady-state deployments keep the labeled ``(node, component)``
+    table STANDING (it only changes when the edge set does) — pass it
+    as ``components`` and the full CC iteration loop is skipped, the
+    same build/serve split ``incremental_dedup`` uses for its base
+    index (VERDICT r7 #4). When omitted, components are derived from
+    ``edges`` as before.
     """
-    comp = connected_components(edges)
+    comp = components if components is not None else connected_components(edges)
     labeled = (
         docs.select(id_col, score_col)
         .join(comp, F.col(id_col) == F.col("node"), "left")

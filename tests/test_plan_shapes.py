@@ -550,3 +550,29 @@ def test_features_user_wide_single_exchange(spark, qs):
     # SinglePartition one-row exchange — nothing else
     assert len(hash_ex) <= 2, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_diversity_serve_plan_no_lloyd(spark, qs):
+    """Fit-once/serve-many: the served diversity-sample plan is a
+    literal-centroid assignment + one per-cluster window — no join, no
+    Lloyd per-dimension mean aggregates, exactly one data-sized
+    exchange (the window's cluster shuffle)."""
+    import re
+
+    plan = _formatted(qs["pipeline_diversity_sample"](spark, SF))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan  # no centroid-update sums
+    hash_ex = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(hash_ex) == 1, plan
+
+
+def test_cluster_reps_serve_plan_no_cc_iterations(spark, qs):
+    """Standing-components serve: electing representatives against the
+    checkpointed (node, component) table is ONE parquet scan of docs,
+    the label join, and the argmax groupBy — the CC loop's iterative
+    self-joins and the MinHash signature machinery must be absent."""
+    plan = _formatted(qs["dedup_cluster_representatives"](spark, SF))
+    # the standing table surfaces as a lineage-truncated scan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert _n_scans(plan) == 1, plan  # documents only, once
+    assert "posexplode" not in plan and "md5" not in plan  # no minhash
