@@ -69,19 +69,24 @@ def clean_corpus_metrics(
     not driver-side logs, so a 100-TB run can write its funnel next to
     its output and join/alert on it downstream.
 
-    Shape: four single-row count aggregates cross-joined (1×1×1×1 rows —
+    Shape: three single-row count aggregates cross-joined (1×1×1 rows —
     the joins are trivial broadcasts), then exploded into the per-stage
-    funnel. ``exact_kept`` is persisted because three of the four counts
-    read it (directly or through the near-dup stage); the minhash
-    signatures persist inside their own operator. Nothing collects to
-    the driver.
+    funnel. The total and gate counts come from ONE aggregation over the
+    base scan (a conditional SUM of the gate predicate — counting the
+    filtered frame separately would re-scan the source, VERDICT r7 #6);
+    ``exact_kept`` is persisted because the remaining counts read it
+    (directly or through the near-dup stage); the minhash signatures
+    persist inside their own operator. Nothing collects to the driver.
     """
     gated = _gate(df, min_tokens)
     exact_kept = _exact_kept(gated).persist()
     final = _near_final(exact_kept, jaccard_threshold)
+    gate_cond = F.size(F.split(F.col("text"), " ")) >= min_tokens
     counts = (
-        df.agg(F.count("*").alias("n_total"))
-        .crossJoin(gated.agg(F.count("*").alias("n_gate")))
+        df.agg(
+            F.count("*").alias("n_total"),
+            F.sum(gate_cond.cast("long")).alias("n_gate"),
+        )
         .crossJoin(exact_kept.agg(F.count("*").alias("n_exact")))
         .crossJoin(final.agg(F.count("*").alias("n_final")))
     )

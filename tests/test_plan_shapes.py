@@ -576,3 +576,21 @@ def test_cluster_reps_serve_plan_no_cc_iterations(spark, qs):
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
     assert _n_scans(plan) == 1, plan  # documents only, once
     assert "posexplode" not in plan and "md5" not in plan  # no minhash
+
+
+def test_stage_metrics_combined_base_counts(spark, qs):
+    """The funnel's total+gate counts come from ONE aggregation over the
+    base scan (conditional SUM), and exact_kept is cached: exactly three
+    parquet scan nodes (counts agg + the two gated consumers inside
+    exact-dedup), with the downstream counts reading the cache."""
+    plan = _formatted(qs["pipeline_stage_metrics"](spark, SF))
+    assert _n_scans(plan) == 3, plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_curate_full_contamination_cached(spark, qs):
+    """The corpus-wide 13-gram join runs ONCE: the contaminated-doc list
+    is persisted, so both exact-dedup consumers of the decontaminated
+    prefix read the cache instead of replaying the gram aggregation."""
+    plan = _formatted(qs["pipeline_curate_full"](spark, SF))
+    assert "InMemoryTableScan" in plan
