@@ -138,6 +138,19 @@ HEADLINE = [
     "pipeline_near_dup_eval",
     "events_session_funnel",
     "events_ltv_cohort",
+    # round-8 additions
+    "set_except_all",
+    "set_intersect_all",
+    "agg_filter_clause",
+    "window_cume_dist",
+    "events_user_streaks",
+    "lineitem_pareto_share",
+    "sketch_kmv_theta",
+    "graph_triangle_census",
+    "events_bot_detection",
+    "events_hazard_curve",
+    "docs_lang_confusion",
+    "pipeline_contamination_report",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -115,3 +115,67 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Global triangle census over an undirected edge list: one row with
+    (n_nodes, n_edges, n_wedges, n_triangles, closure_ppm) where
+    closure_ppm = 3·triangles·10⁶ ÷ wedges (the global clustering
+    coefficient in exact integer ppm) — the structural health check for
+    near-dup graphs (a clique-y graph dedups very differently from a
+    chain-y one).
+
+    Algorithm: canonical a<b edges; wedges (a,b,c) with b<c from the
+    shared-endpoint self-join; triangles = wedges whose closing edge
+    (b,c) exists (left-semi). Everything is equi-joins on node ids —
+    no cartesian. At 100 TB-scale graphs the standard hardening is
+    degree-ordered orientation (point each edge at its higher-degree
+    endpoint before the wedge join, bounding per-key fan-out by max
+    oriented out-degree ~ sqrt(|E|)); the id-ordered form here keeps
+    the DuckDB oracle's arithmetic identical, and the swap is a
+    one-line orientation change on the persisted edge table.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("n_wedges"),
+    ).crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    wedges = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.a") == F.col("y.a"))
+        .filter(F.col("x.b") < F.col("y.b"))
+        .select(F.col("x.b").alias("a"), F.col("y.b").alias("b"))
+    )
+    tri = wedges.join(e, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return base.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.expr("(3 * n_triangles * 1000000) div n_wedges"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("closure_ppm"),
+    )

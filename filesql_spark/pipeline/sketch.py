@@ -592,3 +592,111 @@ def hll_rollup(
         F.max("r").alias("r")
     )
     return hll_estimate_from_registers(coarse_regs, [coarse_name])
+
+
+# ---------------------------------------------------------------- KMV/theta
+
+KMV_H = 1 << 60  # hash domain: 60-bit md5-derived ints (exact as double)
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """K-Minimum-Values distinct sketch per group: the k smallest 60-bit
+    md5 hashes of the distinct values — (group, h, rn) with rn ≤ k.
+
+    The KMV/theta family (Bar-Yossef et al.; DataSketches theta) is the
+    mergeable-distinct structure that, unlike HLL registers, also
+    supports INTERSECTION estimates — the piece set-overlap audits
+    (shared users across cohorts, corpus overlap across sources) need.
+
+    Scale shape: one distinct (group, value) aggregate, then k-smallest
+    per group in TWO phases — per (group, salt) window first (32-way
+    parallel, each emits ≤k candidates), then the final ≤32k-row
+    per-group window. A single direct per-group window would funnel
+    every distinct hash of a hot group through one task; the salt phase
+    caps that at candidates-only. Deterministic: md5 hashing, exact
+    integer ordering, no ties (distinct hashes).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+        .withColumn("salt", F.col("h") % 32)
+    )
+    w1 = Window.partitionBy("g", "salt").orderBy("h")
+    cand = (
+        hashes.withColumn("prn", F.row_number().over(w1))
+        .filter(F.col("prn") <= k)
+        .drop("prn", "salt")
+    )
+    w2 = Window.partitionBy("g").orderBy("h")
+    return (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_theta_estimates(
+    sketches: DataFrame, set_a: str, set_b: str, k: int = 64
+) -> DataFrame:
+    """Theta-framework set-operation estimates from two KMV sketches.
+
+    Per set S with sketch rows n_S: theta_S = H if n_S < k (sketch is
+    exhaustive) else the k-th smallest hash; the estimator is uniformly
+
+        estimate = |{h in sketch : h < theta}| * H / theta
+
+    (= exact count when n < k; the classic (k-1)·H/h_k otherwise).
+    Union/intersection: theta = min(theta_A, theta_B); count the
+    distinct union / intersection of sketch hashes below theta. Output:
+    (set_name, n_kept, theta, estimate) — 4 rows (a, b, union,
+    intersection), every column before the one division exact integers.
+    """
+    a = sketches.filter(F.col("g") == set_a)
+    b = sketches.filter(F.col("g") == set_b)
+
+    def theta_of(s: DataFrame) -> DataFrame:
+        return s.groupBy().agg(
+            F.when(F.count("h") < k, F.lit(KMV_H))
+            .otherwise(F.max("h"))
+            .cast("long")
+            .alias("theta")
+        )
+
+    ta, tb = theta_of(a), theta_of(b)
+    est = (
+        F.col("n_kept").cast("double")
+        * F.lit(float(KMV_H))
+        / F.col("theta").cast("double")
+    )
+
+    def one(name: str, hashes: DataFrame, theta: DataFrame) -> DataFrame:
+        return (
+            hashes.crossJoin(F.broadcast(theta))
+            .filter(F.col("h") < F.col("theta"))
+            .groupBy("theta")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+            .select(
+                F.lit(name).alias("set_name"),
+                "n_kept",
+                "theta",
+                est.alias("estimate"),
+            )
+        )
+
+    tmin = (
+        ta.crossJoin(tb.select(F.col("theta").alias("tb")))
+        .select(F.least("theta", "tb").cast("long").alias("theta"))
+    )
+    ah, bh = a.select("h"), b.select("h")
+    return (
+        one(set_a, ah, ta)
+        .unionByName(one(set_b, bh, tb))
+        .unionByName(one("union", ah.union(bh).distinct(), tmin))
+        .unionByName(one("intersection", ah.intersect(bh), tmin))
+    )

@@ -5175,3 +5175,426 @@ def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: KMV/theta set ops, triangle census, bot detection,
+# hazard curve, lang-ID confusion, contamination report
+# ---------------------------------------------------------------------------
+
+
+def _kmv_oracle(k: int = 64) -> str:
+    H = 1 << 60
+    est = "CAST(n_kept AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(theta AS DOUBLE)"
+    return f"""
+    WITH hs AS (
+        SELECT DISTINCT event_type AS g,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    ranked AS (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs
+    ),
+    sk AS (SELECT g, h FROM ranked WHERE rn <= {k}),
+    th AS (
+        SELECT g, CAST(CASE WHEN COUNT(*) < {k} THEN {H} ELSE MAX(h) END AS BIGINT) AS theta
+        FROM sk GROUP BY g
+    ),
+    tmin AS (SELECT CAST(MIN(theta) AS BIGINT) AS theta FROM th),
+    rows_a AS (
+        SELECT 'view' AS set_name, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(MAX(t.theta) AS BIGINT) AS theta
+        FROM sk s CROSS JOIN (SELECT theta FROM th WHERE g = 'view') t
+        WHERE s.g = 'view' AND s.h < t.theta
+    ),
+    rows_b AS (
+        SELECT 'purchase', CAST(COUNT(*) AS BIGINT),
+               CAST(MAX(t.theta) AS BIGINT)
+        FROM sk s CROSS JOIN (SELECT theta FROM th WHERE g = 'purchase') t
+        WHERE s.g = 'purchase' AND s.h < t.theta
+    ),
+    rows_u AS (
+        SELECT 'union', CAST(COUNT(*) AS BIGINT), CAST(MAX(t.theta) AS BIGINT)
+        FROM (SELECT DISTINCT h FROM sk) s CROSS JOIN tmin t
+        WHERE s.h < t.theta
+    ),
+    rows_i AS (
+        SELECT 'intersection', CAST(COUNT(*) AS BIGINT), CAST(MAX(t.theta) AS BIGINT)
+        FROM (SELECT h FROM sk WHERE g = 'view'
+              INTERSECT SELECT h FROM sk WHERE g = 'purchase') s
+        CROSS JOIN tmin t
+        WHERE s.h < t.theta
+    ),
+    allrows AS (
+        SELECT * FROM rows_a UNION ALL SELECT * FROM rows_b
+        UNION ALL SELECT * FROM rows_u UNION ALL SELECT * FROM rows_i
+    )
+    SELECT set_name, n_kept, theta, {est} AS estimate FROM allrows
+    """
+
+
+@register("sketch_kmv_theta", _kmv_oracle())
+def sketch_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct sketches over the view-users and purchase-users
+    sets, with union AND intersection estimates — the set-operation
+    capability HLL registers lack (theta framework: estimate =
+    |{h < theta}| · H/theta uniformly across plain/union/intersect
+    sketches; pipeline/sketch.py kmv_sketch). Exact integers up to the
+    single division; the two-phase salted k-smallest keeps hot groups
+    off a single task."""
+    from filesql_spark.pipeline.sketch import kmv_sketch, kmv_theta_estimates
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sk = kmv_sketch(e, "event_type", "user_id", k=64)
+    return kmv_theta_estimates(sk, "view", "purchase", k=64)
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    e AS (
+        SELECT DISTINCT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+        FROM pairs WHERE doc_a != doc_b
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY v
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+    w AS (
+        SELECT x.b AS a, y.b AS b
+        FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM w
+        WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b)
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges > 0
+                THEN (3 * n_triangles * 1000000) // n_wedges
+                ELSE 0 END AS BIGINT) AS closure_ppm
+    FROM base CROSS JOIN ne CROSS JOIN tri
+    """
+
+
+@register("graph_triangle_census", _triangle_oracle())
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the MinHash near-dup graph: nodes, edges,
+    wedges, triangles, and the global clustering coefficient in exact
+    integer ppm — clique-y duplicate graphs collapse safely under
+    keep-one-per-component, chain-y ones over-merge, and this is the
+    one-row report that tells you which you have
+    (pipeline/graph.py triangle_stats)."""
+    from filesql_spark.pipeline.dedup import minhash_lsh_pairs
+    from filesql_spark.pipeline.graph import triangle_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return triangle_stats(minhash_lsh_pairs(d))
+
+
+@register(
+    "events_bot_detection",
+    """
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW)
+                   AS n_in_min
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS span_sec,
+           CAST(MAX(n_in_min) AS BIGINT) AS max_per_min,
+           CAST(CASE WHEN COUNT(*) > 1
+                THEN ((MAX(ts_us) - MIN(ts_us)) // (COUNT(*) - 1)) // 1000
+                ELSE 0 END AS BIGINT) AS mean_gap_ms,
+           CAST(CASE WHEN MAX(n_in_min) >= 20
+                      OR (COUNT(*) >= 50 AND
+                          ((MAX(ts_us) - MIN(ts_us)) // (COUNT(*) - 1)) // 1000
+                              < 60000)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_bot
+    FROM base GROUP BY user_id
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection — the traffic-hygiene gate a
+    training-data pipeline runs before user-behavior data feeds
+    anything: per user, burst rate (max events in any trailing 60 s
+    RANGE window), total volume, mean inter-arrival, and a rule flag
+    (burst ≥ 20/min, or ≥ 50 events at < 1 event/min mean spacing).
+
+    One user-keyed shuffle serves both the RANGE-frame window and the
+    groupBy (same partitioning, same stage); every statistic is exact
+    integer arithmetic, so the flag is engine-portable."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-59_999_999, 0)
+    )
+    base = e.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_in_min"),
+    )
+    span = F.max("ts_us") - F.min("ts_us")
+    n = F.count(F.lit(1))
+    mean_gap_ms = F.when(
+        n > 1, F.expr("(max(ts_us) - min(ts_us)) div (count(*) - 1) div 1000")
+    ).otherwise(F.lit(0))
+    return base.groupBy("user_id").agg(
+        n.cast("long").alias("n_events"),
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("span_sec"),
+        F.max("n_in_min").cast("long").alias("max_per_min"),
+        mean_gap_ms.cast("long").alias("mean_gap_ms"),
+        (
+            (F.max("n_in_min") >= 20)
+            | ((n >= 50) & (mean_gap_ms < 60_000))
+        )
+        .cast("int")
+        .alias("is_bot"),
+    )
+
+
+@register(
+    "events_hazard_curve",
+    """
+    WITH anchor AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(epoch_us(ts)) AS h_us FROM events),
+    conv AS (
+        SELECT a.user_id,
+               MIN(epoch_us(e.ts)) AS c_us
+        FROM anchor a JOIN events e ON e.user_id = a.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= a.s_us
+        GROUP BY a.user_id
+    ),
+    fates AS (
+        SELECT a.user_id,
+               CASE WHEN c.c_us IS NOT NULL
+                    THEN (c.c_us - a.s_us) // 86400000000 END AS conv_day,
+               CASE WHEN c.c_us IS NULL
+                    THEN (h.h_us - a.s_us) // 86400000000 END AS cens_day
+        FROM anchor a LEFT JOIN conv c ON a.user_id = c.user_id
+        CROSS JOIN horizon h
+    ),
+    per_day AS (
+        SELECT d, CAST(SUM(n_conv) AS BIGINT) AS n_converted,
+               CAST(SUM(n_cens) AS BIGINT) AS n_censored
+        FROM (
+            SELECT conv_day AS d, 1 AS n_conv, 0 AS n_cens FROM fates
+            WHERE conv_day IS NOT NULL
+            UNION ALL
+            SELECT cens_day, 0, 1 FROM fates WHERE cens_day IS NOT NULL
+        ) GROUP BY d
+    ),
+    curve AS (
+        SELECT d, n_converted, n_censored,
+               (SELECT COUNT(*) FROM fates)
+                 - COALESCE(SUM(n_converted + n_censored) OVER (
+                       ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_at_risk
+        FROM per_day
+    )
+    SELECT CAST(d AS BIGINT) AS day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_converted, n_censored,
+           CAST(CASE WHEN n_at_risk > 0
+                THEN (n_converted * 1000000) // n_at_risk
+                ELSE 0 END AS BIGINT) AS hazard_ppm
+    FROM curve WHERE n_converted > 0
+    """,
+)
+def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis of signup→first-purchase: per
+    day-offset, the number of users still at risk, conversions,
+    right-censored exits (no purchase by the data horizon) and the
+    hazard in exact integer ppm — the life-table form of Kaplan-Meier
+    (the survival product is deliberately NOT computed: a float
+    cumulative product is not portably exact, the integer hazard
+    sequence is, and S(t) is recoverable from it).
+
+    Scale shape: two per-user aggregates (anchor, first conversion),
+    one day-level aggregate, one small ordered window over distinct
+    days. The at-risk count is N − cumulative-exits-before — no
+    per-day rescan of users."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    anchor = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("s_us"))
+    )
+    horizon = e.agg(F.max(ts_us).alias("h_us"))
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_us.alias("c_us"))
+        .join(anchor, "user_id")
+        .filter(F.col("c_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("c_us").alias("c_us"))
+    )
+    fates = (
+        anchor.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(
+                "CASE WHEN c_us IS NOT NULL THEN (c_us - s_us) div 86400000000 END"
+            ).alias("conv_day"),
+            F.expr(
+                "CASE WHEN c_us IS NULL THEN (h_us - s_us) div 86400000000 END"
+            ).alias("cens_day"),
+        )
+    )
+    exits = (
+        fates.filter(F.col("conv_day").isNotNull())
+        .select(F.col("conv_day").alias("d"), F.lit(1).alias("n_conv"), F.lit(0).alias("n_cens"))
+        .unionAll(
+            fates.filter(F.col("cens_day").isNotNull()).select(
+                F.col("cens_day").alias("d"), F.lit(0), F.lit(1)
+            )
+        )
+    )
+    per_day = exits.groupBy("d").agg(
+        F.sum("n_conv").cast("long").alias("n_converted"),
+        F.sum("n_cens").cast("long").alias("n_censored"),
+    )
+    total = fates.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    curve = (
+        per_day.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_converted") + F.col("n_censored")).over(w),
+                F.lit(0),
+            ),
+        )
+    )
+    return curve.filter(F.col("n_converted") > 0).select(
+        F.col("d").cast("long").alias("day"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        "n_converted",
+        "n_censored",
+        F.when(
+            F.col("n_at_risk") > 0,
+            F.expr("(n_converted * 1000000) div n_at_risk"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hazard_ppm"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    return f"""
+    WITH li AS ({_lang_id_oracle()})
+    SELECT d.lang AS declared, li.detected_lang AS detected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER (PARTITION BY d.lang)
+                AS BIGINT) AS share_ppm
+    FROM documents d JOIN li ON d.doc_id = li.doc_id
+    GROUP BY d.lang, li.detected_lang
+    """
+
+
+@register("docs_lang_confusion", _lang_confusion_oracle())
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata QA: confusion matrix of declared ``lang`` vs
+    the stopword-hit detector (declared, detected, n_docs, share_ppm
+    within the declared language) — the check that catches mislabeled
+    corpora before a mixture-weighted sampler trusts the labels.
+    Composition of text_lang_id (zero-shuffle scoring) with one
+    two-key aggregate; the per-declared share rides a window over the
+    already-aggregated matrix (≤ |langs|² rows)."""
+    from filesql_spark.pipeline.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    li = lang_id(d).select("doc_id", "detected_lang")
+    m = (
+        d.select("doc_id", "lang")
+        .join(li, "doc_id")
+        .groupBy(F.col("lang").alias("declared"), F.col("detected_lang").alias("detected"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("declared")
+    return m.select(
+        "declared",
+        "detected",
+        "n_docs",
+        F.expr("n_docs * 1000000").alias("__num"),
+        F.sum("n_docs").over(w).alias("__tot"),
+    ).select(
+        "declared",
+        "detected",
+        "n_docs",
+        F.expr("__num div __tot").cast("long").alias("share_ppm"),
+    )
+
+
+def _contamination_report_oracle(n: int = 13, mod: int = 17) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+    WITH t0 AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {n - 1}), i -> {gram}))) AS g
+        FROM t0 WHERE len(t) >= {n}
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM sh
+    ),
+    bench AS (SELECT doc_id AS bench_id, h FROM h WHERE doc_id % {mod} = 0),
+    train AS (SELECT doc_id, h FROM h WHERE doc_id % {mod} != 0)
+    SELECT b.bench_id,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(t.doc_id) AS BIGINT) AS first_train_doc
+    FROM bench b JOIN train t USING (h)
+    GROUP BY b.bench_id
+    """
+
+
+@register("pipeline_contamination_report", _contamination_report_oracle())
+def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benchmark-side contamination audit — for each benchmark doc
+    (doc_id % 17 = 0, the curate_full split): how many training docs
+    share a 13-gram with it, how many distinct grams leak, total hit
+    pairs, and the smallest offending train doc. pipeline_decontaminate
+    answers "which training docs do I drop"; this answers "which
+    benchmarks are compromised and how badly" — the report an eval team
+    reads before trusting a score.
+
+    Same join shape as decontaminate (contamination.py): the benchmark
+    gram table broadcasts, the corpus side never shuffles for the
+    match; the only corpus-wide shuffle is the final per-benchmark
+    aggregate."""
+    from filesql_spark.pipeline.contamination import ngram_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = ngram_hashes(d.filter(F.col("doc_id") % 17 == 0)).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    train = ngram_hashes(d.filter(F.col("doc_id") % 17 != 0))
+    j = train.join(F.broadcast(bench), "h")
+    return j.groupBy("bench_id").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_train_docs"),
+        F.count_distinct("h").cast("long").alias("n_shared_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("doc_id").cast("long").alias("first_train_doc"),
+    )

