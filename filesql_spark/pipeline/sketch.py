@@ -656,7 +656,13 @@ def kmv_theta_estimates(
     distinct union / intersection of sketch hashes below theta. Output:
     (set_name, n_kept, theta, estimate) — 4 rows (a, b, union,
     intersection), every column before the one division exact integers.
+
+    The sketch table is consumed by SIX branches (two thetas, four
+    count rows); it is ≤ k·|groups| rows, so it is eagerly
+    localCheckpointed — the data-sized distinct+window pipeline behind
+    it runs ONCE, and every branch reads the materialized k-row table.
     """
+    sketches = sketches.localCheckpoint()
     a = sketches.filter(F.col("g") == set_a)
     b = sketches.filter(F.col("g") == set_b)
 

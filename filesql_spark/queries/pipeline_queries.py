@@ -5457,18 +5457,22 @@ def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cens_day"),
         )
     )
-    exits = (
-        fates.filter(F.col("conv_day").isNotNull())
-        .select(F.col("conv_day").alias("d"), F.lit(1).alias("n_conv"), F.lit(0).alias("n_cens"))
-        .unionAll(
-            fates.filter(F.col("cens_day").isNotNull()).select(
-                F.col("cens_day").alias("d"), F.lit(0), F.lit(1)
-            )
+    # every user has EXACTLY ONE fate (conv_day xor cens_day), so the
+    # per-day exit counts need no union — one select, one aggregate;
+    # fates is user-sized and feeds two branches (exits + total), so it
+    # is checkpointed once instead of replaying the anchor/conv joins
+    fates = fates.localCheckpoint()
+    per_day = (
+        fates.select(
+            F.coalesce("conv_day", "cens_day").alias("d"),
+            F.col("conv_day").isNotNull().cast("long").alias("n_conv"),
+            F.col("conv_day").isNull().cast("long").alias("n_cens"),
         )
-    )
-    per_day = exits.groupBy("d").agg(
-        F.sum("n_conv").cast("long").alias("n_converted"),
-        F.sum("n_cens").cast("long").alias("n_censored"),
+        .groupBy("d")
+        .agg(
+            F.sum("n_conv").cast("long").alias("n_converted"),
+            F.sum("n_cens").cast("long").alias("n_censored"),
+        )
     )
     total = fates.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)

@@ -596,3 +596,27 @@ def test_curate_full_contamination_cached(spark, qs):
     prefix read the cache instead of replaying the gram aggregation."""
     plan = _formatted(qs["pipeline_curate_full"](spark, SF))
     assert "InMemoryTableScan" in plan
+
+
+def test_bot_detection_single_exchange(spark, qs):
+    """One user-keyed shuffle serves both the RANGE-frame window and the
+    groupBy — no second data-sized exchange, no join."""
+    import re
+
+    plan = _formatted(qs["events_bot_detection"](spark, SF))
+    hash_ex = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(hash_ex) == 1, plan
+    assert "Join" not in plan
+
+
+def test_kmv_and_hazard_checkpoint_fanout(spark, qs):
+    """Multi-branch consumers read a checkpointed small table instead of
+    replaying the data-sized pipeline per branch: the plan contains the
+    lineage-truncated scan, and the events parquet appears in at most
+    the branch-independent scans (0 for kmv — fully behind the
+    checkpoint)."""
+    plan = _formatted(qs["sketch_kmv_theta"](spark, SF))
+    assert "ExistingRDD" in plan
+    assert _n_scans(plan) == 0, plan  # all six branches behind the checkpoint
+    plan = _formatted(qs["events_hazard_curve"](spark, SF))
+    assert "ExistingRDD" in plan
