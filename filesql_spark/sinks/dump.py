@@ -34,7 +34,7 @@ from filesql_spark.errors import FilesqlError
 from filesql_spark.sinks.xlsx_writer import write_xlsx
 from filesql_spark.sources.detect import Compression, detect_file_type
 
-_TEXT_FORMATS = {"csv", "tsv", "ltsv"}
+_TEXT_FORMATS = {"csv", "tsv", "ltsv", "jsonl"}
 _CODECS = {None: Compression.NONE, "gz": Compression.GZ, "bz2": Compression.BZ2,
            "xz": Compression.XZ, "zst": Compression.ZSTD}
 
@@ -90,6 +90,22 @@ def _write_table(
 
     if fmt == "parquet":
         _finish_spark_write(src.write.format("parquet"), out_path, single_file)
+        return
+
+    if fmt == "jsonl":
+        # line-delimited JSON via Spark's native json writer (one object
+        # per line, typed values preserved — beyond-reference, see
+        # sources/jsonl.py). Null fields are omitted per JSONL
+        # convention; they re-read as NULL, so round-trips are lossless.
+        _finish_spark_write(
+            src.write.format("json").option(
+                "compression", "gzip" if codec == Compression.GZ else "none"
+            ),
+            out_path,
+            single_file,
+        )
+        if codec in (Compression.XZ, Compression.ZSTD):
+            _recompress(out_path, codec)
         return
 
     if fmt in ("csv", "tsv"):

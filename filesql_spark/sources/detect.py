@@ -1,7 +1,9 @@
 """File format × compression detection (reference: file.go:354-443).
 
-25 variants: 5 formats × {none, gz, bz2, xz, zst}. Detection is purely
-extension-based, like the reference.
+The reference's 25 variants (5 formats × {none, gz, bz2, xz, zst}),
+plus beyond-reference JSONL (``.jsonl`` / ``.ndjson``) — the de-facto
+LLM-training-corpus interchange format — under the same codec matrix.
+Detection is purely extension-based, like the reference.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ class FileFormat(enum.Enum):
     LTSV = "ltsv"
     PARQUET = "parquet"
     XLSX = "xlsx"
+    JSONL = "jsonl"
 
 
 class Compression(enum.Enum):
@@ -34,6 +37,8 @@ FORMAT_EXTENSIONS = {
     ".ltsv": FileFormat.LTSV,
     ".parquet": FileFormat.PARQUET,
     ".xlsx": FileFormat.XLSX,
+    ".jsonl": FileFormat.JSONL,
+    ".ndjson": FileFormat.JSONL,
 }
 
 COMPRESSION_EXTENSIONS = {

@@ -23,6 +23,7 @@ from filesql_spark.sources.compression import (
 )
 from filesql_spark.sources.csv_source import apply_inferred_types, read_delimited
 from filesql_spark.sources.detect import Compression, FileFormat, detect_file_type
+from filesql_spark.sources.jsonl import read_jsonl
 from filesql_spark.sources.ltsv import read_ltsv
 from filesql_spark.sources.xlsx import read_xlsx_sheets
 
@@ -45,6 +46,13 @@ def load_file(spark: SparkSession, path: str) -> LoadResult:
 
     if fmt == FileFormat.LTSV:
         df, tmp = read_ltsv(spark, path, compression)
+        return LoadResult(
+            [(table_name_from_path(path), df)], [tmp] if tmp else []
+        )
+
+    if fmt == FileFormat.JSONL:
+        df, tmp = read_jsonl(spark, path, compression)
+        _check_dup_columns(df.columns, path)
         return LoadResult(
             [(table_name_from_path(path), df)], [tmp] if tmp else []
         )

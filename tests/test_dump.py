@@ -154,3 +154,41 @@ def test_csv_rfc4180_quote_roundtrip(spark, tmp_path):
         assert '"say ""hi"", ok"' in (out / "t.csv").read_text()
     with fs.open(str(out / "t.csv"), spark=spark) as eng2:
         assert eng2.query("SELECT txt FROM t").collect()[0].txt == 'say "hi", ok'
+
+
+# ------------------------------------------------------------ JSONL (r8)
+
+
+def test_dump_jsonl_roundtrip(spark, tmp_path):
+    import filesql_spark
+    from filesql_spark.sources.loader import load_file
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "t.csv").write_text("id,name,score\n1,ann,9.5\n2,bo,\n")
+    eng = filesql_spark.open(str(src))
+    out = tmp_path / "out"
+    paths = eng.dump(str(out), format="jsonl")
+    assert paths == [str(out / "t.jsonl")]
+    (_, df), = load_file(spark, paths[0]).tables
+    rows = {r.id: r for r in df.orderBy("id").collect()}
+    assert rows[1].name == "ann" and rows[1].score == 9.5
+    # NULL fields are omitted on write and re-read as NULL: lossless
+    assert rows[2].score is None
+
+
+def test_dump_jsonl_gz(spark, tmp_path):
+    import gzip as _gzip
+    import json
+
+    import filesql_spark
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "t.csv").write_text("id,v\n1,a\n")
+    eng = filesql_spark.open(str(src))
+    out = tmp_path / "out"
+    (p,) = eng.dump(str(out), format="jsonl", compression="gz")
+    assert p.endswith("t.jsonl.gz")
+    with _gzip.open(p, "rt") as f:
+        assert json.loads(f.readline()) == {"id": 1, "v": "a"}

@@ -257,3 +257,79 @@ def test_empty_string_fields_are_null_divergence(spark, tmp_path):
         assert eng.query("SELECT COUNT(*) AS n FROM gaps WHERE note = ''").collect()[0].n == 0
         # the NULL-standard predicates do the job instead
         assert eng.query("SELECT id FROM gaps WHERE note IS NULL").collect()[0].id == 2
+
+
+# ------------------------------------------------------------ JSONL (r8)
+
+
+def test_jsonl_typed_load(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "hello", "score": 0.5, "ok": true}\n'
+        '{"id": 2, "text": "world", "score": 1.5, "ok": false}\n'
+    )
+    (name, df), = load_file(spark, str(p)).tables
+    assert name == "docs"
+    types = dict(df.dtypes)
+    assert types["id"] == "bigint" and types["score"] == "double"
+    assert types["ok"] == "boolean" and types["text"] == "string"
+    assert df.count() == 2
+
+
+def test_jsonl_nested_and_ndjson_ext(spark, tmp_path):
+    p = tmp_path / "events.ndjson"
+    p.write_text(
+        '{"id": 1, "meta": {"k": "a", "n": 7}, "tags": ["x", "y"]}\n'
+        '{"id": 2, "meta": {"k": "b", "n": 9}, "tags": []}\n'
+    )
+    (name, df), = load_file(spark, str(p)).tables
+    assert name == "events"
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].meta.n == 7 and rows[1].tags == ["x", "y"]
+
+
+def test_jsonl_gz_and_xz(spark, tmp_path):
+    content = '{"id": 1}\n{"id": 2}\n{"id": 3}\n'
+    g = tmp_path / "a.jsonl.gz"
+    with gzip.open(g, "wt") as f:
+        f.write(content)
+    res = load_file(spark, str(g))
+    assert res.tables[0][1].count() == 3
+    x = tmp_path / "b.jsonl.xz"
+    with lzma.open(x, "wt") as f:
+        f.write(content)
+    res = load_file(spark, str(x))
+    assert res.tables[0][1].count() == 3
+    assert res.temp_files  # xz spills through Python
+
+
+def test_jsonl_empty_raises(spark, tmp_path):
+    p = tmp_path / "empty.jsonl"
+    p.write_text("")
+    with pytest.raises(EmptyFileError):
+        load_file(spark, str(p))
+
+
+def test_jsonl_malformed_raises(spark, tmp_path):
+    from filesql_spark.errors import FilesqlError
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"id": 1}\n{not json at all\n')
+    with pytest.raises(FilesqlError):
+        (_, df), = load_file(spark, str(p)).tables
+        df.collect()  # FAILFAST errors surface at scan time
+
+
+def test_jsonl_engine_end_to_end(spark, tmp_path):
+    import filesql_spark
+
+    p = tmp_path / "users.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ann", "score": 9.5}\n'
+        '{"id": 2, "name": "bo"}\n'
+    )
+    eng = filesql_spark.open(str(tmp_path))
+    rows = eng.query(
+        "SELECT id, name, COALESCE(score, 0.0) AS s FROM users ORDER BY id"
+    ).collect()
+    assert [(r.id, r.name, r.s) for r in rows] == [(1, "ann", 9.5), (2, "bo", 0.0)]
