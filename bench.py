@@ -151,6 +151,10 @@ HEADLINE = [
     "events_hazard_curve",
     "docs_lang_confusion",
     "pipeline_contamination_report",
+    # (streaming_kmv_sketch excluded like the other streaming twins)
+    "docs_cross_source_dups",
+    "pipeline_split_overlap_qa",
+    "embedding_norm_stats",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

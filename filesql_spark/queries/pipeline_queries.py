@@ -5602,3 +5602,189 @@ def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.min("doc_id").cast("long").alias("first_train_doc"),
     )
+
+
+@register("streaming_kmv_sketch", _kmv_oracle())
+def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV/theta sketch maintenance (streaming.py
+    kmv_sketch_stream): per-batch sketches merged into a standing
+    ≤k-row-per-group table with exactly-once versioned commits. KMV
+    merge is lossless for ANY batch boundaries — k smallest of
+    (standing ∪ batch sketch) = k smallest of the whole stream — so
+    the streamed result is bit-identical to the batch twin and shares
+    its oracle."""
+    import tempfile
+
+    from filesql_spark.streaming import kmv_sketch_stream
+
+    work = tempfile.mkdtemp(prefix="filesql_kmv_stream_")
+    return kmv_sketch_stream(
+        spark, sf_dir, out_dir=f"{work}/sketch", checkpoint_dir=f"{work}/ckpt"
+    )
+
+
+def _cross_source_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    lab AS (
+        SELECT p.doc_a, p.doc_b, da.source AS sa, db.source AS sb
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within
+    FROM lab GROUP BY LEAST(sa, sb), GREATEST(sa, sb)
+    """
+
+
+@register("docs_cross_source_dups", _cross_source_oracle())
+def docs_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs labeled with
+    their endpoints' sources, aggregated per unordered source pair —
+    the provenance report that shows WHICH sources mirror each other
+    (mirror sites, scraped re-posts) vs duplicate internally, deciding
+    whether dedup should run within or across source partitions.
+
+    The doc→source map rides the pair table as two broadcast joins
+    (pairs are collision-verified and tiny relative to the corpus);
+    the matrix aggregate is ≤ |sources|² rows."""
+    from filesql_spark.pipeline.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    pairs = minhash_lsh_pairs(d)
+    lab = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))),
+            "doc_b",
+        )
+    )
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+            F.sum((F.col("sa") == F.col("sb")).cast("long"))
+            .cast("long")
+            .alias("n_within"),
+        )
+    )
+
+
+@register(
+    "pipeline_split_overlap_qa",
+    f"""
+    WITH b AS (
+        SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN bucket < 500 THEN 'val'
+                    WHEN bucket < 1000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+               AS n_dup_assignments,
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_val,
+           CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS train_share_ppm
+    FROM s
+    """,
+)
+def pipeline_split_overlap_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-integrity QA over the reproducible train/val/test split:
+    every doc assigned exactly once (n_assigned = n_total, zero
+    duplicate assignments), per-split sizes, and the train share in
+    exact ppm — the audit run before any leakage-sensitive eval trusts
+    the split. One aggregation over the split assignment; the total
+    rides in as a one-row broadcast."""
+    from filesql_spark.pipeline.sampling import train_val_test_split
+
+    d = load_table(spark, sf_dir, "documents")
+    s = train_val_test_split(d.select("doc_id"))
+    total = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    is_ = lambda name: (F.col("split") == name).cast("long")  # noqa: E731
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id"))
+        .cast("long")
+        .alias("n_dup_assignments"),
+        F.sum(is_("train")).cast("long").alias("n_train"),
+        F.sum(is_("val")).cast("long").alias("n_val"),
+        F.sum(is_("test")).cast("long").alias("n_test"),
+    )
+    return (
+        total.crossJoin(F.broadcast(agg))
+        .withColumn(
+            "train_share_ppm", F.expr("n_train * 1000000 div n_assigned")
+        )
+        .select(
+            "n_total",
+            "n_assigned",
+            "n_dup_assignments",
+            "n_train",
+            "n_val",
+            "n_test",
+            F.col("train_share_ppm").cast("long").alias("train_share_ppm"),
+        )
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS BIGINT)
+                   AS n2
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(n2) AS BIGINT) AS min_norm2,
+           CAST(MAX(n2) AS BIGINT) AS max_norm2,
+           CAST(SUM(n2) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_norm2
+    FROM q GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QA per label: exact integer squared-norm extrema
+    and mean over the ×10⁴-quantized vectors — the degenerate-vector
+    check (all-zero rows, wildly unnormalized batches) run before
+    cosine-based ANN/dedup trusts the embedding column. Zero-shuffle
+    norm computation at scan speed; one small groupBy."""
+    from filesql_spark.pipeline.dedup import with_quantized
+
+    e = with_quantized(load_table(spark, sf_dir, "embeddings"))
+    n2 = F.expr(
+        "CAST(aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v) AS LONG)"
+    )
+    return (
+        e.select("label", n2.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("n2").alias("min_norm2"),
+            F.max("n2").alias("max_norm2"),
+            (F.sum("n2").cast("long") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_norm2"
+            ),
+        )
+    )

@@ -617,3 +617,90 @@ def documents_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counters = cms_counters(counted, "tok", "c")
     return spark.table(_run_to_memory(counters, "documents_cms"))
+
+
+def kmv_sketch_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming KMV/theta distinct-sketch maintenance: the standing
+    per-group k-minimum-hash table is merged with each micro-batch's
+    sketch via ``foreachBatch`` — the streaming twin of the batch
+    ``sketch_kmv_theta`` entry.
+
+    Why this is exactly-once AND exactly-right: KMV merge is
+    **idempotent, commutative, and lossless** — the k smallest of
+    (standing ∪ batch-k-smallest) is EXACTLY the k smallest of all
+    values ever seen, for any batch boundaries and any replay order. So
+    the streamed sketch equals the batch sketch bit-for-bit and the two
+    entries share one oracle — a stronger statement than watermark-
+    bounded approximations can make. State is ≤ k rows per group BY
+    CONSTRUCTION (like the CMS twin), no watermark needed on an open
+    stream.
+
+    Versioned-commit discipline is cdc_apply_stream's: each batch reads
+    the latest committed ``version=N`` sketch, merges, commits
+    ``version=N+1``; a replayed batch sees its version already
+    committed and skips. At scale the version dir is a delta/iceberg
+    table and the merge is a k-row MERGE — kilobytes per commit.
+
+    Returns the final 4-row theta estimate table (view/purchase/
+    union/intersection).
+    """
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from filesql_spark.pipeline.sketch import kmv_sketch, kmv_theta_estimates
+
+    def _latest(d: str) -> int | None:
+        if not _os.path.isdir(d):
+            return None
+        vs = [
+            int(p.split("=", 1)[1])
+            for p in _os.listdir(d)
+            if p.startswith("version=")
+            and _os.path.exists(_os.path.join(d, p, "_SUCCESS"))
+        ]
+        return max(vs) if vs else None
+
+    if _latest(out_dir) is None:
+        spark.createDataFrame([], "g string, h long, rn int").write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(out_dir, "version=0"))
+
+    stream = _file_stream(
+        spark, sf_dir, "events", stream_dir=checkpoint_dir + "_src"
+    ).filter(F.col("event_type").isin("view", "purchase"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = _os.path.join(out_dir, f"version={batch_id + 1}")
+        if _os.path.exists(_os.path.join(target, "_SUCCESS")):
+            return  # replayed batch: already committed
+        cur = _latest(out_dir)
+        standing = spark.read.parquet(_os.path.join(out_dir, f"version={cur}"))
+        batch_sk = kmv_sketch(batch_df, "event_type", "user_id", k=k)
+        w = Window.partitionBy("g").orderBy("h")
+        merged = (
+            standing.select("g", "h")
+            .unionByName(batch_sk.select("g", "h"))
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+        )
+        merged.write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 300)
+    latest = _latest(out_dir)
+    sk = spark.read.parquet(_os.path.join(out_dir, f"version={latest}"))
+    return kmv_theta_estimates(sk, "view", "purchase", k=k)

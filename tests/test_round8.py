@@ -190,3 +190,27 @@ def test_pareto_prefix_exact_cut(spark, tmp_path):
     out = lineitem_pareto_share(spark, d).collect()
     assert [r.l_partkey for r in out] == [101, 102]
     assert out[-1].cum_share == pytest.approx(0.8)
+
+
+def test_kmv_merge_lossless(spark):
+    """The streaming twin's correctness claim: k smallest of
+    (sketch(A) ∪ sketch(B)) == k smallest of (A ∪ B) — KMV merge is
+    lossless for any batching, so the streamed sketch equals batch."""
+    from pyspark.sql import Window
+    from filesql_spark.pipeline.sketch import kmv_sketch
+
+    k = 16
+    a = spark.createDataFrame([("g", i) for i in range(0, 400, 2)], "g string, v int")
+    b = spark.createDataFrame([("g", i) for i in range(1, 401, 2)], "g string, v int")
+    full = spark.createDataFrame([("g", i) for i in range(400)], "g string, v int")
+    w = Window.partitionBy("g").orderBy("h")
+    merged = (
+        kmv_sketch(a, "g", "v", k=k).select("g", "h")
+        .unionByName(kmv_sketch(b, "g", "v", k=k).select("g", "h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    want = sorted(r.h for r in kmv_sketch(full, "g", "v", k=k).collect())
+    got = sorted(r.h for r in merged.collect())
+    assert got == want
