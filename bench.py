@@ -155,6 +155,10 @@ HEADLINE = [
     "docs_cross_source_dups",
     "pipeline_split_overlap_qa",
     "embedding_norm_stats",
+    "dedup_lsh_tuning_report",
+    "text_dup_span_removal",
+    "pipeline_incremental_decontaminate",
+    "ann_recall_report",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

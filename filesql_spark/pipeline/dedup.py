@@ -964,3 +964,80 @@ def near_dup_eval(
             F.expr("true_positives * 1000000 div n_detected_pairs"),
         ).otherwise(F.lit(1_000_000)).alias("precision_ppm"),
     )
+
+
+def lsh_tuning_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH health report — the observability a dedup deployment watches
+    to keep its banding honest as the corpus drifts: per band, the
+    bucket count, the largest bucket (hot buckets ⇒ banal shingles or
+    under-provisioned band width), and the candidate-pair mass
+    Σ c·(c−1)/2; on every row, the overall distinct-candidate count,
+    how many survived exact-Jaccard verification, and the detector's
+    candidate precision in exact ppm (low precision ⇒ bands too
+    coarse, wasted verify work; tiny candidate mass ⇒ bands too fine,
+    recall risk).
+
+    One derivation end-to-end: the band table is persisted and feeds
+    BOTH the per-band bucket statistics and the candidate self-join, so
+    the signature pipeline runs once (same materialization discipline
+    as minhash_lsh_pairs' shingle sets).
+    """
+    bands = band_table(minhash_signatures(df, text_col)).persist()
+    buckets = bands.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_band = buckets.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("n_cand_pairs"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()  # feeds the total count AND the verify join
+    )
+    shingle_sets = add_shingles(df, text_col).select("doc_id", "sh").persist()
+    a, b = shingle_sets.alias("sa"), shingle_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    verified = (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(b, cand.doc_b == F.col("sb.doc_id"))
+        .filter(inter.cast("double") / union >= 0.5)
+    )
+    totals = (
+        cand.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_cand"))
+        .crossJoin(
+            F.broadcast(
+                verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+            )
+        )
+        .select(
+            "n_distinct_cand",
+            "n_verified",
+            F.when(
+                F.col("n_distinct_cand") > 0,
+                F.expr("n_verified * 1000000 div n_distinct_cand"),
+            )
+            .otherwise(F.lit(1_000_000))
+            .cast("long")
+            .alias("precision_ppm"),
+        )
+    )
+    return per_band.crossJoin(F.broadcast(totals)).select(
+        F.col("band").cast("int").alias("band"),
+        "n_buckets",
+        "max_bucket",
+        "n_cand_pairs",
+        "n_distinct_cand",
+        "n_verified",
+        "precision_ppm",
+    )

@@ -721,3 +721,59 @@ def lm_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
         avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 6).alias("perplexity"),
     )
+
+
+def remove_dup_spans(
+    df: DataFrame, text_col: str = "text", n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Span-level dedup as a TRANSFORM: excise every token covered by a
+    cross-document duplicated n-gram and return the cleaned text — the
+    action stage of ``dup_spans`` (Lee et al.'s recipe removes the
+    repeated substring, not the document; boilerplate headers/footers
+    disappear while the unique prose survives).
+
+    Same two-pass shape as dup_spans: positional gram hashes → the
+    corpus-wide duplicated-gram set (one groupBy h, the only
+    corpus-sized shuffle) → flagged positions exploded to covered
+    token indices and aggregated per doc; the rebuild is then a pure
+    zero-shuffle array expression (filter + transform + concat_ws)
+    against the per-doc removal set. Output: (doc_id, n_tokens,
+    n_removed, cleaned_hash) — the md5 of the cleaned text stands in
+    for the text itself so the result stays hash-comparable.
+    """
+    from filesql_spark.pipeline.contamination import _hash60
+
+    t = df.repartition("doc_id").withColumn("__w", F.split(F.col(text_col), " "))
+    grams = t.filter(F.size("__w") >= n)
+    gram = "concat(" + ", ' ', ".join(f"__w[i+{j}]" for j in range(n)) + ")"
+    pg = f"transform(sequence(0, size(__w) - {n}), i -> struct(i AS p, {gram} AS gm))"
+    g = grams.select("doc_id", F.explode(F.expr(pg)).alias("pg")).select(
+        "doc_id",
+        F.col("pg.p").cast("long").alias("p"),
+        _hash60(F.col("pg.gm")).alias("h"),
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    rm = (
+        g.join(dup, "h")
+        .select("doc_id", F.explode(F.expr(f"sequence(p, p + {n - 1})")).alias("pos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("rm"))
+    )
+    out = t.join(rm, "doc_id", "left").withColumn(
+        "rm", F.coalesce("rm", F.array().cast("array<long>"))
+    )
+    kept = "filter(sequence(0L, size(__w) - 1L), i -> NOT array_contains(rm, i))"
+    return out.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_tokens"),
+        (F.size("__w") - F.size(F.expr(kept))).cast("long").alias("n_removed"),
+        F.md5(
+            F.expr(f"concat_ws(' ', transform({kept}, i -> __w[CAST(i AS INT)]))")
+        ).alias("cleaned_hash"),
+    )

@@ -214,3 +214,66 @@ def test_kmv_merge_lossless(spark):
     want = sorted(r.h for r in kmv_sketch(full, "g", "v", k=k).collect())
     got = sorted(r.h for r in merged.collect())
     assert got == want
+
+
+def test_remove_dup_spans_semantics(spark):
+    """Two docs share the same 5-token header; the shared span is excised
+    from both, unique tails survive, fully-unique docs untouched."""
+    import hashlib
+    from filesql_spark.pipeline.text import remove_dup_spans
+
+    header = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, header + " unique one tail"),
+            (2, header + " second different ending"),
+            (3, "completely different text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(docs).collect()}
+    assert out[1].n_removed == 5
+    assert out[1].cleaned_hash == hashlib.md5(b"unique one tail").hexdigest()
+    assert out[2].n_removed == 5
+    assert out[3].n_removed == 0
+    assert out[3].cleaned_hash == hashlib.md5(
+        b"completely different text here now"
+    ).hexdigest()
+
+
+def test_remove_dup_spans_full_removal(spark):
+    """Identical docs lose everything; the cleaned hash is md5('')."""
+    import hashlib
+    from filesql_spark.pipeline.text import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(docs).collect()}
+    assert out[1].n_removed == 6 and out[2].n_removed == 6
+    assert out[1].cleaned_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_ann_recall_report_bounds(spark, sf_dir):
+    from filesql_spark.queries.pipeline_queries import ann_recall_report
+
+    r = ann_recall_report(spark, sf_dir).collect()[0]
+    assert r.n_truth == r.n_queries * 5
+    assert 0 <= r.n_hits <= r.n_truth
+    # the pytest IVF gate is >= 0.8; keep the in-engine floor aligned
+    assert r.recall_ppm >= 800_000
+
+
+def test_lsh_tuning_report_consistency(spark, sf_dir):
+    from filesql_spark.queries.pipeline_queries import dedup_lsh_tuning_report
+    from filesql_spark.pipeline.constants import LSH_BANDS
+
+    rows = dedup_lsh_tuning_report(spark, sf_dir).collect()
+    assert len(rows) == LSH_BANDS
+    r0 = rows[0]
+    # distinct candidates cannot exceed the per-band pair mass total,
+    # and verified pairs cannot exceed candidates
+    assert r0.n_distinct_cand <= sum(r.n_cand_pairs for r in rows)
+    assert r0.n_verified <= r0.n_distinct_cand
+    assert 0 <= r0.precision_ppm <= 1_000_000
