@@ -583,10 +583,13 @@ def test_stage_metrics_combined_base_counts(spark, qs):
     base scan (conditional SUM), and exact_kept is cached: exactly three
     parquet scan nodes (counts agg + the two gated consumers inside
     exact-dedup), with the downstream counts reading the cache."""
+    # hermetic: earlier tests' persisted frames substitute into this
+    # plan via the cache manager and change the scan-node census (a
+    # cached subtree's stored plan inlines ITS scans into formatted
+    # output) — drop them so the assertion sees the cold-session shape
+    spark.catalog.clearCache()
     plan = _formatted(qs["pipeline_stage_metrics"](spark, SF))
-    # <= 3: exactly 3 on a cold session; earlier tests' persisted frames
-    # can substitute InMemoryTableScans for parquet scans, never add any
-    assert _n_scans(plan) <= 3, plan
+    assert _n_scans(plan) == 3, plan
     assert "InMemoryTableScan" in plan
 
 
