@@ -233,20 +233,30 @@ def main() -> None:
         build_samples.append(time.perf_counter() - t0)
     pq_build_sec = round(statistics.median(build_samples), 4)
 
-    # Standing near-dup components table (dedup_cluster_representatives
-    # serves from it — the election is one groupBy) and the diversity
-    # k-means fit (assignment serves from the fitted centroid literal):
-    # both build halves timed separately, same protocol as IVF/PQ.
+    # Standing near-dup pair table (the shared prefix of the whole
+    # minhash family: components, representatives, triangle census,
+    # cross-source matrix), the components labeling over it, and the
+    # diversity k-means fit: each build half timed separately, same
+    # protocol as IVF/PQ.
     from filesql_spark.queries.pipeline_queries import (
         ensure_components,
         ensure_diversity_centroids,
+        ensure_minhash_pairs,
     )
 
     build_samples = []
     for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        ensure_components(spark, sf_dir, fresh=True).count()  # checkpoint is eager
+        ensure_minhash_pairs(spark, sf_dir, fresh=True).count()  # checkpoint eager
+        build_samples.append(time.perf_counter() - t0)
+    pairs_build_sec = round(statistics.median(build_samples), 4)
+
+    build_samples = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ensure_components(spark, sf_dir, fresh=True).count()  # labeling only
         build_samples.append(time.perf_counter() - t0)
     components_build_sec = round(statistics.median(build_samples), 4)
 
@@ -300,6 +310,7 @@ def main() -> None:
         "ann_ivf_build_sec": ivf_build_sec,
         "dedup_base_build_sec": dedup_base_build_sec,
         "ann_pq_build_sec": pq_build_sec,
+        "minhash_pairs_build_sec": pairs_build_sec,
         "components_build_sec": components_build_sec,
         "diversity_fit_sec": diversity_fit_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
