@@ -159,6 +159,7 @@ HEADLINE = [
     "text_dup_span_removal",
     "pipeline_incremental_decontaminate",
     "ann_recall_report",
+    "quality_signal_correlation",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -6072,3 +6072,92 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_hits * 1000000 div n_truth").cast("long").alias("recall_ppm"),
         )
     )
+
+
+def _signal_corr_oracle() -> str:
+    sig = {
+        "chars": "CAST(length(text) AS BIGINT)",
+        "tokens": f"CAST(len({_TOKENS}) AS BIGINT)",
+        "stopwords": f"CAST(len(list_intersect({_TOKENS}, {_lang_array('en')})) AS BIGINT)",
+        "distinct_tokens": f"CAST(len(list_distinct({_TOKENS})) AS BIGINT)",
+    }
+    pairs = [("chars", "tokens"), ("chars", "stopwords"), ("tokens", "distinct_tokens")]
+    moment_cols = []
+    for k, e in sig.items():
+        moment_cols.append(f"CAST(SUM(x.{k}) AS BIGINT) AS s_{k}")
+        moment_cols.append(f"CAST(SUM(x.{k} * x.{k}) AS BIGINT) AS q_{k}")
+    for a, b in pairs:
+        moment_cols.append(f"CAST(SUM(x.{a} * x.{b}) AS BIGINT) AS p_{a}_{b}")
+    rows = []
+    for a, b in pairs:
+        num = f"(n * p_{a}_{b} - s_{a} * s_{b})"
+        den = f"(sqrt(CAST(n * q_{a} - s_{a} * s_{a} AS DOUBLE)) * sqrt(CAST(n * q_{b} - s_{b} * s_{b} AS DOUBLE)))"
+        rows.append(
+            f"SELECT '{a}' AS signal_x, '{b}' AS signal_y, n,"
+            f" CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / {den}"
+            f" ELSE 0.0 END AS pearson_r FROM m"
+        )
+    sig_sel = ", ".join(f"{e} AS {k}" for k, e in sig.items())
+    return f"""
+    WITH x AS (SELECT {sig_sel} FROM documents),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, {', '.join(moment_cols)}
+        FROM x
+    )
+    {' UNION ALL '.join(rows)}
+    """
+
+
+@register("quality_signal_correlation", _signal_corr_oracle())
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between quality signals (chars↔tokens,
+    chars↔stopwords, tokens↔distinct-tokens) — the redundancy check run
+    before a quality-gate ensemble weights its features (two signals at
+    r ≈ 1 are one signal; a near-zero pair genuinely adds information).
+
+    Exactness: ALL moment sums are exact int64 computed in ONE
+    map-side-combined pass (12 aggregates, one scan, one 1-row result);
+    each r is then a fixed chain of IEEE ops — sqrt is
+    correctly-rounded by IEEE 754, so both engines produce the
+    identical double, no rounding needed."""
+    from filesql_spark.pipeline.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    x = d.select(
+        F.length("text").cast("long").alias("chars"),
+        F.size(toks).cast("long").alias("tokens"),
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+        ).cast("long").alias("stopwords"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+    )
+    sigs = ["chars", "tokens", "stopwords", "distinct_tokens"]
+    pairs = [("chars", "tokens"), ("chars", "stopwords"), ("tokens", "distinct_tokens")]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for k in sigs:
+        aggs.append(F.sum(k).cast("long").alias(f"s_{k}"))
+        aggs.append(F.sum(F.col(k) * F.col(k)).cast("long").alias(f"q_{k}"))
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("long").alias(f"p_{a}_{b}"))
+    m = x.agg(*aggs)
+    out_rows = []
+    for a, b in pairs:
+        num = f"CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        den = (
+            f"(sqrt(CAST(n * q_{a} - s_{a} * s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n * q_{b} - s_{b} * s_{b} AS DOUBLE)))"
+        )
+        out_rows.append(
+            F.struct(
+                F.lit(a).alias("signal_x"),
+                F.lit(b).alias("signal_y"),
+                F.col("n"),
+                F.expr(
+                    f"CASE WHEN {den} > 0 THEN {num} / {den} ELSE 0.0D END"
+                ).alias("pearson_r"),
+            )
+        )
+    return m.select(F.explode(F.array(*out_rows)).alias("r")).select(
+        "r.signal_x", "r.signal_y", "r.n", "r.pearson_r"
+    )

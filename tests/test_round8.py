@@ -277,3 +277,35 @@ def test_lsh_tuning_report_consistency(spark, sf_dir):
     assert r0.n_distinct_cand <= sum(r.n_cand_pairs for r in rows)
     assert r0.n_verified <= r0.n_distinct_cand
     assert 0 <= r0.precision_ppm <= 1_000_000
+
+
+def test_triangle_stats_matches_bruteforce_random(spark):
+    """Exact census equality vs a driver-side brute force on seeded
+    random graphs (several densities)."""
+    import itertools
+    import random
+
+    from filesql_spark.pipeline.graph import triangle_stats
+
+    for seed, n_nodes, n_edges in [(3, 12, 20), (7, 20, 60), (11, 30, 120)]:
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        tris = sum(
+            1
+            for a, b, c in itertools.combinations(sorted(adj), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+        r = triangle_stats(df).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+            len(adj), len(edges), wedges, tris,
+        ), (seed, r)
