@@ -160,6 +160,8 @@ HEADLINE = [
     "pipeline_incremental_decontaminate",
     "ann_recall_report",
     "quality_signal_correlation",
+    "dedup_threshold_sweep",
+    "docs_tokenizer_fertility",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -6161,3 +6161,90 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.explode(F.array(*out_rows)).alias("r")).select(
         "r.signal_x", "r.signal_y", "r.n", "r.pearson_r"
     )
+
+
+def _threshold_sweep_oracle() -> str:
+    ts = [50, 60, 70, 80, 90]
+    rows = []
+    for t in ts:
+        rows.append(
+            f"SELECT {t} AS threshold_pct,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_pairs,"
+            f" CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped"
+            f" FROM pairs WHERE jaccard * 100 >= {t}"
+        )
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()}
+    {' UNION ALL '.join(rows)}
+    """
+
+
+@register("dedup_threshold_sweep", _threshold_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity sweep over the standing near-dup
+    pair table: for each candidate threshold (0.5–0.9), how many pairs
+    survive and how many docs a keep-lower-id policy would drop — the
+    tuning table read before committing a dedup threshold to a 100-TB
+    run (too low ⇒ aggressive deletion, too high ⇒ residual dupes).
+    Pure arithmetic over the ≤pair-sized standing table; five filtered
+    aggregates, no recompute of the detection pipeline. jaccard·100 is
+    exact (ratios of small ints scale exactly at these magnitudes), so
+    the threshold compare is engine-stable."""
+    pairs = ensure_minhash_pairs(spark, sf_dir)
+    rows = []
+    for t in [50, 60, 70, 80, 90]:
+        agg = pairs.filter(F.col("jaccard") * 100 >= t).agg(
+            F.lit(t).alias("threshold_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct("doc_b").cast("long").alias("n_docs_dropped"),
+        )
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _fertility_oracle() -> str:
+    return f"""
+    WITH x AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe,
+               CAST(len({_TOKENS}) AS BIGINT) AS ws
+        FROM documents
+    ),
+    r AS (
+        SELECT lang, (bpe * 1000000) // ws AS fert_ppm
+        FROM x WHERE ws > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(quantile_cont(fert_ppm, 0.5) AS DOUBLE) AS median_fertility_ppm,
+           CAST(quantile_cont(fert_ppm, 0.9) AS DOUBLE) AS p90_fertility_ppm
+    FROM r GROUP BY lang
+    """
+
+
+@register("docs_tokenizer_fertility", _fertility_oracle())
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word, in exact
+    integer ppm) per language — the cross-lingual tokenizer-cost metric
+    (high-fertility languages pay more sequence length per word; mixes
+    are rebalanced accordingly). Per-doc ratios are exact integer ppm;
+    the per-lang median/p90 use the same exact interpolated percentile
+    ≡ quantile_cont equivalence text_length_percentiles established.
+    One scan, one |langs|-group aggregate."""
+    from filesql_spark.pipeline.text import BPE_PATTERN, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    x = d.select(
+        "lang",
+        F.regexp_count("text", F.lit(BPE_PATTERN)).cast("long").alias("bpe"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+    ).filter(F.col("ws") > 0)
+    r = x.select("lang", F.expr("(bpe * 1000000) div ws").alias("fert_ppm"))
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.percentile("fert_ppm", F.lit(0.5)).alias("median_fertility_ppm"),
+        F.percentile("fert_ppm", F.lit(0.9)).alias("p90_fertility_ppm"),
+    )
