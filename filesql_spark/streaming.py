@@ -24,7 +24,11 @@ from filesql_spark.queries import load_table
 
 
 def _file_stream(
-    spark: SparkSession, sf_dir: str, table: str, stream_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over one driver parquet table.
 
@@ -42,22 +46,40 @@ def _file_stream(
         stream_dir = tempfile.mkdtemp(prefix="filesql_stream_")
     else:
         os.makedirs(stream_dir, exist_ok=True)
-    link = f"{stream_dir}/{table}.parquet"
     target = os.path.abspath(f"{sf_dir}/{table}.parquet")
-    if os.path.lexists(link):
-        # A stable stream_dir is reused across runs because the checkpoint
-        # pins the source path. Reusing it against a DIFFERENT dataset would
-        # silently stream the old data — fail loudly instead.
-        existing = os.readlink(link)
-        if existing != target:
-            raise ValueError(
-                f"stream dir {stream_dir!r} already streams {existing!r}; "
-                f"refusing to reuse it for {target!r} — use a fresh "
-                "stream_dir/checkpoint per dataset"
-            )
+    if os.path.isdir(target):
+        # directory-shaped table (multi-part parquet): symlink each data
+        # file individually — FileStreamSource lists plain files, and
+        # per-file links give maxFilesPerTrigger real batch boundaries
+        links = {
+            f"{stream_dir}/{table}_{f}": os.path.join(target, f)
+            for f in sorted(os.listdir(target))
+            if not f.startswith(("_", ".")) and f.endswith(".parquet")
+        }
     else:
-        os.symlink(target, link)
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+        links = {f"{stream_dir}/{table}.parquet": target}
+    for link, tgt in links.items():
+        if os.path.lexists(link):
+            # A stable stream_dir is reused across runs because the
+            # checkpoint pins the source path. Reusing it against a
+            # DIFFERENT dataset would silently stream the old data —
+            # fail loudly instead.
+            existing = os.readlink(link)
+            if existing != tgt:
+                raise ValueError(
+                    f"stream dir {stream_dir!r} already streams {existing!r}; "
+                    f"refusing to reuse it for {tgt!r} — use a fresh "
+                    "stream_dir/checkpoint per dataset"
+                )
+        else:
+            os.symlink(tgt, link)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        # availableNow honors this as a per-batch cap, so a multi-file
+        # source splits into several micro-batches — the multi-batch
+        # merge tests use it to exercise real batch boundaries
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(stream_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -625,6 +647,7 @@ def kmv_sketch_stream(
     out_dir: str,
     checkpoint_dir: str,
     k: int = 64,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming KMV/theta distinct-sketch maintenance: the standing
     per-group k-minimum-hash table is merged with each micro-batch's
@@ -673,7 +696,11 @@ def kmv_sketch_stream(
         ).parquet(_os.path.join(out_dir, "version=0"))
 
     stream = _file_stream(
-        spark, sf_dir, "events", stream_dir=checkpoint_dir + "_src"
+        spark,
+        sf_dir,
+        "events",
+        stream_dir=checkpoint_dir + "_src",
+        max_files_per_trigger=max_files_per_trigger,
     ).filter(F.col("event_type").isin("view", "purchase"))
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:

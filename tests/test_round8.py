@@ -309,3 +309,60 @@ def test_triangle_stats_matches_bruteforce_random(spark):
         assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
             len(adj), len(edges), wedges, tris,
         ), (seed, r)
+
+
+def test_kmv_stream_multibatch_equals_batch(spark, tmp_path):
+    """REAL batch boundaries: a 3-file source under maxFilesPerTrigger=1
+    splits into several micro-batches; the merged standing sketch must
+    equal the single-pass batch sketch (KMV merge losslessness), and a
+    full replay with the same checkpoint must commit nothing new."""
+    import os
+
+    from filesql_spark.pipeline.sketch import kmv_sketch, kmv_theta_estimates
+    from filesql_spark.streaming import kmv_sketch_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), i % 400,
+         "view" if i % 3 else "purchase", 1.0, "{}")
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.repartition(3).write.parquet(os.path.join(sf, "events.parquet"))
+
+    work = str(tmp_path / "work")
+    out = kmv_sketch_stream(
+        spark, sf, out_dir=f"{work}/sketch", checkpoint_dir=f"{work}/ckpt",
+        k=16, max_files_per_trigger=1,
+    )
+    versions = sorted(
+        p for p in os.listdir(f"{work}/sketch") if p.startswith("version=")
+    )
+    assert len(versions) >= 3  # v0 seed + at least 2 real batches
+
+    batch = kmv_theta_estimates(
+        kmv_sketch(
+            df.filter(F.col("event_type").isin("view", "purchase")),
+            "event_type", "user_id", k=16,
+        ),
+        "view", "purchase", k=16,
+    )
+    want = sorted(map(tuple, batch.collect()))
+    got = sorted(map(tuple, out.collect()))
+    assert got == want
+
+    # replay: same dirs, checkpoint already drained -> no new versions
+    out2 = kmv_sketch_stream(
+        spark, sf, out_dir=f"{work}/sketch", checkpoint_dir=f"{work}/ckpt",
+        k=16, max_files_per_trigger=1,
+    )
+    assert sorted(map(tuple, out2.collect())) == want
+    assert sorted(
+        p for p in os.listdir(f"{work}/sketch") if p.startswith("version=")
+    ) == versions
