@@ -162,6 +162,8 @@ HEADLINE = [
     "quality_signal_correlation",
     "dedup_threshold_sweep",
     "docs_tokenizer_fertility",
+    "asof_join_tolerance",
+    "orders_open_interval_count",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -3021,3 +3021,152 @@ def lineitem_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+               o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC,
+                                           o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         AND epoch_us(e.ts) - epoch_us(o.o_orderdate) <= 604800000000
+    )
+    SELECT event_id, user_id, ts,
+           CAST(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS matched,
+           o_orderkey AS last_orderkey,
+           o_totalprice AS last_order_price,
+           CASE WHEN o_orderkey IS NOT NULL
+                THEN (epoch_us(ts) - epoch_us(o_orderdate)) // 86400000000
+           END AS staleness_days
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded LEFT as-of join: each event takes the
+    customer's latest order at-or-before its timestamp ONLY if that
+    order is at most 7 days stale; staler (or absent) matches yield a
+    NULL-match row instead of silently joining ancient state — the
+    max-staleness contract real feature-serving as-of joins carry
+    (kdb's ``aj`` window / Flink temporal-join TTL / feature-store
+    point-in-time lookups).
+
+    Same union-merge scale shape as asof_join_latest_order (one hash
+    shuffle, no theta-join pair blow-up); the tolerance is applied
+    AFTER the merge as a pure column compare on the propagated match
+    timestamp, so the plan is unchanged — bounded staleness costs
+    nothing extra."""
+    tol_us = 7 * 86_400_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(1).alias("is_evt"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).alias("is_evt"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_evt", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ot = F.when(F.col("is_evt") == 0, F.col("t"))
+    merged = (
+        e.unionByName(o)
+        .withColumn("lk", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("lp", F.last("o_totalprice", ignorenulls=True).over(w))
+        .withColumn("lt", F.last(ot, ignorenulls=True).over(w))
+    )
+    stale_us = F.unix_micros("t") - F.unix_micros("lt")
+    fresh = F.col("lt").isNotNull() & (stale_us <= tol_us)
+    return merged.filter(F.col("is_evt") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        fresh.cast("int").alias("matched"),
+        F.when(fresh, F.col("lk")).alias("last_orderkey"),
+        F.when(fresh, F.col("lp")).alias("last_order_price"),
+        F.when(fresh, F.expr(
+            "(unix_micros(t) - unix_micros(lt)) div 86400000000"
+        )).alias("staleness_days"),
+    )
+
+
+@register(
+    "orders_open_interval_count",
+    f"""
+    WITH iv AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS s,
+               CAST(MAX(l.l_shipdate) AS DATE) AS e
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT d, CAST(SUM(x) AS BIGINT) AS dx
+        FROM (
+            SELECT s AS d, 1 AS x FROM iv
+            UNION ALL
+            SELECT e + INTERVAL 1 DAY, -1 FROM iv
+        ) GROUP BY d
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           CAST(SUM(dx) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_open
+    FROM deltas
+    """,
+)
+def orders_open_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval count (the classic sweep-line rewrite): how
+    many orders are open — between order date and their last shipment —
+    on each day the count changes. The naive per-day formulation joins
+    every day against every interval (days × orders); the sweep emits
+    ±1 deltas at interval endpoints and takes ONE running sum over the
+    ≤|distinct endpoint| relation — the same linearization trick as
+    events_cumulative_distinct.
+
+    Shape: one orders⋈lineitem aggregate for interval ends (the only
+    data-sized shuffle), a tiny delta aggregate, one ordered window
+    over endpoint days. Counts exact integers throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            F.to_date("o_orderdate").alias("s"),
+            F.to_date("ship_end").alias("e"),
+        )
+    )
+    deltas = (
+        iv.select(F.col("s").alias("d"), F.lit(1).alias("x"))
+        .unionAll(
+            iv.select(F.date_add(F.col("e"), 1).alias("d"), F.lit(-1))
+        )
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("dx"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return deltas.select(
+        # TIMESTAMP output (not DATE): the hash compare needs one dtype
+        # family on both engines and DuckDB's DATE surfaces as object —
+        # same convention as sketch_hll_rollup's week column
+        F.col("d").cast("timestamp").alias("day"),
+        F.sum("dx").over(w).cast("long").alias("n_open"),
+    )

@@ -366,3 +366,73 @@ def test_kmv_stream_multibatch_equals_batch(spark, tmp_path):
     assert sorted(
         p for p in os.listdir(f"{work}/sketch") if p.startswith("version=")
     ) == versions
+
+
+def test_asof_tolerance_semantics(spark, tmp_path):
+    """Fresh match within 7 days joins; stale order nulls out; no order
+    at all nulls out — all events keep a row (LEFT as-of)."""
+    import os
+
+    base = dt.datetime(2024, 6, 1)
+    events = spark.createDataFrame(
+        [
+            (1, base, 10, "view", 1.0, "{}"),            # order 3 days old -> match
+            (2, base, 20, "view", 1.0, "{}"),            # order 30 days old -> stale
+            (3, base, 30, "view", 1.0, "{}"),            # no order
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 10, "O", 50.0, base - dt.timedelta(days=3), "1-URGENT"),
+            (200, 20, "O", 60.0, base - dt.timedelta(days=30), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    events.write.parquet(os.path.join(d, "events.parquet"))
+    orders.write.parquet(os.path.join(d, "orders.parquet"))
+    from filesql_spark.queries.relational import asof_join_tolerance
+
+    out = {r.event_id: r for r in asof_join_tolerance(spark, d).collect()}
+    assert len(out) == 3
+    assert out[1].matched == 1 and out[1].last_orderkey == 100
+    assert out[1].staleness_days == 3
+    assert out[2].matched == 0 and out[2].last_orderkey is None
+    assert out[3].matched == 0 and out[3].last_orderkey is None
+
+
+def test_open_interval_sweep_known(spark, tmp_path):
+    """Orders [d0,d2] and [d1,d3]: counts 1,2 then decrements after each
+    end+1 day."""
+    import os
+
+    d0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 1.0, d0, "1"),
+            (2, 20, "O", 1.0, d0 + dt.timedelta(days=1), "1"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0 + dt.timedelta(days=2)),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0 + dt.timedelta(days=3)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    orders.write.parquet(os.path.join(d, "orders.parquet"))
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    from filesql_spark.queries.relational import orders_open_interval_count
+
+    rows = {r.day.date(): r.n_open for r in orders_open_interval_count(spark, d).collect()}
+    assert rows[dt.date(2024, 1, 1)] == 1   # order 1 opens
+    assert rows[dt.date(2024, 1, 2)] == 2   # order 2 opens
+    assert rows[dt.date(2024, 1, 4)] == 1   # order 1 closed after d2
+    assert rows[dt.date(2024, 1, 5)] == 0   # order 2 closed after d3
