@@ -775,3 +775,16 @@ def test_alter_rename_rollback_restores_origins(spark, tmp_path):
     finally:
         e.close()  # auto-save on close → must overwrite the ORIGINAL file
     assert "Zoe" in out.read_text()
+
+
+def test_filter_clause_through_engine(eng):
+    """SQLite 3.30+ aggregate FILTER clause runs verbatim through the
+    dialect shim (Spark SQL supports the identical syntax)."""
+    rows = eng.query(
+        "SELECT COUNT(*) AS n, "
+        "COUNT(*) FILTER (WHERE age > 28) AS n_old, "
+        "SUM(age) FILTER (WHERE name LIKE 'a%') AS a_sum "
+        "FROM sample"
+    ).collect()
+    r = rows[0]
+    assert r.n >= r.n_old >= 0

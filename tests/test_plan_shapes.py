@@ -623,3 +623,22 @@ def test_kmv_and_hazard_checkpoint_fanout(spark, qs):
     assert _n_scans(plan) == 0, plan  # all six branches behind the checkpoint
     plan = _formatted(qs["events_hazard_curve"](spark, SF))
     assert "ExistingRDD" in plan
+
+
+def test_asof_tolerance_is_union_merge_not_theta(spark, qs):
+    """The tolerance-bounded as-of keeps the base operator's shape: no
+    join at all (union-merge + running window), tolerance as a pure
+    column compare."""
+    plan = _formatted(qs["asof_join_tolerance"](spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_open_interval_sweep_no_day_explosion(spark, qs):
+    """The sweep never joins days against intervals: one orders-lineitem
+    join for interval ends, then delta aggregation + one window — no
+    nested-loop/cartesian day expansion."""
+    plan = _formatted(qs["orders_open_interval_count"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
