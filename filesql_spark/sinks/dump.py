@@ -48,15 +48,15 @@ def dump_database(
 ) -> list[str]:
     """Write every table; returns the created paths."""
     fmt = format.lower()
-    if fmt not in (*_TEXT_FORMATS, "parquet", "xlsx"):
+    if fmt not in (*_TEXT_FORMATS, "parquet", "orc", "xlsx"):
         raise FilesqlError(f"unsupported dump format: {format}")
     codec = _CODECS.get(compression if compression != "" else None)
     if codec is None:
         raise FilesqlError(f"unsupported dump compression: {compression}")
     if codec == Compression.BZ2:
         raise FilesqlError("bzip2 compression is not supported for writing")
-    if fmt == "parquet" and codec != Compression.NONE:
-        raise FilesqlError("parquet does not support external compression")
+    if fmt in ("parquet", "orc") and codec != Compression.NONE:
+        raise FilesqlError(f"{fmt} does not support external compression")
     if fmt == "xlsx" and codec != Compression.NONE and codec != Compression.GZ:
         # reference compresses xlsx via generic writer path; keep gz only
         pass
@@ -88,8 +88,8 @@ def _write_table(
 
     src = df.coalesce(1) if single_file else df
 
-    if fmt == "parquet":
-        _finish_spark_write(src.write.format("parquet"), out_path, single_file)
+    if fmt in ("parquet", "orc"):
+        _finish_spark_write(src.write.format(fmt), out_path, single_file)
         return
 
     if fmt == "jsonl":

@@ -2,8 +2,9 @@
 
 The reference's 25 variants (5 formats × {none, gz, bz2, xz, zst}),
 plus beyond-reference JSONL (``.jsonl`` / ``.ndjson``) — the de-facto
-LLM-training-corpus interchange format — under the same codec matrix.
-Detection is purely extension-based, like the reference.
+LLM-training-corpus interchange format — and ORC (Spark-native typed
+columnar, the parquet twin in Hive-flavored lakes), both under the same
+codec matrix. Detection is purely extension-based, like the reference.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ class FileFormat(enum.Enum):
     PARQUET = "parquet"
     XLSX = "xlsx"
     JSONL = "jsonl"
+    ORC = "orc"
 
 
 class Compression(enum.Enum):
@@ -39,6 +41,7 @@ FORMAT_EXTENSIONS = {
     ".xlsx": FileFormat.XLSX,
     ".jsonl": FileFormat.JSONL,
     ".ndjson": FileFormat.JSONL,
+    ".orc": FileFormat.ORC,
 }
 
 COMPRESSION_EXTENSIONS = {

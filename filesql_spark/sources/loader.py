@@ -57,16 +57,17 @@ def load_file(spark: SparkSession, path: str) -> LoadResult:
             [(table_name_from_path(path), df)], [tmp] if tmp else []
         )
 
-    if fmt == FileFormat.PARQUET:
+    if fmt in (FileFormat.PARQUET, FileFormat.ORC):
         src, tmps = path, []
         if compression != Compression.NONE:
             # .parquet.gz etc.: external codec over the container file
-            src = decompress_to_temp(path, compression, ".parquet")
+            src = decompress_to_temp(path, compression, f".{fmt.value}")
             tmps = [src]
-        df = spark.read.parquet(src)
         # Typed, columnar — strictly better than the reference's
         # stringify-everything Arrow path (filesql.go:648-707); we keep
-        # Parquet's real schema (SURVEY §1.4 explicitly drops that wart).
+        # the real schema (SURVEY §1.4 explicitly drops that wart). ORC
+        # is the beyond-reference Spark-native columnar twin.
+        df = spark.read.orc(src) if fmt == FileFormat.ORC else spark.read.parquet(src)
         _check_dup_columns(df.columns, path)
         return LoadResult([(table_name_from_path(path), df)], tmps)
 

@@ -192,3 +192,24 @@ def test_dump_jsonl_gz(spark, tmp_path):
     assert p.endswith("t.jsonl.gz")
     with _gzip.open(p, "rt") as f:
         assert json.loads(f.readline()) == {"id": 1, "v": "a"}
+
+
+def test_dump_orc_roundtrip(spark, tmp_path):
+    import filesql_spark
+    from filesql_spark.errors import FilesqlError
+    from filesql_spark.sources.loader import load_file
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "t.csv").write_text("id,name\n1,ann\n2,bo\n")
+    eng = filesql_spark.open(str(src))
+    out = tmp_path / "out"
+    paths = eng.dump(str(out), format="orc")
+    assert paths == [str(out / "t.orc")]
+    (_, df), = load_file(spark, paths[0]).tables
+    assert dict(df.dtypes)["id"] == "bigint"  # typed round-trip
+    assert {(r.id, r.name) for r in df.collect()} == {(1, "ann"), (2, "bo")}
+    import pytest as _pytest
+
+    with _pytest.raises(FilesqlError):
+        eng.dump(str(out), format="orc", compression="gz")

@@ -333,3 +333,36 @@ def test_jsonl_engine_end_to_end(spark, tmp_path):
         "SELECT id, name, COALESCE(score, 0.0) AS s FROM users ORDER BY id"
     ).collect()
     assert [(r.id, r.name, r.s) for r in rows] == [(1, "ann", 9.5), (2, "bo", 0.0)]
+
+
+# ------------------------------------------------------------ ORC (r8)
+
+
+def test_orc_typed_load(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "k long, v string, x double")
+    p = tmp_path / "t.orc"
+    src.coalesce(1).write.orc(str(tmp_path / "_w"))
+    import glob as _glob
+    import shutil as _shutil
+
+    (part,) = [f for f in _glob.glob(str(tmp_path / "_w" / "part-*")) if not f.endswith(".crc")]
+    _shutil.move(part, p)
+    (name, df), = load_file(spark, str(p)).tables
+    assert name == "t"
+    assert dict(df.dtypes) == {"k": "bigint", "v": "string", "x": "double"}
+    assert df.count() == 2
+
+
+def test_orc_gz_load(spark, tmp_path):
+    src = spark.createDataFrame([(7, "z")], "k long, v string")
+    src.coalesce(1).write.orc(str(tmp_path / "_w"))
+    import glob as _glob
+
+    (part,) = [f for f in _glob.glob(str(tmp_path / "_w" / "part-*")) if not f.endswith(".crc")]
+    gz = tmp_path / "g.orc.gz"
+    with open(part, "rb") as f:
+        gz.write_bytes(gzip.compress(f.read()))
+    res = load_file(spark, str(gz))
+    (name, df), = res.tables
+    assert name == "g" and df.count() == 1
+    assert res.temp_files  # decompressed through the spill path
