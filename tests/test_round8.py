@@ -436,3 +436,32 @@ def test_open_interval_sweep_known(spark, tmp_path):
     assert rows[dt.date(2024, 1, 2)] == 2   # order 2 opens
     assert rows[dt.date(2024, 1, 4)] == 1   # order 1 closed after d2
     assert rows[dt.date(2024, 1, 5)] == 0   # order 2 closed after d3
+
+
+def test_kmv_partition_invariant(spark):
+    """Sketch contents must not depend on input partitioning — the
+    exactness contract the oracle hash and the streaming merge rely on."""
+    from filesql_spark.pipeline.sketch import kmv_sketch
+
+    rows = [("g", i * 37 % 1009) for i in range(800)]
+    a = spark.createDataFrame(rows, "g string, v int").repartition(1)
+    b = spark.createDataFrame(rows, "g string, v int").repartition(13, "v")
+    ha = sorted(r.h for r in kmv_sketch(a, "g", "v", k=32).collect())
+    hb = sorted(r.h for r in kmv_sketch(b, "g", "v", k=32).collect())
+    assert ha == hb
+
+
+def test_triangle_census_partition_invariant(spark):
+    import random
+
+    from filesql_spark.pipeline.graph import triangle_stats
+
+    rng = random.Random(5)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(25), rng.randrange(25)) for _ in range(120))
+                  if a != b})
+    a = spark.createDataFrame(edges, "doc_a long, doc_b long").repartition(1)
+    b = spark.createDataFrame(edges, "doc_a long, doc_b long").repartition(7, "doc_a")
+    ra = triangle_stats(a).collect()[0]
+    rb = triangle_stats(b).collect()[0]
+    assert tuple(ra) == tuple(rb)
