@@ -164,6 +164,8 @@ HEADLINE = [
     "docs_tokenizer_fertility",
     "asof_join_tolerance",
     "orders_open_interval_count",
+    "text_readability_scores",
+    "pipeline_eval_set_builder",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

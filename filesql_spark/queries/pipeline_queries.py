@@ -6248,3 +6248,148 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("fert_ppm", F.lit(0.5)).alias("median_fertility_ppm"),
         F.percentile("fert_ppm", F.lit(0.9)).alias("p90_fertility_ppm"),
     )
+
+
+@register(
+    "text_readability_scores",
+    f"""
+    WITH x AS (
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+               206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+           ELSE 0.0 END AS flesch_ease,
+           CASE WHEN n_words > 0 THEN
+               0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+               + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+               - 15.59
+           ELSE 0.0 END AS fk_grade
+    FROM x
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document, with
+    vowel-group syllable counting — the classic readability features a
+    quality-gate ensemble mixes with length/stopword signals (readability
+    outliers flag OCR junk and machine-generated filler).
+
+    Exactness: word/sentence/syllable counts are exact integers from
+    regex extraction; each score is a FIXED chain of IEEE multiply/
+    divide/add on those integers, so both engines produce the identical
+    double (no transcendental, no rounding needed). Zero-shuffle —
+    pure scan-speed column expressions."""
+    toks = "size(filter(split(trim(text), '\\\\s+'), x -> x != ''))"
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(toks).cast("long").alias("n_words"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+        ).cast("long").alias("n_sentences"),
+        F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+        .cast("long")
+        .alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN "
+            "206.835D - 1.015D * (CAST(n_words AS DOUBLE) / n_sentences)"
+            " - 84.6D * (CAST(n_syllables AS DOUBLE) / n_words)"
+            " ELSE 0.0D END"
+        ).alias("flesch_ease"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN "
+            "0.39D * (CAST(n_words AS DOUBLE) / n_sentences)"
+            " + 11.8D * (CAST(n_syllables AS DOUBLE) / n_words)"
+            " - 15.59D ELSE 0.0D END"
+        ).alias("fk_grade"),
+    )
+
+
+def _eval_set_oracle(n: int = 13, mod: int = 17, cap: int = 5) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+    WITH t0 AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {n - 1}), i -> {gram}))) AS g
+        FROM t0 WHERE len(t) >= {n}
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM sh
+    ),
+    train_grams AS (SELECT DISTINCT h FROM h WHERE doc_id % {mod} != 0),
+    leaky AS (
+        SELECT DISTINCT s.doc_id FROM h s JOIN train_grams USING (h)
+        WHERE s.doc_id % {mod} = 0
+    ),
+    clean AS (
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id % {mod} = 0
+          AND NOT EXISTS (SELECT 1 FROM leaky l WHERE l.doc_id = d.doc_id)
+    )
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10000, doc_id
+               ) AS rn
+        FROM clean
+    ) WHERE rn <= {cap}
+    """
+
+
+@register("pipeline_eval_set_builder", _eval_set_oracle())
+def pipeline_eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free eval-set construction — decontamination run in REVERSE:
+    candidate held-out docs (doc_id % 17 = 0) that share ANY 13-gram
+    with the training corpus are rejected, and the clean survivors are
+    quota-balanced per language (5 each, deterministic hash order) —
+    the recipe for building an eval set you can trust when the training
+    side is fixed (the mirror image of pipeline_decontaminate, which
+    fixes the eval side and cleans training).
+
+    Scale shape: the CANDIDATE side's gram table is the small one here
+    (eval candidates ≪ corpus), so the probe broadcasts the candidate
+    grams and the training side never shuffles for the match — the same
+    asymmetric-join discipline as contamination.py, direction flipped;
+    the per-lang quota is one window over the clean survivors."""
+    from filesql_spark.pipeline.contamination import ngram_hashes
+    from filesql_spark.pipeline.sampling import _bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = d.filter(F.col("doc_id") % 17 == 0)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    cand_grams = ngram_hashes(cand).select(
+        F.col("doc_id").alias("cand_id"), "h"
+    )
+    leaky = (
+        ngram_hashes(train)
+        .select("h")
+        .join(F.broadcast(cand_grams), "h")
+        .select("cand_id")
+        .distinct()
+    )
+    clean = cand.select("doc_id", "lang").join(
+        leaky, cand.doc_id == leaky.cand_id, "left_anti"
+    )
+    w = Window.partitionBy("lang").orderBy(_bucket(F.col("doc_id")), F.col("doc_id"))
+    return (
+        clean.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang")
+    )
