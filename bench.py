@@ -166,6 +166,8 @@ HEADLINE = [
     "orders_open_interval_count",
     "text_readability_scores",
     "pipeline_eval_set_builder",
+    "events_stickiness_dau_wau",
+    "lineitem_discount_regression",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

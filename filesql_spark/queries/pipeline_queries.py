@@ -6393,3 +6393,60 @@ def pipeline_eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "events_stickiness_dau_wau",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ),
+    contrib AS (
+        SELECT user_id, CAST(d + INTERVAL (o.off) DAY AS DATE) AS w
+        FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+    ),
+    wau AS (
+        SELECT w AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY w
+    )
+    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day, EXACT: each distinct (user, day)
+    contributes to the 7 trailing windows it belongs to (a bounded ×7
+    explode of the already-deduplicated pair relation — never of raw
+    events), so the trailing-7-day distinct is a plain groupBy instead
+    of a per-day rescan. The engagement-quality ratio product teams
+    track; the HLL register variant (sketch_hll_sliding_wau) is the
+    at-scale sibling — this is its exact twin, and stickiness is the
+    exact integer ppm DAU·10⁶ ÷ WAU.
+
+    Only days with actual activity appear (DAU ≥ 1 — inner join against
+    the WAU relation)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(d, i))")
+        ).alias("w"),
+    )
+    wau = contrib.groupBy("w").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.d == wau.w)
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").cast("long").alias("stickiness_ppm"),
+        )
+    )

@@ -3170,3 +3170,62 @@ def orders_open_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("timestamp").alias("day"),
         F.sum("dx").over(w).cast("long").alias("n_open"),
     )
+
+
+@register(
+    "lineitem_discount_regression",
+    f"""
+    WITH x AS (
+        SELECT l_returnflag,
+               {_c('l_discount')} AS dc,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dc) AS BIGINT) AS sx,
+               CAST(SUM(q) AS BIGINT) AS sy,
+               CAST(SUM(dc * dc) AS BIGINT) AS sxx,
+               CAST(SUM(dc * q) AS BIGINT) AS sxy
+        FROM x GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
+               / n AS intercept
+    FROM m
+    """,
+)
+def lineitem_discount_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of quantity on discount (does discounting move
+    volume?): slope and intercept from ONE pass of exact integer moment
+    sums over discount-cents — distributed least squares as a single
+    map-side-combined aggregate, no ML library, no iteration. The final
+    slope/intercept are fixed IEEE division/multiply chains over exact
+    integers, so the hash matches without rounding — the same
+    exact-moments discipline as quality_signal_correlation, extended
+    from correlation to regression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        "l_returnflag",
+        cents("l_discount").alias("dc"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    m = x.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dc").cast("long").alias("sx"),
+        F.sum("q").cast("long").alias("sy"),
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sxx"),
+        F.sum(F.col("dc") * F.col("q")).cast("long").alias("sxy"),
+    )
+    slope = "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(slope).alias("slope"),
+        F.expr(f"(CAST(sy AS DOUBLE) - ({slope}) * sx) / n").alias("intercept"),
+    )
