@@ -168,6 +168,9 @@ HEADLINE = [
     "pipeline_eval_set_builder",
     "events_stickiness_dau_wau",
     "lineitem_discount_regression",
+    "docs_ngram_novelty",
+    "events_error_rate_monitor",
+    "embedding_pair_distance_histogram",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

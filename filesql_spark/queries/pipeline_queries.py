@@ -6450,3 +6450,174 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dau * 1000000 div wau").cast("long").alias("stickiness_ppm"),
         )
     )
+
+
+@register(
+    "docs_ngram_novelty",
+    f"""
+    WITH t0 AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    sets AS (SELECT doc_id, {_SHINGLES} AS sh FROM t0),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+    freq AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh s JOIN freq f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the exact-ppm fraction of a doc's
+    distinct 3-grams that occur in NO other document — the inverse lens
+    of dup detection (dedup asks "how much is shared", curation also
+    asks "how much is NEW"; novelty-weighted sampling upweights
+    information-dense docs). Each doc contributes every gram at most
+    once, so the corpus gram count IS document frequency; one
+    corpus-wide gram groupBy (the same single shuffle as dup-span
+    detection), one broadcast-size-bounded join back, one per-doc
+    aggregate."""
+    from filesql_spark.pipeline.dedup import exploded_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(d)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.expr("n_unique * 1000000 div n_grams").cast("long").alias("novelty_ppm"),
+        )
+    )
+
+
+@register(
+    "events_error_rate_monitor",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_errors) AS DOUBLE) / SUM(n_events) AS p FROM hourly
+    )
+    SELECT CAST(hour AS TIMESTAMP) AS hour, n_events, n_errors,
+           CAST(n_errors * 1000000 // n_events AS BIGINT) AS rate_ppm,
+           CAST(CASE WHEN CAST(n_errors AS DOUBLE) / n_events >
+                p + 3.0 * sqrt(p * (1.0 - p) / n_events)
+                THEN 1 ELSE 0 END AS INTEGER) AS out_of_control
+    FROM hourly CROSS JOIN tot
+    """,
+)
+def events_error_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate p-chart: per-hour error share vs the
+    per-sample-size control limit p̄ + 3·√(p̄(1−p̄)/n) — statistical
+    process control for the ingest stream, flagging hours whose error
+    rate exceeds what binomial noise around the corpus-wide rate
+    allows (a variable-n p-chart, not a fixed threshold).
+
+    One hourly aggregate (map-side combined), the overall rate as a
+    one-row broadcast, and a fixed IEEE op chain per hour (sqrt is
+    correctly rounded) — rates reported in exact integer ppm, the flag
+    engine-portable."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    tot = hourly.agg(
+        (F.sum("n_errors").cast("double") / F.sum("n_events")).alias("p")
+    )
+    return hourly.crossJoin(F.broadcast(tot)).select(
+        F.col("hour").cast("timestamp").alias("hour"),
+        "n_events",
+        "n_errors",
+        F.expr("n_errors * 1000000 div n_events").cast("long").alias("rate_ppm"),
+        F.expr(
+            "CASE WHEN CAST(n_errors AS DOUBLE) / n_events >"
+            " p + 3.0D * sqrt(p * (1.0D - p) / n_events)"
+            " THEN 1 ELSE 0 END"
+        ).cast("int").alias("out_of_control"),
+    )
+
+
+@register(
+    "embedding_pair_distance_histogram",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    d AS (
+        SELECT CAST(list_sum(list_transform(
+                   generate_series(1, len(a.qv)),
+                   i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT)
+                   AS d2
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+    ),
+    binned AS (
+        SELECT d2 // 1000000000 AS bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM d GROUP BY d2 // 1000000000
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_pairs,
+           CAST(n_pairs * 1000000 // SUM(n_pairs) OVER () AS BIGINT)
+               AS share_ppm
+    FROM binned
+    """,
+)
+def embedding_pair_distance_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise squared-distance histogram over a deterministic vector
+    sample (vec_id % 5) — the embedding-collapse diagnostic: a healthy
+    space shows a broad unimodal spread, a collapsed or degenerate
+    space piles into the lowest bins, and the histogram is the one-look
+    check before trusting cosine-based dedup/ANN on a new embedding
+    model.
+
+    The quadratic pair join is bounded to the sample (the same
+    affordability argument as near_dup_eval's truth relation); exact
+    int64 distances over the ×10⁴-quantized vectors, integer-div
+    binning (1e9-wide bins ≈ 0.01 cosine-scale steps), shares in exact
+    ppm via one window over the ≤bins-row result."""
+    from filesql_spark.pipeline.dedup import with_quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = with_quantized(e.filter(F.col("vec_id") % 5 == 0)).select("vec_id", "qv")
+    a, b = q.alias("a"), q.alias("b")
+    d2 = F.expr(
+        "CAST(aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v) AS LONG)"
+    )
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(d2.alias("d2"))
+    binned = pairs.groupBy(F.expr("d2 div 1000000000").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w = Window.partitionBy()
+    return binned.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_pairs",
+        F.expr("n_pairs * 1000000").alias("__num"),
+        F.sum("n_pairs").over(w).alias("__tot"),
+    ).select(
+        "bin",
+        "n_pairs",
+        F.expr("__num div __tot").cast("long").alias("share_ppm"),
+    )
