@@ -6573,8 +6573,8 @@ def events_error_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q a JOIN q b ON a.vec_id < b.vec_id
     ),
     binned AS (
-        SELECT d2 // 1000000000 AS bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
-        FROM d GROUP BY d2 // 1000000000
+        SELECT d2 // 25000000 AS bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM d GROUP BY d2 // 25000000
     )
     SELECT CAST(bin AS BIGINT) AS bin, n_pairs,
            CAST(n_pairs * 1000000 // SUM(n_pairs) OVER () AS BIGINT)
@@ -6607,7 +6607,7 @@ def embedding_pair_distance_histogram(
         " 0L, (acc, v) -> acc + v) AS LONG)"
     )
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(d2.alias("d2"))
-    binned = pairs.groupBy(F.expr("d2 div 1000000000").alias("bin")).agg(
+    binned = pairs.groupBy(F.expr("d2 div 25000000").alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
     w = Window.partitionBy()
