@@ -623,8 +623,12 @@ def kmv_sketch(
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
+    # NULL values have no hash and never enter the sketch (a NULL would
+    # sort nulls-FIRST into Spark's k-smallest but nulls-LAST in
+    # DuckDB's — an engine divergence this filter forecloses)
     hashes = (
         df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
         .withColumn("salt", F.col("h") % 32)
     )
@@ -682,11 +686,17 @@ def kmv_theta_estimates(
     )
 
     def one(name: str, hashes: DataFrame, theta: DataFrame) -> DataFrame:
+        # GLOBAL aggregate (not groupBy theta): an empty set must still
+        # produce its row — (name, 0, NULL, NULL), matching the oracle's
+        # COUNT-over-empty-join behavior — where a groupBy on zero rows
+        # would silently drop the set from the output
         return (
             hashes.crossJoin(F.broadcast(theta))
             .filter(F.col("h") < F.col("theta"))
-            .groupBy("theta")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.max("theta").alias("theta"),
+            )
             .select(
                 F.lit(name).alias("set_name"),
                 "n_kept",

@@ -465,3 +465,20 @@ def test_triangle_census_partition_invariant(spark):
     ra = triangle_stats(a).collect()[0]
     rb = triangle_stats(b).collect()[0]
     assert tuple(ra) == tuple(rb)
+
+
+def test_kmv_empty_set_still_reports(spark):
+    """A set with zero members must still yield its row — (name, 0,
+    NULL theta, NULL estimate) — not silently vanish from the report;
+    NULL values never enter a sketch."""
+    from filesql_spark.pipeline.sketch import kmv_sketch, kmv_theta_estimates
+
+    rows = [("a", i) for i in range(10)] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    sk = kmv_sketch(df, "g", "v", k=8)
+    assert sk.count() == 8  # NULL excluded
+    out = {r.set_name: r for r in kmv_theta_estimates(sk, "a", "b", k=8).collect()}
+    assert set(out) == {"a", "b", "union", "intersection"}
+    assert out["b"].n_kept == 0 and out["b"].theta is None
+    assert out["b"].estimate is None
+    assert out["intersection"].n_kept == 0
