@@ -171,6 +171,10 @@ HEADLINE = [
     "docs_ngram_novelty",
     "events_error_rate_monitor",
     "embedding_pair_distance_histogram",
+    "dedup_family_size_distribution",
+    "text_vocab_growth_heaps",
+    "orders_seasonality_index",
+    "part_supplier_concentration",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

@@ -6621,3 +6621,117 @@ def embedding_pair_distance_histogram(
         "n_pairs",
         F.expr("__num div __tot").cast("long").alias("share_ppm"),
     )
+
+
+def _dup_families_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS v, a AS lbl FROM edges
+        UNION
+        SELECT e.a AS v, r.lbl FROM edges e JOIN reach r ON e.b = r.v
+    ),
+    comp AS (SELECT v, MIN(lbl) AS component FROM reach GROUP BY v),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS family_size
+        FROM labeled GROUP BY component
+    )
+    SELECT family_size,
+           CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(COUNT(*) * family_size AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (family_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY family_size
+    """
+
+
+@register("dedup_family_size_distribution", _dup_families_oracle())
+def dedup_family_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution: how many near-dup clusters of
+    each size exist, the docs they hold, and the docs a
+    keep-one-per-family policy would remove — the one-look dedup-impact
+    forecast (a corpus of pairs dedups very differently from one with a
+    few giant families). Two tiny aggregates over the STANDING
+    components table (``ensure_components``); singleton docs count as
+    families of one."""
+    d = load_table(spark, sf_dir, "documents")
+    comp = ensure_components(spark, sf_dir)
+    labeled = d.select("doc_id").join(
+        comp, d.doc_id == comp.node, "left"
+    ).select(F.coalesce("component", "doc_id").alias("component"))
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("family_size")
+    )
+    return sizes.groupBy("family_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_families"),
+        (F.count(F.lit(1)) * F.first("family_size")).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) * (F.first("family_size") - 1))
+        .cast("long")
+        .alias("n_removable"),
+    )
+
+
+@register(
+    "text_vocab_growth_heaps",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({_TOKENS})) AS t FROM documents
+    ),
+    first_seen AS (
+        SELECT t, CAST(MIN(doc_id) AS BIGINT) AS fd FROM tok GROUP BY t
+    ),
+    newly AS (
+        SELECT fd // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY fd // 50
+    ),
+    docs_b AS (
+        SELECT doc_id // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY doc_id // 50
+    )
+    SELECT CAST(d.bucket AS BIGINT) AS bucket,
+           CAST(SUM(d.n_docs) OVER (ORDER BY d.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_docs,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_vocab
+    FROM docs_b d LEFT JOIN newly n ON d.bucket = n.bucket
+    """,
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (the Heaps'-law check): cumulative
+    distinct token types vs cumulative documents at 50-doc checkpoints,
+    via the FIRST-SEEN rewrite — each type counts once at the minimum
+    doc_id containing it, so the curve is one token groupBy + a window
+    over the ≤|buckets| relation, never a per-checkpoint rescan (the
+    same linearization as events_cumulative_distinct). A curve that
+    flattens early signals duplication/templating; one that grows
+    linearly signals noise (OCR junk mints unbounded new 'types')."""
+    from filesql_spark.pipeline.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t"))
+    first_seen = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    newly = first_seen.groupBy(F.expr("fd div 50").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    docs_b = d.groupBy(F.expr("doc_id div 50").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        docs_b.join(newly, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
+        )
+    )

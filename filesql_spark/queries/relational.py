@@ -3229,3 +3229,108 @@ def lineitem_discount_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(slope).alias("slope"),
         F.expr(f"(CAST(sy AS DOUBLE) - ({slope}) * sx) / n").alias("intercept"),
     )
+
+
+@register(
+    "orders_seasonality_index",
+    f"""
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS month,
+               CAST(SUM({_c('o_totalprice')}) AS BIGINT) AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY EXTRACT(MONTH FROM o_orderdate)
+    ),
+    tot AS (
+        SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_months
+        FROM monthly
+    )
+    SELECT month, rev_cents / 100.0 AS revenue, n_orders,
+           CAST(rev_cents * n_months * 1000000 // total_cents AS BIGINT)
+               AS seasonal_index_ppm
+    FROM monthly CROSS JOIN tot
+    """,
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic seasonal index per calendar month: month revenue relative
+    to the all-months mean, in exact integer ppm (1,000,000 = an average
+    month) — the multiplicative-decomposition building block demand
+    planning starts from. One month-keyed aggregate (12 rows) + a
+    one-row broadcast total; index = rev·n_months·10⁶ ÷ total in exact
+    integers (multiplying by n_months before dividing avoids a float
+    mean)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    tot = monthly.agg(
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    )
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        "month",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        "n_orders",
+        F.expr("rev_cents * n_months * 1000000 div total_cents")
+        .cast("long")
+        .alias("seasonal_index_ppm"),
+    )
+
+
+@register(
+    "part_supplier_concentration",
+    f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM({_c('l_extendedprice')}) AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+        SELECT l_partkey, CAST(SUM(rev) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM ps GROUP BY l_partkey
+    ),
+    shares AS (
+        SELECT p.l_partkey, t.n_suppliers,
+               (p.rev * 10000) // t.total AS share_bp
+        FROM ps p JOIN tot t USING (l_partkey)
+    )
+    SELECT l_partkey,
+           CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi
+    FROM shares GROUP BY l_partkey
+    ORDER BY hhi DESC, l_partkey LIMIT 25
+    """,
+)
+def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk: the Herfindahl-Hirschman index of
+    supplier revenue shares per part (shares in exact integer basis
+    points; HHI = Σ share²  — 10⁸ = single-source), top-25 most
+    concentrated — the single-point-of-failure screen a supply-chain
+    review runs. Two part-keyed aggregates that reuse one hash
+    partitioning + a TakeOrdered top-k; every number before the output
+    is an exact integer (floor-div shares make the HHI engine-stable,
+    at worst 10⁻⁴ relative quantization)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(cents("l_extendedprice")).cast("long").alias("rev")
+    )
+    tot = ps.groupBy("l_partkey").agg(
+        F.sum("rev").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    shares = ps.join(tot, "l_partkey").select(
+        "l_partkey",
+        "n_suppliers",
+        F.expr("(rev * 10000) div total").alias("share_bp"),
+    )
+    return (
+        shares.groupBy("l_partkey")
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.sum(F.col("share_bp") * F.col("share_bp")).cast("long").alias("hhi"),
+        )
+        .orderBy(F.col("hhi").desc(), "l_partkey")
+        .limit(25)
+    )
