@@ -358,3 +358,137 @@ def test_ppm_floor_division_bounds(num, den):
     ppm = x * 1_000_000 // den
     assert 0 <= ppm <= 1_000_000
     assert 0 <= (x / den) * 1_000_000 - ppm < 1 + 1e-6
+
+
+# ------------------------------------------------------- round-8 kernels
+
+
+def test_remove_dup_spans_matches_python_reference(spark):
+    """remove_dup_spans vs a direct Python reference on randomized small
+    corpora (shared spans planted + random filler)."""
+    import hashlib
+    import random
+
+    from filesql_spark.pipeline.text import remove_dup_spans
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    for seed in [1, 5, 9]:
+        rng = random.Random(seed)
+        shared = " ".join(rng.choice(vocab) for _ in range(6))
+        docs = []
+        for i in range(8):
+            words = [rng.choice(vocab) for _ in range(rng.randrange(3, 15))]
+            if i % 3 == 0:
+                pos = rng.randrange(0, len(words) + 1)
+                words[pos:pos] = shared.split()
+            docs.append((i, " ".join(words)))
+
+        # python reference: 5-gram positions, cross-doc dup set, covered
+        n = 5
+        grams = {}
+        for did, text in docs:
+            w = text.split(" ")
+            for p in range(len(w) - n + 1):
+                g = " ".join(w[p : p + n])
+                grams.setdefault(g, set()).add(did)
+        dup = {g for g, ds in grams.items() if len(ds) >= 2}
+        want = {}
+        for did, text in docs:
+            w = text.split(" ")
+            covered = set()
+            for p in range(len(w) - n + 1):
+                if " ".join(w[p : p + n]) in dup:
+                    covered.update(range(p, p + n))
+            kept = [w[i] for i in range(len(w)) if i not in covered]
+            want[did] = (
+                len(w),
+                len(w) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_hash)
+            for r in remove_dup_spans(df).collect()
+        }
+        assert got == want, seed
+
+
+def test_user_streaks_matches_python_reference(spark, tmp_path):
+    import datetime as dt
+    import os
+    import random
+
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rng = random.Random(17)
+    rows = []
+    days_by_user = {}
+    eid = 0
+    for u in range(6):
+        days = sorted(rng.sample(range(30), rng.randrange(1, 12)))
+        days_by_user[u] = days
+        for d in days:
+            for _ in range(rng.randrange(1, 3)):  # multiple events per day
+                rows.append((eid, base + dt.timedelta(days=d, minutes=eid % 60), u, "view", 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+
+    def ref(days):
+        runs, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        return (len(days), max(runs), len(runs))
+
+    from filesql_spark.queries.relational import events_user_streaks
+
+    got = {
+        r.user_id: (r.n_active_days, r.longest_streak, r.n_streaks)
+        for r in events_user_streaks(spark, d).collect()
+    }
+    assert got == {u: ref(days) for u, days in days_by_user.items()}
+
+
+def test_stickiness_matches_python_reference(spark, tmp_path):
+    import datetime as dt
+    import os
+    import random
+
+    base = dt.datetime(2024, 2, 1)
+    rng = random.Random(23)
+    pairs = set()
+    for u in range(10):
+        for d in rng.sample(range(20), rng.randrange(1, 10)):
+            pairs.add((u, d))
+    rows = [
+        (i, base + dt.timedelta(days=d, hours=u % 24), u, "view", 1.0, "{}")
+        for i, (u, d) in enumerate(sorted(pairs))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    p = str(tmp_path / "sf")
+    os.makedirs(p)
+    df.write.parquet(os.path.join(p, "events.parquet"))
+
+    from filesql_spark.queries.pipeline_queries import events_stickiness_dau_wau
+
+    got = {
+        r.day.date(): (r.dau, r.wau, r.stickiness_ppm)
+        for r in events_stickiness_dau_wau(spark, p).collect()
+    }
+    active_days = {d for _, d in pairs}
+    for d in active_days:
+        day = (base + dt.timedelta(days=d)).date()
+        dau = sum(1 for u, dd in pairs if dd == d)
+        wau = len({u for u, dd in pairs if d - 6 <= dd <= d})
+        assert got[day] == (dau, wau, dau * 1_000_000 // wau), day
