@@ -175,6 +175,8 @@ HEADLINE = [
     "text_vocab_growth_heaps",
     "orders_seasonality_index",
     "part_supplier_concentration",
+    "docs_pii_density_by_source",
+    "multimodal_frame_dedup",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

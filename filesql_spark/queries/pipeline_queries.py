@@ -6735,3 +6735,160 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
         )
     )
+
+
+def _pii_density_oracle() -> str:
+    from filesql_spark.pipeline.text import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    per_class = ",\n           ".join(
+        f"CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0 THEN {_PII_AUGMENT} ELSE text END AS text
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {per_class},
+           CAST(SUM({counts}) AS BIGINT) AS n_total_hits,
+           CAST(SUM({counts}) * 10000 // SUM(length(text)) AS BIGINT)
+               AS hits_per_10k_chars
+    FROM aug GROUP BY source
+    """
+
+
+@register("docs_pii_density_by_source", _pii_density_oracle())
+def docs_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level PII risk screen: per-class PII hit counts and hits
+    per 10k characters for every source — the triage report deciding
+    WHICH sources need redaction (or exclusion) before per-document
+    scrubbing runs; every-third doc carries the deterministic PII
+    augmentation so the matrix is non-vacuous on the synthetic corpus
+    (same convention as text_pii_redact). One scan with the regex
+    counts evaluated inline, one source-keyed aggregate — the
+    per-source report costs no more than the per-doc pass."""
+    from filesql_spark.pipeline.text import PII_PATTERNS
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CASE WHEN doc_id % 3 = 0 THEN {_PII_AUGMENT.replace('VARCHAR', 'STRING')}"
+            " ELSE text END"
+        ).alias("text"),
+    )
+    # DataFrame-API regexp_count with F.lit patterns: embedding the
+    # patterns in a SQL string literal would re-interpret their
+    # backslashes (the same reason pii_redact counts this way)
+    class_counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).alias(f"c_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    x = aug.select("source", F.length("text").alias("len"), *class_counts)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.sum(f"c_{name}")
+        total = c if total is None else total + c
+    return x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(f"c_{name}").cast("long").alias(f"n_{name}")
+            for name, _, _ in PII_PATTERNS
+        ],
+        total.cast("long").alias("n_total_hits"),
+        F.expr(
+            "("
+            + " + ".join(f"sum(c_{name})" for name, _, _ in PII_PATTERNS)
+            + ") * 10000 div sum(len)"
+        ).cast("long").alias("hits_per_10k_chars"),
+    )
+
+
+@register(
+    "multimodal_frame_dedup",
+    """
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id,
+               substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 16) AS fhash
+        FROM d, unnest(generate_series(0,
+             CAST(LEAST(CAST(n_bytes % 30 + 1 AS INTEGER), 8) AS INTEGER) - 1))
+             AS s(i)
+    ),
+    freq AS (
+        SELECT fhash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM frames GROUP BY fhash
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN q.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_frames,
+           CAST(SUM(CASE WHEN q.nd >= 2 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_frame_ppm
+    FROM frames f JOIN freq q USING (fhash)
+    GROUP BY f.doc_id
+    """,
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection: sampled frames are
+    content-hashed and any frame whose hash appears in ANOTHER video
+    marks both as sharing footage — the near-dup gate for video corpora
+    (re-uploads and edits share most frames; the pHash variant swaps
+    the exact hash for a perceptual one, same plumbing). Frame hashes
+    are md5-derived from the payload + frame index (exact-duplicate
+    payloads share every frame, so the synthetic corpus' exact dups
+    light up the detector); one frame-level groupBy is the only
+    corpus-wide shuffle — identical shape to document-level exact
+    dedup, one level finer."""
+    from filesql_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        decode_images,
+        frame_sample_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = frame_sample_plan(decode_images(attach_binary_payload(docs))).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    frames = plan.select(
+        "doc_id",
+        F.explode("frame_idx").alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat(F.col("text"), F.lit(":"), F.col("i").cast("string"))),
+            1,
+            16,
+        ).alias("fhash"),
+    )
+    freq = frames.groupBy("fhash").agg(
+        F.count_distinct("doc_id").cast("long").alias("nd")
+    )
+    return (
+        frames.join(freq, "fhash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_dup_frames"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_dup_frames",
+            F.expr("n_dup_frames * 1000000 div n_frames")
+            .cast("long")
+            .alias("dup_frame_ppm"),
+        )
+    )
