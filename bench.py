@@ -177,6 +177,8 @@ HEADLINE = [
     "part_supplier_concentration",
     "docs_pii_density_by_source",
     "multimodal_frame_dedup",
+    "docs_quality_gate_sweep",
+    "orders_fulfillment_latency",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

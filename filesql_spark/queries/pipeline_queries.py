@@ -6892,3 +6892,128 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_frame_ppm"),
         )
     )
+
+
+@register(
+    "docs_quality_gate_sweep",
+    f"""
+    WITH x AS (
+        SELECT CAST(len({_TOKENS}) AS BIGINT) AS n_tok FROM documents
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(n_tok) AS BIGINT) AS tok_total
+        FROM x
+    )
+    SELECT t.thr AS min_tokens,
+           CAST(COUNT(*) FILTER (WHERE n_tok >= t.thr) AS BIGINT)
+               AS n_surviving,
+           CAST(COUNT(*) FILTER (WHERE n_tok >= t.thr) * 1000000
+                // MAX(tot.n_total) AS BIGINT) AS doc_share_ppm,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE n_tok >= t.thr), 0) * 1000000
+                // MAX(tot.tok_total) AS BIGINT) AS token_share_ppm
+    FROM x CROSS JOIN tot
+    CROSS JOIN (SELECT unnest([5, 10, 20, 40, 80]) AS thr) t
+    GROUP BY t.thr
+    """,
+)
+def docs_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-gate calibration sweep: for each candidate min-token
+    threshold, the documents AND tokens that survive (in exact ppm of
+    the corpus) — the curve that shows where a stricter gate starts
+    costing real data (docs drop fast, tokens slowly ⇒ the gate is
+    cheap; both drop ⇒ it is destructive). ONE scan computes every
+    threshold: the token count is evaluated once per doc and the five
+    thresholds are conditional aggregates over it, not five passes."""
+    from filesql_spark.pipeline.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    x = d.select(F.size(tokens(F.col("text"))).cast("long").alias("n_tok"))
+    thrs = [5, 10, 20, 40, 80]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("n_tok").cast("long").alias("tok_total")]
+    for t in thrs:
+        aggs.append(
+            F.sum((F.col("n_tok") >= t).cast("long")).cast("long").alias(f"d_{t}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("n_tok") >= t, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias(f"t_{t}")
+        )
+    m = x.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(t).alias("min_tokens"),
+            F.col(f"d_{t}").alias("n_surviving"),
+            F.expr(f"d_{t} * 1000000 div n_total").cast("long").alias("doc_share_ppm"),
+            F.expr(f"t_{t} * 1000000 div tok_total").cast("long").alias("token_share_ppm"),
+        )
+        for t in thrs
+    ]
+    return m.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.min_tokens", "r.n_surviving", "r.doc_share_ppm", "r.token_share_ppm"
+    )
+
+
+@register(
+    "orders_fulfillment_latency",
+    """
+    WITH lat AS (
+        SELECT o.o_orderkey,
+               CAST((epoch_us(MAX(l.l_shipdate)) - epoch_us(o.o_orderdate))
+                    // 86400000000 AS BIGINT) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    SELECT CAST(days // 30 AS BIGINT) AS bucket_30d,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+               AS share_ppm
+    FROM lat GROUP BY days // 30
+    """,
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment latency distribution in 30-day buckets
+    with exact-ppm shares — the fulfillment SLA histogram (the tail
+    buckets are the late-order risk report). One orders⋈lineitem
+    aggregate (the only data-sized shuffle), integer-div bucketing,
+    one window over the ≤buckets-row result."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            # NTZ→TIMESTAMP casts are identities under the pinned UTC
+            # session zone; unix_micros requires TIMESTAMP proper
+            F.expr(
+                "(unix_micros(CAST(ship_end AS TIMESTAMP))"
+                " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+                " div 86400000000"
+            ).alias("days")
+        )
+    )
+    b = lat.groupBy(F.expr("days div 30").alias("bucket_30d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+    w = Window.partitionBy()
+    return b.select(
+        F.col("bucket_30d").cast("long").alias("bucket_30d"),
+        "n_orders",
+        "min_days",
+        "max_days",
+        F.expr("n_orders * 1000000").alias("__num"),
+        F.sum("n_orders").over(w).alias("__tot"),
+    ).select(
+        "bucket_30d",
+        "n_orders",
+        "min_days",
+        "max_days",
+        F.expr("__num div __tot").cast("long").alias("share_ppm"),
+    )
