@@ -124,151 +124,201 @@ def register(name: str, oracle: str | None):
 # regenerated each round from CORRECTNESS_r0*.json (see tools note in
 # tests/test_entry_queries.py). Entries absent here have never been graded.
 _LAST_DRIVER_ROUND: dict[str, int] = {
-    "text_token_count": 5,
-    "text_lang_id": 6,
-    "text_quality_score": 6,
-    "text_fingerprint": 6,
-    "dedup_exact": 6,
-    "dedup_minhash_lsh": 5,
-    "dedup_connected_components": 5,
-    "dedup_simhash": 5,
-    "dedup_ngram_jaccard": 6,
-    "dedup_embedding_cosine": 5,
+    "agg_conditional_case": 5,
+    "agg_count_distinct": 6,
+    "agg_cube": 5,
+    "agg_filter_clause": 8,
+    "agg_group_concat": 5,
+    "agg_grouping_sets": 5,
+    "agg_having": 6,
+    "agg_median": 5,
+    "agg_rollup": 6,
+    "agg_salted_two_phase": 5,
     "ann_bruteforce_topk": 5,
-    "ann_lsh_topk": 5,
     "ann_ivf_build": 5,
     "ann_ivf_topk": 5,
-    "multimodal_decode": 5,
-    "multimodal_frame_sample": 5,
-    "pipeline_stage_metrics": 5,
-    "pipeline_clean_corpus": 5,
-    "streaming_events_hourly": 6,
-    "streaming_events_user_state": 6,
-    "q1_pricing_summary": 5,
-    "agg_count_distinct": 6,
-    "agg_having": 6,
-    "agg_conditional_case": 5,
-    "agg_group_concat": 5,
-    "filter_predicates": 5,
-    "filter_like_ci": 7,
-    "select_case_expr": 6,
-    "coalesce_cast": 6,
-    "join_multiway_inner": 6,
-    "q3_shipping_priority": 6,
-    "q5_local_supplier": 6,
-    "join_left_outer": 5,
-    "join_right_outer": 6,
-    "join_full_outer": 5,
-    "join_cross": 6,
-    "join_left_semi": 5,
-    "join_left_anti": 6,
-    "join_theta_selfjoin": 7,
-    "window_rank": 7,
-    "window_row_number": 7,
-    "window_agg_over": 7,
-    "window_running_sum": 6,
-    "window_lag_lead": 5,
-    "window_ntile_dense_first": 5,
-    "topk_orders": 5,
-    "limit_offset": 6,
-    "set_union_all": 6,
-    "set_union_distinct": 5,
-    "set_intersect": 5,
-    "set_except": 6,
-    "cte_vs_company_avg": 6,
-    "derived_table": 7,
-    "scalar_subquery_correlated": 5,
-    "scalar_subquery_select": 7,
-    "in_subquery": 5,
-    "agg_rollup": 6,
-    "agg_median": 5,
-    "recursive_cte": 6,
-    "string_functions": 6,
-    "math_functions": 6,
-    "date_functions": 6,
-    "date_julianday_span": 5,
-    "date_hour_histogram": 6,
-    "json_extract": 6,
-    "events_tumbling_window": 6,
-    "events_sessionize": 6,
-    "asof_join_latest_order": 6,
-    "events_sliding_window": 6,
-    "agg_grouping_sets": 5,
-    "agg_cube": 5,
-    "pivot_status_by_priority": 5,
-    "window_percent_rank": 5,
-    "window_range_interval": 6,
-    "scd2_user_tier": 6,
-    "events_funnel": 6,
-    "events_retention_cohorts": 6,
-    "streaming_events_sessionize": 6,
-    "multimodal_resize": 7,
-    "multimodal_extract_features": 7,
-    "streaming_dedup_exact": 5,
-    "pipeline_train_val_split": 5,
-    "pipeline_stratified_sample": 5,
-    "text_length_percentiles": 5,
-    "text_top_tokens": 5,
-    "text_pii_redact": 5,
-    "text_repetition_filter": 5,
-    "embedding_label_centroids": 5,
-    "streaming_events_enriched": 5,
-    "text_bm25_search": 5,
-    "streaming_events_sliding": 6,
-    "join_salted_skew": 5,
-    "agg_salted_two_phase": 5,
-    "streaming_interval_join": 6,
-    "sketch_hll_users": 6,
-    "layout_zorder_stats": 6,
-    "pipeline_weighted_sample": 6,
-    "text_rarity_score": 6,
-    "sketch_histogram_quantiles": 6,
-    "dedup_incremental": 6,
-    "pipeline_pack_sequences": 6,
-    "streaming_dedup_within_watermark": 6,
-    "events_anomaly_zscore": 6,
-    "embedding_quantize_int8": 6,
-    "q6_forecast_revenue": 7,
-    "events_markov_transitions": 7,
-    "customers_rfm_segments": 7,
-    "customers_rfm_sketch": 7,
-    "interval_join_banded": 7,
-    "events_gap_fill": 7,
-    "events_robust_stats": 7,
-    "window_nth_last_value": 7,
-    "q10_returned_items": 7,
-    "pipeline_dataset_manifest": 7,
-    "join_bloom_semireduction": 7,
-    "pipeline_train_prep": 7,
-    "pipeline_decontaminate": 7,
-    "embedding_kmeans": 7,
-    "embedding_random_projection": 7,
-    "snapshot_diff_docs": 7,
-    "pipeline_mixture_resample": 7,
-    "corpus_datacard": 7,
-    "pipeline_per_source_cap": 7,
-    "pipeline_diversity_sample": 7,
-    "cdc_merge_apply": 7,
-    "streaming_cdc_apply": 7,
-    "text_dup_spans": 7,
-    "pipeline_curate_full": 7,
-    "text_token_drift": 7,
-    "text_chunk_stride": 7,
-    "text_bigram_lm": 7,
-    "events_skew_report": 7,
-    "profile_orders_stats": 7,
-    "sketch_cms_heavy_hitters": 7,
-    "pipeline_semantic_decontaminate": 7,
-    "dedup_cluster_representatives": 7,
-    "streaming_cms_tokens": 7,
-    "events_window_topk": 7,
-    "docs_source_reputation": 7,
-    "pipeline_curriculum_order": 7,
+    "ann_lsh_topk": 5,
     "ann_pq_build": 7,
     "ann_pq_topk": 7,
-    "text_bpe_merges": 7,
+    "asof_join_latest_order": 6,
+    "asof_join_tolerance": 8,
+    "cdc_merge_apply": 7,
+    "coalesce_cast": 6,
+    "corpus_datacard": 7,
+    "cte_vs_company_avg": 6,
+    "customers_rfm_segments": 7,
+    "customers_rfm_sketch": 7,
+    "date_functions": 6,
+    "date_hour_histogram": 6,
+    "date_julianday_span": 5,
+    "dedup_cluster_representatives": 7,
+    "dedup_connected_components": 5,
+    "dedup_embedding_cosine": 5,
+    "dedup_exact": 6,
+    "dedup_incremental": 6,
+    "dedup_lsh_tuning_report": 8,
+    "dedup_minhash_lsh": 5,
+    "dedup_ngram_jaccard": 6,
+    "dedup_simhash": 5,
+    "derived_table": 7,
+    "docs_cross_source_dups": 8,
+    "docs_lang_confusion": 8,
+    "docs_source_reputation": 7,
+    "embedding_kmeans": 7,
+    "embedding_knn_label": 8,
+    "embedding_label_centroids": 5,
+    "embedding_norm_stats": 8,
+    "embedding_outliers": 8,
+    "embedding_quantize_int8": 6,
+    "embedding_random_projection": 7,
+    "embedding_standardize": 8,
+    "events_ab_test_lift": 8,
+    "events_anomaly_zscore": 6,
+    "events_bot_detection": 8,
+    "events_changepoint_cusum": 8,
+    "events_conversion_latency": 8,
+    "events_cumulative_distinct": 8,
+    "events_decayed_engagement": 8,
+    "events_forecast_seasonal": 8,
+    "events_funnel": 6,
+    "events_gap_fill": 7,
+    "events_hazard_curve": 8,
+    "events_ltv_cohort": 8,
+    "events_markov_transitions": 7,
+    "events_retention_cohorts": 6,
+    "events_robust_stats": 7,
+    "events_session_funnel": 8,
+    "events_sessionize": 6,
+    "events_skew_report": 7,
+    "events_sliding_window": 6,
     "events_top_paths": 7,
+    "events_tumbling_window": 6,
+    "events_user_streaks": 8,
+    "events_window_topk": 7,
+    "features_user_wide": 8,
+    "filter_like_ci": 7,
+    "filter_predicates": 5,
+    "graph_pagerank_events": 8,
+    "graph_triangle_census": 8,
+    "in_subquery": 5,
+    "interval_join_banded": 7,
+    "join_bloom_semireduction": 7,
+    "join_cross": 6,
+    "join_full_outer": 5,
+    "join_left_anti": 6,
+    "join_left_outer": 5,
+    "join_left_semi": 5,
+    "join_multiway_inner": 6,
+    "join_right_outer": 6,
+    "join_salted_skew": 5,
+    "join_theta_selfjoin": 7,
+    "json_extract": 6,
+    "layout_zorder_stats": 6,
+    "limit_offset": 6,
+    "lineitem_discount_regression": 8,
+    "lineitem_pareto_share": 8,
+    "math_functions": 6,
+    "multimodal_decode": 5,
+    "multimodal_extract_features": 7,
+    "multimodal_frame_sample": 5,
+    "multimodal_resize": 7,
+    "orders_association_rules": 8,
+    "orders_cooccur_parts": 8,
+    "orders_open_interval_count": 8,
+    "orders_seasonality_index": 8,
+    "part_supplier_concentration": 8,
+    "pipeline_clean_corpus": 5,
+    "pipeline_contamination_report": 8,
+    "pipeline_curate_full": 7,
+    "pipeline_curriculum_order": 7,
+    "pipeline_dataset_manifest": 7,
+    "pipeline_decontaminate": 7,
+    "pipeline_diversity_sample": 7,
+    "pipeline_incremental_decontaminate": 8,
+    "pipeline_mixture_resample": 7,
+    "pipeline_near_dup_eval": 8,
+    "pipeline_pack_sequences": 6,
+    "pipeline_per_source_cap": 7,
+    "pipeline_semantic_decontaminate": 7,
+    "pipeline_split_overlap_qa": 8,
+    "pipeline_stage_metrics": 5,
+    "pipeline_stratified_sample": 5,
+    "pipeline_train_prep": 7,
+    "pipeline_train_val_split": 5,
+    "pipeline_weighted_sample": 6,
+    "pivot_status_by_priority": 5,
+    "profile_orders_stats": 7,
+    "q10_returned_items": 7,
     "q14_promo_revenue": 7,
+    "q18_large_orders": 8,
+    "q1_pricing_summary": 5,
+    "q3_shipping_priority": 6,
+    "q5_local_supplier": 6,
+    "q6_forecast_revenue": 7,
+    "q7_nation_volume": 8,
+    "q8_market_share": 8,
+    "quality_expectations_orders": 8,
+    "recursive_cte": 6,
+    "scalar_subquery_correlated": 5,
+    "scalar_subquery_select": 7,
+    "scd2_user_tier": 6,
+    "select_case_expr": 6,
+    "set_except": 6,
+    "set_except_all": 8,
+    "set_intersect": 5,
+    "set_intersect_all": 8,
+    "set_union_all": 6,
+    "set_union_distinct": 5,
+    "sketch_cms_heavy_hitters": 7,
+    "sketch_histogram_quantiles": 6,
+    "sketch_hll_rollup": 8,
+    "sketch_hll_sliding_wau": 8,
+    "sketch_hll_users": 6,
+    "sketch_kmv_theta": 8,
+    "snapshot_diff_docs": 7,
+    "streaming_cdc_apply": 7,
+    "streaming_cms_tokens": 7,
+    "streaming_dedup_exact": 5,
+    "streaming_dedup_within_watermark": 6,
+    "streaming_events_enriched": 5,
+    "streaming_events_hourly": 6,
+    "streaming_events_sessionize": 6,
+    "streaming_events_sliding": 6,
+    "streaming_events_user_state": 6,
+    "streaming_interval_join": 6,
+    "streaming_kmv_sketch": 8,
+    "string_functions": 6,
+    "text_bigram_lm": 7,
+    "text_bm25_search": 5,
+    "text_bpe_merges": 7,
+    "text_chunk_stride": 7,
+    "text_dup_span_removal": 8,
+    "text_dup_spans": 7,
+    "text_fingerprint": 6,
+    "text_lang_id": 6,
+    "text_length_percentiles": 5,
+    "text_lm_perplexity": 8,
+    "text_pii_redact": 5,
+    "text_quality_score": 6,
+    "text_rarity_score": 6,
+    "text_repetition_filter": 5,
+    "text_tfidf_topterms": 8,
+    "text_token_count": 5,
+    "text_token_drift": 7,
+    "text_token_entropy": 8,
+    "text_tokenizer_coverage": 8,
+    "text_top_tokens": 5,
+    "topk_orders": 5,
+    "window_agg_over": 7,
+    "window_cume_dist": 8,
+    "window_lag_lead": 5,
+    "window_nth_last_value": 7,
+    "window_ntile_dense_first": 5,
+    "window_percent_rank": 5,
+    "window_range_interval": 6,
+    "window_rank": 7,
+    "window_row_number": 7,
+    "window_running_sum": 6,
 }
 
 # Round-8 rotation (VERDICT r7 #2): _HOLD_AFTER_R4 (the round-7c late-add
