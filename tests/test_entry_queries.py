@@ -36,3 +36,51 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_rotation_map_integrity():
+    """The driver-grading rotation map must track reality (VERDICT r8 #7).
+
+    The 50-slot grading window is ordered by ``_LAST_DRIVER_ROUND``
+    staleness; if that map is stale (an entry renamed away, or a round's
+    CORRECTNESS greens never folded in), the window silently
+    mis-prioritizes.  Assert (a) every mapped name exists in the registry
+    and (b) the newest CORRECTNESS file's green set is reflected in the
+    map at (at least) its recorded round, so a forgotten
+    ``tools/update_rotation.py`` run fails CI instead.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    from filesql_spark.queries import _LAST_DRIVER_ROUND, REGISTRY
+
+    unknown = set(_LAST_DRIVER_ROUND) - set(REGISTRY)
+    assert not unknown, f"rotation map names absent from registry: {sorted(unknown)}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no CORRECTNESS files present")
+    newest = files[-1]
+    rnd = int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", newest).group(1))
+    with open(newest) as fh:
+        rows = json.load(fh)
+    green = {
+        n
+        for n, r in rows.items()
+        if r.get("rows_match")
+        and r.get("schema_match")
+        and r.get("hash_match")
+        and r.get("err") is None
+    }
+    # Ignore greens for since-renamed/removed entries; the subset check is
+    # about map freshness for entries that still exist.
+    stale = {
+        n for n in green & set(REGISTRY) if _LAST_DRIVER_ROUND.get(n, 0) < rnd
+    }
+    assert not stale, (
+        f"rotation map is stale vs {os.path.basename(newest)} — run "
+        f"tools/update_rotation.py (missing round-{rnd} greens: {sorted(stale)[:5]}...)"
+    )
