@@ -374,10 +374,17 @@ class Engine:
         output_dir: str,
         format: str = "csv",  # noqa: A002
         compression: str | None = None,
+        single_file: bool = True,
     ) -> list[str]:
         from filesql_spark.sinks.dump import dump_database
 
-        return dump_database(self, output_dir, format=format, compression=compression)
+        return dump_database(
+            self,
+            output_dir,
+            format=format,
+            compression=compression,
+            single_file=single_file,
+        )
 
     def _perform_auto_save(self) -> None:
         """save.go:364-399: dump to output_dir, or overwrite originals when

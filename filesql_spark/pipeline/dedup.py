@@ -966,7 +966,9 @@ def near_dup_eval(
     )
 
 
-def lsh_tuning_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lsh_tuning_report(
+    df: DataFrame, text_col: str = "text", jaccard_threshold: float = 0.5
+) -> DataFrame:
     """LSH health report — the observability a dedup deployment watches
     to keep its banding honest as the corpus drifts: per band, the
     bucket count, the largest bucket (hot buckets ⇒ banal shingles or
@@ -975,7 +977,9 @@ def lsh_tuning_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     how many survived exact-Jaccard verification, and the detector's
     candidate precision in exact ppm (low precision ⇒ bands too
     coarse, wasted verify work; tiny candidate mass ⇒ bands too fine,
-    recall risk).
+    recall risk).  ``jaccard_threshold`` is the exact-verification bar
+    and must match the pair detector it audits (minhash_lsh_pairs'
+    default).
 
     One derivation end-to-end: the band table is persisted and feeds
     BOTH the per-band bucket statistics and the candidate self-join, so
@@ -1011,7 +1015,7 @@ def lsh_tuning_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     verified = (
         cand.join(a, cand.doc_a == F.col("sa.doc_id"))
         .join(b, cand.doc_b == F.col("sb.doc_id"))
-        .filter(inter.cast("double") / union >= 0.5)
+        .filter(inter.cast("double") / union >= jaccard_threshold)
     )
     totals = (
         cand.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_cand"))

@@ -6595,8 +6595,9 @@ def embedding_pair_distance_histogram(
     The quadratic pair join is bounded to the sample (the same
     affordability argument as near_dup_eval's truth relation); exact
     int64 distances over the ×10⁴-quantized vectors, integer-div
-    binning (1e9-wide bins ≈ 0.01 cosine-scale steps), shares in exact
-    ppm via one window over the ≤bins-row result."""
+    binning (2.5e7-wide bins ≈ 0.00025 steps on the unit-cosine d²
+    scale, fine enough to resolve the near-dup shoulder), shares in
+    exact ppm via one window over the ≤bins-row result."""
     from filesql_spark.pipeline.dedup import with_quantized
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -95,17 +95,19 @@ def _write_table(
     if fmt == "jsonl":
         # line-delimited JSON via Spark's native json writer (one object
         # per line, typed values preserved — beyond-reference, see
-        # sources/jsonl.py). Null fields are omitted per JSONL
-        # convention; they re-read as NULL, so round-trips are lossless.
+        # sources/jsonl.py). ignoreNullFields=false keeps explicit
+        # ``"col": null`` entries so an all-null column survives the
+        # round trip with its name (values round-trip losslessly; an
+        # *empty* table still re-reads as EmptyFileError since zero JSON
+        # lines carry no schema).
         _finish_spark_write(
-            src.write.format("json").option(
-                "compression", "gzip" if codec == Compression.GZ else "none"
-            ),
+            src.write.format("json")
+            .option("ignoreNullFields", "false")
+            .option("compression", "gzip" if codec == Compression.GZ else "none"),
             out_path,
             single_file,
         )
-        if codec in (Compression.XZ, Compression.ZSTD):
-            _recompress(out_path, codec)
+        _recompress_output(out_path, codec, single_file)
         return
 
     if fmt in ("csv", "tsv"):
@@ -134,8 +136,7 @@ def _write_table(
 
     _finish_spark_write(writer, out_path, single_file)
 
-    if codec in (Compression.XZ, Compression.ZSTD):
-        _recompress(out_path, codec)
+    _recompress_output(out_path, codec, single_file)
 
 
 def _stringified(df: DataFrame) -> DataFrame:
@@ -170,6 +171,25 @@ def _finish_spark_write(writer, out_path: str, single_file: bool) -> None:
                         shutil.copyfileobj(f, out)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _recompress_output(out_path: str, codec: Compression, single_file: bool) -> None:
+    """Post-compress xz/zst output (Spark has no native writer for either).
+
+    Single-file dumps recompress ``out_path`` in place.  Multi-file dumps
+    went to ``out_path + ".d"`` — recompress each part file there and tag
+    it with the codec extension so readers detect it by name.
+    """
+    if codec not in (Compression.XZ, Compression.ZSTD):
+        return
+    if single_file:
+        _recompress(out_path, codec)
+        return
+    for part in glob.glob(os.path.join(out_path + ".d", "part-*")):
+        if part.endswith(".crc"):
+            continue
+        _recompress(part, codec)
+        os.replace(part, part + codec.value)
 
 
 def _recompress(path: str, codec: Compression) -> None:

@@ -705,9 +705,22 @@ def kmv_sketch_stream(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         target = _os.path.join(out_dir, f"version={batch_id + 1}")
+        cur = _latest(out_dir)
+        # Fail loudly on out_dir/checkpoint mismatch (mirrors the
+        # _file_stream stream_dir guard): a legitimate replay of batch N
+        # finds the out_dir at version N (uncommitted) or N+1 (committed,
+        # checkpoint not yet advanced).  Anything else — e.g. a fresh
+        # checkpoint (batch_id restarts at 0) pointed at an out_dir
+        # holding prior versions — would silently skip every new batch.
+        if cur not in (batch_id, batch_id + 1):
+            raise RuntimeError(
+                f"kmv_sketch_stream: out_dir at version={cur} does not pair "
+                f"with stream batch {batch_id} (expected version {batch_id} "
+                f"or {batch_id + 1}); refusing to merge into a mismatched "
+                "out_dir — use a fresh out_dir with a fresh checkpoint"
+            )
         if _os.path.exists(_os.path.join(target, "_SUCCESS")):
             return  # replayed batch: already committed
-        cur = _latest(out_dir)
         standing = spark.read.parquet(_os.path.join(out_dir, f"version={cur}"))
         batch_sk = kmv_sketch(batch_df, "event_type", "user_id", k=k)
         w = Window.partitionBy("g").orderBy("h")

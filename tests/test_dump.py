@@ -173,7 +173,7 @@ def test_dump_jsonl_roundtrip(spark, tmp_path):
     (_, df), = load_file(spark, paths[0]).tables
     rows = {r.id: r for r in df.orderBy("id").collect()}
     assert rows[1].name == "ann" and rows[1].score == 9.5
-    # NULL fields are omitted on write and re-read as NULL: lossless
+    # NULLs are written explicitly (ignoreNullFields=false) and re-read as NULL
     assert rows[2].score is None
 
 
@@ -213,3 +213,36 @@ def test_dump_orc_roundtrip(spark, tmp_path):
 
     with _pytest.raises(FilesqlError):
         eng.dump(str(out), format="orc", compression="gz")
+
+
+def test_dump_jsonl_all_null_column(spark, tmp_path):
+    """An all-NULL column keeps its name through a JSONL round trip
+    (ignoreNullFields=false — ADVICE r8)."""
+    import filesql_spark
+    from filesql_spark.sources.loader import load_file
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "t.csv").write_text("id,gone\n1,\n2,\n")
+    eng = filesql_spark.open(str(src))
+    out = tmp_path / "out"
+    (p,) = eng.dump(str(out), format="jsonl")
+    (_, df), = load_file(spark, p).tables
+    assert "gone" in df.columns
+    assert all(r.gone is None for r in df.collect())
+
+
+def test_dump_xz_multifile(eng, tmp_path):
+    """single_file=False with xz recompresses each part in the .d dir
+    instead of crashing on the missing single-file path (ADVICE r8)."""
+    import glob as _glob
+
+    out = tmp_path / "outm"
+    (p,) = eng.dump(str(out), format="csv", compression="xz", single_file=False)
+    assert not os.path.exists(p)  # multi-file: data lives in p + ".d"
+    parts = sorted(_glob.glob(os.path.join(p + ".d", "part-*.xz")))
+    assert parts, "expected xz-tagged part files"
+    text = "".join(
+        lzma.open(part, "rt").read() for part in parts
+    )
+    assert "alice" in text and text.startswith("id,name,score")

@@ -1,0 +1,79 @@
+"""Round-9 regression tests: ADVICE r8 fixes and new surface."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _tiny_events_sf(spark, tmp_path) -> str:
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), i % 40,
+         "view" if i % 3 else "purchase", 1.0, "{}")
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.repartition(3).write.parquet(os.path.join(sf, "events.parquet"))
+    return sf
+
+
+def test_kmv_stream_rejects_mismatched_out_dir(spark, tmp_path):
+    """A fresh checkpoint pointed at an out_dir holding prior versions must
+    fail loudly, not silently skip every batch (ADVICE r8)."""
+    from filesql_spark.streaming import kmv_sketch_stream
+
+    sf = _tiny_events_sf(spark, tmp_path)
+    work = str(tmp_path / "work")
+    kmv_sketch_stream(
+        spark, sf, out_dir=f"{work}/sketch", checkpoint_dir=f"{work}/ckpt",
+        k=16, max_files_per_trigger=1,
+    )
+    versions = [
+        p for p in os.listdir(f"{work}/sketch") if p.startswith("version=")
+    ]
+    assert len(versions) >= 3
+    # same out_dir, FRESH checkpoint: batch_id restarts at 0 while the
+    # out_dir sits at a later version — the guard must raise, and the
+    # out_dir must gain no new version
+    with pytest.raises(Exception) as exc:
+        kmv_sketch_stream(
+            spark, sf, out_dir=f"{work}/sketch",
+            checkpoint_dir=f"{work}/ckpt_fresh", k=16,
+            max_files_per_trigger=1,
+        )
+    assert "does not pair" in str(exc.value)
+    after = [
+        p for p in os.listdir(f"{work}/sketch") if p.startswith("version=")
+    ]
+    assert sorted(after) == sorted(versions)
+
+
+def test_lsh_tuning_report_threshold_param(spark):
+    """jaccard_threshold threads through to exact verification: a looser
+    bar verifies at least as many candidates (ADVICE r8)."""
+    from filesql_spark.pipeline.dedup import lsh_tuning_report
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",
+        "completely different content about spark shuffles and parquet",
+        "completely different material about flink state and arrow",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    strict = lsh_tuning_report(df, jaccard_threshold=0.9).collect()
+    loose = lsh_tuning_report(df, jaccard_threshold=0.1).collect()
+    assert loose[0].n_verified >= strict[0].n_verified
+    # candidate generation is threshold-independent
+    assert loose[0].n_distinct_cand == strict[0].n_distinct_cand
