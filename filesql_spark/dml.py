@@ -306,6 +306,17 @@ def _insert(engine, sql: str) -> tuple[int, "object | None"]:
 
     n = aligned.count()
     engine._reregister(table, target.unionByName(aligned))
+    if engine._triggers:
+        from filesql_spark import triggers as trig
+
+        trig.fire(
+            engine,
+            table,
+            "INSERT",
+            aligned.select(
+                F.struct(*[F.col(c) for c in aligned.columns]).alias("new")
+            ),
+        )
     return n, _returning_over(aligned, returning)
 
 
@@ -488,6 +499,22 @@ def _update(engine, sql: str) -> tuple[int, "object | None"]:
 
     n = df.filter(pred).count()
     engine._reregister(table, df.withColumns(assigns))
+    if engine._triggers:
+        from filesql_spark import triggers as trig
+
+        # pre-update plan is immutable → old/new images stay valid
+        trig.fire(
+            engine,
+            table,
+            "UPDATE",
+            df.filter(pred).select(
+                F.struct(*[F.col(c) for c in df.columns]).alias("old"),
+                F.struct(
+                    *[assigns.get(c, F.col(c)).alias(c) for c in df.columns]
+                ).alias("new"),
+            ),
+            set_cols=set(assigns),
+        )
     # the pre-update plan is immutable, so the RETURNING frame (affected
     # rows with assignments applied) stays valid after the view swap
     return n, _returning_over(df.filter(pred).withColumns(assigns), returning)
@@ -520,6 +547,17 @@ def _delete(engine, sql: str) -> tuple[int, "object | None"]:
         pred = F.lit(True)
     n = df.filter(pred).count()
     engine._reregister(table, df.filter(~pred))
+    if engine._triggers:
+        from filesql_spark import triggers as trig
+
+        trig.fire(
+            engine,
+            table,
+            "DELETE",
+            df.filter(pred).select(
+                F.struct(*[F.col(c) for c in df.columns]).alias("old")
+            ),
+        )
     return n, _returning_over(df.filter(pred), returning)
 
 
@@ -566,7 +604,18 @@ def _create(engine, sql: str) -> int:
     if re.match(r"create\s+(unique\s+)?index", low):
         return 0  # accepted and ignored (no indexes in Spark; SURVEY §2.B)
     if "trigger" in low.split()[:3]:
-        raise FilesqlError("CREATE TRIGGER is not supported by this engine")
+        from filesql_spark import triggers as trig
+
+        t, if_not_exists = trig.parse_create_trigger(sql)
+        if t.table not in engine._tables and t.table not in engine._views:
+            raise FilesqlError(f"no such table: {t.table}")
+        if t.name.lower() in engine._triggers:
+            if if_not_exists:
+                return 0
+            raise FilesqlError(f"trigger {t.name} already exists")
+        engine._triggers[t.name.lower()] = t
+        engine._refresh_catalog_views()
+        return 0
 
     m = _CREATE_VIEW_RE.match(sql)
     if m:
@@ -619,7 +668,7 @@ def _create(engine, sql: str) -> int:
 
 def _drop(engine, sql: str) -> int:
     m = re.match(
-        rf"^\s*DROP\s+(?P<kind>TABLE|VIEW|INDEX)\s+(?:IF\s+EXISTS\s+)?{_IDENT}\s*;?\s*$",
+        rf"^\s*DROP\s+(?P<kind>TABLE|VIEW|INDEX|TRIGGER)\s+(?:IF\s+EXISTS\s+)?{_IDENT}\s*;?\s*$",
         sql,
         re.I,
     )
@@ -629,12 +678,27 @@ def _drop(engine, sql: str) -> int:
     if_exists = re.search(r"(?i)IF\s+EXISTS", sql) is not None
     if kind == "INDEX":
         return 0
+    if kind == "TRIGGER":
+        if name.lower() not in engine._triggers:
+            if if_exists:
+                return 0
+            raise FilesqlError(f"no such trigger: {name}")
+        del engine._triggers[name.lower()]
+        engine._refresh_catalog_views()
+        return 0
     store = engine._tables if kind == "TABLE" else engine._views
     if name not in store:
         if if_exists:
             return 0
         raise FilesqlError(f"no such {kind.lower()}: {name}")
     del store[name]
+    if kind == "TABLE":
+        # SQLite drops a table's triggers with it (lang_droptable.html)
+        engine._triggers = {
+            k: t
+            for k, t in engine._triggers.items()
+            if t.table.lower() != name.lower()
+        }
     engine._primary_keys.pop(name, None)
     from filesql_spark.engine import _view_ident
 

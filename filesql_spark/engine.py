@@ -54,12 +54,21 @@ class Engine:
         # declared PRIMARY KEY columns (from CREATE TABLE), the implicit
         # conflict target for INSERT OR REPLACE/IGNORE and bare ON CONFLICT
         self._primary_keys: dict[str, list[str]] = {}
+        # registered triggers, keyed by lowercased name (triggers.py)
+        self._triggers: dict[str, object] = {}
         self._snapshot: tuple[dict[str, DataFrame], dict[str, DataFrame]] | None = None
-        # SAVEPOINT stack: (lowercased name, (tables, views), primary_keys).
+        # SAVEPOINT stack: (lowercased name, (tables, views), primary_keys,
+        # origins, triggers).
         # A savepoint issued outside BEGIN starts an implicit transaction
         # (SQLite semantics: releasing the outermost savepoint commits it).
         self._savepoints: list[
-            tuple[str, tuple[dict[str, DataFrame], dict[str, DataFrame]], dict]
+            tuple[
+                str,
+                tuple[dict[str, DataFrame], dict[str, DataFrame]],
+                dict,
+                dict,
+                dict,
+            ]
         ] = []
         self._temp_files: list[str] = []
         self._closed = False
@@ -116,6 +125,9 @@ class Engine:
             (kind, name, name, 0, self._ddl_for(name) if kind == "table" else None)
             for kind, names in (("table", self._tables), ("view", self._views))
             for name in names
+        ] + [
+            ("trigger", t.name, t.table, 0, t.sql)
+            for t in self._triggers.values()
         ]
         df = self.spark.createDataFrame(
             rows, schema="type string, name string, tbl_name string, rootpage int, sql string"
@@ -260,6 +272,20 @@ class Engine:
             return self.spark.createDataFrame(
                 [], schema="seq int, name string, `unique` int, origin string, partial int"
             )
+        m = re.match(r"\s*PRAGMA\s+foreign_key_list\s*\(\s*[\"'`]?([^)\"'`]+)[\"'`]?\s*\)", sql, re.I)
+        if m:
+            # no FK constraints are tracked (file-backed tables have none;
+            # CREATE TABLE accepts-and-ignores them) — empty result, the
+            # shape SQLite returns for an unconstrained table
+            self.table(m.group(1).strip())  # raises on unknown table
+            return self.spark.createDataFrame(
+                [],
+                schema=(
+                    "id int, seq int, `table` string, `from` string, "
+                    "`to` string, on_update string, on_delete string, "
+                    "`match` string"
+                ),
+            )
         if re.match(r"\s*PRAGMA\s+database_list\s*;?\s*$", sql, re.I):
             # single in-memory database, exactly like the reference's
             # ':memory:' connection (builder.go:353-361)
@@ -282,6 +308,8 @@ class Engine:
         # auto-save origin map pointing at the phantom new name (that
         # would silently detach the table from its save-back file)
         self._origin_snapshot = dict(self._origins)
+        # triggers are schema objects: CREATE/DROP TRIGGER rolls back too
+        self._trigger_snapshot = dict(self._triggers)
 
     def commit(self) -> None:
         if self._snapshot is None and not self._savepoints:
@@ -298,13 +326,14 @@ class Engine:
             tables, views = self._snapshot
             pks = getattr(self, "_pk_snapshot", self._primary_keys)
             origins = getattr(self, "_origin_snapshot", self._origins)
+            trigs = getattr(self, "_trigger_snapshot", self._triggers)
         elif self._savepoints:
-            _, (tables, views), pks, origins = self._savepoints[0]
+            _, (tables, views), pks, origins, trigs = self._savepoints[0]
         else:
             raise TransactionError("no transaction in progress")
         self._snapshot = None
         self._savepoints.clear()
-        self._restore_state(tables, views, pks, origins)
+        self._restore_state(tables, views, pks, origins, trigs)
 
     # SQLite savepoint semantics (lang_savepoint.html): a savepoint outside
     # a transaction starts one; RELEASE of the outermost savepoint commits
@@ -318,6 +347,7 @@ class Engine:
                 (dict(self._tables), dict(self._views)),
                 dict(self._primary_keys),
                 dict(self._origins),
+                dict(self._triggers),
             )
         )
 
@@ -338,9 +368,11 @@ class Engine:
 
     def rollback_to(self, name: str) -> None:
         i = self._find_savepoint(name)
-        _, (tables, views), pks, origins = self._savepoints[i]
+        _, (tables, views), pks, origins, trigs = self._savepoints[i]
         del self._savepoints[i + 1 :]
-        self._restore_state(dict(tables), dict(views), dict(pks), dict(origins))
+        self._restore_state(
+            dict(tables), dict(views), dict(pks), dict(origins), dict(trigs)
+        )
 
     def _restore_state(
         self,
@@ -348,10 +380,13 @@ class Engine:
         views: dict[str, DataFrame],
         pks: dict,
         origins: dict | None = None,
+        triggers: dict | None = None,
     ) -> None:
         self._primary_keys = pks
         if origins is not None:
             self._origins = origins
+        if triggers is not None:
+            self._triggers = triggers
         # drop Spark temp views for objects created since the snapshot —
         # without this a rolled-back CREATE TABLE stays queryable via
         # spark.sql even though the engine catalog forgot it

@@ -63,6 +63,18 @@ def test_pragma_index_list_and_database_list(eng):
     assert [(r.seq, r.name) for r in rows] == [(0, "main")]
 
 
+def test_pragma_foreign_key_list(eng):
+    import pytest as _pytest
+
+    from filesql_spark.errors import FilesqlError
+
+    df = eng.query("PRAGMA foreign_key_list(sample)")
+    assert df.collect() == []
+    assert df.columns[:5] == ["id", "seq", "table", "from", "to"]
+    with _pytest.raises(FilesqlError):
+        eng.query("PRAGMA foreign_key_list(nonexistent)")
+
+
 def test_insert_values(eng):
     n = eng.execute("INSERT INTO sample VALUES (4, 'Ann Lee', 41, 'ann@example.com')")
     assert n == 1
