@@ -27,12 +27,30 @@ def _exact_kept(gated: DataFrame) -> DataFrame:
     )
 
 
-def _near_final(exact_kept: DataFrame, jaccard_threshold: float) -> DataFrame:
-    near_drop = (
-        minhash_lsh_pairs(exact_kept, jaccard_threshold=jaccard_threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+def _near_final(
+    exact_kept: DataFrame,
+    jaccard_threshold: float,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup stage; with a standing ``pairs`` table (doc_a, doc_b,
+    jaccard) it serves without re-deriving signatures.
+
+    Restricting full-corpus pairs to those with BOTH endpoints in
+    ``exact_kept`` is exactly ``minhash_lsh_pairs(exact_kept)``: band-
+    bucket candidacy and exact-Jaccard verification are per-pair
+    properties, independent of what else is in the corpus.  The standing
+    table must have been built at a threshold ≤ ``jaccard_threshold``
+    (the jaccard column re-filters here)."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(exact_kept, jaccard_threshold=jaccard_threshold)
+    else:
+        ids = exact_kept.select("doc_id")
+        pairs = (
+            pairs.filter(F.col("jaccard") >= jaccard_threshold)
+            .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+            .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        )
+    near_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return exact_kept.join(near_drop, "doc_id", "left_anti")
 
 
@@ -63,6 +81,7 @@ def clean_corpus_metrics(
     df: DataFrame,
     min_tokens: int = 10,
     jaccard_threshold: float = 0.5,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-stage observability for the clean: one row per pipeline stage
     with (stage_idx, stage, n_in, n_kept, n_dropped) — as a DataFrame,
@@ -80,7 +99,7 @@ def clean_corpus_metrics(
     """
     gated = _gate(df, min_tokens)
     exact_kept = _exact_kept(gated).persist()
-    final = _near_final(exact_kept, jaccard_threshold)
+    final = _near_final(exact_kept, jaccard_threshold, pairs=pairs)
     gate_cond = F.size(F.split(F.col("text"), " ")) >= min_tokens
     counts = (
         df.agg(

@@ -77,3 +77,29 @@ def test_lsh_tuning_report_threshold_param(spark):
     assert loose[0].n_verified >= strict[0].n_verified
     # candidate generation is threshold-independent
     assert loose[0].n_distinct_cand == strict[0].n_distinct_cand
+
+
+def test_stage_metrics_pairs_serve_equivalence(spark):
+    """clean_corpus_metrics served from a standing full-corpus pair table
+    equals the fresh per-call derivation (the semi-join restriction
+    argument in compose._near_final)."""
+    from filesql_spark.pipeline.compose import clean_corpus_metrics
+    from filesql_spark.pipeline.dedup import minhash_lsh_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then naps "
+        "under the old oak tree near the river bend every afternoon"
+    )
+    texts = [base, base + " x", "short doc", base.replace("fox", "cat")] + [
+        f"unique document number {i} with its own words entirely " * 3
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    fresh = clean_corpus_metrics(df, min_tokens=5).collect()
+    served = clean_corpus_metrics(
+        df, min_tokens=5, pairs=minhash_lsh_pairs(df)
+    ).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, fresh))
