@@ -148,38 +148,29 @@ def semantic_decontaminate(
         .select("vec_id", "qv", "nrm")
         .withColumn("bucket", _bucket(F.col("qv")))
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("bucket"), b * EMB_BAND_STRIDE)
-            .bitwiseAND((1 << bits) - 1)
-            .alias("cell"),
-        )
-        for b in range(EMB_BANDS)
-    ]
+    # Cell generation as ONE higher-order-function expression per side
+    # rather than bands×(bits+1) unrolled Column objects: the unrolled
+    # form cost ~2000 py4j round-trips (~1.2 s of driver time PER
+    # INVOCATION, measured r9) while the HOF form is a handful of calls
+    # and produces the bit-identical cell set (j = -1 is the unflipped
+    # probe, j ≥ 0 the Hamming-1 flips).
+    mask = (1 << bits) - 1
+    cell = f"(shiftright(bucket, b * {EMB_BAND_STRIDE}) & {mask})"
     bench_cells = pre_b.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("e")
+        "vec_id",
+        F.expr(
+            f"explode(transform(sequence(0, {EMB_BANDS - 1}), "
+            f"b -> struct(b AS band, {cell} AS cell)))"
+        ).alias("e"),
     ).select(F.col("vec_id").alias("bench_id"), "e.band", "e.cell")
     probed = pre_t.select(
         "vec_id",
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[
-                        F.array(
-                            s,
-                            *[
-                                F.struct(
-                                    s.band.alias("band"),
-                                    s.cell.bitwiseXOR(1 << j).alias("cell"),
-                                )
-                                for j in range(bits)
-                            ],
-                        )
-                        for s in band_structs
-                    ]
-                )
-            )
+        F.expr(
+            f"""explode(flatten(transform(sequence(0, {EMB_BANDS - 1}), b ->
+            transform(sequence(-1, {bits - 1}), j ->
+              struct(b AS band,
+                CASE WHEN j < 0 THEN {cell}
+                     ELSE {cell} ^ shiftleft(1, j) END AS cell)))))"""
         ).alias("e"),
     ).select("vec_id", "e.band", "e.cell")
     cand = (
