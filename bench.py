@@ -179,6 +179,9 @@ HEADLINE = [
     "multimodal_frame_dedup",
     "docs_quality_gate_sweep",
     "orders_fulfillment_latency",
+    # round-9 additions
+    "dedup_containment",
+    "window_groups_frame",
 ]
 
 RUNS = 5  # raised from 3 (VERDICT r2 #8): single-host jitter showed 2× swings

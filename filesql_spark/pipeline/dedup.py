@@ -1045,3 +1045,84 @@ def lsh_tuning_report(
         "n_verified",
         "precision_ppm",
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT detection: pairs (a, b) where doc a's
+    shingle set is ≥ num/den contained in doc b's —
+    ``|A∩B| · den ≥ |A| · num`` — the case symmetric Jaccard dedup
+    structurally misses (a short document quoted inside a much longer
+    one has high containment but low Jaccard, so MinHash banding never
+    pairs them).
+
+    Output: (contained_id, container_id, containment_ppm), one row per
+    ordered pair passing the exact verification.
+
+    100-TB design — SSJoin-style prefix filtering for the asymmetric
+    predicate (Chaudhuri/Ganti/Kaushik ICDE'06):
+    - Shingles get a global rare-first order (document frequency asc,
+      shingle asc — deterministic). Doc a must share at least
+      ``ceil(|A|·num/den)`` shingles with its container, so at least one
+      of a's first ``|A| - ceil(|A|·num/den) + 1`` RAREST shingles —
+      candidate generation joins only this bounded prefix against the
+      full inverted index. Prefix shingles are rare by construction, so
+      per-shingle fan-out is bounded; hot (stopword-like) shingles never
+      enter a prefix.
+    - The threshold is a RATIONAL (num/den) and every comparison is
+      integer arithmetic: ceil(sz·num/den) = (sz·num + den − 1) div den.
+      No float ever enters candidate sizing or verification, so the
+      DuckDB oracle agrees bit-for-bit (floor(0.2·sz) under binary
+      doubles would already disagree at sz = 10).
+    - Verification is exact set intersection on the two candidate docs
+      only, re-joined from the persisted shingle-set table.
+    """
+    from pyspark.sql import Window
+
+    sets = add_shingles(df, text_col).select("doc_id", "sh").persist()
+    ex = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_ord = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    sized = (
+        ex.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = sized.filter(
+        F.col("rn")
+        <= F.expr(
+            f"sz - ((sz * {threshold_num} + {threshold_den} - 1) "
+            f"div {threshold_den}) + 1"
+        )
+    ).select(F.col("doc_id").alias("a_id"), "shingle")
+    cand = (
+        prefix.join(
+            ex.select(F.col("doc_id").alias("b_id"), "shingle"), "shingle"
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    sz_a = F.size(F.col("sa.sh"))
+    return (
+        cand.join(sa, cand.a_id == F.col("sa.doc_id"))
+        .join(sb, cand.b_id == F.col("sb.doc_id"))
+        .filter(inter * threshold_den >= sz_a * threshold_num)
+        .select(
+            F.col("a_id").cast("long").alias("contained_id"),
+            F.col("b_id").cast("long").alias("container_id"),
+            (inter.cast("long") * 1_000_000).alias("__num"),
+            sz_a.cast("long").alias("__den"),
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            F.expr("CAST(__num div __den AS BIGINT)").alias("containment_ppm"),
+        )
+    )

@@ -356,6 +356,17 @@ _DEFER_OK = frozenset({
 })
 
 
+# Round-9 additions, held BEHIND the 16 round-8 never-graded entries in
+# the grading window (VERDICT r8 #1: the r8 cohort must grade first).
+# Self-expiring: the rank applies only while an entry has no driver row
+# (ADVICE r7 #5) — once CORRECTNESS_r09 lands and the rotation map is
+# regenerated, this set is inert and can be deleted.
+_HOLD_R9 = frozenset({
+    "dedup_containment",
+    "window_groups_frame",
+})
+
+
 def _grade_order() -> list[str]:
     names = list(REGISTRY)
     idx = {n: i for i, n in enumerate(names)}
@@ -363,6 +374,7 @@ def _grade_order() -> list[str]:
         names,
         key=lambda n: (
             _LAST_DRIVER_ROUND.get(n, 0),  # never-graded (0) first
+            n in _HOLD_R9 and n not in _LAST_DRIVER_ROUND,  # r9 adds queue last
             n in _DEFER_OK,                # stable plain-SQL yields its slot
             idx[n],                        # stable registry order
         ),

@@ -7028,3 +7028,54 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_days",
         F.expr("__num div __tot").cast("long").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: asymmetric containment dedup
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle(num: int = 4, den: int = 5) -> str:
+    return f"""
+    WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sets AS (SELECT doc_id, {_SHINGLES} AS sh FROM t0),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+    sized AS (
+        SELECT e.doc_id, e.shingle,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                  ORDER BY f.df, e.shingle) AS rn,
+               COUNT(*) OVER (PARTITION BY e.doc_id) AS sz
+        FROM ex e JOIN freq f USING (shingle)
+    ),
+    prefix AS (
+        SELECT doc_id AS a_id, shingle FROM sized
+        WHERE rn <= sz - ((sz * {num} + {den} - 1) // {den}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT p.a_id, e.doc_id AS b_id
+        FROM prefix p JOIN ex e ON p.shingle = e.shingle
+        WHERE p.a_id != e.doc_id
+    )
+    SELECT CAST(c.a_id AS BIGINT) AS contained_id,
+           CAST(c.b_id AS BIGINT) AS container_id,
+           CAST(len(list_intersect(sa.sh, sb.sh)) * 1000000
+                // len(sa.sh) AS BIGINT) AS containment_ppm
+    FROM cand c
+    JOIN sets sa ON c.a_id = sa.doc_id
+    JOIN sets sb ON c.b_id = sb.doc_id
+    WHERE len(list_intersect(sa.sh, sb.sh)) * {den} >= len(sa.sh) * {num}
+    """
+
+
+@register("dedup_containment", _containment_oracle())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs over documents at 4/5
+    containment (pipeline/dedup.py containment_pairs): the quote/subset
+    case symmetric Jaccard dedup structurally misses. SSJoin prefix
+    filtering on a rare-first global shingle order bounds candidate
+    generation; all threshold math is integer-rational so the oracle
+    agrees bit-for-bit."""
+    from filesql_spark.pipeline.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"))

@@ -3334,3 +3334,60 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hhi").desc(), "l_partkey")
         .limit(25)
     )
+
+
+@register(
+    "window_groups_frame",
+    """
+    WITH ranked AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               DENSE_RANK() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_quantity) AS grp
+        FROM lineitem WHERE l_suppkey <= 20
+    )
+    SELECT l_suppkey,
+           CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS INTEGER) AS l_linenumber,
+           CAST(l_quantity AS BIGINT) AS l_quantity,
+           CAST(SUM(cents) OVER (PARTITION BY l_suppkey ORDER BY grp
+                                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS BIGINT) AS neighborhood_cents
+    FROM ranked
+    """,
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS-mode window frame (SQLite 3.28+ window syntax, inherited
+    by the reference): per supplier, the revenue of each line's
+    quantity-peer group plus the adjacent quantity groups —
+    ``GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING``.
+
+    Spark has no GROUPS frame mode, so it is EMULATED exactly: a
+    ``dense_rank`` over the ORDER BY key numbers the peer groups, then a
+    RANGE frame of ±1 over that rank aggregates whole neighbor groups —
+    the standard reduction of GROUPS to RANGE (every tie set becomes one
+    integer). Two window passes over one supplier-hash partitioning, no
+    extra shuffle. DuckDB lacks GROUPS too, so the oracle states the
+    same reduction independently in SQL — the differential check
+    verifies the emulation, with the tie-set semantics pinned by
+    tests/test_round9.py against a hand-computed fixture."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    w_rank = Window.partitionBy("l_suppkey").orderBy("l_quantity")
+    ranked = li.select(
+        "l_suppkey",
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+        cents("l_extendedprice").alias("__cents"),
+        F.dense_rank().over(w_rank).alias("__grp"),
+    )
+    w_groups = (
+        Window.partitionBy("l_suppkey").orderBy("__grp").rangeBetween(-1, 1)
+    )
+    return ranked.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.sum("__cents").over(w_groups).cast("long").alias("neighborhood_cents"),
+    )

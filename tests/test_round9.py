@@ -103,3 +103,29 @@ def test_stage_metrics_pairs_serve_equivalence(spark):
         df, min_tokens=5, pairs=minhash_lsh_pairs(df)
     ).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, fresh))
+
+
+def test_groups_frame_semantics_fixture(spark):
+    """Pin GROUPS-frame semantics against a hand-computed example (both
+    the query and its oracle reduce GROUPS to dense_rank+RANGE, so one
+    literal fixture anchors the semantics itself)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (3, 40), (3, 50), (3, 60), (5, 70)],
+        "q int, v int",
+    )
+    ranked = df.withColumn(
+        "grp", F.dense_rank().over(Window.orderBy("q"))
+    )
+    w = Window.orderBy("grp").rangeBetween(-1, 1)
+    got = {
+        (r.q, r.v): r.s
+        for r in ranked.select("q", "v", F.sum("v").over(w).alias("s")).collect()
+    }
+    # GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING: whole adjacent tie-sets
+    assert got[(1, 10)] == got[(1, 20)] == 60       # {1s} + {2}
+    assert got[(2, 30)] == 210                       # {1s} + {2} + {3s}
+    assert got[(3, 40)] == got[(3, 60)] == 250       # {2} + {3s} + {5}
+    assert got[(5, 70)] == 220                       # {3s} + {5}
