@@ -286,6 +286,25 @@ class Engine:
                     "`match` string"
                 ),
             )
+        m = re.match(
+            r"\s*PRAGMA\s+foreign_keys\s*(=\s*(ON|OFF|TRUE|FALSE|1|0)\s*)?;?\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            # reflexively issued by SQLite client code on connect; FK
+            # enforcement doesn't exist here, so the toggle is accepted
+            # and the query form reports it off — SQLite's own default
+            return self.spark.createDataFrame(
+                [] if m.group(1) else [(0,)], schema="foreign_keys int"
+            )
+        if re.match(r"\s*PRAGMA\s+journal_mode\s*(=\s*\w+\s*)?;?\s*$", sql, re.I):
+            # in-memory database: SQLite reports journal_mode=memory for
+            # ':memory:' connections (the reference's builder.go:353-361
+            # connection string), and mode changes are accepted no-ops
+            return self.spark.createDataFrame(
+                [("memory",)], schema="journal_mode string"
+            )
         if re.match(r"\s*PRAGMA\s+database_list\s*;?\s*$", sql, re.I):
             # single in-memory database, exactly like the reference's
             # ':memory:' connection (builder.go:353-361)

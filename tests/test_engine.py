@@ -63,6 +63,19 @@ def test_pragma_index_list_and_database_list(eng):
     assert [(r.seq, r.name) for r in rows] == [(0, "main")]
 
 
+def test_pragma_connectlike_noops(eng):
+    """PRAGMAs SQLite client code issues reflexively on connect: the
+    foreign_keys toggle is an accepted no-op (query form reports 0,
+    SQLite's default), journal_mode reports 'memory' like a ':memory:'
+    connection."""
+    assert eng.query("PRAGMA foreign_keys = ON").collect() == []
+    rows = eng.query("PRAGMA foreign_keys").collect()
+    assert [(r.foreign_keys,) for r in rows] == [(0,)]
+    rows = eng.query("PRAGMA journal_mode").collect()
+    assert [(r.journal_mode,) for r in rows] == [("memory",)]
+    assert eng.query("PRAGMA journal_mode = WAL").collect()[0].journal_mode == "memory"
+
+
 def test_pragma_foreign_key_list(eng):
     import pytest as _pytest
 
