@@ -760,6 +760,18 @@ def _rewrite_collate(sql: str) -> str:
 
 def rewrite(sql: str) -> str:
     """SQLite-dialect SQL → Spark SQL."""
+    code = "".join(
+        text if kind == "code" else " " * len(text)
+        for kind, text in _split_tokens(sql)
+    )
+    if re.search(r"(?i)\bGROUPS\s+(BETWEEN|\d+|UNBOUNDED|CURRENT)\b", code):
+        # Spark SQL has no GROUPS frame mode; fail with the reduction
+        # instead of surfacing Spark's opaque parse error
+        raise FilesqlError(
+            "GROUPS window frames are not supported by Spark SQL; rewrite "
+            "as a RANGE frame over DENSE_RANK() of the ORDER BY key (see "
+            "the window_groups_frame operator for the exact reduction)"
+        )
     sql = _escape_string_backslashes(sql)
     sql = _requote_identifiers(sql)
     sql = _rewrite_glob(sql)

@@ -478,3 +478,57 @@ def test_financial_cash_flow_golden(financial):
     ).collect()[0]
     assert (r.total_income, r.total_expenses, r.net_income) == (5750.0, 600.0, 5150.0)
     assert round(r.net_income / r.total_income * 100, 2) == 89.57
+
+
+# ------------------------------------------------------------------
+# ExampleOpen_compressionSupport (example_test.go:893-989) — ported with
+# REAL gz compression (the reference fixture ships plain CSVs and notes
+# the library "would handle" codecs; this engine demonstrates it).
+# ------------------------------------------------------------------
+
+LOGS = """timestamp,level,message,user_id
+2024-01-01 10:00:00,INFO,User login,1001
+2024-01-01 11:30:00,INFO,Order created,1002
+2024-01-01 12:15:00,ERROR,Payment failed,1003
+2024-01-01 13:45:00,INFO,User logout,1001
+2024-01-01 14:00:00,INFO,System backup completed,0
+"""
+
+PRODUCTS = """id,name,category,price,in_stock
+1,Laptop Pro,Electronics,1299.99,true
+2,Office Chair,Furniture,299.99,true
+3,Wireless Mouse,Electronics,49.99,false
+"""
+
+
+def test_compression_support_golden(spark, tmp_path):
+    import gzip
+
+    with gzip.open(tmp_path / "logs.csv.gz", "wt") as f:
+        f.write(LOGS)
+    (tmp_path / "products.csv").write_text(PRODUCTS)
+    with fs.open(str(tmp_path), spark=spark) as eng:
+        tables = eng.query(
+            "SELECT name, sql FROM sqlite_master WHERE type='table' ORDER BY name"
+        ).collect()
+        counts = {
+            r.name: eng.query(f"SELECT COUNT(*) AS n FROM {r.name}").collect()[0].n
+            for r in tables
+        }
+        assert counts == {"logs": 5, "products": 3}
+        rows = eng.query(
+            """
+            SELECT 'logs' as source_table, COUNT(*) as total_records,
+                   MIN(timestamp) as earliest, MAX(timestamp) as latest
+            FROM logs
+            UNION ALL
+            SELECT 'products' as source_table, COUNT(*) as total_records,
+                   'N/A' as earliest, 'N/A' as latest
+            FROM products
+            ORDER BY source_table
+            """
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("logs", 5, "2024-01-01 10:00:00", "2024-01-01 14:00:00"),
+            ("products", 3, "N/A", "N/A"),
+        ]

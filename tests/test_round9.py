@@ -129,3 +129,23 @@ def test_groups_frame_semantics_fixture(spark):
     assert got[(2, 30)] == 210                       # {1s} + {2} + {3s}
     assert got[(3, 40)] == got[(3, 60)] == 250       # {2} + {3s} + {5}
     assert got[(5, 70)] == 220                       # {3s} + {5}
+
+
+def test_groups_frame_sql_clear_error(spark, tmp_path):
+    """A GROUPS frame through the SQL front door fails with guidance (the
+    dense_rank+RANGE reduction), not Spark's opaque parse error; the
+    word 'groups' as an identifier still parses."""
+    import filesql_spark as fs
+    from filesql_spark.errors import FilesqlError
+
+    (tmp_path / "t.csv").write_text("id,v\n1,10\n2,20\n")
+    with fs.open(str(tmp_path), spark=spark) as eng:
+        with pytest.raises(FilesqlError, match="GROUPS window frames"):
+            eng.query(
+                "SELECT SUM(v) OVER (ORDER BY id "
+                "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM t"
+            )
+        # 'groups' as plain identifier is untouched
+        assert (
+            eng.query("SELECT COUNT(*) AS groups FROM t").collect()[0].groups == 2
+        )
