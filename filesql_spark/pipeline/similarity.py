@@ -678,25 +678,27 @@ def standardize(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     qdf = df.withColumn("qv", quantize(F.col(vec_col)))
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(dim):
-        el = F.element_at("qv", i + 1)
-        aggs.append(F.sum(el).alias(f"s{i}"))
-        aggs.append(F.sum(el * el).alias(f"sq{i}"))
+    # the 2·d+1 aggregates and the two d-element moment arrays are built
+    # as expression STRINGS (a handful of py4j calls) instead of ~600
+    # composed Column objects, which cost 1.8 s of driver-side plan
+    # construction per invocation (r9, same pathology as simhash); the
+    # parsed expressions — and every IEEE op sequence — are identical
+    aggs = [F.expr("count(1) AS n")] + [
+        F.expr(e)
+        for i in range(dim)
+        for e in (f"sum(qv[{i}]) AS s{i}", f"sum(qv[{i}] * qv[{i}]) AS sq{i}")
+    ]
     stats = qdf.agg(*aggs)
-    nd = F.col("n").cast("double")
-    means = F.array(*[(F.col(f"s{i}").cast("double") / nd) for i in range(dim)])
-    sds = F.array(
-        *[
-            F.sqrt(
-                F.col(f"sq{i}").cast("double") / nd
-                - (F.col(f"s{i}").cast("double") / nd)
-                * (F.col(f"s{i}").cast("double") / nd)
-            )
-            for i in range(dim)
-        ]
+    mean_i = "CAST(s{i} AS DOUBLE) / CAST(n AS DOUBLE)"
+    means = "array(" + ", ".join(mean_i.format(i=i) for i in range(dim)) + ")"
+    sd_i = (
+        "sqrt(CAST(sq{i} AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (" + mean_i + ") * (" + mean_i + "))"
     )
-    moments = stats.select(means.alias("means"), sds.alias("sds"))
+    sds = "array(" + ", ".join(sd_i.format(i=i) for i in range(dim)) + ")"
+    moments = stats.select(
+        F.expr(means).alias("means"), F.expr(sds).alias("sds")
+    )
     z = F.transform(
         F.col("qv"),
         lambda x, i: F.when(
