@@ -689,8 +689,15 @@ def _glob_regex(pat: str) -> str:
                     # degenerate ranges ([b-a], [a-*]) are rejected by
                     # both Python and Java regex; SQLite's matcher has
                     # its own quirks for them — refuse at translate time
-                    # instead of failing inside RLIKE at runtime
-                    re.compile(cls)
+                    # instead of failing inside RLIKE at runtime.
+                    # (Python 3.12 warns about future set-difference
+                    # syntax like [a--b]; only the hard error matters
+                    # for this validity probe.)
+                    import warnings
+
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore", FutureWarning)
+                        re.compile(cls)
                 except re.error as e:
                     raise FilesqlError(
                         f"unsupported GLOB class {pat[i : j + 1]!r}: {e}"
