@@ -607,7 +607,12 @@ def _create(engine, sql: str) -> int:
         from filesql_spark import triggers as trig
 
         t, if_not_exists = trig.parse_create_trigger(sql)
-        if t.table not in engine._tables and t.table not in engine._views:
+        if t.table in engine._views:
+            # SQLite: only INSTEAD OF triggers may target a view, and
+            # those are unsupported here — reject rather than register a
+            # trigger that could never fire (views take no DML)
+            raise FilesqlError(f"cannot create trigger on view: {t.table}")
+        if t.table not in engine._tables:
             raise FilesqlError(f"no such table: {t.table}")
         if t.name.lower() in engine._triggers:
             if if_not_exists:

@@ -43,6 +43,11 @@ Documented divergences (each raises or is noted, never silent):
   row per transition row, exactly like SQLite.
 - Triggers fire on the plain INSERT/UPDATE/DELETE paths; the upsert
   branches (OR REPLACE / OR IGNORE / ON CONFLICT) do not fire them.
+- Statement atomicity: SQLite rolls back the triggering statement AND
+  all trigger effects if any body statement errors; here a mid-body
+  failure leaves earlier body effects applied unless the caller wrapped
+  the statement in BEGIN/SAVEPOINT (which restores tables and triggers
+  alike).  Wrap DML in a transaction where that matters.
 """
 
 from __future__ import annotations

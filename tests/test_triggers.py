@@ -204,3 +204,12 @@ def test_if_not_exists_and_duplicate(eng):
     # still exactly one firing per insert
     eng.execute("INSERT INTO customers VALUES ('solo', 's')")
     assert eng.query("SELECT COUNT(*) AS n FROM audit").collect()[0].n == 1
+
+
+def test_trigger_on_view_rejected(eng):
+    eng.execute("CREATE VIEW v AS SELECT * FROM customers")
+    with pytest.raises(FilesqlError, match="cannot create trigger on view"):
+        eng.execute(
+            "CREATE TRIGGER tv AFTER INSERT ON v BEGIN "
+            "INSERT INTO audit VALUES ('x', 'y'); END"
+        )
