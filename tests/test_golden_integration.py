@@ -532,3 +532,85 @@ def test_compression_support_golden(spark, tmp_path):
             ("logs", 5, "2024-01-01 10:00:00", "2024-01-01 14:00:00"),
             ("products", 3, "N/A", "N/A"),
         ]
+
+
+# ------------------------------------------------------------------
+# ExampleOpen_performanceOptimization (example_test.go:611-723):
+# pagination, filtered scan, and summary stats with the // Output: goldens.
+# ------------------------------------------------------------------
+
+CUSTOMER_SUMMARY = """customer_id,name,email,registration_date,total_orders,total_spent
+1001,Premium Customer A,premium.a@example.com,2023-01-15,15,1500.00
+1002,Premium Customer B,premium.b@example.com,2023-02-20,12,1200.00
+1003,Premium Customer C,premium.c@example.com,2023-03-10,10,1000.00
+1004,Regular Customer D,regular.d@example.com,2023-04-05,8,800.00
+1005,Regular Customer E,regular.e@example.com,2023-05-15,6,600.00
+1006,Regular Customer F,regular.f@example.com,2023-06-20,5,500.00
+1007,Budget Customer G,budget.g@example.com,2023-07-10,3,300.00
+1008,Budget Customer H,budget.h@example.com,2023-08-25,2,200.00
+1009,New Customer I,new.i@example.com,2023-09-30,1,100.00
+1010,New Customer J,new.j@example.com,2023-10-15,1,100.00
+"""
+
+
+@pytest.fixture(scope="module")
+def perf_eng(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("perfopt")
+    (d / "customer_summary.csv").write_text(CUSTOMER_SUMMARY)
+    e = fs.open(str(d), spark=spark)
+    yield e
+    e.close()
+
+
+def test_perfopt_pagination_golden(perf_eng):
+    pages = []
+    for offset in (0, 3):
+        rows = perf_eng.query(
+            f"""
+            SELECT customer_id, name, total_orders
+            FROM customer_summary
+            ORDER BY total_orders DESC
+            LIMIT 3 OFFSET {offset}
+            """
+        ).collect()
+        pages.append([(r.name, r.customer_id, r.total_orders) for r in rows])
+    assert pages[0] == [
+        ("Premium Customer A", 1001, 15),
+        ("Premium Customer B", 1002, 12),
+        ("Premium Customer C", 1003, 10),
+    ]
+    assert pages[1] == [
+        ("Regular Customer D", 1004, 8),
+        ("Regular Customer E", 1005, 6),
+        ("Regular Customer F", 1006, 5),
+    ]
+
+
+def test_perfopt_filtered_scan_golden(perf_eng):
+    rows = perf_eng.query(
+        """
+        SELECT name, email, registration_date
+        FROM customer_summary
+        WHERE total_spent > 1000
+        ORDER BY total_spent DESC
+        """
+    ).collect()
+    assert [(r.name, r.email, r.registration_date) for r in rows] == [
+        ("Premium Customer A", "premium.a@example.com", "2023-01-15"),
+        ("Premium Customer B", "premium.b@example.com", "2023-02-20"),
+    ]
+
+
+def test_perfopt_summary_stats_golden(perf_eng):
+    (r,) = perf_eng.query(
+        """
+        SELECT COUNT(*) as total_customers,
+               AVG(total_orders) as avg_orders,
+               SUM(total_spent) as total_revenue,
+               AVG(total_spent) as avg_spent
+        FROM customer_summary
+        """
+    ).collect()
+    assert r.total_customers == 10
+    assert round(r.avg_orders, 1) == 6.3
+    assert (round(r.total_revenue, 2), round(r.avg_spent, 2)) == (6300.0, 630.0)
