@@ -614,3 +614,129 @@ def test_perfopt_summary_stats_golden(perf_eng):
     assert r.total_customers == 10
     assert round(r.avg_orders, 1) == 6.3
     assert (round(r.total_revenue, 2), round(r.avg_spent, 2)) == (6300.0, 630.0)
+
+
+# ------------------------------------------------------------------
+# ExampleOpen_advancedSQL (example_test.go:726-891), verbatim on its
+# employees/departments fixture with the // Output: values as goldens.
+# ------------------------------------------------------------------
+
+EMPLOYEES = """id,name,department_id,salary,hire_date
+1,Alice Johnson,1,95000,2023-01-15
+2,Bob Smith,2,85000,2023-02-20
+3,Charlie Brown,1,80000,2023-03-10
+4,David Wilson,1,75000,2023-04-05
+5,Eve Davis,2,65000,2023-05-15
+6,Frank Miller,3,70000,2023-06-01
+"""
+
+DEPARTMENTS_ADV = """id,name,budget
+1,Engineering,500000
+2,Sales,300000
+3,Marketing,200000
+4,HR,150000
+"""
+
+
+@pytest.fixture(scope="module")
+def adv_eng(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("advanced")
+    (d / "employees.csv").write_text(EMPLOYEES)
+    (d / "departments.csv").write_text(DEPARTMENTS_ADV)
+    e = fs.open(str(d), spark=spark)
+    yield e
+    e.close()
+
+
+def test_advanced_window_rankings_golden(adv_eng):
+    rows = adv_eng.query(
+        """
+        SELECT e.name, d.name as department, e.salary,
+               RANK() OVER (PARTITION BY e.department_id
+                            ORDER BY e.salary DESC) as salary_rank,
+               ROW_NUMBER() OVER (ORDER BY e.salary DESC) as overall_rank
+        FROM employees e
+        JOIN departments d ON e.department_id = d.id
+        ORDER BY e.department_id, salary_rank
+        """
+    ).collect()
+    assert [
+        (r.name, r.department, r.salary, r.salary_rank, r.overall_rank)
+        for r in rows
+    ] == [
+        ("Alice Johnson", "Engineering", 95000, 1, 1),
+        ("Charlie Brown", "Engineering", 80000, 2, 3),
+        ("David Wilson", "Engineering", 75000, 3, 4),
+        ("Bob Smith", "Sales", 85000, 1, 2),
+        ("Eve Davis", "Sales", 65000, 2, 6),
+        ("Frank Miller", "Marketing", 70000, 1, 5),
+    ]
+
+
+def test_advanced_cte_dept_analysis_golden(adv_eng):
+    rows = adv_eng.query(
+        """
+        WITH dept_stats AS (
+            SELECT d.name as department, COUNT(e.id) as employee_count,
+                   AVG(e.salary) as avg_salary, MAX(e.salary) as max_salary,
+                   MIN(e.salary) as min_salary
+            FROM departments d
+            LEFT JOIN employees e ON d.id = e.department_id
+            GROUP BY d.id, d.name
+        ),
+        company_avg AS (SELECT AVG(salary) as company_avg_salary FROM employees)
+        SELECT ds.department, ds.employee_count, ds.avg_salary,
+               ca.company_avg_salary,
+               ds.avg_salary - ca.company_avg_salary as salary_diff,
+               CASE WHEN ds.avg_salary > ca.company_avg_salary THEN 'Above Average'
+                    WHEN ds.avg_salary < ca.company_avg_salary THEN 'Below Average'
+                    ELSE 'At Average' END as comparison
+        FROM dept_stats ds CROSS JOIN company_avg ca
+        WHERE ds.employee_count > 0
+        ORDER BY ds.avg_salary DESC
+        """
+    ).collect()
+    got = [
+        (r.department, r.employee_count, round(r.avg_salary),
+         round(r.company_avg_salary), round(r.salary_diff), r.comparison)
+        for r in rows
+    ]
+    assert got == [
+        ("Engineering", 3, 83333, 78333, 5000, "Above Average"),
+        ("Sales", 2, 75000, 78333, -3333, "Below Average"),
+        ("Marketing", 1, 70000, 78333, -8333, "Below Average"),
+    ]
+
+
+def test_advanced_text_functions_golden(adv_eng):
+    rows = adv_eng.query(
+        """
+        SELECT name, LENGTH(name) as name_length,
+               UPPER(SUBSTR(name, 1, 1)) || LOWER(SUBSTR(name, 2)) as formatted_name,
+               INSTR(name, ' ') as space_position,
+               CASE WHEN INSTR(name, ' ') > 0
+                    THEN SUBSTR(name, 1, INSTR(name, ' ') - 1)
+                    ELSE name END as first_name
+        FROM employees
+        WHERE LENGTH(name) > 8
+        ORDER BY name_length DESC
+        """
+    ).collect()
+    got = [
+        (r.name, r.name_length, r.formatted_name, r.space_position, r.first_name)
+        for r in rows
+    ]
+    # name_length ties have no defined order; compare each length group
+    # as a set (the reference's printed order is SQLite's arbitrary one)
+    assert set(got[:2]) == {
+        ("Alice Johnson", 13, "Alice johnson", 6, "Alice"),
+        ("Charlie Brown", 13, "Charlie brown", 8, "Charlie"),
+    }
+    assert set(got[2:4]) == {
+        ("David Wilson", 12, "David wilson", 6, "David"),
+        ("Frank Miller", 12, "Frank miller", 6, "Frank"),
+    }
+    assert set(got[4:]) == {
+        ("Bob Smith", 9, "Bob smith", 4, "Bob"),
+        ("Eve Davis", 9, "Eve davis", 4, "Eve"),
+    }
