@@ -536,6 +536,7 @@ def cdc_apply_stream(
     sf_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming CDC apply: a change feed (delete/upsert ops on the
     documents table) is merged into a standing snapshot via
@@ -581,7 +582,11 @@ def cdc_apply_stream(
 
     # the change feed: doc_id % 5 == 0 rows carry an op (delete / upsert)
     stream = _file_stream(
-        spark, sf_dir, "documents", stream_dir=checkpoint_dir + "_src"
+        spark,
+        sf_dir,
+        "documents",
+        stream_dir=checkpoint_dir + "_src",
+        max_files_per_trigger=max_files_per_trigger,
     )
     changes = stream.filter(F.expr("doc_id % 5 = 0")).select(
         "doc_id",
@@ -595,9 +600,22 @@ def cdc_apply_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         target = _os.path.join(out_dir, f"version={batch_id + 1}")
+        cur = _latest(out_dir)
+        # out_dir/checkpoint pairing guard (same as kmv_sketch_stream,
+        # ADVICE r8): a legitimate replay of batch N finds version N
+        # (uncommitted) or N+1 (committed, checkpoint not advanced); a
+        # fresh checkpoint against a stale out_dir would otherwise
+        # silently skip batches — or worse, apply batch 0's changes on
+        # top of a later snapshot
+        if cur not in (batch_id, batch_id + 1):
+            raise RuntimeError(
+                f"cdc_apply_stream: out_dir at version={cur} does not pair "
+                f"with stream batch {batch_id} (expected version {batch_id} "
+                f"or {batch_id + 1}); use a fresh out_dir with a fresh "
+                "checkpoint"
+            )
         if _os.path.exists(_os.path.join(target, "_SUCCESS")):
             return  # replayed batch: already committed
-        cur = _latest(out_dir)
         snapshot = spark.read.parquet(_os.path.join(out_dir, f"version={cur}"))
         merged = merge_apply(snapshot, batch_df.select("doc_id", "op", "text"), "doc_id")
         merged.write.mode("overwrite").parquet(target)

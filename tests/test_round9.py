@@ -149,3 +149,40 @@ def test_groups_frame_sql_clear_error(spark, tmp_path):
         assert (
             eng.query("SELECT COUNT(*) AS groups FROM t").collect()[0].groups == 2
         )
+
+
+def test_cdc_stream_rejects_mismatched_out_dir(spark, tmp_path):
+    """Same pairing guard as the KMV sketch stream: a fresh checkpoint
+    against an out_dir more than one version ahead must raise, not skip.
+    (Batch 0 against version<=1 is indistinguishable from a legitimate
+    replay and correctly skips — the detectable case needs >=2 real
+    batches, hence the 3-file source under maxFilesPerTrigger=1.)"""
+    import os
+
+    from filesql_spark.streaming import cdc_apply_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}", "en", "s", 10) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.repartition(3).write.parquet(os.path.join(sf, "documents.parquet"))
+    work = str(tmp_path / "work")
+    cdc_apply_stream(
+        spark, sf, f"{work}/snap", f"{work}/ckpt", max_files_per_trigger=1
+    )
+    versions = sorted(
+        p for p in os.listdir(f"{work}/snap") if p.startswith("version=")
+    )
+    assert len(versions) >= 3  # seed + >=2 committed batches
+    with pytest.raises(Exception) as exc:
+        cdc_apply_stream(
+            spark, sf, f"{work}/snap", f"{work}/ckpt_fresh",
+            max_files_per_trigger=1,
+        )
+    assert "does not pair" in str(exc.value)
+    after = sorted(
+        p for p in os.listdir(f"{work}/snap") if p.startswith("version=")
+    )
+    assert after == versions
