@@ -500,6 +500,25 @@ def events_hourly_to_parquet(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # pairing guard (family of the ADVICE r8 cdc/kmv finding): a
+        # legitimate run never sees a COMMITTED batch dir beyond its own
+        # id (a crash-replay re-runs only the last uncommitted batch), so
+        # higher committed ids mean a foreign out_dir whose stale top
+        # snapshot would win the read-back below — fail loudly instead
+        ahead = [
+            d
+            for d in (_os.listdir(out_dir) if _os.path.isdir(out_dir) else [])
+            if d.startswith("batch_id=")
+            and int(d.split("=", 1)[1]) > batch_id
+            and _os.path.exists(_os.path.join(out_dir, d, "_SUCCESS"))
+        ]
+        if ahead:
+            raise RuntimeError(
+                f"events_hourly_to_parquet: out_dir holds committed "
+                f"{sorted(ahead)} beyond stream batch {batch_id} — "
+                "mismatched out_dir/checkpoint pairing; use a fresh "
+                "out_dir with a fresh checkpoint"
+            )
         target = _os.path.join(out_dir, f"batch_id={batch_id}")
         if _os.path.exists(_os.path.join(target, "_SUCCESS")):
             return  # replayed batch: already committed, skip

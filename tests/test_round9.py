@@ -186,3 +186,24 @@ def test_cdc_stream_rejects_mismatched_out_dir(spark, tmp_path):
         p for p in os.listdir(f"{work}/snap") if p.startswith("version=")
     )
     assert after == versions
+
+
+def test_hourly_sink_rejects_foreign_out_dir(spark, tmp_path):
+    """A committed batch dir beyond the current batch id means the
+    out_dir belongs to another checkpoint — the sink must raise rather
+    than let the stale top snapshot win the read-back."""
+    import os
+
+    from filesql_spark.streaming import events_hourly_to_parquet
+
+    sf = _tiny_events_sf(spark, tmp_path)
+    work = str(tmp_path / "work")
+    out = f"{work}/sink"
+    # forge a foreign committed batch dir ahead of any real batch
+    os.makedirs(f"{out}/batch_id=7")
+    spark.createDataFrame(
+        [], "window_start timestamp, event_type string, n long, total_value double"
+    ).write.mode("overwrite").parquet(f"{out}/batch_id=7")
+    with pytest.raises(Exception) as exc:
+        events_hourly_to_parquet(spark, sf, out, f"{work}/ckpt")
+    assert "mismatched out_dir" in str(exc.value)
