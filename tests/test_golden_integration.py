@@ -740,3 +740,117 @@ def test_advanced_text_functions_golden(adv_eng):
         ("Bob Smith", 9, "Bob smith", 4, "Bob"),
         ("Eve Davis", 9, "Eve davis", 4, "Eve"),
     }
+
+
+# ------------------------------------------------------------------
+# ExampleOpen_salesAnalysis (example_test.go:329-393) and
+# ExampleOpen_customerInsights (example_test.go:395-464), verbatim on
+# the createSalesTestData fixture (example_test.go:152-193), with the
+# // Output: blocks as goldens.
+# ------------------------------------------------------------------
+
+SALES_GOLDEN = """order_id,customer_id,product_name,category,quantity,unit_price,order_date,region
+1,101,Laptop Pro,Electronics,2,1299.99,2024-01-15,North
+2,102,Wireless Mouse,Electronics,1,29.99,2024-01-16,South
+3,103,Office Chair,Furniture,1,299.99,2024-01-17,East
+4,101,USB Cable,Electronics,3,12.99,2024-01-18,North
+5,104,Standing Desk,Furniture,1,599.99,2024-01-19,West
+6,105,Bluetooth Speaker,Electronics,2,79.99,2024-01-20,South
+7,106,Coffee Table,Furniture,1,199.99,2024-01-21,East
+8,102,Keyboard,Electronics,1,89.99,2024-01-22,South
+9,107,Monitor 24inch,Electronics,1,249.99,2024-01-23,North
+10,103,Desk Lamp,Furniture,2,39.99,2024-01-24,East
+"""
+
+CUSTOMERS_GOLDEN = """customer_id,name,email,city,registration_date
+101,John Doe,john@example.com,New York,2023-06-01
+102,Jane Smith,jane@example.com,Los Angeles,2023-07-15
+103,Bob Johnson,bob@example.com,Chicago,2023-08-20
+104,Alice Brown,alice@example.com,Houston,2023-09-10
+105,Charlie Wilson,charlie@example.com,Phoenix,2023-10-05
+106,Diana Lee,diana@example.com,Philadelphia,2023-11-12
+107,Frank Miller,frank@example.com,San Antonio,2023-12-03
+"""
+
+
+@pytest.fixture(scope="module")
+def sales_eng(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sales_golden")
+    (d / "sales.csv").write_text(SALES_GOLDEN)
+    (d / "customers.csv").write_text(CUSTOMERS_GOLDEN)
+    e = fs.open(str(d), spark=spark)
+    yield e
+    e.close()
+
+
+def test_sales_analysis_golden(sales_eng):
+    """ExampleOpen_salesAnalysis: category/region revenue rollup; the
+    Go example prints revenue/avg with %.2f — compare rounded."""
+    rows = sales_eng.query(
+        """
+        SELECT
+            category,
+            region,
+            COUNT(*) as order_count,
+            SUM(quantity * unit_price) as total_revenue,
+            AVG(quantity * unit_price) as avg_order_value,
+            MIN(order_date) as first_order,
+            MAX(order_date) as last_order
+        FROM sales
+        GROUP BY category, region
+        ORDER BY total_revenue DESC
+        """
+    ).collect()
+    got = [
+        (r.category, r.region, r.order_count, round(r.total_revenue, 2),
+         round(r.avg_order_value, 2), r.first_order, r.last_order)
+        for r in rows
+    ]
+    assert got == [
+        ("Electronics", "North", 3, 2888.94, 962.98, "2024-01-15", "2024-01-23"),
+        ("Furniture", "West", 1, 599.99, 599.99, "2024-01-19", "2024-01-19"),
+        ("Furniture", "East", 3, 579.96, 193.32, "2024-01-17", "2024-01-24"),
+        ("Electronics", "South", 3, 279.96, 93.32, "2024-01-16", "2024-01-22"),
+    ]
+
+
+def test_customer_insights_golden(sales_eng):
+    """ExampleOpen_customerInsights: LTV per multi-purchase customer.
+    Exercises alias-in-HAVING (SQLite-ism) and julianday() date spans;
+    the Go example scans days_active into an int."""
+    rows = sales_eng.query(
+        """
+        SELECT
+            c.name,
+            c.city,
+            COUNT(s.order_id) as total_orders,
+            SUM(s.quantity * s.unit_price) as lifetime_value,
+            AVG(s.quantity * s.unit_price) as avg_order_value,
+            MIN(s.order_date) as first_purchase,
+            MAX(s.order_date) as last_purchase,
+            julianday(MAX(s.order_date)) - julianday(MIN(s.order_date)) as days_active,
+            COUNT(DISTINCT s.category) as categories_purchased
+        FROM customers c
+        JOIN sales s ON c.customer_id = s.customer_id
+        GROUP BY c.customer_id, c.name, c.city
+        HAVING total_orders > 1
+        ORDER BY lifetime_value DESC
+        """
+    ).collect()
+    got = [
+        (r.name, r.city, r.total_orders, round(r.lifetime_value, 2),
+         round(r.avg_order_value, 2), r.first_purchase, r.last_purchase,
+         int(r.days_active), r.categories_purchased)
+        for r in rows
+    ]
+    # avg 1319.475 / 189.985 / 59.99: the Go example prints %.2f of the
+    # same float64, i.e. 1319.47 / 189.99 / 59.99 — assert the unrounded
+    # halves explicitly to avoid banker's-rounding ambiguity
+    assert got == [
+        ("John Doe", "New York", 2, 2638.95, round(1319.475, 2),
+         "2024-01-15", "2024-01-18", 3, 1),
+        ("Bob Johnson", "Chicago", 2, 379.97, round(189.985, 2),
+         "2024-01-17", "2024-01-24", 7, 1),
+        ("Jane Smith", "Los Angeles", 2, 119.98, round(59.99, 2),
+         "2024-01-16", "2024-01-22", 6, 1),
+    ]
