@@ -854,3 +854,54 @@ def test_customer_insights_golden(sales_eng):
         ("Jane Smith", "Los Angeles", 2, 119.98, round(59.99, 2),
          "2024-01-16", "2024-01-22", 6, 1),
     ]
+
+
+# ------------------------------------------------------------------
+# ExampleDumpDatabase_dataProcessing (example_test.go:1573-1655),
+# verbatim: SQL-process a CSV (UPDATE + INSERT..SELECT with || concat
+# of an aggregate), then export TSV / gzip-CSV / LTSV; the // Output:
+# block pins the produced filenames.
+# ------------------------------------------------------------------
+
+SAMPLE_CSV = """id,name,age,email
+1,John Doe,30,john@example.com
+2,Jane Smith,25,jane@example.com
+3,Bob Johnson,35,bob@example.com
+"""
+
+
+def test_dump_data_processing_golden(spark, tmp_path):
+    src = tmp_path / "sample.csv"
+    src.write_text(SAMPLE_CSV)
+    e = fs.open(str(src), spark=spark)
+    try:
+        e.execute("UPDATE sample SET age = age + 1 WHERE name LIKE '%John%'")
+        e.execute(
+            """
+            INSERT INTO sample (id, name, age, email)
+            SELECT 999, 'Summary: ' || COUNT(*), AVG(age), 'summary@example.com'
+            FROM sample WHERE id < 999
+            """
+        )
+        for sub, kwargs, fname in [
+            ("for_spreadsheet", {"format": "tsv"}, "sample.tsv"),
+            ("for_archive", {"format": "csv", "compression": "gz"}, "sample.csv.gz"),
+            ("for_logs", {"format": "ltsv"}, "sample.ltsv"),
+        ]:
+            d = tmp_path / sub
+            e.dump(str(d), **kwargs)
+            import os
+            assert sorted(os.listdir(d)) == [fname], (sub, os.listdir(d))
+        # processed values: both Johns aged +1, summary row appended
+        rows = e.query(
+            "SELECT id, name, age FROM sample ORDER BY id"
+        ).collect()
+        got = [(r.id, r.name, int(r.age)) for r in rows]
+        assert got == [
+            (1, "John Doe", 31),
+            (2, "Jane Smith", 25),
+            (3, "Bob Johnson", 36),
+            (999, "Summary: 3", 30),  # AVG(31,25,36) = 30.67 -> CSV int col coerces
+        ]
+    finally:
+        e.close()
