@@ -642,3 +642,27 @@ def test_open_interval_sweep_no_day_explosion(spark, qs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_containment_prefix_equijoin_no_cartesian(spark, qs):
+    """Containment candidates come from the SSJoin rare-prefix
+    inverted-index equi-join on the shingle key — never a cartesian or
+    nested-loop block join (the asymmetric threshold cannot be a join
+    key, so a lazy implementation degenerates to all-pairs)."""
+    plan = _formatted(qs["dedup_containment"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "shingle" in plan  # the equi-join key is the shingle itself
+
+
+def test_groups_frame_single_partitioning(spark, qs):
+    """The GROUPS→RANGE reduction runs both window passes (dense_rank,
+    then the ±1-group sum) over ONE supplier hash partitioning — adding
+    a second exchange between the passes would double the shuffle at
+    scale for no semantic gain."""
+    import re
+
+    plan = _formatted(qs["window_groups_frame"](spark, SF))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
