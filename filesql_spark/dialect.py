@@ -145,6 +145,101 @@ def _literal_content(text: str) -> str:
     return text[1:-1].replace("\\\\", "\\").replace("''", "'")
 
 
+_PLACEHOLDER_RX = re.compile(r"\?(\d+)?|[:@$]([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _render_param(v) -> str:
+    """One bound value → a SQLite-dialect literal (backslashes literal,
+    '' quote escape — downstream ``rewrite`` handles Spark escaping)."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "1" if v else "0"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise FilesqlError(f"cannot bind non-finite float {v!r}")
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"
+    if isinstance(v, _dt.datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, _dt.date):
+        return "'" + v.isoformat() + "'"
+    raise FilesqlError(
+        f"cannot bind parameter of type {type(v).__name__}; supported: "
+        "None, bool, int, float, str, bytes, date, datetime"
+    )
+
+
+def bind_params(sql: str, params) -> str:
+    """Substitute SQLite-style placeholders with literal values, mirroring
+    database/sql binding on the reference's surface (``db.QueryContext(ctx,
+    "… WHERE id = ?", id)`` — filesql.go exposes plain database/sql, so
+    every placeholder form SQLite accepts is legal):
+
+    - positional ``?`` / ``?NNN`` with a sequence — a bare ``?`` takes
+      (largest index used so far) + 1, SQLite's rule;
+    - named ``:name`` / ``@name`` / ``$name`` with a mapping.
+
+    Placeholders inside string literals and quoted identifiers are never
+    touched (token-aware, like the rest of the shim). Values are rendered
+    as SQLite-dialect literals BEFORE ``rewrite``, so string escaping and
+    type handling ride the existing literal pipeline."""
+    named = isinstance(params, dict)
+    seq = None if named else list(params)
+    used: set = set()
+    max_idx = 0
+
+    def sub(m: re.Match) -> str:
+        nonlocal max_idx
+        name = m.group(2)
+        if name is not None:
+            if not named:
+                raise FilesqlError(
+                    f"named placeholder {m.group(0)!r} needs a dict of "
+                    "parameters, got a sequence"
+                )
+            if name not in params:
+                raise FilesqlError(f"no value supplied for placeholder :{name}")
+            used.add(name)
+            return _render_param(params[name])
+        if named:
+            raise FilesqlError(
+                "positional placeholder '?' needs a sequence of parameters, "
+                "got a dict"
+            )
+        idx = int(m.group(1)) if m.group(1) else max_idx + 1
+        if not 1 <= idx <= len(seq):
+            raise FilesqlError(
+                f"placeholder index {idx} out of range: "
+                f"{len(seq)} parameter(s) supplied"
+            )
+        max_idx = max(max_idx, idx)
+        used.add(idx)
+        return _render_param(seq[idx - 1])
+
+    parts = []
+    for kind, text in _split_tokens(sql):
+        parts.append(_PLACEHOLDER_RX.sub(sub, text) if kind == "code" else text)
+    bound = "".join(parts)
+    if named:
+        extra = set(params) - used
+    else:
+        extra = set(range(1, len(seq) + 1)) - used
+    if extra:
+        raise FilesqlError(
+            f"parameter(s) {sorted(extra)} supplied but never referenced "
+            "by a placeholder"
+        )
+    return bound
+
+
 def _requote_identifiers(sql: str) -> str:
     """\"ident\" → `ident` (outside string literals)."""
     parts = []

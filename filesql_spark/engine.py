@@ -150,8 +150,15 @@ class Engine:
 
     # ----------------------------------------------------------------- query
 
-    def query(self, sql: str) -> DataFrame:
-        """Run a SELECT-shaped statement (SQLite dialect) → DataFrame."""
+    def query(self, sql: str, params=None) -> DataFrame:
+        """Run a SELECT-shaped statement (SQLite dialect) → DataFrame.
+
+        ``params`` binds SQLite-style placeholders (``?``/``?N`` with a
+        sequence, ``:name``/``@name``/``$name`` with a dict) exactly like
+        the reference's database/sql surface (filesql.go: plain
+        ``db.QueryContext(ctx, query, args...)``)."""
+        if params is not None:
+            sql = dialect.bind_params(sql, params)
         stmt = _first_keyword(sql)
         if stmt == "PRAGMA":
             return self._pragma(sql)
@@ -188,10 +195,14 @@ class Engine:
             f"query() handles SELECT statements; use execute() for {stmt}"
         )
 
-    def execute(self, sql: str) -> int:
+    def execute(self, sql: str, params=None) -> int:
         """Run a DML/DDL/transaction statement; returns affected-row count
-        (database/sql Exec semantics)."""
+        (database/sql Exec semantics). ``params`` binds placeholders as in
+        :meth:`query`."""
         from filesql_spark import dml
+
+        if params is not None:
+            sql = dialect.bind_params(sql, params)
 
         stmt = _first_keyword(sql)
         if stmt == "BEGIN":

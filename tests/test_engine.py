@@ -813,3 +813,74 @@ def test_filter_clause_through_engine(eng):
     ).collect()
     r = rows[0]
     assert r.n >= r.n_old >= 0
+
+
+# ----------------------------------------------------------------- params
+# database/sql placeholder binding (filesql.go exposes plain
+# db.QueryContext(ctx, query, args...); filesql_integration_test.go:783
+# drives `WHERE id = ?` — every placeholder form SQLite accepts).
+
+
+def test_query_positional_params(eng):
+    r = eng.query("SELECT name FROM sample WHERE id = ?", [1]).collect()
+    assert r[0].name == "John Doe"
+    r = eng.query(
+        "SELECT COUNT(*) AS n FROM sample WHERE age > ? AND name LIKE ?",
+        (25, "%John%"),
+    ).collect()
+    assert r[0].n == 2
+
+
+def test_query_numbered_and_repeated_params(eng):
+    # ?1 reused twice, bare ? continues from the largest index (SQLite rule)
+    r = eng.query(
+        "SELECT COUNT(*) AS n FROM sample WHERE id = ?1 OR age = ?1 OR name = ?",
+        [30, "Jane Smith"],
+    ).collect()
+    assert r[0].n == 2  # John (age 30) + Jane (name)
+
+
+def test_query_named_params(eng):
+    r = eng.query(
+        "SELECT name FROM sample WHERE age > :lo AND age < @hi AND id != $skip",
+        {"lo": 20, "hi": 32, "skip": 2},
+    ).collect()
+    assert [x.name for x in r] == ["John Doe"]
+
+
+def test_params_string_escaping(eng):
+    # quotes and backslashes survive binding byte-for-byte
+    eng.execute(
+        "INSERT INTO sample (id, name, age, email) VALUES (?, ?, ?, ?)",
+        [9, "O'Brien \\ Sons", 44, "ob@example.com"],
+    )
+    got = eng.query("SELECT name FROM sample WHERE id = ?", [9]).collect()
+    assert got[0].name == "O'Brien \\ Sons"
+
+
+def test_params_null_and_placeholder_in_literal(eng):
+    # NULL binding; a '?' inside a string literal is data, not a slot
+    r = eng.query("SELECT (? IS NULL) AS isn, '?' AS q FROM sample LIMIT 1",
+                  [None]).collect()
+    assert bool(r[0].isn) is True and r[0].q == "?"
+
+
+def test_params_errors(eng):
+    with pytest.raises(FilesqlError, match="out of range"):
+        eng.query("SELECT * FROM sample WHERE id = ?", [])
+    with pytest.raises(FilesqlError, match="never referenced"):
+        eng.query("SELECT * FROM sample", [1])
+    with pytest.raises(FilesqlError, match="needs a dict"):
+        eng.query("SELECT * FROM sample WHERE id = :a", [1])
+    with pytest.raises(FilesqlError, match="needs a sequence"):
+        eng.query("SELECT * FROM sample WHERE id = ?", {"a": 1})
+    with pytest.raises(FilesqlError, match="no value supplied"):
+        eng.query("SELECT * FROM sample WHERE id = :a", {"b": 1})
+
+
+def test_execute_update_with_params(eng):
+    n = eng.execute("UPDATE sample SET age = age + ? WHERE name LIKE ?",
+                    [1, "%John%"])
+    assert n == 2
+    r = eng.query("SELECT SUM(age) AS s FROM sample").collect()
+    assert r[0].s == 30 + 25 + 35 + 2

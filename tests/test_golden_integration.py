@@ -905,3 +905,28 @@ def test_dump_data_processing_golden(spark, tmp_path):
         ]
     finally:
         e.close()
+
+
+def test_multiple_sequential_queries_params(eng):
+    """TestMultipleSequentialQueries (filesql_integration_test.go:741-805)
+    shape on the company fixture: aggregate → per-key parameterized
+    follow-ups (`WHERE id = ?` database/sql binding), totals re-verified."""
+    high = {
+        r.user_id: r.total
+        for r in eng.query(
+            """
+            SELECT user_id, SUM(amount) as total FROM orders
+            GROUP BY user_id HAVING SUM(amount) > ?
+            """,
+            [150],
+        ).collect()
+    }
+    assert high  # John (200.75), Bob (200.0), Carol (350.75)
+    for uid, total in high.items():
+        u = eng.query("SELECT name, email FROM user WHERE id = ?", [uid]).collect()
+        assert len(u) == 1 and u[0].name
+        v = eng.query(
+            "SELECT SUM(amount) AS s FROM orders WHERE user_id = ?", [uid]
+        ).collect()
+        assert abs(v[0].s - total) < 0.01
+    assert set(high) == {1, 2, 3}
