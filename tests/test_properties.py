@@ -492,3 +492,67 @@ def test_stickiness_matches_python_reference(spark, tmp_path):
         dau = sum(1 for u, dd in pairs if dd == d)
         wau = len({u for u, dd in pairs if d - 6 <= dd <= d})
         assert got[day] == (dau, wau, dau * 1_000_000 // wau), day
+
+
+# ----------------------------------------------------------- bind_params
+# Placeholder binding must be a pure text transform whose literals
+# survive the full rewrite pipeline byte-for-byte. Spark-free: bind,
+# rewrite, then re-extract the literal and compare.
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_bind_string_survives_rewrite(s):
+    from filesql_spark.dialect import _literal_content, _split_tokens, bind_params
+
+    bound = bind_params("SELECT ? AS v", [s])
+    # the bound literal is valid SQLite: exactly one string token, whose
+    # content is the original value
+    toks = [t for k, t in _split_tokens(bound) if k == "string"]
+    assert len(toks) == 1
+    assert toks[0][1:-1].replace("''", "'") == s
+    # and the full dialect rewrite keeps it intact (post-rewrite content
+    # is read back with the Spark-escaping-aware extractor)
+    rewritten = rewrite(bound)
+    rtoks = [t for k, t in _split_tokens(rewritten) if k == "string"]
+    assert len(rtoks) == 1
+    assert _literal_content(rtoks[0]) == s
+
+
+@given(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.binary(max_size=20),
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bind_scalar_renders_parseable_literal(v):
+    from filesql_spark.dialect import bind_params
+
+    bound = bind_params("SELECT ? AS v", [v])
+    # no placeholder survives, and the statement still rewrites cleanly
+    assert "?" not in bound
+    rewrite(bound)
+
+
+@given(st.integers(min_value=1, max_value=6), st.integers(min_value=0, max_value=7))
+@settings(max_examples=100, deadline=None)
+def test_bind_positional_counting(n_ph, n_params):
+    from filesql_spark.dialect import bind_params
+    from filesql_spark.errors import FilesqlError
+
+    sql = "SELECT " + ", ".join(["?"] * n_ph)
+    params = list(range(n_params))
+    if n_ph == n_params:
+        bound = bind_params(sql, params)
+        assert "?" not in bound
+    else:
+        try:
+            bind_params(sql, params)
+            raised = False
+        except FilesqlError:
+            raised = True
+        assert raised
