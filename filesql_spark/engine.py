@@ -268,6 +268,18 @@ class Engine:
                 total += self.execute(stmt)
         return total
 
+    def prepare(self, sql: str) -> "Statement":
+        """Prepared-statement handle (database/sql ``db.Prepare`` →
+        ``Stmt.Query/Exec`` — the reference passes Prepare through its
+        driver.Conn, save.go:296-299, and bulk-loads via PrepareContext,
+        builder.go:692-704). Spark has no compile-once plan handle — every
+        run re-analyzes — so this is a thin rebind-per-call wrapper; the
+        statement keyword is validated eagerly like SQLite's prepare."""
+        kw = _first_keyword(sql)
+        if not kw:
+            raise FilesqlError("cannot prepare an empty statement")
+        return Statement(self, sql)
+
     def _pragma(self, sql: str) -> DataFrame:
         import re
 
@@ -487,6 +499,38 @@ class Engine:
         self._closed = True
 
     def __enter__(self) -> Engine:
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class Statement:
+    """database/sql ``Stmt``: a reusable statement bound to its engine.
+    ``query``/``execute`` mirror Stmt.Query/Stmt.Exec; ``close`` is a
+    no-op kept for lifecycle parity (``defer stmt.Close()``)."""
+
+    def __init__(self, engine: Engine, sql: str) -> None:
+        self._engine = engine
+        self._sql = sql
+        self._closed = False
+
+    def query(self, params=None) -> DataFrame:
+        self._check_open()
+        return self._engine.query(self._sql, params)
+
+    def execute(self, params=None) -> int:
+        self._check_open()
+        return self._engine.execute(self._sql, params)
+
+    def close(self) -> None:
+        self._closed = True
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise FilesqlError("statement is closed")
+
+    def __enter__(self) -> "Statement":
         return self
 
     def __exit__(self, *exc) -> None:

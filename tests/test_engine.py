@@ -884,3 +884,20 @@ def test_execute_update_with_params(eng):
     assert n == 2
     r = eng.query("SELECT SUM(age) AS s FROM sample").collect()
     assert r[0].s == 30 + 25 + 35 + 2
+
+
+def test_prepared_statement(eng):
+    # database/sql Prepare → repeated Query/Exec with different args
+    # (reference bulk-insert loop shape, builder.go:692-704)
+    with eng.prepare("SELECT name FROM sample WHERE id = ?") as st:
+        assert st.query([1]).collect()[0].name == "John Doe"
+        assert st.query([2]).collect()[0].name == "Jane Smith"
+    with pytest.raises(FilesqlError, match="closed"):
+        st.query([3])
+    ins = eng.prepare("INSERT INTO sample (id, name, age, email) VALUES (?, ?, ?, ?)")
+    for row in [(20, "A", 1, "a@x"), (21, "B", 2, "b@x")]:
+        assert ins.execute(list(row)) == 1
+    ins.close()
+    assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 5
+    with pytest.raises(FilesqlError, match="empty"):
+        eng.prepare("   ")
