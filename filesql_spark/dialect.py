@@ -724,7 +724,27 @@ _CALL_REWRITES = {
     "date": _now_family("date"),
     "datetime": _now_family("datetime"),
     "time": _now_family("time"),
+    # SQLite upper()/lower() fold ASCII ONLY ("assuming the ASCII
+    # character set" — SQLite docs; é stays é), Spark's fold full
+    # Unicode. translate() is the exact ASCII map and stays in codegen.
+    # Listed after quote: its emitted upper(hex(…)) folds identically
+    # under the ASCII map (hex output is [0-9A-F]).
+    "upper": lambda args: _ascii_fold("upper", args),
+    "lower": lambda args: _ascii_fold("lower", args),
 }
+
+
+def _ascii_fold(which: str, args: list[str]) -> str:
+    """upper/lower → ASCII-only translate. The sweep in _rewrite_calls
+    resumes AFTER each replacement, so same-function nesting
+    (upper(upper(x))) would leave the inner call unrewritten — recurse
+    into the argument text for both folds before wrapping."""
+    a = args[0]
+    a = _rewrite_calls(a, "upper", _CALL_REWRITES["upper"])
+    a = _rewrite_calls(a, "lower", _CALL_REWRITES["lower"])
+    lo, up = "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    frm, to = (lo, up) if which == "upper" else (up, lo)
+    return f"translate({a}, '{frm}', '{to}')"
 
 
 _LIKE_RE = re.compile(r"\blike\b", re.IGNORECASE)

@@ -484,3 +484,23 @@ def test_strftime_julian_day_matches_sqlite(spark):
         want = con.execute("SELECT strftime('%J', ?)", (ts,)).fetchone()[0]
         got = _eval1(spark, f"SELECT strftime('%J', '{ts}')")
         assert got == want, (ts, got, want)
+
+
+def test_upper_lower_ascii_only(spark):
+    """SQLite's upper()/lower() fold ASCII only (ß and é pass through;
+    Spark's Unicode fold would produce 'É'/'SS'). Found by
+    tests/test_fuzz_dialect.py; same-function nesting exercises the
+    recursive arg rewrite."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    exp = con.execute(
+        "SELECT upper('straße éX'), lower(upper('Bé')), upper(upper('aé'))"
+    ).fetchone()
+    con.close()
+    got = (
+        _eval1(spark, "SELECT upper('straße éX')"),
+        _eval1(spark, "SELECT lower(upper('Bé'))"),
+        _eval1(spark, "SELECT upper(upper('aé'))"),
+    )
+    assert got == tuple(exp) == ("STRAßE éX", "bé", "Aé")

@@ -1,0 +1,152 @@
+"""Differential expression fuzzing: random SQLite-dialect scalar
+expressions evaluated by the REAL reference dialect engine (stdlib
+sqlite3) and by this engine's front door, compared value-for-value.
+
+The generator is deterministic (seeded random, no hypothesis) so a batch
+of expressions can be evaluated in ONE query per engine — one Spark
+round trip for the whole corpus — and failures replay exactly.
+
+The grammar is type-tracked (num/str) and dodges the handful of
+documented SQLite-vs-Spark divergences that are out of shim scope:
+integer division (`/` truncates in SQLite), substr(x, 0, n) legacy
+indexing, cross-type comparisons (SQLite orders num < text), and `%` on
+floats. Everything else — arithmetic, string functions, CASE, boolean
+logic, NULL propagation, ||, ifnull/nullif/coalesce — is fair game.
+"""
+
+from __future__ import annotations
+
+import random
+import sqlite3
+
+import pytest
+
+import filesql_spark as fs
+
+ALPHABET = "abXY 9'%_\\é"
+
+
+def _lit_str(rng: random.Random) -> tuple[str, str]:
+    s = "".join(rng.choice(ALPHABET) for _ in range(rng.randint(0, 6)))
+    return "'" + s.replace("'", "''") + "'", "str"
+
+
+def _lit_num(rng: random.Random) -> tuple[str, str]:
+    if rng.random() < 0.25:
+        return repr(round(rng.uniform(-50, 50), 3)), "num"
+    return str(rng.randint(-50, 100)), "num"
+
+
+def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, str]:
+    """Return (sql, type) with type in {'num', 'str'}."""
+    if want is None:
+        want = rng.choice(["num", "str"])
+    if depth <= 0:
+        if rng.random() < 0.08:
+            return "NULL", want
+        return _lit_num(rng) if want == "num" else _lit_str(rng)
+
+    def sub(w):
+        return _gen(rng, depth - 1, w)[0]
+
+    if want == "num":
+        pick = rng.randrange(8)
+        if pick == 0:
+            op = rng.choice(["+", "-", "*"])
+            return f"({sub('num')} {op} {sub('num')})", "num"
+        if pick == 1:
+            # % on ints only (float remainder sign rules differ)
+            return f"({rng.randint(-50, 100)} % nullif({rng.randint(-9, 9)}, 0))", "num"
+        if pick == 2:
+            return f"abs({sub('num')})", "num"
+        if pick == 3:
+            return f"length({sub('str')})", "num"
+        if pick == 4:
+            return f"ifnull({sub('num')}, {sub('num')})", "num"
+        if pick == 5:
+            return f"nullif({sub('num')}, {sub('num')})", "num"
+        if pick == 6:
+            return f"coalesce({sub('num')}, {sub('num')}, {sub('num')})", "num"
+        return (
+            f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub('num')} "
+            f"ELSE {sub('num')} END)",
+            "num",
+        )
+    pick = rng.randrange(9)
+    if pick == 0:
+        return f"({sub('str')} || {sub('str')})", "str"
+    if pick == 1:
+        return f"upper({sub('str')})", "str"
+    if pick == 2:
+        return f"lower({sub('str')})", "str"
+    if pick == 3:
+        start = rng.choice([1, 2, 3, -1, -3])
+        n = rng.randint(0, 5)
+        return f"substr({sub('str')}, {start}, {n})", "str"
+    if pick == 4:
+        frm, _ = _lit_str(rng)
+        while frm == "''":
+            frm, _ = _lit_str(rng)
+        return f"replace({sub('str')}, {frm}, {sub('str')})", "str"
+    if pick == 5:
+        fn = rng.choice(["trim", "ltrim", "rtrim"])
+        return f"{fn}({sub('str')})", "str"
+    if pick == 6:
+        return f"ifnull({sub('str')}, {sub('str')})", "str"
+    if pick == 7:
+        return f"nullif({sub('str')}, {sub('str')})", "str"
+    return (
+        f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub('str')} "
+        f"ELSE {sub('str')} END)",
+        "str",
+    )
+
+
+def _gen_bool(rng: random.Random, depth: int) -> str:
+    if depth <= 0 or rng.random() < 0.5:
+        # same-type comparison (SQLite orders num < text across types)
+        t = rng.choice(["num", "str"])
+        a, _ = _gen(rng, max(depth - 1, 0), t)
+        b, _ = _gen(rng, max(depth - 1, 0), t)
+        op = rng.choice(["<", "<=", "=", "!=", ">", ">="])
+        return f"({a} {op} {b})"
+    op = rng.choice(["AND", "OR"])
+    neg = "NOT " if rng.random() < 0.3 else ""
+    return f"{neg}({_gen_bool(rng, depth - 1)} {op} {_gen_bool(rng, depth - 1)})"
+
+
+def _norm(v):
+    import decimal
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+@pytest.mark.parametrize("seed", [2024, 77, 31337])
+def test_expression_corpus_matches_sqlite(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    exprs = [_gen(rng, rng.randint(1, 4))[0] for _ in range(60)]
+    select = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(exprs)
+    )
+
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+
+    for i, e in enumerate(exprs):
+        g, x = _norm(got[i]), _norm(expected[i])
+        if isinstance(g, float) or isinstance(x, float):
+            assert g == pytest.approx(x, rel=1e-9, abs=1e-9), (seed, i, e)
+        else:
+            assert g == x, (seed, i, e, g, x)
