@@ -415,8 +415,26 @@ def _scalar_minmax(fn: str):
     aggregates with 1 arg (→ leave untouched)."""
 
     def build(args: list[str]) -> str:
+        # the sweep resumes after each replacement, so nested scalar
+        # min/max inside the argument text must be rewritten here
+        # (same skip as _ascii_fold; found by tests/test_fuzz_dialect.py)
+        args = [
+            _rewrite_calls(
+                _rewrite_calls(a, "min", _CALL_REWRITES["min"]),
+                "max",
+                _CALL_REWRITES["max"],
+            )
+            for a in args
+        ]
         if len(args) >= 2:
-            return f"{fn}({', '.join(args)})"
+            # SQLite scalar min/max return NULL if ANY argument is NULL;
+            # Spark's least/greatest skip NULLs. Guard explicitly (args
+            # re-evaluate in the guard — scalar expressions, acceptable).
+            guard = " OR ".join(f"({a}) IS NULL" for a in args)
+            return (
+                f"(CASE WHEN {guard} THEN NULL "
+                f"ELSE {fn}({', '.join(args)}) END)"
+            )
         name = "min" if fn == "least" else "max"
         return f"{name}({', '.join(args)})"
 

@@ -73,11 +73,30 @@ def test_strftime_literal_quoting():
 
 
 def test_scalar_min_max():
-    assert rewrite("SELECT MIN(a, b) FROM t") == "SELECT least(a, b) FROM t"
-    assert rewrite("SELECT MAX(a, b, c) FROM t") == "SELECT greatest(a, b, c) FROM t"
+    # scalar form → least/greatest under a NULL guard (SQLite scalar
+    # min/max return NULL if ANY arg is NULL; least/greatest skip NULLs)
+    assert rewrite("SELECT MIN(a, b) FROM t") == (
+        "SELECT (CASE WHEN (a) IS NULL OR (b) IS NULL "
+        "THEN NULL ELSE least(a, b) END) FROM t"
+    )
+    assert "greatest(a, b, c)" in rewrite("SELECT MAX(a, b, c) FROM t")
     # 1-arg stays an aggregate
     assert rewrite("SELECT MIN(a) FROM t") == "SELECT min(a) FROM t"
     assert rewrite("SELECT MAX(x) FROM t GROUP BY y") == "SELECT max(x) FROM t GROUP BY y"
+
+
+def test_scalar_min_max_null_and_nested(spark):
+    """sqlite3 ground truth: NULL poisons scalar min/max; nesting works
+    (found by tests/test_fuzz_dialect.py — the sweep skipped nested
+    same-name calls)."""
+    import sqlite3
+
+    stmt = "SELECT min(NULL, 5), max(3, NULL), max(max(1, 2), 3), min(min(4, 1), max(2, NULL))"
+    con = sqlite3.connect(":memory:")
+    exp = con.execute(stmt).fetchone()
+    con.close()
+    got = tuple(spark.sql(rewrite(stmt)).collect()[0])
+    assert got == tuple(exp) == (None, None, 3, None)
 
 
 def test_date_now_family():

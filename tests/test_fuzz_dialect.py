@@ -50,7 +50,7 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
         return _gen(rng, depth - 1, w)[0]
 
     if want == "num":
-        pick = rng.randrange(8)
+        pick = rng.randrange(11)
         if pick == 0:
             op = rng.choice(["+", "-", "*"])
             return f"({sub('num')} {op} {sub('num')})", "num"
@@ -67,12 +67,21 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
             return f"nullif({sub('num')}, {sub('num')})", "num"
         if pick == 6:
             return f"coalesce({sub('num')}, {sub('num')}, {sub('num')})", "num"
+        if pick == 7:
+            fn = rng.choice(["min", "max"])
+            n = rng.randint(2, 3)
+            return f"{fn}({', '.join(sub('num') for _ in range(n))})", "num"
+        if pick == 8:
+            return f"instr({sub('str')}, {sub('str')})", "num"
+        if pick == 9:
+            nd = rng.randint(0, 3)
+            return f"round({sub('num')}, {nd})", "num"
         return (
             f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub('num')} "
             f"ELSE {sub('num')} END)",
             "num",
         )
-    pick = rng.randrange(9)
+    pick = rng.randrange(11)
     if pick == 0:
         return f"({sub('str')} || {sub('str')})", "str"
     if pick == 1:
@@ -95,6 +104,11 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
         return f"ifnull({sub('str')}, {sub('str')})", "str"
     if pick == 7:
         return f"nullif({sub('str')}, {sub('str')})", "str"
+    if pick == 8:
+        return f"hex({sub('str')})", "str"
+    if pick == 9:
+        fn = rng.choice(["min", "max"])
+        return f"{fn}({sub('str')}, {sub('str')})", "str"
     return (
         f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub('str')} "
         f"ELSE {sub('str')} END)",
