@@ -569,8 +569,12 @@ def _char(args: list[str]) -> str:
     decode (exact for the full range)."""
     if not args or not args[0].strip():
         raise FilesqlError("char() expects at least one codepoint")
+    # conv(n, 10, 16), not hex(n): the later hex() pass rewrites any
+    # hex( spelling to SQLite's text-rendering semantics, which would
+    # corrupt this codepoint emission (caught by test_char_unicode_quote)
     parts = [
-        f"decode(unhex(lpad(hex({a}), 8, '0')), 'UTF-32')" for a in args
+        f"decode(unhex(lpad(conv({a}, 10, 16), 8, '0')), 'UTF-32')"
+        for a in args
     ]
     return parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
 
@@ -749,7 +753,23 @@ _CALL_REWRITES = {
     # under the ASCII map (hex output is [0-9A-F]).
     "upper": lambda args: _ascii_fold("upper", args),
     "lower": lambda args: _ascii_fold("lower", args),
+    # SQLite hex(X) renders the BLOB interpretation of X: NULL → ''
+    # (not NULL), numbers → hex of their TEXT rendering ('3132' for 12,
+    # where Spark gives 'C'). Blobs pass through untouched — Spark's
+    # typeof is a static type dispatch, free at runtime. Listed after
+    # quote on purpose: quote's emitted hex() sits in a typeof='binary'
+    # branch, where this dispatch reduces to the same hex(x).
+    "hex": lambda args: _hex_call(args),
 }
+
+
+def _hex_call(args: list[str]) -> str:
+    x = _rewrite_calls(args[0], "hex", _CALL_REWRITES["hex"])
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN '' "
+        f"WHEN typeof({x}) = 'binary' THEN hex({x}) "
+        f"ELSE hex(CAST(({x}) AS STRING)) END)"
+    )
 
 
 def _ascii_fold(which: str, args: list[str]) -> str:
@@ -780,11 +800,33 @@ def _rewrite_like(sql: str) -> str:
     case-folding is ASCII-only while ILIKE folds full Unicode — pinned in
     tests/test_dialect.py. ``ILIKE`` in the input is left untouched (the
     \\b boundary cannot match inside it).
+
+    Backslashes: SQLite LIKE has NO escape character unless ESCAPE is
+    given (a ``\\`` in the pattern is a literal backslash); Spark's
+    matcher always treats ``\\`` as an escape (a trailing one even
+    errors). For the common literal-pattern case — a string literal
+    directly after LIKE, no ESCAPE clause — double the backslashes in
+    the pattern VALUE so the matcher sees them as literals (found by
+    tests/test_fuzz_dialect.py). Computed patterns keep Spark's escape
+    semantics — documented divergence.
     """
-    return "".join(
-        _LIKE_RE.sub("ILIKE", text) if kind == "code" else text
-        for kind, text in _split_tokens(sql)
-    )
+    toks = _split_tokens(sql)
+    out = []
+    pending_pattern = False  # previous code chunk ended with (I)LIKE
+    for idx, (kind, text) in enumerate(toks):
+        if kind == "code":
+            pending_pattern = bool(
+                re.search(r"(?i)\bi?like\s*$", text)
+            )
+            out.append(_LIKE_RE.sub("ILIKE", text))
+            continue
+        if kind == "string" and pending_pattern:
+            nxt = toks[idx + 1][1] if idx + 1 < len(toks) else ""
+            if not re.match(r"(?i)\s*escape\b", nxt):
+                text = text.replace("\\", "\\\\")
+        pending_pattern = False
+        out.append(text)
+    return "".join(out)
 
 
 def _glob_regex(pat: str) -> str:

@@ -523,3 +523,34 @@ def test_upper_lower_ascii_only(spark):
         _eval1(spark, "SELECT upper(upper('aé'))"),
     )
     assert got == tuple(exp) == ("STRAßE éX", "bé", "Aé")
+
+
+def test_hex_null_and_numbers(spark):
+    """sqlite3 ground truth: hex(NULL)='', hex(12)='3132' (hex of the
+    TEXT rendering), hex('ab')='6162'; blobs stay byte-level. Found by
+    tests/test_fuzz_dialect.py (Spark: hex(NULL)=NULL, hex(12)='C')."""
+    import sqlite3
+
+    stmt = "SELECT hex(NULL), hex(12), hex(1.5), hex('ab'), hex(x'00ff')"
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+    got = tuple(spark.sql(rewrite(stmt)).collect()[0])
+    assert got == exp == ("", "3132", "312E35", "6162", "00FF")
+
+
+def test_like_backslash_literal_pattern(spark):
+    """SQLite LIKE without ESCAPE treats backslash as a literal char;
+    Spark's matcher always escapes (a trailing one even errors). Literal
+    patterns are fixed up; ESCAPE clauses pass through untouched."""
+    import sqlite3
+
+    stmt = (
+        r"SELECT 'a\b' LIKE 'a\b', 'ab' LIKE 'a\b', 'a\' LIKE 'a\', "
+        r"'a_b' LIKE 'aXb' ESCAPE 'X', 'C:\dir\f.txt' LIKE '%\dir\%'"
+    )
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+    got = tuple(int(v) for v in spark.sql(rewrite(stmt)).collect()[0])
+    assert got == exp == (1, 0, 1, 0, 1)

@@ -81,7 +81,7 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
             f"ELSE {sub('num')} END)",
             "num",
         )
-    pick = rng.randrange(11)
+    pick = rng.randrange(12)
     if pick == 0:
         return f"({sub('str')} || {sub('str')})", "str"
     if pick == 1:
@@ -109,6 +109,8 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
     if pick == 9:
         fn = rng.choice(["min", "max"])
         return f"{fn}({sub('str')}, {sub('str')})", "str"
+    if pick == 10:
+        return _gen_date(rng), "str"
     return (
         f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub('str')} "
         f"ELSE {sub('str')} END)",
@@ -116,8 +118,43 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
     )
 
 
+def _gen_date(rng: random.Random) -> str:
+    """date()/datetime()/strftime() over a literal date and random
+    modifiers — the SQLite datetime surface the shim re-implements."""
+    base = (
+        f"'{rng.randint(1995, 2030):04d}-{rng.randint(1, 12):02d}-"
+        f"{rng.randint(1, 28):02d}'"
+    )
+    mods = []
+    for _ in range(rng.randint(0, 2)):
+        mods.append(
+            rng.choice(
+                [
+                    f"'{rng.choice(['+', '-'])}{rng.randint(0, 400)} days'",
+                    f"'{rng.choice(['+', '-'])}{rng.randint(0, 30)} months'",
+                    f"'{rng.choice(['+', '-'])}{rng.randint(0, 99)} hours'",
+                    "'start of month'",
+                    "'start of year'",
+                    f"'weekday {rng.randint(0, 6)}'",
+                ]
+            )
+        )
+    args = ", ".join([base] + mods)
+    fn = rng.choice(["date", "datetime", "strftime_ym"])
+    if fn == "strftime_ym":
+        fmt = rng.choice(["'%Y-%m'", "'%Y-%m-%d'", "'%j'", "'%w'", "'%H:%M'"])
+        return f"strftime({fmt}, {args})"
+    return f"{fn}({args})"
+
+
 def _gen_bool(rng: random.Random, depth: int) -> str:
     if depth <= 0 or rng.random() < 0.5:
+        if rng.random() < 0.15:
+            # literal pattern only: computed LIKE patterns keep Spark's
+            # backslash-escape semantics (documented divergence)
+            a, _ = _gen(rng, max(depth - 1, 0), "str")
+            b, _ = _lit_str(rng)
+            return f"({a} LIKE {b})"
         # same-type comparison (SQLite orders num < text across types)
         t = rng.choice(["num", "str"])
         a, _ = _gen(rng, max(depth - 1, 0), t)
