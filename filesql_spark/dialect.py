@@ -760,7 +760,124 @@ _CALL_REWRITES = {
     # quote on purpose: quote's emitted hex() sits in a typeof='binary'
     # branch, where this dispatch reduces to the same hex(x).
     "hex": lambda args: _hex_call(args),
+    # substring BEFORE substr: the substr pass emits substring(...) with
+    # already-normalized args — a later substring pass would wrap the
+    # emission in a second (semantically identity, textually huge) layer
+    "substring": lambda args: _substr_call(args),
+    "substr": lambda args: _substr_call(args),
+    "round": lambda args: _round_call(args),
+    "trim": lambda args: _trim_family("BOTH", "trim")(args),
+    "ltrim": lambda args: _trim_family("LEADING", "ltrim")(args),
+    "rtrim": lambda args: _trim_family("TRAILING", "rtrim")(args),
 }
+
+
+_INT_LIT_RE = re.compile(r"^\s*[-+]?\d+\s*$")
+
+
+def _int_lit(text: str) -> int | None:
+    return int(text) if _INT_LIT_RE.match(text) else None
+
+
+def _substr_call(args: list[str]) -> str:
+    """SQLite substr(S, Y[, Z]) — exact func.c semantics: Y=0 starts at 1
+    but yields one fewer char, negative Y counts from the end (under-run
+    shortens Z), negative Z takes abs(Z) chars BEFORE position Y. Spark's
+    substring diverges on all three (found by tests/test_fuzz_dialect.py).
+
+    Literal Y/Z — the overwhelmingly common case — partially evaluates
+    HERE, in Python: the staged sign-normalization collapses to a plain
+    substring (plus at most 3 length() references when Y counts from the
+    end), so nesting can't blow up the expression text. Non-literal Y/Z
+    take the general staged form, whose nested CASEs grow ~20x per call
+    — acceptable once, pathological when nested, hence the literal path.
+    """
+    if len(args) not in (2, 3):
+        raise FilesqlError(f"substr expects 2-3 args, got {len(args)}")
+    for name in ("substr", "substring"):
+        args = [_rewrite_calls(a, name, _CALL_REWRITES[name]) for a in args]
+    S = args[0]
+    yl = _int_lit(args[1])
+    zl = _int_lit(args[2]) if len(args) == 3 else None
+    if yl is not None and (len(args) == 2 or zl is not None):
+        if yl >= 1:
+            if len(args) == 2:
+                return f"substring({S}, {yl})"
+            if zl >= 0:
+                return f"substring({S}, {yl}, {zl})"
+            # negative Z: abs(Z) chars BEFORE position Y — fully static
+            start0, p2 = yl - 1 + zl, -zl
+            if start0 < 0:
+                p2, start0 = max(p2 + start0, 0), 0
+            return f"substring({S}, {start0 + 1}, {p2})"
+        if yl == 0:
+            if len(args) == 2:
+                return f"substring({S}, 1)"
+            if zl > 0:
+                return f"substring({S}, 1, {zl - 1})"
+            return f"substring({S}, 1, 0)"  # Z <= 0 from position 0 → ''
+        # yl < 0: start counts from the end — needs length() at runtime
+        L = f"length({S})"
+        A = f"({L} + {yl})"  # 0-based start before clamping
+        if len(args) == 2:
+            return f"substring({S}, greatest({A}, 0) + 1)"
+        if zl >= 0:
+            # an under-run start (A < 0) shortens the length
+            return (
+                f"substring({S}, greatest({A}, 0) + 1, "
+                f"greatest({zl} + least({A}, 0), 0))"
+            )
+        # yl < 0 and zl < 0: greatest(A,0) + (Z + least(A,0)) = A + Z
+        return (
+            f"substring({S}, greatest({A} + {zl}, 0) + 1, "
+            f"greatest(-({zl} + least({A}, 0)) + least({A} + {zl}, 0), 0))"
+        )
+    # general (non-literal) path: staged sign normalization as CASEs
+    y = f"({args[1]})"
+    L = f"length({S})"
+    z = f"({args[2]})" if len(args) == 3 else f"(2 * {L} + 2)"
+    p1a = f"(CASE WHEN {y} < 0 THEN {y} + {L} WHEN {y} > 0 THEN {y} - 1 ELSE 0 END)"
+    p2a = (
+        f"(CASE WHEN {y} = 0 AND {z} > 0 THEN {z} - 1 "
+        f"WHEN {y} < 0 AND {y} + {L} < 0 THEN {z} + {y} + {L} ELSE {z} END)"
+    )
+    p1b = f"greatest({p1a}, 0)"
+    p1c = f"(CASE WHEN {p2a} < 0 THEN {p1b} + {p2a} ELSE {p1b} END)"
+    p2b = f"abs({p2a})"
+    p1d = f"greatest({p1c}, 0)"
+    p2c = f"(CASE WHEN {p1c} < 0 THEN {p2b} + {p1c} ELSE {p2b} END)"
+    return f"substring({S}, {p1d} + 1, greatest({p2c}, 0))"
+
+
+def _round_call(args: list[str]) -> str:
+    """SQLite round(X, Y): negative Y is taken as 0 (never rounds into
+    the integer part the way Spark's negative scale does); NULL Y stays
+    NULL. 1-arg form matches Spark already."""
+    args = [_rewrite_calls(a, "round", _CALL_REWRITES["round"]) for a in args]
+    if len(args) == 1:
+        return f"round({args[0]})"
+    if len(args) != 2:
+        raise FilesqlError(f"round expects 1-2 args, got {len(args)}")
+    x, y = args
+    return (
+        f"(CASE WHEN ({y}) IS NULL THEN NULL "
+        f"ELSE round({x}, greatest({y}, 0)) END)"
+    )
+
+
+def _trim_family(spark_kind: str, name: str):
+    """SQLite's 2-arg trim(X, Y)/ltrim/rtrim strip Y's characters; Spark
+    spells that trim(BOTH|LEADING|TRAILING Y FROM X)."""
+
+    def build(args: list[str]) -> str:
+        args = [_rewrite_calls(a, name, _CALL_REWRITES[name]) for a in args]
+        if len(args) == 1:
+            return f"{name}({args[0]})"
+        if len(args) != 2:
+            raise FilesqlError(f"{name} expects 1-2 args, got {len(args)}")
+        return f"trim({spark_kind} {args[1]} FROM {args[0]})"
+
+    return build
 
 
 def _hex_call(args: list[str]) -> str:

@@ -554,3 +554,47 @@ def test_like_backslash_literal_pattern(spark):
     con.close()
     got = tuple(int(v) for v in spark.sql(rewrite(stmt)).collect()[0])
     assert got == exp == (1, 0, 1, 0, 1)
+
+
+def test_substr_exhaustive_vs_sqlite(spark):
+    """Every (start, len) in [-8..8] x [-6..6] plus the 2-arg form on a
+    6-char string, against the real SQLite — pins func.c's Y=0 /
+    negative-Y / negative-Z rules end to end."""
+    import sqlite3
+
+    cols, names = [], []
+    for y in range(-8, 9):
+        cols.append(f"substr('abcdef', {y})")
+        names.append(f"y{y}")
+        for z in range(-6, 7):
+            cols.append(f"substr('abcdef', {y}, {z})")
+            names.append(f"y{y}z{z}")
+    stmt = "SELECT " + ", ".join(cols)
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+    got = tuple(spark.sql(rewrite(stmt)).collect()[0])
+    bad = [
+        (names[i], g, x) for i, (g, x) in enumerate(zip(got, exp)) if g != x
+    ]
+    assert not bad, bad[:10]
+
+
+def test_trim_two_arg_and_round_negative(spark):
+    """SQLite 2-arg trim family strips a character SET; round's negative
+    digit count is taken as 0 (Spark would round into the integer part)."""
+    import sqlite3
+
+    stmt = (
+        "SELECT trim('xxayx', 'x'), ltrim('xxay', 'x'), rtrim('yaxx', 'x'), "
+        "trim('abcba', 'ab'), round(123.45, -1), round(155, -2), "
+        "round(2.567, 2)"
+    )
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+    got = tuple(
+        float(v) if hasattr(v, "as_integer_ratio") or str(type(v)) == "<class 'decimal.Decimal'>" else v
+        for v in spark.sql(rewrite(stmt)).collect()[0]
+    )
+    assert got == exp == ("ay", "ay", "ya", "c", 123.0, 155.0, 2.57)

@@ -74,7 +74,7 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
         if pick == 8:
             return f"instr({sub('str')}, {sub('str')})", "num"
         if pick == 9:
-            nd = rng.randint(0, 3)
+            nd = rng.randint(-2, 3)  # SQLite takes negative digits as 0
             return f"round({sub('num')}, {nd})", "num"
         return (
             f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub('num')} "
@@ -89,8 +89,10 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
     if pick == 2:
         return f"lower({sub('str')})", "str"
     if pick == 3:
-        start = rng.choice([1, 2, 3, -1, -3])
-        n = rng.randint(0, 5)
+        start = rng.randint(-8, 8)  # 0 and out-of-range included
+        if rng.random() < 0.3:
+            return f"substr({sub('str')}, {start})", "str"
+        n = rng.randint(-6, 6)  # negative = chars BEFORE start (SQLite)
         return f"substr({sub('str')}, {start}, {n})", "str"
     if pick == 4:
         frm, _ = _lit_str(rng)
@@ -99,6 +101,11 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
         return f"replace({sub('str')}, {frm}, {sub('str')})", "str"
     if pick == 5:
         fn = rng.choice(["trim", "ltrim", "rtrim"])
+        if rng.random() < 0.4:
+            chars = "'" + "".join(
+                rng.choice("abX ") for _ in range(rng.randint(1, 2))
+            ) + "'"
+            return f"{fn}({sub('str')}, {chars})", "str"
         return f"{fn}({sub('str')})", "str"
     if pick == 6:
         return f"ifnull({sub('str')}, {sub('str')})", "str"
