@@ -321,7 +321,9 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
 
 
 def _rewrite_calls(sql: str, name: str, builder) -> str:
-    """Repeatedly rewrite every ``name(...)`` call via builder(args)->str."""
+    """Repeatedly rewrite every ``name(...)`` call via builder(args)->str.
+    A builder may return None to leave that call untouched (e.g. CAST
+    forms outside its scope)."""
     pos = 0
     while True:
         hit = _find_call(sql, name, pos)
@@ -329,6 +331,9 @@ def _rewrite_calls(sql: str, name: str, builder) -> str:
             return sql
         start, end, args = hit
         replacement = builder(args)
+        if replacement is None:
+            pos = end
+            continue
         sql = sql[:start] + replacement + sql[end:]
         pos = start + len(replacement)
 
@@ -769,7 +774,67 @@ _CALL_REWRITES = {
     "trim": lambda args: _trim_family("BOTH", "trim")(args),
     "ltrim": lambda args: _trim_family("LEADING", "ltrim")(args),
     "rtrim": lambda args: _trim_family("TRAILING", "rtrim")(args),
+    "cast": lambda args: _cast_call(args),
 }
+
+
+_CAST_SPLIT_RE = re.compile(
+    r"(?is)^(.*\S)\s+AS\s+([A-Za-z]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*$"
+)
+_INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
+
+
+def _cast_call(args: list[str]) -> str | None:
+    """SQLite CAST(X AS INTEGER/REAL) on TEXT parses the longest numeric
+    PREFIX ('12abc' → 12, no prefix → 0, out-of-range clamps to the
+    int64 bounds); Spark's cast yields NULL for any trailing garbage.
+    Emulated for string inputs only (typeof is a static type dispatch);
+    every other CAST form — TEXT, BLOB, NUMERIC, CHAR(n), non-string
+    inputs — is left exactly as written (None = untouched). SQLite's
+    affinity rules name the families: a type containing INT is INTEGER,
+    containing REAL/FLOA/DOUB is REAL."""
+    if len(args) != 1:
+        return None
+    m = _CAST_SPLIT_RE.match(args[0])
+    if not m:
+        return None
+    expr, typ = m.group(1), m.group(2).upper()
+    if "INT" in typ:
+        to, rx, parse = (
+            "BIGINT",
+            r"'^[ \\t\\r\\n]*([+-]?[0-9]+)'",
+            None,
+        )
+    elif any(t in typ for t in ("REAL", "FLOA", "DOUB")):
+        to, rx, parse = (
+            "DOUBLE",
+            r"'^[ \\t\\r\\n]*([+-]?(?:[0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)"
+            r"(?:[eE][+-]?[0-9]+)?)'",
+            None,
+        )
+    else:
+        return None
+    expr = _rewrite_calls(expr, "cast", _CALL_REWRITES["cast"])
+    e = f"({expr})"
+    if to == "BIGINT":
+        # parse the integer prefix wide (DECIMAL 38,0, try_cast: ANSI-safe
+        # on '' and >38-digit prefixes), clamp to the int64 bounds like
+        # SQLite; numeric inputs clamp by sign on overflow (SQLite
+        # saturates where an ANSI cast would raise)
+        return (
+            f"(CASE WHEN {e} IS NULL THEN CAST(NULL AS BIGINT) "
+            f"WHEN typeof({e}) = 'string' THEN "
+            f"CAST(least(greatest(nvl(try_cast(regexp_extract({e}, {rx}, 1) "
+            f"AS DECIMAL(38, 0)), 0), {_INT64_MIN}), {_INT64_MAX}) AS BIGINT) "
+            f"ELSE nvl(try_cast({e} AS BIGINT), "
+            f"CASE WHEN {e} > 0 THEN {_INT64_MAX} ELSE {_INT64_MIN} END) END)"
+        )
+    return (
+        f"(CASE WHEN {e} IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"WHEN typeof({e}) = 'string' THEN "
+        f"nvl(try_cast(regexp_extract({e}, {rx}, 1) AS DOUBLE), 0.0d) "
+        f"ELSE CAST({e} AS DOUBLE) END)"
+    )
 
 
 _INT_LIT_RE = re.compile(r"^\s*[-+]?\d+\s*$")

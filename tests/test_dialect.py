@@ -598,3 +598,29 @@ def test_trim_two_arg_and_round_negative(spark):
         for v in spark.sql(rewrite(stmt)).collect()[0]
     )
     assert got == exp == ("ay", "ay", "ya", "c", 123.0, 155.0, 2.57)
+
+
+def test_cast_text_to_number_prefix_parse(spark):
+    """SQLite CAST(TEXT AS INTEGER/REAL) parses the longest numeric
+    prefix — '12abc'→12, no prefix→0, huge prefixes clamp to int64 —
+    where Spark's cast NULLs on any trailing garbage (and ANSI mode
+    raises). Non-numeric CAST targets stay untouched."""
+    import sqlite3
+
+    stmt = (
+        "SELECT CAST('12abc' AS INTEGER), CAST('abc' AS INTEGER), "
+        "CAST('  +42xyz' AS INTEGER), CAST('1.5e2xyz' AS REAL), "
+        "CAST('99999999999999999999' AS INTEGER), CAST(NULL AS INTEGER), "
+        "CAST(CAST('7pigs' AS INTEGER) AS REAL), CAST(12.9 AS INTEGER)"
+    )
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+    got = tuple(
+        float(v) if type(v).__name__ == "Decimal" else v
+        for v in spark.sql(rewrite(stmt)).collect()[0]
+    )
+    assert got == exp == (12, 0, 42, 150.0, 9223372036854775807, None, 7.0, 12)
+    # CHAR(n)/TEXT/BLOB casts pass through exactly as written
+    s2 = "SELECT CAST('abcdef' AS CHAR(3)) AS c"
+    assert rewrite(s2) == s2

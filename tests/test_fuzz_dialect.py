@@ -50,7 +50,7 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
         return _gen(rng, depth - 1, w)[0]
 
     if want == "num":
-        pick = rng.randrange(11)
+        pick = rng.randrange(12)
         if pick == 0:
             op = rng.choice(["+", "-", "*"])
             return f"({sub('num')} {op} {sub('num')})", "num"
@@ -76,6 +76,10 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
         if pick == 9:
             nd = rng.randint(-2, 3)  # SQLite takes negative digits as 0
             return f"round({sub('num')}, {nd})", "num"
+        if pick == 10 and depth >= 2:
+            # TEXT → number casts parse the longest numeric prefix
+            t = rng.choice(["INTEGER", "REAL"])
+            return f"CAST({sub('str')} AS {t})", "num"
         return (
             f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub('num')} "
             f"ELSE {sub('num')} END)",
