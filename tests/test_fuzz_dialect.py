@@ -295,3 +295,81 @@ def test_aggregate_corpus_matches_sqlite(spark, tmp_path, seed):
                 assert g == pytest.approx(x, rel=1e-9, abs=1e-9), (seed, i, grow, erow)
             else:
                 assert g == x, (seed, "col", i - 1, aggs[i - 1] if i else "k", g, x)
+
+
+# ------------------------------------------------------------- windows
+# Third tier: window functions over a seeded table. ORDER BY the unique
+# id inside every OVER () so ties can't make the comparison ambiguous.
+
+
+def _gen_window(rng: random.Random) -> str:
+    part = rng.choice(["PARTITION BY k", ""])
+    frame = rng.choice(
+        ["", " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+         " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+    )
+    over = f"OVER ({part} ORDER BY id{frame})"
+    over_plain = f"OVER ({part} ORDER BY id)"
+    pick = rng.randrange(9)
+    if pick == 0:
+        return f"row_number() {over_plain}"
+    if pick == 1:
+        return f"rank() {over_plain}"
+    if pick == 2:
+        return f"dense_rank() {over_plain}"
+    if pick == 3:
+        return f"sum(ifnull(n, 0)) {over}"
+    if pick == 4:
+        return f"count(n) {over}"
+    if pick == 5:
+        return f"min(n) {over}"
+    if pick == 6:
+        return f"lag(n, {rng.randint(1, 3)}) {over_plain}"
+    if pick == 7:
+        return f"lead(n, {rng.randint(1, 2)}, -1) {over_plain}"
+    return f"avg(ifnull(n, 0)) {over}"
+
+
+@pytest.mark.parametrize("seed", [5, 909])
+def test_window_corpus_matches_sqlite(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.randint(0, 4),
+            rng.randint(-50, 50) if rng.random() > 0.15 else None,
+        )
+        for i in range(80)
+    ]
+    wins = [_gen_window(rng) for _ in range(18)]
+    stmt = (
+        "SELECT id, "
+        + ", ".join(f"{w} AS c{i}" for i, w in enumerate(wins))
+        + " FROM win_t ORDER BY id"
+    )
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE win_t (id INTEGER, k INTEGER, n INTEGER)")
+    con.executemany("INSERT INTO win_t VALUES (?,?,?)", rows)
+    expected = con.execute(stmt).fetchall()
+    con.close()
+
+    csv = "id,k,n\n" + "\n".join(
+        f"{i},{k},{'' if n is None else n}" for i, k, n in rows
+    )
+    (tmp_path / "win_t.csv").write_text(csv + "\n")
+    eng = fs.open(str(tmp_path / "win_t.csv"), spark=spark)
+    try:
+        got = [tuple(r) for r in eng.query(stmt).collect()]
+    finally:
+        eng.close()
+
+    assert len(got) == len(expected)
+    for grow, erow in zip(got, expected):
+        for i, (g, x) in enumerate(zip(grow, erow)):
+            g, x = _norm(g), _norm(x)
+            if isinstance(g, float) or isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-9, abs=1e-9), (seed, i, wins[i - 1])
+            else:
+                assert g == x, (seed, "col", wins[i - 1] if i else "id", g, x)
