@@ -716,8 +716,6 @@ def _json_array(args: list[str]) -> str:
 
 
 _SIMPLE_RENAMES = {
-    "printf": "format_string",
-    "format": "format_string",  # printf alias (SQLite 3.38+)
     "ifnull": "nvl",
     "iif": "if",
     "unicode": "ascii",  # first-codepoint (Spark ascii returns full codepoint)
@@ -775,7 +773,91 @@ _CALL_REWRITES = {
     "ltrim": lambda args: _trim_family("LEADING", "ltrim")(args),
     "rtrim": lambda args: _trim_family("TRAILING", "rtrim")(args),
     "cast": lambda args: _cast_call(args),
+    # printf AFTER cast: its emissions embed _cast_call output, which the
+    # cast pass must not re-wrap
+    "printf": lambda args: _printf_call(args),
+    "format": lambda args: _printf_call(args),  # printf alias (3.38+)
 }
+
+
+_PRINTF_DIR_RE = re.compile(r"%([-+ 0#]*)(\d+)?(\.\d+)?([a-zA-Z%])")
+
+
+def _sql_str(s: str) -> str:
+    """Embed a Python string as a (post-escaping-stage) Spark literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _printf_call(args: list[str]) -> str | None:
+    """SQLite printf()/format(): arguments COERCE to the directive's type
+    (C sprintf semantics — '%d' of 3.7 is 3, of '12abc' is 12, of NULL is
+    0; '%s' of NULL is ''), and %q/%Q/%w do SQL quoting. Java's
+    format_string instead throws on any type mismatch. For a literal
+    format string, wrap each argument with the matching SQLite coercion
+    (reusing the CAST prefix-parse emulation) and translate the
+    SQLite-only directives (%i→%d, %u→%d, %q/%Q/%w→%s + quoting expr).
+    Non-literal formats, width-from-arg (*), and C directives Java renders
+    differently (%g/%G/%c) fall back to the plain rename."""
+    if len(args) < 1:
+        return None
+    for name in ("printf", "format"):
+        args = [_rewrite_calls(a, name, _CALL_REWRITES[name]) for a in args]
+    fmt_tok = args[0].strip()
+    if not (fmt_tok.startswith("'") and fmt_tok.endswith("'")):
+        return f"format_string({', '.join(args)})"
+    fmt = _literal_content(fmt_tok)
+    out_fmt: list[str] = []
+    wrapped: list[str] = []
+    pos = 0
+    argi = 1
+    for m in _PRINTF_DIR_RE.finditer(fmt):
+        out_fmt.append(fmt[pos : m.start()])
+        pos = m.end()
+        flags, width, prec, conv = m.groups()
+        head = f"%{flags}{width or ''}{prec or ''}"
+        if conv == "%":
+            out_fmt.append("%%")
+            continue
+        if conv in "gGc" or argi > len(args) - 1:
+            return f"format_string({', '.join(args)})"
+        a = f"({args[argi]})"
+        argi += 1
+        if conv in "diu":
+            out_fmt.append(f"{head}d")
+            wrapped.append(f"nvl({_cast_call([f'{a} AS INTEGER'])}, 0)")
+        elif conv in "oxX":
+            out_fmt.append(f"{head}{conv}")
+            wrapped.append(f"nvl({_cast_call([f'{a} AS INTEGER'])}, 0)")
+        elif conv in "eEf":
+            out_fmt.append(f"{head}{conv}")
+            wrapped.append(f"nvl({_cast_call([f'{a} AS REAL'])}, 0.0d)")
+        elif conv == "s":
+            out_fmt.append(f"{head}s")
+            wrapped.append(f"nvl(CAST({a} AS STRING), '')")
+        elif conv == "q":
+            out_fmt.append(f"{head}s")
+            wrapped.append(
+                f"(CASE WHEN {a} IS NULL THEN '(NULL)' "
+                f"ELSE replace(CAST({a} AS STRING), '''', '''''') END)"
+            )
+        elif conv == "Q":
+            out_fmt.append(f"{head}s")
+            wrapped.append(
+                f"(CASE WHEN {a} IS NULL THEN 'NULL' ELSE '''' || "
+                f"replace(CAST({a} AS STRING), '''', '''''') || '''' END)"
+            )
+        elif conv == "w":
+            out_fmt.append(f"{head}s")
+            wrapped.append(
+                f"(CASE WHEN {a} IS NULL THEN '(NULL)' "
+                f'ELSE replace(CAST({a} AS STRING), \'"\', \'""\') END)'
+            )
+        else:
+            return f"format_string({', '.join(args)})"
+    out_fmt.append(fmt[pos:])
+    rest = args[argi:]  # extra args beyond directives: both engines ignore
+    parts = [_sql_str("".join(out_fmt))] + wrapped + list(rest)
+    return f"format_string({', '.join(parts)})"
 
 
 _CAST_SPLIT_RE = re.compile(

@@ -37,9 +37,14 @@ def test_julianday_diff():
 
 
 def test_printf():
+    # literal formats coerce each arg to the directive's type (SQLite
+    # printf semantics); non-literal formats stay a plain rename
+    out = rewrite("SELECT printf('%.2f', x) FROM t")
+    assert out.startswith("SELECT format_string('%.2f', ")
+    assert "AS DOUBLE" in out  # x coerced through the REAL-cast emulation
     assert (
-        rewrite("SELECT printf('%.2f', x) FROM t")
-        == "SELECT format_string('%.2f', x) FROM t"
+        rewrite("SELECT printf(f, x) FROM t")
+        == "SELECT format_string(f, x) FROM t"
     )
 
 
@@ -624,3 +629,25 @@ def test_cast_text_to_number_prefix_parse(spark):
     # CHAR(n)/TEXT/BLOB casts pass through exactly as written
     s2 = "SELECT CAST('abcdef' AS CHAR(3)) AS c"
     assert rewrite(s2) == s2
+
+
+def test_printf_coercion_vs_sqlite(spark):
+    """SQLite printf coerces args per directive (%d of 3.7 → 3, of text
+    → prefix parse, of NULL → 0; %s of NULL → ''; %q/%Q/%w SQL-quote);
+    Java's format_string throws on type mismatches instead."""
+    import sqlite3
+
+    stmt = (
+        "SELECT printf('%d', 3.7), printf('%d', '12abc'), "
+        "printf('%d', NULL), printf('%s', NULL), printf('%.2f', 'x9'), "
+        "printf('%05d|%s', 42, 'ab'), printf('%d%%', 5), printf('%i', 9.9), "
+        "printf('[%q]', 'it''s'), printf('[%Q]', NULL), format('%x', 255)"
+    )
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+    got = tuple(spark.sql(rewrite(stmt)).collect()[0])
+    assert got == exp == (
+        "3", "12", "0", "", "0.00", "00042|ab", "5%", "9",
+        "[it''s]", "[NULL]", "ff",
+    )

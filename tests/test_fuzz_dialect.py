@@ -85,7 +85,7 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
             f"ELSE {sub('num')} END)",
             "num",
         )
-    pick = rng.randrange(12)
+    pick = rng.randrange(13)
     if pick == 0:
         return f"({sub('str')} || {sub('str')})", "str"
     if pick == 1:
@@ -122,6 +122,11 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
         return f"{fn}({sub('str')}, {sub('str')})", "str"
     if pick == 10:
         return _gen_date(rng), "str"
+    if pick == 11 and depth >= 2:
+        # printf with arg coercion (%d of text/float, %s of NULL, %q)
+        d = rng.choice(["%d", "%s", "%.2f", "%x", "%q", "%05d"])
+        src = "num" if rng.random() < 0.5 else "str"
+        return f"printf('[{d}]', {sub(src)})", "str"
     return (
         f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub('str')} "
         f"ELSE {sub('str')} END)",
