@@ -777,6 +777,10 @@ _CALL_REWRITES = {
     # cast pass must not re-wrap
     "printf": lambda args: _printf_call(args),
     "format": lambda args: _printf_call(args),  # printf alias (3.38+)
+    # string_agg(x, sep) is SQLite 3.44's standard-SQL alias for
+    # group_concat; zeroblob(n) is n zero bytes
+    "string_agg": lambda args: _group_concat(args),
+    "zeroblob": lambda args: f"unhex(repeat('00', {args[0]}))",
 }
 
 

@@ -651,3 +651,22 @@ def test_printf_coercion_vs_sqlite(spark):
         "3", "12", "0", "", "0.00", "00042|ab", "5%", "9",
         "[it''s]", "[NULL]", "ff",
     )
+
+
+def test_string_agg_and_zeroblob(spark):
+    """string_agg (3.44 group_concat alias) and zeroblob; zeroblob is
+    differential vs sqlite3, string_agg pinned (local SQLite predates
+    3.44)."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    exp = con.execute("SELECT hex(zeroblob(3)), length(zeroblob(4))").fetchone()
+    con.close()
+    got = spark.sql(
+        rewrite("SELECT hex(zeroblob(3)) AS h, length(zeroblob(4)) AS l")
+    ).collect()[0]
+    assert (got.h, got.l) == tuple(exp) == ("000000", 4)
+    assert (
+        rewrite("SELECT string_agg(name, '|') FROM t")
+        == "SELECT concat_ws('|', collect_list(name)) FROM t"
+    )
