@@ -316,7 +316,7 @@ def _gen_window(rng: random.Random) -> str:
     )
     over = f"OVER ({part} ORDER BY id{frame})"
     over_plain = f"OVER ({part} ORDER BY id)"
-    pick = rng.randrange(9)
+    pick = rng.randrange(14)
     if pick == 0:
         return f"row_number() {over_plain}"
     if pick == 1:
@@ -333,6 +333,17 @@ def _gen_window(rng: random.Random) -> str:
         return f"lag(n, {rng.randint(1, 3)}) {over_plain}"
     if pick == 7:
         return f"lead(n, {rng.randint(1, 2)}, -1) {over_plain}"
+    if pick == 8:
+        return f"first_value(n) {over}"
+    if pick == 9:
+        return f"last_value(n) {over}"
+    if pick == 10:
+        return f"nth_value(n, {rng.randint(1, 3)}) {over}"
+    if pick == 11:
+        return f"ntile({rng.randint(2, 5)}) {over_plain}"
+    if pick == 12:
+        # ×1e9, rounded: keeps the float compare integral-exact
+        return f"CAST(round(percent_rank() {over_plain} * 1000000000, 0) AS INTEGER)"
     return f"avg(ifnull(n, 0)) {over}"
 
 
