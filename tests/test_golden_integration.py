@@ -930,3 +930,49 @@ def test_multiple_sequential_queries_params(eng):
         ).collect()
         assert abs(v[0].s - total) < 0.01
     assert set(high) == {1, 2, 3}
+
+
+# ------------------------------------------------------------------
+# ExampleDumpDatabase (example_test.go:533-610), verbatim on the
+# createTempTestData employees fixture (example_test.go:115-135):
+# modify in memory → dump → reopen the exported file → count.
+# ------------------------------------------------------------------
+
+EMPLOYEES_TMP = """id,name,department_id,salary,hire_date
+1,Alice Johnson,1,95000,2020-01-15
+2,Bob Smith,1,85000,2019-03-22
+3,Charlie Brown,1,80000,2021-06-10
+4,David Wilson,1,75000,2022-02-28
+5,Eve Davis,2,70000,2020-09-15
+6,Frank Miller,2,65000,2021-11-30
+7,Grace Lee,3,60000,2019-12-05
+8,Henry Taylor,3,55000,2022-04-18
+"""
+
+
+def test_dump_database_roundtrip_golden(spark, tmp_path):
+    src = tmp_path / "employees.csv"
+    src.write_text(EMPLOYEES_TMP)
+    e = fs.open(str(src), spark=spark)
+    try:
+        e.execute("UPDATE employees SET salary = salary * 1.10 WHERE department_id = 1")
+        e.execute(
+            "INSERT INTO employees (id, name, department_id, salary, hire_date) "
+            "VALUES (99, 'New Employee', 2, 60000, '2024-01-01')"
+        )
+        out = tmp_path / "output"
+        e.dump(str(out))
+        assert (out / "employees.csv").exists()
+    finally:
+        e.close()
+    # reopen the exported file — the // Output: block pins 9 employees
+    e2 = fs.open(str(out / "employees.csv"), spark=spark)
+    try:
+        assert e2.query("SELECT COUNT(*) AS n FROM employees").collect()[0].n == 9
+        # the raise survived the round trip
+        r = e2.query(
+            "SELECT CAST(salary AS INTEGER) AS s FROM employees WHERE id = 1"
+        ).collect()[0]
+        assert r.s == 104500  # 95000 * 1.10
+    finally:
+        e2.close()
