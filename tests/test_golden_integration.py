@@ -976,3 +976,26 @@ def test_dump_database_roundtrip_golden(spark, tmp_path):
         assert r.s == 104500  # 95000 * 1.10
     finally:
         e2.close()
+
+
+def test_constraints_file_unchanged_golden(spark, tmp_path):
+    """ExampleOpen_constraints (example_test.go:276-327): INSERT affects
+    only the in-memory table; the source file is untouched until an
+    explicit dump (8 → 9 in memory, still 8 on re-open)."""
+    src = tmp_path / "employees.csv"
+    src.write_text(EMPLOYEES_TMP)
+    e = fs.open(str(src), spark=spark)
+    try:
+        assert e.query("SELECT COUNT(*) AS n FROM employees").collect()[0].n == 8
+        e.execute(
+            "INSERT INTO employees (id, name, department_id, salary, hire_date) "
+            "VALUES (99, 'Test User', 1, 50000, '2023-01-01')"
+        )
+        assert e.query("SELECT COUNT(*) AS n FROM employees").collect()[0].n == 9
+    finally:
+        e.close()
+    e2 = fs.open(str(src), spark=spark)
+    try:
+        assert e2.query("SELECT COUNT(*) AS n FROM employees").collect()[0].n == 8
+    finally:
+        e2.close()
