@@ -999,3 +999,34 @@ def test_constraints_file_unchanged_golden(spark, tmp_path):
         assert e2.query("SELECT COUNT(*) AS n FROM employees").collect()[0].n == 8
     finally:
         e2.close()
+
+
+def test_dump_multiple_formats_golden(spark, tmp_path):
+    """ExampleDumpDatabase_withOptions + _multipleFormats
+    (example_test.go:1399-1540): the produced filename is
+    {table}.{format}[.{compression}] for every codec. bz2 write is
+    rejected by design (A6 — SURVEY §2.A), asserted instead."""
+    src = tmp_path / "sample.csv"
+    src.write_text(SAMPLE_CSV)
+    e = fs.open(str(src), spark=spark)
+    try:
+        e.execute(
+            "INSERT INTO sample (id, name, age, email) "
+            "VALUES (4, 'Alice Brown', 28, 'alice@example.com')"
+        )
+        import os
+        cases = [
+            ({"format": "csv"}, "sample.csv"),
+            ({"format": "tsv", "compression": "gz"}, "sample.tsv.gz"),
+            ({"format": "ltsv", "compression": "zst"}, "sample.ltsv.zst"),
+            ({"format": "csv", "compression": "xz"}, "sample.csv.xz"),
+            ({"format": "csv", "compression": "zst"}, "sample.csv.zst"),
+        ]
+        for i, (kwargs, fname) in enumerate(cases):
+            d = tmp_path / f"out{i}"
+            e.dump(str(d), **kwargs)
+            assert sorted(os.listdir(d)) == [fname], (kwargs, os.listdir(d))
+        with pytest.raises(Exception, match="bzip2"):
+            e.dump(str(tmp_path / "outbz2"), format="csv", compression="bz2")
+    finally:
+        e.close()
