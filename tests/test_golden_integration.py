@@ -1030,3 +1030,21 @@ def test_dump_multiple_formats_golden(spark, tmp_path):
             e.dump(str(tmp_path / "outbz2"), format="csv", compression="bz2")
     finally:
         e.close()
+
+
+def test_error_handling_golden(spark, tmp_path):
+    """ExampleOpen_errorHandling (example_test.go:466-531): a
+    non-existent path fails with the reference's wording ('path does
+    not exist: …'); a good path then counts 8 employees. (The context
+    timeout leg is a Go-ism with no Python analogue — SURVEY §3.1.)"""
+    from filesql_spark.errors import ValidationError
+
+    with pytest.raises(ValidationError, match="path does not exist: nonexistent.csv"):
+        fs.open("nonexistent.csv", spark=spark)
+    src = tmp_path / "employees.csv"
+    src.write_text(EMPLOYEES_TMP)
+    e = fs.open(str(src), spark=spark)
+    try:
+        assert e.query("SELECT COUNT(*) AS n FROM employees").collect()[0].n == 8
+    finally:
+        e.close()
