@@ -177,6 +177,28 @@ def _render_param(v) -> str:
     )
 
 
+def substitute_session_functions(
+    sql: str, changes: int, total_changes: int
+) -> str:
+    """SQLite's connection-state functions, resolved against the engine's
+    counters at query time: ``changes()`` → rows of the last completed
+    INSERT/UPDATE/DELETE, ``total_changes()`` → their running sum.
+    ``last_insert_rowid()`` fails loudly: these tables are immutable
+    DataFrames with no rowids (SURVEY §1 data-model mapping), so there is
+    nothing faithful to return."""
+
+    def _lir(args: list[str]) -> str:
+        raise FilesqlError(
+            "last_insert_rowid() is not supported: DataFrame-backed tables "
+            "have no rowids; SELECT the key column with INSERT … RETURNING "
+            "instead"
+        )
+
+    sql = _rewrite_calls(sql, "changes", lambda args: str(changes))
+    sql = _rewrite_calls(sql, "total_changes", lambda args: str(total_changes))
+    return _rewrite_calls(sql, "last_insert_rowid", _lir)
+
+
 def bind_params(sql: str, params) -> str:
     """Substitute SQLite-style placeholders with literal values, mirroring
     database/sql binding on the reference's surface (``db.QueryContext(ctx,

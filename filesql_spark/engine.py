@@ -72,6 +72,10 @@ class Engine:
         ] = []
         self._temp_files: list[str] = []
         self._closed = False
+        # connection-state function counters (SQLite changes() /
+        # total_changes()); updated on the execute() DML path
+        self._changes = 0
+        self._total_changes = 0
 
     # ------------------------------------------------------------------ load
 
@@ -159,6 +163,9 @@ class Engine:
         ``db.QueryContext(ctx, query, args...)``)."""
         if params is not None:
             sql = dialect.bind_params(sql, params)
+        sql = dialect.substitute_session_functions(
+            sql, self._changes, self._total_changes
+        )
         stmt = _first_keyword(sql)
         if stmt == "PRAGMA":
             return self._pragma(sql)
@@ -203,6 +210,9 @@ class Engine:
 
         if params is not None:
             sql = dialect.bind_params(sql, params)
+        sql = dialect.substitute_session_functions(
+            sql, self._changes, self._total_changes
+        )
 
         stmt = _first_keyword(sql)
         if stmt == "BEGIN":
@@ -242,7 +252,11 @@ class Engine:
         if stmt in ("INSERT", "REPLACE", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER"):
             # comments are legal anywhere in SQLite DML; the dml regex
             # parsers anchor on the keyword, so blank comments first
-            return dml.execute(self, _strip_comments(sql).strip())
+            n = dml.execute(self, _strip_comments(sql).strip())
+            if stmt in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
+                self._changes = n
+                self._total_changes += n
+            return n
         # SELECT via execute: run it, report row count
         return self.query(sql).count()
 

@@ -901,3 +901,30 @@ def test_prepared_statement(eng):
     assert eng.query("SELECT COUNT(*) AS n FROM sample").collect()[0].n == 5
     with pytest.raises(FilesqlError, match="empty"):
         eng.prepare("   ")
+
+
+def test_changes_and_total_changes(eng):
+    # SQLite connection-state functions, resolved against the engine's
+    # DML counters (sqlite3 ground truth: changes() = rows of the LAST
+    # completed DML, total_changes() = running sum)
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE s (id INTEGER, name TEXT, age INTEGER)")
+    con.executemany("INSERT INTO s VALUES (?,?,?)",
+                    [(1, "John Doe", 30), (2, "Jane Smith", 25), (3, "Bob Johnson", 35)])
+    con.execute("UPDATE s SET age = age + 1 WHERE age > 26")
+    exp = con.execute("SELECT changes(), total_changes()").fetchone()
+    con.close()
+
+    eng.execute("UPDATE sample SET age = age + 1 WHERE age > 26")
+    got = eng.query("SELECT changes() AS c, total_changes() AS t").collect()[0]
+    # sqlite3's total includes its 3 setup inserts; ours counts the one
+    # UPDATE (the CSV load is ingestion, not DML) — changes() matches
+    assert got.c == exp[0] == 2
+    assert got.t == 2
+    eng.execute("DELETE FROM sample WHERE id = 1")
+    got = eng.query("SELECT changes() AS c, total_changes() AS t").collect()[0]
+    assert (got.c, got.t) == (1, 3)
+    with pytest.raises(FilesqlError, match="last_insert_rowid"):
+        eng.query("SELECT last_insert_rowid()")
