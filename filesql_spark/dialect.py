@@ -651,6 +651,27 @@ def _glob_call(args: list[str]) -> str:
     return f"(({args[1]}) RLIKE {_regex_literal(rx)})"
 
 
+def _like_call(args: list[str]) -> str | None:
+    """SQLite's function form like(P, S[, E]) ≡ S LIKE P [ESCAPE E]
+    (swapped argument order, case-insensitive). Runs as a pre-pass
+    BEFORE the operator rewrite, which would otherwise rename the
+    function head to ILIKE( and silently swap Spark's ilike(str, pat)
+    argument order. One argument means the OPERATOR with a parenthesized
+    pattern — ``x LIKE ('a%')`` — declined (None) for the operator pass.
+    Literal patterns get the same backslash-literalizing fix as the
+    operator rewrite; with an explicit ESCAPE the pattern's own escape
+    semantics apply unchanged."""
+    if len(args) == 1:
+        return None
+    if len(args) not in (2, 3):
+        raise FilesqlError(f"like() expects 2-3 args, got {len(args)}")
+    # no backslash handling here: the emitted ILIKE runs through the
+    # operator pass next, which literalizes a literal pattern's
+    # backslashes (and correctly skips when ESCAPE follows)
+    esc = f" ESCAPE {args[2]}" if len(args) == 3 else ""
+    return f"(({args[1]}) ILIKE {args[0].strip()}{esc})"
+
+
 def _json_extract(args: list[str]) -> str:
     """SQLite json1 json_extract(X, P) → get_json_object (path syntax is
     shared: '$.k', '$[0]', '$.a.b'). Divergence note: SQLite returns SQL
@@ -1247,6 +1268,7 @@ def rewrite(sql: str) -> str:
     sql = _escape_string_backslashes(sql)
     sql = _requote_identifiers(sql)
     sql = _rewrite_glob(sql)
+    sql = _rewrite_calls(sql, "like", _like_call)  # before the operator pass
     sql = _rewrite_like(sql)
     sql = _rewrite_collate(sql)
     for name, fn in _CALL_REWRITES.items():

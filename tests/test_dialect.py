@@ -670,3 +670,22 @@ def test_string_agg_and_zeroblob(spark):
         rewrite("SELECT string_agg(name, '|') FROM t")
         == "SELECT concat_ws('|', collect_list(name)) FROM t"
     )
+
+
+def test_like_call_form_vs_sqlite(spark):
+    """like(P, S[, E]) — function form with SQLite's swapped arg order;
+    the operator with a parenthesized pattern must NOT be mistaken for
+    it. (Without the pre-pass the operator rewrite renames the head to
+    Spark's ilike(str, pat) — silently reversed arguments.)"""
+    import sqlite3
+
+    stmt = (
+        r"SELECT like('a%', 'ABC'), like('a_c', 'abc'), like('x', 'y'), "
+        r"like('a!%b', 'a%b', '!'), like('a\b', 'a\b'), "
+        r"'ABC' LIKE ('a%')"
+    )
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+    got = tuple(int(v) for v in spark.sql(rewrite(stmt)).collect()[0])
+    assert got == exp == (1, 1, 0, 1, 1, 1)
