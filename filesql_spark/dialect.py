@@ -824,6 +824,9 @@ _CALL_REWRITES = {
     # group_concat; zeroblob(n) is n zero bytes
     "string_agg": lambda args: _group_concat(args),
     "zeroblob": lambda args: f"unhex(repeat('00', {args[0]}))",
+    # the SQLite line bundled by the reference's modernc.org/sqlite
+    # v1.38.2 (go.mod:11) — scripts that branch on version keep working
+    "sqlite_version": lambda args: "'3.50.2'",
 }
 
 

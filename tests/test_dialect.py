@@ -689,3 +689,7 @@ def test_like_call_form_vs_sqlite(spark):
     con.close()
     got = tuple(int(v) for v in spark.sql(rewrite(stmt)).collect()[0])
     assert got == exp == (1, 1, 0, 1, 1, 1)
+
+
+def test_sqlite_version_function():
+    assert rewrite("SELECT sqlite_version()") == "SELECT '3.50.2'"
