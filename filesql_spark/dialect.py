@@ -765,6 +765,11 @@ _SIMPLE_RENAMES = {
 }
 
 _CALL_REWRITES = {
+    # concat FIRST: SQLite 3.44's concat() IGNORES NULL arguments and
+    # renders numbers as text, where Spark's NULL-propagates — only
+    # user-written concat gets the wrap; later passes emit Spark-native
+    # concat( safely because each pass sweeps once in dict order
+    "concat": lambda args: _concat_call(args),
     "strftime": _strftime,
     "julianday": _julianday,
     "unixepoch": _unixepoch,
@@ -1075,6 +1080,17 @@ def _trim_family(spark_kind: str, name: str):
         return f"trim({spark_kind} {args[1]} FROM {args[0]})"
 
     return build
+
+
+def _concat_call(args: list[str]) -> str:
+    """SQLite 3.44 concat(): NULL args are ignored (skipped), non-text
+    args render as text; concat() of all NULLs is ''. Spark's concat
+    returns NULL if any argument is NULL."""
+    if not args or not args[0].strip():
+        raise FilesqlError("concat() expects at least one argument")
+    args = [_rewrite_calls(a, "concat", _CALL_REWRITES["concat"]) for a in args]
+    parts = ", ".join(f"nvl(CAST(({a}) AS STRING), '')" for a in args)
+    return f"concat({parts})"
 
 
 def _hex_call(args: list[str]) -> str:

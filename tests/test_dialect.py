@@ -693,3 +693,14 @@ def test_like_call_form_vs_sqlite(spark):
 
 def test_sqlite_version_function():
     assert rewrite("SELECT sqlite_version()") == "SELECT '3.50.2'"
+
+
+def test_concat_skips_nulls(spark):
+    """SQLite 3.44 concat() ignores NULL args and renders numbers as
+    text (the bundled sqlite3 here is 3.40, so expected values are
+    pinned from the SQLite docs rather than differentially)."""
+    got = spark.sql(rewrite(
+        "SELECT concat('a', NULL, 'b') AS x, concat(NULL, NULL) AS y, "
+        "concat(1, '-', 2.5) AS z, concat('p', concat(NULL, 'q')) AS n"
+    )).collect()[0]
+    assert (got.x, got.y, got.z, got.n) == ("ab", "", "1-2.5", "pq")
