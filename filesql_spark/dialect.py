@@ -832,6 +832,19 @@ _CALL_REWRITES = {
     # the SQLite line bundled by the reference's modernc.org/sqlite
     # v1.38.2 (go.mod:11) — scripts that branch on version keep working
     "sqlite_version": lambda args: "'3.50.2'",
+    # json1 aggregates. The struct wrap keeps NULLs (collect_list drops
+    # bare NULLs; SQLite renders them as json null), and the to_json
+    # option renders null map values. Row order is Spark's collect order
+    # — same documented caveat as group_concat.
+    "json_group_array": lambda args: (
+        f"to_json(transform(collect_list(struct(({args[0]}) AS x)), "
+        f"s -> s.x))"
+    ),
+    "json_group_object": lambda args: (
+        f"to_json(map_from_entries(collect_list(struct("
+        f"CAST(({args[0]}) AS STRING), ({args[1]})))), "
+        f"map('ignoreNullFields', 'false'))"
+    ),
 }
 
 

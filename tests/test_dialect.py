@@ -704,3 +704,32 @@ def test_concat_skips_nulls(spark):
         "concat(1, '-', 2.5) AS z, concat('p', concat(NULL, 'q')) AS n"
     )).collect()[0]
     assert (got.x, got.y, got.z, got.n) == ("ab", "", "1-2.5", "pq")
+
+
+def test_json_group_aggregates_vs_sqlite(spark):
+    """json_group_array/json_group_object incl. NULL elements (rendered
+    as json null, never dropped) and the empty group → '[]'."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE j (k TEXT, v INTEGER)")
+    con.executemany("INSERT INTO j VALUES (?,?)", [("a", 1), ("b", None), ("c", 3)])
+    exp = con.execute(
+        "SELECT json_group_array(v), json_group_object(k, v) FROM j"
+    ).fetchone()
+    exp_empty = con.execute(
+        "SELECT json_group_array(v) FROM j WHERE k = 'zz'"
+    ).fetchone()[0]
+    con.close()
+
+    spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 3)], "k string, v int"
+    ).createOrReplaceTempView("j")
+    got = spark.sql(rewrite(
+        "SELECT json_group_array(v) AS a, json_group_object(k, v) AS o FROM j"
+    )).collect()[0]
+    got_empty = spark.sql(rewrite(
+        "SELECT json_group_array(v) AS a FROM j WHERE k = 'zz'"
+    )).collect()[0].a
+    assert (got.a, got.o) == tuple(exp) == ("[1,null,3]", '{"a":1,"b":null,"c":3}')
+    assert got_empty == exp_empty == "[]"
