@@ -149,8 +149,12 @@ def _gen_date(rng: random.Random) -> str:
                     f"'{rng.choice(['+', '-'])}{rng.randint(0, 400)} days'",
                     f"'{rng.choice(['+', '-'])}{rng.randint(0, 30)} months'",
                     f"'{rng.choice(['+', '-'])}{rng.randint(0, 99)} hours'",
+                    f"'{rng.choice(['+', '-'])}{rng.randint(0, 500)} minutes'",
+                    f"'{rng.choice(['+', '-'])}{rng.randint(0, 9999)} seconds'",
+                    f"'{rng.choice(['+', '-'])}{rng.randint(0, 20)}.5 days'",
                     "'start of month'",
                     "'start of year'",
+                    "'start of day'",
                     f"'weekday {rng.randint(0, 6)}'",
                 ]
             )
