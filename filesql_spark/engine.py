@@ -176,7 +176,15 @@ class Engine:
                 # Spark SQL lacks WITH RECURSIVE; emulate by delta iteration
                 return run_recursive(self.spark, sql, dialect.rewrite)
         if stmt in ("SELECT", "WITH", "VALUES"):
-            return self.spark.sql(dialect.rewrite(sql))
+            from pyspark.errors import AnalysisException
+
+            try:
+                return self.spark.sql(dialect.rewrite(sql))
+            except AnalysisException as e:
+                translated = _sqlite_style_error(e)
+                if translated is not None:
+                    raise translated from e
+                raise
         if stmt in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
             # DML … RETURNING behaves as a row-producing statement
             # (SQLite 3.35+); dml raises if the clause is absent.
@@ -558,6 +566,41 @@ def open(*paths: str, spark: SparkSession | None = None) -> Engine:  # noqa: A00
     eng = Engine(spark=spark)
     eng.load_paths(list(paths))
     return eng
+
+
+def _sqlite_style_error(e) -> FilesqlError | None:
+    """Map Spark's analysis errors onto SQLite's wording, which the
+    reference surfaces verbatim (error-handling code matching
+    'no such table'/'no such column' keeps working —
+    filesql_test.go:2274 Test_ErrorMessageQuality). The Spark exception
+    stays chained as __cause__."""
+    cond = None
+    for m in ("getCondition", "getErrorClass"):
+        try:
+            cond = getattr(e, m)()
+            break
+        except Exception:
+            continue
+    if not cond:
+        return None
+    try:
+        params = e.getMessageParameters() or {}
+    except Exception:
+        params = {}
+
+    def unq(s: str | None) -> str:
+        return (s or "?").strip("`\"")
+
+    if cond.startswith("TABLE_OR_VIEW_NOT_FOUND"):
+        return FilesqlError(f"no such table: {unq(params.get('relationName'))}")
+    if cond.startswith("UNRESOLVED_COLUMN"):
+        return FilesqlError(f"no such column: {unq(params.get('objectName'))}")
+    if cond.startswith("AMBIGUOUS_REFERENCE"):
+        return FilesqlError(f"ambiguous column name: {unq(params.get('name'))}")
+    if cond == "PARSE_SYNTAX_ERROR":
+        tok = (params.get("error") or "?").strip("'")
+        return FilesqlError(f'near "{tok}": syntax error')
+    return None
 
 
 def _view_ident(name: str) -> str:

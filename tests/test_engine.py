@@ -928,3 +928,22 @@ def test_changes_and_total_changes(eng):
     assert (got.c, got.t) == (1, 3)
     with pytest.raises(FilesqlError, match="last_insert_rowid"):
         eng.query("SELECT last_insert_rowid()")
+
+
+def test_sqlite_style_error_messages(eng):
+    """Analysis errors surface with SQLite's wording (the reference
+    passes SQLite messages through verbatim; Test_ErrorMessageQuality,
+    filesql_test.go:2274). The Spark exception stays chained."""
+    with pytest.raises(FilesqlError, match="no such table: missing"):
+        eng.query("SELECT * FROM missing")
+    with pytest.raises(FilesqlError, match="no such column: nope"):
+        eng.query("SELECT nope FROM sample")
+    with pytest.raises(FilesqlError, match="ambiguous column name: id"):
+        eng.query("SELECT id FROM sample a, sample b")
+    with pytest.raises(FilesqlError, match="syntax error"):
+        eng.query("SELECT * FORM sample")
+    # chained cause preserved for debugging
+    try:
+        eng.query("SELECT * FROM missing")
+    except FilesqlError as ex:
+        assert ex.__cause__ is not None
