@@ -316,7 +316,10 @@ def _gen_window(rng: random.Random) -> str:
     frame = rng.choice(
         ["", " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
          " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
-         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+         f" RANGE BETWEEN {rng.randint(1, 5)} PRECEDING AND "
+         f"{rng.randint(0, 4)} FOLLOWING",
+         " RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"]
     )
     over = f"OVER ({part} ORDER BY id{frame})"
     over_plain = f"OVER ({part} ORDER BY id)"
