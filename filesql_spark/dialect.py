@@ -708,6 +708,35 @@ def _json_valid(args: list[str]) -> str:
     )
 
 
+def _json_type(args: list[str]) -> str:
+    """json_type(X) — the top-level JSON type name, with SQLite's
+    'malformed JSON' error for invalid input (raise_error, per-row).
+    The path form json_type(X, P) is unsupported: get_json_object
+    strips quotes from extracted values, so text and number results
+    are indistinguishable."""
+    if len(args) == 2:
+        raise FilesqlError(
+            "json_type(X, path) is not supported: get_json_object cannot "
+            "distinguish extracted text from numbers; extract with "
+            "json_extract and test the value instead"
+        )
+    if len(args) != 1:
+        raise FilesqlError(f"json_type expects 1-2 args, got {len(args)}")
+    x = f"({args[0]})"
+    t = f"trim({x})"
+    return (
+        f"(CASE WHEN {x} IS NULL THEN NULL "
+        f"WHEN get_json_object({x}, '$') IS NULL "
+        f"THEN raise_error('malformed JSON') "
+        f"ELSE CASE substring({t}, 1, 1) "
+        f"WHEN '{{' THEN 'object' WHEN '[' THEN 'array' "
+        f"WHEN '\"' THEN 'text' WHEN 't' THEN 'true' "
+        f"WHEN 'f' THEN 'false' WHEN 'n' THEN 'null' "
+        f"ELSE (CASE WHEN {t} RLIKE '^-?[0-9]+$' THEN 'integer' "
+        f"ELSE 'real' END) END END)"
+    )
+
+
 def _typeof(args: list[str]) -> str:
     """SQLite typeof(X) → 'integer'/'real'/'text'/'blob'/'null', keyed off
     Spark's static expression type (constant-folded CASE over typeof()).
@@ -785,6 +814,7 @@ _CALL_REWRITES = {
     "json_extract": _json_extract,
     "json_array_length": _json_array_length,
     "json_valid": _json_valid,
+    "json_type": _json_type,
     "json_object": _json_object,
     "json_array": _json_array,
     "glob": _glob_call,

@@ -733,3 +733,28 @@ def test_json_group_aggregates_vs_sqlite(spark):
     )).collect()[0].a
     assert (got.a, got.o) == tuple(exp) == ("[1,null,3]", '{"a":1,"b":null,"c":3}')
     assert got_empty == exp_empty == "[]"
+
+
+def test_json_type_vs_sqlite(spark):
+    """json_type(X): top-level type names, differential vs sqlite3;
+    malformed input raises like SQLite's 'malformed JSON'."""
+    import sqlite3
+
+    stmt = (
+        'SELECT json_type(\'{"a":1}\'), json_type(\'[1,2]\'), '
+        "json_type('\"x\"'), json_type('5'), json_type('5.5'), "
+        "json_type('-3e2'), json_type('true'), json_type('null'), "
+        "json_type('  [1] '), json_type(' 5 ')"
+    )
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+    got = tuple(spark.sql(rewrite(stmt)).collect()[0])
+    assert got == exp == (
+        "object", "array", "text", "integer", "real", "real",
+        "true", "null", "array", "integer",
+    )
+    with pytest.raises(Exception, match="malformed JSON"):
+        spark.sql(rewrite("SELECT json_type('nope')")).collect()
+    with pytest.raises(FilesqlError, match="path"):
+        rewrite("SELECT json_type('{}', '$.a')")
