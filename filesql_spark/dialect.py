@@ -708,6 +708,24 @@ def _json_valid(args: list[str]) -> str:
     )
 
 
+def _json_quote(args: list[str]) -> str:
+    """json_quote(X): NULL → 'null', numbers unquoted, text as a
+    JSON-escaped string literal. Text rides to_json(array(x)) with the
+    brackets stripped — Jackson applies the same RFC-8259 escapes
+    (quote, backslash, control chars) SQLite does."""
+    if len(args) != 1:
+        raise FilesqlError(f"json_quote expects 1 arg, got {len(args)}")
+    x = f"({args[0]})"
+    arr = f"to_json(array({x}))"
+    return (
+        f"(CASE WHEN {x} IS NULL THEN 'null' "
+        f"WHEN typeof({x}) RLIKE "
+        f"'^(int|bigint|smallint|tinyint|double|float|decimal.*)$' "
+        f"THEN CAST({x} AS STRING) "
+        f"ELSE substring({arr}, 2, length({arr}) - 2) END)"
+    )
+
+
 def _json_type(args: list[str]) -> str:
     """json_type(X) — the top-level JSON type name, with SQLite's
     'malformed JSON' error for invalid input (raise_error, per-row).
@@ -815,6 +833,7 @@ _CALL_REWRITES = {
     "json_array_length": _json_array_length,
     "json_valid": _json_valid,
     "json_type": _json_type,
+    "json_quote": lambda args: _json_quote(args),
     "json_object": _json_object,
     "json_array": _json_array,
     "glob": _glob_call,

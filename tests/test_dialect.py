@@ -758,3 +758,15 @@ def test_json_type_vs_sqlite(spark):
         spark.sql(rewrite("SELECT json_type('nope')")).collect()
     with pytest.raises(FilesqlError, match="path"):
         rewrite("SELECT json_type('{}', '$.a')")
+
+
+def test_json_quote_vs_sqlite(spark):
+    import sqlite3
+
+    stmt = ("SELECT json_quote(5), json_quote(5.5), json_quote('txt'), "
+            "json_quote('a\"b'), json_quote(NULL)")
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+    got = tuple(spark.sql(rewrite(stmt)).collect()[0])
+    assert got == exp == ("5", "5.5", '"txt"', '"a\\"b"', "null")
