@@ -85,7 +85,7 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
             f"ELSE {sub('num')} END)",
             "num",
         )
-    pick = rng.randrange(13)
+    pick = rng.randrange(14)
     if pick == 0:
         return f"({sub('str')} || {sub('str')})", "str"
     if pick == 1:
@@ -127,11 +127,39 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
         d = rng.choice(["%d", "%s", "%.2f", "%x", "%q", "%05d"])
         src = "num" if rng.random() < 0.5 else "str"
         return f"printf('[{d}]', {sub(src)})", "str"
+    if pick == 12:
+        j = _gen_json_literal(rng)
+        lit = "'" + j.replace("'", "''") + "'"
+        fn = rng.choice(["json_type", "json_quote", "json_valid"])
+        if fn == "json_valid":
+            # returns 1/0 — wrap to keep this production string-typed
+            return f"(json_valid({lit}) || '')", "str"
+        return f"{fn}({lit})", "str"
     return (
         f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub('str')} "
         f"ELSE {sub('str')} END)",
         "str",
     )
+
+
+def _gen_json_literal(rng: random.Random, depth: int = 2) -> str:
+    """A random VALID JSON value as Python text (not yet SQL-quoted)."""
+    import json as _json
+
+    if depth <= 0 or rng.random() < 0.4:
+        return _json.dumps(
+            rng.choice([rng.randint(-99, 99), rng.uniform(-5, 5), True,
+                        False, None, "".join(rng.choice('ab"\\n é')
+                                             for _ in range(rng.randint(0, 4)))])
+        )
+    if rng.random() < 0.5:
+        return "[" + ", ".join(
+            _gen_json_literal(rng, depth - 1) for _ in range(rng.randint(0, 3))
+        ) + "]"
+    return "{" + ", ".join(
+        f'"k{i}": {_gen_json_literal(rng, depth - 1)}'
+        for i in range(rng.randint(0, 3))
+    ) + "}"
 
 
 def _gen_date(rng: random.Random) -> str:
