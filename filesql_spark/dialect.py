@@ -999,17 +999,13 @@ def _cast_call(args: list[str]) -> str | None:
         return None
     expr, typ = m.group(1), m.group(2).upper()
     if "INT" in typ:
-        to, rx, parse = (
-            "BIGINT",
-            r"'^[ \\t\\r\\n]*([+-]?[0-9]+)'",
-            None,
-        )
+        to = "BIGINT"
+        rx = r"'^[ \\t\\r\\n]*([+-]?[0-9]+)'"
     elif any(t in typ for t in ("REAL", "FLOA", "DOUB")):
-        to, rx, parse = (
-            "DOUBLE",
+        to = "DOUBLE"
+        rx = (
             r"'^[ \\t\\r\\n]*([+-]?(?:[0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)"
-            r"(?:[eE][+-]?[0-9]+)?)'",
-            None,
+            r"(?:[eE][+-]?[0-9]+)?)'"
         )
     else:
         return None
