@@ -1048,3 +1048,45 @@ def test_error_handling_golden(spark, tmp_path):
         assert e.query("SELECT COUNT(*) AS n FROM employees").collect()[0].n == 8
     finally:
         e.close()
+
+
+def test_add_reader_golden(spark):
+    """ExampleDBBuilder_AddReader + _AddReader_compressed
+    (example_test.go:2130-2222) verbatim: io.Reader CSV/TSV inputs with
+    explicit table name and type, // Output: values as goldens."""
+    csv_data = (
+        b"id,name,department,salary\n"
+        b"1,Alice,Engineering,95000\n2,Bob,Sales,78000\n"
+        b"3,Charlie,Engineering,102000\n4,Diana,Marketing,85000"
+    )
+    e = (
+        fs.Builder()
+        .add_reader(csv_data, "employees", "csv")
+        .open(spark=spark)
+    )
+    try:
+        rows = e.query(
+            """
+            SELECT name, department, salary
+            FROM employees
+            WHERE salary > 80000
+            ORDER BY salary DESC
+            """
+        ).collect()
+        assert [(r.name, r.department, r.salary) for r in rows] == [
+            ("Charlie", "Engineering", 102000),
+            ("Alice", "Engineering", 95000),
+            ("Diana", "Marketing", 85000),
+        ]
+    finally:
+        e.close()
+
+    tsv = b"product_id\tproduct_name\tprice\n1\tLaptop\t999\n2\tMouse\t25\n3\tKeyboard\t75"
+    e2 = fs.Builder().add_reader(tsv, "products", "tsv").open(spark=spark)
+    try:
+        n = e2.query(
+            "SELECT COUNT(*) AS n FROM products WHERE price < 100"
+        ).collect()[0].n
+        assert n == 2
+    finally:
+        e2.close()
