@@ -1090,3 +1090,89 @@ def test_add_reader_golden(spark):
         assert n == 2
     finally:
         e2.close()
+
+
+# ------------------------------------------------------------------
+# ExampleOpen (example_test.go:26-112) — the reference's flagship
+# front-door example: joins + window functions + correlated subqueries
+# + CASE over the createTempTestData fixture, // Output: as goldens.
+# ExampleOpen_multipleFiles (196-227): directory load + sqlite_master.
+# ------------------------------------------------------------------
+
+DEPARTMENTS_TMP = """id,name,budget,manager_id
+1,Engineering,1000000,1
+2,Marketing,800000,5
+3,Sales,600000,7
+4,HR,400000,9
+"""
+
+
+@pytest.fixture(scope="module")
+def tmpdata_eng(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("tmpdata")
+    (d / "employees.csv").write_text(EMPLOYEES_TMP)
+    (d / "departments.csv").write_text(DEPARTMENTS_TMP)
+    e = fs.open(str(d / "employees.csv"), str(d / "departments.csv"), spark=spark)
+    yield e, str(d)
+    e.close()
+
+
+def test_example_open_flagship_golden(tmpdata_eng):
+    e, _ = tmpdata_eng
+    rows = e.query(
+        """
+        SELECT
+            e.name,
+            d.name as department_name,
+            e.salary,
+            d.budget,
+            RANK() OVER (PARTITION BY e.department_id ORDER BY e.salary DESC) as salary_rank_in_dept,
+            AVG(e.salary) OVER (PARTITION BY e.department_id) as dept_avg_salary,
+            COUNT(*) OVER (PARTITION BY e.department_id) as dept_employee_count,
+            CASE
+                WHEN e.salary > (SELECT AVG(salary) FROM employees WHERE department_id = e.department_id) * 1.2
+                THEN 'High Performer'
+                WHEN e.salary < (SELECT AVG(salary) FROM employees WHERE department_id = e.department_id) * 0.8
+                THEN 'Below Average'
+                ELSE 'Average'
+            END as performance_category,
+            ROUND(e.salary / d.budget * 100, 2) as salary_budget_percentage
+        FROM employees e
+        JOIN departments d ON e.department_id = d.id
+        WHERE e.salary > (
+            SELECT AVG(salary) * 0.7
+            FROM employees e2
+            WHERE e2.department_id = e.department_id
+        )
+        AND d.budget > 500000
+        ORDER BY d.name, e.salary DESC
+        LIMIT 10
+        """
+    ).collect()
+    got = [
+        (r.name, r.department_name, int(r.salary), r.salary_rank_in_dept,
+         r.dept_employee_count, r.performance_category)
+        for r in rows
+    ]
+    assert got == [
+        ("Alice Johnson", "Engineering", 95000, 1, 4, "Average"),
+        ("Bob Smith", "Engineering", 85000, 2, 4, "Average"),
+        ("Charlie Brown", "Engineering", 80000, 3, 4, "Average"),
+        ("David Wilson", "Engineering", 75000, 4, 4, "Average"),
+        ("Eve Davis", "Marketing", 70000, 1, 2, "Average"),
+        ("Frank Miller", "Marketing", 65000, 2, 2, "Average"),
+        ("Grace Lee", "Sales", 60000, 1, 2, "Average"),
+        ("Henry Taylor", "Sales", 55000, 2, 2, "Average"),
+    ]
+
+
+def test_example_multiple_files_golden(spark, tmpdata_eng):
+    _, d = tmpdata_eng
+    e = fs.open(d, spark=spark)  # directory load
+    try:
+        rows = e.query(
+            "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name"
+        ).collect()
+        assert [r.name for r in rows] == ["departments", "employees"]
+    finally:
+        e.close()
