@@ -1176,3 +1176,26 @@ def test_example_multiple_files_golden(spark, tmpdata_eng):
         assert [r.name for r in rows] == ["departments", "employees"]
     finally:
         e.close()
+
+
+def test_data_integrity_validation(eng):
+    """TestDataIntegrityValidation (filesql_integration_test.go:1013-1078)
+    shape on the company fixture: NOT EXISTS orphan checks across the
+    FK-linked tables, plus the users↔salaries cardinality invariant."""
+    orphan_checks = [
+        ("""SELECT COUNT(*) AS n FROM user u
+            WHERE u.department_id IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM department d WHERE d.id = u.department_id)""",
+         "user.department_id"),
+        ("""SELECT COUNT(*) AS n FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM user u WHERE u.id = o.user_id)""",
+         "orders.user_id"),
+        ("""SELECT COUNT(*) AS n FROM salary s
+            WHERE NOT EXISTS (SELECT 1 FROM user u WHERE u.id = s.user_id)""",
+         "salary.user_id"),
+    ]
+    for sql, what in orphan_checks:
+        assert eng.query(sql).collect()[0].n == 0, f"orphaned {what}"
+    users = eng.query("SELECT COUNT(*) AS n FROM user").collect()[0].n
+    salaries = eng.query("SELECT COUNT(*) AS n FROM salary").collect()[0].n
+    assert users == salaries == 7
