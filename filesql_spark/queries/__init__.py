@@ -124,22 +124,23 @@ def register(name: str, oracle: str | None):
 # regenerated each round from CORRECTNESS_r0*.json (see tools note in
 # tests/test_entry_queries.py). Entries absent here have never been graded.
 _LAST_DRIVER_ROUND: dict[str, int] = {
-    "agg_conditional_case": 5,
+    "agg_conditional_case": 9,
     "agg_count_distinct": 6,
     "agg_cube": 5,
     "agg_filter_clause": 8,
-    "agg_group_concat": 5,
+    "agg_group_concat": 9,
     "agg_grouping_sets": 5,
     "agg_having": 6,
     "agg_median": 5,
     "agg_rollup": 6,
-    "agg_salted_two_phase": 5,
-    "ann_bruteforce_topk": 5,
-    "ann_ivf_build": 5,
-    "ann_ivf_topk": 5,
-    "ann_lsh_topk": 5,
+    "agg_salted_two_phase": 9,
+    "ann_bruteforce_topk": 9,
+    "ann_ivf_build": 9,
+    "ann_ivf_topk": 9,
+    "ann_lsh_topk": 9,
     "ann_pq_build": 7,
     "ann_pq_topk": 7,
+    "ann_recall_report": 9,
     "asof_join_latest_order": 6,
     "asof_join_tolerance": 8,
     "cdc_merge_apply": 7,
@@ -152,23 +153,31 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "date_hour_histogram": 6,
     "date_julianday_span": 5,
     "dedup_cluster_representatives": 7,
-    "dedup_connected_components": 5,
-    "dedup_embedding_cosine": 5,
+    "dedup_connected_components": 9,
+    "dedup_containment": 9,
+    "dedup_embedding_cosine": 9,
     "dedup_exact": 6,
+    "dedup_family_size_distribution": 9,
     "dedup_incremental": 6,
     "dedup_lsh_tuning_report": 8,
-    "dedup_minhash_lsh": 5,
+    "dedup_minhash_lsh": 9,
     "dedup_ngram_jaccard": 6,
-    "dedup_simhash": 5,
+    "dedup_simhash": 9,
+    "dedup_threshold_sweep": 9,
     "derived_table": 7,
     "docs_cross_source_dups": 8,
     "docs_lang_confusion": 8,
+    "docs_ngram_novelty": 9,
+    "docs_pii_density_by_source": 9,
+    "docs_quality_gate_sweep": 9,
     "docs_source_reputation": 7,
+    "docs_tokenizer_fertility": 9,
     "embedding_kmeans": 7,
     "embedding_knn_label": 8,
-    "embedding_label_centroids": 5,
+    "embedding_label_centroids": 9,
     "embedding_norm_stats": 8,
     "embedding_outliers": 8,
+    "embedding_pair_distance_histogram": 9,
     "embedding_quantize_int8": 6,
     "embedding_random_projection": 7,
     "embedding_standardize": 8,
@@ -179,6 +188,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_conversion_latency": 8,
     "events_cumulative_distinct": 8,
     "events_decayed_engagement": 8,
+    "events_error_rate_monitor": 9,
     "events_forecast_seasonal": 8,
     "events_funnel": 6,
     "events_gap_fill": 7,
@@ -191,13 +201,14 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_sessionize": 6,
     "events_skew_report": 7,
     "events_sliding_window": 6,
+    "events_stickiness_dau_wau": 9,
     "events_top_paths": 7,
     "events_tumbling_window": 6,
     "events_user_streaks": 8,
     "events_window_topk": 7,
     "features_user_wide": 8,
     "filter_like_ci": 7,
-    "filter_predicates": 5,
+    "filter_predicates": 9,
     "graph_pagerank_events": 8,
     "graph_triangle_census": 8,
     "in_subquery": 5,
@@ -206,11 +217,11 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "join_cross": 6,
     "join_full_outer": 5,
     "join_left_anti": 6,
-    "join_left_outer": 5,
+    "join_left_outer": 9,
     "join_left_semi": 5,
     "join_multiway_inner": 6,
     "join_right_outer": 6,
-    "join_salted_skew": 5,
+    "join_salted_skew": 9,
     "join_theta_selfjoin": 7,
     "json_extract": 6,
     "layout_zorder_stats": 6,
@@ -218,22 +229,25 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "lineitem_discount_regression": 8,
     "lineitem_pareto_share": 8,
     "math_functions": 6,
-    "multimodal_decode": 5,
+    "multimodal_decode": 9,
     "multimodal_extract_features": 7,
-    "multimodal_frame_sample": 5,
+    "multimodal_frame_dedup": 9,
+    "multimodal_frame_sample": 9,
     "multimodal_resize": 7,
     "orders_association_rules": 8,
     "orders_cooccur_parts": 8,
+    "orders_fulfillment_latency": 9,
     "orders_open_interval_count": 8,
     "orders_seasonality_index": 8,
     "part_supplier_concentration": 8,
-    "pipeline_clean_corpus": 5,
+    "pipeline_clean_corpus": 9,
     "pipeline_contamination_report": 8,
     "pipeline_curate_full": 7,
     "pipeline_curriculum_order": 7,
     "pipeline_dataset_manifest": 7,
     "pipeline_decontaminate": 7,
     "pipeline_diversity_sample": 7,
+    "pipeline_eval_set_builder": 9,
     "pipeline_incremental_decontaminate": 8,
     "pipeline_mixture_resample": 7,
     "pipeline_near_dup_eval": 8,
@@ -241,23 +255,24 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "pipeline_per_source_cap": 7,
     "pipeline_semantic_decontaminate": 7,
     "pipeline_split_overlap_qa": 8,
-    "pipeline_stage_metrics": 5,
-    "pipeline_stratified_sample": 5,
+    "pipeline_stage_metrics": 9,
+    "pipeline_stratified_sample": 9,
     "pipeline_train_prep": 7,
-    "pipeline_train_val_split": 5,
+    "pipeline_train_val_split": 9,
     "pipeline_weighted_sample": 6,
-    "pivot_status_by_priority": 5,
+    "pivot_status_by_priority": 9,
     "profile_orders_stats": 7,
     "q10_returned_items": 7,
     "q14_promo_revenue": 7,
     "q18_large_orders": 8,
-    "q1_pricing_summary": 5,
+    "q1_pricing_summary": 9,
     "q3_shipping_priority": 6,
     "q5_local_supplier": 6,
     "q6_forecast_revenue": 7,
     "q7_nation_volume": 8,
     "q8_market_share": 8,
     "quality_expectations_orders": 8,
+    "quality_signal_correlation": 9,
     "recursive_cte": 6,
     "scalar_subquery_correlated": 5,
     "scalar_subquery_select": 7,
@@ -278,9 +293,9 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "snapshot_diff_docs": 7,
     "streaming_cdc_apply": 7,
     "streaming_cms_tokens": 7,
-    "streaming_dedup_exact": 5,
+    "streaming_dedup_exact": 9,
     "streaming_dedup_within_watermark": 6,
-    "streaming_events_enriched": 5,
+    "streaming_events_enriched": 9,
     "streaming_events_hourly": 6,
     "streaming_events_sessionize": 6,
     "streaming_events_sliding": 6,
@@ -289,32 +304,35 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "streaming_kmv_sketch": 8,
     "string_functions": 6,
     "text_bigram_lm": 7,
-    "text_bm25_search": 5,
+    "text_bm25_search": 9,
     "text_bpe_merges": 7,
     "text_chunk_stride": 7,
     "text_dup_span_removal": 8,
     "text_dup_spans": 7,
     "text_fingerprint": 6,
     "text_lang_id": 6,
-    "text_length_percentiles": 5,
+    "text_length_percentiles": 9,
     "text_lm_perplexity": 8,
-    "text_pii_redact": 5,
+    "text_pii_redact": 9,
     "text_quality_score": 6,
     "text_rarity_score": 6,
-    "text_repetition_filter": 5,
+    "text_readability_scores": 9,
+    "text_repetition_filter": 9,
     "text_tfidf_topterms": 8,
-    "text_token_count": 5,
+    "text_token_count": 9,
     "text_token_drift": 7,
     "text_token_entropy": 8,
     "text_tokenizer_coverage": 8,
-    "text_top_tokens": 5,
+    "text_top_tokens": 9,
+    "text_vocab_growth_heaps": 9,
     "topk_orders": 5,
     "window_agg_over": 7,
     "window_cume_dist": 8,
+    "window_groups_frame": 9,
     "window_lag_lead": 5,
     "window_nth_last_value": 7,
     "window_ntile_dense_first": 5,
-    "window_percent_rank": 5,
+    "window_percent_rank": 9,
     "window_range_interval": 6,
     "window_rank": 7,
     "window_row_number": 7,
@@ -356,17 +374,6 @@ _DEFER_OK = frozenset({
 })
 
 
-# Round-9 additions, held BEHIND the 16 round-8 never-graded entries in
-# the grading window (VERDICT r8 #1: the r8 cohort must grade first).
-# Self-expiring: the rank applies only while an entry has no driver row
-# (ADVICE r7 #5) — once CORRECTNESS_r09 lands and the rotation map is
-# regenerated, this set is inert and can be deleted.
-_HOLD_R9 = frozenset({
-    "dedup_containment",
-    "window_groups_frame",
-})
-
-
 def _grade_order() -> list[str]:
     names = list(REGISTRY)
     idx = {n: i for i, n in enumerate(names)}
@@ -374,7 +381,6 @@ def _grade_order() -> list[str]:
         names,
         key=lambda n: (
             _LAST_DRIVER_ROUND.get(n, 0),  # never-graded (0) first
-            n in _HOLD_R9 and n not in _LAST_DRIVER_ROUND,  # r9 adds queue last
             n in _DEFER_OK,                # stable plain-SQL yields its slot
             idx[n],                        # stable registry order
         ),
