@@ -1307,6 +1307,481 @@ def _rewrite_glob(sql: str) -> str:
     return "".join(out)
 
 
+# --------------------------------------------------------------- division
+# SQLite `/` truncates toward zero when BOTH operands carry INTEGER
+# affinity, and every `/` and `%` yields NULL on a zero divisor
+# (https://sqlite.org/lang_expr.html; the reference inherits this by
+# delegating to SQLite, builder.go:353-361).  Spark `/` is always
+# fractional and, under ANSI mode (the Spark 4 default), raises on zero
+# divisors.  This pass closes both gaps with a type-tracked rewrite over
+# the token stream (no full parser): `a / b` becomes `a DIV nullif(b, 0)`
+# when both operand types statically resolve to INTEGER, and any division
+# or modulo with a known-numeric divisor gets the `nullif(d, 0)` guard.
+# Operands whose affinity cannot be established statically (TEXT columns,
+# mixed-type COALESCE, scalar subqueries) are left untouched — the
+# conservative direction: behavior is unchanged rather than wrongly
+# truncated.  Remaining documented divergence: INT64_MIN / -1 (SQLite
+# widens to REAL, Spark ANSI overflows).
+
+_DIV_KEYWORDS = frozenset("""
+    select from where group by order having limit offset join on using
+    inner outer left right full cross natural and or not in is between
+    like glob regexp match escape as union all distinct intersect except
+    values insert into update set delete returning with recursive exists
+    over partition rows range groups preceding following unbounded
+    current row filter window asc desc nulls first last collate when
+    then else end isnull notnull
+""".split())
+
+# SQLite result affinities for the function surface the shim supports.
+_DIV_INT_FUNCS = frozenset({
+    "length", "octet_length", "char_length", "character_length", "instr",
+    "unicode", "count", "row_number", "rank", "dense_rank", "ntile",
+    "changes", "total_changes", "random", "sign", "json_array_length",
+    "json_valid", "strftime_int",
+})
+_DIV_REAL_FUNCS = frozenset({
+    "round", "avg", "total", "julianday", "exp", "ln", "log", "log2",
+    "log10", "sqrt", "pow", "power", "acos", "asin", "atan", "atan2",
+    "cos", "sin", "tan", "cosh", "sinh", "tanh", "degrees", "radians",
+    "pi", "mod",
+})
+_DIV_PASSTHRU_FUNCS = frozenset({"abs", "sum", "nullif", "likely", "unlikely"})
+_DIV_SAMETYPE_FUNCS = frozenset({"ifnull", "coalesce", "min", "max", "iif"})
+
+_NUM_LIT_RX = re.compile(r"0[xX][0-9a-fA-F]+|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+_WORD_RX = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _div_combine(a: str | None, b: str | None) -> str | None:
+    """Affinity of an arithmetic combination (int iff both int)."""
+    if a is None or b is None:
+        return None
+    if a == "int" and b == "int":
+        return "int"
+    return "real"
+
+
+def _div_lit_type(text: str) -> str | None:
+    """Affinity of a numeric literal token."""
+    if text[:2].lower() == "0x":
+        return "int"
+    if "." in text or "e" in text.lower():
+        return "real"
+    # SQLite silently widens out-of-range integer literals to REAL
+    return "int" if abs(int(text)) <= 0x7FFFFFFFFFFFFFFF else "real"
+
+
+def _div_str_lit_type(content: str) -> str | None:
+    """Affinity SQLite's numeric coercion gives a string literal used in
+    arithmetic: the longest numeric prefix decides int vs real; a literal
+    with no clean numeric form stays unknown (Spark's cast semantics for
+    junk text differ, so we never rewrite those)."""
+    s = content.strip()
+    m = re.fullmatch(r"[+-]?\d+", s)
+    if m:
+        return _div_lit_type(s.lstrip("+-"))
+    if re.fullmatch(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", s):
+        return "real"
+    return None
+
+
+def _div_mask(sql: str) -> str:
+    """Same-length scan mask: code chars verbatim, string/backtick chars
+    replaced by NUL so operators and parens inside them are invisible."""
+    return "".join(
+        text if kind == "code" else "\x00" * len(text)
+        for kind, text in _split_tokens(sql)
+    )
+
+
+def _div_find_close(mask: str, open_pos: int, end: int) -> int:
+    """Index of the ')' matching the '(' at open_pos, or -1."""
+    depth = 0
+    for i in range(open_pos, end):
+        c = mask[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _div_split_args(mask: str, start: int, end: int) -> list[tuple[int, int]]:
+    """Top-level comma-split of a call's argument span → (start, end) pairs."""
+    spans = []
+    depth = 0
+    a = start
+    for i in range(start, end):
+        c = mask[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            spans.append((a, i))
+            a = i + 1
+    spans.append((a, end))
+    return spans
+
+
+def _div_scan_case(sql, mask, pos, end, coltypes, edits):
+    """Scan `CASE … END` starting at pos (the C of CASE). Walks every
+    sub-span for nested division edits; returns (end_after_END, type)."""
+    low = sql.lower()
+    i = pos + 4
+    depth_case = 1
+    # collect top-level WHEN/THEN/ELSE/END keyword positions
+    marks: list[tuple[int, str]] = []
+    while i < end:
+        c = mask[i]
+        if c == "(":
+            i = _div_find_close(mask, i, end)
+            if i == -1:
+                return end, None
+            i += 1
+            continue
+        if c.isalpha() or c == "_":
+            m = _WORD_RX.match(mask, i)
+            if m is None:  # non-ASCII letter
+                i += 1
+                continue
+            w = low[m.start():m.end()]
+            if w == "case":
+                depth_case += 1
+            elif w == "end":
+                depth_case -= 1
+                if depth_case == 0:
+                    marks.append((i, "end"))
+                    break
+            elif depth_case == 1 and w in ("when", "then", "else"):
+                marks.append((i, w))
+            i = m.end()
+            continue
+        i += 1
+    if depth_case != 0:
+        return end, None
+    # sub-spans between marks: operand (CASE..first mark), conditions
+    # (WHEN..THEN), branches (THEN../ELSE.. to next mark)
+    branch_types: list[str | None] = []
+    prev_pos, prev_kw = pos + 4, "case"
+    saw_else = False
+    for mpos, kw in marks:
+        t = _div_walk(sql, mask, prev_pos, mpos, coltypes, edits)
+        if prev_kw in ("then", "else"):
+            branch_types.append(t)
+        if kw == "else":
+            saw_else = True
+        prev_pos, prev_kw = mpos + len(kw), kw
+    if not saw_else:
+        branch_types.append("int")  # implicit ELSE NULL: null either way
+    # mixed int/real branches are value-dependent in SQLite → unknown
+    if branch_types and all(b == branch_types[0] for b in branch_types):
+        t = branch_types[0]
+    else:
+        t = None
+    return marks[-1][0] + 3, t
+
+
+def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
+    """Scan one tight-binding operand starting at/after pos. Returns
+    (first_char_pos, end_pos, type) with type in {'int','real',None} or
+    the sentinel 'kw' when the next token is a structural keyword."""
+    low = sql.lower()
+    while pos < end and mask[pos] in " \t\r\n":
+        pos += 1
+    if pos >= end:
+        return pos, pos, "kw"
+    first = pos
+    # unary signs / bitwise-not bind tighter than '/' and keep affinity
+    while pos < end and mask[pos] in "+-~ \t\r\n":
+        pos += 1
+    if pos >= end:
+        return first, pos, None
+    c = mask[pos]
+    if c == "\x00":  # string literal or backtick identifier
+        run = pos
+        while run < end and mask[run] == "\x00":
+            run += 1
+        text = sql[pos:run]
+        if text.startswith("'"):
+            return first, run, _div_str_lit_type(_literal_content(text))
+        if text.startswith("`"):  # quoted column reference
+            name = text[1:-1].replace("``", "`").lower()
+            # qualified `t`.`c` — take the last component
+            nxt = run
+            while nxt < end and mask[nxt] == ".":
+                run2 = nxt + 1
+                if run2 < end and mask[run2] == "\x00":
+                    r = run2
+                    while r < end and mask[r] == "\x00":
+                        r += 1
+                    name = sql[run2:r][1:-1].replace("``", "`").lower()
+                    run = r
+                    nxt = r
+                elif run2 < end:
+                    m = _WORD_RX.match(mask, run2)
+                    if not m:
+                        break
+                    name = low[m.start():m.end()]
+                    run = m.end()
+                    nxt = m.end()
+                else:
+                    break
+            return first, run, (coltypes or {}).get(name)
+        return first, run, None
+    if c.isdigit() or (c == "." and pos + 1 < end and mask[pos + 1].isdigit()):
+        m = _NUM_LIT_RX.match(mask, pos)
+        if m is None:  # non-ASCII digit: isdigit() true, \d-regex false
+            return first, pos + 1, None
+        return first, m.end(), _div_lit_type(m.group(0))
+    if c == "(":
+        close = _div_find_close(mask, pos, end)
+        if close == -1:
+            return first, end, None
+        t = _div_walk(sql, mask, pos + 1, close, coltypes, edits)
+        return first, close + 1, t
+    if c.isalpha() or c == "_":
+        m = _WORD_RX.match(mask, pos)
+        if m is None:  # non-ASCII letter: isalpha() true, regex false
+            return first, pos + 1, None
+        word = low[m.start():m.end()]
+        wend = m.end()
+        if word == "null":
+            return first, wend, "int"  # NULL result either way
+        if word == "case":
+            e, t = _div_scan_case(sql, mask, pos, end, coltypes, edits)
+            return first, e, t
+        if word in ("not", "exists") or word in _DIV_KEYWORDS:
+            return first, wend, "kw"
+        # call?
+        j = wend
+        while j < end and mask[j] in " \t\r\n":
+            j += 1
+        if j < end and mask[j] == "(":
+            close = _div_find_close(mask, j, end)
+            if close == -1:
+                return first, end, None
+            if word == "cast":
+                # CAST(expr AS type): walk expr, type from the target
+                inner_lo = low[j + 1:close]
+                k = inner_lo.rfind(" as ")
+                depth_probe = inner_lo[k + 4:] if k != -1 else ""
+                if k == -1:
+                    return first, close + 1, None
+                _div_walk(sql, mask, j + 1, j + 1 + k, coltypes, edits)
+                target = depth_probe.strip().split("(")[0].strip().lower()
+                if target in ("integer", "int", "bigint", "smallint",
+                              "tinyint", "mediumint", "int2", "int8"):
+                    t = "int"
+                elif target in ("real", "float", "double", "doubleprecision"):
+                    t = "real"
+                else:
+                    t = None
+                return first, close + 1, t
+            arg_spans = [
+                s for s in _div_split_args(mask, j + 1, close)
+                if sql[s[0]:s[1]].strip() not in ("", "*")
+            ]
+            arg_types = [
+                _div_walk(sql, mask, a, b, coltypes, edits)
+                for a, b in arg_spans
+            ]
+            # DISTINCT inside an aggregate: strip for typing purposes
+            if word == "count":
+                t = "int"
+            elif word in _DIV_INT_FUNCS:
+                t = "int"
+            elif word in _DIV_REAL_FUNCS:
+                t = "real"
+            elif word in _DIV_PASSTHRU_FUNCS:
+                t = arg_types[0] if arg_types else None
+            elif word in _DIV_SAMETYPE_FUNCS:
+                pick = arg_types[1:] if word == "iif" else arg_types
+                t = pick[0] if pick and all(x == pick[0] for x in pick) else None
+            else:
+                t = None
+            return first, close + 1, t
+        # column reference, possibly qualified t.c / t.`c`
+        name = word
+        run = wend
+        while run < end and mask[run] == ".":
+            nxt = run + 1
+            if nxt < end and mask[nxt] == "\x00":
+                r = nxt
+                while r < end and mask[r] == "\x00":
+                    r += 1
+                name = sql[nxt:r][1:-1].replace("``", "`").lower()
+                run = r
+            else:
+                m2 = _WORD_RX.match(mask, nxt)
+                if not m2:
+                    break
+                name = low[m2.start():m2.end()]
+                run = m2.end()
+        if word == "distinct":  # aggregate modifier, not an operand
+            return first, wend, "kw"
+        return first, run, (coltypes or {}).get(name)
+    # anything else: consume one char, unknown
+    return first, pos + 1, None
+
+
+def _div_guard(edits, r_first, r_end) -> None:
+    edits.append((r_first, r_first, "nullif("))
+    edits.append((r_end, r_end, ", 0)"))
+
+
+def _div_walk(sql, mask, start, end, coltypes, edits):
+    """Walk an expression span left-to-right; rewrite `/` and `%` sites
+    (appending to ``edits``) and return the span's static affinity."""
+    low = sql.lower()
+    chain: str | None = None  # type of the current *·/·% chain
+    have_chain = False
+    expr: str | None = None  # additive accumulator
+    have_expr = False
+    unknown = False
+    pending_mul = False
+    pos = start
+
+    def fold_chain():
+        nonlocal expr, have_expr, chain, have_chain
+        if have_chain:
+            expr = chain if not have_expr else _div_combine(expr, chain)
+            have_expr = True
+        chain = None
+        have_chain = False
+
+    while pos < end:
+        c = mask[pos]
+        if c in " \t\r\n":
+            pos += 1
+            continue
+        if c == "/":
+            op_pos = pos
+            r_first, r_end, rt = _div_scan_primary(
+                sql, mask, pos + 1, end, coltypes, edits
+            )
+            if rt == "kw":
+                unknown = True
+                pos = r_end if r_end > pos else pos + 1
+                have_chain = False
+                continue
+            lt = chain if have_chain else None
+            if lt == "int" and rt == "int":
+                edits.append((op_pos, op_pos + 1, " DIV "))
+                _div_guard(edits, r_first, r_end)
+                chain = "int"
+            else:
+                if rt in ("int", "real"):
+                    _div_guard(edits, r_first, r_end)
+                chain = "real" if lt in ("int", "real") and rt in ("int", "real") else None
+            have_chain = True
+            pos = r_end
+            continue
+        if c == "%":
+            r_first, r_end, rt = _div_scan_primary(
+                sql, mask, pos + 1, end, coltypes, edits
+            )
+            if rt == "kw":
+                unknown = True
+                pos = r_end if r_end > pos else pos + 1
+                have_chain = False
+                continue
+            if rt in ("int", "real"):
+                _div_guard(edits, r_first, r_end)
+            lt = chain if have_chain else None
+            chain = "int" if lt == "int" and rt == "int" else None
+            have_chain = True
+            pos = r_end
+            continue
+        if c == "*":
+            if not have_chain:
+                # SELECT * / count(*) star — not an operator
+                unknown = True
+                pos += 1
+                continue
+            pending_mul = True
+            pos += 1
+            continue
+        if c in "+-":
+            if have_chain and not pending_mul:
+                fold_chain()  # binary additive: chain boundary
+            pos += 1
+            continue
+        if c == "~":
+            pos += 1
+            continue
+        if c in ",;=<>!|&":
+            unknown = True
+            fold_chain()
+            have_expr = False
+            expr = None
+            pos += 1
+            continue
+        # operand (number, string, identifier, call, paren, CASE)
+        p_first, p_end, t = _div_scan_primary(sql, mask, pos, end, coltypes, edits)
+        if t == "kw":
+            unknown = True
+            fold_chain()
+            have_expr = False
+            expr = None
+            pos = p_end if p_end > pos else pos + 1
+            continue
+        if pending_mul and have_chain:
+            chain = _div_combine(chain, t)
+        else:
+            if have_chain:
+                fold_chain()  # two operands in a row (alias etc.)
+            chain = t
+        have_chain = True
+        pending_mul = False
+        pos = p_end if p_end > pos else pos + 1
+    fold_chain()
+    return None if unknown else expr
+
+
+_REAL_LIT_TOKEN_RX = re.compile(
+    r"(?<![\w.`$])(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?(?![\w.])"
+)
+
+
+def _rewrite_real_literals(sql: str) -> str:
+    """SQLite non-integer numeric literals are 8-byte IEEE doubles
+    (https://sqlite.org/datatype3.html); Spark parses `1.5` as
+    DECIMAL(2,1), whose fixed-scale arithmetic truncates where SQLite's
+    double math would not (0.5 / 0.62 → 0.806452 vs 0.8064516…).  Suffix
+    every fractional/exponent literal with `D` so Spark types it double.
+    Integer literals stay integral (affinity pass above relies on it)."""
+
+    def repl(m: re.Match) -> str:
+        tok = m.group(0)
+        if "." not in tok and "e" not in tok and "E" not in tok:
+            return tok  # integer literal: leave for INTEGER affinity
+        if tok.endswith("."):
+            tok += "0"  # `1.` → Spark rejects `1.D`
+        return tok + "D"
+
+    return "".join(
+        _REAL_LIT_TOKEN_RX.sub(repl, text) if kind == "code" else text
+        for kind, text in _split_tokens(sql)
+    )
+
+
+def _rewrite_division(sql: str, column_types: dict[str, str] | None = None) -> str:
+    """Apply the SQLite division/modulo semantics pass (module docstring
+    above): int/int `/` → `DIV`, zero divisors → NULL via nullif."""
+    if "/" not in sql and "%" not in sql:
+        return sql
+    mask = _div_mask(sql)
+    edits: list[tuple[int, int, str]] = []
+    _div_walk(sql, mask, 0, len(sql), column_types, edits)
+    for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 _COLLATE_NOCASE_RE = re.compile(r"\bcollate\s+nocase\b", re.IGNORECASE)
 _COLLATE_BINARY_RE = re.compile(r"\bcollate\s+binary\b", re.IGNORECASE)
 _COLLATE_RTRIM_RE = re.compile(r"\bcollate\s+rtrim\b", re.IGNORECASE)
@@ -1328,8 +1803,13 @@ def _rewrite_collate(sql: str) -> str:
     return "".join(parts)
 
 
-def rewrite(sql: str) -> str:
-    """SQLite-dialect SQL → Spark SQL."""
+def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
+    """SQLite-dialect SQL → Spark SQL.
+
+    ``column_types`` (lowercased column name → 'int' | 'real') feeds the
+    integer-division affinity pass; the engine supplies it from its table
+    catalog (Engine._column_types). Without it only literal/function
+    affinities are tracked — still correct, just more conservative."""
     code = "".join(
         text if kind == "code" else " " * len(text)
         for kind, text in _split_tokens(sql)
@@ -1344,6 +1824,8 @@ def rewrite(sql: str) -> str:
         )
     sql = _escape_string_backslashes(sql)
     sql = _requote_identifiers(sql)
+    sql = _rewrite_division(sql, column_types)
+    sql = _rewrite_real_literals(sql)
     sql = _rewrite_glob(sql)
     sql = _rewrite_calls(sql, "like", _like_call)  # before the operator pass
     sql = _rewrite_like(sql)

@@ -115,6 +115,27 @@ class Engine:
     def table_names(self) -> list[str]:
         return sorted(self._tables)
 
+    def _column_types(self) -> dict[str, str]:
+        """Lowercased column → SQLite affinity bucket ('int' | 'real') for
+        the dialect's integer-division pass; columns whose name is typed
+        differently across tables drop out (ambiguous → untracked)."""
+        out: dict[str, str | None] = {}
+        for df in list(self._tables.values()) + list(self._views.values()):
+            for f in df.schema.fields:
+                s = f.dataType.simpleString()
+                if s in ("tinyint", "smallint", "int", "bigint"):
+                    t = "int"
+                elif s in ("float", "double") or s.startswith("decimal"):
+                    t = "real"
+                else:
+                    t = None
+                key = f.name.lower()
+                if key in out and out[key] != t:
+                    out[key] = None
+                else:
+                    out[key] = t
+        return {k: v for k, v in out.items() if v is not None}
+
     def _ddl_for(self, name: str) -> str:
         cols = ", ".join(
             f'"{f.name}" {_sqlite_type(f.dataType.simpleString())}'
@@ -174,12 +195,15 @@ class Engine:
 
             if is_recursive(sql):
                 # Spark SQL lacks WITH RECURSIVE; emulate by delta iteration
-                return run_recursive(self.spark, sql, dialect.rewrite)
+                ctypes = self._column_types()
+                return run_recursive(
+                    self.spark, sql, lambda s: dialect.rewrite(s, ctypes)
+                )
         if stmt in ("SELECT", "WITH", "VALUES"):
             from pyspark.errors import AnalysisException
 
             try:
-                return self.spark.sql(dialect.rewrite(sql))
+                return self.spark.sql(dialect.rewrite(sql, self._column_types()))
             except AnalysisException as e:
                 translated = _sqlite_style_error(e)
                 if translated is not None:

@@ -8,10 +8,18 @@ round trip for the whole corpus — and failures replay exactly.
 
 The grammar is type-tracked (num/str) and dodges the handful of
 documented SQLite-vs-Spark divergences that are out of shim scope:
-integer division (`/` truncates in SQLite), substr(x, 0, n) legacy
-indexing, cross-type comparisons (SQLite orders num < text), and `%` on
-floats. Everything else — arithmetic, string functions, CASE, boolean
-logic, NULL propagation, ||, ifnull/nullif/coalesce — is fair game.
+substr(x, 0, n) legacy indexing, cross-type comparisons (SQLite orders
+num < text), and `%` on floats. Everything else — arithmetic, string
+functions, CASE, boolean logic, NULL propagation, ||,
+ifnull/nullif/coalesce — is fair game.
+
+Division gets its own tier (test_division_corpus_matches_sqlite): the
+dialect's type-tracked `/`→`DIV` rewrite is exact only where operand
+affinity is statically certain (SQLite decides int-vs-real division by
+the runtime VALUE type; e.g. ifnull(3, 2.5) is value-dependent, which no
+static rewrite can replicate — documented divergence, SURVEY §5). The
+division generator therefore builds operands from the affinity-certain
+grammar subset — exactly the contract the rewrite promises.
 """
 
 from __future__ import annotations
@@ -249,6 +257,129 @@ def test_expression_corpus_matches_sqlite(spark, tmp_path, seed):
             assert g == pytest.approx(x, rel=1e-9, abs=1e-9), (seed, i, e)
         else:
             assert g == x, (seed, i, e, g, x)
+
+
+# ------------------------------------------------------------ division
+# Affinity-tracked generator: every production's SQLite result affinity
+# ('int' | 'real') is statically certain, so `/` and `%` land exactly on
+# the cases the dialect rewrite promises to translate (int/int → DIV
+# with a nullif zero guard, anything-real → fractional with the guard).
+
+
+def _gen_affine(rng: random.Random, depth: int,
+                want: str | None = None) -> tuple[str, str]:
+    """Return (sql, affinity) with affinity in {'int', 'real'}."""
+    if want is None:
+        want = rng.choice(["int", "real"])
+    if depth <= 0:
+        if want == "int":
+            return str(rng.randint(-50, 100)), "int"
+        return repr(round(rng.uniform(-50, 50), 3)), "real"
+
+    def sub(w):
+        return _gen_affine(rng, depth - 1, w)[0]
+
+    pick = rng.randrange(10)
+    if pick == 0:
+        op = rng.choice(["+", "-", "*"])
+        if want == "int":
+            return f"({sub('int')} {op} {sub('int')})", "int"
+        other = rng.choice(["int", "real"])
+        l, r = ("real", other) if rng.random() < 0.5 else (other, "real")
+        return f"({sub(l)} {op} {sub(r)})", "real"
+    if pick == 1:
+        # the tier's reason to exist: division, zero divisors included
+        if want == "int":
+            den = sub("int") if rng.random() < 0.8 else "0"
+            return f"({sub('int')} / {den})", "int"
+        l = rng.choice(["int", "real"])
+        r = "real" if l == "int" else rng.choice(["int", "real"])
+        den = sub(r) if rng.random() < 0.8 else ("0.0" if r == "real" else "0")
+        return f"({sub(l)} / {den})", "real"
+    if pick == 2 and want == "int":
+        # % on ints, zero divisor legal now (NULL in both engines)
+        den = str(rng.randint(-9, 9)) if rng.random() < 0.8 else "0"
+        return f"({rng.randint(-50, 100)} % {den})", "int"
+    if pick == 3:
+        return f"abs({sub(want)})", want
+    if pick == 4 and want == "int":
+        s, _ = _lit_str(rng)
+        return f"length({s})", "int"
+    if pick == 5:
+        fn = rng.choice(["ifnull", "coalesce", "min", "max"])
+        n = 3 if fn == "coalesce" else 2
+        return f"{fn}({', '.join(sub(want) for _ in range(n))})", want
+    if pick == 6:
+        return f"nullif({sub(want)}, {sub(want)})", want
+    if pick == 7 and want == "real":
+        return f"round({sub(rng.choice(['int', 'real']))}, {rng.randint(0, 3)})", "real"
+    if pick == 8:
+        t = "INTEGER" if want == "int" else "REAL"
+        v = (str(rng.randint(-99, 99)) if want == "int"
+             else repr(round(rng.uniform(-9, 9), 2)))
+        return f"CAST('{v}' AS {t})", want
+    return (
+        f"(CASE WHEN {_gen_bool(rng, depth - 1)} THEN {sub(want)} "
+        f"ELSE {sub(want)} END)",
+        want,
+    )
+
+
+@pytest.mark.parametrize("seed", [314, 2718, 1618])
+def test_division_corpus_matches_sqlite(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    exprs = []
+    while len(exprs) < 60:
+        e, _ = _gen_affine(rng, rng.randint(2, 4))
+        if "/" in e or "%" in e:  # keep the tier on-topic
+            exprs.append(e)
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+
+    for i, e in enumerate(exprs):
+        g, x = _norm(got[i]), _norm(expected[i])
+        if isinstance(g, float) or isinstance(x, float):
+            assert g == pytest.approx(x, rel=1e-9, abs=1e-9), (seed, i, e)
+        else:
+            assert g == x, (seed, i, e, g, x)
+
+
+def test_division_on_typed_columns_matches_sqlite(spark, tmp_path):
+    """Column-affinity divisions through the engine catalog: int/int
+    columns truncate, real taints, zero divisors are NULL."""
+    rows = [(1, 7, 2, 2.5), (2, -7, 2, 0.5), (3, 9, 0, 0.0), (4, -9, -2, 4.0)]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE d (id INTEGER, a INTEGER, b INTEGER, f REAL)")
+    con.executemany("INSERT INTO d VALUES (?,?,?,?)", rows)
+    stmt = ("SELECT id, a / b AS q, a * 2 / b AS q2, f / b AS fq, "
+            "a % b AS m, (a + 1) / (b + 1) AS q3 FROM d ORDER BY id")
+    expected = con.execute(stmt).fetchall()
+    con.close()
+
+    csv = "id,a,b,f\n" + "\n".join(f"{i},{a},{b},{f}" for i, a, b, f in rows)
+    (tmp_path / "d.csv").write_text(csv + "\n")
+    eng = fs.open(str(tmp_path / "d.csv"), spark=spark)
+    try:
+        got = [tuple(r) for r in eng.query(stmt).collect()]
+    finally:
+        eng.close()
+    for grow, erow in zip(got, expected):
+        for g, x in zip(grow, erow):
+            g, x = _norm(g), _norm(x)
+            if isinstance(g, float) or isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-12, abs=1e-12), (grow, erow)
+            else:
+                assert g == x, (grow, erow)
 
 
 # ---------------------------------------------------------- aggregates
