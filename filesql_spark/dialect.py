@@ -796,6 +796,106 @@ def _json_object(args: list[str]) -> str:
     )
 
 
+# json1 mutation (json_set/insert/replace/remove, json minify) rides the
+# filesql_json_mutate session UDF (json1.py; Engine registers it).
+# SQLite's JSON "subtype" — values produced by other json1 calls splice
+# in as JSON trees, plain SQL values as scalars — is decided
+# syntactically at rewrite time and shipped per-value as a flag char:
+# 's' scalar (json_quote-encoded), 'j' JSON subtype, 'l' loose
+# (json_extract output: containers/numbers parse, scalar text stays
+# text). Pinned against stdlib sqlite3 in tests/test_fuzz_dialect.py.
+
+_JSON_SUBTYPE_FNS = frozenset({
+    "json", "json_array", "json_object", "json_quote", "json_set",
+    "json_insert", "json_replace", "json_remove", "json_patch",
+    "json_group_array", "json_group_object",
+})
+_JSON_LOOSE_FNS = frozenset({"json_extract", "get_json_object"})
+
+_CALL_HEAD_RX = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+
+
+def _json_value_flag(expr: str) -> str:
+    """Subtype flag for one json_set/insert/replace value argument."""
+    e = expr.strip()
+    m = _CALL_HEAD_RX.match(e)
+    if m and e.endswith(")"):
+        hit = _find_call(e, m.group(1))
+        if hit and hit[1] == len(e):
+            name = m.group(1).lower()
+            if name in _JSON_SUBTYPE_FNS:
+                return "j"
+            if name in _JSON_LOOSE_FNS:
+                return "l"
+    return "s"
+
+
+def _rewrite_json_family(expr: str) -> str:
+    """Recursively rewrite nested json-mutation calls inside an argument
+    (the per-name sweep skips text its own builder emitted, so nesting
+    like json_set(json_set(…), …) needs this explicit recursion)."""
+    for name, fn in _JSON_MUTATION_REWRITES.items():
+        expr = _rewrite_calls(expr, name, fn)
+    return expr
+
+
+_EMPTY_STR_ARRAY = "CAST(array() AS ARRAY<STRING>)"
+
+
+def _json_mutate_call(doc: str, op: str, paths: list[str],
+                      vals: list[str], flags: str) -> str:
+    paths_sql = f"array({', '.join(paths)})" if paths else _EMPTY_STR_ARRAY
+    vals_sql = f"array({', '.join(vals)})" if vals else _EMPTY_STR_ARRAY
+    return (
+        f"filesql_json_mutate(({doc}), '{op}', {paths_sql}, {vals_sql}, "
+        f"'{flags}')"
+    )
+
+
+def _json_set_family(op: str):
+    def build(args: list[str]) -> str:
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise FilesqlError(
+                f"json_{op} expects an odd argument count ≥ 3 "
+                f"(doc, then path/value pairs), got {len(args)}"
+            )
+        doc = _rewrite_json_family(args[0])
+        paths, vals, flags = [], [], []
+        for p, v in zip(args[1::2], args[2::2]):
+            paths.append(_rewrite_json_family(p))
+            fl = _json_value_flag(v)
+            v = _rewrite_json_family(v)
+            vals.append(_json_quote([v]) if fl == "s" else f"({v})")
+            flags.append(fl)
+        return _json_mutate_call(doc, op, paths, vals, "".join(flags))
+
+    return build
+
+
+def _json_remove(args: list[str]) -> str:
+    if not args:
+        raise FilesqlError("json_remove expects at least 1 argument")
+    doc = _rewrite_json_family(args[0])
+    paths = [_rewrite_json_family(p) for p in args[1:]]
+    return _json_mutate_call(doc, "remove", paths, [], "")
+
+
+def _json_minify(args: list[str]) -> str:
+    if len(args) != 1:
+        raise FilesqlError(f"json expects 1 arg, got {len(args)}")
+    doc = _rewrite_json_family(args[0])
+    return _json_mutate_call(doc, "json", [], [], "")
+
+
+_JSON_MUTATION_REWRITES = {
+    "json_set": _json_set_family("set"),
+    "json_insert": _json_set_family("insert"),
+    "json_replace": _json_set_family("replace"),
+    "json_remove": _json_remove,
+    "json": _json_minify,
+}
+
+
 def _json_array(args: list[str]) -> str:
     """json_array(V1, …) → to_json(array(…)). Divergence note: Spark
     arrays are homogeneous — mixed-type arguments coerce to a common type
@@ -829,6 +929,14 @@ _CALL_REWRITES = {
     # calls, which the (single-sweep) typeof pass must not re-rewrite
     "typeof": _typeof,
     "quote": _quote,
+    # json1 mutation AFTER typeof/quote (their emissions embed typeof())
+    # and BEFORE the other json passes (their emissions embed raw
+    # json_array/json_quote calls for the later passes to expand)
+    "json_set": _JSON_MUTATION_REWRITES["json_set"],
+    "json_insert": _JSON_MUTATION_REWRITES["json_insert"],
+    "json_replace": _JSON_MUTATION_REWRITES["json_replace"],
+    "json_remove": _JSON_MUTATION_REWRITES["json_remove"],
+    "json": _JSON_MUTATION_REWRITES["json"],
     "json_extract": _json_extract,
     "json_array_length": _json_array_length,
     "json_valid": _json_valid,
@@ -998,6 +1106,26 @@ def _cast_call(args: list[str]) -> str | None:
     if not m:
         return None
     expr, typ = m.group(1), m.group(2).upper()
+    if "INT" not in typ and any(t in typ for t in ("CHAR", "CLOB", "TEXT")):
+        # TEXT affinity (checked after INT — SQLite's rule order): a
+        # provably-REAL input renders as SQLite's %!.15g via the
+        # double_to_text session UDF (json1.py) — Spark's CAST AS STRING
+        # is Java's 17-digit shortest round-trip. Affinity comes from
+        # the division pass's static tracker (literals, function table,
+        # engine column catalog). Other inputs: TEXT/CLOB targets are
+        # not Spark types at all and must become CAST(… AS STRING);
+        # CHAR(n) targets Spark parses natively, so they stay untouched
+        # and bare (non-engine) sessions never see the UDF. Unknown-
+        # affinity float inputs keep Java rendering — documented
+        # divergence (SURVEY §5).
+        mask = _div_mask(expr)
+        t = _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, [])
+        inner = _rewrite_calls(expr, "cast", _CALL_REWRITES["cast"])
+        if t == "real":
+            return f"filesql_double_text(CAST(({inner}) AS DOUBLE))"
+        if "CHAR" in typ:
+            return None
+        return f"CAST(({inner}) AS STRING)"
     if "INT" in typ:
         to = "BIGINT"
         rx = r"'^[ \\t\\r\\n]*([+-]?[0-9]+)'"
@@ -1110,18 +1238,19 @@ def _substr_call(args: list[str]) -> str:
 
 
 def _round_call(args: list[str]) -> str:
-    """SQLite round(X, Y): negative Y is taken as 0 (never rounds into
-    the integer part the way Spark's negative scale does); NULL Y stays
-    NULL. 1-arg form matches Spark already."""
+    """SQLite round(X, Y): ALWAYS returns REAL (Spark's round preserves
+    the input type, so integer inputs go through DOUBLE); negative Y is
+    taken as 0 (never rounds into the integer part the way Spark's
+    negative scale does); NULL Y stays NULL."""
     args = [_rewrite_calls(a, "round", _CALL_REWRITES["round"]) for a in args]
     if len(args) == 1:
-        return f"round({args[0]})"
+        return f"round(CAST(({args[0]}) AS DOUBLE))"
     if len(args) != 2:
         raise FilesqlError(f"round expects 1-2 args, got {len(args)}")
     x, y = args
     return (
         f"(CASE WHEN ({y}) IS NULL THEN NULL "
-        f"ELSE round({x}, greatest({y}, 0)) END)"
+        f"ELSE round(CAST(({x}) AS DOUBLE), greatest({y}, 0)) END)"
     )
 
 
@@ -1330,7 +1459,7 @@ _DIV_KEYWORDS = frozenset("""
     values insert into update set delete returning with recursive exists
     over partition rows range groups preceding following unbounded
     current row filter window asc desc nulls first last collate when
-    then else end isnull notnull
+    then else end isnull notnull div
 """.split())
 
 # SQLite result affinities for the function surface the shim supports.
@@ -1347,16 +1476,31 @@ _DIV_REAL_FUNCS = frozenset({
     "pi", "mod",
 })
 _DIV_PASSTHRU_FUNCS = frozenset({"abs", "sum", "nullif", "likely", "unlikely"})
-_DIV_SAMETYPE_FUNCS = frozenset({"ifnull", "coalesce", "min", "max", "iif"})
+# least/greatest/nvl: the Spark spellings earlier rewrite passes emit for
+# min/max/ifnull — this tracker also types already-rewritten text (e.g.
+# inside _cast_call, which runs after the min/max pass)
+_DIV_SAMETYPE_FUNCS = frozenset({
+    "ifnull", "coalesce", "min", "max", "iif", "least", "greatest", "nvl",
+})
 
-_NUM_LIT_RX = re.compile(r"0[xX][0-9a-fA-F]+|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+# the optional [dDfF] suffix: this tracker also types expressions the
+# real-literal pass has already rewritten (1.5 → 1.5D), e.g. inside
+# _cast_call, which runs after it
+_NUM_LIT_RX = re.compile(
+    r"0[xX][0-9a-fA-F]+|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?[dDfF]?"
+)
 _WORD_RX = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 def _div_combine(a: str | None, b: str | None) -> str | None:
-    """Affinity of an arithmetic combination (int iff both int)."""
+    """Affinity of an arithmetic combination (int iff both int; a
+    literal-NULL operand is neutral — the result is NULL either way)."""
     if a is None or b is None:
         return None
+    if a == "null":
+        return b
+    if b == "null":
+        return a
     if a == "int" and b == "int":
         return "int"
     return "real"
@@ -1366,6 +1510,8 @@ def _div_lit_type(text: str) -> str | None:
     """Affinity of a numeric literal token."""
     if text[:2].lower() == "0x":
         return "int"
+    if text[-1] in "dDfF":  # Spark double/float suffix (real-literal pass)
+        return "real"
     if "." in text or "e" in text.lower():
         return "real"
     # SQLite silently widens out-of-range integer literals to REAL
@@ -1475,10 +1621,12 @@ def _div_scan_case(sql, mask, pos, end, coltypes, edits):
         if kw == "else":
             saw_else = True
         prev_pos, prev_kw = mpos + len(kw), kw
-    if not saw_else:
-        branch_types.append("int")  # implicit ELSE NULL: null either way
+    # literal-NULL branches are neutral (incl. the implicit ELSE NULL);
     # mixed int/real branches are value-dependent in SQLite → unknown
-    if branch_types and all(b == branch_types[0] for b in branch_types):
+    branch_types = [b for b in branch_types if b != "null"]
+    if not branch_types:
+        t = "null"
+    elif all(b == branch_types[0] for b in branch_types):
         t = branch_types[0]
     else:
         t = None
@@ -1550,7 +1698,7 @@ def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
         word = low[m.start():m.end()]
         wend = m.end()
         if word == "null":
-            return first, wend, "int"  # NULL result either way
+            return first, wend, "null"  # neutral: NULL result either way
         if word == "case":
             e, t = _div_scan_case(sql, mask, pos, end, coltypes, edits)
             return first, e, t
@@ -1599,8 +1747,12 @@ def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
             elif word in _DIV_PASSTHRU_FUNCS:
                 t = arg_types[0] if arg_types else None
             elif word in _DIV_SAMETYPE_FUNCS:
-                pick = arg_types[1:] if word == "iif" else arg_types
-                t = pick[0] if pick and all(x == pick[0] for x in pick) else None
+                pick = arg_types[1:] if word in ("iif", "if") else arg_types
+                pick = [x for x in pick if x != "null"]  # NULL args neutral
+                if not pick:
+                    t = "null"
+                else:
+                    t = pick[0] if all(x == pick[0] for x in pick) else None
             else:
                 t = None
             return first, close + 1, t
@@ -1669,14 +1821,18 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
                 have_chain = False
                 continue
             lt = chain if have_chain else None
-            if lt == "int" and rt == "int":
+            if lt in ("int", "null") and rt in ("int", "null"):
                 edits.append((op_pos, op_pos + 1, " DIV "))
                 _div_guard(edits, r_first, r_end)
                 chain = "int"
             else:
                 if rt in ("int", "real"):
                     _div_guard(edits, r_first, r_end)
-                chain = "real" if lt in ("int", "real") and rt in ("int", "real") else None
+                chain = (
+                    "real"
+                    if lt in ("int", "real", "null") and rt in ("int", "real", "null")
+                    else None
+                )
             have_chain = True
             pos = r_end
             continue
@@ -1692,7 +1848,11 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
             if rt in ("int", "real"):
                 _div_guard(edits, r_first, r_end)
             lt = chain if have_chain else None
-            chain = "int" if lt == "int" and rt == "int" else None
+            chain = (
+                "int"
+                if lt in ("int", "null") and rt in ("int", "null")
+                else None
+            )
             have_chain = True
             pos = r_end
             continue
@@ -1782,6 +1942,64 @@ def _rewrite_division(sql: str, column_types: dict[str, str] | None = None) -> s
     return sql
 
 
+# -------------------------------------------------------------- json_each
+# SQLite's json_each(X) table-valued function → a lateral inline over the
+# filesql_json_each session UDF (json1.py). Two supported shapes, the
+# idiomatic SQLite uses:
+#   FROM json_each(E) [AS a]     →  FROM (SELECT inline(…)) AS a
+#   FROM t, json_each(E) [AS a]  →  FROM t LATERAL VIEW inline(…) a
+# (the comma form is how SQLite correlates the TVF with a driving table;
+# LATERAL VIEW is Spark's exact equivalent — per-row expansion, no join).
+# json_tree (recursive descent) is not supported and raises politely.
+
+_JSON_EACH_ALIAS_RX = re.compile(
+    r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)", re.IGNORECASE
+)
+
+
+def _rewrite_json_each(sql: str) -> str:
+    if _find_call(sql, "json_tree") is not None:
+        raise FilesqlError(
+            "json_tree is not supported (recursive JSON descent); "
+            "json_each covers the flat form"
+        )
+    pos = 0
+    while True:
+        hit = _find_call(sql, "json_each", pos)
+        if hit is None:
+            return sql
+        start, end, args = hit
+        if len(args) != 1 or not args[0].strip():
+            raise FilesqlError(
+                "json_each supports the 1-arg form json_each(doc); the "
+                "path form json_each(doc, P) can be written as "
+                "json_each(json_extract(doc, P))"
+            )
+        before = sql[:start].rstrip()
+        alias, aend = None, end
+        m = _JSON_EACH_ALIAS_RX.match(sql, end)
+        if m:
+            word = m.group(1)
+            if word.lower() not in _DIV_KEYWORDS and word.lower() != "lateral":
+                alias, aend = word, m.end()
+        alias = alias or "json_each"
+        inner = f"inline(filesql_json_each({args[0]}))"
+        if before.endswith(","):
+            comma = len(before) - 1
+            repl = f" LATERAL VIEW {inner} {alias}"
+            sql = sql[:comma] + repl + sql[aend:]
+            pos = comma + len(repl)
+        elif re.search(r"(?i)\b(from|join)\s*$", sql[:start]):
+            repl = f"(SELECT {inner}) AS {alias}"
+            sql = sql[:start] + repl + sql[aend:]
+            pos = start + len(repl)
+        else:
+            raise FilesqlError(
+                "json_each is a table-valued function and is only "
+                "supported in the FROM clause"
+            )
+
+
 _COLLATE_NOCASE_RE = re.compile(r"\bcollate\s+nocase\b", re.IGNORECASE)
 _COLLATE_BINARY_RE = re.compile(r"\bcollate\s+binary\b", re.IGNORECASE)
 _COLLATE_RTRIM_RE = re.compile(r"\bcollate\s+rtrim\b", re.IGNORECASE)
@@ -1803,6 +2021,14 @@ def _rewrite_collate(sql: str) -> str:
     return "".join(parts)
 
 
+# the column-affinity catalog for the CURRENT rewrite() call — read by
+# builders that run deep inside _CALL_REWRITES (e.g. _cast_call's TEXT
+# branch) where threading a parameter through every builder signature
+# isn't worth it. Single-threaded by contract (the reference's SQLite
+# connection is explicitly not thread-safe either, README.md:347-371).
+_ACTIVE_COLUMN_TYPES: dict[str, str] | None = None
+
+
 def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
     """SQLite-dialect SQL → Spark SQL.
 
@@ -1810,6 +2036,8 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
     integer-division affinity pass; the engine supplies it from its table
     catalog (Engine._column_types). Without it only literal/function
     affinities are tracked — still correct, just more conservative."""
+    global _ACTIVE_COLUMN_TYPES
+    _ACTIVE_COLUMN_TYPES = column_types
     code = "".join(
         text if kind == "code" else " " * len(text)
         for kind, text in _split_tokens(sql)
@@ -1826,6 +2054,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = _requote_identifiers(sql)
     sql = _rewrite_division(sql, column_types)
     sql = _rewrite_real_literals(sql)
+    sql = _rewrite_json_each(sql)
     sql = _rewrite_glob(sql)
     sql = _rewrite_calls(sql, "like", _like_call)  # before the operator pass
     sql = _rewrite_like(sql)

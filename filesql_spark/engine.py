@@ -47,6 +47,9 @@ class Engine:
 
     def __init__(self, spark: SparkSession | None = None, auto_save: AutoSaveConfig | None = None):
         self.spark = spark or get_spark()
+        from filesql_spark.json1 import register_udfs
+
+        register_udfs(self.spark)  # json1 mutation + json_each (idempotent)
         self.auto_save = auto_save
         self._tables: dict[str, DataFrame] = {}
         self._views: dict[str, DataFrame] = {}

@@ -41,9 +41,16 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     nshuffle = shuffle_partitions or int(cpus or DEFAULT_SHUFFLE_PARTITIONS)
 
+    # In local mode the driver JVM IS the executor: Spark's 1g default
+    # heap starves 32 task threads (and a deep ANTLR parse alone can OOM
+    # it — seen in round 10's fuzz corpus). Size it to the machine; on a
+    # real cluster the submit config overrides this.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")

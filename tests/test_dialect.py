@@ -770,3 +770,193 @@ def test_json_quote_vs_sqlite(spark):
     con.close()
     got = tuple(spark.sql(rewrite(stmt)).collect()[0])
     assert got == exp == ("5", "5.5", '"txt"', '"a\\"b"', "null")
+
+
+def test_json_mutation_pinned_vs_sqlite(spark, tmp_path):
+    """json_set/insert/replace/remove + json() through the engine front
+    door, pinned against stdlib sqlite3 (the json fuzz tier in
+    test_fuzz_dialect.py covers the random corpus)."""
+    import sqlite3
+
+    import filesql_spark as fs
+
+    stmt = (
+        "SELECT json_set('{}', '$.a.b', 1) AS c0, "
+        "json_set('{}', '$.a', '[1,2]') AS c1, "
+        "json_set('{}', '$.a', json('[1,2]')) AS c2, "
+        "json_insert('{\"a\":1}', '$.a', 2, '$.b', 3) AS c3, "
+        "json_replace('{\"a\":1}', '$.a', 2, '$.b', 3) AS c4, "
+        "json_remove('[0,1,2,3]', '$[1]', '$[1]') AS c5, "
+        "json_set('[1,2]', '$[#-1]', 9) AS c6, "
+        "json_set('[1,2]', '$[5]', 9) AS c7, "
+        "json_set('{\"a\":[1]}', '$.a[1]', 5) AS c8, "
+        "json('  {\"q\": [1 , 2]} ') AS c9, "
+        "json_set(json_set('{}', '$.x', 1), '$.y', 2) AS c10, "
+        "json_set('{}', '$.a', json_extract('{\"b\":[1,2]}', '$.b')) AS c11, "
+        "json_set('{}', '$.s', 'it''s') AS c12, "
+        "json_set(NULL, '$.a', 1) AS c13, "
+        "json_insert('{}', '$.a[4][4]', 1) AS c14"
+    )
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = tuple(eng.query(stmt + " FROM one").collect()[0])
+    finally:
+        eng.close()
+    assert got == exp
+
+
+def test_json_each_vs_sqlite(spark, tmp_path):
+    """json_each TVF: standalone, filtered, and correlated (comma-join →
+    LATERAL VIEW) forms against sqlite3. key/value are TEXT here where
+    SQLite types them per-value (documented divergence in json1.py)."""
+    import sqlite3
+
+    import filesql_spark as fs
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE j (id INTEGER, doc TEXT)")
+    con.executemany(
+        "INSERT INTO j VALUES (?, ?)",
+        [(1, '{"a":1,"b":"t"}'), (2, "[10,20,30]"), (3, None)],
+    )
+
+    (tmp_path / "j.csv").write_text(
+        'id,doc\n1,"{""a"":1,""b"":""t""}"\n2,"[10,20,30]"\n3,\n'
+    )
+    eng = fs.open(str(tmp_path / "j.csv"), spark=spark)
+    try:
+        q1 = "SELECT key, value, type FROM json_each('[10,20]')"
+        exp = [tuple(str(x) for x in r) for r in con.execute(q1)]
+        got = [tuple(r) for r in eng.query(q1).collect()]
+        assert got == exp
+
+        q2 = ("SELECT value FROM json_each('{\"p\":1,\"q\":2}') "
+              "WHERE key = 'q'")
+        assert [r[0] for r in eng.query(q2).collect()] == ["2"]
+
+        q3 = ("SELECT j.id, je.value FROM j, json_each(j.doc) AS je "
+              "ORDER BY j.id, je.fullkey")
+        exp = [(r[0], str(r[1])) for r in con.execute(q3)]
+        got = [tuple(r) for r in eng.query(q3).collect()]
+        assert got == exp  # row 3 (NULL doc) contributes no rows
+
+        q4 = "SELECT count(*) AS n FROM j, json_each(j.doc)"
+        assert eng.query(q4).collect()[0][0] == con.execute(q4).fetchone()[0]
+
+        # atom NULL for containers, fullkey paths, scalar doc row
+        q5 = ("SELECT key, atom, fullkey FROM "
+              "json_each('{\"a\":[1],\"b\":2}') ORDER BY key")
+        exp = [tuple(None if x is None else str(x) for x in r)
+               for r in con.execute(q5)]
+        got = [tuple(r) for r in eng.query(q5).collect()]
+        assert got == exp
+
+        with pytest.raises(FilesqlError, match="json_tree"):
+            eng.query("SELECT * FROM json_tree('[1]')")
+        with pytest.raises(FilesqlError, match="FROM clause"):
+            eng.query("SELECT json_each('[1]')")
+    finally:
+        eng.close()
+    con.close()
+
+
+# ----------------------------------------------------- pinned divergences
+# VERDICT r9 #6/#7: the remaining dialect divergences that are DECIDED
+# (documented, not scheduled for a fix) get tests that demonstrate the
+# exact behavior delta against real SQLite, so any accidental drift in
+# either direction fails loudly.
+
+
+def test_divergence_unicode_like_folding(spark, tmp_path):
+    """SQLite LIKE folds ASCII only ('É' LIKE 'é' is FALSE); the shim's
+    ILIKE folds full Unicode (TRUE). ASCII behavior is identical."""
+    import sqlite3
+
+    import filesql_spark as fs
+
+    con = sqlite3.connect(":memory:")
+    assert con.execute("SELECT 'É' LIKE 'é'").fetchone()[0] == 0  # sqlite
+    assert con.execute("SELECT 'A' LIKE 'a'").fetchone()[0] == 1
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(
+            "SELECT ('É' LIKE 'é') AS uni, ('A' LIKE 'a') AS asc_ FROM one"
+        ).collect()[0]
+        assert got.uni is True  # the pinned divergence
+        assert got.asc_ is True  # ASCII folding matches SQLite
+    finally:
+        eng.close()
+
+
+def test_divergence_computed_like_pattern_backslash(spark, tmp_path):
+    """A backslash in a LIKE pattern: SQLite treats it as a literal
+    character (no escape without ESCAPE); the shim literalizes it for
+    LITERAL patterns (matches SQLite) but a COMPUTED pattern keeps
+    Spark's escape semantics — '\\%' then matches a literal '%'."""
+    import sqlite3
+
+    import filesql_spark as fs
+
+    con = sqlite3.connect(":memory:")
+    #  literal pattern: backslash is a literal char in SQLite
+    assert con.execute(r"SELECT 'a\b' LIKE 'a\b'").fetchone()[0] == 1
+    #  computed pattern, same result in SQLite (still no escape char)
+    assert con.execute(r"SELECT 'a\b' LIKE ('a\' || 'b')").fetchone()[0] == 1
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(
+            r"SELECT ('a\b' LIKE 'a\b') AS lit, "
+            r"('a%' LIKE ('a' || '\' || '%')) AS comp_escape FROM one"
+        ).collect()[0]
+        assert got.lit is True  # literal pattern: matches SQLite
+        # computed pattern: Spark reads \% as an ESCAPED percent —
+        # matches the literal 'a%' (SQLite would require the pattern
+        # chars verbatim: 'a\%' would NOT match 'a%'). The divergence.
+        assert got.comp_escape is True
+    finally:
+        eng.close()
+
+
+def test_divergence_cross_type_comparison(spark, tmp_path):
+    """SQLite orders storage classes: NULL < numbers < TEXT < BLOB, so
+    1 < 'a' is TRUE. Spark ANSI casts the string to a number and the
+    comparison ERRORS on non-numeric text (numeric-looking text
+    compares numerically). Decision (VERDICT r9 #6): keep Spark's
+    semantics — the engine's type inference makes columns homogeneous,
+    so cross-type comparisons only arise from literal mixing, and a
+    loud error beats a silently different ordering."""
+    import sqlite3
+
+    import pytest as _pytest
+
+    import filesql_spark as fs
+
+    con = sqlite3.connect(":memory:")
+    assert con.execute("SELECT 1 < 'a'").fetchone()[0] == 1  # sqlite: TRUE
+    assert con.execute("SELECT 1 < '2'").fetchone()[0] == 1  # text > number
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+            eng.query("SELECT (1 < 'a') AS x FROM one").collect()
+        # numeric-looking text compares numerically ('2' → 2): SQLite
+        # says TRUE by type ordering, Spark says TRUE by value — same
+        # answer, different reason; '02' would also be TRUE here but
+        # FALSE... SQLite compares '2' as TEXT > any number: same result.
+        got = eng.query("SELECT (1 < '2') AS x FROM one").collect()[0]
+        assert got.x is True
+    finally:
+        eng.close()
