@@ -809,6 +809,10 @@ _JSON_SUBTYPE_FNS = frozenset({
     "json", "json_array", "json_object", "json_quote", "json_set",
     "json_insert", "json_replace", "json_remove", "json_patch",
     "json_group_array", "json_group_object",
+    # the already-rewritten spellings: a value that went through an
+    # earlier json pass shows up as one of these by the time a later
+    # pass inspects it
+    "filesql_json_mutate", "to_json",
 })
 _JSON_LOOSE_FNS = frozenset({"json_extract", "get_json_object"})
 
@@ -897,12 +901,18 @@ _JSON_MUTATION_REWRITES = {
 
 
 def _json_array(args: list[str]) -> str:
-    """json_array(V1, …) → to_json(array(…)). Divergence note: Spark
-    arrays are homogeneous — mixed-type arguments coerce to a common type
-    (json_array(1, 'a') yields ["1","a"], SQLite keeps [1,"a"])."""
+    """json_array(V1, …) — element-wise json_quote joined with concat,
+    preserving SQLite's per-element typing on MIXED arguments
+    (json_array(1, 'a') → [1,"a"]). A homogeneous to_json(array(…))
+    can't express that: Spark arrays coerce to a common element type,
+    which ANSI mode outright rejects for int/text mixes (r10 fix)."""
     if not args or not args[0].strip():
         return "'[]'"
-    return f"to_json(array({', '.join(args)}))"
+    quoted = [
+        f"({a})" if _json_value_flag(a) == "j" else _json_quote([a])
+        for a in args
+    ]
+    return "concat('[', " + ", ',', ".join(quoted) + ", ']')"
 
 
 _SIMPLE_RENAMES = {
@@ -937,13 +947,17 @@ _CALL_REWRITES = {
     "json_replace": _JSON_MUTATION_REWRITES["json_replace"],
     "json_remove": _JSON_MUTATION_REWRITES["json_remove"],
     "json": _JSON_MUTATION_REWRITES["json"],
+    # json_array BEFORE the other json passes: its subtype detection
+    # (_json_value_flag) must see arguments in their RAW spelling
+    # (json('…'), json_object(…)) — later passes expand them inside the
+    # emission
+    "json_array": _json_array,
     "json_extract": _json_extract,
     "json_array_length": _json_array_length,
     "json_valid": _json_valid,
     "json_type": _json_type,
     "json_quote": lambda args: _json_quote(args),
     "json_object": _json_object,
-    "json_array": _json_array,
     "glob": _glob_call,
     # SQLite planner hints — semantically the identity of their first arg
     "likely": lambda args: f"({args[0]})",
@@ -1942,15 +1956,14 @@ def _rewrite_division(sql: str, column_types: dict[str, str] | None = None) -> s
     return sql
 
 
-# -------------------------------------------------------------- json_each
-# SQLite's json_each(X) table-valued function → a lateral inline over the
-# filesql_json_each session UDF (json1.py). Two supported shapes, the
-# idiomatic SQLite uses:
+# --------------------------------------------------- json_each / json_tree
+# SQLite's json_each(X) / json_tree(X) table-valued functions → a lateral
+# inline over the filesql_json_each / filesql_json_tree session UDFs
+# (json1.py). Two supported shapes, the idiomatic SQLite uses:
 #   FROM json_each(E) [AS a]     →  FROM (SELECT inline(…)) AS a
 #   FROM t, json_each(E) [AS a]  →  FROM t LATERAL VIEW inline(…) a
 # (the comma form is how SQLite correlates the TVF with a driving table;
 # LATERAL VIEW is Spark's exact equivalent — per-row expansion, no join).
-# json_tree (recursive descent) is not supported and raises politely.
 
 _JSON_EACH_ALIAS_RX = re.compile(
     r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)", re.IGNORECASE
@@ -1958,22 +1971,23 @@ _JSON_EACH_ALIAS_RX = re.compile(
 
 
 def _rewrite_json_each(sql: str) -> str:
-    if _find_call(sql, "json_tree") is not None:
-        raise FilesqlError(
-            "json_tree is not supported (recursive JSON descent); "
-            "json_each covers the flat form"
-        )
+    for fn in ("json_each", "json_tree"):
+        sql = _rewrite_json_tvf(sql, fn)
+    return sql
+
+
+def _rewrite_json_tvf(sql: str, fn: str) -> str:
     pos = 0
     while True:
-        hit = _find_call(sql, "json_each", pos)
+        hit = _find_call(sql, fn, pos)
         if hit is None:
             return sql
         start, end, args = hit
         if len(args) != 1 or not args[0].strip():
             raise FilesqlError(
-                "json_each supports the 1-arg form json_each(doc); the "
-                "path form json_each(doc, P) can be written as "
-                "json_each(json_extract(doc, P))"
+                f"{fn} supports the 1-arg form {fn}(doc); the path form "
+                f"{fn}(doc, P) can be written as "
+                f"{fn}(json_extract(doc, P))"
             )
         before = sql[:start].rstrip()
         alias, aend = None, end
@@ -1982,8 +1996,8 @@ def _rewrite_json_each(sql: str) -> str:
             word = m.group(1)
             if word.lower() not in _DIV_KEYWORDS and word.lower() != "lateral":
                 alias, aend = word, m.end()
-        alias = alias or "json_each"
-        inner = f"inline(filesql_json_each({args[0]}))"
+        alias = alias or fn
+        inner = f"inline(filesql_{fn}({args[0]}))"
         if before.endswith(","):
             comma = len(before) - 1
             repl = f" LATERAL VIEW {inner} {alias}"
@@ -1995,7 +2009,7 @@ def _rewrite_json_each(sql: str) -> str:
             pos = start + len(repl)
         else:
             raise FilesqlError(
-                "json_each is a table-valued function and is only "
+                f"{fn} is a table-valued function and is only "
                 "supported in the FROM clause"
             )
 

@@ -280,12 +280,18 @@ def _value_text(v) -> str | None:
     return repr(v) if not isinstance(v, float) else json.dumps(v)
 
 
-def _each_row(key, v, rid, fullkey) -> dict:
+def _each_row(key, v, rid, parent, fullkey, path) -> dict:
     atom = None if isinstance(v, (dict, list)) else _value_text(v)
     return {
         "key": key, "value": _value_text(v), "type": _sqlite_type_name(v),
-        "atom": atom, "id": rid, "fullkey": fullkey, "path": "$",
+        "atom": atom, "id": rid, "parent": parent, "fullkey": fullkey,
+        "path": path,
     }
+
+
+def _key_path(base: str, k: str) -> str:
+    return (f"{base}.{k}" if k and k.replace("_", "").isalnum()
+            else f'{base}."{k}"')
 
 
 def each(doc: str | None) -> list[dict]:
@@ -294,9 +300,8 @@ def each(doc: str | None) -> list[dict]:
 
     Documented divergences: ``key`` and ``value`` are TEXT (SQLite types
     them per-value); ``id`` is a sequential per-row counter (SQLite's is
-    an opaque internal node number — only uniqueness is contractual);
-    ``parent`` is omitted (NULL on every json_each row; it only
-    populates for json_tree)."""
+    an opaque internal node number — only uniqueness is contractual).
+    ``parent`` is NULL on every json_each row, as in SQLite."""
     if doc is None:
         return []
     try:
@@ -305,19 +310,43 @@ def each(doc: str | None) -> list[dict]:
         raise FilesqlError(f"malformed JSON: {doc!r}") from None
     if isinstance(tree, list):
         return [
-            _each_row(str(i), v, i + 1, f"$[{i}]")
+            _each_row(str(i), v, i + 1, None, f"$[{i}]", "$")
             for i, v in enumerate(tree)
         ]
     if isinstance(tree, dict):
         return [
-            _each_row(
-                k, v, i + 1,
-                f"$.{k}" if k.replace("_", "").isalnum() and k
-                else f'$."{k}"',
-            )
+            _each_row(k, v, i + 1, None, _key_path("$", k), "$")
             for i, (k, v) in enumerate(tree.items())
         ]
-    return [_each_row(None, tree, 0, "$")]
+    return [_each_row(None, tree, 0, None, "$", "$")]
+
+
+def tree(doc: str | None) -> list[dict]:
+    """Rows of SQLite's json_tree(X): pre-order DFS over every node —
+    the root row first (key NULL, parent NULL), then each container's
+    children with ``parent`` = the container's row id and ``path`` = the
+    container's fullkey. Same TEXT-typing/sequential-id divergences as
+    :func:`each`."""
+    if doc is None:
+        return []
+    try:
+        root = json.loads(doc)
+    except ValueError:
+        raise FilesqlError(f"malformed JSON: {doc!r}") from None
+    rows: list[dict] = []
+
+    def visit(key, v, parent, fullkey, path):
+        rid = len(rows)
+        rows.append(_each_row(key, v, rid, parent, fullkey, path))
+        if isinstance(v, dict):
+            for k, c in v.items():
+                visit(k, c, rid, _key_path(fullkey, k), fullkey)
+        elif isinstance(v, list):
+            for i, c in enumerate(v):
+                visit(str(i), c, rid, f"{fullkey}[{i}]", fullkey)
+
+    visit(None, root, None, "$", "$")
+    return rows
 
 
 # ------------------------------------------------- float → TEXT rendering
@@ -356,7 +385,7 @@ def double_to_text(v) -> str | None:
 
 _EACH_SCHEMA = (
     "array<struct<key:string, value:string, type:string, atom:string, "
-    "id:bigint, fullkey:string, path:string>>"
+    "id:bigint, parent:bigint, fullkey:string, path:string>>"
 )
 
 _REGISTERED_SESSIONS: set[int] = set()
@@ -402,6 +431,9 @@ def register_udfs(spark) -> None:
     def _each_fn(doc):
         return pd.Series([each(d) for d in doc], dtype=object)
 
+    def _tree_fn(doc):
+        return pd.Series([tree(d) for d in doc], dtype=object)
+
     def _dtext_fn(x):
         return pd.Series([double_to_text(v) for v in x], dtype=object)
 
@@ -411,9 +443,11 @@ def register_udfs(spark) -> None:
         k: pd.Series for k in ("doc", "op", "paths", "vals", "flags", "return")
     }
     _each_fn.__annotations__ = {"doc": pd.Series, "return": pd.Series}
+    _tree_fn.__annotations__ = {"doc": pd.Series, "return": pd.Series}
     _dtext_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
 
     spark.udf.register("filesql_json_mutate", pandas_udf(_mutate_fn, "string"))
     spark.udf.register("filesql_json_each", pandas_udf(_each_fn, _EACH_SCHEMA))
+    spark.udf.register("filesql_json_tree", pandas_udf(_tree_fn, _EACH_SCHEMA))
     spark.udf.register("filesql_double_text", pandas_udf(_dtext_fn, "string"))
     _REGISTERED_SESSIONS.add(key)

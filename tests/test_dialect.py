@@ -856,8 +856,25 @@ def test_json_each_vs_sqlite(spark, tmp_path):
         got = [tuple(r) for r in eng.query(q5).collect()]
         assert got == exp
 
-        with pytest.raises(FilesqlError, match="json_tree"):
-            eng.query("SELECT * FROM json_tree('[1]')")
+        # json_tree: recursive descent, parent ids chain to containers
+        q6 = ("SELECT key, value, type, atom, fullkey, path FROM "
+              "json_tree('{\"a\":1,\"b\":[2,{\"c\":3}]}')")
+        exp = [tuple(None if x is None else str(x) for x in r)
+               for r in con.execute(q6)]
+        got = [tuple(r) for r in eng.query(q6).collect()]
+        assert got == exp
+        # parent/id relation (values are engine-assigned DFS ids, so
+        # check the RELATION, not the numbers): every non-root row's
+        # parent is the id of the row whose fullkey == its path
+        rows = eng.query(
+            "SELECT id, parent, fullkey, path FROM "
+            "json_tree('{\"a\":1,\"b\":[2,{\"c\":3}]}')"
+        ).collect()
+        by_fullkey = {r.fullkey: r.id for r in rows}
+        for r in rows:
+            if r.parent is not None:
+                assert by_fullkey[r.path] == r.parent
+
         with pytest.raises(FilesqlError, match="FROM clause"):
             eng.query("SELECT json_each('[1]')")
     finally:

@@ -466,11 +466,9 @@ def _gen_json_value(rng: random.Random) -> str:
     if pick == 4:  # subtype-carrying container value
         j = _gen_json_literal(rng, 1)
         return "json('" + j.replace("'", "''") + "')"
-    # same-type elements only: mixed-type json_array is the documented
-    # _json_array divergence (Spark coerces array element types)
-    if rng.random() < 0.5:
-        return f"json_array({rng.randint(0, 9)}, {rng.randint(0, 9)})"
-    return f"json_array({_lit_str(rng)[0]}, {_lit_str(rng)[0]})"
+    # mixed-type elements: exact since r10's element-wise json_quote
+    return (f"json_array({rng.randint(0, 9)}, {_lit_str(rng)[0]}, "
+            f"NULL, {repr(round(rng.uniform(-9, 9), 2))})")
 
 
 def _gen_json_mutation(rng: random.Random) -> str:
