@@ -1003,6 +1003,14 @@ _CALL_REWRITES = {
     # the SQLite line bundled by the reference's modernc.org/sqlite
     # v1.38.2 (go.mod:11) — scripts that branch on version keep working
     "sqlite_version": lambda args: "'3.50.2'",
+    # randomblob(N): N pseudo-random bytes; N < 1 yields 1 byte (SQLite
+    # parity, pinned). Per-element rand() inside a transform stays
+    # JVM-side and nondeterministic per byte per row.
+    "randomblob": lambda args: (
+        f"unhex(array_join(transform("
+        f"sequence(1, greatest(CAST(({args[0]}) AS INT), 1)), "
+        f"rb_i -> lpad(hex(CAST(floor(rand() * 256) AS INT)), 2, '0')), ''))"
+    ),
     # json1 aggregates. The struct wrap keeps NULLs (collect_list drops
     # bare NULLs; SQLite renders them as json null), and the to_json
     # option renders null map values. Row order is Spark's collect order
@@ -1726,8 +1734,10 @@ def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
             close = _div_find_close(mask, j, end)
             if close == -1:
                 return first, end, None
-            if word == "cast":
+            if word in ("cast", "try_cast"):
                 # CAST(expr AS type): walk expr, type from the target
+                # (try_cast included: the % rewrite emits it, and this
+                # tracker also types already-rewritten text)
                 inner_lo = low[j + 1:close]
                 k = inner_lo.rfind(" as ")
                 depth_probe = inner_lo[k + 4:] if k != -1 else ""
@@ -1804,6 +1814,7 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
     (appending to ``edits``) and return the span's static affinity."""
     low = sql.lower()
     chain: str | None = None  # type of the current *·/·% chain
+    chain_start = start  # where the chain's text begins (for % casts)
     have_chain = False
     expr: str | None = None  # additive accumulator
     have_expr = False
@@ -1835,6 +1846,8 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
                 have_chain = False
                 continue
             lt = chain if have_chain else None
+            if not have_chain:
+                chain_start = op_pos
             if lt in ("int", "null") and rt in ("int", "null"):
                 edits.append((op_pos, op_pos + 1, " DIV "))
                 _div_guard(edits, r_first, r_end)
@@ -1851,6 +1864,7 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
             pos = r_end
             continue
         if c == "%":
+            op_pos = pos
             r_first, r_end, rt = _div_scan_primary(
                 sql, mask, pos + 1, end, coltypes, edits
             )
@@ -1859,14 +1873,32 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
                 pos = r_end if r_end > pos else pos + 1
                 have_chain = False
                 continue
-            if rt in ("int", "real"):
-                _div_guard(edits, r_first, r_end)
             lt = chain if have_chain else None
-            chain = (
-                "int"
-                if lt in ("int", "null") and rt in ("int", "null")
-                else None
-            )
+            known = ("int", "real", "null")
+            if lt in known and rt in known and "real" in (lt, rt):
+                # SQLite % casts BOTH operands to INTEGER and types the
+                # result REAL when either operand is (pinned: 7.5 % 2.3
+                # → 1.0). Spark's fmod semantics differ, so wrap the
+                # whole left mul-chain and the right primary. TRY_CAST,
+                # not CAST: the later SQLite-CAST pass would re-expand a
+                # CAST(… AS BIGINT) emission ~4× per nesting level
+                # (exponential on chained %), and the operands here are
+                # known-numeric so the TEXT-prefix machinery is moot.
+                edits.append((chain_start, chain_start,
+                              "TRY_CAST((TRY_CAST(("))
+                edits.append((op_pos, op_pos + 1,
+                              ") AS BIGINT) % nullif(TRY_CAST(("))
+                edits.append((r_end, r_end,
+                              ") AS BIGINT), 0)) AS DOUBLE)"))
+                chain = "real"
+            else:
+                if rt in ("int", "real"):
+                    _div_guard(edits, r_first, r_end)
+                chain = (
+                    "int"
+                    if lt in ("int", "null") and rt in ("int", "null")
+                    else None
+                )
             have_chain = True
             pos = r_end
             continue
@@ -1909,6 +1941,7 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
             if have_chain:
                 fold_chain()  # two operands in a row (alias etc.)
             chain = t
+            chain_start = p_first
         have_chain = True
         pending_mul = False
         pos = p_end if p_end > pos else pos + 1

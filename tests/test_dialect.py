@@ -977,3 +977,55 @@ def test_divergence_cross_type_comparison(spark, tmp_path):
         assert got.x is True
     finally:
         eng.close()
+
+
+def test_randomblob(spark, tmp_path):
+    """randomblob(N): N pseudo-random bytes as a BLOB; N < 1 yields one
+    byte (SQLite parity — values are random, so pin shape not content)."""
+    import filesql_spark as fs
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        row = eng.query(
+            "SELECT randomblob(16) AS b16, randomblob(1) AS b1, "
+            "randomblob(0) AS b0, randomblob(-3) AS bneg, "
+            "length(randomblob(8)) AS l8, typeof(randomblob(4)) AS t "
+            "FROM one"
+        ).collect()[0]
+        assert len(row.b16) == 16 and len(row.b1) == 1
+        assert len(row.b0) == 1 and len(row.bneg) == 1  # n<1 → 1 byte
+        assert row.l8 == 8
+        assert row.t == "blob"
+        # two independent calls should (overwhelmingly) differ
+        a, b = (bytes(r[0]) for r in
+                eng.query("SELECT randomblob(16) FROM one "
+                          "UNION ALL SELECT randomblob(16) FROM one")
+                .collect())
+        assert a != b
+    finally:
+        eng.close()
+
+
+def test_float_modulo_matches_sqlite(spark, tmp_path):
+    """SQLite `%` casts both operands to INTEGER; result is REAL when
+    either operand is (7.5 % 2.3 → 1.0). Pinned against sqlite3."""
+    import sqlite3
+
+    import filesql_spark as fs
+
+    stmt = ("SELECT 7.5 % 2 AS a, -7.5 % 2 AS b, 7.5 % -2 AS c, "
+            "7.5 % 2.3 AS d, 7 % 2.5 AS e, 2 * 3.5 % 2 AS f, "
+            "7.5 % 0 AS g, 7.5 % 2 % 3 AS h, 7 % 2 AS i")
+    con = sqlite3.connect(":memory:")
+    exp = tuple(con.execute(stmt).fetchone())
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = tuple(eng.query(stmt + " FROM one").collect()[0])
+    finally:
+        eng.close()
+    assert got == exp
+    assert isinstance(got[0], float) and isinstance(got[8], int)

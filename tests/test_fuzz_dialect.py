@@ -8,10 +8,10 @@ round trip for the whole corpus — and failures replay exactly.
 
 The grammar is type-tracked (num/str) and dodges the handful of
 documented SQLite-vs-Spark divergences that are out of shim scope:
-substr(x, 0, n) legacy indexing, cross-type comparisons (SQLite orders
-num < text), and `%` on floats. Everything else — arithmetic, string
-functions, CASE, boolean logic, NULL propagation, ||,
-ifnull/nullif/coalesce — is fair game.
+substr(x, 0, n) legacy indexing and cross-type comparisons (SQLite
+orders num < text). Everything else — arithmetic incl. `/` and float
+`%` (both SQLite-exact since r10), string functions, CASE, boolean
+logic, NULL propagation, ||, ifnull/nullif/coalesce — is fair game.
 
 Division gets its own tier (test_division_corpus_matches_sqlite): the
 dialect's type-tracked `/`→`DIV` rewrite is exact only where operand
@@ -296,10 +296,16 @@ def _gen_affine(rng: random.Random, depth: int,
         r = "real" if l == "int" else rng.choice(["int", "real"])
         den = sub(r) if rng.random() < 0.8 else ("0.0" if r == "real" else "0")
         return f"({sub(l)} / {den})", "real"
-    if pick == 2 and want == "int":
-        # % on ints, zero divisor legal now (NULL in both engines)
-        den = str(rng.randint(-9, 9)) if rng.random() < 0.8 else "0"
-        return f"({rng.randint(-50, 100)} % {den})", "int"
+    if pick == 2:
+        # % casts operands to INTEGER in SQLite (r10 closes the float
+        # forms too); result REAL iff either operand is. Zero divisors
+        # legal (NULL in both engines).
+        if want == "int":
+            den = str(rng.randint(-9, 9)) if rng.random() < 0.8 else "0"
+            return f"({rng.randint(-50, 100)} % {den})", "int"
+        l = rng.choice(["int", "real"])
+        r = "real" if l == "int" else rng.choice(["int", "real"])
+        return f"({sub(l)} % {sub(r)})", "real"
     if pick == 3:
         return f"abs({sub(want)})", want
     if pick == 4 and want == "int":
