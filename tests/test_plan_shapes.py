@@ -666,3 +666,26 @@ def test_groups_frame_single_partitioning(spark, qs):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan[:2000]
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_json_each_lateral_is_generate_not_join(spark, tmp_path):
+    """The comma-correlated json_each TVF compiles to a Generate
+    (per-row lateral expansion) — never a join, never a cartesian
+    product — and the standalone form is a plain Project over the UDF."""
+    import filesql_spark as fs
+
+    (tmp_path / "j.csv").write_text('id,doc\n1,"[1,2,3]"\n')
+    eng = fs.open(str(tmp_path / "j.csv"), spark=spark)
+    try:
+        df = eng.query(
+            "SELECT j.id, je.value FROM j, json_each(j.doc) AS je"
+        )
+        plan = _formatted(df)
+        assert "Generate" in plan
+        assert "CartesianProduct" not in plan and "Cross" not in plan
+        assert "Join" not in plan.replace("LATERAL", "")
+        df2 = eng.query("SELECT value FROM json_each('[1,2]')")
+        plan2 = _formatted(df2)
+        assert "CartesianProduct" not in plan2
+    finally:
+        eng.close()
