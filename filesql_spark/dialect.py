@@ -884,6 +884,14 @@ def _json_remove(args: list[str]) -> str:
     return _json_mutate_call(doc, "remove", paths, [], "")
 
 
+def _json_patch(args: list[str]) -> str:
+    if len(args) != 2:
+        raise FilesqlError(f"json_patch expects 2 args, got {len(args)}")
+    doc = _rewrite_json_family(args[0])
+    patch = _rewrite_json_family(args[1])
+    return _json_mutate_call(doc, "patch", [], [f"({patch})"], "j")
+
+
 def _json_minify(args: list[str]) -> str:
     if len(args) != 1:
         raise FilesqlError(f"json expects 1 arg, got {len(args)}")
@@ -896,6 +904,7 @@ _JSON_MUTATION_REWRITES = {
     "json_insert": _json_set_family("insert"),
     "json_replace": _json_set_family("replace"),
     "json_remove": _json_remove,
+    "json_patch": _json_patch,
     "json": _json_minify,
 }
 
@@ -946,6 +955,7 @@ _CALL_REWRITES = {
     "json_insert": _JSON_MUTATION_REWRITES["json_insert"],
     "json_replace": _JSON_MUTATION_REWRITES["json_replace"],
     "json_remove": _JSON_MUTATION_REWRITES["json_remove"],
+    "json_patch": _JSON_MUTATION_REWRITES["json_patch"],
     "json": _JSON_MUTATION_REWRITES["json"],
     # json_array BEFORE the other json passes: its subtype detection
     # (_json_value_flag) must see arguments in their RAW spelling

@@ -188,6 +188,22 @@ def _remove_at(node, comps, i):
     return node
 
 
+def _merge_patch(target, patch):
+    """RFC-7386 merge patch (SQLite json_patch): null patch values
+    remove keys, object patches recurse (creating {} over non-objects),
+    non-object patches replace wholesale."""
+    if not isinstance(patch, dict):
+        return patch
+    if not isinstance(target, dict):
+        target = {}
+    for k, v in patch.items():
+        if v is None:
+            target.pop(k, None)
+        else:
+            target[k] = _merge_patch(target.get(k), v)
+    return target
+
+
 def _decode_value(text: str | None, flag: str):
     """One value argument → the Python JSON value to splice in.
     flag 's': text is the json_quote encoding of a plain SQL scalar;
@@ -225,6 +241,14 @@ def mutate(doc: str | None, op: str, paths, vals, flags: str) -> str | None:
         raise FilesqlError(f"malformed JSON: {doc!r}") from None
     if op == "json":  # json(X): validate + minify
         return _dumps(tree)
+    if op == "patch":  # json_patch(T, P): RFC-7386 merge
+        if not vals or vals[0] is None:
+            return None
+        try:
+            patch = json.loads(vals[0])
+        except ValueError:
+            raise FilesqlError(f"malformed JSON: {vals[0]!r}") from None
+        return _dumps(_merge_patch(tree, patch))
     if op == "remove":
         for p in paths:
             if p is None:  # NULL path: no-op (pinned vs sqlite3)

@@ -479,10 +479,13 @@ def _gen_json_value(rng: random.Random) -> str:
 
 def _gen_json_mutation(rng: random.Random) -> str:
     op = rng.choice(["json_set", "json_insert", "json_replace", "json_remove",
-                     "json"])
+                     "json", "json_patch"])
     doc = "'" + _gen_doc(rng).replace("'", "''") + "'"
     if op == "json":
         return f"json({doc})"
+    if op == "json_patch":
+        patch = "'" + _gen_doc(rng).replace("'", "''") + "'"
+        return f"json_patch({doc}, {patch})"
     if op == "json_remove":
         paths = ", ".join(f"'{_gen_json_path(rng)}'"
                           for _ in range(rng.randint(1, 3)))
