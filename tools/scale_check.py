@@ -90,16 +90,48 @@ def _scale_table(spark, name: str, src: str, dst: str, mult: int) -> None:
         for k in key_cols:
             rep = rep.withColumn(k, F.col(k) + F.lit(i * STRIDE))
         if name == "documents" and i > 0:
-            # per-replica vowel rotation: breaks cross-replica shingle
-            # overlap so near-dup structure stays per-replica
+            # per-replica character-rotation: breaks cross-replica
+            # shingle overlap so near-dup structure stays per-replica.
+            # Vowel rotation alone gives only 5 distinct mappings — at
+            # mult > 5, replicas i and i+5 would be IDENTICAL text,
+            # creating genuinely quadratic duplicate clusters real
+            # scale-ups don't have (found the hard way: the ×20 run
+            # filled the spill disk). Vowels × consonants = 25 mappings.
+            cons = "rstln"
             rot = vowels[i % 5:] + vowels[: i % 5]
-            rep = rep.withColumn("text", F.translate("text", vowels, rot))
+            crot = cons[(i // 5) % 5:] + cons[: (i // 5) % 5]
+            rep = rep.withColumn(
+                "text", F.translate("text", vowels + cons, rot + crot)
+            )
         if name == "embeddings" and i > 0:
+            # per-(replica, dimension, row) perturbation that changes the
+            # vector's DIRECTION. A constant offset (the first attempt)
+            # keeps all replicas of a vector near-parallel — cosine-LSH
+            # cells then hold 20-way near-dup clusters and the verify
+            # stage goes quadratic in the replica count, a corpus
+            # property real scale-ups don't have (it flooded 40G+ of
+            # spill at ×20 before this fix).
+            # hash-based per-(row, dim, replica) noise — NOT a constant
+            # offset (keeps replicas parallel) and NOT sinusoids (phase-
+            # shifted copies of one waveform correlate across rows);
+            # both degenerate into everything-is-a-near-dup corpora whose
+            # TRUE pair count is quadratic (15M pairs at ×5 — the
+            # operator answered correctly, the data was wrong)
             rep = rep.withColumn(
                 "embedding",
                 F.transform(
                     "embedding",
-                    lambda x: x + F.lit(0.05 * i) * F.pmod(F.col("vec_id"), F.lit(7)).cast("float"),
+                    lambda x, j: (
+                        x
+                        + (
+                            F.pmod(
+                                F.hash(F.col("vec_id"), j, F.lit(i)),
+                                F.lit(1000),
+                            ).cast("double")
+                            / 1000.0
+                            - 0.5
+                        ).cast("float")
+                    ),
                 ),
             )
         parts.append(rep)
