@@ -125,14 +125,14 @@ def register(name: str, oracle: str | None):
 # tests/test_entry_queries.py). Entries absent here have never been graded.
 _LAST_DRIVER_ROUND: dict[str, int] = {
     "agg_conditional_case": 9,
-    "agg_count_distinct": 6,
-    "agg_cube": 5,
+    "agg_count_distinct": 10,
+    "agg_cube": 10,
     "agg_filter_clause": 8,
     "agg_group_concat": 9,
-    "agg_grouping_sets": 5,
-    "agg_having": 6,
-    "agg_median": 5,
-    "agg_rollup": 6,
+    "agg_grouping_sets": 10,
+    "agg_having": 10,
+    "agg_median": 10,
+    "agg_rollup": 10,
     "agg_salted_two_phase": 9,
     "ann_bruteforce_topk": 9,
     "ann_ivf_build": 9,
@@ -141,27 +141,27 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "ann_pq_build": 7,
     "ann_pq_topk": 7,
     "ann_recall_report": 9,
-    "asof_join_latest_order": 6,
+    "asof_join_latest_order": 10,
     "asof_join_tolerance": 8,
     "cdc_merge_apply": 7,
-    "coalesce_cast": 6,
+    "coalesce_cast": 10,
     "corpus_datacard": 7,
-    "cte_vs_company_avg": 6,
+    "cte_vs_company_avg": 10,
     "customers_rfm_segments": 7,
     "customers_rfm_sketch": 7,
-    "date_functions": 6,
-    "date_hour_histogram": 6,
-    "date_julianday_span": 5,
+    "date_functions": 10,
+    "date_hour_histogram": 10,
+    "date_julianday_span": 10,
     "dedup_cluster_representatives": 7,
     "dedup_connected_components": 9,
     "dedup_containment": 9,
     "dedup_embedding_cosine": 9,
-    "dedup_exact": 6,
+    "dedup_exact": 10,
     "dedup_family_size_distribution": 9,
     "dedup_incremental": 6,
     "dedup_lsh_tuning_report": 8,
     "dedup_minhash_lsh": 9,
-    "dedup_ngram_jaccard": 6,
+    "dedup_ngram_jaccard": 10,
     "dedup_simhash": 9,
     "dedup_threshold_sweep": 9,
     "derived_table": 7,
@@ -190,20 +190,20 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_decayed_engagement": 8,
     "events_error_rate_monitor": 9,
     "events_forecast_seasonal": 8,
-    "events_funnel": 6,
+    "events_funnel": 10,
     "events_gap_fill": 7,
     "events_hazard_curve": 8,
     "events_ltv_cohort": 8,
     "events_markov_transitions": 7,
-    "events_retention_cohorts": 6,
+    "events_retention_cohorts": 10,
     "events_robust_stats": 7,
     "events_session_funnel": 8,
-    "events_sessionize": 6,
+    "events_sessionize": 10,
     "events_skew_report": 7,
-    "events_sliding_window": 6,
+    "events_sliding_window": 10,
     "events_stickiness_dau_wau": 9,
     "events_top_paths": 7,
-    "events_tumbling_window": 6,
+    "events_tumbling_window": 10,
     "events_user_streaks": 8,
     "events_window_topk": 7,
     "features_user_wide": 8,
@@ -211,24 +211,24 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "filter_predicates": 9,
     "graph_pagerank_events": 8,
     "graph_triangle_census": 8,
-    "in_subquery": 5,
+    "in_subquery": 10,
     "interval_join_banded": 7,
     "join_bloom_semireduction": 7,
-    "join_cross": 6,
-    "join_full_outer": 5,
-    "join_left_anti": 6,
+    "join_cross": 10,
+    "join_full_outer": 10,
+    "join_left_anti": 10,
     "join_left_outer": 9,
-    "join_left_semi": 5,
-    "join_multiway_inner": 6,
-    "join_right_outer": 6,
+    "join_left_semi": 10,
+    "join_multiway_inner": 10,
+    "join_right_outer": 10,
     "join_salted_skew": 9,
     "join_theta_selfjoin": 7,
-    "json_extract": 6,
+    "json_extract": 10,
     "layout_zorder_stats": 6,
-    "limit_offset": 6,
+    "limit_offset": 10,
     "lineitem_discount_regression": 8,
     "lineitem_pareto_share": 8,
-    "math_functions": 6,
+    "math_functions": 10,
     "multimodal_decode": 9,
     "multimodal_extract_features": 7,
     "multimodal_frame_dedup": 9,
@@ -266,24 +266,24 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "q14_promo_revenue": 7,
     "q18_large_orders": 8,
     "q1_pricing_summary": 9,
-    "q3_shipping_priority": 6,
-    "q5_local_supplier": 6,
+    "q3_shipping_priority": 10,
+    "q5_local_supplier": 10,
     "q6_forecast_revenue": 7,
     "q7_nation_volume": 8,
     "q8_market_share": 8,
     "quality_expectations_orders": 8,
     "quality_signal_correlation": 9,
-    "recursive_cte": 6,
-    "scalar_subquery_correlated": 5,
+    "recursive_cte": 10,
+    "scalar_subquery_correlated": 10,
     "scalar_subquery_select": 7,
-    "scd2_user_tier": 6,
-    "select_case_expr": 6,
-    "set_except": 6,
+    "scd2_user_tier": 10,
+    "select_case_expr": 10,
+    "set_except": 10,
     "set_except_all": 8,
-    "set_intersect": 5,
+    "set_intersect": 10,
     "set_intersect_all": 8,
-    "set_union_all": 6,
-    "set_union_distinct": 5,
+    "set_union_all": 10,
+    "set_union_distinct": 10,
     "sketch_cms_heavy_hitters": 7,
     "sketch_histogram_quantiles": 6,
     "sketch_hll_rollup": 8,
@@ -296,25 +296,25 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "streaming_dedup_exact": 9,
     "streaming_dedup_within_watermark": 6,
     "streaming_events_enriched": 9,
-    "streaming_events_hourly": 6,
+    "streaming_events_hourly": 10,
     "streaming_events_sessionize": 6,
     "streaming_events_sliding": 6,
-    "streaming_events_user_state": 6,
+    "streaming_events_user_state": 10,
     "streaming_interval_join": 6,
     "streaming_kmv_sketch": 8,
-    "string_functions": 6,
+    "string_functions": 10,
     "text_bigram_lm": 7,
     "text_bm25_search": 9,
     "text_bpe_merges": 7,
     "text_chunk_stride": 7,
     "text_dup_span_removal": 8,
     "text_dup_spans": 7,
-    "text_fingerprint": 6,
-    "text_lang_id": 6,
+    "text_fingerprint": 10,
+    "text_lang_id": 10,
     "text_length_percentiles": 9,
     "text_lm_perplexity": 8,
     "text_pii_redact": 9,
-    "text_quality_score": 6,
+    "text_quality_score": 10,
     "text_rarity_score": 6,
     "text_readability_scores": 9,
     "text_repetition_filter": 9,
@@ -325,18 +325,18 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "text_tokenizer_coverage": 8,
     "text_top_tokens": 9,
     "text_vocab_growth_heaps": 9,
-    "topk_orders": 5,
+    "topk_orders": 10,
     "window_agg_over": 7,
     "window_cume_dist": 8,
     "window_groups_frame": 9,
-    "window_lag_lead": 5,
+    "window_lag_lead": 10,
     "window_nth_last_value": 7,
-    "window_ntile_dense_first": 5,
+    "window_ntile_dense_first": 10,
     "window_percent_rank": 9,
-    "window_range_interval": 6,
+    "window_range_interval": 10,
     "window_rank": 7,
     "window_row_number": 7,
-    "window_running_sum": 6,
+    "window_running_sum": 10,
 }
 
 # Round-8 rotation (VERDICT r7 #2): _HOLD_AFTER_R4 (the round-7c late-add
