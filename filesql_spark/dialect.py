@@ -909,6 +909,23 @@ _JSON_MUTATION_REWRITES = {
 }
 
 
+def _json_array_loose(a: str) -> str:
+    """One json_array element of the 'l' (loose) subtype class — a
+    json_extract output. Mirror json1._decode_value's loose rule at the
+    SQL level: splice if the text is valid JSON (containers, numbers,
+    booleans — get_json_object's own output is already normalized), else
+    quote it as a plain string. Same documented divergence as json_set's
+    'l' flag: a scalar STRING that happens to parse (doc value "[1,2]")
+    splices where SQLite would quote — parse-if-valid can't see SQLite's
+    subtype bit (r11 ADVICE fix; was falling through to json_quote)."""
+    v = f"({a})"
+    return (
+        f"(CASE WHEN {v} IS NULL THEN 'null' "
+        f"WHEN get_json_object({v}, '$') IS NOT NULL THEN {v} "
+        f"ELSE {_json_quote([a])} END)"
+    )
+
+
 def _json_array(args: list[str]) -> str:
     """json_array(V1, …) — element-wise json_quote joined with concat,
     preserving SQLite's per-element typing on MIXED arguments
@@ -917,9 +934,12 @@ def _json_array(args: list[str]) -> str:
     which ANSI mode outright rejects for int/text mixes (r10 fix)."""
     if not args or not args[0].strip():
         return "'[]'"
+    flags = [_json_value_flag(a) for a in args]
     quoted = [
-        f"({a})" if _json_value_flag(a) == "j" else _json_quote([a])
-        for a in args
+        f"({a})" if fl == "j"
+        else _json_array_loose(a) if fl == "l"
+        else _json_quote([a])
+        for a, fl in zip(args, flags)
     ]
     return "concat('[', " + ", ',', ".join(quoted) + ", ']')"
 
@@ -936,6 +956,17 @@ _CALL_REWRITES = {
     # user-written concat gets the wrap; later passes emit Spark-native
     # concat( safely because each pass sweeps once in dict order
     "concat": lambda args: _concat_call(args),
+    # substring/substr SECOND (before every emission-producing pass):
+    # json_quote emits substring(arr, 2, length(arr) - 2) — non-literal
+    # third arg — and a later substr pass would re-expand it through the
+    # general staged path (~20× text per json_array element, r11 ADVICE
+    # fix). Sweeping substr first normalizes only user-written calls;
+    # every later pass's substring(...) emission is already Spark-native.
+    # substring stays BEFORE substr: the substr pass emits substring(...)
+    # with already-normalized args — a later substring pass would wrap
+    # the emission in a second (identity, textually huge) layer.
+    "substring": lambda args: _substr_call(args),
+    "substr": lambda args: _substr_call(args),
     "strftime": _strftime,
     "julianday": _julianday,
     "unixepoch": _unixepoch,
@@ -992,11 +1023,6 @@ _CALL_REWRITES = {
     # quote on purpose: quote's emitted hex() sits in a typeof='binary'
     # branch, where this dispatch reduces to the same hex(x).
     "hex": lambda args: _hex_call(args),
-    # substring BEFORE substr: the substr pass emits substring(...) with
-    # already-normalized args — a later substring pass would wrap the
-    # emission in a second (semantically identity, textually huge) layer
-    "substring": lambda args: _substr_call(args),
-    "substr": lambda args: _substr_call(args),
     "round": lambda args: _round_call(args),
     "trim": lambda args: _trim_family("BOTH", "trim")(args),
     "ltrim": lambda args: _trim_family("LEADING", "ltrim")(args),
@@ -1789,7 +1815,48 @@ def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
                     t = pick[0] if all(x == pick[0] for x in pick) else None
             else:
                 t = None
-            return first, close + 1, t
+            # `FILTER (WHERE …)` / `OVER (spec)` / `OVER name` suffixes
+            # bind tighter than any arithmetic operator: the windowed
+            # expression is ONE primary, so a div/mod guard must wrap the
+            # whole thing — never splice nullif() between the call and
+            # its OVER clause (r11 ADVICE fix: `x / sum(x) OVER (…)`
+            # used to produce `nullif(sum(x), 0) OVER (…)`, an
+            # AnalysisException).
+            tail = close + 1
+            while True:
+                k = tail
+                while k < end and mask[k] in " \t\r\n":
+                    k += 1
+                m2 = _WORD_RX.match(mask, k) if k < end else None
+                if m2 is None:
+                    break
+                w2 = low[m2.start():m2.end()]
+                if w2 not in ("filter", "over"):
+                    break
+                k2 = m2.end()
+                while k2 < end and mask[k2] in " \t\r\n":
+                    k2 += 1
+                if k2 < end and mask[k2] == "(":
+                    close2 = _div_find_close(mask, k2, end)
+                    if close2 == -1:
+                        return first, end, None
+                    # the clause body still needs its own div/mod edits
+                    # (e.g. OVER (ORDER BY a / b))
+                    _div_walk(sql, mask, k2 + 1, close2, coltypes, edits)
+                    tail = close2 + 1
+                    continue
+                if w2 == "over":
+                    m3 = _WORD_RX.match(mask, k2) if k2 < end else None
+                    if m3 is not None:
+                        w3 = low[m3.start():m3.end()]
+                        if w3 not in _DIV_KEYWORDS and w3 not in (
+                            "not", "exists", "case", "when", "then",
+                            "else", "end", "and", "or",
+                        ):
+                            tail = m3.end()  # named window: OVER w
+                            continue
+                break
+            return first, tail, t
         # column reference, possibly qualified t.c / t.`c`
         name = word
         run = wend
@@ -1986,12 +2053,52 @@ def _rewrite_real_literals(sql: str) -> str:
     )
 
 
+def _alias_bound_names(sql: str, mask: str) -> set[str]:
+    """Every name bound by `AS <name>` anywhere in the statement —
+    column aliases, table aliases, CTE names (CAST targets come along;
+    type names are never catalog columns, so stripping them is free).
+    The division pass must NOT type a bare identifier from the global
+    catalog when the statement rebinds that name: with an int column
+    `n` anywhere in the engine, `WITH c AS (SELECT avg(x) AS n FROM t)
+    SELECT n/2 FROM c` used to rewrite to `n DIV nullif(2, 0)` and
+    truncate a real value (r11 ADVICE fix). Shadowed names degrade to
+    unknown affinity EVERYWHERE in the statement — conservative: `/`
+    stays real division, which never wrongly truncates. Residual gap
+    (documented): implicit aliases (`SELECT avg(x) n`) are not detected."""
+    low = sql.lower()
+    names: set[str] = set()
+    for m in _WORD_RX.finditer(mask):
+        if low[m.start():m.end()] != "as":
+            continue
+        k = m.end()
+        while k < len(mask) and mask[k] in " \t\r\n":
+            k += 1
+        if k >= len(mask):
+            break
+        if mask[k] == "\x00" and sql[k] == "`":
+            r = k
+            while r < len(mask) and mask[r] == "\x00":
+                r += 1
+            names.add(sql[k:r][1:-1].replace("``", "`").lower())
+        else:
+            m2 = _WORD_RX.match(mask, k)
+            if m2 is not None:
+                names.add(low[m2.start():m2.end()])
+    return names
+
+
 def _rewrite_division(sql: str, column_types: dict[str, str] | None = None) -> str:
     """Apply the SQLite division/modulo semantics pass (module docstring
     above): int/int `/` → `DIV`, zero divisors → NULL via nullif."""
     if "/" not in sql and "%" not in sql:
         return sql
     mask = _div_mask(sql)
+    if column_types:
+        shadowed = _alias_bound_names(sql, mask)
+        if shadowed:
+            column_types = {
+                k: v for k, v in column_types.items() if k not in shadowed
+            }
     edits: list[tuple[int, int, str]] = []
     _div_walk(sql, mask, 0, len(sql), column_types, edits)
     for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):

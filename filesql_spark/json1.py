@@ -412,16 +412,23 @@ _EACH_SCHEMA = (
     "id:bigint, parent:bigint, fullkey:string, path:string>>"
 )
 
-_REGISTERED_SESSIONS: set[int] = set()
+_REGISTERED_FLAG = "filesql.internal.json1.registered"
 
 
 def register_udfs(spark) -> None:
     """Register the json1 session UDFs (idempotent per SparkSession).
     Both are Arrow-batched pandas UDFs — the per-row Python work is the
-    unavoidable JSON tree edit; transfer stays vectorized."""
-    key = id(spark)
-    if key in _REGISTERED_SESSIONS:
-        return
+    unavoidable JSON tree edit; transfer stays vectorized.
+
+    Idempotency rides a session conf tag, NOT ``id(spark)``: after a
+    stopped session is garbage-collected, a new one can reuse the same
+    id and would silently skip registration (r11 ADVICE fix). The conf
+    tag lives and dies with the session's own state."""
+    try:
+        if spark.conf.get(_REGISTERED_FLAG, None) == "1":
+            return
+    except Exception:
+        pass  # unreadable conf: fall through and re-register (idempotent)
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -474,4 +481,4 @@ def register_udfs(spark) -> None:
     spark.udf.register("filesql_json_each", pandas_udf(_each_fn, _EACH_SCHEMA))
     spark.udf.register("filesql_json_tree", pandas_udf(_tree_fn, _EACH_SCHEMA))
     spark.udf.register("filesql_double_text", pandas_udf(_dtext_fn, "string"))
-    _REGISTERED_SESSIONS.add(key)
+    spark.conf.set(_REGISTERED_FLAG, "1")

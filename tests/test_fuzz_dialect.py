@@ -695,3 +695,143 @@ def test_window_corpus_matches_sqlite(spark, tmp_path, seed):
                 assert g == pytest.approx(x, rel=1e-9, abs=1e-9), (seed, i, wins[i - 1])
             else:
                 assert g == x, (seed, "col", wins[i - 1] if i else "id", g, x)
+
+
+# ------------------------------------------- r11 ADVICE regression tier
+# Four bugs found by the r10 advisor, each pinned differentially here:
+# (1) a div/mod guard spliced between an aggregate call and its OVER
+#     clause (invalid SQL); the guard must wrap the WHOLE windowed
+#     expression. (2) the catalog affinity map typed identifiers that a
+#     statement rebinds via `AS <name>` (CTE/select-list aliases),
+#     wrongly truncating real values. (3) json_array treated a
+#     json_extract argument ('l' loose subtype class) as a plain scalar,
+#     double-encoding extracted containers. (4) json1.register_udfs
+#     keyed idempotency on id(spark), which a GC'd session can reuse.
+
+
+def _differential(spark, tmp_path, stmt, rows, ddl, csv_header, name="t"):
+    con = sqlite3.connect(":memory:")
+    con.execute(ddl)
+    ph = ",".join("?" * len(rows[0]))
+    con.executemany(f"INSERT INTO {name} VALUES ({ph})", rows)
+    expected = con.execute(stmt).fetchall()
+    con.close()
+
+    csv = csv_header + "\n" + "\n".join(
+        ",".join("" if v is None else str(v) for v in r) for r in rows
+    )
+    (tmp_path / f"{name}.csv").write_text(csv + "\n")
+    eng = fs.open(str(tmp_path / f"{name}.csv"), spark=spark)
+    try:
+        got = [tuple(r) for r in eng.query(stmt).collect()]
+    finally:
+        eng.close()
+    assert len(got) == len(expected), (stmt, got, expected)
+    for grow, erow in zip(got, expected):
+        for g, x in zip(grow, erow):
+            g, x = _norm(g), _norm(x)
+            if isinstance(g, float) or isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-9, abs=1e-9), (stmt, grow, erow)
+            else:
+                assert g == x, (stmt, grow, erow)
+
+
+def test_division_window_over_matches_sqlite(spark, tmp_path):
+    """Share-of-total and ratio-to-window: `x / sum(x) OVER (…)` must
+    wrap the whole windowed expression in the zero guard (and int/int
+    still truncates — sum() OVER of ints is int in both engines)."""
+    rows = [(1, 10, 1), (2, 30, 1), (3, 5, 2), (4, 0, 2), (5, 7, 1)]
+    stmt = (
+        "SELECT id, "
+        "a / sum(a) OVER (PARTITION BY g) AS share, "
+        "sum(a) OVER (ORDER BY id) / 2 AS half, "
+        "a * 100 / sum(a) OVER (PARTITION BY g) AS pct, "
+        "a * 1.0 / sum(a) OVER (PARTITION BY g) AS fshare "
+        "FROM t ORDER BY id"
+        # NOTE: `FILTER (WHERE …) OVER (…)` is guarded correctly by the
+        # rewrite but Spark itself rejects filtered window aggregates
+        # ("not supported yet") — excluded here.
+    )
+    _differential(
+        spark, tmp_path, stmt, rows,
+        "CREATE TABLE t (id INTEGER, a INTEGER, g INTEGER)", "id,a,g",
+    )
+
+
+def test_division_alias_shadowing_matches_sqlite(spark, tmp_path):
+    """A statement that rebinds a catalog column name via `AS <name>`
+    must not type the rebound identifier from the catalog: with int
+    column `n`, `WITH c AS (SELECT avg(x) AS n …) SELECT n/2` divides a
+    REAL and must not truncate."""
+    rows = [(1, 7), (2, 8), (3, 11)]
+    stmt = (
+        "WITH c AS (SELECT avg(n) AS n FROM t) "
+        "SELECT n / 2 AS h, n / 2.0 AS h2 FROM c"
+    )
+    _differential(
+        spark, tmp_path, stmt, rows,
+        "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n",
+    )
+
+
+def test_json_array_extract_loose_matches_sqlite(spark, tmp_path):
+    """json_array over json_extract output (the 'l' loose subtype
+    class): extracted containers and numbers splice, extracted scalar
+    text is quoted, NULL renders as json null. Boolean extractions are
+    excluded: they ride the pinned json_extract divergence (SQLite
+    extracts true as int 1; get_json_object yields the text 'true')."""
+    cases = [
+        ("""json_array(json_extract('{"a":[1,2]}', '$.a'))""", "[[1,2]]"),
+        ("""json_array(json_extract('{"a":{"x":1}}', '$.a'))""", '[{"x":1}]'),
+        ("""json_array(json_extract('{"a":5}', '$.a'))""", "[5]"),
+        ("""json_array(json_extract('{"a":5.5}', '$.a'))""", "[5.5]"),
+        ("""json_array(json_extract('{"a":"hi"}', '$.a'))""", '["hi"]'),
+        ("""json_array(json_extract('{"a":1}', '$.nope'))""", "[null]"),
+        ("""json_array(0, json_extract('{"a":[7]}', '$.a'), 'z')""",
+         '[0,[7],"z"]'),
+    ]
+    select = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, (e, _) in enumerate(cases)
+    )
+    con = sqlite3.connect(":memory:")
+    reference = con.execute(select).fetchone()
+    con.close()
+    assert list(reference) == [want for _, want in cases]  # pins stay honest
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+    for i, (e, want) in enumerate(cases):
+        assert got[i] == want, (e, got[i], want)
+
+
+def test_json_array_extract_rewrite_stays_small():
+    """The loose-element CASE must not be re-expanded by the substr pass
+    (one element once ballooned to ~4KB of staged-CASE SQL)."""
+    from filesql_spark.dialect import rewrite
+
+    out = rewrite("SELECT json_array(json_extract(d, '$.a')) FROM t")
+    assert len(out) < 1500, len(out)
+    assert "greatest(" not in out  # staged substr path never fires
+
+
+def test_json1_udfs_register_per_session(spark):
+    """Registration idempotency is keyed per-session (conf tag), not by
+    id(spark): a fresh newSession() has its own function registry and
+    must get its own registration."""
+    from filesql_spark import json1
+
+    json1.register_udfs(spark)
+    assert spark.conf.get(json1._REGISTERED_FLAG, None) == "1"
+    # NOTE: never ns.stop() — it would stop the shared SparkContext
+    ns = spark.newSession()
+    assert ns.conf.get(json1._REGISTERED_FLAG, None) != "1"
+    json1.register_udfs(ns)
+    row = ns.sql(
+        "SELECT filesql_json_mutate('{}', 'set', array('$.a'), "
+        "array('1'), 's') AS r"
+    ).collect()[0]
+    assert row.r == '{"a":1}'
