@@ -1039,6 +1039,10 @@ _CALL_REWRITES = {
     # the SQLite line bundled by the reference's modernc.org/sqlite
     # v1.38.2 (go.mod:11) — scripts that branch on version keep working
     "sqlite_version": lambda args: "'3.50.2'",
+    # RAISE() reaching the general rewrite means it's outside a trigger
+    # body (triggers.py consumes trigger-body RAISE before rewriting);
+    # SQLite's exact wording
+    "raise": lambda args: _raise_outside_trigger(),
     # randomblob(N): N pseudo-random bytes; N < 1 yields 1 byte (SQLite
     # parity, pinned). Per-element rand() inside a transform stays
     # JVM-side and nondeterministic per byte per row.
@@ -1061,6 +1065,10 @@ _CALL_REWRITES = {
         f"map('ignoreNullFields', 'false'))"
     ),
 }
+
+
+def _raise_outside_trigger():
+    raise FilesqlError("RAISE() may only be used within a trigger-program")
 
 
 _PRINTF_DIR_RE = re.compile(r"%([-+ 0#]*)(\d+)?(\.\d+)?([a-zA-Z%])")

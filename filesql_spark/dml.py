@@ -55,14 +55,9 @@ def execute(engine, sql: str) -> int:
     kw = head.split(None, 1)[0].upper() if head.split() else ""
     if kw == "REPLACE":
         sql, kw = _replace_alias(sql), "INSERT"
-    if kw == "INSERT":
-        n, _rows = _insert(engine, sql)
-        return n
-    if kw == "UPDATE":
-        n, _rows = _update(engine, sql)
-        return n
-    if kw == "DELETE":
-        n, _rows = _delete(engine, sql)
+    if kw in ("INSERT", "UPDATE", "DELETE"):
+        fn = {"INSERT": _insert, "UPDATE": _update, "DELETE": _delete}[kw]
+        n, _rows = _guarded_dml(engine, fn, sql)
         return n
     if kw == "CREATE":
         return _create(engine, sql)
@@ -73,6 +68,34 @@ def execute(engine, sql: str) -> int:
     raise FilesqlError(f"unsupported statement: {kw}")
 
 
+def _guarded_dml(engine, fn, sql: str):
+    """Run one top-level DML statement with RAISE() unwind semantics
+    (triggers.py): ABORT/ROLLBACK undo the statement's table effects
+    (ROLLBACK additionally cancels an enclosing transaction, exactly
+    SQLite's scope); FAIL keeps the applied effects. Statements fired
+    from inside a trigger cascade pass through — the OUTERMOST statement
+    owns the unwind."""
+    if getattr(engine, "_trigger_depth", 0):
+        return fn(engine, sql)
+    from filesql_spark.errors import TriggerRaise
+
+    pre = (dict(engine._tables), dict(engine._views), dict(engine._view_defs))
+    try:
+        return fn(engine, sql)
+    except TriggerRaise as e:
+        if e.kind == "ROLLBACK" and (
+            engine._snapshot is not None or engine._savepoints
+        ):
+            engine.rollback()
+        elif e.kind != "FAIL":
+            tables, views, defs = pre
+            engine._restore_state(
+                tables, views, engine._primary_keys, engine._origins,
+                engine._triggers, defs,
+            )
+        raise
+
+
 def dml_returning(engine, sql: str):
     """INSERT/UPDATE/DELETE … RETURNING … → DataFrame of the returned
     rows (SQLite 3.35+, inherited by the reference's engine). The
@@ -81,7 +104,7 @@ def dml_returning(engine, sql: str):
     if kw == "REPLACE":
         sql, kw = _replace_alias(sql), "INSERT"
     fn = {"INSERT": _insert, "UPDATE": _update, "DELETE": _delete}[kw]
-    _n, rows = fn(engine, sql)
+    _n, rows = _guarded_dml(engine, fn, sql)
     if rows is None:
         raise FilesqlError(f"query() on {kw} requires a RETURNING clause")
     return rows
@@ -261,6 +284,13 @@ def _insert(engine, sql: str) -> tuple[int, "object | None"]:
     if or_act and conflict_tail is not None:
         raise FilesqlError("INSERT OR … cannot be combined with ON CONFLICT")
     table = _ident(m)
+    if table not in engine._tables and table in engine._views:
+        if or_act or conflict_tail is not None:
+            raise FilesqlError(
+                "upsert forms (OR REPLACE/IGNORE, ON CONFLICT) are not "
+                "supported on views"
+            )
+        return _view_insert(engine, table, m, returning)
     target = engine.table(table)
     body = m.group("body").rstrip().rstrip(";")
 
@@ -330,6 +360,128 @@ def _returning_over(rows_df, returning: list[str] | None):
         for e in returning
     ]
     return rows_df.select(*cols)
+
+
+# --------------------------------------------------- INSTEAD OF (views)
+# DML against a view dispatches here: with a matching INSTEAD OF trigger
+# the body runs INSTEAD of any mutation (the view is never written and
+# changes() stays 0, both SQLite-exact); without one, SQLite's error.
+
+
+def _view_triggers(engine, table: str, event: str) -> list:
+    return [
+        t
+        for t in engine._triggers.values()
+        if t.table.lower() == table.lower()
+        and t.event == event
+        and t.timing == "INSTEAD OF"
+    ]
+
+
+def _require_instead_of(engine, table: str, event: str) -> None:
+    if not _view_triggers(engine, table, event):
+        raise FilesqlError(f"cannot modify {table} because it is a view")
+
+
+def _view_insert(engine, table, m, returning):
+    from filesql_spark import triggers as trig
+
+    _require_instead_of(engine, table, "INSERT")
+    target = engine._views[table]
+    body = m.group("body").rstrip().rstrip(";")
+    src = engine.spark.sql(dialect.rewrite(body))
+    if m.group("cols"):
+        names = [c.strip().strip('"`') for c in m.group("cols").split(",")]
+    else:
+        names = target.columns
+    if len(src.columns) != len(names):
+        raise FilesqlError(
+            f"INSERT column count mismatch: {len(src.columns)} values "
+            f"for {len(names)} columns"
+        )
+    src = src.toDF(*names)
+    types = {f.name: f.dataType for f in target.schema.fields}
+    aligned = src.select(
+        *[
+            (
+                F.col(c).cast(types[c])
+                if c in src.columns
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in target.columns
+        ]
+    )
+    trig.fire(
+        engine,
+        table,
+        "INSERT",
+        aligned.select(
+            F.struct(*[F.col(c) for c in aligned.columns]).alias("new")
+        ),
+    )
+    return 0, _returning_over(aligned, returning)
+
+
+def _view_update(engine, table, m, returning):
+    from filesql_spark import triggers as trig
+
+    _require_instead_of(engine, table, "UPDATE")
+    df = engine._views[table]
+    set_part, where = _extract_where(m.group("body"))
+    pred = (
+        F.coalesce(F.expr(dialect.rewrite(where)).cast("boolean"), F.lit(False))
+        if where
+        else F.lit(True)
+    )
+    types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
+    assigns = {}
+    for piece in _split_level0(set_part):
+        col, _eq, expr_src = piece.partition("=")
+        name = col.strip().strip('"`')
+        if name not in df.columns:
+            raise FilesqlError(f"UPDATE: no such column {name!r} in {table!r}")
+        assigns[name] = F.expr(dialect.rewrite(expr_src.strip())).cast(
+            types[name]
+        )
+    matched = df.filter(pred)
+    trig.fire(
+        engine,
+        table,
+        "UPDATE",
+        matched.select(
+            F.struct(*[F.col(c) for c in df.columns]).alias("old"),
+            F.struct(
+                *[assigns.get(c, F.col(c)).alias(c) for c in df.columns]
+            ).alias("new"),
+        ),
+        set_cols=set(assigns),
+    )
+    return 0, _returning_over(matched.withColumns(assigns), returning)
+
+
+def _view_delete(engine, table, m, returning):
+    from filesql_spark import triggers as trig
+
+    _require_instead_of(engine, table, "DELETE")
+    df = engine._views[table]
+    rest = m.group("rest").strip().rstrip(";")
+    if rest:
+        if not rest.lower().startswith("where"):
+            raise FilesqlError(f"cannot parse DELETE tail: {rest[:80]}")
+        pred = F.coalesce(
+            F.expr(dialect.rewrite(rest[5:].strip())).cast("boolean"),
+            F.lit(False),
+        )
+    else:
+        pred = F.lit(True)
+    doomed = df.filter(pred)
+    trig.fire(
+        engine,
+        table,
+        "DELETE",
+        doomed.select(F.struct(*[F.col(c) for c in df.columns]).alias("old")),
+    )
+    return 0, _returning_over(doomed, returning)
 
 
 def _upsert_replace(engine, table, target, aligned, key, returning):
@@ -478,6 +630,8 @@ def _update(engine, sql: str) -> tuple[int, "object | None"]:
     if not m:
         raise FilesqlError(f"cannot parse UPDATE: {sql.strip()[:120]}")
     table = _ident(m)
+    if table not in engine._tables and table in engine._views:
+        return _view_update(engine, table, m, returning)
     df = engine.table(table)
     set_part, where = _extract_where(m.group("body"))
 
@@ -535,6 +689,8 @@ def _delete(engine, sql: str) -> tuple[int, "object | None"]:
     if not m:
         raise FilesqlError(f"cannot parse DELETE: {sql.strip()[:120]}")
     table = _ident(m)
+    if table not in engine._tables and table in engine._views:
+        return _view_delete(engine, table, m, returning)
     df = engine.table(table)
     rest = m.group("rest").strip().rstrip(";")
     if rest:
@@ -607,12 +763,19 @@ def _create(engine, sql: str) -> int:
         from filesql_spark import triggers as trig
 
         t, if_not_exists = trig.parse_create_trigger(sql)
-        if t.table in engine._views:
-            # SQLite: only INSTEAD OF triggers may target a view, and
-            # those are unsupported here — reject rather than register a
-            # trigger that could never fire (views take no DML)
-            raise FilesqlError(f"cannot create trigger on view: {t.table}")
-        if t.table not in engine._tables:
+        # SQLite's exact pairing rules and wordings: INSTEAD OF targets
+        # views only; BEFORE/AFTER target tables only
+        is_view = t.table in engine._views
+        if t.timing == "INSTEAD OF":
+            if not is_view:
+                raise FilesqlError(
+                    f"cannot create INSTEAD OF trigger on table: {t.table}"
+                )
+        elif is_view:
+            raise FilesqlError(
+                f"cannot create {t.timing} trigger on view: {t.table}"
+            )
+        elif t.table not in engine._tables:
             raise FilesqlError(f"no such table: {t.table}")
         if t.name.lower() in engine._triggers:
             if if_not_exists:
@@ -625,8 +788,11 @@ def _create(engine, sql: str) -> int:
     m = _CREATE_VIEW_RE.match(sql)
     if m:
         name = _ident(m)
-        df = engine.spark.sql(dialect.rewrite(m.group("body").rstrip().rstrip(";")))
+        body = m.group("body").rstrip().rstrip(";")
+        df = engine.spark.sql(dialect.rewrite(body))
         engine._views[name] = df
+        # keep the defining SQL: views are dynamic (engine._rederive_views)
+        engine._view_defs[name] = body
         df.createOrReplaceTempView(name)
         engine._refresh_catalog_views()
         return 0
@@ -697,6 +863,8 @@ def _drop(engine, sql: str) -> int:
             return 0
         raise FilesqlError(f"no such {kind.lower()}: {name}")
     del store[name]
+    if kind == "VIEW":
+        engine._view_defs.pop(name, None)
     if kind == "TABLE":
         # SQLite drops a table's triggers with it (lang_droptable.html)
         engine._triggers = {

@@ -53,6 +53,13 @@ class Engine:
         self.auto_save = auto_save
         self._tables: dict[str, DataFrame] = {}
         self._views: dict[str, DataFrame] = {}
+        # view name → defining SELECT text, in creation order. SQLite
+        # views are DYNAMIC — they see base-table changes — but a Spark
+        # DataFrame captures the base plan at spark.sql() time, so every
+        # table mutation re-derives the registered views from these defs
+        # (analysis-only cost; plans stay lazy). r11 fix: views were
+        # frozen at CREATE VIEW time before this.
+        self._view_defs: dict[str, str] = {}
         self._origins: dict[str, str] = {}  # table → original file path
         # declared PRIMARY KEY columns (from CREATE TABLE), the implicit
         # conflict target for INSERT OR REPLACE/IGNORE and bare ON CONFLICT
@@ -101,12 +108,31 @@ class Engine:
         if origin:
             self._origins[name] = origin
         df.createOrReplaceTempView(_view_ident(name))
+        self._rederive_views()
         self._refresh_catalog_views()
 
     def _reregister(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
         df.createOrReplaceTempView(_view_ident(name))
+        self._rederive_views()
         self._refresh_catalog_views()
+
+    def _rederive_views(self) -> None:
+        """Re-analyze every registered view from its defining SQL so it
+        reflects the current base tables (SQLite views are dynamic). A
+        view whose base table was dropped keeps its last-good DataFrame
+        (documented divergence: SQLite errors at view-query time)."""
+        if not self._view_defs:
+            return
+        from filesql_spark import dialect
+
+        for name, body in self._view_defs.items():
+            try:
+                df = self.spark.sql(dialect.rewrite(body))
+            except Exception:
+                continue
+            self._views[name] = df
+            df.createOrReplaceTempView(name)
 
     # --------------------------------------------------------------- catalog
 
@@ -395,6 +421,7 @@ class Engine:
             )
         self._snapshot = (dict(self._tables), dict(self._views))
         self._pk_snapshot = dict(self._primary_keys)
+        self._viewdef_snapshot = dict(self._view_defs)
         # origins too: a rolled-back ALTER … RENAME must not leave the
         # auto-save origin map pointing at the phantom new name (that
         # would silently detach the table from its save-back file)
@@ -418,13 +445,14 @@ class Engine:
             pks = getattr(self, "_pk_snapshot", self._primary_keys)
             origins = getattr(self, "_origin_snapshot", self._origins)
             trigs = getattr(self, "_trigger_snapshot", self._triggers)
+            vdefs = getattr(self, "_viewdef_snapshot", self._view_defs)
         elif self._savepoints:
-            _, (tables, views), pks, origins, trigs = self._savepoints[0]
+            _, (tables, views), pks, origins, trigs, vdefs = self._savepoints[0]
         else:
             raise TransactionError("no transaction in progress")
         self._snapshot = None
         self._savepoints.clear()
-        self._restore_state(tables, views, pks, origins, trigs)
+        self._restore_state(tables, views, pks, origins, trigs, vdefs)
 
     # SQLite savepoint semantics (lang_savepoint.html): a savepoint outside
     # a transaction starts one; RELEASE of the outermost savepoint commits
@@ -439,6 +467,7 @@ class Engine:
                 dict(self._primary_keys),
                 dict(self._origins),
                 dict(self._triggers),
+                dict(self._view_defs),
             )
         )
 
@@ -459,10 +488,11 @@ class Engine:
 
     def rollback_to(self, name: str) -> None:
         i = self._find_savepoint(name)
-        _, (tables, views), pks, origins, trigs = self._savepoints[i]
+        _, (tables, views), pks, origins, trigs, vdefs = self._savepoints[i]
         del self._savepoints[i + 1 :]
         self._restore_state(
-            dict(tables), dict(views), dict(pks), dict(origins), dict(trigs)
+            dict(tables), dict(views), dict(pks), dict(origins), dict(trigs),
+            dict(vdefs),
         )
 
     def _restore_state(
@@ -472,6 +502,7 @@ class Engine:
         pks: dict,
         origins: dict | None = None,
         triggers: dict | None = None,
+        view_defs: dict | None = None,
     ) -> None:
         self._primary_keys = pks
         if origins is not None:
@@ -489,8 +520,11 @@ class Engine:
             except Exception:
                 pass
         self._tables, self._views = tables, views
+        if view_defs is not None:
+            self._view_defs = view_defs
         for name, df in self._tables.items():
             df.createOrReplaceTempView(_view_ident(name))
+        self._rederive_views()
         self._refresh_catalog_views()
 
     # ------------------------------------------------------------- lifecycle

@@ -33,3 +33,17 @@ class ValidationError(FilesqlError):
 
 class TransactionError(FilesqlError):
     """Invalid transaction state transition (begin/commit/rollback misuse)."""
+
+
+class TriggerRaise(FilesqlError):
+    """A trigger body evaluated RAISE(ABORT|FAIL|ROLLBACK, msg).
+
+    ``str(e)`` is the user's message verbatim — the wording stdlib
+    sqlite3 surfaces as IntegrityError. ``kind`` drives the statement/
+    transaction unwind in dml's raise guard (ABORT undoes the triggering
+    statement, ROLLBACK cancels the whole transaction, FAIL keeps the
+    applied effects)."""
+
+    def __init__(self, kind: str, message: str):
+        super().__init__(message)
+        self.kind = kind

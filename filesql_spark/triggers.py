@@ -17,13 +17,29 @@ plan instead of a driver-side loop.
 
 Supported:
 
-- ``CREATE [TEMP] TRIGGER [IF NOT EXISTS] name [BEFORE|AFTER]
-  {INSERT | DELETE | UPDATE [OF cols]} ON table [FOR EACH ROW]
+- ``CREATE [TEMP] TRIGGER [IF NOT EXISTS] name [BEFORE|AFTER|INSTEAD OF]
+  {INSERT | DELETE | UPDATE [OF cols]} ON table-or-view [FOR EACH ROW]
   [WHEN expr] BEGIN stmt; ... END``
 - Body statements: ``INSERT INTO t [(cols)] VALUES (...), ...`` and
   ``INSERT INTO t [(cols)] SELECT`` / ``UPDATE t SET ... [WHERE ...]`` /
   ``DELETE FROM t [WHERE ...]``, each free to reference ``new.col`` /
-  ``old.col``.
+  ``old.col``; plus single-expression ``SELECT`` statements containing
+  ``RAISE(ABORT|FAIL|ROLLBACK, msg)`` (the precondition-check pattern,
+  both the ``SELECT RAISE(…) WHERE cond`` and ``SELECT CASE WHEN cond
+  THEN RAISE(…) END`` spellings), evaluated set-based over the
+  transition relation — any matching row raises with SQLite's exact
+  message. ABORT undoes the triggering statement, ROLLBACK cancels the
+  enclosing transaction, FAIL keeps the applied effects (dml.py's raise
+  guard; SQLite's row-order-dependent FAIL partial effects have no
+  distributed equivalent — set-based all-rows effects are kept instead).
+- ``INSTEAD OF`` triggers on views (r11): DML against a view with a
+  matching INSTEAD OF trigger builds the transition relation from the
+  view's rows (INSERT: the would-be rows; UPDATE/DELETE: matching view
+  rows with SET applied for ``new``) and runs the body INSTEAD of
+  mutating — the view itself is never written, and ``changes()``
+  reports 0, both exactly as SQLite. Registration errors use SQLite's
+  wording ("cannot create INSTEAD OF trigger on table: t" / "cannot
+  create BEFORE trigger on view: v").
 - Cascading triggers fire (depth-capped); ``DROP TRIGGER`` removes one.
 
 Documented divergences (each raises or is noted, never silent):
@@ -31,7 +47,8 @@ Documented divergences (each raises or is noted, never silent):
 - ``BEFORE`` triggers run after the mutation is computed (the transition
   relation carries the correct pre/post images; only bodies that re-read
   the target table mid-statement could tell the difference).
-- ``INSTEAD OF`` (view triggers) and ``RAISE()`` are unsupported → error.
+- ``RAISE(IGNORE)`` is unsupported → error (a per-row skip cannot be
+  reproduced once the statement applied set-based).
 - A body UPDATE/DELETE whose WHERE matches one target row against
   MULTIPLE transition rows raises (SQLite applies them sequentially in
   rowid order; a distributed plan has no such order — same call as the
@@ -95,11 +112,7 @@ def parse_create_trigger(sql: str) -> tuple[Trigger, bool]:
     m = _CREATE_TRIGGER_RE.match(sql)
     if not m:
         raise FilesqlError(f"cannot parse CREATE TRIGGER: {sql.strip()[:120]}")
-    timing = (m.group("timing") or "").strip().upper()
-    if timing.startswith("INSTEAD"):
-        raise FilesqlError(
-            "INSTEAD OF triggers (on views) are not supported by this engine"
-        )
+    timing = re.sub(r"\s+", " ", (m.group("timing") or "").strip().upper())
     event_raw = m.group("event").upper()
     event = "UPDATE" if event_raw.startswith("UPDATE") else event_raw
     update_of = None
@@ -114,10 +127,30 @@ def parse_create_trigger(sql: str) -> tuple[Trigger, bool]:
         raise FilesqlError("CREATE TRIGGER: empty body")
     for stmt in body:
         kw = stmt.split(None, 1)[0].upper()
+        if kw == "SELECT":
+            if not _contains_raise(stmt):
+                raise FilesqlError(
+                    "SELECT in a trigger body is only supported when it "
+                    "contains RAISE() (a plain SELECT's results would be "
+                    "discarded)"
+                )
+            if re.search(r"(?i)\braise\s*\(\s*ignore\b", _code_only(stmt)):
+                # reject at CREATE time, not first fire
+                raise FilesqlError(
+                    "RAISE(IGNORE) is not supported: the statement applies "
+                    "set-based before triggers run, so a per-row skip "
+                    "cannot be reproduced"
+                )
+            continue
         if kw not in ("INSERT", "UPDATE", "DELETE"):
             raise FilesqlError(
                 f"unsupported statement in trigger body: {kw} "
-                "(INSERT/UPDATE/DELETE only; SELECT and RAISE are not supported)"
+                "(INSERT/UPDATE/DELETE, or SELECT with RAISE(), only)"
+            )
+        if _contains_raise(stmt):
+            raise FilesqlError(
+                "RAISE() is only supported inside trigger-body SELECT "
+                "statements (the SQLite precondition-check pattern)"
             )
     return (
         Trigger(
@@ -155,12 +188,111 @@ def _split_stmts(body: str) -> list[str]:
     return out
 
 
-def _has_transition_ref(stmt: str) -> bool:
-    code = "".join(
+def _code_only(stmt: str) -> str:
+    return "".join(
         text if kind == "code" else " " * len(text)
         for kind, text in dialect._split_tokens(stmt)
     )
-    return re.search(r"(?i)\b(new|old)\s*\.", code) is not None
+
+
+def _has_transition_ref(stmt: str) -> bool:
+    return re.search(r"(?i)\b(new|old)\s*\.", _code_only(stmt)) is not None
+
+
+def _contains_raise(stmt: str) -> bool:
+    return re.search(r"(?i)\braise\s*\(", _code_only(stmt)) is not None
+
+
+# ------------------------------------------------------------------- RAISE
+# SQLite's RAISE(kind, msg) trigger expression → a marker string the
+# set-based evaluation can detect: 'KIND\x01' || (msg). The body SELECT
+# runs once over the (scoped) transition relation; any row whose result
+# carries the marker raises TriggerRaise with the user message verbatim
+# (sqlite3 surfaces exactly that text as IntegrityError).
+
+_RAISE_KINDS = frozenset({"ROLLBACK", "ABORT", "FAIL"})
+_RAISE_SEP = "\x01"
+
+
+def _rewrite_raise_calls(stmt: str) -> str:
+    pos = 0
+    while True:
+        hit = dialect._find_call(stmt, "raise", pos)
+        if hit is None:
+            return stmt
+        a, b, args = hit
+        kind = args[0].strip().upper() if args else ""
+        if kind == "IGNORE":
+            raise FilesqlError(
+                "RAISE(IGNORE) is not supported: the statement applies "
+                "set-based before triggers run, so a per-row skip cannot "
+                "be reproduced"
+            )
+        if kind not in _RAISE_KINDS or len(args) != 2:
+            raise FilesqlError(f"cannot parse RAISE(): {stmt[a:b][:80]}")
+        marker = f"('{kind}{_RAISE_SEP}' || ({args[1]}))"
+        stmt = stmt[:a] + marker + stmt[b:]
+        pos = a + len(marker)
+
+
+_TAIL_KWS = frozenset({"where", "group", "having", "order", "limit"})
+
+
+def _splice_tx_source(stmt: str, view: str) -> str:
+    """Bind the body SELECT to the transition relation: append
+    ``FROM <txview>`` when the statement has no FROM (``SELECT RAISE(…)
+    WHERE cond``), or ``CROSS JOIN <txview>`` when it does (the
+    existence-check pattern ``SELECT RAISE(…) FROM t WHERE t.k = NEW.k``
+    — SQLite evaluates the body once per transition row; the cross join
+    is the set-based equivalent). NEW./OLD. resolve as fields of the
+    relation's ``new``/``old`` struct columns."""
+    code = _code_only(stmt)
+    depth = 0
+    from_pos = None
+    tail_pos = None
+    for m in re.finditer(r"[()]|\b[A-Za-z_][A-Za-z0-9_]*\b", code):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            w = tok.lower()
+            if w == "from" and from_pos is None:
+                from_pos = m.start()
+            elif w in _TAIL_KWS:
+                tail_pos = m.start()
+                break
+    insert = f" CROSS JOIN {view} " if from_pos is not None else f" FROM {view} "
+    if tail_pos is not None:
+        return stmt[:tail_pos] + insert + stmt[tail_pos:]
+    return stmt + insert
+
+
+def _body_select_raise(engine, stmt: str, tx: DataFrame) -> None:
+    """Evaluate a RAISE-bearing body SELECT over the transition relation;
+    raise TriggerRaise if any row produces a marker value."""
+    from filesql_spark.errors import TriggerRaise
+
+    view = _register_tx(engine, tx)
+    try:
+        s = _rewrite_raise_calls(stmt.rstrip().rstrip(";"))
+        s = _splice_tx_source(s, view)
+        df = engine.spark.sql(dialect.rewrite(s))
+        if len(df.columns) != 1:
+            raise FilesqlError(
+                "trigger-body SELECT with RAISE() must be a single "
+                "expression"
+            )
+        # auto-generated column names may contain dots — re-alias first
+        df = df.toDF("__raise__")
+        col = F.col("__raise__").cast("string")
+        hits = df.filter(col.contains(_RAISE_SEP)).limit(1).collect()
+        if hits:
+            kind, _, msg = str(hits[0][0]).partition(_RAISE_SEP)
+            raise TriggerRaise(kind, msg)
+    finally:
+        _drop_tx(engine, view)
 
 
 # ------------------------------------------------------------------ firing
@@ -211,7 +343,9 @@ def fire(
 
 def _run_body_stmt(engine, stmt: str, tx: DataFrame) -> None:
     kw = stmt.split(None, 1)[0].upper()
-    if kw == "INSERT":
+    if kw == "SELECT":
+        _body_select_raise(engine, stmt, tx)
+    elif kw == "INSERT":
         _body_insert(engine, stmt, tx)
     elif kw == "UPDATE":
         _body_update(engine, stmt, tx)

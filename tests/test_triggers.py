@@ -175,15 +175,17 @@ def test_drop_table_drops_its_triggers(eng):
 
 
 def test_unsupported_trigger_forms(eng):
-    with pytest.raises(FilesqlError, match="INSTEAD OF"):
+    # INSTEAD OF and SELECT-with-RAISE are supported since r11; the
+    # remaining hard rejections:
+    with pytest.raises(FilesqlError, match="cannot create INSTEAD OF trigger on table"):
         eng.execute(
             "CREATE TRIGGER v INSTEAD OF INSERT ON customers BEGIN "
             "INSERT INTO audit VALUES ('x', 'y'); END"
         )
-    with pytest.raises(FilesqlError, match="unsupported statement"):
+    with pytest.raises(FilesqlError, match="RAISE\\(\\) is only supported inside"):
         eng.execute(
             "CREATE TRIGGER r AFTER INSERT ON customers BEGIN "
-            "SELECT RAISE(ABORT, 'no'); END"
+            "INSERT INTO audit VALUES (RAISE(ABORT, 'no'), 'y'); END"
         )
     with pytest.raises(FilesqlError, match="no such table"):
         eng.execute(
@@ -208,8 +210,177 @@ def test_if_not_exists_and_duplicate(eng):
 
 def test_trigger_on_view_rejected(eng):
     eng.execute("CREATE VIEW v AS SELECT * FROM customers")
-    with pytest.raises(FilesqlError, match="cannot create trigger on view"):
+    # SQLite's exact wording: BEFORE/AFTER triggers are for tables only
+    with pytest.raises(FilesqlError, match="cannot create AFTER trigger on view: v"):
         eng.execute(
             "CREATE TRIGGER tv AFTER INSERT ON v BEGIN "
             "INSERT INTO audit VALUES ('x', 'y'); END"
         )
+
+
+# ------------------------------------------- INSTEAD OF + RAISE() (r11)
+# Every expectation below was pinned against stdlib sqlite3 first
+# (wordings, table effects, changes() counts).
+
+
+@pytest.fixture
+def veng(spark, tmp_path):
+    (tmp_path / "base.csv").write_text("id,n\n9,999\n")
+    e = fs.open(str(tmp_path / "base.csv"), spark=spark)
+    e.execute("DELETE FROM base")
+    e.execute("CREATE VIEW v AS SELECT id, n * 2 AS dbl FROM base")
+    yield e
+    e.close()
+
+
+def test_instead_of_registration_errors(veng):
+    with pytest.raises(FilesqlError, match=r"^cannot create INSTEAD OF trigger on table: base$"):
+        veng.execute(
+            "CREATE TRIGGER b1 INSTEAD OF INSERT ON base "
+            "BEGIN SELECT RAISE(ABORT, 'x'); END"
+        )
+    with pytest.raises(FilesqlError, match=r"^cannot create BEFORE trigger on view: v$"):
+        veng.execute(
+            "CREATE TRIGGER b2 BEFORE INSERT ON v "
+            "BEGIN SELECT RAISE(ABORT, 'x'); END"
+        )
+    with pytest.raises(FilesqlError, match=r"^cannot modify v because it is a view$"):
+        veng.execute("INSERT INTO v VALUES (1, 2)")
+
+
+def test_instead_of_insert_updatable_view(veng):
+    """SQLite's updatable-view pattern: the trigger body writes the base
+    table; the view (dynamic since r11) reflects it; changes() is 0."""
+    veng.execute(
+        "CREATE TRIGGER vi INSTEAD OF INSERT ON v BEGIN "
+        "INSERT INTO base VALUES (NEW.id, NEW.dbl / 2); END"
+    )
+    n = veng.execute("INSERT INTO v VALUES (1, 20), (2, 40)")
+    assert n == 0  # sqlite3: changes() == 0 for INSTEAD OF DML
+    base = [(r.id, r.n) for r in veng.query("SELECT * FROM base ORDER BY id").collect()]
+    assert base == [(1, 10), (2, 20)]
+    view = [(r.id, r.dbl) for r in veng.query("SELECT * FROM v ORDER BY id").collect()]
+    assert view == [(1, 20), (2, 40)]
+
+
+def test_instead_of_update_and_delete(veng):
+    veng.execute(
+        "CREATE TRIGGER vi INSTEAD OF INSERT ON v BEGIN "
+        "INSERT INTO base VALUES (NEW.id, NEW.dbl / 2); END"
+    )
+    veng.execute(
+        "CREATE TRIGGER vu INSTEAD OF UPDATE ON v BEGIN "
+        "UPDATE base SET n = NEW.dbl / 2 WHERE id = OLD.id; END"
+    )
+    veng.execute(
+        "CREATE TRIGGER vd INSTEAD OF DELETE ON v BEGIN "
+        "DELETE FROM base WHERE id = OLD.id; END"
+    )
+    veng.execute("INSERT INTO v VALUES (1, 20), (2, 40)")
+    veng.execute("UPDATE v SET dbl = 100 WHERE id = 1")
+    base = [(r.id, r.n) for r in veng.query("SELECT * FROM base ORDER BY id").collect()]
+    assert base == [(1, 50), (2, 20)]
+    veng.execute("DELETE FROM v WHERE dbl = 100")
+    base = [(r.id, r.n) for r in veng.query("SELECT * FROM base ORDER BY id").collect()]
+    assert base == [(2, 20)]
+
+
+def test_raise_abort_undoes_statement(eng):
+    eng.execute(
+        "CREATE TRIGGER guard BEFORE INSERT ON audit BEGIN "
+        "SELECT RAISE(ABORT, 'custom msg') WHERE NEW.who = 'bad'; END"
+    )
+    with pytest.raises(FilesqlError, match=r"^custom msg$"):
+        eng.execute("INSERT INTO audit VALUES ('bad', 'x'), ('ok', 'y')")
+    # sqlite3: ABORT undoes the whole statement, good rows included
+    assert eng.query("SELECT count(*) AS n FROM audit").collect()[0].n == 0
+
+
+def test_raise_case_form(eng):
+    eng.execute(
+        "CREATE TRIGGER guard BEFORE INSERT ON audit BEGIN "
+        "SELECT CASE WHEN length(NEW.who) > 5 THEN "
+        "RAISE(ABORT, 'too long') END; END"
+    )
+    with pytest.raises(FilesqlError, match=r"^too long$"):
+        eng.execute("INSERT INTO audit VALUES ('toolongname', 'x')")
+    eng.execute("INSERT INTO audit VALUES ('ok', 'y')")
+    assert eng.query("SELECT count(*) AS n FROM audit").collect()[0].n == 1
+
+
+def test_raise_rollback_cancels_transaction(eng):
+    from filesql_spark.errors import TransactionError
+
+    eng.execute(
+        "CREATE TRIGGER guard BEFORE INSERT ON audit BEGIN "
+        "SELECT RAISE(ROLLBACK, 'rb') WHERE NEW.who = 'bad'; END"
+    )
+    eng.execute("BEGIN")
+    eng.execute("INSERT INTO audit VALUES ('ok', 'x')")
+    with pytest.raises(FilesqlError, match=r"^rb$"):
+        eng.execute("INSERT INTO audit VALUES ('bad', 'y')")
+    # whole transaction gone AND ended (sqlite3: COMMIT then errors)
+    assert eng.query("SELECT count(*) AS n FROM audit").collect()[0].n == 0
+    with pytest.raises(TransactionError):
+        eng.execute("COMMIT")
+
+
+def test_raise_fail_keeps_effects(eng):
+    eng.execute(
+        "CREATE TRIGGER guard AFTER INSERT ON audit BEGIN "
+        "SELECT RAISE(FAIL, 'fl') WHERE NEW.who = 'bad'; END"
+    )
+    with pytest.raises(FilesqlError, match=r"^fl$"):
+        eng.execute("INSERT INTO audit VALUES ('bad', 'x')")
+    # sqlite3 (AFTER + FAIL): the row stays
+    assert eng.query("SELECT count(*) AS n FROM audit").collect()[0].n == 1
+
+
+def test_raise_existence_check_with_from(eng):
+    """The dup-check pattern: the body SELECT has its own FROM and
+    correlates it with NEW — evaluated as one cross join, set-based."""
+    eng.execute(
+        "CREATE TRIGGER no_dup BEFORE INSERT ON audit BEGIN "
+        "SELECT RAISE(ABORT, 'duplicate who') FROM customers "
+        "WHERE customers.name = NEW.who; END"
+    )
+    with pytest.raises(FilesqlError, match=r"^duplicate who$"):
+        eng.execute("INSERT INTO audit VALUES ('alice', 'x')")
+    eng.execute("INSERT INTO audit VALUES ('nobody', 'x')")
+    assert eng.query("SELECT count(*) AS n FROM audit").collect()[0].n == 1
+
+
+def test_raise_ignore_unsupported(eng):
+    with pytest.raises(FilesqlError, match="RAISE\\(IGNORE\\) is not supported"):
+        eng.execute(
+            "CREATE TRIGGER g BEFORE INSERT ON audit BEGIN "
+            "SELECT RAISE(IGNORE) WHERE NEW.who = 'bad'; END"
+        )
+
+
+def test_raise_outside_trigger_wording(eng):
+    with pytest.raises(
+        FilesqlError, match=r"^RAISE\(\) may only be used within a trigger-program$"
+    ):
+        eng.query("SELECT RAISE(ABORT, 'x')")
+
+
+def test_plain_select_body_still_rejected(eng):
+    with pytest.raises(FilesqlError, match="only supported when it contains RAISE"):
+        eng.execute(
+            "CREATE TRIGGER g BEFORE INSERT ON audit BEGIN SELECT 1; END"
+        )
+
+
+def test_views_are_dynamic(veng):
+    """SQLite views see base-table changes (r11 fix: they were frozen at
+    CREATE VIEW time)."""
+    veng.execute("INSERT INTO base VALUES (1, 10)")
+    assert [(r.id, r.dbl) for r in veng.query("SELECT * FROM v").collect()] == [(1, 20)]
+    veng.execute("UPDATE base SET n = 50 WHERE id = 1")
+    assert [(r.id, r.dbl) for r in veng.query("SELECT * FROM v").collect()] == [(1, 100)]
+    veng.execute("BEGIN")
+    veng.execute("DELETE FROM base")
+    assert veng.query("SELECT count(*) AS c FROM v").collect()[0].c == 0
+    veng.execute("ROLLBACK")
+    assert veng.query("SELECT count(*) AS c FROM v").collect()[0].c == 1
