@@ -317,6 +317,34 @@ def main() -> None:
             queries[n](spark, sf_dir).count()
             streaming_setup[n] = round(time.perf_counter() - t0, 4)
 
+    # Export path (A19/A20): first recorded dump timing (VERDICT r10 #7).
+    # One run per format over the two largest tables (lineitem + orders),
+    # single-file mode — the reference-parity path, and the one where an
+    # accidental coalesce(1) upstream of heavy compute would show up.
+    import shutil
+    import tempfile
+
+    import filesql_spark as fs
+
+    dump_secs: dict[str, float] = {}
+    eng = fs.open(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(sf_dir, "orders.parquet"),
+        spark=spark,
+    )
+    try:
+        for fmt, codec in (("csv", None), ("csv", "gz"), ("parquet", None)):
+            out = tempfile.mkdtemp(prefix="bench_dump_")
+            try:
+                t0 = time.perf_counter()
+                eng.dump(out, format=fmt, compression=codec)
+                key = f"dump_{fmt}{'_' + codec if codec else ''}_sec"
+                dump_secs[key] = round(time.perf_counter() - t0, 4)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+    finally:
+        eng.close()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # `value` is the SUM of per-query medians (the number BASELINE.md's 2×
     # gate tracks); `median_query_sec` is the true per-query median, added
@@ -336,6 +364,7 @@ def main() -> None:
         "minhash_pairs_build_sec": pairs_build_sec,
         "components_build_sec": components_build_sec,
         "diversity_fit_sec": diversity_fit_sec,
+        **dump_secs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LOCAL.json",
     }

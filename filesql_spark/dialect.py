@@ -178,25 +178,20 @@ def _render_param(v) -> str:
 
 
 def substitute_session_functions(
-    sql: str, changes: int, total_changes: int
+    sql: str, changes: int, total_changes: int, last_insert_rowid: int = 0
 ) -> str:
     """SQLite's connection-state functions, resolved against the engine's
     counters at query time: ``changes()`` → rows of the last completed
-    INSERT/UPDATE/DELETE, ``total_changes()`` → their running sum.
-    ``last_insert_rowid()`` fails loudly: these tables are immutable
-    DataFrames with no rowids (SURVEY §1 data-model mapping), so there is
-    nothing faithful to return."""
-
-    def _lir(args: list[str]) -> str:
-        raise FilesqlError(
-            "last_insert_rowid() is not supported: DataFrame-backed tables "
-            "have no rowids; SELECT the key column with INSERT … RETURNING "
-            "instead"
-        )
-
+    INSERT/UPDATE/DELETE, ``total_changes()`` → their running sum,
+    ``last_insert_rowid()`` → the engine's bridged rowid counter (r11;
+    dml._insert maintains it — exact for integer-PRIMARY-KEY tables,
+    whose declared key IS the rowid, and for append-only implicit-rowid
+    histories; divergences documented at the dml.py tracking site)."""
     sql = _rewrite_calls(sql, "changes", lambda args: str(changes))
     sql = _rewrite_calls(sql, "total_changes", lambda args: str(total_changes))
-    return _rewrite_calls(sql, "last_insert_rowid", _lir)
+    return _rewrite_calls(
+        sql, "last_insert_rowid", lambda args: str(int(last_insert_rowid))
+    )
 
 
 def bind_params(sql: str, params) -> str:
@@ -2034,6 +2029,97 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
     return None if unknown else expr
 
 
+# ------------------------------------------------- || float rendering
+# SQLite renders a REAL operand of `||` with %!.15g ('x' || 1.0/3 →
+# 'x0.333333333333333'); Spark's concat renders doubles Java-style
+# (17-digit shortest round-trip). Reuse the division pass's affinity
+# tracker: every provably-REAL primary adjacent to a `||` routes through
+# the double_to_text session UDF.
+#
+# Scope note (documented divergence): SQLite's `||` binds TIGHTER than
+# * / % + - (`1 + 2 || 'x'` is 1 + ('2x'→2) = 3), Spark's binds looser
+# ('3x'). Unparenthesized arithmetic mixed into a concat therefore
+# parses differently to begin with — this pass wraps only
+# arithmetic-free positions, where both engines agree on the parse, and
+# the precedence delta itself stays a loud/documented divergence
+# (tests/test_dialect.py::test_divergence_concat_precedence).
+
+
+def _dtext_wrap(edits: list, a: int, b: int) -> None:
+    # TRY_CAST, not CAST: the later SQLite-CAST pass would re-expand a
+    # CAST(… AS DOUBLE) emission into the prefix-parse machinery; the
+    # operand here is provably REAL so the two are identical
+    edits.append((a, a, "filesql_double_text(TRY_CAST(("))
+    edits.append((b, b, ") AS DOUBLE))"))
+
+
+def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
+    if "||" not in sql:
+        return sql
+    mask = _div_mask(sql)
+    edits: list[tuple[int, int, str]] = []
+    throwaway: list = []  # nested div edits belong to the later div pass
+    pos, end = 0, len(sql)
+    last: tuple[int, int, str | None] | None = None  # preceding primary
+    last_clean = True  # preceding primary not glued to arithmetic
+    while pos < end:
+        c = mask[pos]
+        if c in " \t\r\n":
+            pos += 1
+            continue
+        if c == "|" and pos + 1 < end and mask[pos + 1] == "|":
+            if last is not None and last_clean and last[2] == "real":
+                _dtext_wrap(edits, last[0], last[1])
+            rf, re_, rt = _div_scan_primary(
+                sql, mask, pos + 2, end, coltypes, throwaway
+            )
+            k = re_
+            while k < end and mask[k] in " \t\r\n":
+                k += 1
+            clean_right = not (k < end and mask[k] in "*/%+-")
+            if rt == "real" and clean_right:
+                _dtext_wrap(edits, rf, re_)
+            # the chain's running result is TEXT — middles of a||b||c get
+            # wrapped exactly once (as the right operand of their ||)
+            last = None if rt == "kw" else (rf, re_, "text")
+            last_clean = True
+            pos = re_ if re_ > pos + 2 else pos + 2
+            continue
+        if c in "*/%":
+            last, last_clean = None, False
+            pos += 1
+            continue
+        if c in "+-~":
+            if last is None:  # unary sign: part of the next primary
+                pf, pe, pt = _div_scan_primary(
+                    sql, mask, pos, end, coltypes, throwaway
+                )
+                last = None if pt == "kw" else (pf, pe, pt)
+                pos = pe if pe > pos else pos + 1
+                continue
+            last, last_clean = None, False
+            pos += 1
+            continue
+        if c in ",;=<>!&":
+            last, last_clean = None, True
+            pos += 1
+            continue
+        pf, pe, pt = _div_scan_primary(sql, mask, pos, end, coltypes, throwaway)
+        if pt == "kw":
+            last, last_clean = None, True
+        else:
+            # a primary right after an arithmetic op is dirty (its value
+            # feeds the arithmetic under Spark's parse, not the concat)
+            last = (pf, pe, pt)
+            last_clean = last is not None and last_clean
+        pos = pe if pe > pos else pos + 1
+    if not edits:
+        return sql
+    for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 _REAL_LIT_TOKEN_RX = re.compile(
     r"(?<![\w.`$])(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?(?![\w.])"
 )
@@ -2224,6 +2310,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         )
     sql = _escape_string_backslashes(sql)
     sql = _requote_identifiers(sql)
+    sql = _rewrite_concat_real(sql, column_types)
     sql = _rewrite_division(sql, column_types)
     sql = _rewrite_real_literals(sql)
     sql = _rewrite_json_each(sql)

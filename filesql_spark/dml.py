@@ -336,6 +336,7 @@ def _insert(engine, sql: str) -> tuple[int, "object | None"]:
 
     n = aligned.count()
     engine._reregister(table, target.unionByName(aligned))
+    _track_rowid(engine, table, target, aligned, n)
     if engine._triggers:
         from filesql_spark import triggers as trig
 
@@ -348,6 +349,36 @@ def _insert(engine, sql: str) -> tuple[int, "object | None"]:
             ),
         )
     return n, _returning_over(aligned, returning)
+
+
+def _track_rowid(engine, table, target, aligned, n: int) -> None:
+    """Maintain the last_insert_rowid() bridge (contract and divergences
+    documented at engine.__init__'s counter). Tracking must never fail
+    the INSERT itself."""
+    if n == 0:
+        return
+    try:
+        pk = engine._primary_keys.get(table)
+        if pk and len(pk) == 1:
+            f = next(
+                (f for f in target.schema.fields if f.name == pk[0]), None
+            )
+            if f is not None and f.dataType.simpleString() in (
+                "tinyint", "smallint", "int", "bigint"
+            ):
+                # SQLite's rowid alias: the declared integer PRIMARY KEY
+                v = aligned.agg(F.max(pk[0])).collect()[0][0]
+                if v is not None:
+                    engine._last_insert_rowid = int(v)
+                    return
+        hwm = engine._rowid_hwm.get(table)
+        if hwm is None:
+            hwm = target.count()  # file-loaded rowids are dense 1..R
+        hwm += n
+        engine._rowid_hwm[table] = hwm
+        engine._last_insert_rowid = hwm
+    except Exception:
+        pass
 
 
 def _returning_over(rows_df, returning: list[str] | None):
@@ -491,6 +522,7 @@ def _upsert_replace(engine, table, target, aligned, key, returning):
     incoming, _ = _dedup_by_key(aligned, key, keep="last")
     survivors = target.join(incoming.select(*key).distinct(), key, "left_anti")
     engine._reregister(table, survivors.unionByName(incoming))
+    engine._rowid_hwm.pop(table, None)
     return n, _returning_over(incoming, returning)
 
 
@@ -502,6 +534,7 @@ def _upsert_nothing(engine, table, target, aligned, key, returning):
     inserted = incoming.join(target.select(*key).distinct(), key, "left_anti")
     n = inserted.count()
     engine._reregister(table, target.unionByName(inserted))
+    engine._rowid_hwm.pop(table, None)
     return n, _returning_over(inserted, returning)
 
 
@@ -703,6 +736,7 @@ def _delete(engine, sql: str) -> tuple[int, "object | None"]:
         pred = F.lit(True)
     n = df.filter(pred).count()
     engine._reregister(table, df.filter(~pred))
+    engine._rowid_hwm.pop(table, None)
     if engine._triggers:
         from filesql_spark import triggers as trig
 
@@ -873,6 +907,7 @@ def _drop(engine, sql: str) -> int:
             if t.table.lower() != name.lower()
         }
     engine._primary_keys.pop(name, None)
+    engine._rowid_hwm.pop(name, None)
     from filesql_spark.engine import _view_ident
 
     engine.spark.catalog.dropTempView(_view_ident(name))
@@ -954,6 +989,8 @@ def _alter(engine, sql: str) -> int:
                 engine._primary_keys[new] = engine._primary_keys.pop(table)
             if table in engine._origins:
                 engine._origins[new] = engine._origins.pop(table)
+            if table in engine._rowid_hwm:
+                engine._rowid_hwm[new] = engine._rowid_hwm.pop(table)
             engine._reregister(new, df)
             return 0
 

@@ -86,6 +86,19 @@ class Engine:
         # total_changes()); updated on the execute() DML path
         self._changes = 0
         self._total_changes = 0
+        # last_insert_rowid() bridge (r11): the rowid of the most recent
+        # plain INSERT. Exact vs sqlite3 for (a) tables with a declared
+        # single-column integer PRIMARY KEY — SQLite's rowid alias, we
+        # report the max inserted key (== the last row's for single-row
+        # and ascending multi-row inserts) — and (b) append-only
+        # implicit-rowid histories, via a per-table row-count high-water
+        # mark. Divergences (documented, not silent): a DELETE that frees
+        # the max rowid invalidates the mark (SQLite would reuse the
+        # freed id; next INSERT here re-counts), upsert paths leave the
+        # counter untouched, and multi-row inserts with NON-ascending
+        # explicit keys report the max, not the last.
+        self._last_insert_rowid = 0
+        self._rowid_hwm: dict[str, int] = {}
 
     # ------------------------------------------------------------------ load
 
@@ -214,7 +227,8 @@ class Engine:
         if params is not None:
             sql = dialect.bind_params(sql, params)
         sql = dialect.substitute_session_functions(
-            sql, self._changes, self._total_changes
+            sql, self._changes, self._total_changes,
+            getattr(self, "_last_insert_rowid", 0),
         )
         stmt = _first_keyword(sql)
         if stmt == "PRAGMA":
@@ -272,7 +286,8 @@ class Engine:
         if params is not None:
             sql = dialect.bind_params(sql, params)
         sql = dialect.substitute_session_functions(
-            sql, self._changes, self._total_changes
+            sql, self._changes, self._total_changes,
+            getattr(self, "_last_insert_rowid", 0),
         )
 
         stmt = _first_keyword(sql)
@@ -522,6 +537,9 @@ class Engine:
         self._tables, self._views = tables, views
         if view_defs is not None:
             self._view_defs = view_defs
+        # restored tables may have different row histories — re-count on
+        # the next INSERT rather than trust a stale high-water mark
+        self._rowid_hwm.clear()
         for name, df in self._tables.items():
             df.createOrReplaceTempView(_view_ident(name))
         self._rederive_views()

@@ -493,6 +493,7 @@ def _body_delete(engine, stmt: str, tx: DataFrame) -> None:
     engine._reregister(
         table, target.join(F.broadcast(tx), cond, "left_anti")
     )
+    engine._rowid_hwm.pop(table, None)  # freed rowids: re-count next INSERT
     fire(
         engine,
         table,

@@ -1029,3 +1029,27 @@ def test_float_modulo_matches_sqlite(spark, tmp_path):
         eng.close()
     assert got == exp
     assert isinstance(got[0], float) and isinstance(got[8], int)
+
+
+def test_divergence_concat_precedence(spark, tmp_path):
+    """Documented divergence (r11, dialect.py concat pass notes):
+    SQLite's `||` binds TIGHTER than arithmetic — `1 + 2 || 'x'` is
+    1 + ('2x' coerced to 2) = 3 — while Spark parses (1 + 2) || 'x' =
+    '3x'. Unparenthesized arithmetic mixed into a concat is out of shim
+    scope; parenthesized operands agree in both engines (the fuzz tier
+    covers those)."""
+    import sqlite3
+
+    import filesql_spark as fs
+
+    con = sqlite3.connect(":memory:")
+    assert con.execute("SELECT 1 + 2 || 'x'").fetchone()[0] == 3
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query("SELECT 1 + 2 || 'x' AS c FROM one").collect()[0].c
+        assert got == "3x"  # Spark's parse — the pinned delta
+    finally:
+        eng.close()

@@ -926,8 +926,46 @@ def test_changes_and_total_changes(eng):
     eng.execute("DELETE FROM sample WHERE id = 1")
     got = eng.query("SELECT changes() AS c, total_changes() AS t").collect()[0]
     assert (got.c, got.t) == (1, 3)
-    with pytest.raises(FilesqlError, match="last_insert_rowid"):
-        eng.query("SELECT last_insert_rowid()")
+
+
+def test_last_insert_rowid(eng):
+    """r11 bridge — every expectation pinned against stdlib sqlite3.
+    Exact for integer-PRIMARY-KEY tables (SQLite's rowid alias → the
+    inserted key) and append-only implicit-rowid tables (dense 1..R file
+    rowids + per-insert counts). Contract/divergences documented at
+    engine.__init__'s counter."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    assert con.execute("SELECT last_insert_rowid()").fetchone()[0] == 0
+    con.execute("CREATE TABLE s (id INTEGER, name TEXT)")
+    con.executemany("INSERT INTO s VALUES (?,?)",
+                    [(1, "a"), (2, "b"), (3, "c")])  # mirrors sample.csv
+    con.execute("INSERT INTO s VALUES (50, 'x')")
+    assert con.execute("SELECT last_insert_rowid()").fetchone()[0] == 4
+    con.execute("INSERT INTO s VALUES (51, 'y'), (52, 'z')")
+    assert con.execute("SELECT last_insert_rowid()").fetchone()[0] == 6
+    con.execute("CREATE TABLE k (pk INTEGER PRIMARY KEY, v TEXT)")
+    con.execute("INSERT INTO k VALUES (500, 'q')")
+    assert con.execute("SELECT last_insert_rowid()").fetchone()[0] == 500
+    con.execute("INSERT INTO k VALUES (600, 'r'), (601, 's')")
+    assert con.execute("SELECT last_insert_rowid()").fetchone()[0] == 601
+    con.close()
+
+    q = lambda: eng.query("SELECT last_insert_rowid() AS r").collect()[0].r
+    assert q() == 0  # fresh connection, no INSERT yet
+    # implicit rowids: sample.csv loaded 3 rows → dense rowids 1..3
+    eng.execute("INSERT INTO sample VALUES (50, 'x', 1, 'x@x')")
+    assert q() == 4
+    eng.execute("INSERT INTO sample VALUES (51, 'y', 2, 'y@x'), "
+                "(52, 'z', 3, 'z@x')")
+    assert q() == 6
+    # declared integer PRIMARY KEY = SQLite's rowid alias
+    eng.execute("CREATE TABLE k (pk INTEGER PRIMARY KEY, v TEXT)")
+    eng.execute("INSERT INTO k VALUES (500, 'q')")
+    assert q() == 500
+    eng.execute("INSERT INTO k VALUES (600, 'r'), (601, 's')")
+    assert q() == 601
 
 
 def test_sqlite_style_error_messages(eng):

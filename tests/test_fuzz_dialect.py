@@ -835,3 +835,66 @@ def test_json1_udfs_register_per_session(spark):
         "array('1'), 's') AS r"
     ).collect()[0]
     assert row.r == '{"a":1}'
+
+
+# -------------------------------------------------- || float rendering
+# SQLite renders REAL operands of `||` with %!.15g; the dialect routes
+# provably-REAL primaries adjacent to a concat through double_to_text
+# (r11). Parenthesized operands are precedence-safe in both engines, so
+# the tier can use the full typed grammar.
+
+
+def test_concat_real_pinned_cases(spark, tmp_path):
+    cases = [
+        "'x' || (1.0 / 3)",
+        "1.5 || 2.5",
+        "(1e20) || ''",
+        "'a' || NULL",
+        "2 || 'b'",
+        "'p' || (0.1 + 0.2)",
+        "-1.5 || 'z'",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(cases))
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+    for i, e in enumerate(cases):
+        assert got[i] == expected[i], (e, got[i], expected[i])
+
+
+@pytest.mark.parametrize("seed", [77, 909])
+def test_concat_corpus_matches_sqlite(spark, tmp_path, seed):
+    """Random typed expressions (the affinity-certain grammar), each
+    parenthesized and joined with || — full %!.15g rendering parity."""
+    rng = random.Random(seed)
+    exprs = []
+    while len(exprs) < 30:
+        parts = []
+        for _ in range(rng.randint(2, 4)):
+            if rng.random() < 0.3:
+                parts.append(_lit_str(rng)[0])
+            else:
+                e, _t = _gen_affine(rng, rng.randint(1, 2))
+                parts.append(f"({e})")
+        exprs.append(" || ".join(parts))
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+    for i, e in enumerate(exprs):
+        assert got[i] == expected[i], (seed, i, e, got[i], expected[i])

@@ -161,6 +161,9 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--work", default="/tmp/spark_graft_scale")
     ap.add_argument("--queries", default=None)
+    ap.add_argument("--tables", default=None,
+                    help="comma list: replicate only these tables (the "
+                         "ones the chosen --queries read)")
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse an existing --work dataset")
     args = ap.parse_args()
@@ -174,6 +177,8 @@ def main() -> None:
     dst = os.path.join(args.work, f"x{args.mult}")
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
+    if args.tables:
+        tables = [t for t in args.tables.split(",") if t in tables]
     if not args.skip_build:
         t0 = time.perf_counter()
         for t in tables:
@@ -207,10 +212,25 @@ def main() -> None:
                  "(plan construction, task launch) biases e DOWN on "
                  "sub-second queries — read e against base_sec"),
     }
+    # merge, don't overwrite: each (mult, query-set) run is its own
+    # record so the 5x/20x/50x series stays readable side by side
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALECHECK.json")
+    existing = None
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                existing = json.load(f)
+        except Exception:
+            existing = None
+    if isinstance(existing, dict) and "runs" in existing:
+        runs_out = existing["runs"] + [detail]
+    elif isinstance(existing, dict) and "rows" in existing:
+        runs_out = [existing, detail]
+    else:
+        runs_out = [detail]
     with open(path, "w") as f:
-        json.dump(detail, f, indent=1)
+        json.dump({"runs": runs_out}, f, indent=1)
         f.write("\n")
     print(json.dumps({"scale_check": {r["query"]: r["exponent"] for r in rows},
                       "mult": args.mult}))
