@@ -421,10 +421,29 @@ def _julianday(args: list[str]) -> str:
     )
 
 
+def _sqlite_text_of(expr: str) -> str:
+    """``expr`` rendered to TEXT the way SQLite renders it: %!.15g via
+    the double_to_text UDF when the affinity tracker proves the input
+    REAL, Spark's CAST AS STRING otherwise (statically-untyped floats
+    keep Java rendering — documented divergence, SURVEY §5)."""
+    mask = _div_mask(expr)
+    t = _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, [])
+    if t == "real":
+        return f"filesql_double_text(TRY_CAST(({expr}) AS DOUBLE))"
+    return f"CAST(({expr}) AS STRING)"
+
+
 def _group_concat(args: list[str]) -> str:
+    # SQLite renders REAL elements with %!.15g ('0.333333333333333,…');
+    # concat_ws would render Java-style — wrap ONLY provably-REAL args
+    # (r11); everything else keeps the plain emission
+    first = args[0]
+    mask = _div_mask(first)
+    if _div_walk(first, mask, 0, len(first), _ACTIVE_COLUMN_TYPES, []) == "real":
+        first = f"filesql_double_text(TRY_CAST(({first}) AS DOUBLE))"
     if len(args) == 1:
-        return f"concat_ws(',', collect_list({args[0]}))"
-    return f"concat_ws({args[1]}, collect_list({args[0]}))"
+        return f"concat_ws(',', collect_list({first}))"
+    return f"concat_ws({args[1]}, collect_list({first}))"
 
 
 def _random(args: list[str]) -> str:
@@ -1119,24 +1138,25 @@ def _printf_call(args: list[str]) -> str | None:
             wrapped.append(f"nvl({_cast_call([f'{a} AS REAL'])}, 0.0d)")
         elif conv == "s":
             out_fmt.append(f"{head}s")
-            wrapped.append(f"nvl(CAST({a} AS STRING), '')")
+            # SQLite renders REAL args with %!.15g here too (r11)
+            wrapped.append(f"nvl({_sqlite_text_of(a)}, '')")
         elif conv == "q":
             out_fmt.append(f"{head}s")
             wrapped.append(
                 f"(CASE WHEN {a} IS NULL THEN '(NULL)' "
-                f"ELSE replace(CAST({a} AS STRING), '''', '''''') END)"
+                f"ELSE replace({_sqlite_text_of(a)}, '''', '''''') END)"
             )
         elif conv == "Q":
             out_fmt.append(f"{head}s")
             wrapped.append(
                 f"(CASE WHEN {a} IS NULL THEN 'NULL' ELSE '''' || "
-                f"replace(CAST({a} AS STRING), '''', '''''') || '''' END)"
+                f"replace({_sqlite_text_of(a)}, '''', '''''') || '''' END)"
             )
         elif conv == "w":
             out_fmt.append(f"{head}s")
             wrapped.append(
                 f"(CASE WHEN {a} IS NULL THEN '(NULL)' "
-                f'ELSE replace(CAST({a} AS STRING), \'"\', \'""\') END)'
+                f'ELSE replace({_sqlite_text_of(a)}, \'"\', \'""\') END)'
             )
         else:
             return f"format_string({', '.join(args)})"
@@ -2029,6 +2049,96 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
     return None if unknown else expr
 
 
+# ------------------------------------------- FILTER over window frames
+# SQLite supports `agg(x) FILTER (WHERE p) OVER (…)`; Spark rejects
+# filtered window aggregates outright ("not supported yet"). The exact
+# reduction: aggregates ignore NULLs, so
+#   agg(x)  FILTER (WHERE p) OVER w  ≡  agg(CASE WHEN p THEN x END) OVER w
+#   count(*) FILTER (WHERE p) OVER w ≡  count(CASE WHEN p THEN 1 END) OVER w
+# Plain (non-window) FILTER is Spark-native and left untouched.
+
+_FILTER_KW_RX = re.compile(r"(?i)\bFILTER\s*\(")
+
+
+def _rewrite_filter_over(sql: str) -> str:
+    while True:
+        code = "".join(
+            text if kind == "code" else " " * len(text)
+            for kind, text in _split_tokens(sql)
+        )
+        edit = None
+        for m in _FILTER_KW_RX.finditer(code):
+            fopen = code.index("(", m.start())
+            fclose = _div_find_close(code, fopen, len(code))
+            if fclose == -1:
+                continue
+            k = fclose + 1
+            while k < len(code) and code[k] in " \t\r\n":
+                k += 1
+            if code[k:k + 4].lower() != "over" or (
+                k + 4 < len(code) and (code[k + 4].isalnum() or code[k + 4] == "_")
+            ):
+                continue  # plain aggregate FILTER: Spark-native
+            inner = sql[fopen + 1:fclose].strip()
+            if not re.match(r"(?i)^WHERE\b", inner):
+                continue
+            pred = inner[5:].strip()
+            # backward: the aggregate call this FILTER attaches to
+            j = m.start() - 1
+            while j >= 0 and code[j] in " \t\r\n":
+                j -= 1
+            if j < 0 or code[j] != ")":
+                continue
+            depth = 0
+            copen = -1
+            for i in range(j, -1, -1):
+                if code[i] == ")":
+                    depth += 1
+                elif code[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        copen = i
+                        break
+            if copen <= 0:
+                continue
+            e = copen - 1
+            while e >= 0 and code[e] in " \t\r\n":
+                e -= 1
+            s = e
+            while s >= 0 and (code[s].isalnum() or code[s] == "_"):
+                s -= 1
+            fn = sql[s + 1:e + 1]
+            if not fn or not (fn[0].isalpha() or fn[0] == "_"):
+                continue
+            arg = sql[copen + 1:j].strip()
+            dm = re.match(r"(?i)^DISTINCT\s+(.*)$", arg, re.S)
+            prefix = "DISTINCT " if dm else ""
+            core = dm.group(1) if dm else arg
+            if core == "*":
+                fn, core = "count", "1"
+            else:
+                depth2, multi = 0, False
+                for ch in code[copen + 1:j]:
+                    if ch == "(":
+                        depth2 += 1
+                    elif ch == ")":
+                        depth2 -= 1
+                    elif ch == "," and depth2 == 0:
+                        multi = True
+                        break
+                if multi:
+                    continue  # multi-arg aggregate: no single-slot reduction
+            new_call = (
+                f"{fn}({prefix}CASE WHEN ({pred}) THEN {core} END)"
+            )
+            edit = (s + 1, fclose + 1, new_call)
+            break
+        if edit is None:
+            return sql
+        a, b, repl = edit
+        sql = sql[:a] + repl + sql[b:]
+
+
 # ------------------------------------------------- || float rendering
 # SQLite renders a REAL operand of `||` with %!.15g ('x' || 1.0/3 →
 # 'x0.333333333333333'); Spark's concat renders doubles Java-style
@@ -2310,6 +2420,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         )
     sql = _escape_string_backslashes(sql)
     sql = _requote_identifiers(sql)
+    sql = _rewrite_filter_over(sql)
     sql = _rewrite_concat_real(sql, column_types)
     sql = _rewrite_division(sql, column_types)
     sql = _rewrite_real_literals(sql)

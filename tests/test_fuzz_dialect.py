@@ -746,11 +746,11 @@ def test_division_window_over_matches_sqlite(spark, tmp_path):
         "a / sum(a) OVER (PARTITION BY g) AS share, "
         "sum(a) OVER (ORDER BY id) / 2 AS half, "
         "a * 100 / sum(a) OVER (PARTITION BY g) AS pct, "
-        "a * 1.0 / sum(a) OVER (PARTITION BY g) AS fshare "
+        "a * 1.0 / sum(a) OVER (PARTITION BY g) AS fshare, "
+        # Spark rejects filtered window aggregates; the dialect reduces
+        # them to agg(CASE WHEN p THEN x END) OVER (exact: aggs skip NULL)
+        "a / sum(a) FILTER (WHERE a > 0) OVER (PARTITION BY g) AS fsh "
         "FROM t ORDER BY id"
-        # NOTE: `FILTER (WHERE …) OVER (…)` is guarded correctly by the
-        # rewrite but Spark itself rejects filtered window aggregates
-        # ("not supported yet") — excluded here.
     )
     _differential(
         spark, tmp_path, stmt, rows,
@@ -898,3 +898,41 @@ def test_concat_corpus_matches_sqlite(spark, tmp_path, seed):
         eng.close()
     for i, e in enumerate(exprs):
         assert got[i] == expected[i], (seed, i, e, got[i], expected[i])
+
+
+def test_window_filter_clause_matches_sqlite(spark, tmp_path):
+    """`agg FILTER (WHERE p) OVER (…)` — Spark rejects it natively; the
+    dialect reduces to agg(CASE WHEN p THEN x END) OVER, which is exact
+    because aggregates ignore NULLs. count(*) and DISTINCT forms too."""
+    rows = [(1, 10, 1), (2, -5, 1), (3, 7, 2), (4, 0, 2), (5, 10, 1)]
+    stmt = (
+        "SELECT id, "
+        "sum(a) FILTER (WHERE a > 0) OVER (PARTITION BY g) AS s, "
+        "count(*) FILTER (WHERE a < 0) OVER (PARTITION BY g) AS c, "
+        # (DISTINCT inside a window aggregate: unsupported in BOTH
+        # engines — sqlite3 raises 'DISTINCT is not supported for
+        # window functions')
+        "avg(a) FILTER (WHERE a <> 0) OVER "
+        "(ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m "
+        "FROM t ORDER BY id"
+    )
+    _differential(
+        spark, tmp_path, stmt, rows,
+        "CREATE TABLE t (id INTEGER, a INTEGER, g INTEGER)", "id,a,g",
+    )
+
+
+def test_group_concat_and_printf_render_reals_like_sqlite(spark, tmp_path):
+    """REAL values reaching TEXT through group_concat elements and
+    printf %s/%q render with SQLite's %!.15g (r11)."""
+    rows = [(1, 0.3333333333333333), (2, 1e20)]
+    stmt = (
+        "SELECT group_concat(f) AS g, "
+        "group_concat(f, ';') AS g2, "
+        "printf('[%s]', min(f)) AS p "
+        "FROM t"
+    )
+    _differential(
+        spark, tmp_path, stmt, rows,
+        "CREATE TABLE t (id INTEGER, f REAL)", "id,f",
+    )

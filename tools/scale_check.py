@@ -223,10 +223,16 @@ def main() -> None:
                 existing = json.load(f)
         except Exception:
             existing = None
-    if isinstance(existing, dict) and "runs" in existing:
+    if isinstance(existing, dict) and isinstance(existing.get("runs"), list):
         runs_out = existing["runs"] + [detail]
     elif isinstance(existing, dict) and "rows" in existing:
-        runs_out = [existing, detail]
+        runs_out = [existing, detail]  # legacy single-run format
+    elif isinstance(existing, dict) and "checks" in existing:
+        # legacy multi-check format ({"checks": [{mult, rows}, …]})
+        runs_out = [
+            {**{k: existing.get(k) for k in ("runs", "base", "note")}, **c}
+            for c in existing["checks"]
+        ] + [detail]
     else:
         runs_out = [detail]
     with open(path, "w") as f:
