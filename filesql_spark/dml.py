@@ -12,8 +12,9 @@ rewrites the table's DataFrame lazily and re-registers the view:
   row, matching SQL three-valued DELETE semantics)
 - RETURNING on all three DML forms (SQLite 3.35+): the affected-rows frame
   is built on the immutable pre-swap plan and handed back lazily
-- CREATE TABLE/VIEW, DROP, CREATE INDEX (accepted no-op), TRIGGER (error) —
-  reference advertises these via SQLite (README.md:333-334)
+- CREATE TABLE/VIEW, DROP, CREATE INDEX (accepted no-op), CREATE TRIGGER
+  (triggers.py — BEFORE/AFTER/INSTEAD OF + RAISE) — reference advertises
+  these via SQLite (README.md:333-334)
 - ALTER TABLE RENAME TO / RENAME COLUMN / ADD COLUMN / DROP COLUMN
   (SQLite 3.35+ forms) as plan rewrites + view re-registration
 
@@ -515,6 +516,21 @@ def _view_delete(engine, table, m, returning):
     return 0, _returning_over(doomed, returning)
 
 
+def _fire_insert_trigger(engine, table, rows_df) -> None:
+    if not engine._triggers:
+        return
+    from filesql_spark import triggers as trig
+
+    trig.fire(
+        engine,
+        table,
+        "INSERT",
+        rows_df.select(
+            F.struct(*[F.col(c) for c in rows_df.columns]).alias("new")
+        ),
+    )
+
+
 def _upsert_replace(engine, table, target, aligned, key, returning):
     """OR REPLACE: last incoming row per key wins; matching standing rows
     are dropped. changes() counts each attempted row, like SQLite."""
@@ -523,6 +539,10 @@ def _upsert_replace(engine, table, target, aligned, key, returning):
     survivors = target.join(incoming.select(*key).distinct(), key, "left_anti")
     engine._reregister(table, survivors.unionByName(incoming))
     engine._rowid_hwm.pop(table, None)
+    # SQLite (recursive_triggers OFF, the default the reference inherits):
+    # OR REPLACE fires INSERT triggers for the landed rows; the implicit
+    # delete of the replaced row fires nothing
+    _fire_insert_trigger(engine, table, incoming)
     return n, _returning_over(incoming, returning)
 
 
@@ -535,6 +555,9 @@ def _upsert_nothing(engine, table, target, aligned, key, returning):
     n = inserted.count()
     engine._reregister(table, target.unionByName(inserted))
     engine._rowid_hwm.pop(table, None)
+    # SQLite: OR IGNORE / DO NOTHING fire INSERT triggers only for rows
+    # that actually inserted
+    _fire_insert_trigger(engine, table, inserted)
     return n, _returning_over(inserted, returning)
 
 
@@ -597,6 +620,36 @@ def _upsert_update(engine, table, target, aligned, key, rest, returning):
     to_insert = aligned.join(target.select(*key).distinct(), key, "left_anti")
     n_inserted = to_insert.count()
     engine._reregister(table, updated.unionByName(to_insert))
+    if engine._triggers:
+        # SQLite: DO UPDATE fires UPDATE triggers on the conflicted rows
+        # (old = standing row, new = after SET) and INSERT triggers on
+        # the non-conflicted inserted rows
+        from filesql_spark import triggers as trig
+
+        if n_updated:
+            trig.fire(
+                engine,
+                table,
+                "UPDATE",
+                joined.filter(matched).select(
+                    F.struct(
+                        *[tgt[c].alias(c) for c in target.columns]
+                    ).alias("old"),
+                    F.struct(
+                        *[
+                            (
+                                F.when(matched, assigns[c]).otherwise(tgt[c])
+                                if c in assigns
+                                else tgt[c]
+                            ).alias(c)
+                            for c in target.columns
+                        ]
+                    ).alias("new"),
+                ),
+                set_cols=set(assigns),
+            )
+        if n_inserted:
+            _fire_insert_trigger(engine, table, to_insert)
     if returning is None:
         return n_updated + n_inserted, None
     # RETURNING sees the post-upsert rows: updated (new values) + inserted

@@ -58,8 +58,13 @@ Documented divergences (each raises or is noted, never silent):
   relative updates like ``SET n = n + 1`` therefore bump once per fire,
   not once per row.  INSERT bodies are exempt: they always produce one
   row per transition row, exactly like SQLite.
-- Triggers fire on the plain INSERT/UPDATE/DELETE paths; the upsert
-  branches (OR REPLACE / OR IGNORE / ON CONFLICT) do not fire them.
+- Upsert branches fire triggers with SQLite's recursive_triggers=OFF
+  semantics (the default, inherited by the reference): OR REPLACE fires
+  INSERT triggers for the landed rows (the implicit delete of a
+  replaced row fires nothing), OR IGNORE / DO NOTHING fire INSERT only
+  for rows that actually inserted, DO UPDATE fires UPDATE triggers on
+  conflicted rows and INSERT triggers on the inserted remainder — all
+  pinned differentially (r11; test_triggers).
 - Statement atomicity: SQLite rolls back the triggering statement AND
   all trigger effects if any body statement errors; here a mid-body
   failure leaves earlier body effects applied unless the caller wrapped

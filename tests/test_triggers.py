@@ -384,3 +384,68 @@ def test_views_are_dynamic(veng):
     assert veng.query("SELECT count(*) AS c FROM v").collect()[0].c == 0
     veng.execute("ROLLBACK")
     assert veng.query("SELECT count(*) AS c FROM v").collect()[0].c == 1
+
+
+def test_upsert_paths_fire_triggers_like_sqlite(spark, tmp_path):
+    """Upsert trigger firing, pinned against sqlite3 (recursive_triggers
+    OFF, the default): OR REPLACE fires INSERT for landed rows (never
+    DELETE for the implicit replace), OR IGNORE/DO NOTHING only for
+    actually-inserted rows, DO UPDATE fires UPDATE on hits and INSERT
+    on misses."""
+    import sqlite3
+
+    def sqlite_log(stmts):
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+        con.execute("CREATE TABLE log (ev TEXT, id INTEGER)")
+        for ev, img in (("ins", "NEW"), ("upd", "NEW"), ("del", "OLD")):
+            verb = {"ins": "INSERT", "upd": "UPDATE", "del": "DELETE"}[ev]
+            con.execute(
+                f"CREATE TRIGGER t{ev} AFTER {verb} ON t BEGIN "
+                f"INSERT INTO log VALUES ('{ev}', {img}.id); END"
+            )
+        con.execute("INSERT INTO t VALUES (1, 'a')")
+        con.execute("DELETE FROM log")
+        for s in stmts:
+            con.execute(s)
+        out = sorted(con.execute("SELECT * FROM log").fetchall())
+        con.close()
+        return out
+
+    (tmp_path / "seed.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "seed.csv"), spark=spark)
+    eng.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    eng.execute("CREATE TABLE log (ev TEXT, id INTEGER)")
+    for ev, img in (("ins", "NEW"), ("upd", "NEW"), ("del", "OLD")):
+        verb = {"ins": "INSERT", "upd": "UPDATE", "del": "DELETE"}[ev]
+        eng.execute(
+            f"CREATE TRIGGER t{ev} AFTER {verb} ON t BEGIN "
+            f"INSERT INTO log VALUES ('{ev}', {img}.id); END"
+        )
+    eng.execute("INSERT INTO t VALUES (1, 'a')")
+    eng.execute("DELETE FROM log")
+
+    cases = [
+        ["INSERT OR REPLACE INTO t VALUES (1, 'b')"],
+        ["INSERT OR REPLACE INTO t VALUES (2, 'c')"],
+        ["INSERT OR IGNORE INTO t VALUES (1, 'z')"],
+        ["INSERT OR IGNORE INTO t VALUES (3, 'd')"],
+        ["INSERT INTO t VALUES (1, 'e') "
+         "ON CONFLICT(id) DO UPDATE SET v = excluded.v"],
+        ["INSERT INTO t VALUES (4, 'f') "
+         "ON CONFLICT(id) DO UPDATE SET v = excluded.v"],
+        ["INSERT INTO t VALUES (1, 'g') ON CONFLICT(id) DO NOTHING"],
+    ]
+    for stmts in cases:
+        expected = sqlite_log(stmts)
+        eng.execute("DELETE FROM log")
+        # the DELETE fires tdel into log — clear again without triggers
+        # interfering (log has no triggers, t does)
+        eng.execute("DELETE FROM log")
+        for s in stmts:
+            eng.execute(s)
+        got = sorted(
+            (r.ev, r.id) for r in eng.query("SELECT * FROM log").collect()
+        )
+        assert got == expected, (stmts, got, expected)
+    eng.close()
