@@ -1057,6 +1057,14 @@ _CALL_REWRITES = {
     # body (triggers.py consumes trigger-body RAISE before rewriting);
     # SQLite's exact wording
     "raise": lambda args: _raise_outside_trigger(),
+    # SQLite sign() returns INTEGER -1/0/1 (func.c signFunc); Spark's
+    # signum returns DOUBLE (r11 sweep finding)
+    "sign": lambda args: f"CAST(sign({args[0]}) AS BIGINT)",
+    # SQLite integers are always int64, so abs(-2147483648) widens to
+    # 2147483648; Spark types the literal INT and ANSI-overflows. Widen
+    # provably-INTEGER operands; REAL/unknown stay untouched (abs of a
+    # double must stay double). int64 min still errors in BOTH engines.
+    "abs": lambda args: _abs_call(args),
     # randomblob(N): N pseudo-random bytes; N < 1 yields 1 byte (SQLite
     # parity, pinned). Per-element rand() inside a transform stays
     # JVM-side and nondeterministic per byte per row.
@@ -1083,6 +1091,16 @@ _CALL_REWRITES = {
 
 def _raise_outside_trigger():
     raise FilesqlError("RAISE() may only be used within a trigger-program")
+
+
+def _abs_call(args: list[str]) -> str | None:
+    if len(args) != 1:
+        raise FilesqlError(f"abs expects 1 arg, got {len(args)}")
+    expr = args[0]
+    mask = _div_mask(expr)
+    if _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, []) == "int":
+        return f"abs(CAST(({expr}) AS BIGINT))"
+    return None  # REAL/unknown: leave exactly as written
 
 
 _PRINTF_DIR_RE = re.compile(r"%([-+ 0#]*)(\d+)?(\.\d+)?([a-zA-Z%])")

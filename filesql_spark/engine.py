@@ -189,7 +189,18 @@ class Engine:
         """Maintain the ``sqlite_master`` compat view (filesql.go:224-248;
         README.md:149 queries it verbatim)."""
         rows = [
-            (kind, name, name, 0, self._ddl_for(name) if kind == "table" else None)
+            (
+                kind,
+                name,
+                name,
+                0,
+                # SQLite stores each object's creating statement verbatim
+                self._ddl_for(name) if kind == "table"
+                else (
+                    f'CREATE VIEW "{name}" AS {self._view_defs[name]}'
+                    if name in self._view_defs else None
+                ),
+            )
             for kind, names in (("table", self._tables), ("view", self._views))
             for name in names
         ] + [

@@ -1053,3 +1053,50 @@ def test_divergence_concat_precedence(spark, tmp_path):
         assert got == "3x"  # Spark's parse — the pinned delta
     finally:
         eng.close()
+
+
+def test_sign_and_abs_integer_semantics(spark, tmp_path):
+    """r11 sweep findings, pinned against sqlite3: sign() returns
+    INTEGER -1/0/1 (Spark's signum is DOUBLE), and abs() of an INTEGER
+    operand widens to int64 (SQLite ints are always 8-byte;
+    abs(-2147483648) = 2147483648 where Spark's INT literal would
+    ANSI-overflow). abs of REAL stays REAL."""
+    import sqlite3
+
+    import filesql_spark as fs
+
+    cases = [
+        "sign(-4.2)", "sign(0)", "sign(7)", "sign(NULL)",
+        "abs(-2147483648)", "abs(-7)", "abs(2.5)", "abs(-0.0)",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(cases))
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+    for i, e in enumerate(cases):
+        g, x = got[i], expected[i]
+        assert g == x and type(g) is type(x), (e, g, x)
+
+
+def test_divergence_boolean_rendering(spark, tmp_path):
+    """Documented divergence: SQLite has no boolean type — a bare
+    comparison SELECTs as INTEGER 1/0; this engine returns Spark's
+    BooleanType (True/False), which is truthy-equivalent in every
+    Python/database-api consumer. Pinned, not shimmed: coercing every
+    boolean output column to int would rewrite ordinary projections."""
+    import filesql_spark as fs
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query("SELECT 2 > 1 AS c FROM one").collect()[0].c
+        assert got is True  # sqlite3 would return 1
+    finally:
+        eng.close()

@@ -985,3 +985,15 @@ def test_sqlite_style_error_messages(eng):
         eng.query("SELECT * FROM missing")
     except FilesqlError as ex:
         assert ex.__cause__ is not None
+
+
+def test_sqlite_master_stores_view_sql(eng):
+    """SQLite stores each object's creating statement in sqlite_master.sql
+    — views included (r11; table DDL was already synthesized)."""
+    eng.execute("CREATE VIEW adults AS SELECT name FROM sample WHERE age >= 18")
+    row = eng.query(
+        "SELECT sql FROM sqlite_master WHERE type = 'view' AND name = 'adults'"
+    ).collect()[0]
+    assert row.sql == (
+        'CREATE VIEW "adults" AS SELECT name FROM sample WHERE age >= 18'
+    )
