@@ -271,12 +271,32 @@ class Engine:
 
             return dml.dml_returning(self, _strip_comments(sql).strip())
         if stmt == "EXPLAIN":
-            # SQLite's EXPLAIN [QUERY PLAN] <select> — surface Spark's
-            # plan the same way: one text row per plan line
-            inner = re.sub(
-                r"^\s*EXPLAIN(\s+QUERY\s+PLAN)?\s+", "", sql, count=1, flags=re.I
-            )
-            plan = self.query(inner)._jdf.queryExecution().explainString(
+            # SQLite's EXPLAIN [QUERY PLAN] <select> — surfaced honestly
+            # as Spark's plan. QUERY PLAN keeps SQLite's exact schema
+            # (id, parent, notused, detail) with the parent tree derived
+            # from the PHYSICAL plan's structure; bare EXPLAIN returns
+            # the formatted explain text one line per row (SQLite's VDBE
+            # opcode listing has no meaningful Spark equivalent, and its
+            # docs tell applications not to depend on the format).
+            m = re.match(r"(?is)^\s*EXPLAIN(\s+QUERY\s+PLAN)?\s+(.*)$", sql)
+            qp, inner = m.group(1), m.group(2)
+            qe = self.query(inner)._jdf.queryExecution()
+            if qp:
+                rows = []
+                last_at_depth: dict[int, int] = {}
+                for i, line in enumerate(
+                    qe.executedPlan().toString().splitlines()
+                ):
+                    t = re.match(r"^([: ]*)(?:[+:]-\s)?(.*)$", line)
+                    depth = (len(t.group(1)) // 3 + 1) if t.group(1) or line.lstrip().startswith(("+-", ":-")) else 0
+                    last_at_depth[depth] = i
+                    parent = last_at_depth.get(depth - 1, 0) if depth else 0
+                    rows.append((i, parent, 0, t.group(2)))
+                return self.spark.createDataFrame(
+                    rows,
+                    "id int, parent int, notused int, detail string",
+                )
+            plan = qe.explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )

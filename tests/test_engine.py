@@ -997,3 +997,23 @@ def test_sqlite_master_stores_view_sql(eng):
     assert row.sql == (
         'CREATE VIEW "adults" AS SELECT name FROM sample WHERE age >= 18'
     )
+
+
+def test_explain_query_plan_tree(eng):
+    """EXPLAIN QUERY PLAN keeps SQLite's (id, parent, notused, detail)
+    schema with the parent tree derived from Spark's physical plan; a
+    join plan exercises the branching (':-') prefix form."""
+    rows = eng.query(
+        "EXPLAIN QUERY PLAN SELECT a.name FROM sample a "
+        "JOIN sample b ON a.id = b.id WHERE a.age > 1"
+    ).collect()
+    assert [r.id for r in rows] == list(range(len(rows)))
+    assert rows[0].parent == 0
+    by_id = {r.id: r for r in rows}
+    for r in rows[1:]:
+        assert r.parent in by_id and r.parent < r.id  # a well-formed tree
+    assert any("Join" in r.detail for r in rows)
+    assert any("FileScan" in r.detail or "Scan" in r.detail for r in rows)
+    # bare EXPLAIN: formatted text lines
+    flat = eng.query("EXPLAIN SELECT count(*) FROM sample").collect()
+    assert flat[0].detail.startswith("== Physical Plan ==")

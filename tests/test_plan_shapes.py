@@ -689,3 +689,26 @@ def test_json_each_lateral_is_generate_not_join(spark, tmp_path):
         assert "CartesianProduct" not in plan2
     finally:
         eng.close()
+
+
+def test_window_filter_rewrite_is_single_window(spark, tmp_path):
+    """`agg FILTER (WHERE p) OVER (PARTITION BY g)` reduces to one
+    Window exec over the CASE projection — exactly one partition-key
+    exchange, no join, no second window (r11 dialect pass)."""
+    import re as _re
+
+    import filesql_spark as fs
+
+    (tmp_path / "w.csv").write_text("id,g,a\n1,1,10\n2,1,-5\n3,2,7\n")
+    eng = fs.open(str(tmp_path / "w.csv"), spark=spark)
+    try:
+        df = eng.query(
+            "SELECT id, sum(a) FILTER (WHERE a > 0) OVER (PARTITION BY g) "
+            "AS s FROM w"
+        )
+        plan = _formatted(df)
+        assert len(_re.findall(r"\(\d+\) Window", plan)) == 1, plan[:2000]
+        assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+        assert "Join" not in plan
+    finally:
+        eng.close()
