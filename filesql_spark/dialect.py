@@ -2355,11 +2355,10 @@ def _rewrite_json_tvf(sql: str, fn: str) -> str:
         if hit is None:
             return sql
         start, end, args = hit
-        if len(args) != 1 or not args[0].strip():
+        if len(args) not in (1, 2) or not args[0].strip():
             raise FilesqlError(
-                f"{fn} supports the 1-arg form {fn}(doc); the path form "
-                f"{fn}(doc, P) can be written as "
-                f"{fn}(json_extract(doc, P))"
+                f"{fn} expects 1-2 args ({fn}(doc) or {fn}(doc, path)), "
+                f"got {len(args)}"
             )
         before = sql[:start].rstrip()
         alias, aend = None, end
@@ -2369,7 +2368,55 @@ def _rewrite_json_tvf(sql: str, fn: str) -> str:
             if word.lower() not in _DIV_KEYWORDS and word.lower() != "lateral":
                 alias, aend = word, m.end()
         alias = alias or fn
-        inner = f"inline(filesql_{fn}({args[0]}))"
+        if len(args) == 2:
+            # the path form: walk the subtree at P, with every
+            # path-bearing column re-rooted exactly as SQLite roots them
+            # — fullkey '$.a[0]' (not '$[0]'), and the ROOT row (the one
+            # whose un-rooted fullkey is '$' — json_tree's subtree root,
+            # or json_each over a scalar target) takes its key from P's
+            # last segment and its path from P's parent. get_json_object
+            # peels the subtree; missing path → NULL doc → zero rows,
+            # matching SQLite.
+            doc, p = args[0], args[1]
+            if fn == "json_tree":
+                # json_tree's ROOT row (un-rooted fullkey '$'): key is
+                # P's last segment when it's an object key ('.name'),
+                # NULL for '$' or an array index; path is P's PARENT.
+                # (Both pinned empirically against sqlite3.)
+                rk = (
+                    f"(CASE WHEN ({p}) RLIKE '\\\\.[^.\\\\[]+$' "
+                    f"THEN regexp_extract(({p}), '\\\\.([^.\\\\[]+)$', 1) "
+                    f"ELSE CAST(NULL AS STRING) END)"
+                )
+                rpath = (
+                    f"(CASE WHEN ({p}) = '$' THEN '$' ELSE "
+                    f"regexp_replace(({p}), "
+                    f"'(\\\\.[^.\\\\[]+|\\\\[[0-9]+\\\\])$', '') END)"
+                )
+                key_expr = (
+                    f"CASE WHEN s.fullkey = '$' THEN {rk} ELSE s.key END"
+                )
+                path_expr = (
+                    f"CASE WHEN s.fullkey = '$' THEN {rpath} "
+                    f"ELSE concat(({p}), substring(s.path, 2)) END"
+                )
+            else:
+                # json_each's root row (scalar target) keeps key NULL
+                # and path = P — exactly what plain re-rooting produces
+                key_expr = "s.key"
+                path_expr = f"concat(({p}), substring(s.path, 2))"
+            inner = (
+                f"inline(transform(filesql_{fn}("
+                f"get_json_object({doc}, {p})), "
+                f"s -> named_struct("
+                f"'key', {key_expr}, "
+                f"'value', s.value, 'type', s.type, "
+                f"'atom', s.atom, 'id', s.id, 'parent', s.parent, "
+                f"'fullkey', concat(({p}), substring(s.fullkey, 2)), "
+                f"'path', {path_expr})))"
+            )
+        else:
+            inner = f"inline(filesql_{fn}({args[0]}))"
         if before.endswith(","):
             comma = len(before) - 1
             repl = f" LATERAL VIEW {inner} {alias}"

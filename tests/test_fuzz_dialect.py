@@ -936,3 +936,49 @@ def test_group_concat_and_printf_render_reals_like_sqlite(spark, tmp_path):
         spark, tmp_path, stmt, rows,
         "CREATE TABLE t (id INTEGER, f REAL)", "id,f",
     )
+
+
+def test_json_tvf_path_form_matches_sqlite(spark, tmp_path):
+    """json_each(X, P) / json_tree(X, P) — the path form (r11): subtree
+    walk with fullkey/path re-rooted at P, root-row key/path following
+    SQLite's exact (empirically pinned) rules: json_each's scalar-root
+    keeps key NULL and path = P; json_tree's root key is P's last
+    segment for object keys (NULL for '$'/array index) and its path is
+    P's parent. Includes the correlated comma form."""
+    queries = [
+        """SELECT key, value, type, fullkey, path """
+        """FROM json_each('{"a":[5,{"x":1}],"b":2}', '$.a')""",
+        """SELECT key, value, fullkey, path FROM json_each('{"a":5}', '$.a')""",
+        """SELECT key, value, fullkey, path FROM json_each('[9]', '$[0]')""",
+        """SELECT key, fullkey, path FROM json_tree('{"a":{"b":[7]}}', '$.a')""",
+        """SELECT count(*) AS c FROM json_each('{"a":1}', '$.nope')""",
+        """SELECT key, fullkey, path FROM json_tree('[[1]]', '$[0]')""",
+        """SELECT key, fullkey, path FROM json_tree('{"a":1}', '$')""",
+        """SELECT d.id, je.key, je.value FROM d, json_each(d.doc, '$.tags') """
+        """AS je ORDER BY d.id, je.key""",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE d (id INTEGER, doc TEXT)")
+    con.executemany(
+        "INSERT INTO d VALUES (?,?)",
+        [(1, '{"tags":["x","y"]}'), (2, '{"tags":[]}'), (3, "{}")],
+    )
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+
+    (tmp_path / "d.csv").write_text(
+        'id,doc\n1,"{""tags"":[""x"",""y""]}"\n2,"{""tags"":[]}"\n3,"{}"\n'
+    )
+    eng = fs.open(str(tmp_path / "d.csv"), spark=spark)
+
+    def norm(rows):
+        return [
+            tuple(str(v) if v is not None else None for v in r) for r in rows
+        ]
+
+    try:
+        for q, e in zip(queries, expected):
+            got = [tuple(r) for r in eng.query(q).collect()]
+            assert norm(got) == norm(e), (q, got, e)
+    finally:
+        eng.close()
