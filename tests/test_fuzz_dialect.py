@@ -982,3 +982,110 @@ def test_json_tvf_path_form_matches_sqlite(spark, tmp_path):
             assert norm(got) == norm(e), (q, got, e)
     finally:
         eng.close()
+
+
+# ------------------------------------------ DML-sequence differential
+# Seeded random INSERT/UPDATE/DELETE/transaction sequences against a
+# table carrying a dynamic view and an audit trigger — final table,
+# view, and audit contents compared row-for-row against sqlite3. This
+# exercises the r11 machinery end-to-end: view re-derivation after
+# every mutation, trigger firing (plain + upsert paths), and
+# snapshot/rollback of tables, views, and defs together.
+
+
+def _gen_dml_sequence(rng: random.Random) -> list[str]:
+    stmts = []
+    next_id = 100
+    in_txn = False
+    for _ in range(rng.randint(10, 16)):
+        pick = rng.randrange(10)
+        if pick <= 3:
+            rows = ", ".join(
+                f"({next_id + k}, {rng.randint(-20, 99)})"
+                for k in range(rng.randint(1, 3))
+            )
+            next_id += 3
+            stmts.append(f"INSERT INTO t VALUES {rows}")
+        elif pick <= 5:
+            stmts.append(
+                f"UPDATE t SET n = n + {rng.randint(-5, 9)} "
+                f"WHERE id % {rng.randint(2, 4)} = {rng.randint(0, 1)}"
+            )
+        elif pick == 6:
+            stmts.append(f"DELETE FROM t WHERE n < {rng.randint(-10, 5)}")
+        elif pick == 7:
+            rid = rng.choice([1, 2, 3, next_id])
+            if rid == next_id:
+                next_id += 1  # consume: a later plain INSERT must not
+                # reuse the id (sqlite enforces PK uniqueness; plain-
+                # INSERT constraint enforcement is a documented non-goal
+                # here, so a collision would diverge trivially)
+            stmts.append(
+                f"INSERT OR REPLACE INTO t VALUES ({rid}, {rng.randint(0, 50)})"
+            )
+        elif pick == 8 and not in_txn:
+            stmts.append("BEGIN")
+            in_txn = True
+        else:
+            if in_txn:
+                stmts.append(rng.choice(["COMMIT", "ROLLBACK"]))
+                in_txn = False
+            else:
+                stmts.append(f"INSERT INTO t VALUES ({next_id}, 7)")
+                next_id += 1
+    if in_txn:
+        stmts.append(rng.choice(["COMMIT", "ROLLBACK"]))
+    return stmts
+
+
+@pytest.mark.parametrize("seed", [5, 99, 1234])
+def test_dml_sequence_with_views_and_triggers_matches_sqlite(
+    spark, tmp_path, seed
+):
+    rng = random.Random(seed)
+    stmts = _gen_dml_sequence(rng)
+    seed_rows = [(1, 10), (2, -3), (3, 25)]
+
+    con = sqlite3.connect(":memory:")
+    con.isolation_level = None  # autocommit: explicit BEGIN/COMMIT work
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, n INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?,?)", seed_rows)
+    con.execute("CREATE VIEW v AS SELECT id, n * 2 AS dbl FROM t WHERE n >= 0")
+    con.execute("CREATE TABLE log (id INTEGER)")
+    con.execute(
+        "CREATE TRIGGER au AFTER UPDATE ON t BEGIN "
+        "INSERT INTO log VALUES (NEW.id); END"
+    )
+    for s in stmts:
+        con.execute(s)
+    exp_t = sorted(con.execute("SELECT * FROM t").fetchall())
+    exp_v = sorted(con.execute("SELECT * FROM v").fetchall())
+    exp_log = sorted(con.execute("SELECT * FROM log").fetchall())
+    con.close()
+
+    (tmp_path / "seed.csv").write_text("x\n1\n")
+    eng = fs.open(str(tmp_path / "seed.csv"), spark=spark)
+    try:
+        eng.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, n INTEGER)")
+        for r in seed_rows:
+            eng.execute(f"INSERT INTO t VALUES {r}")
+        eng.execute(
+            "CREATE VIEW v AS SELECT id, n * 2 AS dbl FROM t WHERE n >= 0"
+        )
+        eng.execute("CREATE TABLE log (id INTEGER)")
+        eng.execute(
+            "CREATE TRIGGER au AFTER UPDATE ON t BEGIN "
+            "INSERT INTO log VALUES (NEW.id); END"
+        )
+        for s in stmts:
+            eng.execute(s)
+        got_t = sorted(tuple(r) for r in eng.query("SELECT * FROM t").collect())
+        got_v = sorted(tuple(r) for r in eng.query("SELECT * FROM v").collect())
+        got_log = sorted(
+            tuple(r) for r in eng.query("SELECT * FROM log").collect()
+        )
+    finally:
+        eng.close()
+    assert got_t == exp_t, (seed, stmts, got_t, exp_t)
+    assert got_v == exp_v, (seed, stmts)
+    assert got_log == exp_log, (seed, stmts, got_log, exp_log)
