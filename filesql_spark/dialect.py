@@ -2186,8 +2186,17 @@ def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
         return sql
     mask = _div_mask(sql)
     edits: list[tuple[int, int, str]] = []
+    _concat_walk(sql, mask, 0, len(sql), coltypes, edits)
+    if not edits:
+        return sql
+    for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
+def _concat_walk(sql, mask, start, end, coltypes, edits) -> None:
     throwaway: list = []  # nested div edits belong to the later div pass
-    pos, end = 0, len(sql)
+    pos = start
     last: tuple[int, int, str | None] | None = None  # preceding primary
     last_clean = True  # preceding primary not glued to arithmetic
     while pos < end:
@@ -2201,6 +2210,7 @@ def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
             rf, re_, rt = _div_scan_primary(
                 sql, mask, pos + 2, end, coltypes, throwaway
             )
+            _concat_descend(sql, mask, rf, re_, coltypes, edits)
             k = re_
             while k < end and mask[k] in " \t\r\n":
                 k += 1
@@ -2233,6 +2243,10 @@ def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
             pos += 1
             continue
         pf, pe, pt = _div_scan_primary(sql, mask, pos, end, coltypes, throwaway)
+        # a primary can hide concats one level down — a paren group, a
+        # function's arguments, a subquery item — which scan_primary
+        # consumes opaquely; descend into its paren groups
+        _concat_descend(sql, mask, pf, pe, coltypes, edits)
         if pt == "kw":
             last, last_clean = None, True
         else:
@@ -2241,11 +2255,22 @@ def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
             last = (pf, pe, pt)
             last_clean = last is not None and last_clean
         pos = pe if pe > pos else pos + 1
-    if not edits:
-        return sql
-    for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
-        sql = sql[:a] + repl + sql[b:]
-    return sql
+
+
+def _concat_descend(sql, mask, pf, pe, coltypes, edits) -> None:
+    """Walk the paren groups inside a consumed primary span for nested
+    `||` sites (CASE arms without parens remain out of reach of this
+    pass — a documented conservative miss: they keep Java rendering)."""
+    if "||" not in mask[pf:pe]:
+        return
+    i = mask.find("(", pf, pe)
+    if i == -1:
+        return
+    close = _div_find_close(mask, i, pe)
+    if close == -1:
+        return
+    _concat_walk(sql, mask, i + 1, close, coltypes, edits)
+    _concat_descend(sql, mask, close + 1, pe, coltypes, edits)
 
 
 _REAL_LIT_TOKEN_RX = re.compile(

@@ -853,6 +853,10 @@ def test_concat_real_pinned_cases(spark, tmp_path):
         "2 || 'b'",
         "'p' || (0.1 + 0.2)",
         "-1.5 || 'z'",
+        # nested one level down: paren groups and function arguments
+        "('x' || (1.0 / 3))",
+        "upper('v' || (1.0 / 3))",
+        "length(('p' || 1e20) || 'q')",
     ]
     select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(cases))
     con = sqlite3.connect(":memory:")
