@@ -460,11 +460,14 @@ def test_execute_script_comment_aware(eng):
 
 
 def test_explain_query_plan(eng):
-    """SQLite's EXPLAIN QUERY PLAN surface: one text row per plan line of
-    the underlying Spark physical plan."""
-    rows = eng.query("EXPLAIN QUERY PLAN SELECT name FROM sample WHERE id = 1").collect()
+    """SQLite's EXPLAIN QUERY PLAN surface — since r11 with SQLite's
+    (id, parent, notused, detail) tree schema over the physical plan."""
+    rows = eng.query(
+        "EXPLAIN QUERY PLAN SELECT name FROM sample WHERE id = 1"
+    ).collect()
     text = "\n".join(r.detail for r in rows)
-    assert "Filter" in text and len(rows) > 3
+    assert "Filter" in text and len(rows) >= 2
+    assert rows[0].id == 0 and all(r.parent < r.id for r in rows[1:])
     rows2 = eng.query("EXPLAIN SELECT COUNT(*) FROM sample").collect()
     assert any("Aggregate" in r.detail for r in rows2)
 
