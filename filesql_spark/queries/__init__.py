@@ -143,12 +143,12 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "ann_recall_report": 9,
     "asof_join_latest_order": 10,
     "asof_join_tolerance": 8,
-    "cdc_merge_apply": 7,
+    "cdc_merge_apply": 11,
     "coalesce_cast": 10,
-    "corpus_datacard": 7,
+    "corpus_datacard": 11,
     "cte_vs_company_avg": 10,
-    "customers_rfm_segments": 7,
-    "customers_rfm_sketch": 7,
+    "customers_rfm_segments": 11,
+    "customers_rfm_sketch": 11,
     "date_functions": 10,
     "date_hour_histogram": 10,
     "date_julianday_span": 10,
@@ -158,13 +158,13 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "dedup_embedding_cosine": 9,
     "dedup_exact": 10,
     "dedup_family_size_distribution": 9,
-    "dedup_incremental": 6,
+    "dedup_incremental": 11,
     "dedup_lsh_tuning_report": 8,
     "dedup_minhash_lsh": 9,
     "dedup_ngram_jaccard": 10,
     "dedup_simhash": 9,
     "dedup_threshold_sweep": 9,
-    "derived_table": 7,
+    "derived_table": 11,
     "docs_cross_source_dups": 8,
     "docs_lang_confusion": 8,
     "docs_ngram_novelty": 9,
@@ -172,17 +172,17 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "docs_quality_gate_sweep": 9,
     "docs_source_reputation": 7,
     "docs_tokenizer_fertility": 9,
-    "embedding_kmeans": 7,
+    "embedding_kmeans": 11,
     "embedding_knn_label": 8,
     "embedding_label_centroids": 9,
     "embedding_norm_stats": 8,
     "embedding_outliers": 8,
     "embedding_pair_distance_histogram": 9,
-    "embedding_quantize_int8": 6,
-    "embedding_random_projection": 7,
+    "embedding_quantize_int8": 11,
+    "embedding_random_projection": 11,
     "embedding_standardize": 8,
     "events_ab_test_lift": 8,
-    "events_anomaly_zscore": 6,
+    "events_anomaly_zscore": 11,
     "events_bot_detection": 8,
     "events_changepoint_cusum": 8,
     "events_conversion_latency": 8,
@@ -191,12 +191,12 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_error_rate_monitor": 9,
     "events_forecast_seasonal": 8,
     "events_funnel": 10,
-    "events_gap_fill": 7,
+    "events_gap_fill": 11,
     "events_hazard_curve": 8,
     "events_ltv_cohort": 8,
-    "events_markov_transitions": 7,
+    "events_markov_transitions": 11,
     "events_retention_cohorts": 10,
-    "events_robust_stats": 7,
+    "events_robust_stats": 11,
     "events_session_funnel": 8,
     "events_sessionize": 10,
     "events_skew_report": 7,
@@ -207,13 +207,13 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_user_streaks": 8,
     "events_window_topk": 7,
     "features_user_wide": 8,
-    "filter_like_ci": 7,
+    "filter_like_ci": 11,
     "filter_predicates": 9,
     "graph_pagerank_events": 8,
     "graph_triangle_census": 8,
     "in_subquery": 10,
-    "interval_join_banded": 7,
-    "join_bloom_semireduction": 7,
+    "interval_join_banded": 11,
+    "join_bloom_semireduction": 11,
     "join_cross": 10,
     "join_full_outer": 10,
     "join_left_anti": 10,
@@ -222,18 +222,18 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "join_multiway_inner": 10,
     "join_right_outer": 10,
     "join_salted_skew": 9,
-    "join_theta_selfjoin": 7,
+    "join_theta_selfjoin": 11,
     "json_extract": 10,
-    "layout_zorder_stats": 6,
+    "layout_zorder_stats": 11,
     "limit_offset": 10,
     "lineitem_discount_regression": 8,
     "lineitem_pareto_share": 8,
     "math_functions": 10,
     "multimodal_decode": 9,
-    "multimodal_extract_features": 7,
+    "multimodal_extract_features": 11,
     "multimodal_frame_dedup": 9,
     "multimodal_frame_sample": 9,
-    "multimodal_resize": 7,
+    "multimodal_resize": 11,
     "orders_association_rules": 8,
     "orders_cooccur_parts": 8,
     "orders_fulfillment_latency": 9,
@@ -242,40 +242,40 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "part_supplier_concentration": 8,
     "pipeline_clean_corpus": 9,
     "pipeline_contamination_report": 8,
-    "pipeline_curate_full": 7,
+    "pipeline_curate_full": 11,
     "pipeline_curriculum_order": 7,
-    "pipeline_dataset_manifest": 7,
-    "pipeline_decontaminate": 7,
-    "pipeline_diversity_sample": 7,
+    "pipeline_dataset_manifest": 11,
+    "pipeline_decontaminate": 11,
+    "pipeline_diversity_sample": 11,
     "pipeline_eval_set_builder": 9,
     "pipeline_incremental_decontaminate": 8,
-    "pipeline_mixture_resample": 7,
+    "pipeline_mixture_resample": 11,
     "pipeline_near_dup_eval": 8,
-    "pipeline_pack_sequences": 6,
-    "pipeline_per_source_cap": 7,
+    "pipeline_pack_sequences": 11,
+    "pipeline_per_source_cap": 11,
     "pipeline_semantic_decontaminate": 7,
     "pipeline_split_overlap_qa": 8,
     "pipeline_stage_metrics": 9,
     "pipeline_stratified_sample": 9,
-    "pipeline_train_prep": 7,
+    "pipeline_train_prep": 11,
     "pipeline_train_val_split": 9,
-    "pipeline_weighted_sample": 6,
+    "pipeline_weighted_sample": 11,
     "pivot_status_by_priority": 9,
     "profile_orders_stats": 7,
-    "q10_returned_items": 7,
-    "q14_promo_revenue": 7,
+    "q10_returned_items": 11,
+    "q14_promo_revenue": 11,
     "q18_large_orders": 8,
     "q1_pricing_summary": 9,
     "q3_shipping_priority": 10,
     "q5_local_supplier": 10,
-    "q6_forecast_revenue": 7,
+    "q6_forecast_revenue": 11,
     "q7_nation_volume": 8,
     "q8_market_share": 8,
     "quality_expectations_orders": 8,
     "quality_signal_correlation": 9,
     "recursive_cte": 10,
     "scalar_subquery_correlated": 10,
-    "scalar_subquery_select": 7,
+    "scalar_subquery_select": 11,
     "scd2_user_tier": 10,
     "select_case_expr": 10,
     "set_except": 10,
@@ -285,57 +285,57 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "set_union_all": 10,
     "set_union_distinct": 10,
     "sketch_cms_heavy_hitters": 7,
-    "sketch_histogram_quantiles": 6,
+    "sketch_histogram_quantiles": 11,
     "sketch_hll_rollup": 8,
     "sketch_hll_sliding_wau": 8,
-    "sketch_hll_users": 6,
+    "sketch_hll_users": 11,
     "sketch_kmv_theta": 8,
-    "snapshot_diff_docs": 7,
-    "streaming_cdc_apply": 7,
+    "snapshot_diff_docs": 11,
+    "streaming_cdc_apply": 11,
     "streaming_cms_tokens": 7,
     "streaming_dedup_exact": 9,
-    "streaming_dedup_within_watermark": 6,
+    "streaming_dedup_within_watermark": 11,
     "streaming_events_enriched": 9,
     "streaming_events_hourly": 10,
-    "streaming_events_sessionize": 6,
-    "streaming_events_sliding": 6,
+    "streaming_events_sessionize": 11,
+    "streaming_events_sliding": 11,
     "streaming_events_user_state": 10,
-    "streaming_interval_join": 6,
+    "streaming_interval_join": 11,
     "streaming_kmv_sketch": 8,
     "string_functions": 10,
-    "text_bigram_lm": 7,
+    "text_bigram_lm": 11,
     "text_bm25_search": 9,
     "text_bpe_merges": 7,
-    "text_chunk_stride": 7,
+    "text_chunk_stride": 11,
     "text_dup_span_removal": 8,
-    "text_dup_spans": 7,
+    "text_dup_spans": 11,
     "text_fingerprint": 10,
     "text_lang_id": 10,
     "text_length_percentiles": 9,
     "text_lm_perplexity": 8,
     "text_pii_redact": 9,
     "text_quality_score": 10,
-    "text_rarity_score": 6,
+    "text_rarity_score": 11,
     "text_readability_scores": 9,
     "text_repetition_filter": 9,
     "text_tfidf_topterms": 8,
     "text_token_count": 9,
-    "text_token_drift": 7,
+    "text_token_drift": 11,
     "text_token_entropy": 8,
     "text_tokenizer_coverage": 8,
     "text_top_tokens": 9,
     "text_vocab_growth_heaps": 9,
     "topk_orders": 10,
-    "window_agg_over": 7,
+    "window_agg_over": 11,
     "window_cume_dist": 8,
     "window_groups_frame": 9,
     "window_lag_lead": 10,
-    "window_nth_last_value": 7,
+    "window_nth_last_value": 11,
     "window_ntile_dense_first": 10,
     "window_percent_rank": 9,
     "window_range_interval": 10,
-    "window_rank": 7,
-    "window_row_number": 7,
+    "window_rank": 11,
+    "window_row_number": 11,
     "window_running_sum": 10,
 }
 
