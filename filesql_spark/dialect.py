@@ -1672,20 +1672,21 @@ def _div_split_args(mask: str, start: int, end: int) -> list[tuple[int, int]]:
     return spans
 
 
-def _div_scan_case(sql, mask, pos, end, coltypes, edits):
-    """Scan `CASE … END` starting at pos (the C of CASE). Walks every
-    sub-span for nested division edits; returns (end_after_END, type)."""
+def _case_marks(sql, mask, pos, end):
+    """Top-level WHEN/THEN/ELSE/END keyword positions of the `CASE`
+    starting at pos (the C of CASE), paren- and nesting-aware. Returns
+    the marks list (last entry is the closing ("end")) or None when the
+    CASE is unterminated within [pos, end)."""
     low = sql.lower()
     i = pos + 4
     depth_case = 1
-    # collect top-level WHEN/THEN/ELSE/END keyword positions
     marks: list[tuple[int, str]] = []
     while i < end:
         c = mask[i]
         if c == "(":
             i = _div_find_close(mask, i, end)
             if i == -1:
-                return end, None
+                return None
             i += 1
             continue
         if c.isalpha() or c == "_":
@@ -1707,6 +1708,15 @@ def _div_scan_case(sql, mask, pos, end, coltypes, edits):
             continue
         i += 1
     if depth_case != 0:
+        return None
+    return marks
+
+
+def _div_scan_case(sql, mask, pos, end, coltypes, edits):
+    """Scan `CASE … END` starting at pos (the C of CASE). Walks every
+    sub-span for nested division edits; returns (end_after_END, type)."""
+    marks = _case_marks(sql, mask, pos, end)
+    if marks is None:
         return end, None
     # sub-spans between marks: operand (CASE..first mark), conditions
     # (WHEN..THEN), branches (THEN../ELSE.. to next mark)
@@ -2185,6 +2195,14 @@ def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
     if "||" not in sql:
         return sql
     mask = _div_mask(sql)
+    if coltypes:
+        # same shadow rule as the division pass: derived-scope rebinds
+        # degrade to unknown affinity (no %!.15g wrap — Java rendering
+        # of a genuinely-REAL value differs, but a wrongly-typed wrap
+        # would corrupt ints/text, the worse failure)
+        shadowed = _alias_bound_names(sql, mask)
+        if shadowed:
+            coltypes = {k: v for k, v in coltypes.items() if k not in shadowed}
     edits: list[tuple[int, int, str]] = []
     _concat_walk(sql, mask, 0, len(sql), coltypes, edits)
     if not edits:
@@ -2258,19 +2276,41 @@ def _concat_walk(sql, mask, start, end, coltypes, edits) -> None:
 
 
 def _concat_descend(sql, mask, pf, pe, coltypes, edits) -> None:
-    """Walk the paren groups inside a consumed primary span for nested
-    `||` sites (CASE arms without parens remain out of reach of this
-    pass — a documented conservative miss: they keep Java rendering)."""
+    """Walk the paren groups AND the CASE sub-spans (operand, WHEN
+    conditions, THEN/ELSE arms — r12, closes the unparenthesized-CASE-arm
+    miss documented at commit a5b90cd) inside a consumed primary span for
+    nested `||` sites. Recursion happens through _concat_walk's own
+    primary scan, so each site is visited exactly once."""
     if "||" not in mask[pf:pe]:
         return
-    i = mask.find("(", pf, pe)
-    if i == -1:
-        return
-    close = _div_find_close(mask, i, pe)
-    if close == -1:
-        return
-    _concat_walk(sql, mask, i + 1, close, coltypes, edits)
-    _concat_descend(sql, mask, close + 1, pe, coltypes, edits)
+    low = sql.lower()
+    i = pf
+    while i < pe:
+        c = mask[i]
+        if c == "(":
+            close = _div_find_close(mask, i, pe)
+            if close == -1:
+                return
+            _concat_walk(sql, mask, i + 1, close, coltypes, edits)
+            i = close + 1
+            continue
+        if (c.isalpha() or c == "_") and low.startswith("case", i):
+            m = _WORD_RX.match(mask, i)
+            if m is not None and low[m.start():m.end()] == "case":
+                marks = _case_marks(sql, mask, i, pe)
+                if marks is None:
+                    return
+                prev = i + 4
+                for mpos, kw in marks:
+                    _concat_walk(sql, mask, prev, mpos, coltypes, edits)
+                    prev = mpos + len(kw)
+                i = marks[-1][0] + 3  # past END
+                continue
+        if c.isalpha() or c == "_":
+            m = _WORD_RX.match(mask, i)
+            i = m.end() if m is not None else i + 1
+            continue
+        i += 1
 
 
 _REAL_LIT_TOKEN_RX = re.compile(
@@ -2301,36 +2341,93 @@ def _rewrite_real_literals(sql: str) -> str:
 
 
 def _alias_bound_names(sql: str, mask: str) -> set[str]:
-    """Every name bound by `AS <name>` anywhere in the statement —
-    column aliases, table aliases, CTE names (CAST targets come along;
-    type names are never catalog columns, so stripping them is free).
-    The division pass must NOT type a bare identifier from the global
-    catalog when the statement rebinds that name: with an int column
-    `n` anywhere in the engine, `WITH c AS (SELECT avg(x) AS n FROM t)
-    SELECT n/2 FROM c` used to rewrite to `n DIV nullif(2, 0)` and
-    truncate a real value (r11 ADVICE fix). Shadowed names degrade to
-    unknown affinity EVERYWHERE in the statement — conservative: `/`
-    stays real division, which never wrongly truncates. Residual gap
-    (documented): implicit aliases (`SELECT avg(x) n`) are not detected."""
+    """Names bound by `AS <name>` inside a derived scope — i.e. at paren
+    depth >= 1: subquery select lists and CTE bodies (CAST targets come
+    along; type names are never catalog columns, so stripping them is
+    free). The division pass must NOT type a bare identifier from the
+    global catalog when a derived table rebinds that name: with an int
+    column `n` anywhere in the engine, `WITH c AS (SELECT avg(x) AS n
+    FROM t) SELECT n/2 FROM c` used to rewrite to `n DIV nullif(2, 0)`
+    and truncate a real value (r11 ADVICE fix). Shadowed names degrade
+    to unknown affinity everywhere in the statement — conservative: `/`
+    stays real division, which never wrongly truncates.
+
+    Top-level (depth-0) select-list aliases do NOT shadow: SQLite
+    resolves select-list expressions against FROM columns, never against
+    sibling aliases, so `SELECT n/2 AS n FROM t` must keep the catalog's
+    INTEGER typing and emit DIV (r12 ADVICE fix — the global strip made
+    self-alias projections like `SELECT price/100 AS price` wrongly keep
+    real division).
+
+    Implicit aliases (`SELECT avg(x) n`, `FROM t u`) are detected too
+    (r12, closes the r11 verdict #4 gap): a bare word at depth >= 1
+    whose previous token ends a primary — `)`, a string/backtick
+    literal, a number, or a non-keyword identifier — and which is not
+    itself a keyword or a function call. Residual gaps (documented):
+    backtick-quoted implicit aliases, string-literal aliases
+    (`avg(x) 'n'`), and a division site at depth >= 1 that references a
+    sibling alias bound at its own depth is conservatively stripped
+    along with the outer uses."""
     low = sql.lower()
     names: set[str] = set()
+    depth = 0
+    scanned = 0  # paren-depth cursor: advance lazily between word hits
     for m in _WORD_RX.finditer(mask):
-        if low[m.start():m.end()] != "as":
+        word = low[m.start():m.end()]
+        seg = mask[scanned:m.start()]
+        depth += seg.count("(") - seg.count(")")
+        scanned = m.start()
+        if depth < 1:
             continue
+        if word == "as":
+            k = m.end()
+            while k < len(mask) and mask[k] in " \t\r\n":
+                k += 1
+            if k >= len(mask):
+                break
+            if mask[k] == "\x00" and sql[k] == "`":
+                r = k
+                while r < len(mask) and mask[r] == "\x00":
+                    r += 1
+                names.add(sql[k:r][1:-1].replace("``", "`").lower())
+            else:
+                m2 = _WORD_RX.match(mask, k)
+                if m2 is not None:
+                    names.add(low[m2.start():m2.end()])
+            continue
+        if word in _DIV_KEYWORDS or word == "case":
+            continue
+        # implicit alias: previous token must end a primary
+        j = m.start() - 1
+        while j >= 0 and mask[j] in " \t\r\n":
+            j -= 1
+        if j < 0:
+            continue
+        c = mask[j]
+        if c == ")" or c == "\x00":
+            pass  # call/paren group, or string/backtick literal
+        elif c.isalnum() or c == "_":
+            ts = j
+            while ts > 0 and (mask[ts - 1].isalnum() or mask[ts - 1] in "_."):
+                ts -= 1
+            prev = low[ts:j + 1]
+            if prev[0].isdigit():
+                pass  # numeric literal ends a primary
+            elif prev in ("end", "null") or "." in prev:
+                pass  # CASE…END / NULL / qualified t.c end a primary
+            elif prev in _DIV_KEYWORDS or prev == "case":
+                continue  # keyword precedes an operand, not an alias
+            else:
+                pass  # bare identifier: `a n` binds implicit alias n
+        else:
+            continue  # operator/comma/dot: mid-expression, not an alias
+        # a call (`count(`) or qualified ref (`t.c`) is not an alias
         k = m.end()
         while k < len(mask) and mask[k] in " \t\r\n":
             k += 1
-        if k >= len(mask):
-            break
-        if mask[k] == "\x00" and sql[k] == "`":
-            r = k
-            while r < len(mask) and mask[r] == "\x00":
-                r += 1
-            names.add(sql[k:r][1:-1].replace("``", "`").lower())
-        else:
-            m2 = _WORD_RX.match(mask, k)
-            if m2 is not None:
-                names.add(low[m2.start():m2.end()])
+        if k < len(mask) and mask[k] in "(.":
+            continue
+        names.add(word)
     return names
 
 

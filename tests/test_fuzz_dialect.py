@@ -774,6 +774,47 @@ def test_division_alias_shadowing_matches_sqlite(spark, tmp_path):
     )
 
 
+def test_division_toplevel_self_alias_matches_sqlite(spark, tmp_path):
+    """r12 ADVICE regression: SQLite resolves select-list expressions
+    against FROM columns, never against sibling aliases, so a top-level
+    self-alias (`SELECT n/2 AS n`) keeps the catalog's INTEGER typing
+    and truncates. Only derived-scope rebinds (subquery/CTE select
+    lists) shadow the catalog."""
+    rows = [(1, 7), (2, 8), (3, 11)]
+    # top level: n stays catalog-int → DIV (SQLite: 3, 4, 5)
+    _differential(
+        spark, tmp_path,
+        "SELECT n / 2 AS n, n / 2 AS m, id FROM t ORDER BY id",
+        rows, "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n",
+    )
+    # sibling alias in the same select list does not shadow either:
+    # h divides the catalog's INTEGER n, not the REAL sibling alias
+    _differential(
+        spark, tmp_path,
+        "SELECT n / 2 AS h, n * 1.5 AS n FROM t ORDER BY id",
+        rows, "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n",
+    )
+    # but a derived-scope rebind still strips catalog typing: avg is
+    # REAL, the outer division must not truncate
+    _differential(
+        spark, tmp_path,
+        "SELECT n / 2 AS h FROM (SELECT avg(n) AS n FROM t)",
+        rows, "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n",
+    )
+    # implicit (AS-less) aliases in derived scopes shadow too (r11
+    # verdict #4): `SELECT avg(n) n` rebinds n without AS
+    _differential(
+        spark, tmp_path,
+        "SELECT n / 2 AS h FROM (SELECT avg(n) n FROM t)",
+        rows, "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n",
+    )
+    _differential(
+        spark, tmp_path,
+        "WITH c AS (SELECT avg(n) n FROM t) SELECT n / 2 AS h FROM c",
+        rows, "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n",
+    )
+
+
 def test_json_array_extract_loose_matches_sqlite(spark, tmp_path):
     """json_array over json_extract output (the 'l' loose subtype
     class): extracted containers and numbers splice, extracted scalar
@@ -857,6 +898,37 @@ def test_concat_real_pinned_cases(spark, tmp_path):
         "('x' || (1.0 / 3))",
         "upper('v' || (1.0 / 3))",
         "length(('p' || 1e20) || 'q')",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(cases))
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+    for i, e in enumerate(cases):
+        assert got[i] == expected[i], (e, got[i], expected[i])
+
+
+def test_concat_real_in_case_arms(spark, tmp_path):
+    """r12: `||` float rendering must reach unparenthesized CASE arms
+    (operand, WHEN condition, THEN/ELSE branches) — the last documented
+    conservative miss of the concat descent (commit a5b90cd)."""
+    cases = [
+        "CASE WHEN 1 = 1 THEN 'x' || (1.0 / 3) ELSE 'n' END",
+        "CASE WHEN 1 = 1 THEN 1.5 || 2.5 END",
+        "CASE WHEN 1 = 0 THEN 'n' ELSE 'p' || (0.1 + 0.2) END",
+        "CASE 'a' || 1e20 WHEN 'a' THEN 'hit' ELSE 'a' || 1e20 END",
+        "CASE WHEN ('w' || 2.5) = 'w2.5' THEN 'y' ELSE 'n' END",
+        # nested CASE inside a CASE arm
+        "CASE WHEN 1 = 1 THEN "
+        "CASE WHEN 2 = 2 THEN 'i' || -1.5 END ELSE 'n' END",
+        # CASE as a || operand (outer concat) with a real-typed branch
+        "'o' || CASE WHEN 1 = 1 THEN 0.5 ELSE 1.5 END",
     ]
     select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(cases))
     con = sqlite3.connect(":memory:")
