@@ -81,6 +81,8 @@ def _guarded_dml(engine, fn, sql: str):
     from filesql_spark.errors import TriggerRaise
 
     pre = (dict(engine._tables), dict(engine._views), dict(engine._view_defs))
+    pre_rowid = getattr(engine, "_last_insert_rowid", 0)
+    pre_hwm = dict(getattr(engine, "_rowid_hwm", {}))
     try:
         return fn(engine, sql)
     except TriggerRaise as e:
@@ -88,12 +90,22 @@ def _guarded_dml(engine, fn, sql: str):
             engine._snapshot is not None or engine._savepoints
         ):
             engine.rollback()
+            engine._rowid_hwm = pre_hwm
         elif e.kind != "FAIL":
             tables, views, defs = pre
             engine._restore_state(
                 tables, views, engine._primary_keys, engine._origins,
                 engine._triggers, defs,
             )
+            # the statement's rows are undone: the next insert reuses
+            # their rowids, exactly like SQLite's reverted max-rowid
+            engine._rowid_hwm = pre_hwm
+        # last_insert_rowid(): sqlite3 keeps the aborted row's rowid when
+        # an AFTER trigger raised (the row was inserted, then undone) but
+        # leaves the counter untouched for a BEFORE-trigger raise (no row
+        # ever landed) — both pinned empirically (test_triggers r12)
+        if getattr(e, "timing", "") == "BEFORE" and e.kind != "FAIL":
+            engine._last_insert_rowid = pre_rowid
         raise
 
 

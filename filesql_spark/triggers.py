@@ -319,10 +319,16 @@ def fire(
     ]
     if not matching:
         return
+    from filesql_spark.errors import TriggerRaise
+
     depth = getattr(engine, "_trigger_depth", 0)
     if depth >= _MAX_DEPTH:
         raise FilesqlError(f"trigger cascade exceeds depth {_MAX_DEPTH}")
     engine._trigger_depth = depth + 1
+    # sqlite3_last_insert_rowid(): "once the trigger program ends, the
+    # value reverts to what it was before the trigger fired" — body
+    # INSERTs see their own rowids mid-body, but never leak outward
+    pre_rowid = getattr(engine, "_last_insert_rowid", 0)
     try:
         for t in matching:
             if (
@@ -340,10 +346,18 @@ def fire(
                         F.lit(False),
                     )
                 )
-            for stmt in t.body:
-                _run_body_stmt(engine, stmt, scoped)
+            try:
+                for stmt in t.body:
+                    _run_body_stmt(engine, stmt, scoped)
+            except TriggerRaise as e:
+                # overwrite at every cascade level: the OUTERMOST fire's
+                # trigger timing decides the statement-level counter
+                # unwind in dml._guarded_dml (BEFORE → no row landed)
+                e.timing = t.timing
+                raise
     finally:
         engine._trigger_depth = depth
+        engine._last_insert_rowid = pre_rowid
 
 
 def _run_body_stmt(engine, stmt: str, tx: DataFrame) -> None:

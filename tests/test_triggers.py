@@ -449,3 +449,100 @@ def test_upsert_paths_fire_triggers_like_sqlite(spark, tmp_path):
         )
         assert got == expected, (stmts, got, expected)
     eng.close()
+
+
+def test_last_insert_rowid_under_triggers(spark, tmp_path):
+    """r12 ADVICE: the counter across trigger fires and RAISE unwinds —
+    every expectation pinned against stdlib sqlite3 side by side.
+    sqlite3_last_insert_rowid(): body INSERTs revert when the trigger
+    program ends; an AFTER-trigger RAISE keeps the aborted row's rowid
+    (the row landed, then was undone); a BEFORE-trigger RAISE leaves the
+    counter untouched (no row ever landed)."""
+    import sqlite3
+
+    def scenario(exe, q):
+        out = []
+        exe("CREATE TABLE k (pk INTEGER PRIMARY KEY, v TEXT)")
+        exe("CREATE TABLE log (pk INTEGER PRIMARY KEY, note TEXT)")
+        exe("INSERT INTO k VALUES (10, 'seed')")
+        out.append(q())                                   # 10
+        # body INSERT reverts once the trigger ends
+        exe("CREATE TRIGGER tlog AFTER INSERT ON k WHEN new.v <> 'bad' "
+            "BEGIN INSERT INTO log VALUES (900 + new.pk, 'l'); END")
+        exe("INSERT INTO k VALUES (20, 'ok')")
+        out.append(q())                                   # 20, not 920
+        # AFTER RAISE(ABORT): row undone, counter keeps the undone rowid
+        exe("CREATE TRIGGER tabort AFTER INSERT ON k WHEN new.v = 'bad' "
+            "BEGIN SELECT RAISE(ABORT, 'no'); END")
+        try:
+            exe("INSERT INTO k VALUES (30, 'bad')")
+        except Exception:
+            pass
+        out.append(q())                                   # 30
+        # BEFORE RAISE(ABORT): counter untouched
+        exe("CREATE TABLE j (pk INTEGER PRIMARY KEY, v TEXT)")
+        exe("CREATE TRIGGER jabort BEFORE INSERT ON j WHEN new.v = 'bad' "
+            "BEGIN SELECT RAISE(ABORT, 'no'); END")
+        exe("INSERT INTO j VALUES (40, 'ok')")
+        out.append(q())                                   # 40
+        try:
+            exe("INSERT INTO j VALUES (50, 'bad')")
+        except Exception:
+            pass
+        out.append(q())                                   # still 40
+        return out
+
+    con = sqlite3.connect(":memory:")
+    expected = scenario(
+        con.execute,
+        lambda: con.execute("SELECT last_insert_rowid()").fetchone()[0],
+    )
+    con.close()
+    assert expected == [10, 20, 30, 40, 40]  # pins stay honest
+
+    (tmp_path / "seedfile.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "seedfile.csv"), spark=spark)
+    try:
+        got = scenario(
+            eng.execute,
+            lambda: eng.query(
+                "SELECT last_insert_rowid() AS r"
+            ).collect()[0].r,
+        )
+    finally:
+        eng.close()
+    assert got == expected, (got, expected)
+
+
+def test_rowid_hwm_reuse_after_abort(spark, tmp_path):
+    """An aborted INSERT's implicit rowids are reused by the next INSERT
+    (SQLite's max rowid reverts with the undone rows) — pinned against
+    stdlib sqlite3 on an implicit-rowid table."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE s (a INTEGER, b TEXT)")
+    con.executemany("INSERT INTO s VALUES (?,?)", [(1, "x"), (2, "y")])
+    con.execute("CREATE TRIGGER tr AFTER INSERT ON s WHEN new.b = 'bad' "
+                "BEGIN SELECT RAISE(ABORT, 'no'); END")
+    try:
+        con.execute("INSERT INTO s VALUES (3, 'bad')")
+    except sqlite3.Error:
+        pass
+    con.execute("INSERT INTO s VALUES (4, 'ok')")
+    expected = con.execute("SELECT last_insert_rowid()").fetchone()[0]
+    con.close()
+    assert expected == 3  # the aborted row's rowid was reused
+
+    (tmp_path / "s.csv").write_text("a,b\n1,x\n2,y\n")
+    eng = fs.open(str(tmp_path / "s.csv"), spark=spark)
+    try:
+        eng.execute("CREATE TRIGGER tr AFTER INSERT ON s WHEN new.b = 'bad' "
+                    "BEGIN SELECT RAISE(ABORT, 'no'); END")
+        with pytest.raises(FilesqlError):
+            eng.execute("INSERT INTO s VALUES (3, 'bad')")
+        eng.execute("INSERT INTO s VALUES (4, 'ok')")
+        got = eng.query("SELECT last_insert_rowid() AS r").collect()[0].r
+    finally:
+        eng.close()
+    assert got == expected, (got, expected)
