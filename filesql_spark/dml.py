@@ -89,8 +89,10 @@ def _guarded_dml(engine, fn, sql: str):
         if e.kind == "ROLLBACK" and (
             engine._snapshot is not None or engine._savepoints
         ):
+            # tables rewind to transaction start, not statement start:
+            # rollback()'s _restore_state clears the rowid high-water
+            # marks so the next INSERT re-counts the restored tables
             engine.rollback()
-            engine._rowid_hwm = pre_hwm
         elif e.kind != "FAIL":
             tables, views, defs = pre
             engine._restore_state(
@@ -976,6 +978,10 @@ def _drop(engine, sql: str) -> int:
     from filesql_spark.engine import _view_ident
 
     engine.spark.catalog.dropTempView(_view_ident(name))
+    if kind == "TABLE":
+        # views over the dropped table keep their last-good DataFrame
+        # (documented divergence) — the flush records the failure
+        engine._mark_views_dirty()
     engine._refresh_catalog_views()
     return 0
 

@@ -99,6 +99,9 @@ class Engine:
         # explicit keys report the max, not the last.
         self._last_insert_rowid = 0
         self._rowid_hwm: dict[str, int] = {}
+        self._views_dirty = False
+        # view name → last re-derivation failure (see _flush_views)
+        self._view_errors: dict[str, str] = {}
 
     # ------------------------------------------------------------------ load
 
@@ -121,29 +124,42 @@ class Engine:
         if origin:
             self._origins[name] = origin
         df.createOrReplaceTempView(_view_ident(name))
-        self._rederive_views()
+        self._mark_views_dirty()
         self._refresh_catalog_views()
 
     def _reregister(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
         df.createOrReplaceTempView(_view_ident(name))
-        self._rederive_views()
+        self._mark_views_dirty()
         self._refresh_catalog_views()
 
-    def _rederive_views(self) -> None:
-        """Re-analyze every registered view from its defining SQL so it
-        reflects the current base tables (SQLite views are dynamic). A
-        view whose base table was dropped keeps its last-good DataFrame
-        (documented divergence: SQLite errors at view-query time)."""
-        if not self._view_defs:
+    def _mark_views_dirty(self) -> None:
+        """A base table changed: registered views re-derive lazily on the
+        next read (r12 ADVICE — eager per-mutation re-analysis was
+        O(views × statements) across a trigger cascade)."""
+        if self._view_defs:
+            self._views_dirty = True
+
+    def _flush_views(self) -> None:
+        """Re-analyze every registered view from its defining SQL if a
+        base table changed since the last read, so reads see current
+        data (SQLite views are dynamic). A view whose re-derivation now
+        fails (e.g. its base table was dropped) keeps its last-good
+        DataFrame (documented divergence: SQLite errors at view-query
+        time) — the failure is recorded in ``_view_errors`` instead of
+        vanishing."""
+        if not getattr(self, "_views_dirty", False):
             return
+        self._views_dirty = False
         from filesql_spark import dialect
 
         for name, body in self._view_defs.items():
             try:
                 df = self.spark.sql(dialect.rewrite(body))
-            except Exception:
+            except Exception as e:
+                self._view_errors[name] = f"{type(e).__name__}: {e}"
                 continue
+            self._view_errors.pop(name, None)
             self._views[name] = df
             df.createOrReplaceTempView(name)
 
@@ -235,6 +251,7 @@ class Engine:
         sequence, ``:name``/``@name``/``$name`` with a dict) exactly like
         the reference's database/sql surface (filesql.go: plain
         ``db.QueryContext(ctx, query, args...)``)."""
+        self._flush_views()
         if params is not None:
             sql = dialect.bind_params(sql, params)
         sql = dialect.substitute_session_functions(
@@ -314,6 +331,7 @@ class Engine:
         :meth:`query`."""
         from filesql_spark import dml
 
+        self._flush_views()
         if params is not None:
             sql = dialect.bind_params(sql, params)
         sql = dialect.substitute_session_functions(
@@ -573,7 +591,7 @@ class Engine:
         self._rowid_hwm.clear()
         for name, df in self._tables.items():
             df.createOrReplaceTempView(_view_ident(name))
-        self._rederive_views()
+        self._mark_views_dirty()
         self._refresh_catalog_views()
 
     # ------------------------------------------------------------- lifecycle

@@ -361,6 +361,9 @@ def fire(
 
 
 def _run_body_stmt(engine, stmt: str, tx: DataFrame) -> None:
+    # an earlier body statement may have mutated a base table; views the
+    # body reads must re-derive first (lazy since r12 — engine._flush_views)
+    engine._flush_views()
     kw = stmt.split(None, 1)[0].upper()
     if kw == "SELECT":
         _body_select_raise(engine, stmt, tx)

@@ -1020,3 +1020,29 @@ def test_explain_query_plan_tree(eng):
     # bare EXPLAIN: formatted text lines
     flat = eng.query("EXPLAIN SELECT count(*) FROM sample").collect()
     assert flat[0].detail.startswith("== Physical Plan ==")
+
+
+def test_view_rederivation_is_lazy_and_failures_recorded(eng):
+    """r12 ADVICE: base-table mutations mark views dirty instead of
+    re-analyzing every view per statement; the first read flushes. A
+    re-derivation failure (base table dropped) keeps the last-good
+    DataFrame (documented divergence) and is recorded in _view_errors."""
+    eng.execute("CREATE TABLE b (k INTEGER, v TEXT)")
+    eng.execute("INSERT INTO b VALUES (1, 'a')")
+    eng.execute("CREATE VIEW vb AS SELECT k * 2 AS kk FROM b")
+    assert eng.query("SELECT kk FROM vb").collect()[0].kk == 2
+    # mutation marks dirty; nothing re-analyzed until the next read
+    eng.execute("INSERT INTO b VALUES (5, 'z')")
+    assert eng._views_dirty
+    assert sorted(r.kk for r in eng.query("SELECT kk FROM vb").collect()) == [2, 10]
+    assert not eng._views_dirty
+    # drop the base: the view keeps its last-good rows, and the failure
+    # is recorded instead of silently swallowed
+    eng.execute("DROP TABLE b")
+    assert sorted(r.kk for r in eng.query("SELECT kk FROM vb").collect()) == [2, 10]
+    assert "vb" in eng._view_errors and "b" in eng._view_errors["vb"]
+    # recreating the base heals the view and clears the record
+    eng.execute("CREATE TABLE b (k INTEGER, v TEXT)")
+    eng.execute("INSERT INTO b VALUES (7, 'q')")
+    assert [r.kk for r in eng.query("SELECT kk FROM vb").collect()] == [14]
+    assert "vb" not in eng._view_errors
