@@ -317,16 +317,20 @@ def main() -> None:
             queries[n](spark, sf_dir).count()
             streaming_setup[n] = round(time.perf_counter() - t0, 4)
 
-    # Export path (A19/A20): first recorded dump timing (VERDICT r10 #7).
-    # One run per format over the two largest tables (lineitem + orders),
-    # single-file mode — the reference-parity path, and the one where an
-    # accidental coalesce(1) upstream of heavy compute would show up.
+    # Export path (A19/A20): dump timings over the two largest tables
+    # (lineitem + orders), single-file mode — the reference-parity path,
+    # and the one where an accidental coalesce(1) upstream of heavy
+    # compute would show up. Median of 3 (VERDICT r11 #3: a single sample
+    # read 3.57 s and 15.83 s for identical code — one long coalesce(1)
+    # task is wall-clock hostage to ambient I/O); the per-sample spread
+    # is kept in BENCH_LOCAL.json as dump_samples.
     import shutil
     import tempfile
 
     import filesql_spark as fs
 
     dump_secs: dict[str, float] = {}
+    dump_samples: dict[str, list[float]] = {}
     eng = fs.open(
         os.path.join(sf_dir, "lineitem.parquet"),
         os.path.join(sf_dir, "orders.parquet"),
@@ -334,14 +338,18 @@ def main() -> None:
     )
     try:
         for fmt, codec in (("csv", None), ("csv", "gz"), ("parquet", None)):
-            out = tempfile.mkdtemp(prefix="bench_dump_")
-            try:
-                t0 = time.perf_counter()
-                eng.dump(out, format=fmt, compression=codec)
-                key = f"dump_{fmt}{'_' + codec if codec else ''}_sec"
-                dump_secs[key] = round(time.perf_counter() - t0, 4)
-            finally:
-                shutil.rmtree(out, ignore_errors=True)
+            key = f"dump_{fmt}{'_' + codec if codec else ''}_sec"
+            samples = []
+            for _ in range(3):
+                out = tempfile.mkdtemp(prefix="bench_dump_")
+                try:
+                    t0 = time.perf_counter()
+                    eng.dump(out, format=fmt, compression=codec)
+                    samples.append(round(time.perf_counter() - t0, 4))
+                finally:
+                    shutil.rmtree(out, ignore_errors=True)
+            dump_secs[key] = round(statistics.median(samples), 4)
+            dump_samples[key] = samples
     finally:
         eng.close()
 
@@ -373,7 +381,8 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(
-            {**summary, "queries": timings, "streaming_setup_sec": streaming_setup},
+            {**summary, "queries": timings, "streaming_setup_sec": streaming_setup,
+             "dump_samples": dump_samples},
             f,
             indent=1,
         )

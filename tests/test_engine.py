@@ -1046,3 +1046,48 @@ def test_view_rederivation_is_lazy_and_failures_recorded(eng):
     eng.execute("INSERT INTO b VALUES (7, 'q')")
     assert [r.kk for r in eng.query("SELECT kk FROM vb").collect()] == [14]
     assert "vb" not in eng._view_errors
+
+
+def test_explain_query_plan_corpus(eng):
+    """r12 (VERDICT r11 #8): a pinned corpus of EXPLAIN QUERY PLAN
+    outputs locking the tree surface — every plan must be a well-formed
+    SQLite-schema tree (root id 0, parent < id, notused = 0) and its
+    detail column must name the physical operator families the query
+    shape implies (the Spark analogue of SQLite's SCAN/SEARCH/USE INDEX
+    wording). Exact node text is NOT pinned — AQE renames nodes across
+    Spark versions; operator families don't."""
+    corpus = [
+        # (sql, substrings that must appear somewhere in detail)
+        ("SELECT name FROM sample WHERE id = 1",
+         ["Scan", "Filter"]),
+        ("SELECT COUNT(*) FROM sample",
+         ["Aggregate"]),
+        ("SELECT age, COUNT(*) FROM sample GROUP BY age",
+         ["Aggregate", "Scan"]),
+        ("SELECT a.name FROM sample a JOIN sample b ON a.id = b.id",
+         ["Join", "Scan"]),
+        # ORDER BY + LIMIT compiles to the top-k operator, not a full
+        # sort — the plan SQLite's "USE TEMP B-TREE FOR ORDER BY" maps to
+        ("SELECT name FROM sample ORDER BY age LIMIT 2",
+         ["TakeOrderedAndProject", "Scan"]),
+        ("SELECT DISTINCT age FROM sample",
+         ["Aggregate"]),
+        ("SELECT name FROM sample UNION ALL SELECT name FROM sample",
+         ["Union", "Scan"]),
+        ("SELECT name, SUM(age) OVER (PARTITION BY email) FROM sample",
+         ["Window"]),
+    ]
+    for sql, needles in corpus:
+        rows = eng.query(f"EXPLAIN QUERY PLAN {sql}").collect()
+        assert rows, sql
+        assert [c for c in rows[0].__fields__] == [
+            "id", "parent", "notused", "detail"
+        ], sql
+        assert rows[0].id == 0 and rows[0].parent == 0, sql
+        assert all(r.notused == 0 for r in rows), sql
+        ids = [r.id for r in rows]
+        assert ids == list(range(len(rows))), (sql, ids)  # preorder ids
+        assert all(r.parent < r.id for r in rows[1:]), sql  # a tree
+        text = "\n".join(r.detail for r in rows)
+        for needle in needles:
+            assert needle in text, (sql, needle, text)
