@@ -2197,12 +2197,10 @@ def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
     mask = _div_mask(sql)
     if coltypes:
         # same shadow rule as the division pass: derived-scope rebinds
-        # degrade to unknown affinity (no %!.15g wrap — Java rendering
-        # of a genuinely-REAL value differs, but a wrongly-typed wrap
-        # would corrupt ints/text, the worse failure)
-        shadowed = _alias_bound_names(sql, mask)
-        if shadowed:
-            coltypes = {k: v for k, v in coltypes.items() if k not in shadowed}
+        # carry their binding expression's computed affinity (or degrade
+        # to unknown — no %!.15g wrap; a wrongly-typed wrap would corrupt
+        # ints/text, the worse failure)
+        coltypes = _apply_shadow(sql, mask, coltypes)
     edits: list[tuple[int, int, str]] = []
     _concat_walk(sql, mask, 0, len(sql), coltypes, edits)
     if not edits:
@@ -2340,95 +2338,195 @@ def _rewrite_real_literals(sql: str) -> str:
     )
 
 
-def _alias_bound_names(sql: str, mask: str) -> set[str]:
-    """Names bound by `AS <name>` inside a derived scope — i.e. at paren
-    depth >= 1: subquery select lists and CTE bodies (CAST targets come
-    along; type names are never catalog columns, so stripping them is
-    free). The division pass must NOT type a bare identifier from the
-    global catalog when a derived table rebinds that name: with an int
-    column `n` anywhere in the engine, `WITH c AS (SELECT avg(x) AS n
-    FROM t) SELECT n/2 FROM c` used to rewrite to `n DIV nullif(2, 0)`
-    and truncate a real value (r11 ADVICE fix). Shadowed names degrade
-    to unknown affinity everywhere in the statement — conservative: `/`
-    stays real division, which never wrongly truncates.
+# Clause keywords that terminate a select list (a select-list EXPRESSION
+# can contain when/then/else/end/between/and/or/... — none of these).
+_SELECT_LIST_END = frozenset({
+    "from", "where", "group", "having", "order", "limit", "offset",
+    "union", "intersect", "except", "window",
+})
 
-    Top-level (depth-0) select-list aliases do NOT shadow: SQLite
-    resolves select-list expressions against FROM columns, never against
-    sibling aliases, so `SELECT n/2 AS n FROM t` must keep the catalog's
-    INTEGER typing and emit DIV (r12 ADVICE fix — the global strip made
-    self-alias projections like `SELECT price/100 AS price` wrongly keep
-    real division).
 
-    Implicit aliases (`SELECT avg(x) n`, `FROM t u`) are detected too
-    (r12, closes the r11 verdict #4 gap): a bare word at depth >= 1
-    whose previous token ends a primary — `)`, a string/backtick
-    literal, a number, or a non-keyword identifier — and which is not
-    itself a keyword or a function call. Residual gaps (documented):
-    backtick-quoted implicit aliases, string-literal aliases
-    (`avg(x) 'n'`), and a division site at depth >= 1 that references a
-    sibling alias bound at its own depth is conservatively stripped
-    along with the outer uses."""
+def _derived_select_items(sql: str, mask: str):
+    """(expr_start, expr_end, alias) for every ALIASED select-list item
+    of every SELECT at paren depth >= 1 (subquery bodies, CTE bodies) —
+    the scopes whose aliases are visible to enclosing queries. Top-level
+    (depth-0) select lists are skipped on purpose: SQLite resolves
+    select-list expressions against FROM columns, never against sibling
+    aliases, so `SELECT n/2 AS n FROM t` keeps catalog typing (r12
+    ADVICE fix). Both explicit (`AS n`) and implicit (`avg(x) n`)
+    aliases are detected (r11 verdict #4). Documented miss:
+    string-literal aliases (`avg(x) 'n'`)."""
     low = sql.lower()
-    names: set[str] = set()
+    n = len(mask)
+    out = []
     depth = 0
-    scanned = 0  # paren-depth cursor: advance lazily between word hits
+    scanned = 0
     for m in _WORD_RX.finditer(mask):
-        word = low[m.start():m.end()]
         seg = mask[scanned:m.start()]
         depth += seg.count("(") - seg.count(")")
         scanned = m.start()
-        if depth < 1:
+        if depth < 1 or low[m.start():m.end()] != "select":
             continue
-        if word == "as":
-            k = m.end()
-            while k < len(mask) and mask[k] in " \t\r\n":
-                k += 1
-            if k >= len(mask):
+        i = m.end()
+        while True:  # skip DISTINCT / ALL quantifiers
+            while i < n and mask[i] in " \t\r\n":
+                i += 1
+            w = _WORD_RX.match(mask, i) if i < n else None
+            if w and low[w.start():w.end()] in ("distinct", "all"):
+                i = w.end()
+                continue
+            break
+        item_start, end_pos = i, None
+        while i < n:
+            c = mask[i]
+            if c == "(":
+                close = _div_find_close(mask, i, n)
+                if close == -1:
+                    end_pos = n
+                    break
+                i = close + 1
+                continue
+            if c == ")":
+                end_pos = i
                 break
-            if mask[k] == "\x00" and sql[k] == "`":
-                r = k
-                while r < len(mask) and mask[r] == "\x00":
-                    r += 1
-                names.add(sql[k:r][1:-1].replace("``", "`").lower())
+            if c == ",":
+                item = _item_alias(sql, mask, low, item_start, i)
+                if item is not None:
+                    out.append(item)
+                item_start = i + 1
+                i += 1
+                continue
+            if c.isalpha() or c == "_":
+                w = _WORD_RX.match(mask, i)
+                if w is not None:
+                    if low[w.start():w.end()] in _SELECT_LIST_END:
+                        end_pos = w.start()
+                        break
+                    i = w.end()
+                    continue
+            i += 1
+        if end_pos is None:
+            end_pos = n
+        item = _item_alias(sql, mask, low, item_start, end_pos)
+        if item is not None:
+            out.append(item)
+    return out
+
+
+def _item_alias(sql, mask, low, a, b):
+    """Split one select-list item [a, b) into (expr_start, expr_end,
+    alias_name), or None when the item carries no alias."""
+    while b > a and mask[b - 1] in " \t\r\n":
+        b -= 1
+    while a < b and mask[a] in " \t\r\n":
+        a += 1
+    if b <= a:
+        return None
+    j = b - 1
+    if mask[j] == "\x00" and sql[j] == "`":  # backtick-quoted alias
+        ws = j
+        while ws > a and mask[ws - 1] == "\x00":
+            ws -= 1
+        name = sql[ws:b][1:-1].replace("``", "`").lower()
+    elif mask[j].isalnum() or mask[j] == "_":
+        ws = j + 1
+        while ws > a and (mask[ws - 1].isalnum() or mask[ws - 1] == "_"):
+            ws -= 1
+        name = low[ws:j + 1]
+        if name[0].isdigit() or name in _DIV_KEYWORDS or name == "case":
+            return None  # numeric literal / CASE…END / keyword tail
+        if ws > a and mask[ws - 1] == ".":
+            return None  # qualified tail t.c — a reference, not an alias
+    else:
+        return None  # ends in ')', a literal, '*', …: no alias
+    # what precedes the candidate decides explicit/implicit/none
+    k = ws - 1
+    while k >= a and mask[k] in " \t\r\n":
+        k -= 1
+    if k < a:
+        return None  # the item IS the word: bare column, no alias
+    c = mask[k]
+    if c.isalnum() or c == "_":
+        ts = k
+        while ts > a and (mask[ts - 1].isalnum() or mask[ts - 1] in "_."):
+            ts -= 1
+        prev = low[ts:k + 1]
+        if prev == "as":
+            return (a, ts, name)  # explicit alias
+        if prev[0].isdigit() or prev in ("end", "null") or "." in prev:
+            return (a, ws, name)  # number / CASE…END / NULL / t.c + alias
+        if prev in _DIV_KEYWORDS or prev == "case":
+            return None  # keyword precedes an operand, not an alias
+        return (a, ws, name)  # bare identifier + implicit alias
+    if c in ")\x00":
+        return (a, ws, name)  # call/paren group or literal + implicit
+    return None  # operator: mid-expression
+
+
+def _alias_shadow_types(
+    sql: str, mask: str, coltypes: dict[str, str]
+) -> dict[str, str | None]:
+    """Affinity overrides for names rebound in derived scopes.
+
+    The division/concat passes must not type a bare identifier from the
+    global catalog when a subquery/CTE select list rebinds that name:
+    with an int column `n`, `WITH c AS (SELECT avg(x) AS n FROM t)
+    SELECT n/2 FROM c` must divide a REAL (r11 ADVICE fix). Instead of
+    merely STRIPPING such names (r11's conservative fix — which made
+    `(SELECT min(n) n FROM t)` lose min()'s INTEGER affinity and skip a
+    truncation SQLite performs), the binding expression's affinity is
+    COMPUTED with the same _div_walk tracker the division pass uses:
+    avg → real, count → int, min/max/sum follow their argument, CAST
+    follows its target. Returns name → 'int' | 'real' | None (unknown,
+    or conflicting across multiple bindings → degrade to untyped, which
+    keeps real division and never wrongly truncates).
+
+    Chained scopes (a CTE reading another CTE's alias) converge by
+    fixpoint: bindings re-evaluate under the previous round's overrides,
+    and anything still unstable after 3 rounds degrades to None."""
+    items = _derived_select_items(sql, mask)
+    if not items:
+        return {}
+    throwaway: list = []
+    result: dict[str, str | None] = {}
+    merged = dict(coltypes)
+    for _ in range(3):
+        new: dict[str, str | None] = {}
+        for a, b, name in items:
+            t = _div_walk(sql, mask, a, b, merged, throwaway)
+            t = t if t in ("int", "real") else None
+            if name in new:
+                if new[name] != t:
+                    new[name] = None
             else:
-                m2 = _WORD_RX.match(mask, k)
-                if m2 is not None:
-                    names.add(low[m2.start():m2.end()])
-            continue
-        if word in _DIV_KEYWORDS or word == "case":
-            continue
-        # implicit alias: previous token must end a primary
-        j = m.start() - 1
-        while j >= 0 and mask[j] in " \t\r\n":
-            j -= 1
-        if j < 0:
-            continue
-        c = mask[j]
-        if c == ")" or c == "\x00":
-            pass  # call/paren group, or string/backtick literal
-        elif c.isalnum() or c == "_":
-            ts = j
-            while ts > 0 and (mask[ts - 1].isalnum() or mask[ts - 1] in "_."):
-                ts -= 1
-            prev = low[ts:j + 1]
-            if prev[0].isdigit():
-                pass  # numeric literal ends a primary
-            elif prev in ("end", "null") or "." in prev:
-                pass  # CASE…END / NULL / qualified t.c end a primary
-            elif prev in _DIV_KEYWORDS or prev == "case":
-                continue  # keyword precedes an operand, not an alias
+                new[name] = t
+        if new == result:
+            return result
+        result = new
+        merged = dict(coltypes)
+        for k, v in result.items():
+            if v is None:
+                merged.pop(k, None)
             else:
-                pass  # bare identifier: `a n` binds implicit alias n
+                merged[k] = v
+    return {k: None for k in result}  # no fixpoint: degrade to untyped
+
+
+def _apply_shadow(
+    sql: str, mask: str, coltypes: dict[str, str]
+) -> dict[str, str]:
+    """Catalog column types with derived-scope alias rebinds applied
+    (see _alias_shadow_types)."""
+    shadow = _alias_shadow_types(sql, mask, coltypes)
+    if not shadow:
+        return coltypes
+    merged = dict(coltypes)
+    for k, v in shadow.items():
+        if v is None:
+            merged.pop(k, None)
         else:
-            continue  # operator/comma/dot: mid-expression, not an alias
-        # a call (`count(`) or qualified ref (`t.c`) is not an alias
-        k = m.end()
-        while k < len(mask) and mask[k] in " \t\r\n":
-            k += 1
-        if k < len(mask) and mask[k] in "(.":
-            continue
-        names.add(word)
-    return names
+            merged[k] = v
+    return merged
 
 
 def _rewrite_division(sql: str, column_types: dict[str, str] | None = None) -> str:
@@ -2438,11 +2536,7 @@ def _rewrite_division(sql: str, column_types: dict[str, str] | None = None) -> s
         return sql
     mask = _div_mask(sql)
     if column_types:
-        shadowed = _alias_bound_names(sql, mask)
-        if shadowed:
-            column_types = {
-                k: v for k, v in column_types.items() if k not in shadowed
-            }
+        column_types = _apply_shadow(sql, mask, column_types)
     edits: list[tuple[int, int, str]] = []
     _div_walk(sql, mask, 0, len(sql), column_types, edits)
     for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):

@@ -1165,3 +1165,107 @@ def test_dml_sequence_with_views_and_triggers_matches_sqlite(
     assert got_t == exp_t, (seed, stmts, got_t, exp_t)
     assert got_v == exp_v, (seed, stmts)
     assert got_log == exp_log, (seed, stmts, got_log, exp_log)
+
+
+# --------------------------------------------- r12 randomized tiers
+# Two corpora locking this round's dialect surfaces: %!.15g rendering
+# for `||` sites inside unparenthesized CASE arms, and catalog-affinity
+# shadowing for aliases (explicit and implicit) at mixed paren depths.
+
+
+def _gen_concat(rng: random.Random) -> str:
+    """`a || b [|| c]` with string literals and parenthesized typed
+    operands (parens keep SQLite/Spark || precedence identical; the CASE
+    ARM position is the thing under test, not operator precedence)."""
+    parts = []
+    for _ in range(rng.randint(2, 3)):
+        if rng.random() < 0.4:
+            parts.append(_lit_str(rng)[0])
+        else:
+            e, _t = _gen_affine(rng, rng.randint(1, 2))
+            parts.append(f"({e})")
+    return " || ".join(parts)
+
+
+@pytest.mark.parametrize("seed", [4242, 5151])
+def test_concat_in_case_corpus_matches_sqlite(spark, tmp_path, seed):
+    """Random CASE expressions with `||` chains in unparenthesized
+    operand/WHEN/THEN/ELSE positions, plus CASE itself as a || operand —
+    full rendering parity vs sqlite3 (r12 _concat_descend CASE walk)."""
+    rng = random.Random(seed)
+    exprs = []
+    while len(exprs) < 25:
+        kind = rng.randrange(4)
+        if kind == 0:  # searched CASE, concat in THEN/ELSE arms
+            exprs.append(
+                f"CASE WHEN {_gen_bool(rng, 1)} THEN {_gen_concat(rng)} "
+                f"ELSE {_gen_concat(rng)} END"
+            )
+        elif kind == 1:  # no ELSE (implicit NULL branch)
+            exprs.append(
+                f"CASE WHEN {_gen_bool(rng, 1)} THEN {_gen_concat(rng)} END"
+            )
+        elif kind == 2:  # concat as the CASE operand and the WHEN key
+            exprs.append(
+                f"CASE {_gen_concat(rng)} WHEN {_gen_concat(rng)} "
+                f"THEN 'hit' ELSE {_gen_concat(rng)} END"
+            )
+        else:  # CASE nested as a || operand; branches typed affine
+            a, _ = _gen_affine(rng, 1, "real")
+            b, _ = _gen_affine(rng, 1, "real")
+            exprs.append(
+                f"{_lit_str(rng)[0]} || CASE WHEN {_gen_bool(rng, 1)} "
+                f"THEN ({a}) ELSE ({b}) END"
+            )
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+    for i, e in enumerate(exprs):
+        assert got[i] == expected[i], (seed, i, e, got[i], expected[i])
+
+
+@pytest.mark.parametrize("seed", [7001, 8002])
+def test_alias_shadow_corpus_matches_sqlite(spark, tmp_path, seed):
+    """Random alias-shadowing statements over typed columns: top-level
+    self-aliases keep catalog typing (int division truncates), derived
+    scopes (subquery/CTE, explicit AS or implicit) shadow it — each
+    statement differential vs sqlite3 (r12 depth-scoped shadow set)."""
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(-40, 90)) for i in range(1, 7)]
+    ddl, header = "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n"
+    aggs = ["avg", "sum", "min", "max", "count", "total"]
+    for _ in range(12):
+        agg = rng.choice(aggs)
+        bind = rng.choice(["AS n", "n"])  # explicit vs implicit alias
+        k = rng.choice([2, 3, 4])
+        shape = rng.randrange(4)
+        if shape == 0:  # top-level self-alias: catalog int, truncates
+            stmt = f"SELECT n / {k} AS n, id FROM t ORDER BY id"
+        elif shape == 1:  # top-level sibling alias: no shadow either
+            stmt = (f"SELECT n / {k} AS h, n * 1.5 AS n "
+                    f"FROM t ORDER BY id")
+        elif shape == 2:  # derived table rebinds n (agg typing wins)
+            stmt = (f"SELECT n / {k} AS h "
+                    f"FROM (SELECT {agg}(n) {bind} FROM t)")
+        else:  # CTE rebinds n
+            stmt = (f"WITH c AS (SELECT {agg}(n) {bind} FROM t) "
+                    f"SELECT n / {k} AS h FROM c")
+        _differential(spark, tmp_path, stmt, rows, ddl, header)
+    # chained scopes: the second CTE's alias affinity depends on the
+    # first's (the fixpoint in _alias_shadow_types) — avg taints REAL
+    # through the chain, min keeps INTEGER through it
+    for agg, bind in (("avg", "AS n"), ("min", "n"), ("sum", "m")):
+        alias = bind.split()[-1]
+        stmt = (f"WITH a AS (SELECT {agg}(n) {bind} FROM t), "
+                f"b AS (SELECT {alias} + 1 AS w FROM a) "
+                f"SELECT w / 2 AS h FROM b")
+        _differential(spark, tmp_path, stmt, rows, ddl, header)
