@@ -1742,6 +1742,57 @@ def _div_scan_case(sql, mask, pos, end, coltypes, edits):
     return marks[-1][0] + 3, t
 
 
+def _span_numeric_literal(sql: str, a: int, b: int):
+    """('int' | 'real' | 'null', value) when span [a, b) is a literal
+    NULL or an (optionally signed) numeric literal; None otherwise."""
+    s = sql[a:b].strip()
+    if s.lower() == "null":
+        return ("null", None)
+    sign = 1
+    if s[:1] in "+-":
+        sign = -1 if s[0] == "-" else 1
+        s = s[1:].lstrip()
+    if not s or _NUM_LIT_RX.fullmatch(s) is None:
+        return None
+    low = s.lower()
+    if low.startswith("0x"):
+        return ("int", sign * int(s, 16))
+    if low[-1] in "df":  # D/F suffix from the real-literal pass
+        return ("real", sign * float(s[:-1]))
+    if "." in s or "e" in low:
+        return ("real", sign * float(s))
+    return ("int", sign * int(s))
+
+
+def _fold_sametype_literal(word, sql, arg_spans):
+    """Result affinity of ifnull/coalesce/min/max/least/greatest/nvl
+    when the value-deciding arguments are numeric literals; None when
+    any deciding argument is runtime-dependent."""
+    if not arg_spans:
+        return None
+    if word in ("ifnull", "coalesce", "nvl"):
+        for a, b in arg_spans:  # first non-NULL argument decides
+            lit = _span_numeric_literal(sql, a, b)
+            if lit is None:
+                return None
+            if lit[0] != "null":
+                return lit[0]
+        return "null"
+    if word in ("min", "max", "least", "greatest"):
+        lits = [_span_numeric_literal(sql, a, b) for a, b in arg_spans]
+        if any(l is None or l[0] == "null" for l in lits):
+            return None  # scalar min/max with any NULL arg is NULL
+        best = 0
+        for i in range(1, len(lits)):
+            if word in ("min", "least"):
+                if lits[i][1] <= lits[best][1]:  # ties: LAST minimal
+                    best = i
+            elif lits[i][1] > lits[best][1]:  # ties: FIRST maximal
+                best = i
+        return lits[best][0]
+    return None
+
+
 def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
     """Scan one tight-binding operand starting at/after pos. Returns
     (first_char_pos, end_pos, type) with type in {'int','real',None} or
@@ -1864,6 +1915,22 @@ def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
                     t = "null"
                 else:
                     t = pick[0] if all(x == pick[0] for x in pick) else None
+                if t is None:
+                    # value-dependent mixed int/real — but when the
+                    # deciding args are numeric LITERALS the runtime
+                    # value is static, so SQLite's choice is too (r12,
+                    # shrinks the documented `ifnull(3, 2.5) / 2`
+                    # divergence): ifnull/coalesce take the first
+                    # non-NULL arg; scalar min keeps the LAST minimal
+                    # arg, max the FIRST maximal (pinned vs sqlite3:
+                    # typeof(min(2,2.0))=real, typeof(max(2,2.0))=int).
+                    t = _fold_sametype_literal(word, sql, arg_spans)
+                    if t == "int":
+                        # Spark widens mixed int/real args to DOUBLE;
+                        # the runtime value IS the integer literal, so
+                        # pin value and rendering with an exact cast
+                        edits.append((first, first, "CAST("))
+                        edits.append((close + 1, close + 1, " AS BIGINT)"))
             else:
                 t = None
             # `FILTER (WHERE …)` / `OVER (spec)` / `OVER name` suffixes
@@ -2314,6 +2381,7 @@ def _concat_descend(sql, mask, pf, pe, coltypes, edits) -> None:
 _REAL_LIT_TOKEN_RX = re.compile(
     r"(?<![\w.`$])(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?(?![\w.])"
 )
+_HEX_LIT_TOKEN_RX = re.compile(r"(?<![\w.`$])0[xX][0-9a-fA-F]+(?![\w.])")
 
 
 def _rewrite_real_literals(sql: str) -> str:
@@ -2332,8 +2400,14 @@ def _rewrite_real_literals(sql: str) -> str:
             tok += "0"  # `1.` → Spark rejects `1.D`
         return tok + "D"
 
+    def hex_repl(m: re.Match) -> str:
+        # SQLite hex literals are 64-bit INTEGERs (datatype3.html §1.1);
+        # Spark SQL has no 0x form, so normalize to decimal
+        return str(int(m.group(0), 16))
+
     return "".join(
-        _REAL_LIT_TOKEN_RX.sub(repl, text) if kind == "code" else text
+        _REAL_LIT_TOKEN_RX.sub(repl, _HEX_LIT_TOKEN_RX.sub(hex_repl, text))
+        if kind == "code" else text
         for kind, text in _split_tokens(sql)
     )
 
@@ -2529,10 +2603,18 @@ def _apply_shadow(
     return merged
 
 
+_SAMETYPE_CALL_RX = re.compile(
+    r"(?i)\b(?:ifnull|coalesce|nvl|min|max|least|greatest)\s*\("
+)
+
+
 def _rewrite_division(sql: str, column_types: dict[str, str] | None = None) -> str:
     """Apply the SQLite division/modulo semantics pass (module docstring
-    above): int/int `/` → `DIV`, zero divisors → NULL via nullif."""
-    if "/" not in sql and "%" not in sql:
+    above): int/int `/` → `DIV`, zero divisors → NULL via nullif. Also
+    walks statements with sametype calls but no `/`: the literal-fold
+    (`ifnull(3, 2.5)`) emits its value-pinning CAST through this pass,
+    and a rendering site (`ifnull(3, 2.5) || 'x'`) needs it too."""
+    if "/" not in sql and "%" not in sql and not _SAMETYPE_CALL_RX.search(sql):
         return sql
     mask = _div_mask(sql)
     if column_types:

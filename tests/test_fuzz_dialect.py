@@ -16,8 +16,9 @@ logic, NULL propagation, ||, ifnull/nullif/coalesce — is fair game.
 Division gets its own tier (test_division_corpus_matches_sqlite): the
 dialect's type-tracked `/`→`DIV` rewrite is exact only where operand
 affinity is statically certain (SQLite decides int-vs-real division by
-the runtime VALUE type; e.g. ifnull(3, 2.5) is value-dependent, which no
-static rewrite can replicate — documented divergence, SURVEY §5). The
+the runtime VALUE type; e.g. ifnull(col, 2.5) is value-dependent —
+documented divergence, SURVEY §5 — though literal-deciding forms like
+ifnull(3, 2.5) fold statically and match exactly since r12). The
 division generator therefore builds operands from the affinity-certain
 grammar subset — exactly the contract the rewrite promises.
 """
@@ -1269,3 +1270,41 @@ def test_alias_shadow_corpus_matches_sqlite(spark, tmp_path, seed):
                 f"b AS (SELECT {alias} + 1 AS w FROM a) "
                 f"SELECT w / 2 AS h FROM b")
         _differential(spark, tmp_path, stmt, rows, ddl, header)
+
+
+def test_value_dependent_affinity_literal_fold(spark, tmp_path):
+    """r12: SQLite picks ifnull/coalesce/min/max result type by runtime
+    VALUE — statically undecidable in general (documented divergence),
+    but decidable when the deciding args are numeric literals. Pinned
+    against sqlite3: first-non-NULL rule for ifnull/coalesce; scalar min
+    keeps the LAST minimal argument on ties, max the FIRST maximal."""
+    cases = [
+        "ifnull(3, 2.5) / 2",        # int 3 wins -> 1
+        "coalesce(NULL, 2.5, 3) / 2",  # real 2.5 -> 1.25
+        "coalesce(NULL, 3, 2.5) / 2",  # int 3 -> 1
+        "min(3, 2.5) / 2",           # real 2.5 -> 1.25
+        "max(3, 2.5) / 2",           # int 3 -> 1
+        "min(2, 2.0) / 4",           # tie: last minimal (2.0) -> 0.5
+        "min(2.0, 2) / 4",           # tie: last minimal (2) -> 0
+        "max(-1, -1.0) / 4",         # tie: first maximal (-1) -> 0
+        "max(-1.0, -1) / 4",         # tie: first maximal (-1.0) -> -0.25
+        "ifnull(NULL, 4) / 8",       # int 4 -> 0
+        "coalesce(1e2, 5) / 8",      # real 1e2 -> 12.5
+        "min(0x10, 9.5) / 2",        # real 9.5 -> 4.75
+        "ifnull(3, 2.5) || 'x'",     # int rendering: '3x'
+        "min(3, 2.5) || 'x'",        # real rendering: '2.5x'
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(cases))
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+    for i, e in enumerate(cases):
+        g, x = _norm(got[i]), _norm(expected[i])
+        assert g == x, (e, g, x)
