@@ -1928,9 +1928,16 @@ def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
                     if t == "int":
                         # Spark widens mixed int/real args to DOUBLE;
                         # the runtime value IS the integer literal, so
-                        # pin value and rendering with an exact cast
-                        edits.append((first, first, "CAST("))
-                        edits.append((close + 1, close + 1, " AS BIGINT)"))
+                        # pin value and rendering with an exact cast.
+                        # ONE replacement edit (not two boundary
+                        # inserts: those interleave wrongly with the
+                        # zero-guard's inserts at the same positions),
+                        # and TRY_CAST (plain CAST would be re-expanded
+                        # by the later SQLite-CAST pass).
+                        edits.append((
+                            first, close + 1,
+                            f"TRY_CAST({sql[first:close + 1]} AS BIGINT)",
+                        ))
             else:
                 t = None
             # `FILTER (WHERE …)` / `OVER (spec)` / `OVER name` suffixes
@@ -2124,6 +2131,20 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
         # operand (number, string, identifier, call, paren, CASE)
         p_first, p_end, t = _div_scan_primary(sql, mask, pos, end, coltypes, edits)
         if t == "kw":
+            if sql[p_first:p_end].lower() == "div" and have_chain:
+                # `a DIV b`: this pass's own earlier emission (seen when
+                # re-typing already-rewritten text, e.g. _cast_call's
+                # TEXT branch) — integer division, typed like int `/`
+                r_first, r_end, rt = _div_scan_primary(
+                    sql, mask, p_end, end, coltypes, edits
+                )
+                chain = (
+                    "int"
+                    if chain in ("int", "null") and rt in ("int", "null")
+                    else None
+                )
+                pos = r_end if r_end > p_end else p_end
+                continue
             unknown = True
             fold_chain()
             have_expr = False

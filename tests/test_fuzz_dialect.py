@@ -280,7 +280,35 @@ def _gen_affine(rng: random.Random, depth: int,
     def sub(w):
         return _gen_affine(rng, depth - 1, w)[0]
 
-    pick = rng.randrange(10)
+    pick = rng.randrange(11)
+    if pick == 9:
+        # r12 literal-fold surface: MIXED int/real literal args are
+        # value-static — ifnull/coalesce take the first non-NULL arg's
+        # type, scalar min keeps the LAST minimal, max the FIRST maximal
+        fn = rng.choice(["ifnull", "coalesce", "min", "max"])
+        mk = {
+            "int": lambda: str(rng.randint(-50, 100)),
+            "real": lambda: repr(round(rng.uniform(-50, 50), 3)),
+        }
+        for _ in range(8):
+            n = 2 if fn == "ifnull" else rng.randint(2, 3)
+            kinds = [rng.choice(["int", "real"]) for _ in range(n)]
+            texts = [mk[k]() for k in kinds]
+            if fn in ("ifnull", "coalesce"):
+                got = kinds[0]
+            else:
+                vals = [float(x) for x in texts]
+                best = 0
+                for i in range(1, len(vals)):
+                    if fn == "min":
+                        if vals[i] <= vals[best]:
+                            best = i
+                    elif vals[i] > vals[best]:
+                        best = i
+                got = kinds[best]
+            if got == want:
+                return f"{fn}({', '.join(texts)})", want
+        pick = 10  # bad luck: fall through to the CASE production
     if pick == 0:
         op = rng.choice(["+", "-", "*"])
         if want == "int":
@@ -1293,6 +1321,12 @@ def test_value_dependent_affinity_literal_fold(spark, tmp_path):
         "min(0x10, 9.5) / 2",        # real 9.5 -> 4.75
         "ifnull(3, 2.5) || 'x'",     # int rendering: '3x'
         "min(3, 2.5) || 'x'",        # real rendering: '2.5x'
+        # folded calls as DIVISORS (the zero-guard nests around the
+        # value-pinning TRY_CAST) and as both operands
+        "6 / ifnull(3, 2.5)",        # 6/3 -> 2
+        "7 % min(3, 2.5)",           # 7 % int(2.5) -> 1.0 (real)
+        "ifnull(3, 2.5) / ifnull(2, 1.5)",  # 3/2 -> 1
+        "6 / ifnull(0, 2.5)",        # zero divisor -> NULL
     ]
     select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(cases))
     con = sqlite3.connect(":memory:")
