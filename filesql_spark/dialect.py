@@ -2441,16 +2441,16 @@ _SELECT_LIST_END = frozenset({
 })
 
 
-def _derived_select_items(sql: str, mask: str):
+def _derived_select_items(sql: str, mask: str, min_depth: int = 1):
     """(expr_start, expr_end, alias) for every ALIASED select-list item
     of every SELECT at paren depth >= 1 (subquery bodies, CTE bodies) —
     the scopes whose aliases are visible to enclosing queries. Top-level
     (depth-0) select lists are skipped on purpose: SQLite resolves
     select-list expressions against FROM columns, never against sibling
     aliases, so `SELECT n/2 AS n FROM t` keeps catalog typing (r12
-    ADVICE fix). Both explicit (`AS n`) and implicit (`avg(x) n`)
-    aliases are detected (r11 verdict #4). Documented miss:
-    string-literal aliases (`avg(x) 'n'`)."""
+    ADVICE fix). Explicit (`AS n`), implicit (`avg(x) n`), and quoted
+    (backtick or SQLite's string-literal `avg(x) 'n'`) aliases are all
+    detected (r11 verdict #4)."""
     low = sql.lower()
     n = len(mask)
     out = []
@@ -2460,7 +2460,7 @@ def _derived_select_items(sql: str, mask: str):
         seg = mask[scanned:m.start()]
         depth += seg.count("(") - seg.count(")")
         scanned = m.start()
-        if depth < 1 or low[m.start():m.end()] != "select":
+        if depth < min_depth or low[m.start():m.end()] != "select":
             continue
         i = m.end()
         while True:  # skip DISTINCT / ALL quantifiers
@@ -2510,7 +2510,8 @@ def _derived_select_items(sql: str, mask: str):
 
 def _item_alias(sql, mask, low, a, b):
     """Split one select-list item [a, b) into (expr_start, expr_end,
-    alias_name), or None when the item carries no alias."""
+    alias_name, alias_start, alias_end, quote_char), or None when the
+    item carries no alias. quote_char is '`', \"'\" or '' (bare)."""
     while b > a and mask[b - 1] in " \t\r\n":
         b -= 1
     while a < b and mask[a] in " \t\r\n":
@@ -2518,11 +2519,18 @@ def _item_alias(sql, mask, low, a, b):
     if b <= a:
         return None
     j = b - 1
-    if mask[j] == "\x00" and sql[j] == "`":  # backtick-quoted alias
+    quote = ""
+    if mask[j] == "\x00" and sql[j] in "`'":  # quoted alias (SQLite
+        # allows a string literal as a column alias: `avg(x) 'n'`)
         ws = j
         while ws > a and mask[ws - 1] == "\x00":
             ws -= 1
-        name = sql[ws:b][1:-1].replace("``", "`").lower()
+        quote = sql[ws]
+        if quote not in "`'" or sql[j] != quote:
+            return None  # not a simple quoted token
+        body = sql[ws:b][1:-1]
+        name = (body.replace("``", "`") if quote == "`"
+                else body.replace("''", "'")).lower()
     elif mask[j].isalnum() or mask[j] == "_":
         ws = j + 1
         while ws > a and (mask[ws - 1].isalnum() or mask[ws - 1] == "_"):
@@ -2547,15 +2555,40 @@ def _item_alias(sql, mask, low, a, b):
             ts -= 1
         prev = low[ts:k + 1]
         if prev == "as":
-            return (a, ts, name)  # explicit alias
+            return (a, ts, name, ws, b, quote)  # explicit alias
         if prev[0].isdigit() or prev in ("end", "null") or "." in prev:
-            return (a, ws, name)  # number / CASE…END / NULL / t.c + alias
+            return (a, ws, name, ws, b, quote)
         if prev in _DIV_KEYWORDS or prev == "case":
             return None  # keyword precedes an operand, not an alias
-        return (a, ws, name)  # bare identifier + implicit alias
+        return (a, ws, name, ws, b, quote)  # bare ident + implicit alias
     if c in ")\x00":
-        return (a, ws, name)  # call/paren group or literal + implicit
+        return (a, ws, name, ws, b, quote)  # call/group/literal + implicit
     return None  # operator: mid-expression
+
+
+def _rewrite_string_aliases(sql: str) -> str:
+    """SQLite (a kept-for-compat misfeature, quirks.html §4) allows a
+    string literal as a column alias — `SELECT avg(x) 'n'`,
+    `… AS 'n'`. Spark's parser rejects both; rewrite the alias-position
+    literal to a backtick identifier. Runs FIRST in the pipeline so the
+    literal body is still unescaped and every later pass sees a normal
+    identifier alias."""
+    if "'" not in sql:
+        return sql
+    mask = _div_mask(sql)
+    edits = [
+        # original case preserved (the lowercased `name` is for the
+        # affinity map only; result column names keep the user's case)
+        (ws, be,
+         "`" + sql[ws + 1:be - 1].replace("''", "'").replace("`", "``") + "`")
+        for _a, _b, _name, ws, be, quote in _derived_select_items(
+            sql, mask, min_depth=0
+        )
+        if quote == "'"
+    ]
+    for a, b, repl in sorted(edits, reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
 
 
 def _alias_shadow_types(
@@ -2587,7 +2620,7 @@ def _alias_shadow_types(
     merged = dict(coltypes)
     for _ in range(3):
         new: dict[str, str | None] = {}
-        for a, b, name in items:
+        for a, b, name, *_ in items:
             t = _div_walk(sql, mask, a, b, merged, throwaway)
             t = t if t in ("int", "real") else None
             if name in new:
@@ -2802,6 +2835,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
             "as a RANGE frame over DENSE_RANK() of the ORDER BY key (see "
             "the window_groups_frame operator for the exact reduction)"
         )
+    sql = _rewrite_string_aliases(sql)
     sql = _escape_string_backslashes(sql)
     sql = _requote_identifiers(sql)
     sql = _rewrite_filter_over(sql)

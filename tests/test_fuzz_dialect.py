@@ -1274,7 +1274,9 @@ def test_alias_shadow_corpus_matches_sqlite(spark, tmp_path, seed):
     aggs = ["avg", "sum", "min", "max", "count", "total"]
     for _ in range(12):
         agg = rng.choice(aggs)
-        bind = rng.choice(["AS n", "n"])  # explicit vs implicit alias
+        # explicit, implicit, and quoted alias spellings (SQLite allows
+        # a string literal as a column alias)
+        bind = rng.choice(["AS n", "n", "AS 'n'", "'n'", '"n"'])
         k = rng.choice([2, 3, 4])
         shape = rng.randrange(4)
         if shape == 0:  # top-level self-alias: catalog int, truncates
