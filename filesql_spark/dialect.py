@@ -2566,6 +2566,167 @@ def _item_alias(sql, mask, low, a, b):
     return None  # operator: mid-expression
 
 
+def _blank_comments(sql: str, mask: str) -> str:
+    """Mask with `--` line comments and /* */ block comments blanked to
+    NUL (the literal mask leaves comment text verbatim — Spark parses
+    SQL comments natively, but operator scans must not fire inside)."""
+    if "--" not in sql and "/*" not in sql:
+        return mask
+    out = list(mask)
+    i, n = 0, len(mask)
+    while i < n:
+        if out[i] == "-" and i + 1 < n and out[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            out[i:j] = "\x00" * (j - i)
+            i = j
+            continue
+        if out[i] == "/" and i + 1 < n and out[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            out[i:j] = "\x00" * (j - i)
+            i = j
+            continue
+        i += 1
+    return "".join(out)
+
+
+def _rev_primary_start(sql: str, mask: str, e: int):
+    """Start index of the tight-binding primary ENDING at e (exclusive):
+    a literal/backtick token, an identifier (with t.c qualifiers), or a
+    paren group with an optional function name. None when unscannable."""
+    i = e - 1
+    if i < 0:
+        return None
+    c = mask[i]
+    if c == "\x00":
+        while i >= 0 and mask[i] == "\x00":
+            i -= 1
+        start = i + 1
+    elif c == ")":
+        depth = 0
+        while i >= 0:
+            if mask[i] == ")":
+                depth += 1
+            elif mask[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:
+            return None
+        start = i
+        j = start - 1
+        while j >= 0 and mask[j] in " \t\r\n":
+            j -= 1
+        if j >= 0 and (mask[j].isalnum() or mask[j] == "_"):
+            ws = j
+            while ws > 0 and (mask[ws - 1].isalnum() or mask[ws - 1] == "_"):
+                ws -= 1
+            if sql[ws:j + 1].lower() not in _DIV_KEYWORDS:
+                start = ws
+    elif c.isalnum() or c == "_":
+        while i >= 0 and (mask[i].isalnum() or mask[i] == "_"):
+            i -= 1
+        start = i + 1
+        if sql[start:e].lower() in _DIV_KEYWORDS:
+            return None
+    else:
+        return None
+    while start > 0 and mask[start - 1] == ".":  # qualifier chain t.c
+        i = start - 2
+        if i >= 0 and mask[i] == "\x00":
+            while i >= 0 and mask[i] == "\x00":
+                i -= 1
+            start = i + 1
+        elif i >= 0 and (mask[i].isalnum() or mask[i] == "_"):
+            while i >= 0 and (mask[i].isalnum() or mask[i] == "_"):
+                i -= 1
+            start = i + 1
+        else:
+            break
+    return start
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    """SQLite 3.38's JSON operators: `X -> P` extracts as JSON text
+    (strings stay quoted, containers stay JSON), `X ->> P` extracts as
+    an SQL value — exactly json_quote(json_extract(X, P)) and
+    json_extract(X, P) respectively, with SQLite's shorthand paths
+    normalized statically ('key' → '$.key' verbatim, 2 → '$[2]').
+    Left-associative chaining works (each rewrite makes the call text
+    the next arrow's LHS primary). Documented limits: the right operand
+    must be a literal (SQLite also evaluates dynamic paths), the LHS
+    binds one primary (a `||`-chain LHS would need parens), and a
+    present-but-null member under `->` returns NULL rather than the
+    text 'null' (presence detection rides json_extract's machinery)."""
+    if "->" not in sql:
+        return sql
+    while True:
+        mask = _blank_comments(sql, _div_mask(sql))
+        pos = mask.find("->")
+        if pos == -1:
+            return sql
+        oplen = 3 if mask[pos + 2:pos + 3] == ">" else 2
+        deep = oplen == 3  # ->> : SQL value; -> : JSON text
+        e = pos
+        while e > 0 and mask[e - 1] in " \t\r\n":
+            e -= 1
+        start = _rev_primary_start(sql, mask, e)
+        if start is None:
+            raise FilesqlError(
+                f"cannot parse the left operand of {'->>'[:oplen]} near: "
+                f"{sql[max(0, pos - 30):pos + 3]!r}"
+            )
+        k = pos + oplen
+        while k < len(mask) and mask[k] in " \t\r\n":
+            k += 1
+        sign = ""
+        if k < len(mask) and mask[k] in "+-":
+            sign, k = sql[k], k + 1
+        if k < len(mask) and mask[k] == "\x00" and sql[k] == "'" and not sign:
+            r = k
+            while r < len(mask) and mask[r] == "\x00":
+                r += 1
+            body = sql[k:r][1:-1].replace("''", "'")
+            path = body if body.startswith("$") else "$." + body
+            rhs_end = r
+        elif k < len(mask) and mask[k].isdigit():
+            r = k
+            while r < len(mask) and mask[r].isdigit():
+                r += 1
+            if sign == "-":
+                raise FilesqlError(
+                    "JSON path error near: negative array index in "
+                    f"{'->>'[:oplen]} (use '$[#-n]' paths)"
+                )
+            path = f"$[{sql[k:r]}]"
+            rhs_end = r
+        else:
+            raise FilesqlError(
+                f"the right operand of {'->>'[:oplen]} must be a string "
+                "or integer literal path"
+            )
+        # emit get_json_object text directly (what the json_extract
+        # builder produces): raw json_* names nested inside other json
+        # calls would be skipped by the per-name sweep's emitted-text
+        # guard, and get_json_object is rewritten by nothing later
+        p = path.replace("'", "''")
+        ext = f"get_json_object(({sql[start:e]}), '{p}')"
+        if deep:
+            repl = ext  # ->> : SQL value, json_extract semantics
+        else:
+            # -> : JSON text — json_array's loose rendering (splice
+            # containers/numbers/booleans, quote scalar text) with
+            # missing-path NULL kept NULL
+            repl = (
+                f"(CASE WHEN {ext} IS NULL THEN NULL "
+                f"WHEN get_json_object({ext}, '$') IS NOT NULL THEN {ext} "
+                f"ELSE {_json_quote([ext])} END)"
+            )
+        sql = sql[:start] + repl + sql[rhs_end:]
+
+
 def _rewrite_string_aliases(sql: str) -> str:
     """SQLite (a kept-for-compat misfeature, quirks.html §4) allows a
     string literal as a column alias — `SELECT avg(x) 'n'`,
@@ -2836,6 +2997,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
             "the window_groups_frame operator for the exact reduction)"
         )
     sql = _rewrite_string_aliases(sql)
+    sql = _rewrite_json_arrows(sql)
     sql = _escape_string_backslashes(sql)
     sql = _requote_identifiers(sql)
     sql = _rewrite_filter_over(sql)

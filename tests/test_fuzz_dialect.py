@@ -1344,3 +1344,43 @@ def test_value_dependent_affinity_literal_fold(spark, tmp_path):
     for i, e in enumerate(cases):
         g, x = _norm(got[i]), _norm(expected[i])
         assert g == x, (e, g, x)
+
+
+def test_json_arrow_operators_match_sqlite(spark, tmp_path):
+    """SQLite 3.38 `->` (extract as JSON text) and `->>` (extract as SQL
+    value) with shorthand paths and chaining, pinned vs sqlite3. Known
+    riders excluded: boolean extraction and present-vs-missing null
+    under `->` follow the documented json_extract divergences."""
+    cases = [
+        """'{"a":{"b":1}}' -> 'a'""",      # container stays JSON text
+        """'{"a":{"b":1}}' -> '$.a.b'""",  # full path form
+        """'{"a":"txt"}' -> 'a'""",        # string stays QUOTED
+        """'{"a":"txt"}' ->> 'a'""",       # ->> unquotes
+        """'{"a":2.5}' -> 'a'""",          # JSON text '2.5'
+        """'[1,2,3]' -> 2""",              # integer shorthand -> '$[2]'
+        """'{"a":{"b":"x"}}' -> 'a' ->> 'b'""",  # left-assoc chaining
+        """'{"a":1}' -> 'zz'""",           # missing -> NULL
+        """'{"a.b":5}' -> 'a.b'""",        # bare key is verbatim $.a.b
+        """upper('{"a":"v"}' ->> 'a')""",  # inside a call argument
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(cases))
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+        # ->> of a NUMBER rides json_extract's pinned divergence: SQLite
+        # returns SQL numbers, get_json_object their text forms
+        diverge = eng.query(
+            """SELECT '{"a":2.5}' ->> 'a' AS r, '[1,2,3]' ->> 2 AS i"""
+            " FROM one"
+        ).collect()[0]
+    finally:
+        eng.close()
+    for i, e in enumerate(cases):
+        g, x = _norm(got[i]), _norm(expected[i])
+        assert g == x, (e, g, x)
+    assert (diverge.r, diverge.i) == ("2.5", "3")
