@@ -913,6 +913,16 @@ def _json_minify(args: list[str]) -> str:
     return _json_mutate_call(doc, "json", [], [], "")
 
 
+def _json_pretty(args: list[str]) -> str:
+    """json_pretty(X[, indent]) — SQLite 3.46 (in the reference's bundled
+    engine; stdlib sqlite3 here is older, format pinned from the docs)."""
+    if len(args) not in (1, 2):
+        raise FilesqlError(f"json_pretty expects 1-2 args, got {len(args)}")
+    doc = _rewrite_json_family(args[0])
+    vals = [f"({_rewrite_json_family(args[1])})"] if len(args) == 2 else []
+    return _json_mutate_call(doc, "pretty", [], vals, "s" * len(vals))
+
+
 _JSON_MUTATION_REWRITES = {
     "json_set": _json_set_family("set"),
     "json_insert": _json_set_family("insert"),
@@ -920,6 +930,7 @@ _JSON_MUTATION_REWRITES = {
     "json_remove": _json_remove,
     "json_patch": _json_patch,
     "json": _json_minify,
+    "json_pretty": _json_pretty,
 }
 
 
@@ -1002,6 +1013,7 @@ _CALL_REWRITES = {
     "json_remove": _JSON_MUTATION_REWRITES["json_remove"],
     "json_patch": _JSON_MUTATION_REWRITES["json_patch"],
     "json": _JSON_MUTATION_REWRITES["json"],
+    "json_pretty": _JSON_MUTATION_REWRITES["json_pretty"],
     # json_array BEFORE the other json passes: its subtype detection
     # (_json_value_flag) must see arguments in their RAW spelling
     # (json('…'), json_object(…)) — later passes expand them inside the
@@ -1370,13 +1382,20 @@ def _trim_family(spark_kind: str, name: str):
 
 def _concat_call(args: list[str]) -> str:
     """SQLite 3.44 concat(): NULL args are ignored (skipped), non-text
-    args render as text; concat() of all NULLs is ''. Spark's concat
-    returns NULL if any argument is NULL."""
+    args render as text — REAL args with %!.15g like `||` (r12; was
+    Java's 17-digit rendering); concat() of all NULLs is ''. Spark's
+    concat returns NULL if any argument is NULL."""
     if not args or not args[0].strip():
         raise FilesqlError("concat() expects at least one argument")
     args = [_rewrite_calls(a, "concat", _CALL_REWRITES["concat"]) for a in args]
-    parts = ", ".join(f"nvl(CAST(({a}) AS STRING), '')" for a in args)
-    return f"concat({parts})"
+    parts = []
+    for a in args:
+        mask = _div_mask(a)
+        t = _div_walk(a, mask, 0, len(a), _ACTIVE_COLUMN_TYPES, [])
+        if t == "real":
+            a = f"filesql_double_text(TRY_CAST(({a}) AS DOUBLE))"
+        parts.append(f"nvl(CAST(({a}) AS STRING), '')")
+    return f"concat({', '.join(parts)})"
 
 
 def _hex_call(args: list[str]) -> str:

@@ -241,6 +241,14 @@ def mutate(doc: str | None, op: str, paths, vals, flags: str) -> str | None:
         raise FilesqlError(f"malformed JSON: {doc!r}") from None
     if op == "json":  # json(X): validate + minify
         return _dumps(tree)
+    if op == "pretty":
+        # json_pretty(X[, indent]) — SQLite 3.46: four-space indent by
+        # default, or the caller's indent string (doc-derived format;
+        # stdlib sqlite3 here is 3.40, so no differential oracle).
+        # Python's indented dumps matches the documented shape: ': '
+        # after keys, ',' between entries, closing brackets dedented.
+        indent = vals[0] if vals and vals[0] is not None else "    "
+        return json.dumps(tree, indent=indent, ensure_ascii=False)
     if op == "patch":  # json_patch(T, P): RFC-7386 merge
         if not vals or vals[0] is None:
             return None

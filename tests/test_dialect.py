@@ -695,14 +695,24 @@ def test_sqlite_version_function():
     assert rewrite("SELECT sqlite_version()") == "SELECT '3.50.2'"
 
 
-def test_concat_skips_nulls(spark):
+def test_concat_skips_nulls(spark, tmp_path):
     """SQLite 3.44 concat() ignores NULL args and renders numbers as
     text (the bundled sqlite3 here is 3.40, so expected values are
-    pinned from the SQLite docs rather than differentially)."""
-    got = spark.sql(rewrite(
-        "SELECT concat('a', NULL, 'b') AS x, concat(NULL, NULL) AS y, "
-        "concat(1, '-', 2.5) AS z, concat('p', concat(NULL, 'q')) AS n"
-    )).collect()[0]
+    pinned from the SQLite docs rather than differentially). Runs
+    through the engine: REAL args render via the filesql_double_text
+    session UDF since r12, like ||."""
+    import filesql_spark as fs
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(
+            "SELECT concat('a', NULL, 'b') AS x, concat(NULL, NULL) AS y, "
+            "concat(1, '-', 2.5) AS z, concat('p', concat(NULL, 'q')) AS n"
+            " FROM one"
+        ).collect()[0]
+    finally:
+        eng.close()
     assert (got.x, got.y, got.z, got.n) == ("ab", "", "1-2.5", "pq")
 
 
@@ -1100,3 +1110,26 @@ def test_divergence_boolean_rendering(spark, tmp_path):
         assert got is True  # sqlite3 would return 1
     finally:
         eng.close()
+
+
+def test_json_pretty_and_concat_render(spark, tmp_path):
+    """r12: json_pretty (SQLite 3.46, doc-pinned format — the local
+    stdlib sqlite3 predates it) and concat()'s %!.15g REAL rendering
+    (consistent with ||, which is differentially pinned)."""
+    import filesql_spark as fs
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        r = eng.query(
+            "SELECT json_pretty('{\"a\":1,\"b\":[1,2]}') AS p, "
+            "json_pretty('{\"a\":1}', '  ') AS p2, "
+            "concat('a', NULL, 1e20) AS c, "
+            "concat(2.5, 'x') AS c2 FROM one"
+        ).collect()[0]
+    finally:
+        eng.close()
+    assert r.p == '{\n    "a": 1,\n    "b": [\n        1,\n        2\n    ]\n}'
+    assert r.p2 == '{\n  "a": 1\n}'
+    assert r.c == "a1.0e+20"  # NULL skipped; %!.15g like || ('' || 1e20)
+    assert r.c2 == "2.5x"
