@@ -2755,7 +2755,7 @@ def _rewrite_string_aliases(sql: str) -> str:
     identifier alias."""
     if "'" not in sql:
         return sql
-    mask = _div_mask(sql)
+    mask = _blank_comments(sql, _div_mask(sql))
     edits = [
         # original case preserved (the lowercased `name` is for the
         # affinity map only; result column names keep the user's case)
@@ -2825,7 +2825,7 @@ def _apply_shadow(
 ) -> dict[str, str]:
     """Catalog column types with derived-scope alias rebinds applied
     (see _alias_shadow_types)."""
-    shadow = _alias_shadow_types(sql, mask, coltypes)
+    shadow = _alias_shadow_types(sql, _blank_comments(sql, mask), coltypes)
     if not shadow:
         return coltypes
     merged = dict(coltypes)

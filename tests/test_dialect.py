@@ -1133,3 +1133,12 @@ def test_json_pretty_and_concat_render(spark, tmp_path):
     assert r.p2 == '{\n  "a": 1\n}'
     assert r.c == "a1.0e+20"  # NULL skipped; %!.15g like || ('' || 1e20)
     assert r.c2 == "2.5x"
+
+
+def test_alias_scans_ignore_comments():
+    """A literal or identifier inside a trailing comment must not bind a
+    phantom alias (r12: the alias scans blank -- and /* */ spans)."""
+    out = rewrite("SELECT a, b -- note 'x'\n FROM t")
+    assert "`x`" not in out
+    out2 = rewrite("SELECT a /* alias 'y' */ , b FROM t")
+    assert "`y`" not in out2
