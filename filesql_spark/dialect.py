@@ -2302,12 +2302,6 @@ def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
     if "||" not in sql:
         return sql
     mask = _div_mask(sql)
-    if coltypes:
-        # same shadow rule as the division pass: derived-scope rebinds
-        # carry their binding expression's computed affinity (or degrade
-        # to unknown — no %!.15g wrap; a wrongly-typed wrap would corrupt
-        # ints/text, the worse failure)
-        coltypes = _apply_shadow(sql, mask, coltypes)
     edits: list[tuple[int, int, str]] = []
     _concat_walk(sql, mask, 0, len(sql), coltypes, edits)
     if not edits:
@@ -2851,8 +2845,6 @@ def _rewrite_division(sql: str, column_types: dict[str, str] | None = None) -> s
     if "/" not in sql and "%" not in sql and not _SAMETYPE_CALL_RX.search(sql):
         return sql
     mask = _div_mask(sql)
-    if column_types:
-        column_types = _apply_shadow(sql, mask, column_types)
     edits: list[tuple[int, int, str]] = []
     _div_walk(sql, mask, 0, len(sql), column_types, edits)
     for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
@@ -3019,6 +3011,15 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = _rewrite_json_arrows(sql)
     sql = _escape_string_backslashes(sql)
     sql = _requote_identifiers(sql)
+    if column_types:
+        # apply the derived-scope alias shadow ONCE (after requote, so
+        # double-quoted aliases are already backticks), so every
+        # affinity consumer — the ||/division passes AND the
+        # _CALL_REWRITES builders reading _ACTIVE_COLUMN_TYPES, e.g.
+        # _cast_call's TEXT branch and _concat_call — sees the same
+        # rebind-adjusted types
+        column_types = _apply_shadow(sql, _div_mask(sql), column_types)
+        _ACTIVE_COLUMN_TYPES = column_types
     sql = _rewrite_filter_over(sql)
     sql = _rewrite_concat_real(sql, column_types)
     sql = _rewrite_division(sql, column_types)

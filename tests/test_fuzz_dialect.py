@@ -1384,3 +1384,23 @@ def test_json_arrow_operators_match_sqlite(spark, tmp_path):
         g, x = _norm(got[i]), _norm(expected[i])
         assert g == x, (e, g, x)
     assert (diverge.r, diverge.i) == ("2.5", "3")
+
+
+def test_cast_text_respects_alias_shadow(spark, tmp_path):
+    """r12: the CAST-AS-TEXT %!.15g decision must see the same
+    rebind-adjusted affinities as the division pass — a derived-scope
+    avg() rebind of an int column renders as REAL text, a count()
+    rebind of a real column as plain int text."""
+    rows = [(1, 7), (2, 8), (3, 11)]
+    _differential(
+        spark, tmp_path,
+        "SELECT CAST(n AS TEXT) AS s FROM (SELECT avg(n) n FROM t)",
+        rows, "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n",
+    )
+    _differential(
+        spark, tmp_path,
+        "WITH c AS (SELECT count(*) AS f FROM t) "
+        "SELECT CAST(f AS TEXT) AS s FROM c",
+        [(1, 0.5), (2, 1.5)],
+        "CREATE TABLE t (id INTEGER, f REAL)", "id,f",
+    )
