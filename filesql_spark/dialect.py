@@ -969,6 +969,10 @@ def _json_array(args: list[str]) -> str:
     return "concat('[', " + ", ',', ".join(quoted) + ", ']')"
 
 
+def _raise_fe(msg: str):
+    raise FilesqlError(msg)
+
+
 _SIMPLE_RENAMES = {
     "ifnull": "nvl",
     "iif": "if",
@@ -1014,6 +1018,19 @@ _CALL_REWRITES = {
     "json_patch": _JSON_MUTATION_REWRITES["json_patch"],
     "json": _JSON_MUTATION_REWRITES["json"],
     "json_pretty": _JSON_MUTATION_REWRITES["json_pretty"],
+    # SQLite 3.43 timediff(A, B) → the filesql_timediff session UDF
+    # (json1.timediff_text; format/algorithm notes there). 'now' follows
+    # the date-function convention: the session's current timestamp.
+    "timediff": lambda args: (
+        "filesql_timediff(" + ", ".join(
+            "CAST(current_timestamp() AS STRING)"
+            if a.strip().lower() in ("'now'", '"now"')
+            else f"CAST(({a}) AS STRING)"
+            for a in args
+        ) + ")"
+    ) if len(args) == 2 else _raise_fe(
+        f"timediff expects 2 args, got {len(args)}"
+    ),
     # json_array BEFORE the other json passes: its subtype detection
     # (_json_value_flag) must see arguments in their RAW spelling
     # (json('…'), json_object(…)) — later passes expand them inside the

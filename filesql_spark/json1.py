@@ -423,6 +423,80 @@ _EACH_SCHEMA = (
 _REGISTERED_FLAG = "filesql.internal.json1.registered"
 
 
+# ------------------------------------------------------------- timediff
+# SQLite 3.43's timediff(A, B): the signed calendar amount that must be
+# added to B to reach A, formatted '+YYYY-MM-DD HH:MM:SS.SSS'. Algorithm
+# per SQLite's date.c: step whole years, then whole months (with
+# SQLite's day-overflow normalization — Jan 31 + 1 month = Mar 3), then
+# the exact remainder as days/time. The bundled stdlib sqlite3 predates
+# the function, so correctness is pinned by the round-trip property
+# against the differentially-pinned datetime() modifiers
+# (tests/test_dialect.py) plus doc examples.
+
+_TD_FORMATS = (
+    "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M",
+    "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M",
+    "%Y-%m-%d",
+)
+
+
+def _td_parse(s):
+    import datetime as _dt
+
+    if s is None:
+        return None
+    s = str(s).strip()
+    for fmt in _TD_FORMATS:
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    # time-only values sit on SQLite's reference date 2000-01-01
+    for fmt in ("%H:%M:%S.%f", "%H:%M:%S", "%H:%M"):
+        try:
+            t = _dt.datetime.strptime(s, fmt)
+            return t.replace(year=2000, month=1, day=1)
+        except ValueError:
+            continue
+    return None
+
+
+def _td_add_months(dt, n: int):
+    import datetime as _dt
+
+    y = dt.year + (dt.month - 1 + n) // 12
+    m = (dt.month - 1 + n) % 12 + 1
+    base = _dt.datetime(y, m, 1, dt.hour, dt.minute, dt.second,
+                        dt.microsecond)
+    return base + _dt.timedelta(days=dt.day - 1)  # overflow rolls forward
+
+
+def timediff_text(a, b):
+    da, db = _td_parse(a), _td_parse(b)
+    if da is None or db is None:
+        return None
+    sign, hi, lo = ("+", da, db) if da >= db else ("-", db, da)
+    years = hi.year - lo.year
+    t = _td_add_months(lo, 12 * years)
+    if t > hi:
+        years -= 1
+        t = _td_add_months(lo, 12 * years)
+    months = (hi.year - t.year) * 12 + (hi.month - t.month)
+    t2 = _td_add_months(t, months)
+    if t2 > hi:
+        months -= 1
+        t2 = _td_add_months(t, months)
+    delta = hi - t2
+    ms = round(delta.microseconds / 1000)
+    secs = delta.seconds
+    if ms == 1000:
+        ms, secs = 0, secs + 1
+    h, rem = divmod(secs, 3600)
+    mi, s = divmod(rem, 60)
+    return (f"{sign}{years:04d}-{months:02d}-{delta.days:02d} "
+            f"{h:02d}:{mi:02d}:{s:02d}.{ms:03d}")
+
+
 def register_udfs(spark) -> None:
     """Register the json1 session UDFs (idempotent per SparkSession).
     Both are Arrow-batched pandas UDFs — the per-row Python work is the
@@ -476,6 +550,11 @@ def register_udfs(spark) -> None:
     def _dtext_fn(x):
         return pd.Series([double_to_text(v) for v in x], dtype=object)
 
+    def _timediff_fn(a, b):
+        return pd.Series(
+            [timediff_text(x, y) for x, y in zip(a, b)], dtype=object
+        )
+
     # annotations set explicitly: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf's type inference rejects
     _mutate_fn.__annotations__ = {
@@ -484,9 +563,13 @@ def register_udfs(spark) -> None:
     _each_fn.__annotations__ = {"doc": pd.Series, "return": pd.Series}
     _tree_fn.__annotations__ = {"doc": pd.Series, "return": pd.Series}
     _dtext_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    _timediff_fn.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series
+    }
 
     spark.udf.register("filesql_json_mutate", pandas_udf(_mutate_fn, "string"))
     spark.udf.register("filesql_json_each", pandas_udf(_each_fn, _EACH_SCHEMA))
     spark.udf.register("filesql_json_tree", pandas_udf(_tree_fn, _EACH_SCHEMA))
     spark.udf.register("filesql_double_text", pandas_udf(_dtext_fn, "string"))
+    spark.udf.register("filesql_timediff", pandas_udf(_timediff_fn, "string"))
     spark.conf.set(_REGISTERED_FLAG, "1")

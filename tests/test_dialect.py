@@ -1142,3 +1142,68 @@ def test_alias_scans_ignore_comments():
     assert "`x`" not in out
     out2 = rewrite("SELECT a /* alias 'y' */ , b FROM t")
     assert "`y`" not in out2
+
+
+def test_timediff(spark, tmp_path):
+    """r12: timediff(A, B) — SQLite 3.43, absent from the bundled
+    sqlite3, so pinned two ways: hand-computed doc-style examples, and
+    the defining round-trip property datetime(B, +components) == A
+    verified through our datetime() modifiers (which ARE differentially
+    pinned against sqlite3)."""
+    import random
+
+    import filesql_spark as fs
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        r = eng.query(
+            "SELECT timediff('2023-02-15', '2023-01-15') AS a, "
+            "timediff('2023-01-15', '2023-02-15') AS b, "
+            "timediff('2024-03-03', '2024-01-31') AS c, "
+            "timediff('2023-01-02 03:04:05.250', '2023-01-01') AS d, "
+            "timediff('2020-06-01', '2020-06-01') AS e FROM one"
+        ).collect()[0]
+        assert r.a == "+0000-01-00 00:00:00.000"
+        assert r.b == "-0000-01-00 00:00:00.000"
+        # Jan 31 + 1 month normalizes to Mar 2; one more day reaches it
+        assert r.c == "+0000-01-01 00:00:00.000"
+        assert r.d == "+0000-00-01 03:04:05.250"
+        assert r.e == "+0000-00-00 00:00:00.000"
+
+        # round-trip property over a random corpus (whole seconds)
+        rng = random.Random(99)
+        pairs = []
+        for _ in range(12):
+            y1, y2 = rng.randint(1999, 2030), rng.randint(1999, 2030)
+            a = (f"{y1:04d}-{rng.randint(1,12):02d}-{rng.randint(1,28):02d}"
+                 f" {rng.randint(0,23):02d}:{rng.randint(0,59):02d}:"
+                 f"{rng.randint(0,59):02d}")
+            b = (f"{y2:04d}-{rng.randint(1,12):02d}-{rng.randint(1,31):02d}"
+                 f" {rng.randint(0,23):02d}:{rng.randint(0,59):02d}:"
+                 f"{rng.randint(0,59):02d}")
+            pairs.append((a, b))
+        sel = ", ".join(
+            f"timediff('{a}', '{b}') AS d{i}" for i, (a, b) in enumerate(pairs)
+        )
+        diffs = eng.query(f"SELECT {sel} FROM one").collect()[0]
+        for i, (a, b) in enumerate(pairs):
+            d = diffs[i]
+            sign, rest = d[0], d[1:]
+            ymd, hms = rest.split(" ")
+            yy, mm, dd = ymd.split("-")
+            hh, mi, ss = hms.split(":")
+            lo = b if sign == "+" else a  # components step lo upward
+            hi = a if sign == "+" else b
+            mods = ", ".join(
+                f"'+{int(v)} {u}'"
+                for v, u in ((yy, "years"), (mm, "months"), (dd, "days"),
+                             (hh, "hours"), (mi, "minutes"),
+                             (float(ss), "seconds"))
+            )
+            got = eng.query(
+                f"SELECT datetime('{lo}', {mods}) AS v FROM one"
+            ).collect()[0].v
+            assert got == hi, (a, b, d, got)
+    finally:
+        eng.close()
