@@ -2686,10 +2686,8 @@ def _rewrite_json_arrows(sql: str) -> str:
     normalized statically ('key' → '$.key' verbatim, 2 → '$[2]').
     Left-associative chaining works (each rewrite makes the call text
     the next arrow's LHS primary). Documented limits: the right operand
-    must be a literal (SQLite also evaluates dynamic paths), the LHS
-    binds one primary (a `||`-chain LHS would need parens), and a
-    present-but-null member under `->` returns NULL rather than the
-    text 'null' (presence detection rides json_extract's machinery)."""
+    must be a literal (SQLite also evaluates dynamic paths), and the
+    LHS binds one primary (a `||`-chain LHS would need parens)."""
     if "->" not in sql:
         return sql
     while True:
@@ -2737,23 +2735,17 @@ def _rewrite_json_arrows(sql: str) -> str:
                 f"the right operand of {'->>'[:oplen]} must be a string "
                 "or integer literal path"
             )
-        # emit get_json_object text directly (what the json_extract
-        # builder produces): raw json_* names nested inside other json
-        # calls would be skipped by the per-name sweep's emitted-text
-        # guard, and get_json_object is rewritten by nothing later
+        # one UDF call per arrow (json1.arrow_text): keeps the document
+        # expression single-copy (a CASE-splice emission embeds ~7
+        # copies per chain level and made wide selects quadratic to
+        # analyze), supports full SQLite path syntax incl. [#-n], and
+        # renders a PRESENT null member as 'null' under `->` — which
+        # the get_json_object path cannot distinguish from missing
         p = path.replace("'", "''")
-        ext = f"get_json_object(({sql[start:e]}), '{p}')"
-        if deep:
-            repl = ext  # ->> : SQL value, json_extract semantics
-        else:
-            # -> : JSON text — json_array's loose rendering (splice
-            # containers/numbers/booleans, quote scalar text) with
-            # missing-path NULL kept NULL
-            repl = (
-                f"(CASE WHEN {ext} IS NULL THEN NULL "
-                f"WHEN get_json_object({ext}, '$') IS NOT NULL THEN {ext} "
-                f"ELSE {_json_quote([ext])} END)"
-            )
+        repl = (
+            f"filesql_json_arrow(CAST(({sql[start:e]}) AS STRING), "
+            f"'{p}', {'true' if deep else 'false'})"
+        )
         sql = sql[:start] + repl + sql[rhs_end:]
 
 

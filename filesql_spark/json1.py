@@ -423,6 +423,51 @@ _EACH_SCHEMA = (
 _REGISTERED_FLAG = "filesql.internal.json1.registered"
 
 
+# -------------------------------------------------------- -> / ->> ops
+
+
+def _get_at(node, comps, i):
+    """Read-only walk of a parsed path; _MISSING when absent."""
+    if i == len(comps):
+        return node
+    kind, arg = comps[i]
+    if kind == "key":
+        if isinstance(node, dict) and arg in node:
+            return _get_at(node[arg], comps, i + 1)
+        return _MISSING
+    if not isinstance(node, list):
+        return _MISSING
+    j = arg if kind == "idx" else len(node) + arg
+    if 0 <= j < len(node):
+        return _get_at(node[j], comps, i + 1)
+    return _MISSING
+
+
+def arrow_text(doc, path, deep):
+    """SQLite's JSON operators over one document. ``deep`` False is
+    `X -> P` (result is JSON text: strings quoted, containers/numbers/
+    booleans spliced, a PRESENT null member is the text 'null' — exact,
+    unlike the get_json_object path which cannot see presence);
+    ``deep`` True is `X ->> P` (SQL-value text form, riding
+    json_extract's documented riders: numbers and booleans come back as
+    their text forms). Missing path → NULL either way."""
+    if doc is None or path is None:
+        return None
+    try:
+        tree = json.loads(doc)
+    except ValueError:
+        raise FilesqlError(f"malformed JSON: {doc!r}") from None
+    node = _get_at(tree, parse_path(path), 0)
+    if node is _MISSING:
+        return None
+    if deep:
+        if node is None:
+            return None
+        if isinstance(node, str):
+            return node
+    return _dumps(node)
+
+
 # ------------------------------------------------------------- timediff
 # SQLite 3.43's timediff(A, B): the signed calendar amount that must be
 # added to B to reach A, formatted '+YYYY-MM-DD HH:MM:SS.SSS'. Algorithm
@@ -555,6 +600,12 @@ def register_udfs(spark) -> None:
             [timediff_text(x, y) for x, y in zip(a, b)], dtype=object
         )
 
+    def _arrow_fn(doc, path, deep):
+        return pd.Series(
+            [arrow_text(d, p, bool(x)) for d, p, x in zip(doc, path, deep)],
+            dtype=object,
+        )
+
     # annotations set explicitly: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf's type inference rejects
     _mutate_fn.__annotations__ = {
@@ -566,10 +617,15 @@ def register_udfs(spark) -> None:
     _timediff_fn.__annotations__ = {
         "a": pd.Series, "b": pd.Series, "return": pd.Series
     }
+    _arrow_fn.__annotations__ = {
+        "doc": pd.Series, "path": pd.Series, "deep": pd.Series,
+        "return": pd.Series,
+    }
 
     spark.udf.register("filesql_json_mutate", pandas_udf(_mutate_fn, "string"))
     spark.udf.register("filesql_json_each", pandas_udf(_each_fn, _EACH_SCHEMA))
     spark.udf.register("filesql_json_tree", pandas_udf(_tree_fn, _EACH_SCHEMA))
     spark.udf.register("filesql_double_text", pandas_udf(_dtext_fn, "string"))
     spark.udf.register("filesql_timediff", pandas_udf(_timediff_fn, "string"))
+    spark.udf.register("filesql_json_arrow", pandas_udf(_arrow_fn, "string"))
     spark.conf.set(_REGISTERED_FLAG, "1")

@@ -1362,6 +1362,8 @@ def test_json_arrow_operators_match_sqlite(spark, tmp_path):
         """'{"a":1}' -> 'zz'""",           # missing -> NULL
         """'{"a.b":5}' -> 'a.b'""",        # bare key is verbatim $.a.b
         """upper('{"a":"v"}' ->> 'a')""",  # inside a call argument
+        """'{"a":null}' -> 'a'""",         # PRESENT null -> text 'null'
+        """'[1,2,3]' -> '$[#-1]'""",       # SQLite [#-n] path form
     ]
     select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(cases))
     con = sqlite3.connect(":memory:")
@@ -1404,3 +1406,64 @@ def test_cast_text_respects_alias_shadow(spark, tmp_path):
         [(1, 0.5), (2, 1.5)],
         "CREATE TABLE t (id INTEGER, f REAL)", "id,f",
     )
+
+
+@pytest.mark.parametrize("seed", [1212, 3434])
+def test_json_arrow_corpus_matches_sqlite(spark, tmp_path, seed):
+    """Randomized `->`/`->>` differential vs stdlib sqlite3 (3.38+ has
+    the operators): random docs, bare-key/full-path/index shorthands,
+    chaining. Known riders are excluded by construction: json-null
+    members under `->` (presence detection), and numbers/booleans under
+    `->>` (json_extract's text-form divergence)."""
+    rng = random.Random(seed)
+    exprs = []
+    while len(exprs) < 30:
+        # build a doc with typed members we can safely extract
+        keys = {}
+        parts = []
+        for i in range(rng.randint(2, 4)):
+            k = f"k{i}"
+            kind = rng.choice(["str", "num", "obj", "arr"])
+            if kind == "str":
+                v = '"s%d"' % rng.randint(0, 99)
+            elif kind == "num":
+                v = rng.choice([str(rng.randint(-99, 99)),
+                                repr(round(rng.uniform(-9, 9), 3))])
+            elif kind == "obj":
+                v = '{"in": %d}' % rng.randint(0, 9)
+            else:
+                v = "[%s]" % ", ".join(
+                    str(rng.randint(0, 9)) for _ in range(rng.randint(1, 3))
+                )
+            keys[k] = kind
+            parts.append(f'"{k}": {v}')
+        doc = "'{" + ", ".join(parts) + "}'"
+        k = rng.choice(list(keys))
+        kind = keys[k]
+        form = rng.choice([f"'{k}'", f"'$.{k}'"])
+        if kind in ("str", "num", "obj", "arr"):
+            exprs.append(f"{doc} -> {form}")
+        if kind == "str":
+            exprs.append(f"{doc} ->> {form}")
+        elif kind == "obj":
+            # chain into the nested member; ->> of a number rides the
+            # text divergence, so chain with -> (JSON text both sides)
+            exprs.append(f"{doc} -> {form} -> 'in'")
+        elif kind == "arr":
+            exprs.append(f"{doc} -> {form} -> {rng.randint(0, 0)}")
+        # missing key: NULL under both operators
+        exprs.append(f"{doc} {rng.choice(['->', '->>'])} 'zz'")
+    exprs = exprs[:30]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+    for i, e in enumerate(exprs):
+        assert _norm(got[i]) == _norm(expected[i]), (seed, i, e, got[i], expected[i])
