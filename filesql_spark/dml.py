@@ -366,10 +366,14 @@ def _insert(engine, sql: str) -> tuple[int, "object | None"]:
     return n, _returning_over(aligned, returning)
 
 
-def _track_rowid(engine, table, target, aligned, n: int) -> None:
+def _track_rowid(engine, table, target, aligned, n: int,
+                 pk_only: bool = False) -> None:
     """Maintain the last_insert_rowid() bridge (contract and divergences
     documented at engine.__init__'s counter). Tracking must never fail
-    the INSERT itself."""
+    the INSERT itself. ``pk_only`` is the upsert mode: only the declared
+    integer-PRIMARY-KEY branch applies (the landed-row count does not
+    grow the table by n, so the implicit-rowid high-water arithmetic
+    would corrupt)."""
     if n == 0:
         return
     try:
@@ -386,6 +390,8 @@ def _track_rowid(engine, table, target, aligned, n: int) -> None:
                 if v is not None:
                     engine._last_insert_rowid = int(v)
                     return
+        if pk_only:
+            return
         hwm = engine._rowid_hwm.get(table)
         if hwm is None:
             hwm = target.count()  # file-loaded rowids are dense 1..R
@@ -553,6 +559,7 @@ def _upsert_replace(engine, table, target, aligned, key, returning):
     survivors = target.join(incoming.select(*key).distinct(), key, "left_anti")
     engine._reregister(table, survivors.unionByName(incoming))
     engine._rowid_hwm.pop(table, None)
+    _track_rowid(engine, table, target, incoming, n, pk_only=True)
     # SQLite (recursive_triggers OFF, the default the reference inherits):
     # OR REPLACE fires INSERT triggers for the landed rows; the implicit
     # delete of the replaced row fires nothing
@@ -569,6 +576,7 @@ def _upsert_nothing(engine, table, target, aligned, key, returning):
     n = inserted.count()
     engine._reregister(table, target.unionByName(inserted))
     engine._rowid_hwm.pop(table, None)
+    _track_rowid(engine, table, target, inserted, n, pk_only=True)
     # SQLite: OR IGNORE / DO NOTHING fire INSERT triggers only for rows
     # that actually inserted
     _fire_insert_trigger(engine, table, inserted)
@@ -634,6 +642,7 @@ def _upsert_update(engine, table, target, aligned, key, rest, returning):
     to_insert = aligned.join(target.select(*key).distinct(), key, "left_anti")
     n_inserted = to_insert.count()
     engine._reregister(table, updated.unionByName(to_insert))
+    _track_rowid(engine, table, target, to_insert, n_inserted, pk_only=True)
     if engine._triggers:
         # SQLite: DO UPDATE fires UPDATE triggers on the conflicted rows
         # (old = standing row, new = after SET) and INSERT triggers on

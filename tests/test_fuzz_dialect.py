@@ -1161,8 +1161,10 @@ def test_dml_sequence_with_views_and_triggers_matches_sqlite(
         "CREATE TRIGGER au AFTER UPDATE ON t BEGIN "
         "INSERT INTO log VALUES (NEW.id); END"
     )
+    exp_rowids = []
     for s in stmts:
         con.execute(s)
+        exp_rowids.append(con.execute("SELECT last_insert_rowid()").fetchone()[0])
     exp_t = sorted(con.execute("SELECT * FROM t").fetchall())
     exp_v = sorted(con.execute("SELECT * FROM v").fetchall())
     exp_log = sorted(con.execute("SELECT * FROM log").fetchall())
@@ -1182,8 +1184,12 @@ def test_dml_sequence_with_views_and_triggers_matches_sqlite(
             "CREATE TRIGGER au AFTER UPDATE ON t BEGIN "
             "INSERT INTO log VALUES (NEW.id); END"
         )
+        got_rowids = []
         for s in stmts:
             eng.execute(s)
+            got_rowids.append(
+                eng.query("SELECT last_insert_rowid() AS r").collect()[0].r
+            )
         got_t = sorted(tuple(r) for r in eng.query("SELECT * FROM t").collect())
         got_v = sorted(tuple(r) for r in eng.query("SELECT * FROM v").collect())
         got_log = sorted(
@@ -1194,6 +1200,10 @@ def test_dml_sequence_with_views_and_triggers_matches_sqlite(
     assert got_t == exp_t, (seed, stmts, got_t, exp_t)
     assert got_v == exp_v, (seed, stmts)
     assert got_log == exp_log, (seed, stmts, got_log, exp_log)
+    # last_insert_rowid() tracks statement-for-statement (r12: upsert
+    # paths move the counter like SQLite; trigger-body inserts into the
+    # audit table revert when the trigger program ends)
+    assert got_rowids == exp_rowids, (seed, stmts, got_rowids, exp_rowids)
 
 
 # --------------------------------------------- r12 randomized tiers
