@@ -127,7 +127,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "agg_conditional_case": 9,
     "agg_count_distinct": 10,
     "agg_cube": 10,
-    "agg_filter_clause": 8,
+    "agg_filter_clause": 12,
     "agg_group_concat": 9,
     "agg_grouping_sets": 10,
     "agg_having": 10,
@@ -138,11 +138,11 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "ann_ivf_build": 9,
     "ann_ivf_topk": 9,
     "ann_lsh_topk": 9,
-    "ann_pq_build": 7,
-    "ann_pq_topk": 7,
+    "ann_pq_build": 12,
+    "ann_pq_topk": 12,
     "ann_recall_report": 9,
     "asof_join_latest_order": 10,
-    "asof_join_tolerance": 8,
+    "asof_join_tolerance": 12,
     "cdc_merge_apply": 11,
     "coalesce_cast": 10,
     "corpus_datacard": 11,
@@ -152,7 +152,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "date_functions": 10,
     "date_hour_histogram": 10,
     "date_julianday_span": 10,
-    "dedup_cluster_representatives": 7,
+    "dedup_cluster_representatives": 12,
     "dedup_connected_components": 9,
     "dedup_containment": 9,
     "dedup_embedding_cosine": 9,
@@ -170,46 +170,46 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "docs_ngram_novelty": 9,
     "docs_pii_density_by_source": 9,
     "docs_quality_gate_sweep": 9,
-    "docs_source_reputation": 7,
+    "docs_source_reputation": 12,
     "docs_tokenizer_fertility": 9,
     "embedding_kmeans": 11,
-    "embedding_knn_label": 8,
+    "embedding_knn_label": 12,
     "embedding_label_centroids": 9,
     "embedding_norm_stats": 8,
-    "embedding_outliers": 8,
+    "embedding_outliers": 12,
     "embedding_pair_distance_histogram": 9,
     "embedding_quantize_int8": 11,
     "embedding_random_projection": 11,
-    "embedding_standardize": 8,
-    "events_ab_test_lift": 8,
+    "embedding_standardize": 12,
+    "events_ab_test_lift": 12,
     "events_anomaly_zscore": 11,
     "events_bot_detection": 8,
-    "events_changepoint_cusum": 8,
-    "events_conversion_latency": 8,
-    "events_cumulative_distinct": 8,
-    "events_decayed_engagement": 8,
+    "events_changepoint_cusum": 12,
+    "events_conversion_latency": 12,
+    "events_cumulative_distinct": 12,
+    "events_decayed_engagement": 12,
     "events_error_rate_monitor": 9,
-    "events_forecast_seasonal": 8,
+    "events_forecast_seasonal": 12,
     "events_funnel": 10,
     "events_gap_fill": 11,
     "events_hazard_curve": 8,
-    "events_ltv_cohort": 8,
+    "events_ltv_cohort": 12,
     "events_markov_transitions": 11,
     "events_retention_cohorts": 10,
     "events_robust_stats": 11,
-    "events_session_funnel": 8,
+    "events_session_funnel": 12,
     "events_sessionize": 10,
-    "events_skew_report": 7,
+    "events_skew_report": 12,
     "events_sliding_window": 10,
     "events_stickiness_dau_wau": 9,
-    "events_top_paths": 7,
+    "events_top_paths": 12,
     "events_tumbling_window": 10,
-    "events_user_streaks": 8,
-    "events_window_topk": 7,
-    "features_user_wide": 8,
+    "events_user_streaks": 12,
+    "events_window_topk": 12,
+    "features_user_wide": 12,
     "filter_like_ci": 11,
     "filter_predicates": 9,
-    "graph_pagerank_events": 8,
+    "graph_pagerank_events": 12,
     "graph_triangle_census": 8,
     "in_subquery": 10,
     "interval_join_banded": 11,
@@ -226,34 +226,34 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "json_extract": 10,
     "layout_zorder_stats": 11,
     "limit_offset": 10,
-    "lineitem_discount_regression": 8,
-    "lineitem_pareto_share": 8,
+    "lineitem_discount_regression": 12,
+    "lineitem_pareto_share": 12,
     "math_functions": 10,
     "multimodal_decode": 9,
     "multimodal_extract_features": 11,
     "multimodal_frame_dedup": 9,
     "multimodal_frame_sample": 9,
     "multimodal_resize": 11,
-    "orders_association_rules": 8,
-    "orders_cooccur_parts": 8,
+    "orders_association_rules": 12,
+    "orders_cooccur_parts": 12,
     "orders_fulfillment_latency": 9,
-    "orders_open_interval_count": 8,
-    "orders_seasonality_index": 8,
-    "part_supplier_concentration": 8,
+    "orders_open_interval_count": 12,
+    "orders_seasonality_index": 12,
+    "part_supplier_concentration": 12,
     "pipeline_clean_corpus": 9,
     "pipeline_contamination_report": 8,
     "pipeline_curate_full": 11,
-    "pipeline_curriculum_order": 7,
+    "pipeline_curriculum_order": 12,
     "pipeline_dataset_manifest": 11,
     "pipeline_decontaminate": 11,
     "pipeline_diversity_sample": 11,
     "pipeline_eval_set_builder": 9,
     "pipeline_incremental_decontaminate": 8,
     "pipeline_mixture_resample": 11,
-    "pipeline_near_dup_eval": 8,
+    "pipeline_near_dup_eval": 12,
     "pipeline_pack_sequences": 11,
     "pipeline_per_source_cap": 11,
-    "pipeline_semantic_decontaminate": 7,
+    "pipeline_semantic_decontaminate": 12,
     "pipeline_split_overlap_qa": 8,
     "pipeline_stage_metrics": 9,
     "pipeline_stratified_sample": 9,
@@ -261,17 +261,17 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "pipeline_train_val_split": 9,
     "pipeline_weighted_sample": 11,
     "pivot_status_by_priority": 9,
-    "profile_orders_stats": 7,
+    "profile_orders_stats": 12,
     "q10_returned_items": 11,
     "q14_promo_revenue": 11,
-    "q18_large_orders": 8,
+    "q18_large_orders": 12,
     "q1_pricing_summary": 9,
     "q3_shipping_priority": 10,
     "q5_local_supplier": 10,
     "q6_forecast_revenue": 11,
-    "q7_nation_volume": 8,
-    "q8_market_share": 8,
-    "quality_expectations_orders": 8,
+    "q7_nation_volume": 12,
+    "q8_market_share": 12,
+    "quality_expectations_orders": 12,
     "quality_signal_correlation": 9,
     "recursive_cte": 10,
     "scalar_subquery_correlated": 10,
@@ -279,20 +279,20 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "scd2_user_tier": 10,
     "select_case_expr": 10,
     "set_except": 10,
-    "set_except_all": 8,
+    "set_except_all": 12,
     "set_intersect": 10,
-    "set_intersect_all": 8,
+    "set_intersect_all": 12,
     "set_union_all": 10,
     "set_union_distinct": 10,
-    "sketch_cms_heavy_hitters": 7,
+    "sketch_cms_heavy_hitters": 12,
     "sketch_histogram_quantiles": 11,
-    "sketch_hll_rollup": 8,
-    "sketch_hll_sliding_wau": 8,
+    "sketch_hll_rollup": 12,
+    "sketch_hll_sliding_wau": 12,
     "sketch_hll_users": 11,
     "sketch_kmv_theta": 8,
     "snapshot_diff_docs": 11,
     "streaming_cdc_apply": 11,
-    "streaming_cms_tokens": 7,
+    "streaming_cms_tokens": 12,
     "streaming_dedup_exact": 9,
     "streaming_dedup_within_watermark": 11,
     "streaming_events_enriched": 9,
@@ -305,29 +305,29 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "string_functions": 10,
     "text_bigram_lm": 11,
     "text_bm25_search": 9,
-    "text_bpe_merges": 7,
+    "text_bpe_merges": 12,
     "text_chunk_stride": 11,
     "text_dup_span_removal": 8,
     "text_dup_spans": 11,
     "text_fingerprint": 10,
     "text_lang_id": 10,
     "text_length_percentiles": 9,
-    "text_lm_perplexity": 8,
+    "text_lm_perplexity": 12,
     "text_pii_redact": 9,
     "text_quality_score": 10,
     "text_rarity_score": 11,
     "text_readability_scores": 9,
     "text_repetition_filter": 9,
-    "text_tfidf_topterms": 8,
+    "text_tfidf_topterms": 12,
     "text_token_count": 9,
     "text_token_drift": 11,
-    "text_token_entropy": 8,
-    "text_tokenizer_coverage": 8,
+    "text_token_entropy": 12,
+    "text_tokenizer_coverage": 12,
     "text_top_tokens": 9,
     "text_vocab_growth_heaps": 9,
     "topk_orders": 10,
     "window_agg_over": 11,
-    "window_cume_dist": 8,
+    "window_cume_dist": 12,
     "window_groups_frame": 9,
     "window_lag_lead": 10,
     "window_nth_last_value": 11,
