@@ -221,13 +221,26 @@ def main() -> None:
     # measure pure serving — the steady-state cost a deployment pays.
     from filesql_spark.queries.pipeline_queries import ensure_ivf_index
 
-    build_samples = []
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        ensure_ivf_index(spark, sf_dir, fresh=True).corpus.count()
-        build_samples.append(time.perf_counter() - t0)
-    ivf_build_sec = round(statistics.median(build_samples), 4)
+    # Per-sample spreads for every build-once metric are recorded in
+    # BENCH_LOCAL.json as build_samples (VERDICT r12 #2: the five build
+    # metrics moved +22-36% in lockstep in the r12 driver run — an
+    # ambient-load signature that needs recorded spreads to adjudicate).
+    all_build_samples: dict[str, list[float]] = {}
+
+    def _timed_build(key: str, fn) -> float:
+        samples = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            samples.append(round(time.perf_counter() - t0, 4))
+        all_build_samples[key] = samples
+        return round(statistics.median(samples), 4)
+
+    ivf_build_sec = _timed_build(
+        "ann_ivf_build_sec",
+        lambda: ensure_ivf_index(spark, sf_dir, fresh=True).corpus.count(),
+    )
 
     # Same split for incremental dedup's standing-base index: the build
     # (ledger + band table + shingle sets, localCheckpointed) is reported
@@ -235,26 +248,20 @@ def main() -> None:
     # serve from it and measure the per-delta cost a daily run pays.
     from filesql_spark.queries.pipeline_queries import ensure_dedup_base
 
-    build_samples = []
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        ensure_dedup_base(spark, sf_dir, fresh=True)  # checkpoint is eager
-        build_samples.append(time.perf_counter() - t0)
-    dedup_base_build_sec = round(statistics.median(build_samples), 4)
+    dedup_base_build_sec = _timed_build(
+        "dedup_base_build_sec",
+        lambda: ensure_dedup_base(spark, sf_dir, fresh=True),  # checkpoint eager
+    )
 
     # And for product quantization: codebook training (4 sub-k-means) is
     # ann_pq_build_sec; the timed ann_pq_topk samples serve from the
     # cached codebooks (shortlist + rerank, the steady-state path).
     from filesql_spark.queries.pipeline_queries import ensure_pq_books
 
-    build_samples = []
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        ensure_pq_books(spark, sf_dir, fresh=True)  # fit collects eagerly
-        build_samples.append(time.perf_counter() - t0)
-    pq_build_sec = round(statistics.median(build_samples), 4)
+    pq_build_sec = _timed_build(
+        "ann_pq_build_sec",
+        lambda: ensure_pq_books(spark, sf_dir, fresh=True),  # fit collects eagerly
+    )
 
     # Standing near-dup pair table (the shared prefix of the whole
     # minhash family: components, representatives, triangle census,
@@ -267,29 +274,20 @@ def main() -> None:
         ensure_minhash_pairs,
     )
 
-    build_samples = []
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        ensure_minhash_pairs(spark, sf_dir, fresh=True).count()  # checkpoint eager
-        build_samples.append(time.perf_counter() - t0)
-    pairs_build_sec = round(statistics.median(build_samples), 4)
+    pairs_build_sec = _timed_build(
+        "minhash_pairs_build_sec",
+        lambda: ensure_minhash_pairs(spark, sf_dir, fresh=True).count(),  # checkpoint eager
+    )
 
-    build_samples = []
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        ensure_components(spark, sf_dir, fresh=True).count()  # labeling only
-        build_samples.append(time.perf_counter() - t0)
-    components_build_sec = round(statistics.median(build_samples), 4)
+    components_build_sec = _timed_build(
+        "components_build_sec",
+        lambda: ensure_components(spark, sf_dir, fresh=True).count(),  # labeling only
+    )
 
-    build_samples = []
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        ensure_diversity_centroids(spark, sf_dir, fresh=True)  # fit collects
-        build_samples.append(time.perf_counter() - t0)
-    diversity_fit_sec = round(statistics.median(build_samples), 4)
+    diversity_fit_sec = _timed_build(
+        "diversity_fit_sec",
+        lambda: ensure_diversity_centroids(spark, sf_dir, fresh=True),  # fit collects
+    )
 
     timings: dict[str, float] = {}
     for n in names:
@@ -382,7 +380,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(
             {**summary, "queries": timings, "streaming_setup_sec": streaming_setup,
-             "dump_samples": dump_samples},
+             "dump_samples": dump_samples, "build_samples": all_build_samples},
             f,
             indent=1,
         )
