@@ -97,6 +97,17 @@ class Engine:
         # freed id; next INSERT here re-counts), upsert paths leave the
         # counter untouched, and multi-row inserts with NON-ascending
         # explicit keys report the max, not the last.
+        # Decision (r13, VERDICT r12 #6): the delete divergence stays.
+        # A mark that SURVIVES deletes is exact only when the deleted
+        # set excludes the current max rowid; it becomes wrong for
+        # max-row deletes and delete-all (SQLite reuses the freed id:
+        # 1..5, DELETE rowid 5, INSERT -> rowid 5 again), which the
+        # re-count gets right. Neither policy dominates, and telling
+        # them apart needs a per-row hidden rowid — a total ordering
+        # over the table, which this engine deliberately avoids (no
+        # scalable dense id in a distributed DataFrame). Re-count keeps
+        # the suffix-delete/delete-all histories exact and the contract
+        # simple; tests pin both the exact and the divergent cases.
         self._last_insert_rowid = 0
         self._rowid_hwm: dict[str, int] = {}
         self._views_dirty = False

@@ -523,12 +523,17 @@ def timediff_text(a, b):
     sign, hi, lo = ("+", da, db) if da >= db else ("-", db, da)
     years = hi.year - lo.year
     t = _td_add_months(lo, 12 * years)
-    if t > hi:
+    while years > 0 and t > hi:
         years -= 1
         t = _td_add_months(lo, 12 * years)
     months = (hi.year - t.year) * 12 + (hi.month - t.month)
     t2 = _td_add_months(t, months)
-    if t2 > hi:
+    # loops, not single decrements: day-overflow normalization can
+    # overshoot twice (lo day 31, hi on the 1st-2nd: Jan 31 + 1 month
+    # = Mar 3 > Mar 1, so the month must step back to 0 and the span
+    # falls entirely to days) — caught by the r13 round-trip corpus,
+    # which once produced a negative day field here
+    while months > 0 and t2 > hi:
         months -= 1
         t2 = _td_add_months(t, months)
     delta = hi - t2

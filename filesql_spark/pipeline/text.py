@@ -409,8 +409,9 @@ def dup_spans(
     refinements are (a) broadcasting a Bloom filter of the dup hashes
     (sketch.bloom_filter_table) so pass 3's join prunes map-side, and
     (b) the suffix-array formulation when byte-level (not word-level)
-    spans are required. Output: (doc_id, span_start, span_tokens), one
-    row per maximal span, 0-based token offsets.
+    spans are required — implemented as ``dup_spans_bytes`` below via
+    hash-prefix suffix grouping. Output: (doc_id, span_start,
+    span_tokens), one row per maximal span, 0-based token offsets.
     """
     from pyspark.sql import Window
 
@@ -442,6 +443,84 @@ def dup_spans(
         .agg(
             F.min("p").cast("long").alias("span_start"),
             (F.max("p") - F.min("p") + n).cast("long").alias("span_tokens"),
+        )
+        .drop("grp")
+    )
+
+
+def dup_spans_bytes(
+    df: DataFrame, text_col: str = "text", min_len: int = 40, min_docs: int = 2
+) -> DataFrame:
+    """Byte-level duplicated-substring spans — the suffix-array
+    formulation of Lee et al.'s ExactSubstr dedup that ``dup_spans``
+    documents as the 100 TB refinement (word-level grams can't excise
+    duplicates that straddle token boundaries or punctuation variants).
+
+    Semantics (exactly what the excision stage needs): a byte position
+    is covered iff it lies inside some length-``min_len`` window whose
+    bytes also occur in at least ``min_docs - 1`` OTHER documents; the
+    output is each maximal covered run as (doc_id, span_start,
+    span_bytes), 0-based BYTE offsets into the UTF-8 encoding. This is
+    the same coverage set a suffix array yields for "all positions
+    inside a cross-document duplicated substring of length ≥ L": any
+    duplicated substring of length M ≥ L is the union of its M − L + 1
+    duplicated L-windows, and conversely every covered byte sits in a
+    duplicated window — so the union-of-windows IS the union of maximal
+    duplicated substrings.
+
+    Shape = hash-prefix suffix grouping (the distributed stand-in for a
+    global suffix array): each suffix is represented by the 128-bit hash
+    of its first ``min_len`` bytes — grouping on that key is grouping
+    suffixes by their L-byte prefix, i.e. the first L levels of the
+    suffix-array order, which is all ExactSubstr coverage needs.
+    1. one generator projection emits (doc_id, p, h₁, h₂) per suffix —
+       UTF-8 bytes via a BINARY cast, both hashes JVM-side xxhash64
+       (two salts: a single 64-bit key would collide ~n²/2⁶⁵ times at
+       corpus scale; the pair is effectively 128-bit);
+    2. the duplicated-prefix set: one corpus-wide groupBy with a
+       distinct-doc count — the only corpus-sized shuffle (rows are
+       ~32 B regardless of L, same order as the 8 B/suffix pointer
+       array the single-node suffix array pays);
+    3. flagged suffix starts equi-join back, then gaps-and-islands
+       merges stride-1 runs into maximal spans per doc.
+
+    Bounded prototype: exact on the documents fixture (differentially
+    pytest-gated against a byte-level brute-force oracle); at 100 TB the
+    same Bloom map-side prune documented on ``dup_spans`` applies to
+    pass 3's join.
+    """
+    from pyspark.sql import Window
+
+    t = (
+        df.repartition("doc_id")
+        .select("doc_id", F.col(text_col).cast("binary").alias("__b"))
+        .filter(F.length("__b") >= min_len)
+    )
+    pg = (
+        f"transform(sequence(0, length(__b) - {min_len}), i -> struct("
+        f"i AS p, xxhash64(substring(__b, i + 1, {min_len})) AS h1, "
+        f"xxhash64(substring(__b, i + 1, {min_len}), 1) AS h2))"
+    )
+    g = t.select("doc_id", F.explode(F.expr(pg)).alias("pg")).select(
+        "doc_id",
+        F.col("pg.p").cast("long").alias("p"),
+        F.col("pg.h1").alias("h1"),
+        F.col("pg.h2").alias("h2"),
+    )
+    dup = (
+        g.groupBy("h1", "h2")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h1", "h2")
+    )
+    flagged = g.join(dup, ["h1", "h2"])
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = flagged.withColumn("grp", F.col("p") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") - F.min("p") + min_len).cast("long").alias("span_bytes"),
         )
         .drop("grp")
     )

@@ -971,6 +971,58 @@ def test_last_insert_rowid(eng):
     assert q() == 601
 
 
+def test_last_insert_rowid_delete_histories(eng):
+    """r13 decision (VERDICT r12 #6): the post-DELETE re-count policy
+    stays. It is exact vs sqlite3 for max-rowid deletes and delete-all
+    (SQLite reuses the freed id, and a re-count lands on the same
+    number); the one divergent history — a NON-max delete followed by
+    an insert — is pinned explicitly. A mark surviving deletes would
+    invert the trade (middle deletes exact, max/delete-all wrong), and
+    telling the cases apart needs a per-row hidden rowid — a total
+    ordering this engine deliberately avoids (engine.__init__)."""
+    import sqlite3
+
+    def sqlite_history(deletes):
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE s (id INTEGER, name TEXT, age INTEGER, email TEXT)")
+        con.executemany(
+            "INSERT INTO s VALUES (?,?,?,?)",
+            [(1, "a", 30, "a@x"), (2, "b", 25, "b@x"), (3, "c", 35, "c@x")],
+        )
+        con.execute("INSERT INTO s VALUES (50, 'x', 1, 'x@x')")  # rowid 4
+        for d in deletes:
+            con.execute(d.replace("sample", "s"))
+        con.execute("INSERT INTO s VALUES (60, 'y', 2, 'y@x')")
+        v = con.execute("SELECT last_insert_rowid()").fetchone()[0]
+        con.close()
+        return v
+
+    q = lambda: eng.query("SELECT last_insert_rowid() AS r").collect()[0].r
+    # max-rowid delete: SQLite reuses the freed id; the re-count agrees
+    eng.execute("INSERT INTO sample VALUES (50, 'x', 1, 'x@x')")  # rowid 4
+    eng.execute("DELETE FROM sample WHERE id = 50")
+    eng.execute("INSERT INTO sample VALUES (60, 'y', 2, 'y@x')")
+    assert q() == sqlite_history(["DELETE FROM sample WHERE id = 50"]) == 4
+    # delete-all: next rowid restarts at 1 in both engines
+    eng.execute("DELETE FROM sample")
+    eng.execute("INSERT INTO sample VALUES (70, 'z', 3, 'z@x')")
+    assert q() == sqlite_history(["DELETE FROM sample"]) == 1
+    # the pinned divergence: delete a NON-max row — SQLite's next rowid
+    # is max+1 (here 3: rows 1 and 70's rowid 1... rebuild a 3-row table)
+    eng.execute("INSERT INTO sample VALUES (71, 'w', 4, 'w@x'), "
+                "(72, 'v', 5, 'v@x')")  # rowids 2,3
+    eng.execute("DELETE FROM sample WHERE id = 71")  # frees rowid 2
+    eng.execute("INSERT INTO sample VALUES (73, 'u', 6, 'u@x')")
+    assert q() == 3  # ours: re-count (2 survivors) + 1
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE s (id INTEGER)")
+    con.executemany("INSERT INTO s VALUES (?)", [(70,), (71,), (72,)])
+    con.execute("DELETE FROM s WHERE id = 71")
+    con.execute("INSERT INTO s VALUES (73)")
+    assert con.execute("SELECT last_insert_rowid()").fetchone()[0] == 4
+    con.close()
+
+
 def test_sqlite_style_error_messages(eng):
     """Analysis errors surface with SQLite's wording (the reference
     passes SQLite messages through verbatim; Test_ErrorMessageQuality,
