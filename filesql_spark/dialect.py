@@ -2844,6 +2844,172 @@ _SAMETYPE_CALL_RX = re.compile(
     r"(?i)\b(?:ifnull|coalesce|nvl|min|max|least|greatest)\s*\("
 )
 
+# --------------------------------- runtime-value-dependent division affinity
+# SQLite picks int-vs-real division by each operand's RUNTIME type; for
+# `ifnull(col_int, 2.5) / 2` that depends on which argument fired — the
+# long-documented divergence (SURVEY §5, engine contract). No static
+# rewrite can replicate it, but a RUNTIME one can: for ifnull/coalesce/
+# nvl the deciding argument is exactly the first non-NULL one, so the
+# division dispatches on the arguments' null-ness — `CASE WHEN <the
+# firing arg has INTEGER affinity> THEN … DIV … ELSE … / … END`. Scoped
+# tight (r13): the conditional call must be a whole `/` operand (not a
+# sub-factor of a *·% chain), its arguments simple primaries (columns /
+# numeric / string literals / NULL — duplicated into the condition, so
+# they must be pure and cheap), the other operand a known-int/NULL
+# primary. Everything outside that scope keeps the documented float-
+# division fallback. min/max stay divergent (their deciding argument
+# needs value comparisons, not null-ness). Differentially fuzzed vs
+# stdlib sqlite3 (which HAS the runtime semantics) in
+# test_fuzz_dialect.py::test_value_dependent_division_runtime_dispatch.
+
+_VD_COND_FUNCS = ("ifnull", "nvl", "coalesce")
+_VD_CALL_RX = re.compile(r"(?i)(ifnull|nvl|coalesce)\s*\(")  # used via .match(s, pos)
+_VD_IDENT_RX = re.compile(
+    r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*"
+    r"|`[^`]+`(\.`[^`]+`)?"
+)
+_VD_LIT_RX = re.compile(
+    r"(?i)[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|null|'(?:[^']|'')*'"
+)
+
+
+def _vd_simple_primary(text: str) -> bool:
+    s = text.strip()
+    return bool(
+        _VD_IDENT_RX.fullmatch(s) or _VD_LIT_RX.fullmatch(s)
+    )
+
+
+def _vd_analyze_call(sql, mask, low, start, e, coltypes):
+    """If sql[start:e] is an ifnull/nvl/coalesce call with simple-primary
+    args of statically known but MIXED int/real affinity, return the
+    SQL condition under which the runtime value has INTEGER affinity;
+    else None."""
+    m = _VD_CALL_RX.match(sql, start)
+    if not m or m.end() > e or sql[e - 1] != ")":
+        return None
+    op = m.end() - 1
+    arg_spans = _div_split_args(mask, op + 1, e - 1)
+    if not arg_spans:
+        return None
+    texts, types = [], []
+    for a, b in arg_spans:
+        t_text = sql[a:b].strip()
+        if not _vd_simple_primary(t_text):
+            return None
+        t = _div_walk(sql, mask, a, b, coltypes, [])
+        if t not in ("int", "real", "null"):
+            return None
+        texts.append(t_text)
+        types.append(t)
+    if "int" not in types or "real" not in types:
+        return None  # not value-dependent (static paths cover it)
+    branches = []
+    for i, t in enumerate(types):
+        if t != "int":
+            continue
+        conds = [f"({texts[j]}) IS NULL" for j in range(i)]
+        conds.append(f"({texts[i]}) IS NOT NULL")
+        branches.append("(" + " AND ".join(conds) + ")")
+    if not branches:
+        return None
+    return " OR ".join(branches)
+
+
+def _vd_match_site(sql, mask, low, slash, coltypes):
+    """Try to match one value-dependent division site around the `/` at
+    ``slash``; return (span_start, span_end, replacement) or None."""
+    e = slash
+    while e > 0 and mask[e - 1] in " \t\r\n":
+        e -= 1
+    l_start = _rev_primary_start(sql, mask, e)
+    if l_start is None:
+        return None
+    # the matched primary must be the WHOLE left operand of `/`: a
+    # preceding tight-binding operator would regroup the arithmetic
+    # ( `a * P / 2` divides a*P, not P; `~P / 2` divides ~P ).  Unary
+    # +/- are safe: DIV truncates toward zero, so -(P DIV R) == (-P)
+    # DIV R, and the CASE condition ignores the sign.
+    k = l_start - 1
+    while k >= 0 and mask[k] in " \t\r\n":
+        k -= 1
+    if k >= 0 and mask[k] in "*%/~":
+        return None
+    r_first, r_end, rt = _div_scan_primary(
+        sql, mask, slash + 1, len(sql), coltypes, []
+    )
+    if rt == "kw":
+        return None
+    left_cond = _vd_analyze_call(sql, mask, low, l_start, e, coltypes)
+    p_text = sql[l_start:e]
+    r_text = sql[r_first:r_end]
+    if left_cond is not None:
+        if rt not in ("int", "null"):
+            return None  # real/unknown right side: float division is
+            # already correct / stays documented-divergent
+        if _vd_analyze_call(sql, mask, low, r_first, r_end, coltypes):
+            return None  # both sides value-dependent: out of scope
+        repl = (
+            f"(CASE WHEN {left_cond} THEN TRY_CAST({p_text} AS BIGINT) "
+            f"DIV nullif({r_text}, 0) ELSE ({p_text}) / ({r_text}) END)"
+        )
+        return l_start, r_end, repl
+    right_cond = _vd_analyze_call(sql, mask, low, r_first, r_end, coltypes)
+    if right_cond is None:
+        return None
+    lt = _div_walk(sql, mask, l_start, e, coltypes, [])
+    if lt not in ("int", "null"):
+        return None
+    # the ELSE divisor needs its own zero-guard: the later division pass
+    # types the parenthesized conditional call as unknown and would skip
+    # it, and ANSI mode errors on float division by zero (SQLite: NULL)
+    repl = (
+        f"(CASE WHEN {right_cond} THEN ({p_text}) DIV "
+        f"nullif(TRY_CAST({r_text} AS BIGINT), 0) "
+        f"ELSE ({p_text}) / nullif(({r_text}), 0) END)"
+    )
+    return l_start, r_end, repl
+
+
+def _rewrite_value_dependent_div(
+    sql: str, column_types: dict[str, str] | None
+) -> str:
+    """Pre-pass to _rewrite_division (pipeline order matters: the main
+    pass then walks the emitted CASE — typing its DIV arm, zero-guarding
+    its ELSE arm, and rewriting any constructs inside the duplicated
+    argument text consistently across all copies)."""
+    if "/" not in sql:
+        return sql
+    low = sql.lower()
+    if not any(f in low for f in _VD_COND_FUNCS):
+        return sql
+    for _ in range(20):  # each pass replaces one site, then rescans
+        mask = _blank_comments(sql, _div_mask(sql))
+        low = sql.lower()
+        pos = 0
+        replaced = False
+        while True:
+            pos = mask.find("/", pos)
+            if pos == -1:
+                break
+            if mask[pos + 1 : pos + 2] == "/":  # not a division token
+                pos += 2
+                continue
+            try:
+                hit = _vd_match_site(sql, mask, low, pos, column_types)
+            except FilesqlError:
+                hit = None
+            if hit is None:
+                pos += 1
+                continue
+            a, b, repl = hit
+            sql = sql[:a] + repl + sql[b:]
+            replaced = True
+            break
+        if not replaced:
+            return sql
+    return sql
+
 
 def _rewrite_division(sql: str, column_types: dict[str, str] | None = None) -> str:
     """Apply the SQLite division/modulo semantics pass (module docstring
@@ -3031,6 +3197,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         _ACTIVE_COLUMN_TYPES = column_types
     sql = _rewrite_filter_over(sql)
     sql = _rewrite_concat_real(sql, column_types)
+    sql = _rewrite_value_dependent_div(sql, column_types)
     sql = _rewrite_division(sql, column_types)
     sql = _rewrite_real_literals(sql)
     sql = _rewrite_json_each(sql)

@@ -1698,3 +1698,130 @@ def test_json_arrow_wide_select_single_copy(spark, tmp_path):
         eng.close()
     assert total_sec < 120.0, total_sec  # quadratic regression read 7 min
     assert row.c2 == "2" and row.c3 == "3"
+
+
+# ----------------------- runtime-value-dependent division (r13 closure)
+# SQLite picks int-vs-real division by the operands' RUNTIME types; for
+# ifnull/coalesce/nvl operands the deciding argument is the first
+# non-NULL one, so the dialect now dispatches at runtime on argument
+# null-ness (dialect._rewrite_value_dependent_div) — closing the
+# `ifnull(col, 2.5) / 2` divergence documented since SURVEY §5. stdlib
+# sqlite3 HAS these semantics, so this is a true differential oracle.
+
+
+def test_value_dependent_division_runtime_dispatch(spark, tmp_path):
+    rows = [(1, 7, 2.5), (2, None, 4.0), (3, -9, None), (4, 0, 1.25),
+            (5, 8, 0.0)]
+    exprs = [
+        "ifnull(n, 2.5) / 2",      # n not null -> int division
+        "ifnull(n, 2.5) / 3",
+        "coalesce(n, 2.5) / 2",
+        "coalesce(NULL, n, 2.5) / 2",
+        "7 / ifnull(n, 2.5)",      # conditional divisor
+        "ifnull(r, 2) / 4",        # real col, int default
+        "9 / ifnull(r, 2)",
+        "-ifnull(n, 2.5) / 2",     # unary minus outside the dispatch
+        "+ifnull(n, 2.5) / 2",
+        "ifnull(n, 2.5) / 0",      # zero divisor -> NULL both branches
+        "0 / ifnull(n, 2.5)",
+        "ifnull(n, 2.5) / 2 + 1",  # additive context
+        "1 + ifnull(n, 2.5) / 2",
+        "coalesce(NULL, r, 3) / 2",
+        "ifnull(n, 0.5) / id",     # column divisor
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+
+    (tmp_path / "t.csv").write_text(
+        "id,n,r\n" + "\n".join(
+            f"{i},{'' if n is None else n},{'' if r is None else r}"
+            for i, n, r in rows
+        ) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            assert g == x, (rows[rx], e, g, x)
+
+
+def test_value_dependent_division_out_of_scope_stays_float(spark, tmp_path):
+    """The documented residue: a conditional call as a *·% chain factor,
+    both-sides-conditional, chained division off the CASE result, and
+    min/max deciders stay on float division (never wrongly truncates)."""
+    from filesql_spark.dialect import rewrite
+
+    ct = {"n": "int", "a": "int", "r": "real"}
+    for stmt in [
+        "SELECT a * ifnull(n, 2.5) / 2 FROM t",   # chain factor
+        "SELECT ifnull(n, 2.5) / ifnull(a, 1.5) FROM t",  # both sides
+        "SELECT min(n, 2.5) / 2 FROM t",          # comparison-decided
+        "SELECT ifnull(n, 2.5) / r FROM t",       # real divisor: float anyway
+    ]:
+        out = rewrite(stmt, ct)
+        # no runtime dispatch: no DIV arm anywhere (min()'s own
+        # NULL-propagation CASE is unrelated and allowed)
+        assert " DIV " not in out, (stmt, out)
+    # and the dispatch DOES fire on the in-scope shape
+    out = rewrite("SELECT ifnull(n, 2.5) / 2 FROM t", ct)
+    assert " DIV " in out and "IS NOT NULL" in out, out
+
+
+@pytest.mark.parametrize("seed", [777, 888])
+def test_value_dependent_division_corpus_matches_sqlite(spark, tmp_path, seed):
+    """Randomized differential over the dispatch scope: random int/real
+    column-vs-literal ifnull/coalesce operands, random int divisors/
+    dividends, random null patterns in the data."""
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.choice([None, rng.randint(-50, 50)]),
+            rng.choice([None, round(rng.uniform(-20, 20), 2)]),
+        )
+        for i in range(1, 13)
+    ]
+    exprs = []
+    while len(exprs) < 20:
+        fn = rng.choice(["ifnull", "coalesce"])
+        intlit = str(rng.randint(-9, 9))
+        reallit = repr(round(rng.uniform(-9, 9), 2))
+        args = rng.choice([
+            f"n, {reallit}", f"r, {intlit}",
+            f"NULL, n, {reallit}" if fn == "coalesce" else f"n, {reallit}",
+        ])
+        call = f"{fn}({args})"
+        other = rng.choice([str(rng.randint(-7, 7)), "id"])
+        exprs.append(
+            f"{call} / {other}" if rng.random() < 0.6 else f"{other} / {call}"
+        )
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+
+    (tmp_path / "t.csv").write_text(
+        "id,n,r\n" + "\n".join(
+            f"{i},{'' if n is None else n},{'' if r is None else r}"
+            for i, n, r in rows
+        ) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            assert g == x, (seed, rows[rx], e, g, x)
