@@ -2862,8 +2862,8 @@ _SAMETYPE_CALL_RX = re.compile(
 # stdlib sqlite3 (which HAS the runtime semantics) in
 # test_fuzz_dialect.py::test_value_dependent_division_runtime_dispatch.
 
-_VD_COND_FUNCS = ("ifnull", "nvl", "coalesce")
-_VD_CALL_RX = re.compile(r"(?i)(ifnull|nvl|coalesce)\s*\(")  # used via .match(s, pos)
+_VD_COND_FUNCS = ("ifnull", "nvl", "coalesce", "min", "max")
+_VD_CALL_RX = re.compile(r"(?i)(ifnull|nvl|coalesce|min|max)\s*\(")  # via .match(s, pos)
 _VD_IDENT_RX = re.compile(
     r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*"
     r"|`[^`]+`(\.`[^`]+`)?"
@@ -2888,6 +2888,7 @@ def _vd_analyze_call(sql, mask, low, start, e, coltypes):
     m = _VD_CALL_RX.match(sql, start)
     if not m or m.end() > e or sql[e - 1] != ")":
         return None
+    word = m.group(1).lower()
     op = m.end() - 1
     arg_spans = _div_split_args(mask, op + 1, e - 1)
     if not arg_spans:
@@ -2904,6 +2905,34 @@ def _vd_analyze_call(sql, mask, low, start, e, coltypes):
         types.append(t)
     if "int" not in types or "real" not in types:
         return None  # not value-dependent (static paths cover it)
+    if word in ("min", "max"):
+        # scalar form only (1-arg min/max is the aggregate); deciding
+        # argument = the chosen extremum under SQLite's tie rules (min
+        # keeps the LAST minimal, max the FIRST maximal). Comparisons
+        # are numeric, so TEXT operands are out (SQLite orders numerics
+        # before all text — a numeric comparison would mis-pick): bail
+        # on string-literal args; a NULL arg makes the result NULL (the
+        # condition's comparisons go NULL -> ELSE -> float NULL, same
+        # value, so 'null'-typed args only need the literal-NULL bail).
+        if len(texts) < 2 or "null" in types:
+            return None
+        if any(t.startswith("'") for t in texts):
+            return None
+        branches = []
+        for i, t in enumerate(types):
+            if t != "int":
+                continue
+            conds = []
+            for j in range(len(texts)):
+                if j == i:
+                    continue
+                if word == "min":
+                    cmp_op = "<=" if j < i else "<"
+                else:
+                    cmp_op = ">" if j < i else ">="
+                conds.append(f"({texts[i]}) {cmp_op} ({texts[j]})")
+            branches.append("(" + " AND ".join(conds) + ")")
+        return " OR ".join(branches) if branches else None
     branches = []
     for i, t in enumerate(types):
         if t != "int":
@@ -2983,7 +3012,10 @@ def _rewrite_value_dependent_div(
     low = sql.lower()
     if not any(f in low for f in _VD_COND_FUNCS):
         return sql
-    for _ in range(20):  # each pass replaces one site, then rescans
+    # each pass replaces one site, then rescans; emitted CASE arms never
+    # re-match (their operands are parenthesized, not direct calls), so
+    # the count of `/` sites bounds the loop — cap generously above it
+    for _ in range(sql.count("/") + 1):
         mask = _blank_comments(sql, _div_mask(sql))
         low = sql.lower()
         pos = 0

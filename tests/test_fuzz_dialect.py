@@ -1728,6 +1728,16 @@ def test_value_dependent_division_runtime_dispatch(spark, tmp_path):
         "1 + ifnull(n, 2.5) / 2",
         "coalesce(NULL, r, 3) / 2",
         "ifnull(n, 0.5) / id",     # column divisor
+        # min/max deciders (r13b): chosen-extremum comparisons with
+        # SQLite's tie rules (min keeps LAST minimal, max FIRST maximal)
+        "min(n, 2.5) / 2",
+        "max(n, 2.5) / 2",
+        "min(n, 3) / 2",           # both int: static path, values agree
+        "max(r, 4) / 3",
+        "9 / max(n, 1.5)",
+        "min(n, 7.0) / 2",         # tie n=7: LAST minimal (7.0) -> real
+        "max(n, 7.0) / 2",         # tie n=7: FIRST maximal (n) -> int
+        "min(n, id, 2.5) / 2",     # 3-arg
     ]
     select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
     con = sqlite3.connect(":memory:")
@@ -1763,7 +1773,8 @@ def test_value_dependent_division_out_of_scope_stays_float(spark, tmp_path):
     for stmt in [
         "SELECT a * ifnull(n, 2.5) / 2 FROM t",   # chain factor
         "SELECT ifnull(n, 2.5) / ifnull(a, 1.5) FROM t",  # both sides
-        "SELECT min(n, 2.5) / 2 FROM t",          # comparison-decided
+        "SELECT min(n, '2.5') / 2 FROM t",        # TEXT arg: SQLite orders
+        # numerics before all text — numeric comparisons would mis-pick
         "SELECT ifnull(n, 2.5) / r FROM t",       # real divisor: float anyway
     ]:
         out = rewrite(stmt, ct)
@@ -1790,14 +1801,20 @@ def test_value_dependent_division_corpus_matches_sqlite(spark, tmp_path, seed):
         for i in range(1, 13)
     ]
     exprs = []
-    while len(exprs) < 20:
-        fn = rng.choice(["ifnull", "coalesce"])
+    while len(exprs) < 24:
+        fn = rng.choice(["ifnull", "coalesce", "min", "max"])
         intlit = str(rng.randint(-9, 9))
         reallit = repr(round(rng.uniform(-9, 9), 2))
-        args = rng.choice([
-            f"n, {reallit}", f"r, {intlit}",
-            f"NULL, n, {reallit}" if fn == "coalesce" else f"n, {reallit}",
-        ])
+        if fn in ("min", "max"):
+            args = rng.choice([
+                f"n, {reallit}", f"r, {intlit}", f"n, id, {reallit}",
+                f"n, {rng.randint(-9, 9)}.0",  # integral real: tie rules
+            ])
+        else:
+            args = rng.choice([
+                f"n, {reallit}", f"r, {intlit}",
+                f"NULL, n, {reallit}" if fn == "coalesce" else f"n, {reallit}",
+            ])
         call = f"{fn}({args})"
         other = rng.choice([str(rng.randint(-7, 7)), "id"])
         exprs.append(
