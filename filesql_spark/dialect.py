@@ -430,6 +430,9 @@ def _sqlite_text_of(expr: str) -> str:
     t = _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, [])
     if t == "real":
         return f"filesql_double_text(TRY_CAST(({expr}) AS DOUBLE))"
+    d = _vd_render_text(expr)  # value-dependent: runtime dispatch (r13)
+    if d is not None:
+        return d
     return f"CAST(({expr}) AS STRING)"
 
 
@@ -439,8 +442,13 @@ def _group_concat(args: list[str]) -> str:
     # (r11); everything else keeps the plain emission
     first = args[0]
     mask = _div_mask(first)
-    if _div_walk(first, mask, 0, len(first), _ACTIVE_COLUMN_TYPES, []) == "real":
+    t = _div_walk(first, mask, 0, len(first), _ACTIVE_COLUMN_TYPES, [])
+    if t == "real":
         first = f"filesql_double_text(TRY_CAST(({first}) AS DOUBLE))"
+    elif t is None:
+        d = _vd_render_text(first)  # value-dependent: runtime dispatch
+        if d is not None:
+            first = d
     if len(args) == 1:
         return f"concat_ws(',', collect_list({first}))"
     return f"concat_ws({args[1]}, collect_list({first}))"
@@ -1251,6 +1259,9 @@ def _cast_call(args: list[str]) -> str | None:
         inner = _rewrite_calls(expr, "cast", _CALL_REWRITES["cast"])
         if t == "real":
             return f"filesql_double_text(CAST(({inner}) AS DOUBLE))"
+        d = _vd_render_text(inner)  # value-dependent: runtime dispatch
+        if d is not None:
+            return d
         if "CHAR" in typ:
             return None
         return f"CAST(({inner}) AS STRING)"
@@ -1411,6 +1422,10 @@ def _concat_call(args: list[str]) -> str:
         t = _div_walk(a, mask, 0, len(a), _ACTIVE_COLUMN_TYPES, [])
         if t == "real":
             a = f"filesql_double_text(TRY_CAST(({a}) AS DOUBLE))"
+        elif t is None:
+            d = _vd_render_text(a)  # value-dependent: runtime dispatch
+            if d is not None:
+                a = d
         parts.append(f"nvl(CAST(({a}) AS STRING), '')")
     return f"concat({', '.join(parts)})"
 
@@ -2341,6 +2356,8 @@ def _concat_walk(sql, mask, start, end, coltypes, edits) -> None:
         if c == "|" and pos + 1 < end and mask[pos + 1] == "|":
             if last is not None and last_clean and last[2] == "real":
                 _dtext_wrap(edits, last[0], last[1])
+            elif last is not None and last_clean and last[2] is None:
+                _vd_dtext_edit(sql, mask, last[0], last[1], coltypes, edits)
             rf, re_, rt = _div_scan_primary(
                 sql, mask, pos + 2, end, coltypes, throwaway
             )
@@ -2351,6 +2368,8 @@ def _concat_walk(sql, mask, start, end, coltypes, edits) -> None:
             clean_right = not (k < end and mask[k] in "*/%+-")
             if rt == "real" and clean_right:
                 _dtext_wrap(edits, rf, re_)
+            elif rt is None and clean_right:
+                _vd_dtext_edit(sql, mask, rf, re_, coltypes, edits)
             # the chain's running result is TEXT — middles of a||b||c get
             # wrapped exactly once (as the right operand of their ||)
             last = None if rt == "kw" else (rf, re_, "text")
@@ -2869,7 +2888,9 @@ _VD_IDENT_RX = re.compile(
     r"|`[^`]+`(\.`[^`]+`)?"
 )
 _VD_LIT_RX = re.compile(
-    r"(?i)[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|null|'(?:[^']|'')*'"
+    # trailing D/F: the real-literal pass (2.5 -> 2.5D) runs before the
+    # _CALL_REWRITES consumers (CAST-AS-TEXT, concat, group_concat)
+    r"(?i)[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?[dDfF]?|null|'(?:[^']|'')*'"
 )
 
 
@@ -2880,11 +2901,14 @@ def _vd_simple_primary(text: str) -> bool:
     )
 
 
-def _vd_analyze_call(sql, mask, low, start, e, coltypes):
-    """If sql[start:e] is an ifnull/nvl/coalesce call with simple-primary
-    args of statically known but MIXED int/real affinity, return the
-    SQL condition under which the runtime value has INTEGER affinity;
-    else None."""
+def _vd_analyze_call(sql, mask, low, start, e, coltypes, numeric_only=False):
+    """If sql[start:e] is an ifnull/nvl/coalesce/min/max call with
+    simple-primary args of statically known but MIXED int/real affinity,
+    return the SQL condition under which the runtime value has INTEGER
+    affinity; else None. ``numeric_only`` additionally bails on
+    string-literal args — required by the RENDERING consumers, where a
+    TEXT value must surface verbatim ('3.50' stays '3.50'), while the
+    division consumer applies SQLite's numeric coercion anyway."""
     m = _VD_CALL_RX.match(sql, start)
     if not m or m.end() > e or sql[e - 1] != ")":
         return None
@@ -2897,6 +2921,8 @@ def _vd_analyze_call(sql, mask, low, start, e, coltypes):
     for a, b in arg_spans:
         t_text = sql[a:b].strip()
         if not _vd_simple_primary(t_text):
+            return None
+        if numeric_only and t_text.startswith("'"):
             return None
         t = _div_walk(sql, mask, a, b, coltypes, [])
         if t not in ("int", "real", "null"):
@@ -2943,6 +2969,65 @@ def _vd_analyze_call(sql, mask, low, start, e, coltypes):
     if not branches:
         return None
     return " OR ".join(branches)
+
+
+_VD_MINMAX_SHIM_RX = re.compile(
+    # the exact _scalar_minmax emission: CASE … THEN NULL ELSE
+    # least/greatest(args) END. THEN NULL makes the match value-safe
+    # even for a hand-written CASE of this shape: whenever the WHEN
+    # fires the value is NULL and both rendering branches agree.
+    r"(?is)^\(?\s*CASE\s+WHEN\s.*?\sTHEN\s+NULL\s+ELSE\s+"
+    r"(least|greatest)\s*\((.*)\)\s+END\s*\)?$"
+)
+
+
+def _vd_render_text(expr: str) -> str | None:
+    """Runtime-dispatched SQLite TEXT rendering for a value-dependent
+    conditional call (the r13 closure's rendering consumers, SURVEY §5
+    divergence #2): INTEGER text when the firing argument has int
+    affinity, %!.15g via double_to_text otherwise. None when ``expr``
+    is not a direct in-scope conditional call. Scalar min/max arrive
+    here already rewritten to their NULL-shim CASE (the _CALL_REWRITES
+    sweep runs min/max before cast/concat), so that emission shape is
+    recognized too."""
+    s = expr.strip()
+    if not s or "(" not in s:
+        return None
+    target = s  # the call whose args decide the runtime affinity
+    m = _VD_MINMAX_SHIM_RX.match(s)
+    if m:
+        word = "min" if m.group(1).lower() == "least" else "max"
+        target = f"{word}({m.group(2)})"
+    mask = _blank_comments(target, _div_mask(target))
+    cond = _vd_analyze_call(
+        target, mask, target.lower(), 0, len(target), _ACTIVE_COLUMN_TYPES,
+        numeric_only=True,
+    )
+    if cond is None:
+        return None
+    return (
+        f"(CASE WHEN {cond} THEN CAST(TRY_CAST(({s}) AS BIGINT) AS STRING) "
+        f"ELSE filesql_double_text(TRY_CAST(({s}) AS DOUBLE)) END)"
+    )
+
+
+def _vd_dtext_edit(sql, mask, a, b, coltypes, edits) -> None:
+    """The `||` pass's edit-based twin of _vd_render_text: one
+    REPLACEMENT edit over the primary span (never two boundary inserts —
+    those interleave wrongly with other same-position inserts)."""
+    while b > a and mask[b - 1] in " \t\r\n":
+        b -= 1
+    cond = _vd_analyze_call(
+        sql, mask, sql.lower(), a, b, coltypes, numeric_only=True
+    )
+    if cond is None:
+        return
+    p = sql[a:b]
+    edits.append((
+        a, b,
+        f"(CASE WHEN {cond} THEN CAST(TRY_CAST(({p}) AS BIGINT) AS STRING) "
+        f"ELSE filesql_double_text(TRY_CAST(({p}) AS DOUBLE)) END)",
+    ))
 
 
 def _vd_match_site(sql, mask, low, slash, coltypes):

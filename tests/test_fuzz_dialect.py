@@ -1842,3 +1842,68 @@ def test_value_dependent_division_corpus_matches_sqlite(spark, tmp_path, seed):
         for i, e in enumerate(exprs):
             g, x = _norm(grow[i]), _norm(xrow[i])
             assert g == x, (seed, rows[rx], e, g, x)
+
+
+def test_value_dependent_rendering_runtime_dispatch(spark, tmp_path):
+    """The rendering half of the r13 closure (SURVEY §5 divergence #2):
+    CAST-AS-TEXT, `||`, concat(), and group_concat() of a value-
+    dependent conditional call render by the firing argument's RUNTIME
+    affinity — INTEGER text vs %!.15g — exactly like sqlite3. String-
+    literal arguments stay undispatched (the TEXT value must surface
+    verbatim: ifnull(NULL, '3.50') renders '3.50')."""
+    rows = [(1, 7), (2, None), (3, -9)]
+    exprs = [
+        "CAST(ifnull(n, 2.5) AS TEXT)",
+        "ifnull(n, 2.5) || 'x'",
+        "'x' || ifnull(n, 0.25)",
+        "'a' || ifnull(n, 2.5) || 'b'",
+        # concat() itself postdates the bundled sqlite3 (3.44); its
+        # dispatch is asserted below by consistency with the
+        # differentially-pinned || rendering
+        "CAST(max(n, 2.5) AS TEXT)",
+        "min(n, 1.5) || ''",
+        # NOTE ifnull(n, '3.50') is NOT here: string-literal args are
+        # excluded from the dispatch (pinned by the rewrite-shape
+        # assertion below), and Spark's own ANSI nvl coercion errors on
+        # int+non-integer-string regardless — a pre-existing divergence
+        # independent of this pass
+        "CAST(coalesce(NULL, n, 0.1) AS TEXT)",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    gc = con.execute(
+        "SELECT group_concat(ifnull(n, 2.5)) FROM t"
+    ).fetchone()[0]
+    con.close()
+
+    (tmp_path / "t.csv").write_text(
+        "id,n\n" + "\n".join(
+            f"{i},{'' if n is None else n}" for i, n in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+        got_gc = eng.query(
+            "SELECT group_concat(ifnull(n, 2.5)) AS g FROM t"
+        ).collect()[0].g
+        cc = eng.query(
+            "SELECT concat('a', ifnull(n, 2.5)) AS c, "
+            "'a' || ifnull(n, 2.5) AS p FROM t ORDER BY id"
+        ).collect()
+        assert [r.c for r in cc] == [r.p for r in cc]
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            assert grow[i] == xrow[i], (rows[rx], e, grow[i], xrow[i])
+    # group_concat order: both engines emit in scan order here (3 rows,
+    # one partition) — compare as multisets to stay order-robust
+    assert sorted(got_gc.split(",")) == sorted(gc.split(",")), (got_gc, gc)
+    # string-literal args stay undispatched (rewrite shape)
+    from filesql_spark.dialect import rewrite as _rw
+
+    out = _rw("SELECT ifnull(n, '3.50') || 'x' FROM t", {"n": "int"})
+    assert "filesql_double_text" not in out and "TRY_CAST" not in out, out
