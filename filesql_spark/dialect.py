@@ -3031,19 +3031,21 @@ def _vd_dtext_edit(sql, mask, a, b, coltypes, edits) -> None:
 
 
 def _vd_match_site(sql, mask, low, slash, coltypes):
-    """Try to match one value-dependent division site around the `/` at
-    ``slash``; return (span_start, span_end, replacement) or None."""
+    """Try to match one value-dependent division/modulo site around the
+    `/` or `%` at ``slash``; return (span_start, span_end, replacement)
+    or None."""
+    op = sql[slash]
     e = slash
     while e > 0 and mask[e - 1] in " \t\r\n":
         e -= 1
     l_start = _rev_primary_start(sql, mask, e)
     if l_start is None:
         return None
-    # the matched primary must be the WHOLE left operand of `/`: a
-    # preceding tight-binding operator would regroup the arithmetic
-    # ( `a * P / 2` divides a*P, not P; `~P / 2` divides ~P ).  Unary
-    # +/- are safe: DIV truncates toward zero, so -(P DIV R) == (-P)
-    # DIV R, and the CASE condition ignores the sign.
+    # the matched primary must be the WHOLE left operand: a preceding
+    # tight-binding operator would regroup the arithmetic ( `a * P / 2`
+    # divides a*P, not P; `~P / 2` divides ~P ).  Unary +/- are safe:
+    # DIV and the %-int-cast truncate toward zero, so the sign commutes,
+    # and the CASE condition ignores it.
     k = l_start - 1
     while k >= 0 and mask[k] in " \t\r\n":
         k -= 1
@@ -3058,11 +3060,17 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     p_text = sql[l_start:e]
     r_text = sql[r_first:r_end]
     if left_cond is not None:
+        if _vd_analyze_call(sql, mask, low, r_first, r_end, coltypes):
+            return None  # both sides value-dependent: out of scope
+        if op == "%":
+            if rt not in ("int", "real", "null"):
+                return None
+            return l_start, r_end, _vd_mod_repl(
+                left_cond, p_text, r_text, other_real=(rt == "real")
+            )
         if rt not in ("int", "null"):
             return None  # real/unknown right side: float division is
             # already correct / stays documented-divergent
-        if _vd_analyze_call(sql, mask, low, r_first, r_end, coltypes):
-            return None  # both sides value-dependent: out of scope
         repl = (
             f"(CASE WHEN {left_cond} THEN TRY_CAST({p_text} AS BIGINT) "
             f"DIV nullif({r_text}, 0) ELSE ({p_text}) / ({r_text}) END)"
@@ -3072,6 +3080,13 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     if right_cond is None:
         return None
     lt = _div_walk(sql, mask, l_start, e, coltypes, [])
+    if op == "%":
+        if lt not in ("int", "real", "null"):
+            return None
+        return l_start, r_end, _vd_mod_repl(
+            right_cond, p_text, r_text, other_real=(lt == "real"),
+            cond_side_right=True,
+        )
     if lt not in ("int", "null"):
         return None
     # the ELSE divisor needs its own zero-guard: the later division pass
@@ -3085,6 +3100,27 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     return l_start, r_end, repl
 
 
+def _vd_mod_repl(cond, l_text, r_text, other_real, cond_side_right=False):
+    """SQLite `%` with a value-dependent operand. The VALUE is
+    condition-free — SQLite casts BOTH operands to INTEGER — but the
+    result TYPE is REAL iff either runtime operand is REAL, so the
+    rendering dispatches: int result when the known side is int AND the
+    conditional side fired int, REAL (…\\.0) otherwise. With a REAL
+    known side the result is always REAL — no CASE needed."""
+    # no explicit zero-guard here: the later division pass types both
+    # TRY_CAST(… AS BIGINT) operands int and wraps the divisor itself
+    base = (
+        f"(TRY_CAST(({l_text}) AS BIGINT) % "
+        f"TRY_CAST(({r_text}) AS BIGINT))"
+    )
+    if other_real:
+        return f"TRY_CAST({base} AS DOUBLE)"
+    return (
+        f"(CASE WHEN {cond} THEN {base} "
+        f"ELSE TRY_CAST({base} AS DOUBLE) END)"
+    )
+
+
 def _rewrite_value_dependent_div(
     sql: str, column_types: dict[str, str] | None
 ) -> str:
@@ -3092,25 +3128,27 @@ def _rewrite_value_dependent_div(
     pass then walks the emitted CASE — typing its DIV arm, zero-guarding
     its ELSE arm, and rewriting any constructs inside the duplicated
     argument text consistently across all copies)."""
-    if "/" not in sql:
+    if "/" not in sql and "%" not in sql:
         return sql
     low = sql.lower()
     if not any(f in low for f in _VD_COND_FUNCS):
         return sql
     # each pass replaces one site, then rescans; emitted CASE arms never
     # re-match (their operands are parenthesized, not direct calls), so
-    # the count of `/` sites bounds the loop — cap generously above it
-    for _ in range(sql.count("/") + 1):
+    # the count of `/`+`%` sites bounds the loop — cap generously above
+    for _ in range(sql.count("/") + sql.count("%") + 1):
         mask = _blank_comments(sql, _div_mask(sql))
         low = sql.lower()
         pos = 0
         replaced = False
         while True:
-            pos = mask.find("/", pos)
-            if pos == -1:
+            nxt = [i for i in (mask.find("/", pos), mask.find("%", pos))
+                   if i != -1]
+            if not nxt:
                 break
-            if mask[pos + 1 : pos + 2] == "/":  # not a division token
-                pos += 2
+            pos = min(nxt)
+            if mask[pos + 1 : pos + 2] == "/" and mask[pos] == "/":
+                pos += 2  # not a division token
                 continue
             try:
                 hit = _vd_match_site(sql, mask, low, pos, column_types)

@@ -1907,3 +1907,43 @@ def test_value_dependent_rendering_runtime_dispatch(spark, tmp_path):
 
     out = _rw("SELECT ifnull(n, '3.50') || 'x' FROM t", {"n": "int"})
     assert "filesql_double_text" not in out and "TRY_CAST" not in out, out
+
+
+def test_value_dependent_modulo_runtime_dispatch(spark, tmp_path):
+    """SQLite `%` casts BOTH operands to INTEGER and types the result
+    REAL iff either runtime operand is REAL. With a value-dependent
+    conditional operand the VALUE is condition-free but the TYPE
+    dispatches on the firing argument — and without the rewrite Spark's
+    fmod gives a different VALUE outright (ifnull(n,2.5) % 2 with n
+    NULL: fmod 0.5 vs SQLite 0.0)."""
+    rows = [(1, 7), (2, None), (3, -9), (4, 0)]
+    exprs = [
+        "ifnull(n, 2.5) % 2",
+        "7 % ifnull(n, 2.5)",
+        "ifnull(n, 2.5) % 3.5",   # real known side: always REAL
+        "3.5 % ifnull(n, 2.5)",
+        "max(n, 1.5) % 3",
+        "min(n, 4.5) % 2",
+        "ifnull(n, 2.5) % 0",     # zero divisor -> NULL
+        "coalesce(NULL, n, 0.5) % 2",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+
+    (tmp_path / "t.csv").write_text(
+        "id,n\n" + "\n".join(
+            f"{i},{'' if n is None else n}" for i, n in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            assert g == x, (rows[rx], e, g, x)
