@@ -487,7 +487,11 @@ def dup_spans_bytes(
     Bounded prototype: exact on the documents fixture (differentially
     pytest-gated against a byte-level brute-force oracle); at 100 TB the
     same Bloom map-side prune documented on ``dup_spans`` applies to
-    pass 3's join.
+    pass 3's join. Scaling measured empirically (r13, sf0.1 documents
+    replicated with per-replica vowel rotation so spans never merge
+    across replicas, median of 3): e₅ = 0.12, e₂₀ = 0.33 — far under
+    the 0.7 gate; the corpus-sized groupBy dominates and grows
+    linearly in bytes.
     """
     from pyspark.sql import Window
 
