@@ -983,9 +983,25 @@ def _raise_fe(msg: str):
 
 _SIMPLE_RENAMES = {
     "ifnull": "nvl",
-    "iif": "if",
     "unicode": "ascii",  # first-codepoint (Spark ascii returns full codepoint)
 }
+
+
+def _iif_call(args: list[str]) -> str:
+    """SQLite iif(X, Y[, Z]): Y when X is TRUE under SQLite truthiness —
+    numeric coercion, non-zero, NULL → Z. Spark's if() demands a
+    BOOLEAN condition, so a bare rename errored on the common
+    `iif(flag, a, b)` numeric-column form (r13 fix); the TRY_CAST
+    coercion matches SQLite for numerics, booleans, and clean-numeric
+    strings (divergence: '3x' coerces to 3/truthy in SQLite, NULL/falsy
+    here — the prefix-parse machinery is not worth the hot-path cost).
+    The 2-arg form (SQLite 3.48) yields NULL on false."""
+    if len(args) not in (2, 3):
+        raise FilesqlError(f"iif expects 2-3 args, got {len(args)}")
+    args = [_rewrite_calls(a, "iif", _iif_call) for a in args]
+    cond = f"nvl(TRY_CAST(({args[0]}) AS DOUBLE) <> 0, false)"
+    z = args[2] if len(args) == 3 else "NULL"
+    return f"if({cond}, {args[1]}, {z})"
 
 _CALL_REWRITES = {
     # concat FIRST: SQLite 3.44's concat() IGNORES NULL arguments and
@@ -1043,6 +1059,7 @@ _CALL_REWRITES = {
     # (_json_value_flag) must see arguments in their RAW spelling
     # (json('…'), json_object(…)) — later passes expand them inside the
     # emission
+    "iif": _iif_call,
     "json_array": _json_array,
     "json_extract": _json_extract,
     "json_array_length": _json_array_length,
@@ -2881,8 +2898,19 @@ _SAMETYPE_CALL_RX = re.compile(
 # stdlib sqlite3 (which HAS the runtime semantics) in
 # test_fuzz_dialect.py::test_value_dependent_division_runtime_dispatch.
 
-_VD_COND_FUNCS = ("ifnull", "nvl", "coalesce", "min", "max")
-_VD_CALL_RX = re.compile(r"(?i)(ifnull|nvl|coalesce|min|max)\s*\(")  # via .match(s, pos)
+_VD_COND_FUNCS = ("ifnull", "nvl", "coalesce", "min", "max", "iif")
+_VD_CALL_RX = re.compile(
+    r"(?i)(ifnull|nvl|coalesce|min|max|iif)\s*\("  # via .match(s, pos)
+)
+# a division CASE this pass itself emitted — recognized so a CHAINED
+# division (`ifnull(n, 2.5) / 2 / 3`) can propagate the condition: the
+# emission's value is int exactly when its condition held, so the next
+# `/` dispatches on the same condition. The condition text never
+# contains ' THEN ' (it is built from IS NULL checks and comparisons of
+# simple primaries), so the split is unambiguous.
+_VD_EMITTED_RX = re.compile(
+    r"(?s)^\(CASE WHEN (.*?) THEN TRY_CAST\(.* DIV .* END\)$"
+)
 _VD_IDENT_RX = re.compile(
     r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*"
     r"|`[^`]+`(\.`[^`]+`)?"
@@ -2931,6 +2959,17 @@ def _vd_analyze_call(sql, mask, low, start, e, coltypes, numeric_only=False):
         types.append(t)
     if "int" not in types or "real" not in types:
         return None  # not value-dependent (static paths cover it)
+    if word == "iif":
+        # iif(X, Y, Z): Y when X is truthy (non-NULL, numerically
+        # non-zero — SQLite coerces), else Z. X must be a simple primary
+        # of known affinity so the truthiness test is cheap to duplicate.
+        if len(texts) != 3:
+            return None
+        x, ty, tz = texts[0], types[1], types[2]
+        if {ty, tz} != {"int", "real"}:
+            return None  # value branches not mixed: static paths cover it
+        truthy = f"(({x}) IS NOT NULL AND TRY_CAST(({x}) AS DOUBLE) <> 0)"
+        return truthy if ty == "int" else f"(NOT {truthy})"
     if word in ("min", "max"):
         # scalar form only (1-arg min/max is the aggregate); deciding
         # argument = the chosen extremum under SQLite's tie rules (min
@@ -3076,6 +3115,19 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
             f"DIV nullif({r_text}, 0) ELSE ({p_text}) / ({r_text}) END)"
         )
         return l_start, r_end, repl
+    if op == "/":
+        # chained division off this pass's own emission: the CASE's
+        # value is int exactly when its condition held, so the next /
+        # dispatches on the same condition (`ifnull(n,2.5) / 2 / 3`)
+        m = _VD_EMITTED_RX.match(p_text)
+        if m and rt in ("int", "null") and not _vd_analyze_call(
+            sql, mask, low, r_first, r_end, coltypes
+        ):
+            repl = (
+                f"(CASE WHEN {m.group(1)} THEN TRY_CAST({p_text} AS BIGINT) "
+                f"DIV nullif({r_text}, 0) ELSE ({p_text}) / ({r_text}) END)"
+            )
+            return l_start, r_end, repl
     right_cond = _vd_analyze_call(sql, mask, low, r_first, r_end, coltypes)
     if right_cond is None:
         return None

@@ -1947,3 +1947,47 @@ def test_value_dependent_modulo_runtime_dispatch(spark, tmp_path):
         for i, e in enumerate(exprs):
             g, x = _norm(grow[i]), _norm(xrow[i])
             assert g == x, (rows[rx], e, g, x)
+
+
+def test_iif_truthiness_and_dispatch_matches_sqlite(spark, tmp_path):
+    """r13: iif()'s condition follows SQLite truthiness (numeric
+    coercion, non-zero, NULL -> else) — the bare if() rename errored on
+    numeric-column conditions. The division dispatch covers iif's
+    value-dependent mixed int/real branches, and chained division off a
+    dispatched result propagates the condition."""
+    rows = [(1, 7), (2, None), (3, 0), (4, -2)]
+    exprs = [
+        "iif(n, 'y', 'n')",          # numeric truthiness incl. NULL/0
+        "iif(n > 3, 'a', 'b')",      # comparison condition
+        "iif(n, 1, 2.5) / 2",        # value-dependent division
+        "iif(n, 2.5, 3) / 2",
+        "7 / iif(n, 1, 2.5)",
+        "iif(n, 1, 2.5)",            # bare value
+        "ifnull(n, 2.5) / 2 / 3",    # chained dispatch
+        "ifnull(n, 4.5) / 2 / 2 / 1",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+
+    (tmp_path / "t.csv").write_text(
+        "id,n\n" + "\n".join(
+            f"{i},{'' if n is None else n}" for i, n in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+        # 2-arg iif (SQLite 3.48, postdates the bundled sqlite3):
+        # NULL on false/NULL condition — hand-pinned
+        two = eng.query(
+            "SELECT id, iif(n, 5) AS v FROM t ORDER BY id").collect()
+        assert [r.v for r in two] == [5, None, None, 5]
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            assert g == x, (rows[rx], e, g, x)
