@@ -1801,14 +1801,21 @@ def test_value_dependent_division_corpus_matches_sqlite(spark, tmp_path, seed):
         for i in range(1, 13)
     ]
     exprs = []
-    while len(exprs) < 24:
-        fn = rng.choice(["ifnull", "coalesce", "min", "max"])
+    while len(exprs) < 28:
+        fn = rng.choice(["ifnull", "coalesce", "min", "max", "iif"])
         intlit = str(rng.randint(-9, 9))
         reallit = repr(round(rng.uniform(-9, 9), 2))
         if fn in ("min", "max"):
             args = rng.choice([
                 f"n, {reallit}", f"r, {intlit}", f"n, id, {reallit}",
                 f"n, {rng.randint(-9, 9)}.0",  # integral real: tie rules
+            ])
+        elif fn == "iif":
+            cond = rng.choice(["n", "id", "r"])
+            args = rng.choice([
+                f"{cond}, {intlit}, {reallit}",
+                f"{cond}, {reallit}, {intlit}",
+                f"{cond}, n, {reallit}",
             ])
         else:
             args = rng.choice([
@@ -1817,9 +1824,10 @@ def test_value_dependent_division_corpus_matches_sqlite(spark, tmp_path, seed):
             ])
         call = f"{fn}({args})"
         other = rng.choice([str(rng.randint(-7, 7)), "id"])
-        exprs.append(
-            f"{call} / {other}" if rng.random() < 0.6 else f"{other} / {call}"
-        )
+        e = f"{call} / {other}" if rng.random() < 0.6 else f"{other} / {call}"
+        if rng.random() < 0.25:  # chained dispatch
+            e += f" / {rng.choice(['2', '3', 'id'])}"
+        exprs.append(e)
     select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
     con = sqlite3.connect(":memory:")
     con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL)")
