@@ -309,7 +309,7 @@ def _insert(engine, sql: str) -> tuple[int, "object | None"]:
     target = engine.table(table)
     body = m.group("body").rstrip().rstrip(";")
 
-    src = engine.spark.sql(dialect.rewrite(body))
+    src = engine.spark.sql(dialect.rewrite(body, engine._column_types()))
 
     if m.group("cols"):
         names = [c.strip().strip('"`') for c in m.group("cols").split(",")]
@@ -363,7 +363,7 @@ def _insert(engine, sql: str) -> tuple[int, "object | None"]:
                 F.struct(*[F.col(c) for c in aligned.columns]).alias("new")
             ),
         )
-    return n, _returning_over(aligned, returning)
+    return n, _returning_over(engine, aligned, returning)
 
 
 def _track_rowid(engine, table, target, aligned, n: int,
@@ -402,13 +402,13 @@ def _track_rowid(engine, table, target, aligned, n: int,
         pass
 
 
-def _returning_over(rows_df, returning: list[str] | None):
+def _returning_over(engine, rows_df, returning: list[str] | None):
     """RETURNING evaluates over the affected rows (SQLite semantics); '*'
     is the row itself, expressions go through the dialect shim."""
     if returning is None:
         return None
     cols = [
-        "*" if e.strip() == "*" else F.expr(dialect.rewrite(e))
+        "*" if e.strip() == "*" else F.expr(dialect.rewrite(e, engine._column_types()))
         for e in returning
     ]
     return rows_df.select(*cols)
@@ -441,7 +441,7 @@ def _view_insert(engine, table, m, returning):
     _require_instead_of(engine, table, "INSERT")
     target = engine._views[table]
     body = m.group("body").rstrip().rstrip(";")
-    src = engine.spark.sql(dialect.rewrite(body))
+    src = engine.spark.sql(dialect.rewrite(body, engine._column_types()))
     if m.group("cols"):
         names = [c.strip().strip('"`') for c in m.group("cols").split(",")]
     else:
@@ -471,7 +471,7 @@ def _view_insert(engine, table, m, returning):
             F.struct(*[F.col(c) for c in aligned.columns]).alias("new")
         ),
     )
-    return 0, _returning_over(aligned, returning)
+    return 0, _returning_over(engine, aligned, returning)
 
 
 def _view_update(engine, table, m, returning):
@@ -481,7 +481,7 @@ def _view_update(engine, table, m, returning):
     df = engine._views[table]
     set_part, where = _extract_where(m.group("body"))
     pred = (
-        F.coalesce(F.expr(dialect.rewrite(where)).cast("boolean"), F.lit(False))
+        F.coalesce(F.expr(dialect.rewrite(where, engine._column_types())).cast("boolean"), F.lit(False))
         if where
         else F.lit(True)
     )
@@ -492,7 +492,7 @@ def _view_update(engine, table, m, returning):
         name = col.strip().strip('"`')
         if name not in df.columns:
             raise FilesqlError(f"UPDATE: no such column {name!r} in {table!r}")
-        assigns[name] = F.expr(dialect.rewrite(expr_src.strip())).cast(
+        assigns[name] = F.expr(dialect.rewrite(expr_src.strip(), engine._column_types())).cast(
             types[name]
         )
     matched = df.filter(pred)
@@ -508,7 +508,7 @@ def _view_update(engine, table, m, returning):
         ),
         set_cols=set(assigns),
     )
-    return 0, _returning_over(matched.withColumns(assigns), returning)
+    return 0, _returning_over(engine, matched.withColumns(assigns), returning)
 
 
 def _view_delete(engine, table, m, returning):
@@ -521,7 +521,7 @@ def _view_delete(engine, table, m, returning):
         if not rest.lower().startswith("where"):
             raise FilesqlError(f"cannot parse DELETE tail: {rest[:80]}")
         pred = F.coalesce(
-            F.expr(dialect.rewrite(rest[5:].strip())).cast("boolean"),
+            F.expr(dialect.rewrite(rest[5:].strip(), engine._column_types())).cast("boolean"),
             F.lit(False),
         )
     else:
@@ -533,7 +533,7 @@ def _view_delete(engine, table, m, returning):
         "DELETE",
         doomed.select(F.struct(*[F.col(c) for c in df.columns]).alias("old")),
     )
-    return 0, _returning_over(doomed, returning)
+    return 0, _returning_over(engine, doomed, returning)
 
 
 def _fire_insert_trigger(engine, table, rows_df) -> None:
@@ -564,7 +564,7 @@ def _upsert_replace(engine, table, target, aligned, key, returning):
     # OR REPLACE fires INSERT triggers for the landed rows; the implicit
     # delete of the replaced row fires nothing
     _fire_insert_trigger(engine, table, incoming)
-    return n, _returning_over(incoming, returning)
+    return n, _returning_over(engine, incoming, returning)
 
 
 def _upsert_nothing(engine, table, target, aligned, key, returning):
@@ -580,7 +580,7 @@ def _upsert_nothing(engine, table, target, aligned, key, returning):
     # SQLite: OR IGNORE / DO NOTHING fire INSERT triggers only for rows
     # that actually inserted
     _fire_insert_trigger(engine, table, inserted)
-    return n, _returning_over(inserted, returning)
+    return n, _returning_over(engine, inserted, returning)
 
 
 def _upsert_update(engine, table, target, aligned, key, rest, returning):
@@ -618,7 +618,7 @@ def _upsert_update(engine, table, target, aligned, key, rest, returning):
     matched = F.coalesce(F.col("__exc_present"), F.lit(False))
     if where:
         matched = matched & F.coalesce(
-            F.expr(dialect.rewrite(_rewrite_excluded(where))).cast("boolean"),
+            F.expr(dialect.rewrite(_rewrite_excluded(where), engine._column_types())).cast("boolean"),
             F.lit(False),
         )
 
@@ -631,7 +631,7 @@ def _upsert_update(engine, table, target, aligned, key, rest, returning):
         if name not in types:
             raise FilesqlError(f"DO UPDATE: no such column {name!r} in {table!r}")
         assigns[name] = F.expr(
-            dialect.rewrite(_rewrite_excluded(expr_src.strip()))
+            dialect.rewrite(_rewrite_excluded(expr_src.strip()), engine._column_types())
         ).cast(types[name])
     for c in target.columns:
         val = F.when(matched, assigns[c]).otherwise(tgt[c]) if c in assigns else tgt[c]
@@ -677,7 +677,7 @@ def _upsert_update(engine, table, target, aligned, key, rest, returning):
         return n_updated + n_inserted, None
     # RETURNING sees the post-upsert rows: updated (new values) + inserted
     updated_rows = joined.filter(matched).select(*out_cols)
-    return n_updated + n_inserted, _returning_over(
+    return n_updated + n_inserted, _returning_over(engine, 
         updated_rows.unionByName(to_insert), returning
     )
 
@@ -745,7 +745,7 @@ def _update(engine, sql: str) -> tuple[int, "object | None"]:
     set_part, where = _extract_where(m.group("body"))
 
     pred = (
-        F.coalesce(F.expr(dialect.rewrite(where)).cast("boolean"), F.lit(False))
+        F.coalesce(F.expr(dialect.rewrite(where, engine._column_types())).cast("boolean"), F.lit(False))
         if where
         else F.lit(True)
     )
@@ -755,7 +755,7 @@ def _update(engine, sql: str) -> tuple[int, "object | None"]:
         name = col.strip().strip('"`')
         if name not in df.columns:
             raise FilesqlError(f"UPDATE: no such column {name!r} in {table!r}")
-        new_val = F.expr(dialect.rewrite(expr_src.strip())).cast(
+        new_val = F.expr(dialect.rewrite(expr_src.strip(), engine._column_types())).cast(
             dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[name]
         )
         assigns[name] = F.when(pred, new_val).otherwise(F.col(name))
@@ -780,7 +780,7 @@ def _update(engine, sql: str) -> tuple[int, "object | None"]:
         )
     # the pre-update plan is immutable, so the RETURNING frame (affected
     # rows with assignments applied) stays valid after the view swap
-    return n, _returning_over(df.filter(pred).withColumns(assigns), returning)
+    return n, _returning_over(engine, df.filter(pred).withColumns(assigns), returning)
 
 
 # ------------------------------------------------------------------- DELETE
@@ -806,7 +806,7 @@ def _delete(engine, sql: str) -> tuple[int, "object | None"]:
         if not rest.lower().startswith("where"):
             raise FilesqlError(f"cannot parse DELETE tail: {rest[:80]}")
         pred = F.coalesce(
-            F.expr(dialect.rewrite(rest[5:].strip())).cast("boolean"), F.lit(False)
+            F.expr(dialect.rewrite(rest[5:].strip(), engine._column_types())).cast("boolean"), F.lit(False)
         )
     else:
         pred = F.lit(True)
@@ -824,7 +824,7 @@ def _delete(engine, sql: str) -> tuple[int, "object | None"]:
                 F.struct(*[F.col(c) for c in df.columns]).alias("old")
             ),
         )
-    return n, _returning_over(df.filter(pred), returning)
+    return n, _returning_over(engine, df.filter(pred), returning)
 
 
 # --------------------------------------------------------------------- DDL
@@ -899,7 +899,7 @@ def _create(engine, sql: str) -> int:
     if m:
         name = _ident(m)
         body = m.group("body").rstrip().rstrip(";")
-        df = engine.spark.sql(dialect.rewrite(body))
+        df = engine.spark.sql(dialect.rewrite(body, engine._column_types()))
         engine._views[name] = df
         # keep the defining SQL: views are dynamic (engine._rederive_views)
         engine._view_defs[name] = body
@@ -913,7 +913,7 @@ def _create(engine, sql: str) -> int:
         body = m.group("body").strip().rstrip(";")
         pk: list[str] = []
         if body.upper().startswith("AS"):
-            df = engine.spark.sql(dialect.rewrite(body[2:].strip()))
+            df = engine.spark.sql(dialect.rewrite(body[2:].strip(), engine._column_types()))
         else:
             cols = _split_level0(body[1:-1])
             fields = []

@@ -283,7 +283,7 @@ def _body_select_raise(engine, stmt: str, tx: DataFrame) -> None:
     try:
         s = _rewrite_raise_calls(stmt.rstrip().rstrip(";"))
         s = _splice_tx_source(s, view)
-        df = engine.spark.sql(dialect.rewrite(s))
+        df = engine.spark.sql(dialect.rewrite(s, engine._column_types()))
         if len(df.columns) != 1:
             raise FilesqlError(
                 "trigger-body SELECT with RAISE() must be a single "
@@ -342,7 +342,7 @@ def fire(
             if t.when:
                 scoped = scoped.filter(
                     F.coalesce(
-                        F.expr(dialect.rewrite(t.when)).cast("boolean"),
+                        F.expr(dialect.rewrite(t.when, engine._column_types())).cast("boolean"),
                         F.lit(False),
                     )
                 )
@@ -451,7 +451,7 @@ def _body_update(engine, stmt: str, tx: DataFrame) -> None:
 
     seq = dml._with_seq(target)
     txm = tx.withColumn("__hit__", F.lit(1))
-    cond = F.expr(dialect.rewrite(where)).cast("boolean")
+    cond = F.expr(dialect.rewrite(where, engine._column_types())).cast("boolean")
     joined = seq.join(F.broadcast(txm), cond, "left")
     multi = (
         joined.filter(F.col("__hit__").isNotNull())
@@ -475,7 +475,7 @@ def _body_update(engine, stmt: str, tx: DataFrame) -> None:
         resolved = dml._resolve_col(target, name)
         if resolved is None:
             raise FilesqlError(f"UPDATE: no such column {name!r} in {table!r}")
-        val = F.expr(dialect.rewrite(expr_src.strip())).cast(types[resolved])
+        val = F.expr(dialect.rewrite(expr_src.strip(), engine._column_types())).cast(types[resolved])
         assigns[resolved] = F.when(
             F.col("__hit__").isNotNull(), val
         ).otherwise(F.col(resolved))
@@ -510,7 +510,7 @@ def _body_delete(engine, stmt: str, tx: DataFrame) -> None:
         raise FilesqlError(
             "trigger-body DELETE referencing new/old requires a WHERE clause"
         )
-    cond = F.expr(dialect.rewrite(rest[5:].strip())).cast("boolean")
+    cond = F.expr(dialect.rewrite(rest[5:].strip(), engine._column_types())).cast("boolean")
     doomed = target.join(F.broadcast(tx), cond, "left_semi")
     engine._reregister(
         table, target.join(F.broadcast(tx), cond, "left_anti")

@@ -1999,3 +1999,36 @@ def test_iif_truthiness_and_dispatch_matches_sqlite(spark, tmp_path):
         for i, e in enumerate(exprs):
             g, x = _norm(grow[i]), _norm(xrow[i])
             assert g == x, (rows[rx], e, g, x)
+
+
+def test_value_dependent_dispatch_on_dml_path(spark, tmp_path):
+    """The dispatch pre-pass serves every statement the dialect
+    rewrites — UPDATE SET expressions and WHERE predicates included,
+    pinned statement-for-statement vs sqlite3."""
+    stmts = [
+        "UPDATE t SET v = ifnull(n, 2.5) / 2",
+        "UPDATE t SET v = v + 1 WHERE ifnull(n, 2.5) / 2 > 1",
+        "DELETE FROM t WHERE iif(n, 1, 2.5) / 2 = 0",
+    ]
+    rows = [(1, 7, 0.0), (2, None, 0.0), (3, -9, 0.0), (4, 0, 0.0)]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, v REAL)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    (tmp_path / "t.csv").write_text(
+        "id,n,v\n" + "\n".join(
+            f"{i},{'' if n is None else n},{v}" for i, n, v in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        for s in stmts:
+            con.execute(s)
+            eng.execute(s)
+        exp = con.execute("SELECT id, n, v FROM t ORDER BY id").fetchall()
+        got = [
+            (r.id, r.n, r.v)
+            for r in eng.query("SELECT id, n, v FROM t ORDER BY id").collect()
+        ]
+    finally:
+        eng.close()
+        con.close()
+    assert [tuple(g) for g in got] == [tuple(x) for x in exp], (got, exp)
