@@ -166,7 +166,7 @@ class Engine:
 
         for name, body in self._view_defs.items():
             try:
-                df = self.spark.sql(dialect.rewrite(body))
+                df = self.spark.sql(dialect.rewrite(body, self._column_types()))
             except Exception as e:
                 self._view_errors[name] = f"{type(e).__name__}: {e}"
                 continue
