@@ -1112,12 +1112,25 @@ def _gen_dml_sequence(rng: random.Random) -> list[str]:
             next_id += 3
             stmts.append(f"INSERT INTO t VALUES {rows}")
         elif pick <= 5:
+            # affinity-sensitive SET/WHERE expressions: the DML path is
+            # catalog-typed since r13 (int division truncates, ifnull
+            # dispatches) — exercise it, not just additive arithmetic
+            set_expr = rng.choice([
+                f"n + {rng.randint(-5, 9)}",
+                f"n / {rng.randint(2, 4)}",
+                f"ifnull(n, {round(rng.uniform(0.5, 5.5), 1)}) / 2",
+                f"n * 2 - n / {rng.randint(2, 3)}",
+            ])
             stmts.append(
-                f"UPDATE t SET n = n + {rng.randint(-5, 9)} "
+                f"UPDATE t SET n = {set_expr} "
                 f"WHERE id % {rng.randint(2, 4)} = {rng.randint(0, 1)}"
             )
         elif pick == 6:
-            stmts.append(f"DELETE FROM t WHERE n < {rng.randint(-10, 5)}")
+            where = rng.choice([
+                f"n < {rng.randint(-10, 5)}",
+                f"n / 3 = {rng.randint(0, 4)}",
+            ])
+            stmts.append(f"DELETE FROM t WHERE {where}")
         elif pick == 7:
             rid = rng.choice([1, 2, 3, next_id])
             if rid == next_id:
