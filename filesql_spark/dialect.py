@@ -3115,14 +3115,19 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
             f"DIV nullif({r_text}, 0) ELSE ({p_text}) / ({r_text}) END)"
         )
         return l_start, r_end, repl
-    if op == "/":
-        # chained division off this pass's own emission: the CASE's
-        # value is int exactly when its condition held, so the next /
-        # dispatches on the same condition (`ifnull(n,2.5) / 2 / 3`)
-        m = _VD_EMITTED_RX.match(p_text)
-        if m and rt in ("int", "null") and not _vd_analyze_call(
-            sql, mask, low, r_first, r_end, coltypes
-        ):
+    # chained arithmetic off this pass's own emission: the CASE's value
+    # is int exactly when its condition held, so the next / dispatches
+    # on the same condition (`ifnull(n,2.5) / 2 / 3`) and the next %
+    # reuses it for the REAL-iff-either-real result type
+    m = _VD_EMITTED_RX.match(p_text)
+    if m and not _vd_analyze_call(
+        sql, mask, low, r_first, r_end, coltypes
+    ):
+        if op == "%" and rt in ("int", "real", "null"):
+            return l_start, r_end, _vd_mod_repl(
+                m.group(1), p_text, r_text, other_real=(rt == "real")
+            )
+        if op == "/" and rt in ("int", "null"):
             repl = (
                 f"(CASE WHEN {m.group(1)} THEN TRY_CAST({p_text} AS BIGINT) "
                 f"DIV nullif({r_text}, 0) ELSE ({p_text}) / ({r_text}) END)"

@@ -2045,3 +2045,34 @@ def test_value_dependent_dispatch_on_dml_path(spark, tmp_path):
         eng.close()
         con.close()
     assert [tuple(g) for g in got] == [tuple(x) for x in exp], (got, exp)
+
+
+def test_chained_modulo_off_dispatch_matches_sqlite(spark, tmp_path):
+    """`%` chained off a dispatched division reuses its condition for
+    the REAL-iff-either-real result type; the value is the int-cast
+    remainder either way (r13b)."""
+    rows = [(1, 7), (2, None), (3, -9)]
+    exprs = [
+        "ifnull(n, 2.5) / 2 % 3",
+        "ifnull(n, 7.5) / 2 % 2",
+        "iif(n, 9, 2.5) / 2 % 3",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n\n" + "\n".join(
+            f"{i},{'' if n is None else n}" for i, n in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            assert g == x, (rows[rx], e, g, x)
