@@ -1114,6 +1114,14 @@ _CALL_REWRITES = {
     # SQLite sign() returns INTEGER -1/0/1 (func.c signFunc); Spark's
     # signum returns DOUBLE (r11 sweep finding)
     "sign": lambda args: f"CAST(sign({args[0]}) AS BIGINT)",
+    # math-function affinity repairs (r13b; pinned vs stdlib sqlite3):
+    # ceil/floor preserve input affinity, 1-arg trunc is toward-zero
+    # truncation, mod is fmod (always REAL, NULL on zero divisor)
+    "ceil": lambda args: _ceil_floor_call("ceil")(args),
+    "ceiling": lambda args: _ceil_floor_call("ceiling")(args),
+    "floor": lambda args: _ceil_floor_call("floor")(args),
+    "trunc": lambda args: _trunc_call(args),
+    "mod": lambda args: _mod_call(args),
     # SQLite integers are always int64, so abs(-2147483648) widens to
     # 2147483648; Spark types the literal INT and ANSI-overflows. Widen
     # provably-INTEGER operands; REAL/unknown stay untouched (abs of a
@@ -1155,6 +1163,67 @@ def _abs_call(args: list[str]) -> str | None:
     if _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, []) == "int":
         return f"abs(CAST(({expr}) AS BIGINT))"
     return None  # REAL/unknown: leave exactly as written
+
+
+def _static_affinity(expr: str) -> str | None:
+    """Static SQLite affinity of an expression fragment (the tracker's
+    'int'/'real'/'null'/'text', or None when undecidable)."""
+    mask = _div_mask(expr)
+    return _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, [])
+
+
+def _ceil_floor_call(word: str):
+    """SQLite ceil()/ceiling()/floor() preserve the input's affinity —
+    INTEGER in, INTEGER out; REAL in, REAL out (func.c ceilingFunc).
+    Spark's ceil/floor return BIGINT for DOUBLE input, so provably-REAL
+    operands get an explicit widen back (ceil(2.1) must be 3.0, not 3).
+    Integer and unknown-affinity operands keep the plain call (for int
+    the BIGINT result already matches; unknown stays on Spark typing —
+    same documented static-undecidability divergence as SURVEY §5 #2)."""
+    def build(args: list[str]) -> str | None:
+        if len(args) != 1:
+            raise FilesqlError(f"{word} expects 1 arg, got {len(args)}")
+        if _static_affinity(args[0]) == "real":
+            return f"CAST({word}({args[0]}) AS DOUBLE)"
+        return None
+    return build
+
+
+def _trunc_call(args: list[str]) -> str | None:
+    """SQLite 1-arg trunc(X) (math function, func.c): toward-zero
+    truncation, INTEGER input passes through as INTEGER, anything else
+    coerces to REAL (strict clean-numeric conversion — '2x' is NULL).
+    Spark has no 1-arg trunc (its trunc is date truncation, which SQLite
+    doesn't have — a 2-arg call is left for Spark to resolve). The REAL
+    path duplicates the operand (same purity requirement as the
+    value-dependent division dispatch: arguments are assumed pure);
+    |X| ≥ 2^53 doubles carry no fractional part, so the magnitude guard
+    both avoids BIGINT overflow and is value-exact."""
+    if len(args) != 1:
+        return None  # Spark's own trunc(date, fmt)
+    x = args[0]
+    if _static_affinity(x) == "int":
+        return f"({x})"
+    d = f"TRY_CAST(({x}) AS DOUBLE)"
+    return (
+        f"(CASE WHEN abs({d}) < 9.007199254740992e15 "
+        f"THEN CAST(CAST({d} AS BIGINT) AS DOUBLE) ELSE {d} END)"
+    )
+
+
+def _mod_call(args: list[str]) -> str | None:
+    """SQLite mod(X, Y) (math function): C fmod — the result is ALWAYS
+    REAL, text coerces strictly (mod('abc',3) is NULL), and a zero
+    divisor yields NULL (fmod's NaN surfaces as SQL NULL). Spark's mod
+    keeps integer typing and ANSI-errors on x % 0, so both need fixing
+    (sign-of-dividend semantics already agree)."""
+    if len(args) != 2:
+        raise FilesqlError(f"mod expects 2 args, got {len(args)}")
+    x, y = args
+    return (
+        f"CAST(TRY_CAST(({x}) AS DOUBLE) % "
+        f"nullif(TRY_CAST(({y}) AS DOUBLE), 0.0D) AS DOUBLE)"
+    )
 
 
 _PRINTF_DIR_RE = re.compile(r"%([-+ 0#]*)(\d+)?(\.\d+)?([a-zA-Z%])")
@@ -1642,7 +1711,13 @@ _DIV_REAL_FUNCS = frozenset({
     "cos", "sin", "tan", "cosh", "sinh", "tanh", "degrees", "radians",
     "pi", "mod",
 })
-_DIV_PASSTHRU_FUNCS = frozenset({"abs", "sum", "nullif", "likely", "unlikely"})
+_DIV_PASSTHRU_FUNCS = frozenset({
+    "abs", "sum", "nullif", "likely", "unlikely",
+    # likelihood(X, p) returns X unchanged (the hint rewrite keeps only
+    # X); ceil/floor/trunc preserve the input's int/real affinity
+    # (func.c ceilingFunc — pinned vs stdlib sqlite3, r13b)
+    "likelihood", "ceil", "ceiling", "floor", "trunc",
+})
 # least/greatest/nvl: the Spark spellings earlier rewrite passes emit for
 # min/max/ifnull — this tracker also types already-rewritten text (e.g.
 # inside _cast_call, which runs after the min/max pass)

@@ -2076,3 +2076,47 @@ def test_chained_modulo_off_dispatch_matches_sqlite(spark, tmp_path):
         for i, e in enumerate(exprs):
             g, x = _norm(grow[i]), _norm(xrow[i])
             assert g == x, (rows[rx], e, g, x)
+
+
+def test_math_function_affinity_matches_sqlite(spark, tmp_path):
+    """SQLite math functions (func.c, 3.35 math extension): ceil/floor
+    preserve input affinity, 1-arg trunc truncates toward zero (INTEGER
+    passthrough), mod is fmod (always REAL, NULL on zero divisor, strict
+    text coercion), likelihood/likely/unlikely are transparent passthru
+    — value AND rendering (typeof via ||-context) pinned (r13b)."""
+    rows = [(1, 7, 2.5), (2, None, None), (3, -9, -0.125), (4, 100, 42.0)]
+    exprs = [
+        "trunc(-2.7)", "trunc(2.7)", "trunc(5)", "trunc(n)", "trunc(r)",
+        "trunc('3.9')", "trunc('2x')", "trunc(NULL)",
+        "trunc(n) / 2", "trunc(r) / 2", "trunc(-2.7) || ''",
+        "ceil(2.1)", "ceil(-2.1)", "ceil(5)", "ceil(n)", "ceil(r)",
+        "ceiling(2.1)", "floor(2.9)", "floor(r)", "floor(n)",
+        "ceil(n) / 2", "ceil(r) || ''", "floor(2.9) || ''",
+        "mod(10, 3)", "mod(-7, 2)", "mod(7, -2)", "mod(7.5, 2)",
+        "mod(n, 3)", "mod(n, 0)", "mod('10', 3)", "mod('abc', 3)",
+        "mod(10, 3) || ''", "mod(10, 3) / 2",
+        "likelihood(n, 0.5) / 2", "likely(r) / 2", "unlikely(n) / 2",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n,r\n" + "\n".join(
+            f"{i},{'' if n is None else n},{'' if r is None else r}"
+            for i, n, r in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            if isinstance(g, float) and isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
+            else:
+                assert g == x, (rows[rx], e, type(g), type(x))
