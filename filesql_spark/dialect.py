@@ -1026,6 +1026,17 @@ _CALL_REWRITES = {
     "group_concat": _group_concat,
     "random": _random,
     "total": _total,
+    # SQLite numeric coercion inside avg/sum over provably-TEXT inputs
+    # (r13b; crash-to-correct: Spark's aggregates ANSI-fail on junk
+    # text). Before "cast" so the emitted CAST(… AS REAL) expands.
+    "avg": lambda args: _agg_numeric_coerce_call("avg", args),
+    "sum": lambda args: _agg_numeric_coerce_call("sum", args),
+    # mixed text/numeric coalesce-family → SQLite TEXT rendering
+    # projection (r13b; crash-to-correct, divergence documented at the
+    # builder)
+    "coalesce": lambda args: _mixed_text_pick_call("coalesce", args),
+    "ifnull": lambda args: _mixed_text_pick_call("ifnull", args),
+    "nvl": lambda args: _mixed_text_pick_call("nvl", args),
     "log": _log,
     "char": _char,
     # typeof must precede quote: quote's expansion emits Spark typeof()
@@ -1209,6 +1220,54 @@ def _trunc_call(args: list[str]) -> str | None:
         f"(CASE WHEN abs({d}) < 9.007199254740992e15 "
         f"THEN CAST(CAST({d} AS BIGINT) AS DOUBLE) ELSE {d} END)"
     )
+
+
+def _mixed_text_pick_call(word: str, args: list[str]) -> str | None:
+    """SQLite's dynamic typing lets coalesce/ifnull pick between numeric
+    and TEXT arguments per row; Spark's coalesce forces ONE static type
+    and widens text next to numerics to DOUBLE — a per-row runtime CAST
+    crash on any non-numeric text value. When argument affinities
+    provably mix text with numerics, project the call to SQLite's TEXT
+    rendering instead: INTEGER args render via CAST AS STRING, REAL args
+    via %!.15g (filesql_double_text) — byte-identical to how SQLite
+    renders those values in a TEXT context. Documented divergence
+    (SURVEY §5 family): the projected value is TEXT for every row, so
+    comparisons/ordering against it follow TEXT semantics where SQLite
+    compares per-row value classes (numerics sort before text). All-
+    numeric, all-text, and unknown-affinity calls stay untouched."""
+    types = [_static_affinity(a) for a in args]
+    if None in types or "text" not in types:
+        return None
+    if not any(t in ("int", "real") for t in types):
+        return None
+    parts = []
+    for a, t in zip(args, types):
+        if t == "int":
+            parts.append(f"TRY_CAST(({a}) AS STRING)")
+        elif t == "real":
+            parts.append(f"filesql_double_text(TRY_CAST(({a}) AS DOUBLE))")
+        else:  # text / literal NULL
+            parts.append(f"({a})")
+    return f"coalesce({', '.join(parts)})"
+
+
+def _agg_numeric_coerce_call(word: str, args: list[str]) -> str | None:
+    """SQLite avg()/sum() apply numeric coercion to TEXT inputs (the
+    CAST-AS-REAL rules: longest numeric prefix, no prefix → 0, NULLs
+    still skipped); Spark's aggregates ANSI-crash on the first
+    non-numeric string. Wrap provably-TEXT arguments in the cast pass's
+    prefix-parse expansion. Documented divergence: SQLite types sum()
+    INTEGER when every coerced input is an integer — the coerced column
+    is DOUBLE here, so sum of clean-integer text renders 11.0 where
+    SQLite renders 11 (the value is exact either way)."""
+    if len(args) != 1:
+        return None
+    if _static_affinity(args[0]) != "text":
+        return None
+    # SQLite-spelled CAST: the cast pass (later in the sweep order, same
+    # pattern as _total's emission) expands it to the typeof-dispatched
+    # prefix parse
+    return f"{word}(CAST(({args[0]}) AS REAL))"
 
 
 def _mod_call(args: list[str]) -> str | None:
@@ -1736,8 +1795,10 @@ _WORD_RX = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 def _div_combine(a: str | None, b: str | None) -> str | None:
     """Affinity of an arithmetic combination (int iff both int; a
-    literal-NULL operand is neutral — the result is NULL either way)."""
-    if a is None or b is None:
+    literal-NULL operand is neutral — the result is NULL either way).
+    A 'text' operand is runtime-typed under SQLite's numeric coercion
+    (int or real per VALUE), so the combination is undecidable."""
+    if a is None or b is None or a == "text" or b == "text":
         return None
     if a == "null":
         return b
@@ -1771,7 +1832,10 @@ def _div_str_lit_type(content: str) -> str | None:
         return _div_lit_type(s.lstrip("+-"))
     if re.fullmatch(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", s):
         return "real"
-    return None
+    # no clean numeric form: known-TEXT (r13b) — numeric consumers treat
+    # 'text' exactly like unknown (never rewritten into arithmetic), and
+    # the mixed-affinity coalesce projection needs the positive signal
+    return "text"
 
 
 def _div_mask(sql: str) -> str:
@@ -1883,6 +1947,118 @@ def _div_scan_case(sql, mask, pos, end, coltypes, edits):
     else:
         t = None
     return marks[-1][0] + 3, t
+
+
+_CASE_WORD_RX = re.compile(r"(?i)\bcase\b")
+# tokens whose depth-0 presence makes a WHEN condition already boolean
+_BOOL_CTX_WORDS = frozenset({
+    "is", "in", "like", "glob", "regexp", "match", "exists",
+    "isnull", "notnull", "true", "false",
+})
+
+
+def _cond_truthy_edits(sql, mask, low, a, b, edits) -> None:
+    """Wrap a searched-CASE WHEN condition in SQLite truthiness
+    (numeric coercion, non-zero, NULL → false) unless it is already a
+    boolean expression. Recurses through depth-0 AND/OR (each operand
+    is its own truthiness context, BETWEEN's AND excluded), strips
+    redundant parens and leading NOT, and skips nested CASE bodies
+    (the main sweep visits every CASE site). Same TRY_CAST coercion —
+    and the same '3x'-prefix-parse documented divergence — as iif()."""
+    while a < b and mask[a] in " \t\r\n":
+        a += 1
+    while b > a and mask[b - 1] in " \t\r\n":
+        b -= 1
+    if a >= b:
+        return
+    if mask[a] == "(" and _div_find_close(mask, a, b) == b - 1:
+        return _cond_truthy_edits(sql, mask, low, a + 1, b - 1, edits)
+    m = _WORD_RX.match(mask, a)
+    if m and low[a:m.end()] == "not":
+        return _cond_truthy_edits(sql, mask, low, m.end(), b, edits)
+    i, between, has_cmp = a, 0, False
+    splits: list[tuple[int, int]] = []
+    while i < b:
+        c = mask[i]
+        if c == "(":
+            close = _div_find_close(mask, i, b)
+            if close == -1:
+                return  # unbalanced: bail on the whole condition
+            i = close + 1
+            continue
+        if c in "=<>!":
+            has_cmp = True
+            i += 1
+            continue
+        m = _WORD_RX.match(mask, i)
+        if m:
+            w = low[i:m.end()]
+            if w == "case":
+                marks = _case_marks(sql, mask, i, b)
+                if marks is None:
+                    return
+                i = marks[-1][0] + 3
+                continue
+            if w == "between":
+                between += 1
+                has_cmp = True
+            elif w == "and":
+                if between:
+                    between -= 1
+                else:
+                    splits.append((i, m.end()))
+            elif w == "or":
+                splits.append((i, m.end()))
+            elif w in _BOOL_CTX_WORDS:
+                has_cmp = True
+            i = m.end()
+            continue
+        i += 1
+    if splits:
+        prev = a
+        for s0, s1 in splits:
+            _cond_truthy_edits(sql, mask, low, prev, s0, edits)
+            prev = s1
+        _cond_truthy_edits(sql, mask, low, prev, b, edits)
+        return
+    if has_cmp:
+        return
+    # NO nvl-to-false here: NULL must stay NULL so NOT/AND/OR keep
+    # SQLite's three-valued logic (NOT NULL is NULL → the WHEN simply
+    # doesn't match — identical in Spark)
+    edits.append((a, a, "(TRY_CAST(("))
+    edits.append((b, b, ") AS DOUBLE) <> 0)"))
+
+
+def _rewrite_case_truthiness(sql: str) -> str:
+    """SQLite evaluates searched-CASE WHEN conditions under truthiness
+    (`CASE WHEN flag THEN …` — expr.c sqlite3ExprIfTrue numeric
+    coercion); Spark demands BOOLEAN and rejects the plan. Runs before
+    every emission-producing pass, so only user-written CASE text is
+    touched; simple CASE (`CASE x WHEN v`) compares values and is left
+    alone. Wraps are pure insertions, so nested CASE conditions compose
+    (positions never collide)."""
+    mask = _blank_comments(sql, _div_mask(sql))
+    low = sql.lower()
+    edits: list[tuple[int, int, str]] = []
+    for m in _CASE_WORD_RX.finditer(mask):
+        pos = m.start()
+        marks = _case_marks(sql, mask, pos, len(sql))
+        if not marks:
+            continue
+        first_pos, first_kw = marks[0]
+        if first_kw != "when" or sql[pos + 4:first_pos].strip():
+            continue  # simple CASE (or malformed): conditions are values
+        prev_pos, prev_kw = pos + 4, "case"
+        for mpos, kw in marks:
+            if prev_kw == "when" and kw == "then":
+                _cond_truthy_edits(sql, mask, low, prev_pos, mpos, edits)
+            prev_pos, prev_kw = mpos + len(kw), kw
+    if not edits:
+        return sql
+    for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
 
 
 def _span_numeric_literal(sql: str, a: int, b: int):
@@ -3004,14 +3180,192 @@ def _vd_simple_primary(text: str) -> bool:
     )
 
 
-def _vd_analyze_call(sql, mask, low, start, e, coltypes, numeric_only=False):
-    """If sql[start:e] is an ifnull/nvl/coalesce/min/max call with
-    simple-primary args of statically known but MIXED int/real affinity,
-    return the SQL condition under which the runtime value has INTEGER
+_VD_PEEL_RX = re.compile(
+    # affinity-preserving unary wrappers: the dispatch condition of the
+    # wrapped call carries through (abs/trunc/ceil/floor keep int int
+    # and real real; likely/likelihood/unlikely return arg 1 unchanged)
+    r"(?i)(abs|likely|unlikely|likelihood|trunc|ceil|ceiling|floor)\s*\("
+)
+# pure, deterministic, cheap-to-duplicate functions allowed inside a
+# CASE decider's WHEN conditions (the truthiness pass emits try_cast)
+_VD_COND_PURE_FUNCS = frozenset({
+    "try_cast", "cast", "nvl", "coalesce", "ifnull", "nullif", "length",
+    "abs", "upper", "lower", "substr", "substring", "typeof", "instr",
+})
+_VD_COND_BARE_WORDS = frozenset({
+    "and", "or", "not", "is", "null", "in", "like", "between", "escape",
+    "true", "false", "then", "as", "double", "bigint", "real", "integer",
+    "string", "glob", "distinct", "from",
+})
+
+
+def _vd_pure_nested(sql, mask, low, a, b) -> bool:
+    """True when span [a, b) is itself a conditional call (or an
+    affinity-preserving wrapper over one) whose arguments are all simple
+    primaries or pure nested calls — cheap and side-effect-free to
+    duplicate into a dispatch condition (r13b nested-decider support:
+    `ifnull(ifnull(n, 2), 2.5) / 2` dispatches on the inner call)."""
+    while a < b and mask[a] in " \t\r\n":
+        a += 1
+    while b > a and mask[b - 1] in " \t\r\n":
+        b -= 1
+    if a >= b or sql[b - 1] != ")":
+        return False
+    m = _VD_CALL_RX.match(sql, a) or _VD_PEEL_RX.match(sql, a)
+    if not m or _div_find_close(mask, m.end() - 1, b) != b - 1:
+        return False
+    for s0, s1 in _div_split_args(mask, m.end(), b - 1):
+        t = sql[s0:s1].strip()
+        if not _vd_simple_primary(t) and not _vd_pure_nested(
+            sql, mask, low, s0, s1
+        ):
+            return False
+    return True
+
+
+def _vd_cond_duplicable(sql, mask, low, a, b) -> bool:
+    """True when a WHEN-condition span is safe to duplicate into a
+    dispatch condition: identifiers, literals, comparisons, boolean
+    connectives, and a whitelist of pure functions — no subqueries, no
+    nondeterminism (random()/rand()), no CASE, no window refs."""
+    i = a
+    while i < b:
+        c = mask[i]
+        if c == "\x00" or c in " \t\r\n()=<>!+-*/%,.|&'0123456789":
+            i += 1
+            continue
+        m = _WORD_RX.match(mask, i)
+        if not m:
+            i += 1
+            continue
+        w = low[i:m.end()]
+        k = m.end()
+        while k < b and mask[k] in " \t\r\n":
+            k += 1
+        if k < b and mask[k] == "(":
+            if w not in _VD_COND_PURE_FUNCS:
+                return False
+        elif w == "select" or w == "case":
+            return False
+        i = m.end()
+    return True
+
+
+def _vd_analyze_case(sql, mask, low, start, e, coltypes):
+    """CASE decider (r13b): `CASE WHEN c1 THEN a1 … ELSE z END` where the
+    arms are simple primaries of known but MIXED int/real affinity and
+    every condition is duplicable-pure. Returns the condition under
+    which the runtime value has INTEGER affinity: OR over int arms of
+    (their condition AND NOT any earlier condition, null-safe), plus the
+    all-conditions-false conjunction when the ELSE arm is int. NULL arms
+    are unconstrained (the value is NULL — both division branches render
+    NULL). Simple CASE (`CASE x WHEN v`) is out of scope."""
+    if low[start:start + 4] != "case" or (
+        start + 4 < e and (mask[start + 4].isalnum() or mask[start + 4] == "_")
+    ):
+        return None
+    marks = _case_marks(sql, mask, start, e)
+    if not marks:
+        return None
+    # the CASE must span exactly [start, e): last mark is its END
+    if sql[marks[-1][0] + 3:e].strip():
+        return None
+    first_pos, first_kw = marks[0]
+    if first_kw != "when" or sql[start + 4:first_pos].strip():
+        return None
+    conds: list[str] = []          # WHEN conditions in order
+    arm_types: list[str] = []      # arm affinity per condition
+    else_type = "null"             # implicit ELSE NULL
+    prev_pos, prev_kw = start + 4, "case"
+    pending_cond: str | None = None
+    for mpos, kw in marks:
+        span = sql[prev_pos:mpos].strip()
+        if prev_kw == "when":
+            if kw != "then" or not _vd_cond_duplicable(
+                sql, mask, low, prev_pos, mpos
+            ):
+                return None
+            pending_cond = span
+        elif prev_kw == "then":
+            if not _vd_simple_primary(span):
+                return None
+            t = _div_walk(sql, mask, prev_pos, mpos, coltypes, [])
+            if t not in ("int", "real", "null"):
+                return None
+            conds.append(pending_cond)
+            arm_types.append(t)
+        elif prev_kw == "else":
+            if not _vd_simple_primary(span):
+                return None
+            else_type = _div_walk(sql, mask, prev_pos, mpos, coltypes, [])
+            if else_type not in ("int", "real", "null"):
+                return None
+        prev_pos, prev_kw = mpos + len(kw), kw
+    known = [t for t in arm_types + [else_type] if t != "null"]
+    if "int" not in known or "real" not in known:
+        return None  # not value-dependent
+    branches = []
+    for i, t in enumerate(arm_types):
+        if t != "int":
+            continue
+        prior = [f"NOT coalesce({conds[j]}, false)" for j in range(i)]
+        branches.append(
+            "(" + " AND ".join(prior + [f"coalesce({conds[i]}, false)"]) + ")"
+        )
+    if else_type == "int":
+        branches.append(
+            "(" + " AND ".join(
+                f"NOT coalesce({c}, false)" for c in conds
+            ) + ")"
+        )
+    return " OR ".join(branches) if branches else None
+
+
+def _vd_analyze_call(sql, mask, low, start, e, coltypes, numeric_only=False,
+                     rendering=False):
+    """If sql[start:e] is an ifnull/nvl/coalesce/min/max/iif call (args:
+    simple primaries or pure nested conditional calls) of statically
+    known but MIXED int/real affinity — or such a call under an
+    affinity-preserving wrapper (abs/trunc/ceil/floor/likely…) — return
+    the SQL condition under which the runtime value has INTEGER
     affinity; else None. ``numeric_only`` additionally bails on
     string-literal args — required by the RENDERING consumers, where a
     TEXT value must surface verbatim ('3.50' stays '3.50'), while the
-    division consumer applies SQLite's numeric coercion anyway."""
+    division consumer applies SQLite's numeric coercion anyway.
+    ``rendering`` unlocks paren-stripping and searched-CASE analysis —
+    safe ONLY for the single-scan rendering consumers: the division
+    pass rescans after each replacement, and its own emissions keep
+    their operands parenthesized precisely so this analyzer refuses
+    them (the division path handles CASE by arm distribution in
+    _vd_match_site instead)."""
+    while start < e and mask[start] in " \t\r\n":
+        start += 1
+    while e > start and mask[e - 1] in " \t\r\n":
+        e -= 1
+    if start >= e:
+        return None
+    if rendering:
+        # redundant parens around the whole span
+        if mask[start] == "(" and _div_find_close(mask, start, e) == e - 1:
+            return _vd_analyze_call(
+                sql, mask, low, start + 1, e - 1, coltypes, numeric_only,
+                rendering,
+            )
+        cond = _vd_analyze_case(sql, mask, low, start, e, coltypes)
+        if cond is not None:
+            return cond
+    # affinity-preserving unary wrapper: peel and analyze the inside
+    pm = _VD_PEEL_RX.match(sql, start)
+    if pm and sql[e - 1] == ")":
+        close = _div_find_close(mask, pm.end() - 1, e)
+        if close == e - 1:
+            spans = _div_split_args(mask, pm.end(), e - 1)
+            if spans:
+                a, b = spans[0]
+                return _vd_analyze_call(
+                    sql, mask, low, a, b, coltypes, numeric_only, rendering
+                )
+        return None
     m = _VD_CALL_RX.match(sql, start)
     if not m or m.end() > e or sql[e - 1] != ")":
         return None
@@ -3023,7 +3377,9 @@ def _vd_analyze_call(sql, mask, low, start, e, coltypes, numeric_only=False):
     texts, types = [], []
     for a, b in arg_spans:
         t_text = sql[a:b].strip()
-        if not _vd_simple_primary(t_text):
+        if not _vd_simple_primary(t_text) and not _vd_pure_nested(
+            sql, mask, low, a, b
+        ):
             return None
         if numeric_only and t_text.startswith("'"):
             return None
@@ -3115,7 +3471,7 @@ def _vd_render_text(expr: str) -> str | None:
     mask = _blank_comments(target, _div_mask(target))
     cond = _vd_analyze_call(
         target, mask, target.lower(), 0, len(target), _ACTIVE_COLUMN_TYPES,
-        numeric_only=True,
+        numeric_only=True, rendering=True,
     )
     if cond is None:
         return None
@@ -3132,7 +3488,8 @@ def _vd_dtext_edit(sql, mask, a, b, coltypes, edits) -> None:
     while b > a and mask[b - 1] in " \t\r\n":
         b -= 1
     cond = _vd_analyze_call(
-        sql, mask, sql.lower(), a, b, coltypes, numeric_only=True
+        sql, mask, sql.lower(), a, b, coltypes, numeric_only=True,
+        rendering=True,
     )
     if cond is None:
         return
@@ -3144,6 +3501,72 @@ def _vd_dtext_edit(sql, mask, a, b, coltypes, edits) -> None:
     ))
 
 
+def _vd_case_span(sql, mask, low, a, b):
+    """(case_start, marks) when span [a, b) is exactly a searched CASE,
+    possibly behind redundant parens; else None."""
+    while True:
+        while a < b and mask[a] in " \t\r\n":
+            a += 1
+        while b > a and mask[b - 1] in " \t\r\n":
+            b -= 1
+        if a < b and mask[a] == "(" and _div_find_close(mask, a, b) == b - 1:
+            a, b = a + 1, b - 1
+            continue
+        break
+    if a >= b or low[a:a + 4] != "case":
+        return None
+    if a + 4 < b and (mask[a + 4].isalnum() or mask[a + 4] == "_"):
+        return None
+    marks = _case_marks(sql, mask, a, b)
+    if not marks or sql[marks[-1][0] + 3:b].strip():
+        return None
+    if marks[0][1] != "when" or sql[a + 4:marks[0][0]].strip():
+        return None
+    return a, marks
+
+
+def _vd_case_distribute(sql, mask, low, a, b, other, op, coltypes,
+                        other_left):
+    """Searched-CASE operand of `/` or `%` with simple-primary arms of
+    known MIXED affinity: distribute the operator into the arms (r13b).
+    `CASE WHEN c THEN 1 ELSE 2.5 END / 2` becomes
+    `CASE WHEN c THEN (1) / (2) ELSE (2.5) / (2) END` — the conditions
+    are copied exactly once (no duplication, no purity constraint), and
+    the static division pass then types each arm's site with certain
+    affinity, which is precisely SQLite's runtime choice. The implicit
+    ELSE stays implicit (NULL op anything is NULL). ``other`` (the
+    non-CASE operand) must be a simple primary — it IS duplicated per
+    arm."""
+    hit = _vd_case_span(sql, mask, low, a, b)
+    if hit is None:
+        return None
+    ca, marks = hit
+    out = ["CASE"]
+    types: list[str] = []
+    prev_pos, prev_kw = ca + 4, "case"
+    for mpos, kw in marks:
+        seg = sql[prev_pos:mpos]
+        if prev_kw in ("then", "else"):
+            arm = seg.strip()
+            if not _vd_simple_primary(arm):
+                return None
+            t = _div_walk(sql, mask, prev_pos, mpos, coltypes, [])
+            if t not in ("int", "real", "null"):
+                return None
+            types.append(t)
+            if other_left:
+                seg = f" ({other}) {op} ({arm}) "
+            else:
+                seg = f" ({arm}) {op} ({other}) "
+        out.append(seg)
+        out.append(sql[mpos:mpos + len(kw)])
+        prev_pos, prev_kw = mpos + len(kw), kw
+    known = {t for t in types if t != "null"}
+    if known != {"int", "real"}:
+        return None  # not value-dependent: static typing is already exact
+    return "(" + "".join(out) + ")"
+
+
 def _vd_match_site(sql, mask, low, slash, coltypes):
     """Try to match one value-dependent division/modulo site around the
     `/` or `%` at ``slash``; return (span_start, span_end, replacement)
@@ -3153,6 +3576,21 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     while e > 0 and mask[e - 1] in " \t\r\n":
         e -= 1
     l_start = _rev_primary_start(sql, mask, e)
+    if l_start is None and e >= 3 and low[e - 3:e] == "end" and (
+        e - 4 < 0 or not (mask[e - 4].isalnum() or mask[e - 4] == "_")
+    ):
+        # unparenthesized CASE … END as the left operand: extend the
+        # primary back to its CASE (word-level case/end depth scan)
+        depth = 0
+        for wm in reversed(list(_WORD_RX.finditer(mask, 0, e))):
+            w = low[wm.start():wm.end()]
+            if w == "end":
+                depth += 1
+            elif w == "case":
+                depth -= 1
+                if depth == 0:
+                    l_start = wm.start()
+                    break
     if l_start is None:
         return None
     # the matched primary must be the WHOLE left operand: a preceding
@@ -3170,9 +3608,26 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     )
     if rt == "kw":
         return None
-    left_cond = _vd_analyze_call(sql, mask, low, l_start, e, coltypes)
     p_text = sql[l_start:e]
     r_text = sql[r_first:r_end]
+    # searched-CASE operand → distribute the operator into the arms
+    if rt in ("int", "real", "null") and _vd_simple_primary(r_text):
+        d = _vd_case_distribute(
+            sql, mask, low, l_start, e, r_text.strip(), op, coltypes,
+            other_left=False,
+        )
+        if d is not None:
+            return l_start, r_end, d
+    if _vd_simple_primary(p_text.strip()):
+        lt0 = _div_walk(sql, mask, l_start, e, coltypes, [])
+        if lt0 in ("int", "real", "null"):
+            d = _vd_case_distribute(
+                sql, mask, low, r_first, r_end, p_text.strip(), op,
+                coltypes, other_left=True,
+            )
+            if d is not None:
+                return l_start, r_end, d
+    left_cond = _vd_analyze_call(sql, mask, low, l_start, e, coltypes)
     if left_cond is not None:
         if _vd_analyze_call(sql, mask, low, r_first, r_end, coltypes):
             return None  # both sides value-dependent: out of scope
@@ -3263,7 +3718,7 @@ def _rewrite_value_dependent_div(
     if "/" not in sql and "%" not in sql:
         return sql
     low = sql.lower()
-    if not any(f in low for f in _VD_COND_FUNCS):
+    if not any(f in low for f in _VD_COND_FUNCS) and "case" not in low:
         return sql
     # each pass replaces one site, then rescans; emitted CASE arms never
     # re-match (their operands are parenthesized, not direct calls), so
@@ -3482,6 +3937,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         # rebind-adjusted types
         column_types = _apply_shadow(sql, _div_mask(sql), column_types)
         _ACTIVE_COLUMN_TYPES = column_types
+    sql = _rewrite_case_truthiness(sql)
     sql = _rewrite_filter_over(sql)
     sql = _rewrite_concat_real(sql, column_types)
     sql = _rewrite_value_dependent_div(sql, column_types)

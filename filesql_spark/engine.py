@@ -185,9 +185,13 @@ class Engine:
         return sorted(self._tables)
 
     def _column_types(self) -> dict[str, str]:
-        """Lowercased column → SQLite affinity bucket ('int' | 'real') for
-        the dialect's integer-division pass; columns whose name is typed
-        differently across tables drop out (ambiguous → untracked)."""
+        """Lowercased column → SQLite affinity bucket ('int' | 'real' |
+        'text') for the dialect's affinity passes; columns whose name is
+        typed differently across tables drop out (ambiguous →
+        untracked). 'text' (r13b) lets the dialect project
+        mixed-affinity coalesce/ifnull to SQLite TEXT rendering and
+        apply SQLite's numeric coercion inside avg/sum/total — every
+        numeric consumer treats it exactly like untracked."""
         out: dict[str, str | None] = {}
         for df in list(self._tables.values()) + list(self._views.values()):
             for f in df.schema.fields:
@@ -196,6 +200,8 @@ class Engine:
                     t = "int"
                 elif s in ("float", "double") or s.startswith("decimal"):
                     t = "real"
+                elif s == "string":
+                    t = "text"
                 else:
                     t = None
                 key = f.name.lower()

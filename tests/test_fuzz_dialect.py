@@ -2120,3 +2120,172 @@ def test_math_function_affinity_matches_sqlite(spark, tmp_path):
                 assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
             else:
                 assert g == x, (rows[rx], e, type(g), type(x))
+
+
+def test_mixed_affinity_pick_and_text_aggregates_match_sqlite(spark, tmp_path):
+    """Dynamic-typing projections (r13b): coalesce/ifnull over MIXED
+    text/numeric affinities render SQLite-style TEXT per argument
+    (INTEGER via CAST, REAL via %!.15g) instead of Spark's per-row
+    DOUBLE-widening crash; avg/sum/total over TEXT inputs apply SQLite's
+    numeric coercion (prefix parse, junk → 0, NULLs still skipped)."""
+    rows = [
+        (1, 7, 2.5, "hello"), (2, None, None, "12abc"),
+        (3, -9, -0.125, None), (4, 100, 42.0, " 5 "),
+        (5, 3, 0.5, "6.25e1"), (6, 8, 1.0, ""),
+    ]
+    pick_exprs = [
+        "coalesce(n, r, s)", "coalesce(n, r, s) || '|'",
+        "coalesce(s, n)", "ifnull(n, s)", "ifnull(s, 2.5)",
+        "coalesce(n, s, 'fallback')",
+    ]
+    agg_exprs = [
+        "avg(s)", "sum(s)", "total(s)",
+        "avg(n)", "sum(r)", "count(s)",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    sel_pick = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(pick_exprs))
+    sel_agg = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(agg_exprs))
+    exp_pick = con.execute(sel_pick + " FROM t ORDER BY id").fetchall()
+    exp_agg = con.execute(sel_agg + " FROM t").fetchall()
+    con.close()
+
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "n", "r", "s"])
+        for i, n, r, s in rows:
+            w.writerow([i, "" if n is None else n, "" if r is None else r,
+                        "\x01missing" if s is None else s])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        # the CSV layer can't express NULL text vs empty text; patch row 3
+        eng.execute("UPDATE t SET s = NULL WHERE id = 3")
+        eng.execute("UPDATE t SET s = '' WHERE id = 6")
+        got_pick = eng.query(sel_pick + " FROM t ORDER BY id").collect()
+        got_agg = eng.query(sel_agg + " FROM t").collect()
+    finally:
+        eng.close()
+
+    for rx, (grow, xrow) in enumerate(zip(got_pick, exp_pick)):
+        for i, e in enumerate(pick_exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            # the projection renders SQLite TEXT for every row; SQLite
+            # keeps per-row types — compare through SQLite's own text
+            # rendering of the expected value
+            if isinstance(x, int) and not isinstance(x, bool):
+                x = str(x)
+            elif isinstance(x, float):
+                c2 = sqlite3.connect(":memory:")
+                x = c2.execute("SELECT CAST(? AS TEXT)", (x,)).fetchone()[0]
+                c2.close()
+            assert g == x, (rows[rx], e, g, x)
+    for i, e in enumerate(agg_exprs):
+        g, x = _norm(got_agg[0][i]), _norm(exp_agg[0][i])
+        if isinstance(g, float) or isinstance(x, float):
+            assert g == pytest.approx(x, rel=1e-12), (e, g, x)
+        else:
+            assert g == x, (e, g, x)
+
+
+def test_case_when_truthiness_matches_sqlite(spark, tmp_path):
+    """Searched-CASE WHEN conditions evaluate under SQLite truthiness
+    (numeric coercion, non-zero, NULL falls through — including through
+    NOT/AND/OR with three-valued logic); Spark natively rejects
+    non-boolean conditions (r13b). Simple CASE stays value-compared."""
+    rows = [(1, 7, 2.5, "x"), (2, None, None, "2"),
+            (3, 0, 0.0, "0"), (4, -1, -0.5, "abc")]
+    exprs = [
+        "CASE WHEN 1 THEN 'a' ELSE 'b' END",
+        "CASE WHEN 0 THEN 'a' ELSE 'b' END",
+        "CASE WHEN 2.5 THEN 'a' ELSE 'b' END",
+        "CASE WHEN NULL THEN 'a' ELSE 'b' END",
+        "CASE WHEN n THEN 'a' ELSE 'b' END",
+        "CASE WHEN r THEN 'a' ELSE 'b' END",
+        "CASE WHEN s THEN 'a' ELSE 'b' END",
+        "CASE WHEN NOT n THEN 'a' ELSE 'b' END",
+        "CASE WHEN n AND r THEN 'a' ELSE 'b' END",
+        "CASE WHEN n OR r THEN 'a' ELSE 'b' END",
+        "CASE WHEN n > 0 AND r THEN 'a' ELSE 'b' END",
+        "CASE WHEN n THEN 'a' WHEN r THEN 'c' ELSE 'b' END",
+        "CASE WHEN (n) THEN 'a' ELSE 'b' END",
+        "CASE WHEN CASE WHEN n THEN 1 END THEN 'a' ELSE 'b' END",
+        "CASE n WHEN 7 THEN 'a' ELSE 'b' END",
+        "CASE WHEN n BETWEEN -1 AND 5 THEN 'a' ELSE 'b' END",
+        "CASE WHEN n + 1 THEN 'a' ELSE 'b' END",
+        "CASE WHEN length(s) - 1 THEN 'a' ELSE 'b' END",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n,r,s\n" + "\n".join(
+            f"{i},{'' if n is None else n},{'' if r is None else r},{s}"
+            for i, n, r, s in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            assert _norm(grow[i]) == _norm(xrow[i]), (rows[rx], e, grow[i], xrow[i])
+
+
+def test_value_dependent_dispatch_extensions_match_sqlite(spark, tmp_path):
+    """r13b dispatch extensions: nested conditional deciders
+    (ifnull(ifnull(n,2),2.5)), affinity-preserving wrapper peels
+    (abs/trunc/ceil/floor/likelihood over a decider), and searched-CASE
+    operands of / and %% (distributed into the arms — SQLite picks the
+    division flavor by the fired arm's value type)."""
+    rows = [(1, 7, 2.5), (2, None, None), (3, -9, -0.125), (4, 0, 4.0)]
+    exprs = [
+        "ifnull(ifnull(n, 2), 2.5) / 2",
+        "ifnull(coalesce(n, 4), 0.5) / 2",
+        "abs(ifnull(n, 2.5)) / 2",
+        "trunc(ifnull(n, 2.5)) / 2",
+        "ceil(ifnull(n, 2.49)) / 2",
+        "floor(ifnull(n, 2.51)) / 2",
+        "likelihood(ifnull(n, 2.5), 0.5) / 2",
+        "abs(ifnull(n, 2.5)) || ''",
+        "CASE WHEN id = 1 THEN 1 ELSE 2.5 END / 2",
+        "(CASE WHEN id = 1 THEN 1 ELSE 2.5 END) / 2",
+        "(CASE WHEN n THEN 1 WHEN r > 0 THEN 2.5 ELSE 3 END) / 2",
+        "10 / (CASE WHEN id = 1 THEN 2 ELSE 2.5 END)",
+        "(CASE WHEN id = 1 THEN 1 ELSE 2.5 END) % 2",
+        "9 % (CASE WHEN id = 1 THEN 2 ELSE 2.5 END)",
+        "(CASE WHEN id = 2 THEN 7 ELSE 0.5 END) / 2",
+        "(CASE WHEN id = 1 THEN 1 ELSE 2.5 END) || ''",
+        "CASE WHEN id = 1 THEN 1 ELSE 2 END / 2",
+        "n + CASE WHEN id = 1 THEN 1 ELSE 2.5 END / 2",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n,r\n" + "\n".join(
+            f"{i},{'' if n is None else n},{'' if r is None else r}"
+            for i, n, r in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            if isinstance(g, float) and isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
+            else:
+                assert g == x, (rows[rx], e, g, x, type(g), type(x))
