@@ -751,14 +751,13 @@ def _json_quote(args: list[str]) -> str:
 def _json_type(args: list[str]) -> str:
     """json_type(X) — the top-level JSON type name, with SQLite's
     'malformed JSON' error for invalid input (raise_error, per-row).
-    The path form json_type(X, P) is unsupported: get_json_object
-    strips quotes from extracted values, so text and number results
-    are indistinguishable."""
+    The path form json_type(X, P) rides the filesql_json_type session
+    UDF (json1.json_type_at — Arrow-batched, r13b; get_json_object
+    could not distinguish extracted text from numbers)."""
     if len(args) == 2:
-        raise FilesqlError(
-            "json_type(X, path) is not supported: get_json_object cannot "
-            "distinguish extracted text from numbers; extract with "
-            "json_extract and test the value instead"
+        return (
+            f"filesql_json_type(CAST(({args[0]}) AS STRING), "
+            f"CAST(({args[1]}) AS STRING))"
         )
     if len(args) != 1:
         raise FilesqlError(f"json_type expects 1-2 args, got {len(args)}")
@@ -796,26 +795,44 @@ def _typeof(args: list[str]) -> str:
 
 
 def _json_object(args: list[str]) -> str:
-    """json_object(K1, V1, …) → to_json(named_struct(…)) — byte-identical
-    output for the common cases (compact separators, null kept via
-    ignoreNullFields=false, SQLite-given key order preserved).
-    named_struct needs foldable names, so keys must be string literals
-    (SQLite's dynamic-key form has no Spark equivalent)."""
+    """json_object(K1, V1, …) — element-wise like _json_array (r13b;
+    was to_json(named_struct(…)), which required literal keys and
+    stringified JSON-subtype values). Byte-identical to SQLite: compact
+    separators, duplicate keys kept in argument order, NULL values as
+    json null, values produced by other json1 calls spliced as JSON
+    trees (json_func.c jsonObjectFunc's subtype check). Labels: string
+    literals quote statically; other TEXT/unknown expressions quote at
+    runtime with SQLite's exact 'labels must be TEXT' error on NULL;
+    provably-numeric labels fail at rewrite with the same wording."""
     if not args or not args[0].strip():
-        return "'{}'"
+        return "concat('{', '}')"  # flag-recognizable empty (folds)
     if len(args) % 2 != 0:
         raise FilesqlError("json_object expects an even number of arguments")
-    for k in args[::2]:
+    parts: list[str] = []
+    for k, v in zip(args[::2], args[1::2]):
         ks = k.strip()
-        if not (ks.startswith("'") and ks.endswith("'")):
-            raise FilesqlError(
-                "json_object keys must be string literals "
-                f"(got {ks[:40]!r})"
+        if ks.startswith("'") and ks.endswith("'"):
+            key = _json_quote([k])
+        else:
+            if _static_affinity(k) in ("int", "real", "null"):
+                raise FilesqlError("json_object() labels must be TEXT")
+            key = (
+                f"(CASE WHEN ({k}) IS NULL THEN "
+                f"raise_error('json_object() labels must be TEXT') "
+                f"ELSE {_json_quote([k])} END)"
             )
-    return (
-        f"to_json(named_struct({', '.join(args)}), "
-        "map('ignoreNullFields', 'false'))"
-    )
+        fl = _json_value_flag(v)  # flag BEFORE recursion: raw spelling
+        # same-name nesting: the per-name sweep skips this builder's own
+        # emission, so an embedded json_object must be rewritten here
+        # (other json1 calls are expanded by their own later sweeps)
+        v = _rewrite_calls(v, "json_object", _json_object)
+        val = (
+            f"({v})" if fl == "j"
+            else _json_array_loose(v) if fl == "l"
+            else _json_quote([v])
+        )
+        parts.append(f"{key}, ':', {val}")
+    return "concat('{', " + ", ',', ".join(parts) + ", '}')"
 
 
 # json1 mutation (json_set/insert/replace/remove, json minify) rides the
@@ -844,11 +861,25 @@ _CALL_HEAD_RX = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 def _json_value_flag(expr: str) -> str:
     """Subtype flag for one json_set/insert/replace value argument."""
     e = expr.strip()
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1].strip()
+        if inner.startswith(("concat('[", "concat('{", "filesql_json_")):
+            e = inner
+    # this pass's own json_array/json_object emissions — recognized by
+    # structure (r13b) so the subtype survives re-inspection regardless
+    # of sweep order. Documented divergence: a user hand-assembling JSON
+    # text via concat('{', …) gets spliced where SQLite would quote.
+    if e.startswith(("concat('[", "concat('{")):
+        return "j"
     m = _CALL_HEAD_RX.match(e)
     if m and e.endswith(")"):
         hit = _find_call(e, m.group(1))
         if hit and hit[1] == len(e):
             name = m.group(1).lower()
+            if name == "filesql_json_arrow":
+                # `->` (…, false) keeps the JSON subtype; `->>` (…, true)
+                # extracts a plain SQL value (json_func.c jsonExtractFunc)
+                return "j" if e[:-1].rstrip().endswith("false") else "s"
             if name in _JSON_SUBTYPE_FNS:
                 return "j"
             if name in _JSON_LOOSE_FNS:
@@ -966,8 +997,11 @@ def _json_array(args: list[str]) -> str:
     can't express that: Spark arrays coerce to a common element type,
     which ANSI mode outright rejects for int/text mixes (r10 fix)."""
     if not args or not args[0].strip():
-        return "'[]'"
-    flags = [_json_value_flag(a) for a in args]
+        return "concat('[', ']')"  # flag-recognizable empty (folds)
+    flags = [_json_value_flag(a) for a in args]  # flag raw spellings
+    # same-name nesting: the per-name sweep skips this builder's own
+    # emission, so any embedded json_array must be expanded here
+    args = [_rewrite_calls(a, "json_array", _json_array) for a in args]
     quoted = [
         f"({a})" if fl == "j"
         else _json_array_loose(a) if fl == "l"

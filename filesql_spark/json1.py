@@ -421,6 +421,8 @@ _EACH_SCHEMA = (
 )
 
 _REGISTERED_FLAG = "filesql.internal.json1.registered"
+# bump when the UDF set changes so long-lived sessions re-register
+_REGISTERED_GEN = "2"  # 2: + filesql_json_type (r13b)
 
 
 # -------------------------------------------------------- -> / ->> ops
@@ -466,6 +468,37 @@ def arrow_text(doc, path, deep):
         if isinstance(node, str):
             return node
     return _dumps(node)
+
+
+def json_type_at(doc, path):
+    """SQLite json_type(X, P) (json_func.c jsonTypeFunc): the type name
+    of the value at path — 'null'/'true'/'false'/'integer'/'real'/
+    'text'/'array'/'object' — NULL when the path selects nothing,
+    SQLite's 'malformed JSON' error for invalid input."""
+    if doc is None or path is None:
+        return None
+    try:
+        tree = json.loads(doc)
+    except ValueError:
+        raise FilesqlError(f"malformed JSON: {doc!r}") from None
+    node = _get_at(tree, parse_path(path), 0)
+    if node is _MISSING:
+        return None
+    if node is None:
+        return "null"
+    if node is True:
+        return "true"
+    if node is False:
+        return "false"
+    if isinstance(node, int):
+        return "integer"
+    if isinstance(node, float):
+        return "real"
+    if isinstance(node, str):
+        return "text"
+    if isinstance(node, list):
+        return "array"
+    return "object"
 
 
 # ------------------------------------------------------------- timediff
@@ -557,7 +590,7 @@ def register_udfs(spark) -> None:
     id and would silently skip registration (r11 ADVICE fix). The conf
     tag lives and dies with the session's own state."""
     try:
-        if spark.conf.get(_REGISTERED_FLAG, None) == "1":
+        if spark.conf.get(_REGISTERED_FLAG, None) == _REGISTERED_GEN:
             return
     except Exception:
         pass  # unreadable conf: fall through and re-register (idempotent)
@@ -611,6 +644,11 @@ def register_udfs(spark) -> None:
             dtype=object,
         )
 
+    def _jtype_fn(doc, path):
+        return pd.Series(
+            [json_type_at(d, p) for d, p in zip(doc, path)], dtype=object
+        )
+
     # annotations set explicitly: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf's type inference rejects
     _mutate_fn.__annotations__ = {
@@ -626,6 +664,9 @@ def register_udfs(spark) -> None:
         "doc": pd.Series, "path": pd.Series, "deep": pd.Series,
         "return": pd.Series,
     }
+    _jtype_fn.__annotations__ = {
+        "doc": pd.Series, "path": pd.Series, "return": pd.Series,
+    }
 
     spark.udf.register("filesql_json_mutate", pandas_udf(_mutate_fn, "string"))
     spark.udf.register("filesql_json_each", pandas_udf(_each_fn, _EACH_SCHEMA))
@@ -633,4 +674,5 @@ def register_udfs(spark) -> None:
     spark.udf.register("filesql_double_text", pandas_udf(_dtext_fn, "string"))
     spark.udf.register("filesql_timediff", pandas_udf(_timediff_fn, "string"))
     spark.udf.register("filesql_json_arrow", pandas_udf(_arrow_fn, "string"))
-    spark.conf.set(_REGISTERED_FLAG, "1")
+    spark.udf.register("filesql_json_type", pandas_udf(_jtype_fn, "string"))
+    spark.conf.set(_REGISTERED_FLAG, _REGISTERED_GEN)

@@ -895,10 +895,12 @@ def test_json1_udfs_register_per_session(spark):
     from filesql_spark import json1
 
     json1.register_udfs(spark)
-    assert spark.conf.get(json1._REGISTERED_FLAG, None) == "1"
+    assert spark.conf.get(
+        json1._REGISTERED_FLAG, None) == json1._REGISTERED_GEN
     # NOTE: never ns.stop() — it would stop the shared SparkContext
     ns = spark.newSession()
-    assert ns.conf.get(json1._REGISTERED_FLAG, None) != "1"
+    assert ns.conf.get(
+        json1._REGISTERED_FLAG, None) != json1._REGISTERED_GEN
     json1.register_udfs(ns)
     row = ns.sql(
         "SELECT filesql_json_mutate('{}', 'set', array('$.a'), "
@@ -2289,3 +2291,107 @@ def test_value_dependent_dispatch_extensions_match_sqlite(spark, tmp_path):
                 assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
             else:
                 assert g == x, (rows[rx], e, g, x, type(g), type(x))
+
+
+def test_json_object_subtype_and_dynamic_keys_match_sqlite(spark, tmp_path):
+    """json_object (r13b rebuild): JSON-subtype values splice as trees
+    (jsonObjectFunc's subtype check), json_extract values follow the
+    loose rule, duplicate keys are kept in order, NULL values render as
+    json null, and keys may be arbitrary TEXT expressions."""
+    rows = [(1, 7, "alpha"), (2, None, "beta")]
+    exprs = [
+        "json_object('a', 1, 'b', json('[1,2]'))",
+        "json_object('a', json_object('n', n))",
+        "json_object('a', 1, 'a', 2)",
+        "json_object('k', json_extract('[1,2]', '$'))",
+        "json_object('k', json_extract('{\"x\":\"s\"}', '$.x'))",
+        "json_object('k', NULL)",
+        "json_object('k', 2.5)",
+        "json_object(s, n)",
+        "json_object(s || '!', 'v')",
+        "json_object('q', json_array(1, 'x', NULL))",
+        "json_object('k', json_set('{}', '$.z', 9))",
+        "json_object()",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n,s\n" + "\n".join(
+            f"{i},{'' if n is None else n},{s}" for i, n, s in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            assert grow[i] == xrow[i], (rows[rx], e, grow[i], xrow[i])
+
+
+def test_json_nesting_and_arrow_subtype_match_sqlite(spark, tmp_path):
+    """Same-name json_array/json_object nesting (the per-name sweep
+    skips its own emission — explicit recursion required) and the `->`
+    operator's JSON subtype inside json_object/json_array (r13b)."""
+    exprs = [
+        "json_array(json_array(1), 2)",
+        "json_array(json_array(json_array()), json_object('k', 1))",
+        "json_object('o', json_object('i', json_object('x', 1)))",
+        "json_object('a', json_array(), 'b', json_object())",
+        "json_array(json_object('k', json_array(1, 2)))",
+        "json_object('k', '{\"a\":[1]}' -> 'a')",
+        "json_object('k', '{\"a\":[1]}' ->> 'a')",
+        "json_array('{\"a\":[1]}' -> '$.a', '{\"a\":[1]}' ->> '$.a')",
+        "json_set('{}', '$.p', json_array(json_array(7)))",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+    finally:
+        eng.close()
+    for i, e in enumerate(exprs):
+        assert got[i] == expected[i], (e, got[i], expected[i])
+
+
+def test_json_type_path_form_matches_sqlite(spark, tmp_path):
+    """json_type(X, P) via the filesql_json_type session UDF (r13b —
+    previously a documented unsupported error): exact type names,
+    NULL for a missing path, malformed-JSON error."""
+    exprs = [
+        "json_type('{\"a\":[2,3.5,\"x\",true,null]}', '$.a')",
+        "json_type('{\"a\":[2,3.5,\"x\",true,null]}', '$.a[0]')",
+        "json_type('{\"a\":[2,3.5,\"x\",true,null]}', '$.a[1]')",
+        "json_type('{\"a\":[2,3.5,\"x\",true,null]}', '$.a[2]')",
+        "json_type('{\"a\":[2,3.5,\"x\",true,null]}', '$.a[3]')",
+        "json_type('{\"a\":[2,3.5,\"x\",true,null]}', '$.a[4]')",
+        "json_type('{\"a\":1}', '$.missing')",
+        "json_type('{\"a\":{\"b\":false}}', '$.a.b')",
+        "json_type('3', '$')",
+        "json_type(NULL, '$')",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        with _pytest.raises(Exception) as exc:
+            eng.query("SELECT json_type('bad', '$') FROM one").collect()
+        assert "malformed JSON" in str(exc.value)
+    finally:
+        eng.close()
+    for i, e in enumerate(exprs):
+        assert got[i] == expected[i], (e, got[i], expected[i])
