@@ -1988,6 +1988,8 @@ _CASE_WORD_RX = re.compile(r"(?i)\bcase\b")
 _BOOL_CTX_WORDS = frozenset({
     "is", "in", "like", "glob", "regexp", "match", "exists",
     "isnull", "notnull", "true", "false",
+    # Spark spellings users may hand-write; both are boolean-valued
+    "ilike", "rlike",
 })
 
 
@@ -2010,6 +2012,16 @@ def _cond_truthy_edits(sql, mask, low, a, b, edits) -> None:
     m = _WORD_RX.match(mask, a)
     if m and low[a:m.end()] == "not":
         return _cond_truthy_edits(sql, mask, low, m.end(), b, edits)
+    if m and low[a:m.end()] in ("likely", "unlikely", "likelihood"):
+        # planner hints are identity: the truthiness context is the
+        # FIRST argument (the whole call must span the condition)
+        k = _skip_ws(mask, m.end())
+        if k < b and mask[k] == "(" and _div_find_close(mask, k, b) == b - 1:
+            spans = _div_split_args(mask, k + 1, b - 1)
+            if spans:
+                return _cond_truthy_edits(
+                    sql, mask, low, spans[0][0], spans[0][1], edits
+                )
     i, between, has_cmp = a, 0, False
     splits: list[tuple[int, int]] = []
     while i < b:
@@ -2093,6 +2105,94 @@ def _rewrite_case_truthiness(sql: str) -> str:
     for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
         sql = sql[:a] + repl + sql[b:]
     return sql
+
+
+_CLAUSE_WORD_RX = re.compile(r"(?i)\b(where|having|on)\b")
+_WHERE_TERMINATORS = frozenset({
+    "group", "having", "order", "limit", "offset", "window", "union",
+    "intersect", "except", "returning",
+})
+_ON_TERMINATORS = _WHERE_TERMINATORS | frozenset({
+    "where", "on", "join", "inner", "left", "right", "full", "cross",
+    "natural", "using",
+})
+_JOIN_WORDS = frozenset({"join"})
+
+
+def _rewrite_clause_truthiness(sql: str) -> str:
+    """WHERE / HAVING / join-ON conditions evaluate under SQLite
+    truthiness exactly like CASE WHEN (`SELECT … WHERE flag`,
+    `HAVING count(*) - 1`); Spark demands BOOLEAN. Each clause span is
+    handed to _cond_truthy_edits, which recurses through AND/OR and
+    wraps only non-boolean operands — the common comparison-shaped
+    clause produces zero edits. ON is only a truthiness context after a
+    JOIN (never INSERT's ON CONFLICT, never DDL — CREATE statements are
+    skipped wholesale)."""
+    mask = _blank_comments(sql, _div_mask(sql))
+    low = sql.lower()
+    if low.lstrip()[:6] == "create":
+        return sql
+    edits: list[tuple[int, int, str]] = []
+    for m in _CLAUSE_WORD_RX.finditer(mask):
+        kw = low[m.start():m.end()]
+        start = m.end()
+        if kw == "on":
+            nxt = _WORD_RX.match(mask, _skip_ws(mask, start))
+            if nxt and low[nxt.start():nxt.end()] == "conflict":
+                continue
+            before = low[:m.start()]
+            if "join" not in before:
+                continue
+        terms = _ON_TERMINATORS if kw == "on" else _WHERE_TERMINATORS
+        i, depth = start, 0
+        end = len(sql)
+        while i < len(sql):
+            c = mask[i]
+            if c == "(":
+                depth += 1
+                i += 1
+                continue
+            if c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+                i += 1
+                continue
+            if c == ";" and depth == 0:
+                end = i
+                break
+            if c == "," and depth == 0 and kw == "on":
+                end = i
+                break
+            if depth == 0:
+                wm = _WORD_RX.match(mask, i)
+                if wm:
+                    w = low[i:wm.end()]
+                    if w in terms:
+                        end = i
+                        break
+                    if w == "case":
+                        marks = _case_marks(sql, mask, i, len(sql))
+                        if marks is None:
+                            return sql  # malformed: leave untouched
+                        i = marks[-1][0] + 3
+                        continue
+                    i = wm.end()
+                    continue
+            i += 1
+        _cond_truthy_edits(sql, mask, low, start, end, edits)
+    if not edits:
+        return sql
+    for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
+def _skip_ws(mask: str, i: int) -> int:
+    while i < len(mask) and mask[i] in " \t\r\n":
+        i += 1
+    return i
 
 
 def _span_numeric_literal(sql: str, a: int, b: int):
@@ -3972,6 +4072,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         column_types = _apply_shadow(sql, _div_mask(sql), column_types)
         _ACTIVE_COLUMN_TYPES = column_types
     sql = _rewrite_case_truthiness(sql)
+    sql = _rewrite_clause_truthiness(sql)
     sql = _rewrite_filter_over(sql)
     sql = _rewrite_concat_real(sql, column_types)
     sql = _rewrite_value_dependent_div(sql, column_types)

@@ -2395,3 +2395,43 @@ def test_json_type_path_form_matches_sqlite(spark, tmp_path):
         eng.close()
     for i, e in enumerate(exprs):
         assert got[i] == expected[i], (e, got[i], expected[i])
+
+
+def test_clause_truthiness_matches_sqlite(spark, tmp_path):
+    """WHERE / HAVING / join-ON truthiness (r13b): bare numeric (or
+    text) conditions coerce like SQLite's sqlite3ExprIfTrue; comparisons
+    and boolean connectives are untouched (three-valued logic agrees)."""
+    rows = [(1, 7, "x"), (2, 0, "2"), (3, None, "abc"), (4, -1, "0")]
+    queries = [
+        "SELECT id FROM t WHERE n ORDER BY id",
+        "SELECT id FROM t WHERE NOT n ORDER BY id",
+        "SELECT id FROM t WHERE s ORDER BY id",
+        "SELECT id FROM t WHERE n AND s ORDER BY id",
+        "SELECT id FROM t WHERE n OR s ORDER BY id",
+        "SELECT id FROM t WHERE n - 7 ORDER BY id",
+        "SELECT id FROM t WHERE length(s) - 1 ORDER BY id",
+        "SELECT n, count(*) AS c FROM t GROUP BY n HAVING n ORDER BY n",
+        "SELECT count(*) AS c FROM t GROUP BY s HAVING count(*) - 1",
+        "SELECT a.id AS i, b.id AS j FROM t a JOIN t b ON b.n "
+        "ORDER BY a.id, b.id",
+        "SELECT id FROM t WHERE CASE WHEN n THEN 1 END ORDER BY id",
+        "SELECT id FROM t WHERE id IN (SELECT id FROM t WHERE n) "
+        "ORDER BY id",
+        "SELECT id FROM t WHERE n BETWEEN -1 AND 5 ORDER BY id",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n,s\n" + "\n".join(
+            f"{i},{'' if n is None else n},{s}" for i, n, s in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        for q, exp in zip(queries, expected):
+            got = [tuple(r) for r in eng.query(q).collect()]
+            assert got == [tuple(x) for x in exp], (q, got, exp)
+    finally:
+        eng.close()
