@@ -3833,9 +3833,12 @@ def _vd_dtext_edit(sql, mask, a, b, coltypes, edits) -> None:
     ))
 
 
-def _vd_case_span(sql, mask, low, a, b):
+def _vd_case_span(sql, mask, low, a, b, allow_simple=False):
     """(case_start, marks) when span [a, b) is exactly a searched CASE,
-    possibly behind redundant parens; else None."""
+    possibly behind redundant parens; else None. ``allow_simple``
+    additionally admits the simple form `CASE x WHEN v …` — safe for
+    the arm-distribution rewrite, which copies operand and WHEN values
+    verbatim (only the condition-ANALYSIS path must refuse it)."""
     while True:
         while a < b and mask[a] in " \t\r\n":
             a += 1
@@ -3852,7 +3855,9 @@ def _vd_case_span(sql, mask, low, a, b):
     marks = _case_marks(sql, mask, a, b)
     if not marks or sql[marks[-1][0] + 3:b].strip():
         return None
-    if marks[0][1] != "when" or sql[a + 4:marks[0][0]].strip():
+    if marks[0][1] != "when":
+        return None
+    if not allow_simple and sql[a + 4:marks[0][0]].strip():
         return None
     return a, marks
 
@@ -3869,7 +3874,7 @@ def _vd_case_distribute(sql, mask, low, a, b, other, op, coltypes,
     ELSE stays implicit (NULL op anything is NULL). ``other`` (the
     non-CASE operand) must be a simple primary — it IS duplicated per
     arm."""
-    hit = _vd_case_span(sql, mask, low, a, b)
+    hit = _vd_case_span(sql, mask, low, a, b, allow_simple=True)
     if hit is None:
         return None
     ca, marks = hit

@@ -59,7 +59,20 @@ def _gen(rng: random.Random, depth: int, want: str | None = None) -> tuple[str, 
         return _gen(rng, depth - 1, w)[0]
 
     if want == "num":
-        pick = rng.randrange(12)
+        pick = rng.randrange(15)
+        if pick == 12:
+            # math-extension affinity functions (r13b)
+            fn = rng.choice(["trunc", "ceil", "ceiling", "floor"])
+            return f"{fn}({sub('num')})", "num"
+        if pick == 13:
+            return f"mod({sub('num')}, {sub('num')})", "num"
+        if pick == 14:
+            # truthy (bare numeric) searched-CASE condition (r13b)
+            return (
+                f"(CASE WHEN {sub('num')} THEN {sub('num')} "
+                f"ELSE {sub('num')} END)",
+                "num",
+            )
         if pick == 0:
             op = rng.choice(["+", "-", "*"])
             return f"({sub('num')} {op} {sub('num')})", "num"
@@ -2497,3 +2510,89 @@ def test_datetime_julian_values_indexed_match_sqlite(spark, tmp_path):
             assert got_rows == exp, (q, got_rows, exp)
     finally:
         eng.close()
+
+
+@pytest.mark.parametrize("seed", [4242, 909])
+def test_case_division_corpus_matches_sqlite(spark, tmp_path, seed):
+    """Randomized searched-CASE operands of / and % with literal arms
+    (the r13b arm-distribution path): SQLite picks the division flavor
+    by the fired arm's value type, per row."""
+    rng = random.Random(seed)
+    exprs = []
+    for _ in range(50):
+        n_when = rng.randint(1, 3)
+        arms = []
+        for _ in range(n_when):
+            cond = f"n {rng.choice(['<', '<=', '=', '>', '>='])} {rng.randint(-5, 8)}"
+            val = (repr(round(rng.uniform(-40, 40), 2))
+                   if rng.random() < 0.5 else str(rng.randint(-40, 80)))
+            arms.append(f"WHEN {cond} THEN {val}")
+        els = ""
+        if rng.random() < 0.8:
+            v = (repr(round(rng.uniform(-40, 40), 2))
+                 if rng.random() < 0.5 else str(rng.randint(-40, 80)))
+            els = f" ELSE {v}"
+        case = f"CASE {' '.join(arms)}{els} END"
+        op = rng.choice(["/", "%"])
+        other = (repr(round(rng.uniform(-9, 9), 1))
+                 if rng.random() < 0.35 else str(rng.randint(-9, 9)))
+        if rng.random() < 0.5:
+            exprs.append(f"({case}) {op} {other}")
+        else:
+            exprs.append(f"{other} {op} ({case})")
+    rows = [(i, n) for i, n in enumerate([-7, -1, 0, 3, 6, None])]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n\n" + "\n".join(
+            f"{i},{'' if n is None else n}" for i, n in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            if isinstance(g, float) and isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-12), (seed, rows[rx], e, g, x)
+            else:
+                assert g == x, (seed, rows[rx], e, g, x)
+
+
+def test_simple_case_division_matches_sqlite(spark, tmp_path):
+    """Simple CASE (`CASE x WHEN v THEN …`) as a / or % operand also
+    distributes (operand and WHEN values copy verbatim, r13b)."""
+    rows = [(1, 1), (2, 2), (3, None)]
+    exprs = [
+        "(CASE n WHEN 1 THEN 10 ELSE 2.5 END) / 2",
+        "CASE n WHEN 1 THEN 10 WHEN 2 THEN 0.5 ELSE 7 END / 2",
+        "9 / (CASE n WHEN 2 THEN 2 ELSE 4.5 END)",
+        "(CASE n WHEN 1 THEN 7 ELSE 2.5 END) % 2",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n\n" + "\n".join(
+            f"{i},{'' if n is None else n}" for i, n in rows) + "\n")
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            if isinstance(g, float) and isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
+            else:
+                assert g == x, (rows[rx], e, g, x)
