@@ -3904,6 +3904,51 @@ def _vd_case_distribute(sql, mask, low, a, b, other, op, coltypes,
     return "(" + "".join(out) + ")"
 
 
+# a TEXT operand's numeric prefix is REAL when digits run into a
+# fraction/exponent (or it starts with a bare decimal point); everything
+# else — clean ints, int-prefixed junk, junk (coerces to 0) — is INTEGER
+_VD_REAL_PREFIX_SQL = r"'^[ \\t\\r\\n]*[+-]?([0-9]+[.eE]|[.][0-9])'"
+
+
+def _vd_text_repl(l, r, lt, rt, op):
+    """SQLite arithmetic over a TEXT operand: numeric-prefix coercion,
+    int-vs-real decided per VALUE (r13b). Emits a dispatch CASE whose
+    arms carry SQLite-spelled CAST(x AS INTEGER/REAL) — the later cast
+    pass expands those to the exact prefix parse, and the main division
+    pass types each arm statically (DIV + zero guards)."""
+    def forms(t, side_t):
+        if side_t == "text":
+            return f"CAST(({t}) AS INTEGER)", f"CAST(({t}) AS REAL)"
+        return f"({t})", f"({t})"
+
+    l_int, l_real = forms(l, lt)
+    r_int, r_real = forms(r, rt)
+    if op == "%":
+        # `%` converts BOTH operands with the INTEGER prefix parse
+        # (sqlite3VdbeIntValue: 10 %% '2e1' is 10 %% 2), so the VALUE
+        # never needs the real form; the result TYPE is REAL when any
+        # side's numeric coercion is real — unrepresentable per-row in
+        # Spark's static typing, so the whole expression lands on
+        # DOUBLE (value exact; same documented class as SURVEY §5 #2).
+        v = f"(({l_int}) % ({r_int}))"
+        if lt == "int" and rt == "int":
+            return v  # unreachable (a text side brought us here)
+        return f"TRY_CAST({v} AS DOUBLE)"
+    if lt == "real" or rt == "real":
+        # a REAL side forces the float flavor regardless of the text
+        # side's prefix — no dispatch needed
+        return f"({l_real} {op} {r_real})"
+    conds = []
+    if lt == "text":
+        conds.append(f"NOT (({l}) RLIKE {_VD_REAL_PREFIX_SQL})")
+    if rt == "text":
+        conds.append(f"NOT (({r}) RLIKE {_VD_REAL_PREFIX_SQL})")
+    return (
+        f"(CASE WHEN {' AND '.join(conds)} THEN {l_int} {op} {r_int} "
+        f"ELSE {l_real} {op} {r_real} END)"
+    )
+
+
 def _vd_match_site(sql, mask, low, slash, coltypes):
     """Try to match one value-dependent division/modulo site around the
     `/` or `%` at ``slash``; return (span_start, span_end, replacement)
@@ -3964,6 +4009,16 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
             )
             if d is not None:
                 return l_start, r_end, d
+        # TEXT operand(s): numeric-prefix coercion, flavor per VALUE
+        if (
+            "text" in (lt0, rt)
+            and lt0 in ("int", "real", "null", "text")
+            and rt in ("int", "real", "null", "text")
+            and _vd_simple_primary(r_text.strip())
+        ):
+            return l_start, r_end, _vd_text_repl(
+                p_text.strip(), r_text.strip(), lt0, rt, op
+            )
     left_cond = _vd_analyze_call(sql, mask, low, l_start, e, coltypes)
     if left_cond is not None:
         if _vd_analyze_call(sql, mask, low, r_first, r_end, coltypes):
@@ -4055,7 +4110,12 @@ def _rewrite_value_dependent_div(
     if "/" not in sql and "%" not in sql:
         return sql
     low = sql.lower()
-    if not any(f in low for f in _VD_COND_FUNCS) and "case" not in low:
+    if (
+        not any(f in low for f in _VD_COND_FUNCS)
+        and "case" not in low
+        and "'" not in sql  # text-literal operands
+        and not (column_types and "text" in column_types.values())
+    ):
         return sql
     # each pass replaces one site, then rescans; emitted CASE arms never
     # re-match (their operands are parenthesized, not direct calls), so

@@ -2596,3 +2596,42 @@ def test_simple_case_division_matches_sqlite(spark, tmp_path):
                 assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
             else:
                 assert g == x, (rows[rx], e, g, x)
+
+
+def test_text_operand_division_matches_sqlite(spark, tmp_path):
+    """TEXT operands of / and %: SQLite coerces by numeric prefix and
+    picks int-vs-real per VALUE ('5x'/2 is 2, '5.5x'/2 is 2.75, junk is
+    0); Spark's implicit string→double cast crashed on junk (r13b)."""
+    rows = [(1, "5"), (2, "5x"), (3, "5.5x"), (4, "hello"), (5, None),
+            (6, " 12 "), (7, ".5"), (8, "-7"), (9, "2e1"), (10, "")]
+    exprs = [
+        "s / 2", "s / 2.0", "2 / s", "s % 3", "s % 2.5",
+        "s / s", "'5x' / 2", "'5.5x' / 2", "'abc' / 2", "10 % s",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "s"])
+        for i, s in rows:
+            w.writerow([i, "\x01null" if s is None else s])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        eng.execute("UPDATE t SET s = NULL WHERE id = 5")
+        eng.execute("UPDATE t SET s = '' WHERE id = 10")
+        eng.execute("UPDATE t SET s = ' 12 ' WHERE id = 6")
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            if isinstance(g, float) and isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
+            else:
+                assert g == x, (rows[rx], e, g, x)
