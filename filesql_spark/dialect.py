@@ -2305,6 +2305,173 @@ def _rewrite_values_columns(sql: str) -> str:
     return sql
 
 
+def _sqlite_double_text_static(v: float) -> str:
+    """SQLite's %!.15g rendering of a REAL, computed statically for
+    literal operands (json1.double_to_text is the runtime twin)."""
+    s = f"{v:.15g}"
+    if "." not in s and "e" not in s and "inf" not in s and "nan" not in s:
+        s += ".0"
+    return s
+
+
+_CMP_OPS = ("<=", ">=", "<>", "!=", "==", "=", "<", ">")
+# result when the TEXT side is unconvertible (numerics order before
+# text, collation order BINARY): keyed by op with the text side RIGHT
+_CMP_TEXT_GREATER = {
+    "=": "false", "==": "false", "!=": "true", "<>": "true",
+    "<": "true", "<=": "true", ">": "false", ">=": "false",
+}
+_CMP_MIRROR = {
+    "=": "=", "==": "==", "!=": "!=", "<>": "<>",
+    "<": ">", "<=": ">=", ">": "<", ">=": "<=",
+}
+
+
+def _rewrite_compare_affinity(
+    sql: str, coltypes: dict[str, str] | None
+) -> str:
+    """SQLite comparison affinity (expr.c comparisonAffinity) between
+    numeric and TEXT operands:
+
+    - numeric-affinity side vs TEXT column → NUMERIC conversion is
+      attempted per row; unconvertible text stays TEXT and numerics
+      order before all text (Spark's implicit string→double cast
+      ANSI-crashes on the first junk value instead).
+    - TEXT-affinity column vs numeric LITERAL (which carries NO
+      affinity) → TEXT affinity applies to the literal: the comparison
+      is a STRING comparison against SQLite's text rendering
+      (s = 7.0 matches '7.0'; Spark would compare numerically).
+    - numeric side vs junk TEXT literal → statically unconvertible:
+      the type-order constant (NULL-guarded on the other side).
+
+    Scope: both operands simple primaries not glued to arithmetic
+    (documented; compound operands keep Spark semantics)."""
+    if not (
+        (coltypes and "text" in coltypes.values()) or "'" in sql
+    ):
+        return sql
+    for _ in range(sql.count("=") + sql.count("<") + sql.count(">") + 1):
+        mask = _blank_comments(sql, _div_mask(sql))
+        pos = 0
+        replaced = False
+        while pos < len(sql):
+            c = mask[pos]
+            if c not in "<>=!":
+                pos += 1
+                continue
+            two = mask[pos:pos + 2]
+            op = two if two in _CMP_OPS else (c if c in "<>=" else None)
+            if op is None or (c == "!" and two != "!="):
+                pos += 1
+                continue
+            # not part of a longer operator already consumed
+            if pos > 0 and mask[pos - 1] in "<>=!":
+                pos += 1
+                continue
+            hit = _cmp_match_site(sql, mask, pos, op, coltypes)
+            if hit is None:
+                pos += max(1, len(op))
+                continue
+            a, b, repl = hit
+            sql = sql[:a] + repl + sql[b:]
+            replaced = True
+            break
+        if not replaced:
+            break
+    return sql
+
+
+def _cmp_match_site(sql, mask, opos, op, coltypes):
+    e = opos
+    while e > 0 and mask[e - 1] in " \t\r\n":
+        e -= 1
+    l_start = _rev_primary_start(sql, mask, e)
+    if l_start is None:
+        return None
+    k = l_start - 1
+    while k >= 0 and mask[k] in " \t\r\n":
+        k -= 1
+    if k >= 0 and (mask[k] in "+-*/%|&<>=!" or mask[k] == "~"):
+        return None  # compound left operand: out of scope
+    r_first, r_end, rt = _div_scan_primary(
+        sql, mask, opos + len(op), len(sql), coltypes, []
+    )
+    if rt == "kw":
+        return None
+    j = r_end
+    while j < len(sql) and mask[j] in " \t\r\n":
+        j += 1
+    if j < len(sql) and (mask[j] in "+-*/%|&" or mask[j:j + 2] == "||"):
+        return None  # compound right operand
+    lt = _div_walk(sql, mask, l_start, e, coltypes, [])
+    p_text = sql[l_start:e].strip()
+    r_text = sql[r_first:r_end].strip()
+    if not (_vd_simple_primary(p_text) and _vd_simple_primary(r_text)):
+        return None
+    cmp_op = "=" if op == "==" else op
+    # clean-NUMERIC STRING literals type int/real but are still TEXT
+    # values: vs another literal the comparison is BINARY (numerics
+    # order before text: 7 = '7' is FALSE); vs a numeric-affinity
+    # column the literal converts — unquote it so Spark compares
+    # numerically (its native cast to the column's INTEGER type
+    # ANSI-crashes on '7.5')
+    l_str = p_text.startswith("'")
+    r_str = r_text.startswith("'")
+    if lt in ("int", "real") and rt in ("int", "real") and l_str != r_str:
+        s_text, n_text = (p_text, r_text) if l_str else (r_text, p_text)
+        if _NUM_LIT_RX.fullmatch(n_text.lstrip("+-")):
+            # literal vs literal: BINARY type order, text side greater
+            const = _CMP_TEXT_GREATER[
+                _CMP_MIRROR[cmp_op] if l_str else cmp_op
+            ]
+            return l_start, r_end, f"({const})"
+        bare = _literal_content(s_text).strip()
+        if l_str:
+            return l_start, r_end, f"(({bare}) {cmp_op} ({n_text}))"
+        return l_start, r_end, f"(({p_text}) {cmp_op} ({bare}))"
+    num, txt, text_right = None, None, None
+    if lt in ("int", "real") and rt == "text":
+        num, txt, text_right = p_text, r_text, True
+    elif lt == "text" and rt in ("int", "real"):
+        num, txt, text_right = r_text, p_text, False
+    else:
+        return None
+    if txt.startswith("'"):
+        # junk TEXT literal (clean-numeric literals type int/real and
+        # never reach here): statically unconvertible → type order
+        const = _CMP_TEXT_GREATER[op if text_right else _CMP_MIRROR[op]]
+        return l_start, r_end, (
+            f"(CASE WHEN ({num}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE {const} END)"
+        )
+    if _NUM_LIT_RX.fullmatch(num.lstrip("+-")):
+        # TEXT column vs numeric literal: TEXT affinity applies to the
+        # literal — STRING comparison against SQLite's rendering
+        body = num.lstrip("+-")
+        neg = num.count("-") % 2 == 1
+        if _div_lit_type(body) == "real" or body[-1] in "dDfF":
+            v = float(body.rstrip("dDfF"))
+            lit = _sqlite_double_text_static(-v if neg else v)
+        else:
+            lit = ("-" if neg else "") + body
+        lit_sql = "'" + lit.replace("'", "''") + "'"
+        if text_right:
+            return l_start, r_end, f"(({txt}) {_CMP_MIRROR[cmp_op]} {lit_sql})"
+        return l_start, r_end, f"(({txt}) {cmp_op} {lit_sql})"
+    # numeric column/expression vs TEXT column: per-row dispatch
+    d = f"TRY_CAST(({txt}) AS DOUBLE)"
+    n_op_d = (
+        f"({num}) {cmp_op} {d}" if text_right else f"{d} {cmp_op} ({num})"
+    )
+    const = _CMP_TEXT_GREATER[cmp_op if text_right else _CMP_MIRROR[cmp_op]]
+    return l_start, r_end, (
+        f"(CASE WHEN ({num}) IS NULL OR ({txt}) IS NULL "
+        f"THEN CAST(NULL AS BOOLEAN) "
+        f"WHEN {d} IS NOT NULL THEN {n_op_d} "
+        f"ELSE {const} END)"
+    )
+
+
 _CLAUSE_WORD_RX = re.compile(r"(?i)\b(where|having|on)\b")
 _WHERE_TERMINATORS = frozenset({
     "group", "having", "order", "limit", "offset", "window", "union",
@@ -4338,6 +4505,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         _ACTIVE_COLUMN_TYPES = column_types
     sql = _rewrite_case_truthiness(sql)
     sql = _rewrite_clause_truthiness(sql)
+    sql = _rewrite_compare_affinity(sql, column_types)
     sql = _rewrite_filter_over(sql)
     sql = _rewrite_concat_real(sql, column_types)
     sql = _rewrite_value_dependent_div(sql, column_types)

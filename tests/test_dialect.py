@@ -960,36 +960,31 @@ def test_divergence_computed_like_pattern_backslash(spark, tmp_path):
 
 def test_divergence_cross_type_comparison(spark, tmp_path):
     """SQLite orders storage classes: NULL < numbers < TEXT < BLOB, so
-    1 < 'a' is TRUE. Spark ANSI casts the string to a number and the
-    comparison ERRORS on non-numeric text (numeric-looking text
-    compares numerically). Decision (VERDICT r9 #6): keep Spark's
-    semantics — the engine's type inference makes columns homogeneous,
-    so cross-type comparisons only arise from literal mixing, and a
-    loud error beats a silently different ordering."""
+    1 < 'a' is TRUE and 7 = '7' is FALSE (a literal carries no
+    affinity: BINARY comparison). The r9 decision to keep Spark's loud
+    ANSI error is SUPERSEDED (r13b): the comparison-affinity pass now
+    folds literal/literal cross-type comparisons to their type-order
+    constants and converts affinity-applied sides exactly — pinned
+    differentially in test_fuzz_dialect.py's comparison tier."""
     import sqlite3
-
-    import pytest as _pytest
 
     import filesql_spark as fs
 
     con = sqlite3.connect(":memory:")
-    assert con.execute("SELECT 1 < 'a'").fetchone()[0] == 1  # sqlite: TRUE
-    assert con.execute("SELECT 1 < '2'").fetchone()[0] == 1  # text > number
+    exp = [con.execute(f"SELECT {e}").fetchone()[0] for e in
+           ("1 < 'a'", "1 < '2'", "7 = '7'", "7 != '7'", "1 > 'a'")]
     con.close()
 
     (tmp_path / "one.csv").write_text("id\n1\n")
     eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
     try:
-        with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
-            eng.query("SELECT (1 < 'a') AS x FROM one").collect()
-        # numeric-looking text compares numerically ('2' → 2): SQLite
-        # says TRUE by type ordering, Spark says TRUE by value — same
-        # answer, different reason; '02' would also be TRUE here but
-        # FALSE... SQLite compares '2' as TEXT > any number: same result.
-        got = eng.query("SELECT (1 < '2') AS x FROM one").collect()[0]
-        assert got.x is True
+        got = eng.query(
+            "SELECT (1 < 'a') AS a, (1 < '2') AS b, (7 = '7') AS c, "
+            "(7 != '7') AS d, (1 > 'a') AS e FROM one"
+        ).collect()[0]
     finally:
         eng.close()
+    assert [int(v) for v in got] == exp == [1, 1, 0, 1, 0]
 
 
 def test_randomblob(spark, tmp_path):

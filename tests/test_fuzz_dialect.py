@@ -2635,3 +2635,45 @@ def test_text_operand_division_matches_sqlite(spark, tmp_path):
                 assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
             else:
                 assert g == x, (rows[rx], e, g, x)
+
+
+def test_comparison_affinity_matches_sqlite(spark, tmp_path):
+    """SQLite comparison affinity (expr.c): numeric vs TEXT column
+    converts per row (junk stays text, numerics order before text);
+    TEXT column vs numeric LITERAL compares as STRINGS against SQLite's
+    rendering. Spark natively ANSI-crashes or compares numerically
+    (r13b)."""
+    rows = [(1, 7, 7.5, "7"), (2, 7, 7.0, "7.0"), (3, 10, 2.0, "7x"),
+            (4, 0, 0.5, "abc"), (5, None, None, None), (6, -3, 70.0, " 7 ")]
+    exprs = [
+        "n = s", "n != s", "n < s", "n <= s", "n > s", "n >= s",
+        "s = n", "s < n", "r = s", "r < s",
+        "s = 7", "s = 7.0", "s > 10", "s < 8", "s >= 70",
+        "7 = s", "10 > s",
+        "n = '7x'", "n < '7x'", "n > 'abc'", "'9x' >= n",
+        "n = '7'", "n < '7.5'",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "n", "r", "s"])
+        for i, n, r, s in rows:
+            w.writerow([i, "" if n is None else n, "" if r is None else r,
+                        "\x01null" if s is None else s])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        eng.execute("UPDATE t SET s = NULL WHERE id = 5")
+        eng.execute("UPDATE t SET s = ' 7 ' WHERE id = 6")
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            assert g == x, (rows[rx], e, g, x)
