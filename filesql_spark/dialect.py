@@ -2381,6 +2381,138 @@ def _rewrite_compare_affinity(
     return sql
 
 
+_BETWEEN_RX = re.compile(r"(?i)\b(not\s+)?between\b")
+_IN_RX = re.compile(r"(?i)\b(not\s+)?in\b")
+
+
+def _rewrite_range_affinity(sql: str, coltypes) -> str:
+    """BETWEEN and literal IN-lists under comparison affinity (r13b —
+    runs BEFORE _rewrite_compare_affinity so its sites land there):
+
+    - `x BETWEEN a AND b` with a string literal bound and a numeric-
+      affinity x (or numeric bound and TEXT x) expands to the
+      comparison conjunction, which the affinity pass then converts.
+    - `x IN (literals…)`: x's affinity applies to each item (SQLite
+      in-operator rules): numeric x unquotes clean-numeric strings and
+      DROPS junk ones (they can never match; NULL items kept for the
+      three-valued result); TEXT x renders numeric items as SQLite
+      text. Subquery / non-literal lists stay untouched."""
+    mask = _blank_comments(sql, _div_mask(sql))
+    low = sql.lower()
+    edits: list[tuple[int, int, str]] = []
+    for m in _BETWEEN_RX.finditer(mask):
+        e = m.start()
+        while e > 0 and mask[e - 1] in " \t\r\n":
+            e -= 1
+        l_start = _rev_primary_start(sql, mask, e)
+        if l_start is None:
+            continue
+        x = sql[l_start:e].strip()
+        if not _vd_simple_primary(x):
+            continue
+        xt = _div_walk(sql, mask, l_start, e, coltypes, [])
+        a0, a1, _at = _div_scan_primary(
+            sql, mask, m.end(), len(sql), coltypes, [])
+        j = _skip_ws(mask, a1)
+        wm = _WORD_RX.match(mask, j)
+        if not wm or low[wm.start():wm.end()] != "and":
+            continue
+        b0, b1, _bt = _div_scan_primary(
+            sql, mask, wm.end(), len(sql), coltypes, [])
+        a_txt, b_txt = sql[a0:a1].strip(), sql[b0:b1].strip()
+        if not (_vd_simple_primary(a_txt) and _vd_simple_primary(b_txt)):
+            continue
+        mixed = (
+            xt in ("int", "real") and (a_txt.startswith("'")
+                                       or b_txt.startswith("'"))
+        ) or (
+            xt == "text" and any(
+                _NUM_LIT_RX.fullmatch(t.lstrip("+-")) for t in (a_txt, b_txt)
+            )
+        )
+        if not mixed:
+            continue
+        # operands are verified simple primaries: no extra parens, so
+        # the comparison-affinity pass can convert each site
+        body = f"({x} >= {a_txt} AND {x} <= {b_txt})"
+        if m.group(1):
+            body = f"(NOT {body})"
+        edits.append((l_start, b1, body))
+    for m in _IN_RX.finditer(mask):
+        e = m.start()
+        while e > 0 and mask[e - 1] in " \t\r\n":
+            e -= 1
+        l_start = _rev_primary_start(sql, mask, e)
+        if l_start is None:
+            continue
+        x = sql[l_start:e].strip()
+        if not _vd_simple_primary(x):
+            continue
+        xt = _div_walk(sql, mask, l_start, e, coltypes, [])
+        if xt not in ("int", "real", "text"):
+            continue
+        p = _skip_ws(mask, m.end())
+        if p >= len(sql) or mask[p] != "(":
+            continue
+        close = _div_find_close(mask, p, len(sql))
+        if close == -1:
+            continue
+        items = []
+        changed = False
+        ok = True
+        for s0, s1 in _div_split_args(mask, p + 1, close):
+            t = sql[s0:s1].strip()
+            if t.lower() == "null":
+                items.append(t)
+                continue
+            if not (_VD_LIT_RX.fullmatch(t) or _NUM_LIT_RX.fullmatch(
+                    t.lstrip("+-"))):
+                ok = False
+                break
+            it = _div_walk(sql, mask, s0, s1, coltypes, [])
+            if xt in ("int", "real"):
+                if t.startswith("'"):
+                    changed = True
+                    if it in ("int", "real"):
+                        items.append(_literal_content(t).strip())
+                    # junk text: can never match a numeric — dropped
+                else:
+                    items.append(t)
+            else:  # TEXT x: numeric items render as SQLite text
+                if not t.startswith("'") and it in ("int", "real"):
+                    body = t.lstrip("+-")
+                    neg = t.count("-") % 2 == 1
+                    if _div_lit_type(body) == "real" or body[-1:] in "dDfF":
+                        v = float(body.rstrip("dDfF"))
+                        lit = _sqlite_double_text_static(-v if neg else v)
+                    else:
+                        lit = ("-" if neg else "") + body
+                    items.append("'" + lit.replace("'", "''") + "'")
+                    changed = True
+                else:
+                    items.append(t)
+        if not ok or not changed:
+            continue
+        neg = bool(m.group(1))
+        if not items:
+            body = (
+                f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE false END)"
+            )
+            if neg:
+                body = f"(NOT {body})"
+        else:
+            body = f"(({x}) {'NOT ' if neg else ''}IN ({', '.join(items)}))"
+        edits.append((l_start, close + 1, body))
+    if not edits:
+        return sql
+    # replacement edits never nest (each consumes one operator site and
+    # its primaries); apply right-to-left
+    for a, b, repl in sorted(edits, key=lambda t: t[0], reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 def _cmp_match_site(sql, mask, opos, op, coltypes):
     e = opos
     while e > 0 and mask[e - 1] in " \t\r\n":
@@ -4505,6 +4637,8 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         _ACTIVE_COLUMN_TYPES = column_types
     sql = _rewrite_case_truthiness(sql)
     sql = _rewrite_clause_truthiness(sql)
+    if (column_types and "text" in column_types.values()) or "'" in sql:
+        sql = _rewrite_range_affinity(sql, column_types)
     sql = _rewrite_compare_affinity(sql, column_types)
     sql = _rewrite_filter_over(sql)
     sql = _rewrite_concat_real(sql, column_types)

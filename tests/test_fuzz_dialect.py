@@ -2677,3 +2677,39 @@ def test_comparison_affinity_matches_sqlite(spark, tmp_path):
         for i, e in enumerate(exprs):
             g, x = _norm(grow[i]), _norm(xrow[i])
             assert g == x, (rows[rx], e, g, x)
+
+
+def test_between_in_affinity_matches_sqlite(spark, tmp_path):
+    """BETWEEN and literal IN-lists under comparison affinity (r13b):
+    x's affinity applies to bounds/items; junk items drop from numeric
+    IN-lists (never matchable); TEXT x renders numeric items as SQLite
+    text; NULL items keep three-valued results."""
+    rows = [(1, 7, "7.0"), (2, 3, "2"), (3, None, None), (4, -1, "abc")]
+    exprs = [
+        "n BETWEEN '1' AND '5.5'", "n BETWEEN '1' AND 'x'",
+        "n NOT BETWEEN '1' AND '5.5'", "s BETWEEN 1 AND 9",
+        "s BETWEEN '1' AND '8'", "n BETWEEN 1 AND 5",
+        "n IN ('7', '8x', 3)", "n IN ('a', 'b')", "n NOT IN ('8x')",
+        "n NOT IN ('7', 'junk')", "s IN (7, 7.0, 2)",
+        "n IN (7, NULL)", "n IN ('3', NULL)",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n,s\n" + "\n".join(
+            f"{i},{'' if n is None else n},{'' if s is None else s}"
+            for i, n, s in rows) + "\n"
+    )
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        eng.execute("UPDATE t SET s = NULL WHERE id = 3")
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            assert _norm(grow[i]) == _norm(xrow[i]), (rows[rx], e, grow[i], xrow[i])
