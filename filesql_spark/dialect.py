@@ -1495,6 +1495,13 @@ def _cast_call(args: list[str]) -> str | None:
     if not m:
         return None
     expr, typ = m.group(1), m.group(2).upper()
+    if "BLOB" in typ:
+        # CAST(X AS BLOB): the TEXT rendering's bytes (SQLite castTo
+        # BLOB goes through the text form: CAST(7.5 AS BLOB) = b'7.5');
+        # BINARY input is identity (Spark binary↔string round-trips
+        # byte-exact). r13b — was an unrewritten Spark parse error.
+        inner = _rewrite_calls(expr, "cast", _CALL_REWRITES["cast"])
+        return f"CAST(({_sqlite_text_of(inner)}) AS BINARY)"
     if "INT" not in typ and any(t in typ for t in ("CHAR", "CLOB", "TEXT")):
         # TEXT affinity (checked after INT — SQLite's rule order): a
         # provably-REAL input renders as SQLite's %!.15g via the
@@ -2602,6 +2609,268 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
         f"WHEN {d} IS NOT NULL THEN {n_op_d} "
         f"ELSE {const} END)"
     )
+
+
+_SELECT_WORD_RX = re.compile(r"(?i)\bselect\b")
+_MINMAX_ITEM_RX = re.compile(r"(?i)^(min|max)\s*\(")
+_BARE_IDENT_ALIAS_RX = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)"
+    r"(\s+(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*))?$",
+    re.IGNORECASE,
+)
+_BARE_SKIP_WORDS = frozenset({
+    "distinct", "all", "null", "true", "false", "case", "cast",
+})
+
+
+def _rewrite_bare_minmax(sql: str) -> str:
+    """SQLite's bare-columns-in-aggregate extension (select.c
+    minMaxQuery): when a select list holds EXACTLY ONE single-argument
+    min()/max() aggregate, bare columns take their values from a row
+    holding that extremum — exactly Spark's min_by/max_by. Handled for
+    select lists whose non-aggregate items are simple (optionally
+    aliased) column references; anything else stays on Spark's loud
+    MISSING_GROUP_BY error (which also covers SQLite's arbitrary-row
+    cases: zero or several min/max aggregates)."""
+    low = sql.lower()
+    if "min(" not in low and "max(" not in low and "min (" not in low \
+            and "max (" not in low:
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    edits: list[tuple[int, int, str]] = []
+    for sm in _SELECT_WORD_RX.finditer(mask):
+        # select list span: to the matching depth-0 FROM
+        i = sm.end()
+        depth = 0
+        list_end = -1
+        while i < len(sql):
+            c = mask[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == ";" and depth == 0:
+                break
+            elif depth == 0:
+                wm = _WORD_RX.match(mask, i)
+                if wm:
+                    if low[wm.start():wm.end()] == "from":
+                        list_end = wm.start()
+                        break
+                    i = wm.end()
+                    continue
+            i += 1
+        if list_end == -1:
+            continue
+        items = _div_split_args(mask, sm.end(), list_end)
+        if len(items) < 2:
+            continue
+        agg = None          # ('min'|'max', arg_text)
+        bare = []           # (index, ident, alias)
+        ok = True
+        for idx, (a, b) in enumerate(items):
+            t = sql[a:b].strip()
+            body, alias = t, None
+            am = re.match(
+                r"(?is)^(.*\))\s+(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*)$", t
+            )
+            if am and am.group(2).lower() not in _BARE_SKIP_WORDS:
+                body, alias = am.group(1).strip(), am.group(2)
+            m = _MINMAX_ITEM_RX.match(body)
+            bmask = _div_mask(body)
+            if m and body.endswith(")") and _div_find_close(
+                bmask, m.end() - 1, len(body)
+            ) == len(body) - 1:
+                args = _div_split_args(bmask, m.end(), len(body) - 1)
+                if len(args) != 1:
+                    ok = False  # scalar min/max mixed in: out of scope
+                    break
+                if agg is not None:
+                    ok = False  # several min/max: SQLite arbitrary row
+                    break
+                agg = (m.group(1).lower(),
+                       body[args[0][0]:args[0][1]].strip())
+                continue
+            cm = re.match(r"^[A-Za-z_][A-Za-z0-9_]*\s*\(", body)
+            if cm and body.endswith(")") and _div_find_close(
+                bmask, cm.end() - 1, len(body)
+            ) == len(body) - 1:
+                continue  # another whole-call item (count(*), sum(x)…):
+                # leave as written — aggregates are fine, and a scalar
+                # call over ungrouped columns keeps Spark's loud error
+            bm = _BARE_IDENT_ALIAS_RX.match(t)
+            if bm and bm.group(1).lower() not in _BARE_SKIP_WORDS and (
+                not bm.group(3) or bm.group(3).lower() not in
+                _BARE_SKIP_WORDS
+            ):
+                bare.append((idx, bm.group(1), bm.group(3)))
+                continue
+            ok = False  # expression item: out of scope
+            break
+        if not ok or agg is None or not bare:
+            continue
+        # GROUP BY columns stay bare legally
+        gb_cols: set[str] = set()
+        j = list_end
+        depth = 0
+        while j < len(sql):
+            c = mask[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == ";" and depth == 0:
+                break
+            elif depth == 0:
+                wm = _WORD_RX.match(mask, j)
+                if wm and low[wm.start():wm.end()] == "group":
+                    k = _skip_ws(mask, wm.end())
+                    wb = _WORD_RX.match(mask, k)
+                    if wb and low[wb.start():wb.end()] == "by":
+                        k = wb.end()
+                        # cols until terminator
+                        kk = k
+                        d2 = 0
+                        while kk < len(sql):
+                            cc = mask[kk]
+                            if cc == "(":
+                                d2 += 1
+                            elif cc == ")":
+                                if d2 == 0:
+                                    break
+                                d2 -= 1
+                            elif cc == ";" and d2 == 0:
+                                break
+                            elif d2 == 0:
+                                w2 = _WORD_RX.match(mask, kk)
+                                if w2:
+                                    w = low[w2.start():w2.end()]
+                                    if w in ("having", "order", "limit",
+                                             "union", "intersect",
+                                             "except", "window"):
+                                        break
+                                    kk = w2.end()
+                                    continue
+                            kk += 1
+                        for g0, g1 in _div_split_args(mask, k, kk):
+                            gb_cols.add(sql[g0:g1].strip().lower())
+                    break
+                if wm:
+                    j = wm.end()
+                    continue
+            j += 1
+        fn = "max_by" if agg[0] == "max" else "min_by"
+        for idx, ident, alias in bare:
+            lo_id = ident.lower()
+            if lo_id in gb_cols or ident.lower() == "*":
+                continue
+            a, b = items[idx]
+            out_name = alias or ident.split(".")[-1]
+            edits.append((
+                a, b,
+                f" {fn}({ident}, {agg[1]}) AS {out_name}",
+            ))
+    if not edits:
+        return sql
+    for a, b, repl in sorted(edits, key=lambda t: t[0], reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
+_LIMIT_WORD_RX = re.compile(r"(?i)\blimit\b")
+
+
+def _rewrite_limit_forms(sql: str) -> str:
+    """SQLite's two extra LIMIT spellings (select.c): `LIMIT a, b` is
+    LIMIT b OFFSET a (the MySQL-compatible comma form), and a NEGATIVE
+    literal limit means no limit at all (Spark rejects negatives)."""
+    if "limit" not in sql.lower():
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    edits: list[tuple[int, int, str]] = []
+    for m in _LIMIT_WORD_RX.finditer(mask):
+        i = _skip_ws(mask, m.end())
+        # negative integer literal → drop the clause
+        nm = re.match(r"-\s*\d+", mask[i:])
+        if nm:
+            j = _skip_ws(mask, i + nm.end())
+            wm = _WORD_RX.match(mask, j) if j < len(sql) else None
+            nxt = sql[wm.start():wm.end()].lower() if wm else ""
+            if not nxt or nxt != "offset":
+                edits.append((m.start(), i + nm.end(), ""))
+            else:
+                # Spark limits are INT-typed and LIMIT+OFFSET must fit
+                # in int32: 2^30 is "no limit" for any real result set
+                edits.append((m.start(), i + nm.end(),
+                              f"LIMIT {2**30}"))
+            continue
+        # comma form: first expr ends at a depth-0 comma before any
+        # terminator
+        depth = 0
+        k = i
+        comma = -1
+        while k < len(sql):
+            c = mask[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == ";" and depth == 0:
+                break
+            elif c == "," and depth == 0:
+                comma = k
+                break
+            elif depth == 0:
+                wm = _WORD_RX.match(mask, k)
+                if wm:
+                    if sql[wm.start():wm.end()].lower() in (
+                        "offset", "union", "intersect", "except", "order",
+                    ):
+                        break
+                    k = wm.end()
+                    continue
+            k += 1
+        if comma == -1:
+            continue
+        # second expr: to the next terminator
+        k2 = comma + 1
+        depth = 0
+        while k2 < len(sql):
+            c = mask[k2]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == ";" and depth == 0:
+                break
+            elif depth == 0:
+                wm = _WORD_RX.match(mask, k2)
+                if wm:
+                    if sql[wm.start():wm.end()].lower() in (
+                        "offset", "union", "intersect", "except", "order",
+                    ):
+                        break
+                    k2 = wm.end()
+                    continue
+            k2 += 1
+        a_txt = sql[i:comma].strip()
+        b_txt = sql[comma + 1:k2].strip()
+        if not a_txt or not b_txt:
+            continue
+        edits.append((m.start(), k2, f"LIMIT {b_txt} OFFSET {a_txt}"))
+    if not edits:
+        return sql
+    for a, b, repl in sorted(edits, key=lambda t: t[0], reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
 
 
 _CLAUSE_WORD_RX = re.compile(r"(?i)\b(where|having|on)\b")
@@ -4622,6 +4891,8 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         )
     sql = _strip_indexed_clauses(sql)
     sql = _rewrite_values_columns(sql)
+    sql = _rewrite_limit_forms(sql)
+    sql = _rewrite_bare_minmax(sql)
     sql = _rewrite_string_aliases(sql)
     sql = _rewrite_json_arrows(sql)
     sql = _escape_string_backslashes(sql)

@@ -2713,3 +2713,38 @@ def test_between_in_affinity_matches_sqlite(spark, tmp_path):
     for rx, (grow, xrow) in enumerate(zip(got, expected)):
         for i, e in enumerate(exprs):
             assert _norm(grow[i]) == _norm(xrow[i]), (rows[rx], e, grow[i], xrow[i])
+
+
+def test_bare_minmax_and_limit_blob_match_sqlite(spark, tmp_path):
+    """r13b batch: SQLite's bare-columns-with-min/max extension
+    (select.c minMaxQuery → Spark min_by/max_by), MySQL-style
+    LIMIT offset, count / negative LIMIT, and CAST(X AS BLOB)."""
+    rows = [(1, 1, 5), (2, 1, 9), (3, 2, 7), (4, 2, 3)]
+    queries = [
+        "SELECT id, max(n) AS m FROM t",
+        "SELECT id, min(n) AS m FROM t",
+        "SELECT g, id, max(n) AS m FROM t GROUP BY g ORDER BY g",
+        "SELECT id AS i, max(n) AS m FROM t",
+        "SELECT id, max(n) AS m, count(*) AS c FROM t",
+        "SELECT id AS v FROM t ORDER BY id LIMIT 2, 1",
+        "SELECT id AS v FROM t ORDER BY id LIMIT -1",
+        "SELECT id AS v FROM t ORDER BY id LIMIT -1 OFFSET 1",
+        "SELECT CAST(7.5 AS BLOB) AS b, CAST(n AS BLOB) AS c, "
+        "CAST('xy' AS BLOB) AS d FROM t ORDER BY id LIMIT 1",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, g INTEGER, n INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,g,n\n" + "\n".join(f"{i},{g},{n}" for i, g, n in rows) + "\n")
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        for q, exp in zip(queries, expected):
+            got = [tuple(bytes(v) if isinstance(v, (bytes, bytearray))
+                         else v for v in r)
+                   for r in eng.query(q).collect()]
+            assert got == [tuple(x) for x in exp], (q, got, exp)
+    finally:
+        eng.close()
