@@ -4518,15 +4518,47 @@ def _vd_text_repl(l, r, lt, rt, op):
 
 
 def _vd_match_site(sql, mask, low, slash, coltypes):
-    """Try to match one value-dependent division/modulo site around the
-    `/` or `%` at ``slash``; return (span_start, span_end, replacement)
-    or None."""
+    """Try to match one value-dependent site around the `/`, `%` (full
+    dispatch family) or `+`, `-`, `*` (TEXT-coercion only, r13b) at
+    ``slash``; return (span_start, span_end, replacement) or None."""
     op = sql[slash]
     e = slash
     while e > 0 and mask[e - 1] in " \t\r\n":
         e -= 1
     l_start = _rev_primary_start(sql, mask, e)
-    if l_start is None and e >= 3 and low[e - 3:e] == "end" and (
+    if op in "+-" and l_start is None:
+        # unary +/- over a TEXT primary: + is identity (SQLite keeps the
+        # operand verbatim), - is 0 - x under numeric-prefix coercion
+        k = e - 1
+        ctx_ok = k < 0 or mask[k] in "(,;=<>"
+        if not ctx_ok:
+            ws = k
+            while ws >= 0 and (mask[ws].isalnum() or mask[ws] == "_"):
+                ws -= 1
+            ctx_ok = ws < k and low[ws + 1:k + 1] in (
+                "select", "when", "then", "else", "and", "or", "not",
+                "where", "by", "having", "on", "set",
+                "returning", "limit", "offset", "in",
+            )
+        if ctx_ok:
+            r_first, r_end, rt = _div_scan_primary(
+                sql, mask, slash + 1, len(sql), coltypes, []
+            )
+            r_text = sql[r_first:r_end].strip()
+            if rt == "text" and _vd_simple_primary(r_text):
+                j = r_end
+                while j < len(sql) and mask[j] in " \t\r\n":
+                    j += 1
+                if j < len(sql) and mask[j] in "+-*/%|&":
+                    return None  # glued to arithmetic: out of scope
+                if op == "+":
+                    return slash, r_end, f"({r_text})"
+                return slash, r_end, _vd_text_repl(
+                    "0", r_text, "int", "text", "-"
+                )
+        return None
+    if l_start is None and op in "/%" and e >= 3 and low[e - 3:e] == "end" \
+            and (
         e - 4 < 0 or not (mask[e - 4].isalnum() or mask[e - 4] == "_")
     ):
         # unparenthesized CASE … END as the left operand: extend the
@@ -4553,13 +4585,38 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
         k -= 1
     if k >= 0 and mask[k] in "*%/~":
         return None
+    if op in "+-*" and k >= 0 and mask[k] in "+-":
+        # additive ops are left-associative peers: `a + b + s` owns
+        # (a + b) first — this site's primary is not the whole operand
+        return None
     r_first, r_end, rt = _div_scan_primary(
         sql, mask, slash + 1, len(sql), coltypes, []
     )
     if rt == "kw":
         return None
+    if op in "+-":
+        j = r_end
+        while j < len(sql) and mask[j] in " \t\r\n":
+            j += 1
+        if j < len(sql) and mask[j] in "*/%":
+            return None  # a tighter op owns the right primary
     p_text = sql[l_start:e]
     r_text = sql[r_first:r_end]
+    if op in "+-*":
+        # TEXT coercion is the only dispatch for additive ops
+        if _vd_simple_primary(p_text.strip()) and _vd_simple_primary(
+            r_text.strip()
+        ):
+            lt0 = _div_walk(sql, mask, l_start, e, coltypes, [])
+            if (
+                "text" in (lt0, rt)
+                and lt0 in ("int", "real", "null", "text")
+                and rt in ("int", "real", "null", "text")
+            ):
+                return l_start, r_end, _vd_text_repl(
+                    p_text.strip(), r_text.strip(), lt0, rt, op
+                )
+        return None
     # searched-CASE operand → distribute the operator into the arms
     if rt in ("int", "real", "null") and _vd_simple_primary(r_text):
         d = _vd_case_distribute(
@@ -4675,26 +4732,37 @@ def _rewrite_value_dependent_div(
     pass then walks the emitted CASE — typing its DIV arm, zero-guarding
     its ELSE arm, and rewriting any constructs inside the duplicated
     argument text consistently across all copies)."""
-    if "/" not in sql and "%" not in sql:
+    maybe_text = "'" in sql or (
+        column_types and "text" in column_types.values()
+    )
+    if "/" not in sql and "%" not in sql and not (
+        maybe_text and any(c in sql for c in "+-*")
+    ):
         return sql
     low = sql.lower()
     if (
         not any(f in low for f in _VD_COND_FUNCS)
         and "case" not in low
-        and "'" not in sql  # text-literal operands
-        and not (column_types and "text" in column_types.values())
+        and not maybe_text
     ):
         return sql
+    # TEXT-operand +/-/* sites (numeric-prefix coercion) are scanned
+    # only when text affinity is possible — numeric-only statements pay
+    # nothing (r13b)
+    text_possible = "'" in sql or (
+        column_types and "text" in column_types.values()
+    )
+    scan_chars = "/%" + ("+-*" if text_possible else "")
     # each pass replaces one site, then rescans; emitted CASE arms never
     # re-match (their operands are parenthesized, not direct calls), so
-    # the count of `/`+`%` sites bounds the loop — cap generously above
-    for _ in range(sql.count("/") + sql.count("%") + 1):
+    # the count of operator sites bounds the loop — cap generously above
+    for _ in range(sum(sql.count(c) for c in scan_chars) + 1):
         mask = _blank_comments(sql, _div_mask(sql))
         low = sql.lower()
         pos = 0
         replaced = False
         while True:
-            nxt = [i for i in (mask.find("/", pos), mask.find("%", pos))
+            nxt = [i for i in (mask.find(c, pos) for c in scan_chars)
                    if i != -1]
             if not nxt:
                 break

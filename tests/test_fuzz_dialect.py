@@ -2748,3 +2748,41 @@ def test_bare_minmax_and_limit_blob_match_sqlite(spark, tmp_path):
             assert got == [tuple(x) for x in exp], (q, got, exp)
     finally:
         eng.close()
+
+
+def test_text_additive_and_unary_match_sqlite(spark, tmp_path):
+    """TEXT operands of + - * and unary +/- (r13b): numeric-prefix
+    coercion with int-vs-real per VALUE; unary + is identity (the
+    operand stays verbatim), unary - is 0 - x under the same rules."""
+    rows = [(1, "5"), (2, "5x"), (3, "5.5x"), (4, "hello"), (5, None),
+            (6, "2e1"), (7, "-3"), (8, "")]
+    exprs = [
+        "s + 1", "1 + s", "s - 2", "10 - s", "s * 3", "s * 2.5",
+        "s + s", "s - s", "-s", "+s", "'5x' + 1", "'abc' * 2",
+    ]
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "s"])
+        for i, s in rows:
+            w.writerow([i, "\x01null" if s is None else s])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        eng.execute("UPDATE t SET s = NULL WHERE id = 5")
+        eng.execute("UPDATE t SET s = '' WHERE id = 8")
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            if isinstance(g, float) and isinstance(x, float):
+                assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
+            else:
+                assert g == x, (rows[rx], e, g, x)
