@@ -602,7 +602,7 @@ def _base_and_modifiers(kind: str, base: str, raw_mods: list[str]) -> str:
         d = f"TRY_CAST(({base}) AS DOUBLE)"
         x = (
             f"(CASE WHEN {d} IS NULL THEN CAST(({base}) AS TIMESTAMP) "
-            f"WHEN {d} BETWEEN 0 AND 5373484.5 THEN {_julian_base(d)} "
+            f"WHEN {d} >= 0 AND {d} < 5373484.5 THEN {_julian_base(d)} "
             f"ELSE timestamp_seconds({d}) END)"
         )
         mods = mods[1:]
@@ -2080,8 +2080,9 @@ def _cond_truthy_edits(sql, mask, low, a, b, edits) -> None:
     boolean expression. Recurses through depth-0 AND/OR (each operand
     is its own truthiness context, BETWEEN's AND excluded), strips
     redundant parens and leading NOT, and skips nested CASE bodies
-    (the main sweep visits every CASE site). Same TRY_CAST coercion —
-    and the same '3x'-prefix-parse documented divergence — as iif()."""
+    (the main sweep visits every CASE site). Coerces via the SQLite
+    CAST-AS-REAL prefix parse (junk text → 0 → false, '12abc' → 12 →
+    true, NULL stays NULL)."""
     while a < b and mask[a] in " \t\r\n":
         a += 1
     while b > a and mask[b - 1] in " \t\r\n":
@@ -2150,11 +2151,15 @@ def _cond_truthy_edits(sql, mask, low, a, b, edits) -> None:
         return
     if has_cmp:
         return
-    # NO nvl-to-false here: NULL must stay NULL so NOT/AND/OR keep
-    # SQLite's three-valued logic (NOT NULL is NULL → the WHEN simply
-    # doesn't match — identical in Spark)
-    edits.append((a, a, "(TRY_CAST(("))
-    edits.append((b, b, ") AS DOUBLE) <> 0)"))
+    # SQLite-spelled CAST AS REAL: the cast pass (later in the sweep)
+    # expands it to the prefix parse, so junk text coerces to 0 (false —
+    # SQLite keeps 'abc' rows under NOT) and '12abc' stays truthy, while
+    # a true SQL NULL stays NULL so NOT/AND/OR keep three-valued logic
+    # (NOT NULL is NULL → the WHEN simply doesn't match). The earlier
+    # TRY_CAST form mapped junk text to NULL, silently dropping
+    # WHERE NOT s rows that SQLite keeps (r13 advice, medium).
+    edits.append((a, a, "(CAST(("))
+    edits.append((b, b, ") AS REAL) <> 0)"))
 
 
 def _rewrite_case_truthiness(sql: str) -> str:
@@ -2690,8 +2695,14 @@ def _rewrite_bare_minmax(sql: str) -> str:
                 if agg is not None:
                     ok = False  # several min/max: SQLite arbitrary row
                     break
-                agg = (m.group(1).lower(),
-                       body[args[0][0]:args[0][1]].strip())
+                arg_txt = body[args[0][0]:args[0][1]].strip()
+                # max(DISTINCT b): DISTINCT is a no-op for min/max, but
+                # max_by(x, DISTINCT b) won't parse — pair on the bare arg
+                arg_txt = re.sub(r"(?i)^distinct\b\s*", "", arg_txt)
+                if not arg_txt:
+                    ok = False
+                    break
+                agg = (m.group(1).lower(), arg_txt)
                 continue
             cm = re.match(r"^[A-Za-z_][A-Za-z0-9_]*\s*\(", body)
             if cm and body.endswith(")") and _div_find_close(
@@ -2713,6 +2724,7 @@ def _rewrite_bare_minmax(sql: str) -> str:
             continue
         # GROUP BY columns stay bare legally
         gb_cols: set[str] = set()
+        grouped_pos: set[int] = set()
         j = list_end
         depth = 0
         while j < len(sql):
@@ -2757,7 +2769,12 @@ def _rewrite_bare_minmax(sql: str) -> str:
                                     continue
                             kk += 1
                         for g0, g1 in _div_split_args(mask, k, kk):
-                            gb_cols.add(sql[g0:g1].strip().lower())
+                            g = sql[g0:g1].strip().lower()
+                            if g.isdigit():
+                                # GROUP BY <ordinal> → that select item
+                                grouped_pos.add(int(g) - 1)
+                            else:
+                                gb_cols.add(g)
                     break
                 if wm:
                     j = wm.end()
@@ -2766,7 +2783,17 @@ def _rewrite_bare_minmax(sql: str) -> str:
         fn = "max_by" if agg[0] == "max" else "min_by"
         for idx, ident, alias in bare:
             lo_id = ident.lower()
-            if lo_id in gb_cols or ident.lower() == "*":
+            # a bare item is legally grouped when GROUP BY names it by
+            # ordinal position, by its alias, by its full (possibly
+            # dotted) name, or by the unqualified last segment either way
+            if (
+                idx in grouped_pos
+                or lo_id in gb_cols
+                or lo_id.split(".")[-1] in gb_cols
+                or any(g.split(".")[-1] == lo_id for g in gb_cols)
+                or (alias and alias.lower() in gb_cols)
+                or ident == "*"
+            ):
                 continue
             a, b = items[idx]
             out_name = alias or ident.split(".")[-1]
@@ -2865,6 +2892,10 @@ def _rewrite_limit_forms(sql: str) -> str:
         b_txt = sql[comma + 1:k2].strip()
         if not a_txt or not b_txt:
             continue
+        if re.match(r"^-\s*\d+$", b_txt):
+            # negative limit in the comma form too means "no limit"
+            # (offset still applies): LIMIT 1, -1 ≡ everything after 1
+            b_txt = str(2**30)
         edits.append((m.start(), k2, f"LIMIT {b_txt} OFFSET {a_txt}"))
     if not edits:
         return sql

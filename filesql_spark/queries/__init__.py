@@ -133,14 +133,14 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "agg_having": 10,
     "agg_median": 10,
     "agg_rollup": 10,
-    "agg_salted_two_phase": 9,
-    "ann_bruteforce_topk": 9,
-    "ann_ivf_build": 9,
-    "ann_ivf_topk": 9,
-    "ann_lsh_topk": 9,
+    "agg_salted_two_phase": 13,
+    "ann_bruteforce_topk": 13,
+    "ann_ivf_build": 13,
+    "ann_ivf_topk": 13,
+    "ann_lsh_topk": 13,
     "ann_pq_build": 12,
     "ann_pq_topk": 12,
-    "ann_recall_report": 9,
+    "ann_recall_report": 13,
     "asof_join_latest_order": 10,
     "asof_join_tolerance": 12,
     "cdc_merge_apply": 11,
@@ -153,29 +153,29 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "date_hour_histogram": 10,
     "date_julianday_span": 10,
     "dedup_cluster_representatives": 12,
-    "dedup_connected_components": 9,
+    "dedup_connected_components": 13,
     "dedup_containment": 9,
-    "dedup_embedding_cosine": 9,
+    "dedup_embedding_cosine": 13,
     "dedup_exact": 10,
     "dedup_family_size_distribution": 9,
     "dedup_incremental": 11,
-    "dedup_lsh_tuning_report": 8,
-    "dedup_minhash_lsh": 9,
+    "dedup_lsh_tuning_report": 13,
+    "dedup_minhash_lsh": 13,
     "dedup_ngram_jaccard": 10,
-    "dedup_simhash": 9,
-    "dedup_threshold_sweep": 9,
+    "dedup_simhash": 13,
+    "dedup_threshold_sweep": 13,
     "derived_table": 11,
-    "docs_cross_source_dups": 8,
-    "docs_lang_confusion": 8,
-    "docs_ngram_novelty": 9,
+    "docs_cross_source_dups": 13,
+    "docs_lang_confusion": 13,
+    "docs_ngram_novelty": 13,
     "docs_pii_density_by_source": 9,
     "docs_quality_gate_sweep": 9,
     "docs_source_reputation": 12,
-    "docs_tokenizer_fertility": 9,
+    "docs_tokenizer_fertility": 13,
     "embedding_kmeans": 11,
     "embedding_knn_label": 12,
-    "embedding_label_centroids": 9,
-    "embedding_norm_stats": 8,
+    "embedding_label_centroids": 13,
+    "embedding_norm_stats": 13,
     "embedding_outliers": 12,
     "embedding_pair_distance_histogram": 9,
     "embedding_quantize_int8": 11,
@@ -183,7 +183,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "embedding_standardize": 12,
     "events_ab_test_lift": 12,
     "events_anomaly_zscore": 11,
-    "events_bot_detection": 8,
+    "events_bot_detection": 13,
     "events_changepoint_cusum": 12,
     "events_conversion_latency": 12,
     "events_cumulative_distinct": 12,
@@ -192,7 +192,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_forecast_seasonal": 12,
     "events_funnel": 10,
     "events_gap_fill": 11,
-    "events_hazard_curve": 8,
+    "events_hazard_curve": 13,
     "events_ltv_cohort": 12,
     "events_markov_transitions": 11,
     "events_retention_cohorts": 10,
@@ -201,7 +201,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_sessionize": 10,
     "events_skew_report": 12,
     "events_sliding_window": 10,
-    "events_stickiness_dau_wau": 9,
+    "events_stickiness_dau_wau": 13,
     "events_top_paths": 12,
     "events_tumbling_window": 10,
     "events_user_streaks": 12,
@@ -210,7 +210,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "filter_like_ci": 11,
     "filter_predicates": 9,
     "graph_pagerank_events": 12,
-    "graph_triangle_census": 8,
+    "graph_triangle_census": 13,
     "in_subquery": 10,
     "interval_join_banded": 11,
     "join_bloom_semireduction": 11,
@@ -221,7 +221,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "join_left_semi": 10,
     "join_multiway_inner": 10,
     "join_right_outer": 10,
-    "join_salted_skew": 9,
+    "join_salted_skew": 13,
     "join_theta_selfjoin": 11,
     "json_extract": 10,
     "layout_zorder_stats": 11,
@@ -229,10 +229,10 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "lineitem_discount_regression": 12,
     "lineitem_pareto_share": 12,
     "math_functions": 10,
-    "multimodal_decode": 9,
+    "multimodal_decode": 13,
     "multimodal_extract_features": 11,
     "multimodal_frame_dedup": 9,
-    "multimodal_frame_sample": 9,
+    "multimodal_frame_sample": 13,
     "multimodal_resize": 11,
     "orders_association_rules": 12,
     "orders_cooccur_parts": 12,
@@ -240,39 +240,39 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "orders_open_interval_count": 12,
     "orders_seasonality_index": 12,
     "part_supplier_concentration": 12,
-    "pipeline_clean_corpus": 9,
-    "pipeline_contamination_report": 8,
+    "pipeline_clean_corpus": 13,
+    "pipeline_contamination_report": 13,
     "pipeline_curate_full": 11,
     "pipeline_curriculum_order": 12,
     "pipeline_dataset_manifest": 11,
     "pipeline_decontaminate": 11,
     "pipeline_diversity_sample": 11,
-    "pipeline_eval_set_builder": 9,
-    "pipeline_incremental_decontaminate": 8,
+    "pipeline_eval_set_builder": 13,
+    "pipeline_incremental_decontaminate": 13,
     "pipeline_mixture_resample": 11,
     "pipeline_near_dup_eval": 12,
     "pipeline_pack_sequences": 11,
     "pipeline_per_source_cap": 11,
     "pipeline_semantic_decontaminate": 12,
-    "pipeline_split_overlap_qa": 8,
-    "pipeline_stage_metrics": 9,
-    "pipeline_stratified_sample": 9,
+    "pipeline_split_overlap_qa": 13,
+    "pipeline_stage_metrics": 13,
+    "pipeline_stratified_sample": 13,
     "pipeline_train_prep": 11,
-    "pipeline_train_val_split": 9,
+    "pipeline_train_val_split": 13,
     "pipeline_weighted_sample": 11,
-    "pivot_status_by_priority": 9,
+    "pivot_status_by_priority": 13,
     "profile_orders_stats": 12,
     "q10_returned_items": 11,
     "q14_promo_revenue": 11,
     "q18_large_orders": 12,
-    "q1_pricing_summary": 9,
+    "q1_pricing_summary": 13,
     "q3_shipping_priority": 10,
     "q5_local_supplier": 10,
     "q6_forecast_revenue": 11,
     "q7_nation_volume": 12,
     "q8_market_share": 12,
     "quality_expectations_orders": 12,
-    "quality_signal_correlation": 9,
+    "quality_signal_correlation": 13,
     "recursive_cte": 10,
     "scalar_subquery_correlated": 10,
     "scalar_subquery_select": 11,
@@ -289,50 +289,50 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "sketch_hll_rollup": 12,
     "sketch_hll_sliding_wau": 12,
     "sketch_hll_users": 11,
-    "sketch_kmv_theta": 8,
+    "sketch_kmv_theta": 13,
     "snapshot_diff_docs": 11,
     "streaming_cdc_apply": 11,
     "streaming_cms_tokens": 12,
-    "streaming_dedup_exact": 9,
+    "streaming_dedup_exact": 13,
     "streaming_dedup_within_watermark": 11,
-    "streaming_events_enriched": 9,
+    "streaming_events_enriched": 13,
     "streaming_events_hourly": 10,
     "streaming_events_sessionize": 11,
     "streaming_events_sliding": 11,
     "streaming_events_user_state": 10,
     "streaming_interval_join": 11,
-    "streaming_kmv_sketch": 8,
+    "streaming_kmv_sketch": 13,
     "string_functions": 10,
     "text_bigram_lm": 11,
-    "text_bm25_search": 9,
+    "text_bm25_search": 13,
     "text_bpe_merges": 12,
     "text_chunk_stride": 11,
-    "text_dup_span_removal": 8,
+    "text_dup_span_removal": 13,
     "text_dup_spans": 11,
     "text_fingerprint": 10,
     "text_lang_id": 10,
-    "text_length_percentiles": 9,
+    "text_length_percentiles": 13,
     "text_lm_perplexity": 12,
-    "text_pii_redact": 9,
+    "text_pii_redact": 13,
     "text_quality_score": 10,
     "text_rarity_score": 11,
-    "text_readability_scores": 9,
-    "text_repetition_filter": 9,
+    "text_readability_scores": 13,
+    "text_repetition_filter": 13,
     "text_tfidf_topterms": 12,
-    "text_token_count": 9,
+    "text_token_count": 13,
     "text_token_drift": 11,
     "text_token_entropy": 12,
     "text_tokenizer_coverage": 12,
-    "text_top_tokens": 9,
+    "text_top_tokens": 13,
     "text_vocab_growth_heaps": 9,
     "topk_orders": 10,
     "window_agg_over": 11,
     "window_cume_dist": 12,
-    "window_groups_frame": 9,
+    "window_groups_frame": 13,
     "window_lag_lead": 10,
     "window_nth_last_value": 11,
     "window_ntile_dense_first": 10,
-    "window_percent_rank": 9,
+    "window_percent_rank": 13,
     "window_range_interval": 10,
     "window_rank": 11,
     "window_row_number": 11,

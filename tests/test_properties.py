@@ -8,7 +8,7 @@ is cheap.
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from filesql_spark.dialect import rewrite
@@ -350,14 +350,24 @@ def test_pagerank_reference_mass_conserved(edge_list, iters):
 
 @given(st.integers(1, 10**6), st.integers(1, 10**6))
 @settings(max_examples=200, deadline=None)
+@example(num=62993, den=125000)  # (x/den)*1e6 rounds below the exact ppm
 def test_ppm_floor_division_bounds(num, den):
     """The exact integer-ppm idiom (x·10⁶ div n) used across the
     round-7c gates never exceeds 10⁶ for x ≤ n and loses < 1 ppm vs
-    the real ratio."""
+    the real ratio.
+
+    The bound is checked with Fraction: the earlier float form
+    ``(x/den)*1e6`` can round below the exact integer ppm (e.g.
+    62993/125000 → 503943.99999999994 vs exact 503944), which is IEEE
+    rounding in the *test*, not an engine error.
+    """
+    from fractions import Fraction
+
     x = min(num, den)
     ppm = x * 1_000_000 // den
     assert 0 <= ppm <= 1_000_000
-    assert 0 <= (x / den) * 1_000_000 - ppm < 1 + 1e-6
+    diff = Fraction(x, den) * 1_000_000 - ppm
+    assert 0 <= diff < 1
 
 
 # ------------------------------------------------------- round-8 kernels
