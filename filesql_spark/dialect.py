@@ -2356,8 +2356,16 @@ def _rewrite_compare_affinity(
     - numeric side vs junk TEXT literal → statically unconvertible:
       the type-order constant (NULL-guarded on the other side).
 
-    Scope: both operands simple primaries not glued to arithmetic
-    (documented; compound operands keep Spark semantics)."""
+    Affinity model (pinned empirically vs sqlite3, r14): only COLUMN
+    references (parens transparent) and CASTs carry affinity;
+    arithmetic chains, function calls, CASE, and unary +/- carry NONE —
+    so `a + 1 > s` string-compares the rendered sum (the TEXT column
+    side wins), `abs(a) = s` likewise, and `'abc' > 5*2` is a type-
+    order constant (text above numerics), NULL-guarded.
+
+    Scope: operands are primaries or +-*/% chains of primaries; ||/
+    bitwise-glued operands, CASE operands, and unknown-typed spans keep
+    Spark semantics (documented residue)."""
     if not (
         (coltypes and "text" in coltypes.values()) or "'" in sql
     ):
@@ -2525,95 +2533,280 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
     return sql
 
 
+def _cmp_walk_back(sql, mask, e):
+    """Start of the arithmetic operand chain ENDING at e (exclusive):
+    primary ((+|-|*|/|%) primary)* with unary +/- allowed. None when
+    unscannable or glued to a non-arithmetic operator (||, bitwise,
+    another comparison — out of scope, Spark semantics kept)."""
+    l_start = _rev_primary_start(sql, mask, e)
+    if l_start is None:
+        return None
+    while True:
+        k = l_start - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        if k < 0:
+            break
+        c = mask[k]
+        if c in "+-*/%":
+            k2 = k - 1
+            while k2 >= 0 and mask[k2] in " \t\r\n":
+                k2 -= 1
+            if k2 >= 0 and (
+                mask[k2].isalnum() or mask[k2] in "_)\x00"
+            ):
+                prev = _rev_primary_start(sql, mask, k2 + 1)
+                if prev is not None:
+                    l_start = prev  # binary: include the left primary
+                    continue
+                # a keyword precedes (WHERE -1 …): the sign is unary
+            if c in "+-":
+                l_start = k  # unary sign binds into the operand
+                continue
+            return None  # stray * / % with nothing to its left
+        if c in "|&<>=!~":
+            return None
+        break
+    return l_start
+
+
+def _cmp_walk_fwd(sql, mask, pos, coltypes):
+    """(first, end) of the arithmetic operand chain STARTING at pos:
+    primary ((+|-|*|/|%) primary)*. None when the next token is a
+    structural keyword or the chain glues into ||/bitwise."""
+    r_first, r_end, rt = _div_scan_primary(
+        sql, mask, pos, len(sql), coltypes, []
+    )
+    if rt == "kw":
+        return None
+    while True:
+        j = r_end
+        while j < len(sql) and mask[j] in " \t\r\n":
+            j += 1
+        if j < len(sql) and mask[j] in "+-*/%":
+            nf, ne, nt = _div_scan_primary(
+                sql, mask, j + 1, len(sql), coltypes, []
+            )
+            if nt == "kw" or ne <= j + 1:
+                return None
+            r_end = ne
+            continue
+        if j < len(sql) and (mask[j] in "|&" or mask[j] == "~"):
+            return None  # ||/bitwise-glued: out of scope
+        break
+    return r_first, r_end
+
+
+# SQLite functions whose RESULT is text (func.c/date.c) — used only by
+# the comparison classifier for the value class; they carry NO affinity
+_CMP_TEXT_FUNCS = frozenset({
+    "upper", "lower", "trim", "ltrim", "rtrim", "substr", "substring",
+    "replace", "hex", "quote", "char", "typeof", "printf", "format",
+    "group_concat", "string_agg", "date", "time", "datetime", "strftime",
+    "concat", "concat_ws", "json", "json_quote", "json_insert",
+    "json_replace", "json_set", "json_remove", "json_patch",
+})
+
+
+def _cmp_classify(span: str, coltypes):
+    """SQLite affinity + static value class of a comparison operand
+    (expr.c sqlite3ExprAffinity, pinned empirically: ONLY column
+    references — parens transparent — and CASTs carry affinity;
+    arithmetic, function calls, CASE, unary +/- all carry NONE).
+
+    Returns (affinity, vclass): affinity in {'int','real','text',None,
+    'unk'} with None = SQLite's NO affinity; vclass in {'num','text',
+    'numlit','strlit','null','unk'} describing the static VALUE."""
+    core = span.strip()
+    while core.startswith("("):
+        cm = _div_mask(core)
+        if _div_find_close(cm, 0, len(core)) != len(core) - 1:
+            break
+        core = core[1:-1].strip()
+    if not core:
+        return "unk", "unk"
+    cm = _div_mask(core)
+    t = _div_walk(core, cm, 0, len(core), coltypes, [])
+    low = core.lower()
+    if low == "null":
+        return None, "null"
+    if _VD_IDENT_RX.fullmatch(core):
+        if low in ("true", "false"):
+            return "unk", "unk"
+        if t in ("int", "real"):
+            return t, "num"
+        if t == "text":
+            return "text", "text"
+        return "unk", "unk"  # column of unknown type: bail
+    if core.startswith("'") and _VD_LIT_RX.fullmatch(core):
+        return None, "strlit"
+    stripped = re.sub(r"^[+\-\s]+", "", core)
+    if stripped and _NUM_LIT_RX.fullmatch(stripped):
+        return None, "numlit"
+    cmm = re.match(r"(?i)^(?:try_)?cast\s*\(", core)
+    if cmm and core.endswith(")") and _div_find_close(
+        cm, cmm.end() - 1, len(core)
+    ) == len(core) - 1:
+        inner = low[cmm.end():-1]
+        k = inner.rfind(" as ")
+        target = inner[k + 4:].strip().split("(")[0].strip() if k != -1 \
+            else ""
+        if "int" in target:
+            return "int", "num"
+        if any(x in target for x in ("real", "floa", "doub")):
+            return "real", "num"
+        if any(x in target for x in ("char", "clob", "text", "string")):
+            return "text", "text"
+        return "unk", "unk"  # BLOB / NUMERIC targets: out of scope
+    wm = re.match(r"(?i)^([a-z_][a-z0-9_]*)\s*\(", core)
+    if (
+        wm and core.endswith(")")
+        and wm.group(1).lower() in _CMP_TEXT_FUNCS
+        and _div_find_close(cm, wm.end() - 1, len(core)) == len(core) - 1
+    ):
+        return None, "text"  # text-RESULT function, no affinity
+    # arithmetic chain / function call / unary sign: affinity NONE,
+    # value class from the static type tracker
+    if t in ("int", "real"):
+        return None, "num"
+    if t == "text":
+        return None, "text"
+    if t == "null":
+        return None, "null"
+    return "unk", "unk"
+
+
 def _cmp_match_site(sql, mask, opos, op, coltypes):
     e = opos
     while e > 0 and mask[e - 1] in " \t\r\n":
         e -= 1
-    l_start = _rev_primary_start(sql, mask, e)
+    l_start = _cmp_walk_back(sql, mask, e)
     if l_start is None:
         return None
-    k = l_start - 1
-    while k >= 0 and mask[k] in " \t\r\n":
-        k -= 1
-    if k >= 0 and (mask[k] in "+-*/%|&<>=!" or mask[k] == "~"):
-        return None  # compound left operand: out of scope
-    r_first, r_end, rt = _div_scan_primary(
-        sql, mask, opos + len(op), len(sql), coltypes, []
-    )
-    if rt == "kw":
+    fwd = _cmp_walk_fwd(sql, mask, opos + len(op), coltypes)
+    if fwd is None:
         return None
-    j = r_end
-    while j < len(sql) and mask[j] in " \t\r\n":
-        j += 1
-    if j < len(sql) and (mask[j] in "+-*/%|&" or mask[j:j + 2] == "||"):
-        return None  # compound right operand
-    lt = _div_walk(sql, mask, l_start, e, coltypes, [])
+    r_first, r_end = fwd
     p_text = sql[l_start:e].strip()
     r_text = sql[r_first:r_end].strip()
-    if not (_vd_simple_primary(p_text) and _vd_simple_primary(r_text)):
+    if not p_text or not r_text:
         return None
     cmp_op = "=" if op == "==" else op
-    # clean-NUMERIC STRING literals type int/real but are still TEXT
-    # values: vs another literal the comparison is BINARY (numerics
-    # order before text: 7 = '7' is FALSE); vs a numeric-affinity
-    # column the literal converts — unquote it so Spark compares
-    # numerically (its native cast to the column's INTEGER type
-    # ANSI-crashes on '7.5')
-    l_str = p_text.startswith("'")
-    r_str = r_text.startswith("'")
-    if lt in ("int", "real") and rt in ("int", "real") and l_str != r_str:
-        s_text, n_text = (p_text, r_text) if l_str else (r_text, p_text)
-        if _NUM_LIT_RX.fullmatch(n_text.lstrip("+-")):
-            # literal vs literal: BINARY type order, text side greater
-            const = _CMP_TEXT_GREATER[
-                _CMP_MIRROR[cmp_op] if l_str else cmp_op
-            ]
-            return l_start, r_end, f"({const})"
-        bare = _literal_content(s_text).strip()
-        if l_str:
-            return l_start, r_end, f"(({bare}) {cmp_op} ({n_text}))"
-        return l_start, r_end, f"(({p_text}) {cmp_op} ({bare}))"
-    num, txt, text_right = None, None, None
-    if lt in ("int", "real") and rt == "text":
-        num, txt, text_right = p_text, r_text, True
-    elif lt == "text" and rt in ("int", "real"):
-        num, txt, text_right = r_text, p_text, False
-    else:
+    affL, vclL = _cmp_classify(p_text, coltypes)
+    affR, vclR = _cmp_classify(r_text, coltypes)
+    if "unk" in (affL, affR, vclL, vclR) or "null" in (vclL, vclR):
         return None
-    if txt.startswith("'"):
-        # junk TEXT literal (clean-numeric literals type int/real and
-        # never reach here): statically unconvertible → type order
-        const = _CMP_TEXT_GREATER[op if text_right else _CMP_MIRROR[op]]
+    NUM = ("int", "real")
+
+    def _rowwise(num, txt, text_right):
+        # numeric-affinity side vs text-VALUED side: NUMERIC conversion
+        # attempted per row; unconvertible text keeps type order
+        d = f"TRY_CAST(({txt}) AS DOUBLE)"
+        n_op_d = (
+            f"({num}) {cmp_op} {d}" if text_right
+            else f"{d} {cmp_op} ({num})"
+        )
+        const = _CMP_TEXT_GREATER[
+            cmp_op if text_right else _CMP_MIRROR[cmp_op]
+        ]
         return l_start, r_end, (
-            f"(CASE WHEN ({num}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"(CASE WHEN ({num}) IS NULL OR ({txt}) IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN {d} IS NOT NULL THEN {n_op_d} "
             f"ELSE {const} END)"
         )
-    if _NUM_LIT_RX.fullmatch(num.lstrip("+-")):
-        # TEXT column vs numeric literal: TEXT affinity applies to the
-        # literal — STRING comparison against SQLite's rendering
-        body = num.lstrip("+-")
-        neg = num.count("-") % 2 == 1
-        if _div_lit_type(body) == "real" or body[-1] in "dDfF":
-            v = float(body.rstrip("dDfF"))
-            lit = _sqlite_double_text_static(-v if neg else v)
-        else:
-            lit = ("-" if neg else "") + body
-        lit_sql = "'" + lit.replace("'", "''") + "'"
-        if text_right:
-            return l_start, r_end, f"(({txt}) {_CMP_MIRROR[cmp_op]} {lit_sql})"
-        return l_start, r_end, f"(({txt}) {cmp_op} {lit_sql})"
-    # numeric column/expression vs TEXT column: per-row dispatch
-    d = f"TRY_CAST(({txt}) AS DOUBLE)"
-    n_op_d = (
-        f"({num}) {cmp_op} {d}" if text_right else f"{d} {cmp_op} ({num})"
-    )
-    const = _CMP_TEXT_GREATER[cmp_op if text_right else _CMP_MIRROR[cmp_op]]
-    return l_start, r_end, (
-        f"(CASE WHEN ({num}) IS NULL OR ({txt}) IS NULL "
-        f"THEN CAST(NULL AS BOOLEAN) "
-        f"WHEN {d} IS NOT NULL THEN {n_op_d} "
-        f"ELSE {const} END)"
-    )
+
+    # ---- both sides carry affinity (columns / CASTs): NUMERIC wins
+    if affL is not None and affR is not None:
+        if affL in NUM and affR == "text":
+            return _rowwise(p_text, r_text, True)
+        if affL == "text" and affR in NUM:
+            return _rowwise(r_text, p_text, False)
+        return None  # both numeric / both text: native semantics agree
+    # ---- exactly one side carries affinity: it applies to the other
+    if (affL is None) != (affR is None):
+        x_is_left = affR is None
+        xa = affL if x_is_left else affR
+        x_text = p_text if x_is_left else r_text
+        o_text = r_text if x_is_left else p_text
+        ov = vclR if x_is_left else vclL
+        if xa in NUM:
+            if ov == "strlit":
+                if _div_str_lit_type(_literal_content(o_text)) in NUM:
+                    # clean-numeric string literal converts: unquote so
+                    # Spark compares numerically (its native cast to
+                    # the column's INTEGER type ANSI-crashes on '7.5')
+                    bare = _literal_content(o_text).strip()
+                    if x_is_left:
+                        return l_start, r_end, \
+                            f"(({x_text}) {cmp_op} ({bare}))"
+                    return l_start, r_end, f"(({bare}) {cmp_op} ({x_text}))"
+                # junk literal: statically unconvertible → type order
+                const = _CMP_TEXT_GREATER[
+                    cmp_op if x_is_left else _CMP_MIRROR[cmp_op]
+                ]
+                return l_start, r_end, (
+                    f"(CASE WHEN ({x_text}) IS NULL "
+                    f"THEN CAST(NULL AS BOOLEAN) ELSE {const} END)"
+                )
+            if ov == "text":
+                # text-valued no-affinity operand (upper(s), s1||s2 via
+                # funcs): NUMERIC affinity converts per row
+                return _rowwise(x_text, o_text, x_is_left)
+            return None  # numeric-valued operand: both sides numeric
+        # X carries TEXT affinity: it applies to the numeric other side
+        if ov == "numlit":
+            # STRING comparison against SQLite's static rendering
+            body = o_text.lstrip("+- \t")
+            neg = o_text.count("-") % 2 == 1
+            if _div_lit_type(body) == "real" or body[-1:] in "dDfF":
+                v = float(body.rstrip("dDfF"))
+                lit = _sqlite_double_text_static(-v if neg else v)
+            else:
+                lit = ("-" if neg else "") + body
+            lit_sql = "'" + lit.replace("'", "''") + "'"
+            if x_is_left:
+                return l_start, r_end, f"(({x_text}) {cmp_op} {lit_sql})"
+            return l_start, r_end, f"({lit_sql} {cmp_op} ({x_text}))"
+        if ov == "num":
+            # numeric-valued compound/function (a+1, abs(a), a/2 …):
+            # TEXT affinity renders the VALUE, then string-compares
+            # (r14 — the compound-operand residue, VERDICT r13 #4;
+            # empirically arithmetic carries NO affinity in SQLite, so
+            # the TEXT column side wins — not NUMERIC as assumed)
+            cm0 = _div_mask(o_text)
+            t0 = _div_walk(o_text, cm0, 0, len(o_text), coltypes, [])
+            if t0 == "int":
+                rend = f"CAST(({o_text}) AS STRING)"
+            elif t0 == "real":
+                rend = f"filesql_double_text(TRY_CAST(({o_text}) AS DOUBLE))"
+            else:
+                return None
+            if x_is_left:
+                return l_start, r_end, f"(({x_text}) {cmp_op} ({rend}))"
+            return l_start, r_end, f"(({rend}) {cmp_op} ({x_text}))"
+        return None  # strlit / text value vs TEXT affinity: native
+    # ---- neither side carries affinity: raw values, type order
+    num_l = vclL in ("num", "numlit")
+    txt_r = vclR in ("strlit", "text")
+    num_r = vclR in ("num", "numlit")
+    txt_l = vclL in ("strlit", "text")
+    if (num_l and txt_r) or (txt_l and num_r):
+        const = _CMP_TEXT_GREATER[
+            cmp_op if txt_r else _CMP_MIRROR[cmp_op]
+        ]
+        guards = [
+            f"({t0}) IS NULL"
+            for t0, vc in ((p_text, vclL), (r_text, vclR))
+            if vc in ("num", "text")  # literals are never NULL
+        ]
+        if not guards:
+            return l_start, r_end, f"({const})"
+        return l_start, r_end, (
+            f"(CASE WHEN {' OR '.join(guards)} "
+            f"THEN CAST(NULL AS BOOLEAN) ELSE {const} END)"
+        )
+    return None
 
 
 _SELECT_WORD_RX = re.compile(r"(?i)\bselect\b")

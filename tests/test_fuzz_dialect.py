@@ -2786,3 +2786,92 @@ def test_text_additive_and_unary_match_sqlite(spark, tmp_path):
                 assert g == pytest.approx(x, rel=1e-12), (rows[rx], e, g, x)
             else:
                 assert g == x, (rows[rx], e, g, x)
+
+
+# ------------------------------------------------- r14: compound-operand
+# comparison affinity (VERDICT r13 #4). Affinity model pinned empirically:
+# only column references (parens transparent) and CASTs carry affinity;
+# arithmetic chains, function calls, and unary +/- carry NONE — so
+# `a + 1 > s` STRING-compares the rendered sum (the TEXT column side
+# wins), and `'12' = 10+2` is a type-order constant.
+
+def _gen_cmp_operand(rng: random.Random) -> str:
+    """One comparison operand over columns n (INTEGER), r (REAL),
+    s (TEXT) and literals, with arithmetic chains and function calls."""
+    pick = rng.randrange(12)
+    if pick == 0:
+        return rng.choice(["n", "r", "s", "(n)", "(s)", "(r)"])
+    if pick == 1:
+        return str(rng.randint(-20, 120))
+    if pick == 2:
+        return repr(round(rng.uniform(-5, 15), 2))
+    if pick == 3:
+        return rng.choice(
+            ["'7'", "'07'", "'7.0'", "'abc'", "'7x'", "''", "'-3'",
+             "'1e2'", "' 7 '"]
+        )
+    if pick == 4:
+        col = rng.choice(["n", "r"])
+        op = rng.choice(["+", "-", "*"])
+        lit = (str(rng.randint(1, 9)) if rng.random() < 0.7
+               else repr(round(rng.uniform(0.5, 3.5), 1)))
+        return rng.choice([f"{col} {op} {lit}", f"({col} {op} {lit})",
+                           f"{lit} {op} {col}"])
+    if pick == 5:
+        col = rng.choice(["n", "r"])
+        den = rng.choice(["2", "3", "0", "2.5"])
+        return f"{col} {rng.choice(['/', '%'])} {den}"
+    if pick == 6:
+        return rng.choice(["abs(n)", "abs(r)", "coalesce(n, 0)",
+                           "length(s)", "abs(n) + 1", "n + r"])
+    if pick == 7:
+        return rng.choice(["upper(s)", "lower(s)", "trim(s)",
+                           "substr(s, 1, 2)", "ltrim(s, '0')"])
+    if pick == 8:
+        return rng.choice(["-n", "+n", "+s", "-r", "- n + 2"])
+    if pick == 9:
+        return rng.choice(["CAST(n AS TEXT)", "CAST(s AS INTEGER)",
+                           "CAST(s AS REAL)", "CAST(r AS INTEGER)"])
+    if pick == 10:
+        return f"n + {rng.randint(1, 5)} - {rng.randint(1, 5)}"
+    return rng.choice(["NULL", "n", "s"])
+
+
+@pytest.mark.parametrize("seed", [41, 141, 914])
+def test_compound_comparison_affinity_matches_sqlite(spark, tmp_path, seed):
+    """Randomized compound-operand comparisons (arith chains, function
+    calls, casts, unary signs, mixed columns/literals) differentially
+    vs stdlib sqlite3 (r14 — extends the r13b simple-primary tier)."""
+    rng = random.Random(seed)
+    rows = [(1, 7, 7.5, "7"), (2, 7, 7.0, "07"), (3, 10, 2.0, "7x"),
+            (4, 0, 0.5, "abc"), (5, None, None, None), (6, -3, 70.0, " 7 "),
+            (7, 8, 8.25, "8.25"), (8, 100, 1e2, "1e2")]
+    exprs = []
+    while len(exprs) < 45:
+        op = rng.choice(["=", "!=", "<", "<=", ">", ">=", "<>"])
+        e = f"{_gen_cmp_operand(rng)} {op} {_gen_cmp_operand(rng)}"
+        exprs.append(e)
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "n", "r", "s"])
+        for i, n, r, s in rows:
+            w.writerow([i, "" if n is None else n, "" if r is None else r,
+                        "\x01null" if s is None else s])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        eng.execute("UPDATE t SET s = NULL WHERE id = 5")
+        eng.execute("UPDATE t SET s = ' 7 ' WHERE id = 6")
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            assert g == x, (seed, rows[rx], e, g, x)
