@@ -2405,6 +2405,165 @@ _BETWEEN_RX = re.compile(r"(?i)\b(not\s+)?between\b")
 _IN_RX = re.compile(r"(?i)\b(not\s+)?in\b")
 
 
+def _in_sub_first_item(sql, mask, low, a, b):
+    """Span text of a subquery's single select item ([a, b) starts just
+    after its SELECT keyword), or None (multi-column / unscannable)."""
+    i = _skip_ws(mask, a)
+    wm = _WORD_RX.match(mask, i)
+    if wm and low[wm.start():wm.end()] in ("distinct", "all"):
+        i = _skip_ws(mask, wm.end())
+    depth = 0
+    j = i
+    item_end = -1
+    while j < b:
+        c = mask[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            return None  # multi-column select list
+        elif depth == 0:
+            w = _WORD_RX.match(mask, j)
+            if w:
+                if low[w.start():w.end()] == "from":
+                    item_end = w.start()
+                    break
+                j = w.end()
+                continue
+        j += 1
+    if item_end == -1:
+        item_end = j  # SELECT <expr> with no FROM
+    item = sql[i:item_end].strip()
+    if not item:
+        return None
+    am = re.match(  # peel a trailing alias from a bare column item
+        r"(?is)^([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+        r"\s+(?:as\s+)?[A-Za-z_][A-Za-z0-9_]*$", item)
+    if am:
+        item = am.group(1)
+    return item
+
+
+def _in_subquery_affinity_edit(sql, mask, e, neg, p, close, coltypes):
+    """`x IN (SELECT y …)` under comparison affinity (r14): the affinity
+    pair (x, first select item) decides the conversion, exactly as for
+    a direct comparison (expr.c sqlite3CompareAffinity on TK_IN):
+
+    - NUMERIC: text-valued sides convert per row; junk text on the
+      subquery side is dropped (it can never equal a numeric), junk x
+      falls to FALSE — or NULL when the list holds a NULL.
+    - TEXT: the no-affinity numeric-valued side renders as SQLite text
+      and the IN becomes a string-set membership.
+    - no affinity on both sides, mixed value classes: numerics and text
+      never compare equal — FALSE, NULL-guarded.
+
+    NULL-presence note: Spark's IN-subquery yields FALSE where SQL
+    three-valued logic yields NULL (no match + NULL in list); in WHERE
+    context both drop the row, which is the exercised contract. Only
+    mixed-affinity sites are rewritten, so affinity-clean queries keep
+    Spark's native plan (a left-semi join)."""
+    low = sql.lower()
+    l_start = _cmp_walk_back(sql, mask, e)
+    if l_start is None:
+        return None
+    x = sql[l_start:e].strip()
+    if not x:
+        return None
+    affX, vclX = _cmp_classify(x, coltypes)
+    if "unk" in (affX, vclX) or vclX == "null":
+        return None
+    ia = _skip_ws(mask, p + 1)
+    wsel = _WORD_RX.match(mask, ia)
+    item = _in_sub_first_item(sql, mask, low, wsel.end(), close)
+    if item is None:
+        return None
+    affY, vclY = _cmp_classify(item, coltypes)
+    if "unk" in (affY, vclY) or vclY == "null":
+        return None
+    sub = sql[p + 1:close].strip()
+    NUM = ("int", "real")
+    if affX is not None and affY is not None:
+        if affX in NUM and affY in NUM:
+            return None  # both numeric: native semantics agree
+        if affX == "text" and affY == "text":
+            return None  # both TEXT: binary value compare — native
+        a_cmp = "numeric"
+    elif affX is not None:
+        a_cmp = "numeric" if affX in NUM else "text"
+    elif affY is not None:
+        a_cmp = "numeric" if affY in NUM else "text"
+    else:
+        a_cmp = "none"
+    x_textval = affX == "text" or (
+        affX is None and vclX in ("text", "strlit"))
+    y_textval = affY == "text" or (
+        affY is None and vclY in ("text", "strlit"))
+    if a_cmp == "numeric":
+        if not x_textval and not y_textval:
+            return None
+        sub_num = f"({sub})"
+        if y_textval:
+            sub_num = (
+                f"(SELECT CASE WHEN __c IS NULL THEN CAST(NULL AS DOUBLE) "
+                f"ELSE TRY_CAST(__c AS DOUBLE) END "
+                f"FROM ({sub}) AS __in_aff(__c) "
+                f"WHERE __c IS NULL OR TRY_CAST(__c AS DOUBLE) IS NOT NULL)"
+            )
+        if x_textval:
+            body = (
+                f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"WHEN TRY_CAST(({x}) AS DOUBLE) IS NOT NULL "
+                f"THEN TRY_CAST(({x}) AS DOUBLE) IN {sub_num} "
+                f"ELSE (SELECT CASE WHEN count(__c) = count(*) THEN false "
+                f"END FROM ({sub}) AS __in_nul(__c)) END)"
+            )
+        else:
+            body = f"(({x}) IN {sub_num})"
+    elif a_cmp == "text":
+        if x_textval and y_textval:
+            return None  # both text-valued: native string membership
+        if not x_textval:
+            cm0 = _div_mask(x)
+            t0 = _div_walk(x, cm0, 0, len(x), coltypes, [])
+            if t0 == "int":
+                rend = f"CAST(({x}) AS STRING)"
+            elif t0 == "real":
+                rend = f"filesql_double_text(TRY_CAST(({x}) AS DOUBLE))"
+            else:
+                return None
+            body = f"(({rend}) IN ({sub}))"
+        else:
+            cm0 = _div_mask(item)
+            t0 = _div_walk(item, cm0, 0, len(item), coltypes, [])
+            if t0 == "int":
+                rend = "CAST(__c AS STRING)"
+            elif t0 == "real":
+                rend = "filesql_double_text(TRY_CAST(__c AS DOUBLE))"
+            else:
+                return None
+            body = f"(({x}) IN (SELECT {rend} FROM ({sub}) AS __in_r(__c)))"
+    else:
+        if x_textval == y_textval:
+            return None  # same value class: native semantics agree
+        const = (
+            f"(SELECT CASE WHEN count(__c) = count(*) THEN false END "
+            f"FROM ({sub}) AS __in_c(__c))"
+        )
+        if vclX in ("numlit", "strlit"):
+            body = const
+        else:
+            body = (
+                f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE {const} END)"
+            )
+    if neg:
+        body = f"(NOT {body})"
+    return l_start, close + 1, body
+
+
 def _rewrite_range_affinity(sql: str, coltypes) -> str:
     """BETWEEN and literal IN-lists under comparison affinity (r13b —
     runs BEFORE _rewrite_compare_affinity so its sites land there):
@@ -2462,6 +2621,23 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         e = m.start()
         while e > 0 and mask[e - 1] in " \t\r\n":
             e -= 1
+        p = _skip_ws(mask, m.end())
+        if p >= len(sql) or mask[p] != "(":
+            continue
+        close = _div_find_close(mask, p, len(sql))
+        if close == -1:
+            continue
+        inner_a = _skip_ws(mask, p + 1)
+        wsel = _WORD_RX.match(mask, inner_a) if inner_a < close else None
+        if wsel and low[wsel.start():wsel.end()] == "select":
+            # IN (SELECT …): comparison affinity between x and the
+            # subquery's result column (r14, VERDICT r13 #5)
+            edit = _in_subquery_affinity_edit(
+                sql, mask, e, bool(m.group(1)), p, close, coltypes
+            )
+            if edit is not None:
+                edits.append(edit)
+            continue
         l_start = _rev_primary_start(sql, mask, e)
         if l_start is None:
             continue
@@ -2470,12 +2646,6 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
             continue
         xt = _div_walk(sql, mask, l_start, e, coltypes, [])
         if xt not in ("int", "real", "text"):
-            continue
-        p = _skip_ws(mask, m.end())
-        if p >= len(sql) or mask[p] != "(":
-            continue
-        close = _div_find_close(mask, p, len(sql))
-        if close == -1:
             continue
         items = []
         changed = False
@@ -2526,8 +2696,18 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         edits.append((l_start, close + 1, body))
     if not edits:
         return sql
-    # replacement edits never nest (each consumes one operator site and
-    # its primaries); apply right-to-left
+    # BETWEEN/literal-IN edits never nest, but an IN-subquery edit can
+    # CONTAIN a site inside its subquery body: the inner rewrite wins
+    # and the outer keeps native semantics (its body text would clobber
+    # the inner edit otherwise)
+    edits = [
+        (a, b, r) for i0, (a, b, r) in enumerate(edits)
+        if not any(
+            j != i0 and a2 >= a and b2 <= b and (a2, b2) != (a, b)
+            for j, (a2, b2, _r2) in enumerate(edits)
+        )
+    ]
+    # apply right-to-left
     for a, b, repl in sorted(edits, key=lambda t: t[0], reverse=True):
         sql = sql[:a] + repl + sql[b:]
     return sql

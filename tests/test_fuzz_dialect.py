@@ -2875,3 +2875,57 @@ def test_compound_comparison_affinity_matches_sqlite(spark, tmp_path, seed):
         for i, e in enumerate(exprs):
             g, x = _norm(grow[i]), _norm(xrow[i])
             assert g == x, (seed, rows[rx], e, g, x)
+
+
+def test_in_subquery_affinity_matches_sqlite(spark, tmp_path):
+    """`x IN (SELECT y …)` under comparison affinity (r14, VERDICT r13
+    #5): numeric x vs TEXT-column subquery converts y per row (junk
+    dropped — it can never equal a numeric); TEXT x vs numeric subquery
+    converts x per row (junk x → FALSE); TEXT-affinity vs no-affinity
+    numeric expression renders as SQLite text and string-compares; two
+    no-affinity sides of mixed value class never match."""
+    t1 = [(1, 7, 7.5, "7"), (2, 7, 7.0, "07"), (3, 10, 2.0, "7x"),
+          (4, 0, 0.5, "abc"), (5, 12, 8.25, "8.25")]
+    t2 = [(1, 7, "7"), (2, 8, "07"), (3, 9, "junk"), (4, 10, "8.25")]
+    queries = [
+        "SELECT id, n IN (SELECT y FROM t2) AS h FROM t1 ORDER BY id",
+        "SELECT id FROM t1 WHERE n IN (SELECT y FROM t2) ORDER BY id",
+        "SELECT id FROM t1 WHERE r IN (SELECT y FROM t2) ORDER BY id",
+        "SELECT id, s IN (SELECT m FROM t2) AS h FROM t1 ORDER BY id",
+        "SELECT id FROM t1 WHERE s IN (SELECT m FROM t2) ORDER BY id",
+        "SELECT id FROM t1 WHERE s NOT IN (SELECT m FROM t2) ORDER BY id",
+        "SELECT id, s IN (SELECT m + 0 FROM t2) AS h FROM t1 ORDER BY id",
+        "SELECT id, n + 0 IN (SELECT y FROM t2) AS h FROM t1 ORDER BY id",
+        "SELECT 7 IN (SELECT y FROM t2) AS h",
+        "SELECT 8.25 IN (SELECT y FROM t2) AS h",
+        "SELECT id, abs(n) IN (SELECT upper(y) FROM t2) AS h "
+        "FROM t1 ORDER BY id",
+        "SELECT id FROM t1 WHERE n IN (SELECT m FROM t2) ORDER BY id",
+        "SELECT id FROM t1 WHERE s IN (SELECT y FROM t2) ORDER BY id",
+        "SELECT id FROM t1 WHERE n NOT IN (SELECT y FROM t2) ORDER BY id",
+        "SELECT id, n IN (SELECT y FROM t2 WHERE m > 7) AS h "
+        "FROM t1 ORDER BY id",
+        "SELECT id, n IN (SELECT DISTINCT y FROM t2) AS h "
+        "FROM t1 ORDER BY id",
+        "SELECT id, n IN (SELECT y AS z FROM t2) AS h FROM t1 ORDER BY id",
+        "SELECT id, n IN (SELECT y FROM t2 WHERE m IN ('7', '8x', 8)) AS h "
+        "FROM t1 ORDER BY id",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t1 (id INTEGER, n INTEGER, r REAL, s TEXT)")
+    con.execute("CREATE TABLE t2 (id2 INTEGER, m INTEGER, y TEXT)")
+    con.executemany("INSERT INTO t1 VALUES (?,?,?,?)", t1)
+    con.executemany("INSERT INTO t2 VALUES (?,?,?)", t2)
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+    (tmp_path / "t1.csv").write_text(
+        "id,n,r,s\n" + "\n".join(",".join(map(str, r)) for r in t1) + "\n")
+    (tmp_path / "t2.csv").write_text(
+        "id2,m,y\n" + "\n".join(",".join(map(str, r)) for r in t2) + "\n")
+    eng = fs.open(str(tmp_path), spark=spark)
+    try:
+        for q, exp in zip(queries, expected):
+            got = [tuple(r) for r in eng.query(q).collect()]
+            assert got == [tuple(x) for x in exp], (q, got, exp)
+    finally:
+        eng.close()
