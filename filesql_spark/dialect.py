@@ -437,11 +437,71 @@ def _julianday(args: list[str]) -> str:
     return f"(unix_micros({x}) / 86400000000.0 + 2440587.5)"
 
 
+_SUM_CALL_RX = re.compile(r"(?is)^sum\s*\(")
+_SUM_COERCED_RX = re.compile(r"(?is)^cast\s*\(\s*\((.*)\)\s+as\s+real\s*\)$")
+
+
+def _sum_text_render(expr: str) -> str | None:
+    """SQLite types sum() INTEGER when EVERY non-NULL input is a clean
+    integer string (func.c sumStep keeps the integer accumulator only
+    for lossless conversions; any junk/partial/real-format input —
+    '5x', '', '5.0', '5e1' — flips the whole sum to REAL, pinned vs
+    sqlite3). Spark's schema is static, so the VALUE stays DOUBLE
+    (exact; COVERAGE.md r14 decision note) and the dispatch lands at
+    rendering sites: an aggregate condition over the same group picks
+    INTEGER digits vs %!.15g. Returns the dispatched rendering of
+    ``expr`` — a sum() call over a provably-TEXT argument, raw or
+    already coerced by _agg_numeric_coerce_call — or None."""
+    s = expr.strip()
+    m = _SUM_CALL_RX.match(s)
+    if not m or not s.endswith(")"):
+        return None
+    sm = _div_mask(s)
+    if _div_find_close(sm, m.end() - 1, len(s)) != len(s) - 1:
+        return None
+    args = _div_split_args(sm, m.end(), len(s) - 1)
+    if len(args) != 1:
+        return None
+    arg = s[args[0][0]:args[0][1]].strip()
+    cm = _SUM_COERCED_RX.match(arg)
+    x = cm.group(1).strip() if cm else arg
+    if _static_affinity(x) != "text":
+        return None
+    # FINAL-form Spark only (TRY_CAST/try_cast, no SQLite-spelled CAST
+    # except the skip-safe outer `AS STRING`): the emission may land
+    # either before or after the cast pass, and a nested SQLite CAST
+    # inside an outer call whose builder returns None is never visited
+    # (_rewrite_calls advances past the whole call)
+    int_rx = r"'^[ \\t\\r\\n]*[+-]?[0-9]+[ \\t\\r\\n]*$'"
+    real_rx = (
+        r"'^[ \\t\\r\\n]*([+-]?(?:[0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)"
+        r"(?:[eE][+-]?[0-9]+)?)'"
+    )
+    coerce = (
+        f"(CASE WHEN ({x}) IS NULL THEN TRY_CAST(NULL AS DOUBLE) "
+        f"ELSE nvl(try_cast(regexp_extract(({x}), {real_rx}, 1) "
+        f"AS DOUBLE), 0.0d) END)"
+    )
+    sum_d = f"sum({coerce})"
+    cond = (
+        f"count(CASE WHEN ({x}) IS NOT NULL AND "
+        f"NOT (({x}) RLIKE {int_rx}) THEN 1 END) = 0"
+    )
+    return (
+        f"(CASE WHEN {cond} "
+        f"THEN CAST(TRY_CAST({sum_d} AS BIGINT) AS STRING) "
+        f"ELSE filesql_double_text({sum_d}) END)"
+    )
+
+
 def _sqlite_text_of(expr: str) -> str:
     """``expr`` rendered to TEXT the way SQLite renders it: %!.15g via
     the double_to_text UDF when the affinity tracker proves the input
     REAL, Spark's CAST AS STRING otherwise (statically-untyped floats
     keep Java rendering — documented divergence, SURVEY §5)."""
+    d = _sum_text_render(expr)  # sum() over TEXT: per-group dispatch
+    if d is not None:
+        return d
     mask = _div_mask(expr)
     t = _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, [])
     if t == "real":
@@ -459,7 +519,10 @@ def _group_concat(args: list[str]) -> str:
     first = args[0]
     mask = _div_mask(first)
     t = _div_walk(first, mask, 0, len(first), _ACTIVE_COLUMN_TYPES, [])
-    if t == "real":
+    d = _sum_text_render(first)  # nested sum() over TEXT (rare)
+    if d is not None:
+        first = d
+    elif t == "real":
         first = f"filesql_double_text(TRY_CAST(({first}) AS DOUBLE))"
     elif t is None:
         d = _vd_render_text(first)  # value-dependent: runtime dispatch
@@ -1514,6 +1577,9 @@ def _cast_call(args: list[str]) -> str | None:
         # and bare (non-engine) sessions never see the UDF. Unknown-
         # affinity float inputs keep Java rendering — documented
         # divergence (SURVEY §5).
+        d = _sum_text_render(expr)  # sum() over TEXT: group dispatch
+        if d is not None:           # (pre-expansion: the recognizer
+            return d                # needs the CAST(… AS REAL) shape)
         mask = _div_mask(expr)
         t = _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, [])
         inner = _rewrite_calls(expr, "cast", _CALL_REWRITES["cast"])
@@ -3902,6 +3968,20 @@ def _dtext_wrap(edits: list, a: int, b: int) -> None:
     edits.append((b, b, ") AS DOUBLE))"))
 
 
+def _sum_text_edit(sql, mask, a, b, edits) -> None:
+    """The || pass's twin of the _sum_text_render hook: a sum() over a
+    TEXT argument types 'text' in the tracker (sum is passthru), so the
+    real/None wrap branches never see it — recognize it here and emit
+    one replacement edit with the per-group rendering dispatch."""
+    while b > a and mask[b - 1] in " \t\r\n":
+        b -= 1
+    if "(" not in sql[a:b]:
+        return  # plain text primary: the common case, skip the probe
+    r = _sum_text_render(sql[a:b])
+    if r is not None:
+        edits.append((a, b, r))
+
+
 def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
     if "||" not in sql:
         return sql
@@ -3930,6 +4010,8 @@ def _concat_walk(sql, mask, start, end, coltypes, edits) -> None:
                 _dtext_wrap(edits, last[0], last[1])
             elif last is not None and last_clean and last[2] is None:
                 _vd_dtext_edit(sql, mask, last[0], last[1], coltypes, edits)
+            elif last is not None and last_clean and last[2] == "text":
+                _sum_text_edit(sql, mask, last[0], last[1], edits)
             rf, re_, rt = _div_scan_primary(
                 sql, mask, pos + 2, end, coltypes, throwaway
             )
@@ -3942,6 +4024,8 @@ def _concat_walk(sql, mask, start, end, coltypes, edits) -> None:
                 _dtext_wrap(edits, rf, re_)
             elif rt is None and clean_right:
                 _vd_dtext_edit(sql, mask, rf, re_, coltypes, edits)
+            elif rt == "text" and clean_right:
+                _sum_text_edit(sql, mask, rf, re_, edits)
             # the chain's running result is TEXT — middles of a||b||c get
             # wrapped exactly once (as the right operand of their ||)
             last = None if rt == "kw" else (rf, re_, "text")

@@ -2929,3 +2929,52 @@ def test_in_subquery_affinity_matches_sqlite(spark, tmp_path):
             assert got == [tuple(x) for x in exp], (q, got, exp)
     finally:
         eng.close()
+
+
+def test_sum_text_integer_typing_renders_like_sqlite(spark, tmp_path):
+    """SQLite types sum() INTEGER when every non-NULL TEXT input is a
+    clean integer string; ANY junk/partial/real-format input ('5x', '',
+    '5.0', '5e1') flips the whole sum to REAL (func.c sumStep, pinned).
+    Spark's schema is static so the VALUE stays DOUBLE (exact —
+    COVERAGE.md r14 decision note); the dispatch lands at rendering
+    sites (CAST AS TEXT, ||) with a per-group aggregate condition."""
+    matrices = [
+        ("5", "6"), ("5", "6.5"), ("5x", "6"), ("5.0x", "6"),
+        ("abc", "6"), ("5e1", "2"), ("5", "-6"), ("+5", "05"),
+        (" 5 ", "6"),
+    ]
+    rows = [(gi, v) for gi, vals in enumerate(matrices) for v in vals]
+    queries = [
+        "SELECT g, CAST(sum(s) AS TEXT) AS r FROM t GROUP BY g ORDER BY g",
+        "SELECT g, sum(s) || '!' AS r FROM t GROUP BY g ORDER BY g",
+        "SELECT g, 'v=' || sum(s) AS r FROM t GROUP BY g ORDER BY g",
+        "SELECT CAST(sum(s) AS TEXT) AS r FROM t WHERE g = 0",
+        "SELECT CAST(sum(s) AS TEXT) AS r FROM t WHERE g = 99",  # empty
+        "SELECT g, avg(s) AS r FROM t GROUP BY g ORDER BY g",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (g INTEGER, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["g", "s"])
+        for g, s in rows:
+            w.writerow([g, s])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        for q, exp in zip(queries, expected):
+            got = [tuple(r) for r in eng.query(q).collect()]
+            for grow, xrow in zip(got, exp):
+                for gv, xv in zip(grow, xrow):
+                    g0, x0 = _norm(gv), _norm(xv)
+                    if isinstance(g0, float) or isinstance(x0, float):
+                        assert float(g0) == pytest.approx(float(x0)), (
+                            q, got, exp)
+                    else:
+                        assert g0 == x0, (q, got, exp)
+            assert len(got) == len(exp), (q, got, exp)
+    finally:
+        eng.close()
