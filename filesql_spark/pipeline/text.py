@@ -386,7 +386,11 @@ def rarity_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def dup_spans(
-    df: DataFrame, text_col: str = "text", n: int = 5, min_docs: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    bloom_n: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-substring spans — the span-level exact
     substring dedup of Lee et al. ("Deduplicating Training Data Makes
@@ -407,10 +411,15 @@ def dup_spans(
 
     At 100 TB the dup-gram set is still corpus-sized: the standard
     refinements are (a) broadcasting a Bloom filter of the dup hashes
-    (sketch.bloom_filter_table) so pass 3's join prunes map-side, and
-    (b) the suffix-array formulation when byte-level (not word-level)
-    spans are required — implemented as ``dup_spans_bytes`` below via
-    hash-prefix suffix grouping. Output: (doc_id, span_start,
+    so pass 3's join prunes map-side — WIRED (r14): pass ``bloom_n``
+    (expected dup-hash count, known at deployment scale) and the gram
+    stream is filtered through sketch.bloom_semi_join before the exact
+    join, so only candidate grams (matches + ~3% deterministic false
+    positives) pay the join shuffle; the dup set is persisted because
+    it feeds both the kilobyte Bloom build and the FP-discarding exact
+    join — and (b) the suffix-array formulation when byte-level (not
+    word-level) spans are required — implemented as ``dup_spans_bytes``
+    below via hash-prefix suffix grouping. Output: (doc_id, span_start,
     span_tokens), one row per maximal span, 0-based token offsets.
     """
     from pyspark.sql import Window
@@ -435,7 +444,15 @@ def dup_spans(
         .filter(F.col("nd") >= min_docs)
         .select("h")
     )
-    flagged = g.join(dup, "h")
+    if bloom_n is not None:
+        from filesql_spark.pipeline.sketch import bloom_semi_join
+
+        dup = dup.persist()  # feeds the Bloom build AND the exact join
+        flagged = bloom_semi_join(g, "h", dup, "h", n_keys=bloom_n).join(
+            dup, "h"
+        )
+    else:
+        flagged = g.join(dup, "h")
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = flagged.withColumn("grp", F.col("p") - F.row_number().over(w))
     return (
@@ -449,7 +466,11 @@ def dup_spans(
 
 
 def dup_spans_bytes(
-    df: DataFrame, text_col: str = "text", min_len: int = 40, min_docs: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 40,
+    min_docs: int = 2,
+    bloom_n: int | None = None,
 ) -> DataFrame:
     """Byte-level duplicated-substring spans — the suffix-array
     formulation of Lee et al.'s ExactSubstr dedup that ``dup_spans``
@@ -486,8 +507,11 @@ def dup_spans_bytes(
 
     Bounded prototype: exact on the documents fixture (differentially
     pytest-gated against a byte-level brute-force oracle); at 100 TB the
-    same Bloom map-side prune documented on ``dup_spans`` applies to
-    pass 3's join. Scaling measured empirically (r13, sf0.1 documents
+    same Bloom map-side prune as ``dup_spans`` applies to pass 3's join
+    — WIRED (r14): pass ``bloom_n`` and the suffix stream is pruned on
+    h1 through the broadcast Bloom before the exact (h1, h2) join (the
+    second hash stays in the exact join, which discards Bloom false
+    positives and h1 collisions alike). Scaling measured empirically (r13, sf0.1 documents
     replicated with per-replica vowel rotation so spans never merge
     across replicas, median of 3): e₅ = 0.12, e₂₀ = 0.33 — far under
     the 0.7 gate; the corpus-sized groupBy dominates and grows
@@ -517,7 +541,15 @@ def dup_spans_bytes(
         .filter(F.col("nd") >= min_docs)
         .select("h1", "h2")
     )
-    flagged = g.join(dup, ["h1", "h2"])
+    if bloom_n is not None:
+        from filesql_spark.pipeline.sketch import bloom_semi_join
+
+        dup = dup.persist()  # feeds the Bloom build AND the exact join
+        flagged = bloom_semi_join(
+            g, "h1", dup.select("h1"), "h1", n_keys=bloom_n
+        ).join(dup, ["h1", "h2"])
+    else:
+        flagged = g.join(dup, ["h1", "h2"])
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = flagged.withColumn("grp", F.col("p") - F.row_number().over(w))
     return (

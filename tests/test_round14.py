@@ -94,3 +94,72 @@ def test_auto_modifier_julian_boundary(spark, tmp_path):
         "SELECT id, datetime(v, 'auto') AS d FROM t ORDER BY id",
         rows, "CREATE TABLE t (id INTEGER, v REAL)", "id,v",
     )
+
+
+# ---------------------------------------------- r14 stretch: Bloom prune
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+def _exchange_keys(df):
+    import re as _re
+
+    return sorted(
+        m.group(1)
+        for m in _re.finditer(r"hashpartitioning\((\w+)", _formatted(df))
+    )
+
+
+def test_dup_spans_bloom_prune_same_results_and_mapside(spark):
+    """VERDICT r13 #8: pass 3's flagged-position join prunes through the
+    broadcast Bloom filter when ``bloom_n`` is given. Results must be
+    IDENTICAL (the exact join discards Bloom false positives), and the
+    prune must add NO data shuffle — the only new exchanges are the
+    kilobyte word-table builds of the Bloom itself."""
+    import random
+
+    from filesql_spark.pipeline.text import dup_spans, dup_spans_bytes
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rng = random.Random(7)
+    shared = " ".join(rng.choice(vocab) for _ in range(8))
+    docs = []
+    for i in range(10):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(6, 18))]
+        if i % 3 == 0:
+            pos = rng.randrange(0, len(words) + 1)
+            words[pos:pos] = shared.split()
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # plan assertions FIRST, on un-executed frames: after an action AQE
+    # finalizes the adaptive plan and the exchange shapes differ
+    import re as _re
+
+    plain = dup_spans(df, n=5)
+    bloomed = dup_spans(df, n=5, bloom_n=64)
+    plan = _formatted(bloomed)
+    assert "shiftleft" in plan
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+    extra = list(_exchange_keys(bloomed))
+    for k in _exchange_keys(plain):
+        extra.remove(k)
+    assert extra and all(k.startswith(("word", "__w")) for k in extra), extra
+
+    plain_b = dup_spans_bytes(df, min_len=20)
+    bloom_b = dup_spans_bytes(df, min_len=20, bloom_n=64)
+    extra_b = list(_exchange_keys(bloom_b))
+    for k in _exchange_keys(plain_b):
+        extra_b.remove(k)
+    assert extra_b and all(k.startswith(("word", "__w")) for k in extra_b)
+
+    rows = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    assert rows(plain) == rows(bloomed)
+    assert len(rows(plain)) > 0  # the planted span is found
+    assert rows(plain_b) == rows(bloom_b)
+    assert len(rows(plain_b)) > 0
