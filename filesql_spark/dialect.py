@@ -489,7 +489,7 @@ def _sum_text_render(expr: str) -> str | None:
     )
     return (
         f"(CASE WHEN {cond} "
-        f"THEN CAST(TRY_CAST({sum_d} AS BIGINT) AS STRING) "
+        f"THEN TRY_CAST(TRY_CAST({sum_d} AS BIGINT) AS STRING) "
         f"ELSE filesql_double_text({sum_d}) END)"
     )
 
@@ -2595,7 +2595,7 @@ def _in_subquery_affinity_edit(sql, mask, e, neg, p, close, coltypes):
             cm0 = _div_mask(x)
             t0 = _div_walk(x, cm0, 0, len(x), coltypes, [])
             if t0 == "int":
-                rend = f"CAST(({x}) AS STRING)"
+                rend = f"TRY_CAST(({x}) AS STRING)"  # see _cmp render
             elif t0 == "real":
                 rend = f"filesql_double_text(TRY_CAST(({x}) AS DOUBLE))"
             else:
@@ -2605,7 +2605,7 @@ def _in_subquery_affinity_edit(sql, mask, e, neg, p, close, coltypes):
             cm0 = _div_mask(item)
             t0 = _div_walk(item, cm0, 0, len(item), coltypes, [])
             if t0 == "int":
-                rend = "CAST(__c AS STRING)"
+                rend = "TRY_CAST(__c AS STRING)"
             elif t0 == "real":
                 rend = "filesql_double_text(TRY_CAST(__c AS DOUBLE))"
             else:
@@ -2779,12 +2779,44 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
     return sql
 
 
+def _rev_case_start(sql, mask, e):
+    """Start of the CASE expression whose END keyword ends at e
+    (exclusive), or None — the backward twin of _div_scan_case, for
+    the comparison pass's left-operand walk (r14)."""
+    low = sql.lower()
+    j = e - 1
+    while j >= 0 and (mask[j].isalnum() or mask[j] == "_"):
+        j -= 1
+    if low[j + 1:e] != "end":
+        return None
+    depth = 1
+    k = j
+    while k >= 0:
+        if mask[k].isalnum() or mask[k] == "_":
+            w_end = k + 1
+            while k >= 0 and (mask[k].isalnum() or mask[k] == "_"):
+                k -= 1
+            w = low[k + 1:w_end]
+            if w == "end":
+                depth += 1
+            elif w == "case":
+                depth -= 1
+                if depth == 0:
+                    return k + 1
+        else:
+            k -= 1
+    return None
+
+
 def _cmp_walk_back(sql, mask, e):
     """Start of the arithmetic operand chain ENDING at e (exclusive):
-    primary ((+|-|*|/|%) primary)* with unary +/- allowed. None when
-    unscannable or glued to a non-arithmetic operator (||, bitwise,
-    another comparison — out of scope, Spark semantics kept)."""
+    primary ((+|-|*|/|%) primary)* with unary +/- allowed; a primary
+    may be a whole CASE … END. None when unscannable or glued to a
+    non-arithmetic operator (||, bitwise, another comparison — out of
+    scope, Spark semantics kept)."""
     l_start = _rev_primary_start(sql, mask, e)
+    if l_start is None:
+        l_start = _rev_case_start(sql, mask, e)
     if l_start is None:
         return None
     while True:
@@ -2802,6 +2834,8 @@ def _cmp_walk_back(sql, mask, e):
                 mask[k2].isalnum() or mask[k2] in "_)\x00"
             ):
                 prev = _rev_primary_start(sql, mask, k2 + 1)
+                if prev is None:
+                    prev = _rev_case_start(sql, mask, k2 + 1)
                 if prev is not None:
                     l_start = prev  # binary: include the left primary
                     continue
@@ -3023,7 +3057,11 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             cm0 = _div_mask(o_text)
             t0 = _div_walk(o_text, cm0, 0, len(o_text), coltypes, [])
             if t0 == "int":
-                rend = f"CAST(({o_text}) AS STRING)"
+                # TRY_CAST, not CAST: the cast pass skips the whole
+                # interior of a CAST it declines, leaving any SQLite-
+                # spelled casts inside o_text (truthiness wraps, user
+                # CASTs) unexpanded; try_cast is not matched by it
+                rend = f"TRY_CAST(({o_text}) AS STRING)"
             elif t0 == "real":
                 rend = f"filesql_double_text(TRY_CAST(({o_text}) AS DOUBLE))"
             else:

@@ -2834,6 +2834,15 @@ def _gen_cmp_operand(rng: random.Random) -> str:
                            "CAST(s AS REAL)", "CAST(r AS INTEGER)"])
     if pick == 10:
         return f"n + {rng.randint(1, 5)} - {rng.randint(1, 5)}"
+    if pick == 11 and rng.random() < 0.7:
+        # CASE operands carry NO affinity (r14: both sides of the
+        # comparison walk through CASE … END)
+        return rng.choice([
+            "CASE WHEN n > 7 THEN 1 ELSE 2 END",
+            "CASE WHEN s THEN 7 ELSE 8 END",
+            "CASE n WHEN 7 THEN 10 ELSE 20 END",
+            "1 + CASE WHEN n > 7 THEN 1 ELSE 2 END",
+        ])
     return rng.choice(["NULL", "n", "s"])
 
 
@@ -2978,3 +2987,41 @@ def test_sum_text_integer_typing_renders_like_sqlite(spark, tmp_path):
             assert len(got) == len(exp), (q, got, exp)
     finally:
         eng.close()
+
+
+def test_case_operand_comparison_affinity_matches_sqlite(spark, tmp_path):
+    """CASE … END operands (either side, nested, arithmetic-glued) carry
+    NO affinity in SQLite — the TEXT column side wins and the rendered
+    CASE value string-compares (r14; left side walks back through the
+    END keyword via _rev_case_start)."""
+    rows = [(1, 7, "7", "abc"), (2, 8, "8", "12"), (3, 9, "07", ""),
+            (4, 7, "7x", "7")]
+    exprs = [
+        "s = CASE WHEN s2 THEN 7 ELSE 8 END",
+        "s = CASE WHEN 1 THEN 7 ELSE 8 END",
+        "s > CASE WHEN n > 7 THEN 1.5 ELSE 0.5 END",
+        "CASE WHEN s2 THEN 7 ELSE 8 END = s",
+        "CASE WHEN n > 7 THEN 1 ELSE 2 END < s",
+        "1 + CASE WHEN n > 7 THEN 1 ELSE 2 END = s",
+        "CASE n WHEN 7 THEN 10 ELSE 20 END = s",
+        "CASE WHEN CASE WHEN n > 7 THEN 1 ELSE 0 END THEN 5 ELSE 6 END = s",
+    ]
+    select = "SELECT id, " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, s TEXT, s2 TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n,s,s2\n" + "\n".join(
+            ",".join(map(str, r)) for r in rows) + "\n")
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(["id"] + exprs):
+            assert _norm(grow[i]) == _norm(xrow[i]), (rows[rx], e,
+                                                      grow[i], xrow[i])
