@@ -2906,6 +2906,23 @@ def _cmp_classify(span: str, coltypes):
     if not core:
         return "unk", "unk"
     cm = _div_mask(core)
+    sm = re.match(r"(?i)^select\b", core)
+    if sm:
+        # scalar subquery: affinity/value class of its first select item
+        # (expr.c sqlite3ExprAffinity TK_SELECT — pinned: (SELECT m)
+        # carries m's affinity, (SELECT max(m)) carries NONE)
+        item = _in_sub_first_item(core, cm, core.lower(), sm.end(),
+                                  len(core))
+        if item is None:
+            return "unk", "unk"
+        aff, vcl = _cmp_classify(item, coltypes)
+        # a literal item is still NULL-able through an empty result set:
+        # demote to the guarded value classes
+        if vcl == "numlit":
+            vcl = "num"
+        elif vcl == "strlit":
+            vcl = "text"
+        return aff, vcl
     t = _div_walk(core, cm, 0, len(core), coltypes, [])
     low = core.lower()
     if low == "null":
@@ -2954,6 +2971,28 @@ def _cmp_classify(span: str, coltypes):
     if t == "null":
         return None, "null"
     return "unk", "unk"
+
+
+def _cmp_num_type(span: str, coltypes):
+    """Static int/real type of a numeric-valued comparison operand, for
+    the TEXT-rendering branch — descends into a scalar subquery's first
+    select item (the span itself walks as unknown)."""
+    core = span.strip()
+    while core.startswith("("):
+        cm0 = _div_mask(core)
+        if _div_find_close(cm0, 0, len(core)) != len(core) - 1:
+            break
+        core = core[1:-1].strip()
+    sm = re.match(r"(?i)^select\b", core)
+    if sm:
+        cm0 = _div_mask(core)
+        item = _in_sub_first_item(core, cm0, core.lower(), sm.end(),
+                                  len(core))
+        if item is None:
+            return None
+        return _cmp_num_type(item, coltypes)
+    cm0 = _div_mask(core)
+    return _div_walk(core, cm0, 0, len(core), coltypes, [])
 
 
 def _cmp_match_site(sql, mask, opos, op, coltypes):
@@ -3054,8 +3093,7 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             # (r14 — the compound-operand residue, VERDICT r13 #4;
             # empirically arithmetic carries NO affinity in SQLite, so
             # the TEXT column side wins — not NUMERIC as assumed)
-            cm0 = _div_mask(o_text)
-            t0 = _div_walk(o_text, cm0, 0, len(o_text), coltypes, [])
+            t0 = _cmp_num_type(o_text, coltypes)
             if t0 == "int":
                 # TRY_CAST, not CAST: the cast pass skips the whole
                 # interior of a CAST it declines, leaving any SQLite-

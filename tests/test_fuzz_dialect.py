@@ -3025,3 +3025,49 @@ def test_case_operand_comparison_affinity_matches_sqlite(spark, tmp_path):
         for i, e in enumerate(["id"] + exprs):
             assert _norm(grow[i]) == _norm(xrow[i]), (rows[rx], e,
                                                       grow[i], xrow[i])
+
+
+def test_scalar_subquery_operand_affinity_matches_sqlite(spark, tmp_path):
+    """Scalar-subquery comparison operands (r14): `(SELECT m …)` carries
+    m's affinity (expr.c TK_SELECT — the first result column decides),
+    so a TEXT x converts per row against it; `(SELECT max(m) …)` and
+    `(SELECT m + 0 …)` carry NO affinity, so the TEXT column side wins
+    and the value renders as SQLite text."""
+    t1 = [(1, 7, "07"), (2, 8, "8"), (3, 2, "abc")]
+    t2 = [(1, 7, "07"), (2, 99, "zz")]  # 'zz' keeps y TEXT-inferred
+    queries = [
+        "SELECT id, s = (SELECT m FROM t2 WHERE id2 = 1) AS h "
+        "FROM t1 ORDER BY id",
+        "SELECT id, s = (SELECT max(m) FROM t2 WHERE id2 = 1) AS h "
+        "FROM t1 ORDER BY id",
+        "SELECT id, s = (SELECT m + 0 FROM t2 WHERE id2 = 1) AS h "
+        "FROM t1 ORDER BY id",
+        "SELECT id, n = (SELECT y FROM t2 WHERE id2 = 1) AS h "
+        "FROM t1 ORDER BY id",
+        "SELECT id, n + 0 = (SELECT y FROM t2 WHERE id2 = 1) AS h "
+        "FROM t1 ORDER BY id",
+        "SELECT id, (SELECT y FROM t2 WHERE id2 = 1) = n AS h "
+        "FROM t1 ORDER BY id",
+        "SELECT id, s = (SELECT m FROM t2 WHERE id2 = 99) AS h "
+        "FROM t1 ORDER BY id",  # empty result: NULL through the guard
+        "SELECT id FROM t1 WHERE s = (SELECT m FROM t2 WHERE id2 = 1) "
+        "ORDER BY id",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t1 (id INTEGER, n INTEGER, s TEXT)")
+    con.execute("CREATE TABLE t2 (id2 INTEGER, m INTEGER, y TEXT)")
+    con.executemany("INSERT INTO t1 VALUES (?,?,?)", t1)
+    con.executemany("INSERT INTO t2 VALUES (?,?,?)", t2)
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+    (tmp_path / "t1.csv").write_text(
+        "id,n,s\n" + "\n".join(",".join(map(str, r)) for r in t1) + "\n")
+    (tmp_path / "t2.csv").write_text(
+        "id2,m,y\n" + "\n".join(",".join(map(str, r)) for r in t2) + "\n")
+    eng = fs.open(str(tmp_path), spark=spark)
+    try:
+        for q, exp in zip(queries, expected):
+            got = [tuple(r) for r in eng.query(q).collect()]
+            assert got == [tuple(x) for x in exp], (q, got, exp)
+    finally:
+        eng.close()
