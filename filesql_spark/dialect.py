@@ -776,11 +776,20 @@ def _quote(args: list[str]) -> str:
         raise FilesqlError(f"quote() expects 1 arg, got {len(args)}")
     x = f"({args[0]})"
     s = f"CAST({x} AS STRING)"
+    num = s
+    if _static_affinity(args[0]) == "real":
+        # provably-REAL input renders like SQLite quote() (r14): %!.15g
+        # when it round-trips, else the 20-digit scientific form (the
+        # fallback truncates the exact binary expansion — first ~17
+        # significant digits match every SQLite printer; the tail
+        # varies across SQLite's own printer generations, documented).
+        # Statically-untyped floats keep Java rendering (SURVEY §5).
+        num = f"filesql_quote_double(TRY_CAST({x} AS DOUBLE))"
     quoted = f"concat('''', replace({s}, '''', ''''''), '''')"
     return (
         f"(CASE WHEN {x} IS NULL THEN 'NULL' "
         f"WHEN typeof{x} RLIKE '^(tinyint|smallint|int|bigint|float|double|decimal)' "
-        f"THEN {s} "
+        f"THEN {num} "
         f"WHEN typeof{x} = 'binary' THEN concat('X''', upper(hex{x}), '''') "
         f"ELSE {quoted} END)"
     )
@@ -2649,37 +2658,57 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         e = m.start()
         while e > 0 and mask[e - 1] in " \t\r\n":
             e -= 1
-        l_start = _rev_primary_start(sql, mask, e)
+        l_start = _cmp_walk_back(sql, mask, e)
         if l_start is None:
-            continue
+            continue  # also skips ROWS/RANGE BETWEEN window frames
         x = sql[l_start:e].strip()
-        if not _vd_simple_primary(x):
+        if not x:
             continue
-        xt = _div_walk(sql, mask, l_start, e, coltypes, [])
-        a0, a1, _at = _div_scan_primary(
-            sql, mask, m.end(), len(sql), coltypes, [])
+        xa, xv = _cmp_classify(x, coltypes)
+        if "unk" in (xa, xv) or xv == "null":
+            continue
+        fa = _cmp_walk_fwd(sql, mask, m.end(), coltypes)
+        if fa is None:
+            continue
+        a0, a1 = fa
         j = _skip_ws(mask, a1)
         wm = _WORD_RX.match(mask, j)
         if not wm or low[wm.start():wm.end()] != "and":
             continue
-        b0, b1, _bt = _div_scan_primary(
-            sql, mask, wm.end(), len(sql), coltypes, [])
-        a_txt, b_txt = sql[a0:a1].strip(), sql[b0:b1].strip()
-        if not (_vd_simple_primary(a_txt) and _vd_simple_primary(b_txt)):
+        fb = _cmp_walk_fwd(sql, mask, wm.end(), coltypes)
+        if fb is None:
             continue
+        b0, b1 = fb
+        a_txt, b_txt = sql[a0:a1].strip(), sql[b0:b1].strip()
+        aa, av = _cmp_classify(a_txt, coltypes)
+        ba, bv = _cmp_classify(b_txt, coltypes)
+        if "unk" in (aa, av, ba, bv):
+            continue
+        NUM = ("int", "real")
+
+        def _tx(aff, vcl):
+            return aff == "text" or (aff is None and vcl in
+                                     ("strlit", "text"))
+
+        def _nm(aff, vcl):
+            return aff in NUM or (aff is None and vcl in
+                                  ("num", "numlit"))
+
         mixed = (
-            xt in ("int", "real") and (a_txt.startswith("'")
-                                       or b_txt.startswith("'"))
+            _tx(xa, xv) and (_nm(aa, av) or _nm(ba, bv))
         ) or (
-            xt == "text" and any(
-                _NUM_LIT_RX.fullmatch(t.lstrip("+-")) for t in (a_txt, b_txt)
-            )
+            _nm(xa, xv) and (_tx(aa, av) or _tx(ba, bv))
         )
         if not mixed:
             continue
-        # operands are verified simple primaries: no extra parens, so
-        # the comparison-affinity pass can convert each site
-        body = f"({x} >= {a_txt} AND {x} <= {b_txt})"
+        # expand to the conjunction the comparison-affinity pass then
+        # converts site by site (expr.c evaluates BETWEEN exactly so);
+        # compounds get parens (the chain walk re-scans through them),
+        # simple primaries stay bare
+        wr = (lambda t: t if _vd_simple_primary(t) else f"({t})")
+        body = (
+            f"({wr(x)} >= {wr(a_txt)} AND {wr(x)} <= {wr(b_txt)})"
+        )
         if m.group(1):
             body = f"(NOT {body})"
         edits.append((l_start, b1, body))
@@ -3324,6 +3353,62 @@ def _rewrite_bare_minmax(sql: str) -> str:
 
 
 _LIMIT_WORD_RX = re.compile(r"(?i)\blimit\b")
+
+
+_RANK_FRAME_FNS = frozenset({
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile", "lag", "lead",
+})
+_OVER_PAREN_RX = re.compile(r"(?i)\bover\s*\(")
+
+
+def _strip_rank_frames(sql: str) -> str:
+    """SQLite IGNORES the frame clause on ranking/offset window
+    functions (window.c: row_number/rank/dense_rank/percent_rank/
+    cume_dist/ntile/lag/lead are frame-insensitive); Spark REJECTS any
+    explicit non-default frame on them. Strip ROWS/RANGE/GROUPS …
+    from their OVER specs so the form runs with SQLite semantics."""
+    if "over" not in sql.lower():
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    low = sql.lower()
+    edits: list[tuple[int, int, str]] = []
+    for m in _OVER_PAREN_RX.finditer(mask):
+        # the call this OVER belongs to: fn ( … ) immediately before
+        e = m.start()
+        while e > 0 and mask[e - 1] in " \t\r\n":
+            e -= 1
+        l_start = _rev_primary_start(sql, mask, e)
+        if l_start is None:
+            continue
+        wm = _WORD_RX.match(mask, l_start)
+        if not wm or low[wm.start():wm.end()] not in _RANK_FRAME_FNS:
+            continue
+        popen = m.end() - 1
+        close = _div_find_close(mask, popen, len(sql))
+        if close == -1:
+            continue
+        j = popen + 1
+        depth = 0
+        while j < close:
+            c = mask[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                w = _WORD_RX.match(mask, j)
+                if w:
+                    if low[w.start():w.end()] in ("rows", "range",
+                                                  "groups"):
+                        edits.append((w.start(), close, ""))
+                        break
+                    j = w.end()
+                    continue
+            j += 1
+    for a, b, repl in sorted(edits, key=lambda t: t[0], reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
 
 
 def _rewrite_limit_forms(sql: str) -> str:
@@ -5509,6 +5594,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
     affinities are tracked — still correct, just more conservative."""
     global _ACTIVE_COLUMN_TYPES
     _ACTIVE_COLUMN_TYPES = column_types
+    sql = _strip_rank_frames(sql)
     code = "".join(
         text if kind == "code" else " " * len(text)
         for kind, text in _split_tokens(sql)

