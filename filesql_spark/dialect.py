@@ -3002,6 +3002,147 @@ def _cmp_classify(span: str, coltypes):
     return "unk", "unk"
 
 
+_IS_WORD_RX = re.compile(r"(?i)\bis\b")
+_IS_SKIP_WORDS = frozenset({"null", "true", "false", "distinct"})
+
+
+def _rewrite_is_operator(sql: str, coltypes) -> str:
+    """SQLite `x IS y` / `x IS NOT y` with a general operand: null-safe
+    equality UNDER COMPARISON AFFINITY (expr.c treats IS exactly like =
+    plus NULL-equality; pinned: `s IS 7` matches '7', `n IS '7'`
+    matches 7). Spark only parses IS [NOT] NULL/TRUE/FALSE/DISTINCT
+    FROM, so the general form was a loud parse error before (r14).
+    Untouched: those Spark-native forms."""
+    if " is " not in sql.lower() and "\tis " not in sql.lower():
+        if not re.search(r"(?i)\bis\b", sql):
+            return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    low = sql.lower()
+    edits: list[tuple[int, int, str]] = []
+    for m in _IS_WORD_RX.finditer(mask):
+        j = _skip_ws(mask, m.end())
+        wm = _WORD_RX.match(mask, j)
+        neg = False
+        opd_start = j
+        if wm and low[wm.start():wm.end()] == "not":
+            neg = True
+            j2 = _skip_ws(mask, wm.end())
+            wm2 = _WORD_RX.match(mask, j2)
+            if wm2 and low[wm2.start():wm2.end()] in _IS_SKIP_WORDS:
+                continue  # IS NOT NULL / IS NOT DISTINCT FROM / booleans
+            opd_start = j2
+        elif wm and low[wm.start():wm.end()] in _IS_SKIP_WORDS:
+            continue  # IS NULL / IS DISTINCT FROM / IS TRUE/FALSE
+        fwd = _cmp_walk_fwd(sql, mask, opd_start, coltypes)
+        if fwd is None:
+            continue
+        r_first, r_end = fwd
+        e = m.start()
+        while e > 0 and mask[e - 1] in " \t\r\n":
+            e -= 1
+        l_start = _cmp_walk_back(sql, mask, e)
+        if l_start is None:
+            continue
+        x = sql[l_start:e].strip()
+        r = sql[r_first:r_end].strip()
+        if not x or not r:
+            continue
+        body = _is_body(x, r, coltypes)
+        if neg:
+            body = f"(NOT {body})"
+        edits.append((l_start, r_end, body))
+    # IS sites never nest inside each other's operand spans (the walks
+    # stop at comparison glue), but an operand may be a subquery holding
+    # another site: inner wins, as in the range pass
+    edits = [
+        (a, b, r0) for i0, (a, b, r0) in enumerate(edits)
+        if not any(
+            j0 != i0 and a2 >= a and b2 <= b and (a2, b2) != (a, b)
+            for j0, (a2, b2, _r2) in enumerate(edits)
+        )
+    ]
+    for a, b, repl in sorted(edits, key=lambda t: t[0], reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
+def _is_body(x: str, r: str, coltypes) -> str:
+    """Null-safe-equality body for `x IS r` under comparison affinity."""
+    affL, vclL = _cmp_classify(x, coltypes)
+    affR, vclR = _cmp_classify(r, coltypes)
+    base = f"(({x}) <=> ({r}))"
+    if "unk" in (affL, affR, vclL, vclR) or "null" in (vclL, vclR):
+        return base
+    NUM = ("int", "real")
+
+    def _ns_rowwise(num, txt):
+        d = f"TRY_CAST(({txt}) AS DOUBLE)"
+        return (
+            f"(CASE WHEN ({num}) IS NULL OR ({txt}) IS NULL "
+            f"THEN (({num}) IS NULL AND ({txt}) IS NULL) "
+            f"WHEN {d} IS NOT NULL THEN ({num}) = {d} "
+            f"ELSE false END)"
+        )
+
+    if affL is not None and affR is not None:
+        if affL in NUM and affR == "text":
+            return _ns_rowwise(x, r)
+        if affL == "text" and affR in NUM:
+            return _ns_rowwise(r, x)
+        return base
+    if (affL is None) != (affR is None):
+        x_is_left = affR is None
+        xa = affL if x_is_left else affR
+        x_text = x if x_is_left else r
+        o_text = r if x_is_left else x
+        ov = vclR if x_is_left else vclL
+        if xa in NUM:
+            if ov == "strlit":
+                if _div_str_lit_type(_literal_content(o_text)) in NUM:
+                    bare = _literal_content(o_text).strip()
+                    return f"(({x_text}) <=> ({bare}))"
+                return "(false)"  # junk literal never IS a numeric
+            if ov == "text":
+                return _ns_rowwise(x_text, o_text)
+            return base
+        if ov == "numlit":
+            body = o_text.lstrip("+- \t")
+            neg0 = o_text.count("-") % 2 == 1
+            if _div_lit_type(body) == "real" or body[-1:] in "dDfF":
+                v = float(body.rstrip("dDfF"))
+                lit = _sqlite_double_text_static(-v if neg0 else v)
+            else:
+                lit = ("-" if neg0 else "") + body
+            lit_sql = "'" + lit.replace("'", "''") + "'"
+            return f"(({x_text}) <=> {lit_sql})"
+        if ov == "num":
+            t0 = _cmp_num_type(o_text, coltypes)
+            if t0 == "int":
+                rend = f"TRY_CAST(({o_text}) AS STRING)"
+            elif t0 == "real":
+                rend = f"filesql_double_text(TRY_CAST(({o_text}) AS DOUBLE))"
+            else:
+                return base
+            return f"(({x_text}) <=> ({rend}))"
+        return base
+    num_l = vclL in ("num", "numlit")
+    txt_r = vclR in ("strlit", "text")
+    num_r = vclR in ("num", "numlit")
+    txt_l = vclL in ("strlit", "text")
+    if (num_l and txt_r) or (txt_l and num_r):
+        guards = [
+            f"({t0}) IS NULL"
+            for t0, vc in ((x, vclL), (r, vclR))
+            if vc in ("num", "text")
+        ]
+        if not guards:
+            return "(false)"  # literal vs literal of mixed classes
+        if len(guards) == 2:
+            return f"({guards[0]} AND {guards[1]})"
+        return "(false)"  # one side a literal: never both NULL
+    return base
+
+
 def _cmp_num_type(span: str, coltypes):
     """Static int/real type of a numeric-valued comparison operand, for
     the TEXT-rendering branch — descends into a scalar subquery's first
@@ -5629,6 +5770,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
     if (column_types and "text" in column_types.values()) or "'" in sql:
         sql = _rewrite_range_affinity(sql, column_types)
     sql = _rewrite_compare_affinity(sql, column_types)
+    sql = _rewrite_is_operator(sql, column_types)
     sql = _rewrite_filter_over(sql)
     sql = _rewrite_concat_real(sql, column_types)
     sql = _rewrite_value_dependent_div(sql, column_types)

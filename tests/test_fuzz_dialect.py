@@ -3140,3 +3140,47 @@ def test_between_compound_operands_match_sqlite(spark, tmp_path):
             assert got == [tuple(x) for x in exp], (q, got, exp)
     finally:
         eng.close()
+
+
+def test_is_operator_affinity_matches_sqlite(spark, tmp_path):
+    """`x IS y` / `x IS NOT y` with a general operand (r14): null-safe
+    equality under comparison affinity, exactly like `=` plus
+    NULL-equality (pinned: `s IS 7` matches '7', `n IS '7'` matches 7,
+    junk literal IS numeric column is constant false). Spark only
+    parses IS [NOT] NULL/TRUE/FALSE/DISTINCT FROM natively."""
+    rows = [(1, 7, "7"), (2, 2, "abc"), (3, 8, "07"), (4, 0, "0")]
+    queries = [
+        "SELECT id, s IS 7 AS a FROM t ORDER BY id",
+        "SELECT id, s IS NOT 7 AS a FROM t ORDER BY id",
+        "SELECT id, n IS '7' AS a FROM t ORDER BY id",
+        "SELECT id, s IS n AS a FROM t ORDER BY id",
+        "SELECT id, n IS s AS a FROM t ORDER BY id",
+        "SELECT id, n IS 7 AS a FROM t ORDER BY id",
+        "SELECT id, s IS '7' AS a FROM t ORDER BY id",
+        "SELECT id, n IS NULL AS a FROM t ORDER BY id",
+        "SELECT id, n IS NOT NULL AS a FROM t ORDER BY id",
+        "SELECT id, n + 1 IS s AS a FROM t ORDER BY id",
+        "SELECT id, n IS 'xyz' AS a FROM t ORDER BY id",
+        "SELECT id FROM t WHERE s IS 7 ORDER BY id",
+        "SELECT id FROM t WHERE s IS NOT 7 ORDER BY id",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    con.execute("INSERT INTO t VALUES (5, NULL, NULL)")
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "n", "s"])
+        for r in rows:
+            w.writerow(r)
+        w.writerow([5, "", ""])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        for q, exp in zip(queries, expected):
+            got = [tuple(r) for r in eng.query(q).collect()]
+            assert got == [tuple(x) for x in exp], (q, got, exp)
+    finally:
+        eng.close()
