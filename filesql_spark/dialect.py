@@ -774,6 +774,22 @@ def _quote(args: list[str]) -> str:
     quotes — same behavior)."""
     if len(args) != 1:
         raise FilesqlError(f"quote() expects 1 arg, got {len(args)}")
+    core = args[0].strip()
+    stripped = re.sub(r"^[+\-\s]+", "", core)
+    if stripped and _NUM_LIT_RX.fullmatch(stripped):
+        # numeric literal: constant-fold the rendering at rewrite time
+        # (exact, and bare sessions never need the rendering UDF)
+        from filesql_spark.json1 import quote_double
+
+        neg = core[:len(core) - len(stripped)].count("-") % 2 == 1
+        if stripped[:2].lower() == "0x":
+            text = str(-int(stripped, 16) if neg else int(stripped, 16))
+        elif _div_lit_type(stripped) == "real" or stripped[-1:] in "dDfF":
+            v = float(stripped.rstrip("dDfF"))
+            text = quote_double(-v if neg else v)
+        else:
+            text = str(-int(stripped) if neg else int(stripped))
+        return "'" + text.replace("'", "''") + "'"
     x = f"({args[0]})"
     s = f"CAST({x} AS STRING)"
     num = s
@@ -2766,7 +2782,7 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
             else:  # TEXT x: numeric items render as SQLite text
                 if not t.startswith("'") and it in ("int", "real"):
                     body = t.lstrip("+-")
-                    neg = t.count("-") % 2 == 1
+                    neg = t[:len(t) - len(body)].count("-") % 2 == 1
                     if _div_lit_type(body) == "real" or body[-1:] in "dDfF":
                         v = float(body.rstrip("dDfF"))
                         lit = _sqlite_double_text_static(-v if neg else v)
@@ -2855,6 +2871,21 @@ def _cmp_walk_back(sql, mask, e):
         if k < 0:
             break
         c = mask[k]
+        if c == "|" and k > 0 and mask[k - 1] == "|":
+            # || chain: the concat result is a TEXT value with NO
+            # affinity — include the left primary and walk on (r14)
+            k2 = k - 2
+            while k2 >= 0 and mask[k2] in " \t\r\n":
+                k2 -= 1
+            if k2 < 0:
+                return None
+            prev = _rev_primary_start(sql, mask, k2 + 1)
+            if prev is None:
+                prev = _rev_case_start(sql, mask, k2 + 1)
+            if prev is None:
+                return None
+            l_start = prev
+            continue
         if c in "+-*/%":
             k2 = k - 1
             while k2 >= 0 and mask[k2] in " \t\r\n":
@@ -2892,6 +2923,15 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes):
         j = r_end
         while j < len(sql) and mask[j] in " \t\r\n":
             j += 1
+        if j + 1 < len(sql) and mask[j] == "|" and mask[j + 1] == "|":
+            # || chain: concat result is a TEXT value, NO affinity
+            nf, ne, nt = _div_scan_primary(
+                sql, mask, j + 2, len(sql), coltypes, []
+            )
+            if nt == "kw" or ne <= j + 2:
+                return None
+            r_end = ne
+            continue
         if j < len(sql) and mask[j] in "+-*/%":
             nf, ne, nt = _div_scan_primary(
                 sql, mask, j + 1, len(sql), coltypes, []
@@ -2901,7 +2941,7 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes):
             r_end = ne
             continue
         if j < len(sql) and (mask[j] in "|&" or mask[j] == "~"):
-            return None  # ||/bitwise-glued: out of scope
+            return None  # single-pipe/bitwise-glued: out of scope
         break
     return r_first, r_end
 
@@ -2991,6 +3031,14 @@ def _cmp_classify(span: str, coltypes):
         and _div_find_close(cm, wm.end() - 1, len(core)) == len(core) - 1
     ):
         return None, "text"  # text-RESULT function, no affinity
+    depth = 0
+    for i0 in range(len(cm) - 1):
+        if cm[i0] == "(":
+            depth += 1
+        elif cm[i0] == ")":
+            depth -= 1
+        elif depth == 0 and cm[i0] == "|" and cm[i0 + 1] == "|":
+            return None, "text"  # || chain: TEXT value, no affinity
     # arithmetic chain / function call / unary sign: affinity NONE,
     # value class from the static type tracker
     if t in ("int", "real"):
@@ -3107,7 +3155,7 @@ def _is_body(x: str, r: str, coltypes) -> str:
             return base
         if ov == "numlit":
             body = o_text.lstrip("+- \t")
-            neg0 = o_text.count("-") % 2 == 1
+            neg0 = o_text[:len(o_text) - len(body)].count("-") % 2 == 1
             if _div_lit_type(body) == "real" or body[-1:] in "dDfF":
                 v = float(body.rstrip("dDfF"))
                 lit = _sqlite_double_text_static(-v if neg0 else v)
@@ -3247,7 +3295,7 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
         if ov == "numlit":
             # STRING comparison against SQLite's static rendering
             body = o_text.lstrip("+- \t")
-            neg = o_text.count("-") % 2 == 1
+            neg = o_text[:len(o_text) - len(body)].count("-") % 2 == 1
             if _div_lit_type(body) == "real" or body[-1:] in "dDfF":
                 v = float(body.rstrip("dDfF"))
                 lit = _sqlite_double_text_static(-v if neg else v)

@@ -3184,3 +3184,35 @@ def test_is_operator_affinity_matches_sqlite(spark, tmp_path):
             assert got == [tuple(x) for x in exp], (q, got, exp)
     finally:
         eng.close()
+
+
+def test_concat_operand_comparison_affinity_matches_sqlite(spark, tmp_path):
+    """`||` chains as comparison operands (r14): the concat result is a
+    TEXT value with NO affinity, so vs a numeric column it converts per
+    row (s1 || s2 = n matches when the glued digits equal n), vs a
+    numeric literal it is a type-order constant, and IS follows the
+    same rules null-safely."""
+    rows = [(1, 78, "7", "8"), (2, 2, "a", "bc"), (3, 0, "0", "x")]
+    queries = [
+        "SELECT id, s || s2 = n AS a FROM t ORDER BY id",
+        "SELECT id, n = s || s2 AS a FROM t ORDER BY id",
+        "SELECT id, s || s2 = '78' AS a FROM t ORDER BY id",
+        "SELECT id, s || '' = 7 AS a FROM t ORDER BY id",
+        "SELECT id, s || s2 IS n AS a FROM t ORDER BY id",
+        "SELECT id FROM t WHERE s || s2 = n ORDER BY id",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, s TEXT, s2 TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,n,s,s2\n" + "\n".join(
+            ",".join(map(str, r)) for r in rows) + "\n")
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        for q, exp in zip(queries, expected):
+            got = [tuple(r) for r in eng.query(q).collect()]
+            assert got == [tuple(x) for x in exp], (q, got, exp)
+    finally:
+        eng.close()
