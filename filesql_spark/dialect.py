@@ -1619,7 +1619,14 @@ def _cast_call(args: list[str]) -> str | None:
     if "INT" in typ:
         to = "BIGINT"
         rx = r"'^[ \\t\\r\\n]*([+-]?[0-9]+)'"
-    elif any(t in typ for t in ("REAL", "FLOA", "DOUB")):
+    elif any(t in typ for t in ("REAL", "FLOA", "DOUB")) or \
+            typ.split("(")[0].strip() == "NUMERIC":
+        # bare NUMERIC target = SQLite numeric affinity: text prefix-
+        # parses exactly like REAL (value-exact; SQLite types integral
+        # results INTEGER — static-schema divergence, same class as
+        # sum()'s decision note). DECIMAL/BOOLEAN etc. stay untouched:
+        # internal emissions rely on Spark-native DECIMAL(p, s) and
+        # CAST(NULL AS BOOLEAN) typing (r14).
         to = "DOUBLE"
         rx = (
             r"'^[ \\t\\r\\n]*([+-]?(?:[0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)"
@@ -2942,6 +2949,9 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes):
             continue
         if j < len(sql) and (mask[j] in "|&" or mask[j] == "~"):
             return None  # single-pipe/bitwise-glued: out of scope
+        wmc = _WORD_RX.match(mask, j) if j < len(sql) else None
+        if wmc and sql[wmc.start():wmc.end()].lower() == "collate":
+            return None  # explicit collation: keep the native compare
         break
     return r_first, r_end
 

@@ -3216,3 +3216,28 @@ def test_concat_operand_comparison_affinity_matches_sqlite(spark, tmp_path):
             assert got == [tuple(x) for x in exp], (q, got, exp)
     finally:
         eng.close()
+
+
+def test_cast_numeric_affinity_matches_sqlite(spark, tmp_path):
+    """CAST(x AS NUMERIC) (r14): SQLite numeric affinity — text prefix-
+    parses exactly like REAL ('abc' → 0, '1e2' → 100, '7.5x' → 7.5;
+    was an ANSI decimal crash). Values exact; SQLite types integral
+    results INTEGER where the static schema stays DOUBLE (documented,
+    same class as sum()'s decision note)."""
+    rows = [(1, "7.5"), (2, "7.0"), (3, "abc"), (4, "1e2"),
+            (5, "7.5x"), (6, ".5"), (7, "42")]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    q = "SELECT id, CAST(s AS NUMERIC) AS v FROM t ORDER BY id"
+    expected = con.execute(q).fetchall()
+    con.close()
+    (tmp_path / "t.csv").write_text(
+        "id,s\n" + "\n".join(f"{i},{s}" for i, s in rows) + "\n")
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = [tuple(r) for r in eng.query(q).collect()]
+    finally:
+        eng.close()
+    assert [(i, float(v)) for i, v in got] == \
+        [(i, float(v)) for i, v in expected]
