@@ -2857,7 +2857,8 @@ def test_compound_comparison_affinity_matches_sqlite(spark, tmp_path, seed):
             (7, 8, 8.25, "8.25"), (8, 100, 1e2, "1e2")]
     exprs = []
     while len(exprs) < 45:
-        op = rng.choice(["=", "!=", "<", "<=", ">", ">=", "<>"])
+        op = rng.choice(["=", "!=", "<", "<=", ">", ">=", "<>",
+                         "IS", "IS NOT"])
         e = f"{_gen_cmp_operand(rng)} {op} {_gen_cmp_operand(rng)}"
         exprs.append(e)
     select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
