@@ -559,6 +559,26 @@ def _scalar_minmax(fn: str):
             # Spark's least/greatest skip NULLs. Guard explicitly (args
             # re-evaluate in the guard — scalar expressions, acceptable).
             guard = " OR ".join(f"({a}) IS NULL" for a in args)
+            # SQLite compares by STORAGE CLASS: every numeric sorts
+            # below every text (sqlite3MemCompare), so with statically
+            # mixed arg classes the winner set is known — min picks
+            # among the numerics, max among the texts (r14; closes the
+            # TEXT-args residue for the engine's single-typed columns).
+            cls = []
+            for a in args:
+                aff, vcl = _cmp_classify(a, _ACTIVE_COLUMN_TYPES)
+                if vcl in ("num", "numlit"):
+                    cls.append("n")
+                elif vcl in ("strlit", "text"):
+                    cls.append("t")
+                else:
+                    cls.append("?")
+            if "?" not in cls and "n" in cls and "t" in cls:
+                want = "n" if fn == "least" else "t"
+                pick = [a for a, c in zip(args, cls) if c == want]
+                body = pick[0] if len(pick) == 1 else \
+                    f"{fn}({', '.join(pick)})"
+                return f"(CASE WHEN {guard} THEN NULL ELSE {body} END)"
             return (
                 f"(CASE WHEN {guard} THEN NULL "
                 f"ELSE {fn}({', '.join(args)}) END)"

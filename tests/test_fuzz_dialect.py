@@ -3242,3 +3242,51 @@ def test_cast_numeric_affinity_matches_sqlite(spark, tmp_path):
         eng.close()
     assert [(i, float(v)) for i, v in got] == \
         [(i, float(v)) for i, v in expected]
+
+
+def test_scalar_minmax_mixed_classes_match_sqlite(spark, tmp_path):
+    """Scalar min()/max() over statically-MIXED numeric/text args (r14):
+    SQLite compares by storage class — every numeric sorts below every
+    text — so min picks among the numeric args and max among the text
+    args; NULL anywhere still yields NULL. Closes the TEXT-args residue
+    for the engine's single-typed columns."""
+    rows = [(1, 7, 1.5, "abc"), (2, 2, 9.5, "1"), (3, 9, 0.5, "zz")]
+    queries = [
+        "SELECT id, min(n, s) AS a, max(n, s) AS b FROM t ORDER BY id",
+        "SELECT id, min(n, r, s) AS a, max(n, r, s) AS b "
+        "FROM t ORDER BY id",
+        "SELECT id, min(s, 'm') AS a, max(s, 'm') AS b FROM t ORDER BY id",
+        "SELECT id, min(n, r) AS a, max(n, r) AS b FROM t ORDER BY id",
+        "SELECT id, min(s, 5) AS a FROM t ORDER BY id",
+        "SELECT id, max('5', n) AS a FROM t ORDER BY id",
+        "SELECT id, min(n+1, s) AS a FROM t ORDER BY id",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    con.execute("INSERT INTO t VALUES (4, NULL, 1.0, 'x')")
+    expected = [con.execute(q).fetchall() for q in queries]
+    con.close()
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "n", "r", "s"])
+        for r in rows:
+            w.writerow(r)
+        w.writerow([4, "", 1.0, "x"])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+
+    def nm(rws):
+        return [
+            tuple(
+                float(v) if isinstance(v, (int, float))
+                and not isinstance(v, bool) else v for v in r0
+            )
+            for r0 in rws
+        ]
+    try:
+        for q, exp in zip(queries, expected):
+            got = [tuple(r) for r in eng.query(q).collect()]
+            assert nm(got) == nm(exp), (q, got, exp)
+    finally:
+        eng.close()
