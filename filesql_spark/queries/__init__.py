@@ -124,15 +124,15 @@ def register(name: str, oracle: str | None):
 # regenerated each round from CORRECTNESS_r0*.json (see tools note in
 # tests/test_entry_queries.py). Entries absent here have never been graded.
 _LAST_DRIVER_ROUND: dict[str, int] = {
-    "agg_conditional_case": 9,
-    "agg_count_distinct": 10,
+    "agg_conditional_case": 14,
+    "agg_count_distinct": 14,
     "agg_cube": 10,
     "agg_filter_clause": 12,
-    "agg_group_concat": 9,
+    "agg_group_concat": 14,
     "agg_grouping_sets": 10,
-    "agg_having": 10,
+    "agg_having": 14,
     "agg_median": 10,
-    "agg_rollup": 10,
+    "agg_rollup": 14,
     "agg_salted_two_phase": 13,
     "ann_bruteforce_topk": 13,
     "ann_ivf_build": 13,
@@ -141,35 +141,35 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "ann_pq_build": 12,
     "ann_pq_topk": 12,
     "ann_recall_report": 13,
-    "asof_join_latest_order": 10,
+    "asof_join_latest_order": 14,
     "asof_join_tolerance": 12,
     "cdc_merge_apply": 11,
-    "coalesce_cast": 10,
+    "coalesce_cast": 14,
     "corpus_datacard": 11,
-    "cte_vs_company_avg": 10,
+    "cte_vs_company_avg": 14,
     "customers_rfm_segments": 11,
     "customers_rfm_sketch": 11,
-    "date_functions": 10,
-    "date_hour_histogram": 10,
+    "date_functions": 14,
+    "date_hour_histogram": 14,
     "date_julianday_span": 10,
     "dedup_cluster_representatives": 12,
     "dedup_connected_components": 13,
-    "dedup_containment": 9,
+    "dedup_containment": 14,
     "dedup_embedding_cosine": 13,
-    "dedup_exact": 10,
-    "dedup_family_size_distribution": 9,
+    "dedup_exact": 14,
+    "dedup_family_size_distribution": 14,
     "dedup_incremental": 11,
     "dedup_lsh_tuning_report": 13,
     "dedup_minhash_lsh": 13,
-    "dedup_ngram_jaccard": 10,
+    "dedup_ngram_jaccard": 14,
     "dedup_simhash": 13,
     "dedup_threshold_sweep": 13,
     "derived_table": 11,
     "docs_cross_source_dups": 13,
     "docs_lang_confusion": 13,
     "docs_ngram_novelty": 13,
-    "docs_pii_density_by_source": 9,
-    "docs_quality_gate_sweep": 9,
+    "docs_pii_density_by_source": 14,
+    "docs_quality_gate_sweep": 14,
     "docs_source_reputation": 12,
     "docs_tokenizer_fertility": 13,
     "embedding_kmeans": 11,
@@ -177,7 +177,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "embedding_label_centroids": 13,
     "embedding_norm_stats": 13,
     "embedding_outliers": 12,
-    "embedding_pair_distance_histogram": 9,
+    "embedding_pair_distance_histogram": 14,
     "embedding_quantize_int8": 11,
     "embedding_random_projection": 11,
     "embedding_standardize": 12,
@@ -188,55 +188,55 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_conversion_latency": 12,
     "events_cumulative_distinct": 12,
     "events_decayed_engagement": 12,
-    "events_error_rate_monitor": 9,
+    "events_error_rate_monitor": 14,
     "events_forecast_seasonal": 12,
-    "events_funnel": 10,
+    "events_funnel": 14,
     "events_gap_fill": 11,
     "events_hazard_curve": 13,
     "events_ltv_cohort": 12,
     "events_markov_transitions": 11,
-    "events_retention_cohorts": 10,
+    "events_retention_cohorts": 14,
     "events_robust_stats": 11,
     "events_session_funnel": 12,
-    "events_sessionize": 10,
+    "events_sessionize": 14,
     "events_skew_report": 12,
-    "events_sliding_window": 10,
+    "events_sliding_window": 14,
     "events_stickiness_dau_wau": 13,
     "events_top_paths": 12,
-    "events_tumbling_window": 10,
+    "events_tumbling_window": 14,
     "events_user_streaks": 12,
     "events_window_topk": 12,
     "features_user_wide": 12,
     "filter_like_ci": 11,
-    "filter_predicates": 9,
+    "filter_predicates": 14,
     "graph_pagerank_events": 12,
     "graph_triangle_census": 13,
     "in_subquery": 10,
     "interval_join_banded": 11,
     "join_bloom_semireduction": 11,
-    "join_cross": 10,
+    "join_cross": 14,
     "join_full_outer": 10,
-    "join_left_anti": 10,
-    "join_left_outer": 9,
+    "join_left_anti": 14,
+    "join_left_outer": 14,
     "join_left_semi": 10,
-    "join_multiway_inner": 10,
-    "join_right_outer": 10,
+    "join_multiway_inner": 14,
+    "join_right_outer": 14,
     "join_salted_skew": 13,
     "join_theta_selfjoin": 11,
-    "json_extract": 10,
+    "json_extract": 14,
     "layout_zorder_stats": 11,
-    "limit_offset": 10,
+    "limit_offset": 14,
     "lineitem_discount_regression": 12,
     "lineitem_pareto_share": 12,
-    "math_functions": 10,
+    "math_functions": 14,
     "multimodal_decode": 13,
     "multimodal_extract_features": 11,
-    "multimodal_frame_dedup": 9,
+    "multimodal_frame_dedup": 14,
     "multimodal_frame_sample": 13,
     "multimodal_resize": 11,
     "orders_association_rules": 12,
     "orders_cooccur_parts": 12,
-    "orders_fulfillment_latency": 9,
+    "orders_fulfillment_latency": 14,
     "orders_open_interval_count": 12,
     "orders_seasonality_index": 12,
     "part_supplier_concentration": 12,
@@ -266,23 +266,23 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "q14_promo_revenue": 11,
     "q18_large_orders": 12,
     "q1_pricing_summary": 13,
-    "q3_shipping_priority": 10,
-    "q5_local_supplier": 10,
+    "q3_shipping_priority": 14,
+    "q5_local_supplier": 14,
     "q6_forecast_revenue": 11,
     "q7_nation_volume": 12,
     "q8_market_share": 12,
     "quality_expectations_orders": 12,
     "quality_signal_correlation": 13,
-    "recursive_cte": 10,
+    "recursive_cte": 14,
     "scalar_subquery_correlated": 10,
     "scalar_subquery_select": 11,
-    "scd2_user_tier": 10,
-    "select_case_expr": 10,
-    "set_except": 10,
+    "scd2_user_tier": 14,
+    "select_case_expr": 14,
+    "set_except": 14,
     "set_except_all": 12,
     "set_intersect": 10,
     "set_intersect_all": 12,
-    "set_union_all": 10,
+    "set_union_all": 14,
     "set_union_distinct": 10,
     "sketch_cms_heavy_hitters": 12,
     "sketch_histogram_quantiles": 11,
@@ -296,25 +296,25 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "streaming_dedup_exact": 13,
     "streaming_dedup_within_watermark": 11,
     "streaming_events_enriched": 13,
-    "streaming_events_hourly": 10,
+    "streaming_events_hourly": 14,
     "streaming_events_sessionize": 11,
     "streaming_events_sliding": 11,
-    "streaming_events_user_state": 10,
+    "streaming_events_user_state": 14,
     "streaming_interval_join": 11,
     "streaming_kmv_sketch": 13,
-    "string_functions": 10,
+    "string_functions": 14,
     "text_bigram_lm": 11,
     "text_bm25_search": 13,
     "text_bpe_merges": 12,
     "text_chunk_stride": 11,
     "text_dup_span_removal": 13,
     "text_dup_spans": 11,
-    "text_fingerprint": 10,
-    "text_lang_id": 10,
+    "text_fingerprint": 14,
+    "text_lang_id": 14,
     "text_length_percentiles": 13,
     "text_lm_perplexity": 12,
     "text_pii_redact": 13,
-    "text_quality_score": 10,
+    "text_quality_score": 14,
     "text_rarity_score": 11,
     "text_readability_scores": 13,
     "text_repetition_filter": 13,
@@ -324,7 +324,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "text_token_entropy": 12,
     "text_tokenizer_coverage": 12,
     "text_top_tokens": 13,
-    "text_vocab_growth_heaps": 9,
+    "text_vocab_growth_heaps": 14,
     "topk_orders": 10,
     "window_agg_over": 11,
     "window_cume_dist": 12,
@@ -333,10 +333,10 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "window_nth_last_value": 11,
     "window_ntile_dense_first": 10,
     "window_percent_rank": 13,
-    "window_range_interval": 10,
+    "window_range_interval": 14,
     "window_rank": 11,
     "window_row_number": 11,
-    "window_running_sum": 10,
+    "window_running_sum": 14,
 }
 
 # Round-8 rotation (VERDICT r7 #2): _HOLD_AFTER_R4 (the round-7c late-add
