@@ -202,6 +202,13 @@ R1_COMPARABLE = [
 
 
 def main() -> None:
+    # Machine-load annotation (VERDICT r14 #2): three rounds of driver
+    # bench readings needed forensic per-query comparison to tell an
+    # ambient-load move from a code regression; the 1-minute load
+    # average at start and end plus the run's own wall-clock make a
+    # hot reading self-identifying.
+    load_start = round(os.getloadavg()[0], 2)
+    bench_t0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from filesql_spark.queries import all_queries
     from filesql_spark.session import get_spark
@@ -371,6 +378,8 @@ def main() -> None:
         "components_build_sec": components_build_sec,
         "diversity_fit_sec": diversity_fit_sec,
         **dump_secs,
+        "loadavg": [load_start, round(os.getloadavg()[0], 2)],
+        "bench_wall_sec": round(time.perf_counter() - bench_t0, 1),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LOCAL.json",
     }

@@ -353,7 +353,13 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
 def _rewrite_calls(sql: str, name: str, builder) -> str:
     """Repeatedly rewrite every ``name(...)`` call via builder(args)->str.
     A builder may return None to leave that call untouched (e.g. CAST
-    forms outside its scope)."""
+    forms outside its scope). A declined call's ARGUMENTS are still
+    scanned (advance past the name, not the close paren): earlier
+    passes emit SQLite-spelled interior forms — e.g. truthiness wraps a
+    WHEN condition in CAST(… AS REAL) expecting this pass to expand it
+    to the prefix parse — and skipping the whole interior of a declined
+    CAST(… AS DATE) left that raw REAL cast for Spark's ANSI mode to
+    crash on junk text (r14 advice, high)."""
     pos = 0
     while True:
         hit = _find_call(sql, name, pos)
@@ -362,7 +368,7 @@ def _rewrite_calls(sql: str, name: str, builder) -> str:
         start, end, args = hit
         replacement = builder(args)
         if replacement is None:
-            pos = end
+            pos = start + len(name)
             continue
         sql = sql[:start] + replacement + sql[end:]
         pos = start + len(replacement)
@@ -2631,8 +2637,13 @@ def _in_subquery_affinity_edit(sql, mask, e, neg, p, close, coltypes):
                 f"WHERE __c IS NULL OR TRY_CAST(__c AS DOUBLE) IS NOT NULL)"
             )
         if x_textval:
+            # empty-set gate FIRST: SQLite's x IN (empty) is 0 (false)
+            # even for NULL x (r14 advice, low) — the IS NULL arm must
+            # not fire before emptiness is known.
             body = (
-                f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"(CASE WHEN (SELECT count(*) FROM ({sub}) AS __in_e) = 0 "
+                f"THEN false "
+                f"WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
                 f"WHEN TRY_CAST(({x}) AS DOUBLE) IS NOT NULL "
                 f"THEN TRY_CAST(({x}) AS DOUBLE) IN {sub_num} "
                 f"ELSE (SELECT CASE WHEN count(__c) = count(*) THEN false "
@@ -2673,8 +2684,11 @@ def _in_subquery_affinity_edit(sql, mask, e, neg, p, close, coltypes):
         if vclX in ("numlit", "strlit"):
             body = const
         else:
+            # same empty-set-first ordering as the numeric branch
             body = (
-                f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"(CASE WHEN (SELECT count(*) FROM ({sub}) AS __in_e) = 0 "
+                f"THEN false "
+                f"WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
                 f"ELSE {const} END)"
             )
     if neg:
@@ -2933,6 +2947,18 @@ def _cmp_walk_back(sql, mask, e):
             return None  # stray * / % with nothing to its left
         if c in "|&<>=!~":
             return None
+        if c.isalnum() or c == "_":
+            # word OPERATOR glued to the chain (a LIKE b IS 0 parses as
+            # (a LIKE b) IS 0 — LIKE binds tighter than IS): bail like
+            # the symbol-operator case so the native compare is kept
+            # instead of misgrouping the operand (r14 advice, low).
+            ws = k
+            while ws > 0 and (mask[ws - 1].isalnum() or mask[ws - 1] == "_"):
+                ws -= 1
+            if sql[ws:k + 1].lower() in (
+                "like", "glob", "regexp", "match", "escape", "is", "in",
+            ):
+                return None
         break
     return l_start
 
@@ -3620,8 +3646,17 @@ def _strip_rank_frames(sql: str) -> str:
                 if w:
                     if low[w.start():w.end()] in ("rows", "range",
                                                   "groups"):
-                        edits.append((w.start(), close, ""))
-                        break
+                        # only a real frame clause: the next token must
+                        # START one (BETWEEN/UNBOUNDED/CURRENT/<number>).
+                        # A column legitimately named `range` in the
+                        # ORDER BY must survive (r14 advice, low).
+                        k = _skip_ws(mask, w.end())
+                        nw = _WORD_RX.match(mask, k) if k < close else None
+                        nxt = low[nw.start():nw.end()] if nw else ""
+                        if (nxt in ("between", "unbounded", "current")
+                                or (k < close and mask[k].isdigit())):
+                            edits.append((w.start(), close, ""))
+                            break
                     j = w.end()
                     continue
             j += 1

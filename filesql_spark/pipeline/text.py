@@ -390,7 +390,7 @@ def dup_spans(
     text_col: str = "text",
     n: int = 5,
     min_docs: int = 2,
-    bloom_n: int | None = None,
+    bloom_n: int | str | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-substring spans — the span-level exact
     substring dedup of Lee et al. ("Deduplicating Training Data Makes
@@ -412,12 +412,19 @@ def dup_spans(
     At 100 TB the dup-gram set is still corpus-sized: the standard
     refinements are (a) broadcasting a Bloom filter of the dup hashes
     so pass 3's join prunes map-side — WIRED (r14): pass ``bloom_n``
-    (expected dup-hash count, known at deployment scale) and the gram
-    stream is filtered through sketch.bloom_semi_join before the exact
-    join, so only candidate grams (matches + ~3% deterministic false
-    positives) pay the join shuffle; the dup set is persisted because
-    it feeds both the kilobyte Bloom build and the FP-discarding exact
-    join — and (b) the suffix-array formulation when byte-level (not
+    (expected dup-hash count, known at deployment scale) or
+    ``bloom_n="auto"`` (r15: sizes the Bloom from a count() on the
+    persisted dup set — one extra job over data pass 2 already
+    materialized, so the scale path needs no expert estimate) and the
+    gram stream is filtered through sketch.bloom_semi_join before the
+    exact join, so only candidate grams (matches + ~3% deterministic
+    false positives) pay the join shuffle; the dup set is persisted
+    because it feeds both the kilobyte Bloom build and the
+    FP-discarding exact join. The persisted handle is attached to the
+    result as ``_filesql_persisted`` — executor storage stays pinned
+    for the session unless the caller unpersists it after
+    materializing the result (r14 advice) — and (b) the suffix-array
+    formulation when byte-level (not
     word-level) spans are required — implemented as ``dup_spans_bytes``
     below via hash-prefix suffix grouping. Output: (doc_id, span_start,
     span_tokens), one row per maximal span, 0-based token offsets.
@@ -444,18 +451,20 @@ def dup_spans(
         .filter(F.col("nd") >= min_docs)
         .select("h")
     )
+    persisted = None
     if bloom_n is not None:
         from filesql_spark.pipeline.sketch import bloom_semi_join
 
-        dup = dup.persist()  # feeds the Bloom build AND the exact join
-        flagged = bloom_semi_join(g, "h", dup, "h", n_keys=bloom_n).join(
+        dup = persisted = dup.persist()  # Bloom build AND exact join
+        n_keys = dup.count() if bloom_n == "auto" else bloom_n
+        flagged = bloom_semi_join(g, "h", dup, "h", n_keys=n_keys).join(
             dup, "h"
         )
     else:
         flagged = g.join(dup, "h")
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = flagged.withColumn("grp", F.col("p") - F.row_number().over(w))
-    return (
+    out = (
         isl.groupBy("doc_id", "grp")
         .agg(
             F.min("p").cast("long").alias("span_start"),
@@ -463,6 +472,8 @@ def dup_spans(
         )
         .drop("grp")
     )
+    out._filesql_persisted = persisted
+    return out
 
 
 def dup_spans_bytes(
@@ -470,7 +481,7 @@ def dup_spans_bytes(
     text_col: str = "text",
     min_len: int = 40,
     min_docs: int = 2,
-    bloom_n: int | None = None,
+    bloom_n: int | str | None = None,
 ) -> DataFrame:
     """Byte-level duplicated-substring spans — the suffix-array
     formulation of Lee et al.'s ExactSubstr dedup that ``dup_spans``
@@ -508,7 +519,10 @@ def dup_spans_bytes(
     Bounded prototype: exact on the documents fixture (differentially
     pytest-gated against a byte-level brute-force oracle); at 100 TB the
     same Bloom map-side prune as ``dup_spans`` applies to pass 3's join
-    — WIRED (r14): pass ``bloom_n`` and the suffix stream is pruned on
+    — WIRED (r14): pass ``bloom_n`` (or ``"auto"``, r15 — sized by a
+    count() on the persisted dup set; the handle is attached to the
+    result as ``_filesql_persisted`` for caller unpersist, as in
+    ``dup_spans``) and the suffix stream is pruned on
     h1 through the broadcast Bloom before the exact (h1, h2) join (the
     second hash stays in the exact join, which discards Bloom false
     positives and h1 collisions alike). Scaling measured empirically (r13, sf0.1 documents
@@ -541,18 +555,20 @@ def dup_spans_bytes(
         .filter(F.col("nd") >= min_docs)
         .select("h1", "h2")
     )
+    persisted = None
     if bloom_n is not None:
         from filesql_spark.pipeline.sketch import bloom_semi_join
 
-        dup = dup.persist()  # feeds the Bloom build AND the exact join
+        dup = persisted = dup.persist()  # Bloom build AND exact join
+        n_keys = dup.count() if bloom_n == "auto" else bloom_n
         flagged = bloom_semi_join(
-            g, "h1", dup.select("h1"), "h1", n_keys=bloom_n
+            g, "h1", dup.select("h1"), "h1", n_keys=n_keys
         ).join(dup, ["h1", "h2"])
     else:
         flagged = g.join(dup, ["h1", "h2"])
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = flagged.withColumn("grp", F.col("p") - F.row_number().over(w))
-    return (
+    out = (
         isl.groupBy("doc_id", "grp")
         .agg(
             F.min("p").cast("long").alias("span_start"),
@@ -560,6 +576,8 @@ def dup_spans_bytes(
         )
         .drop("grp")
     )
+    out._filesql_persisted = persisted
+    return out
 
 
 def chunk_tokens(

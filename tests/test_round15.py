@@ -1,0 +1,175 @@
+"""Round-15 regression pins: the r14 ADVICE items (declined-CAST
+truthiness expansion, rank-frame strip vs a column named `range`,
+word-operator operand grouping, IN-subquery vs the empty set) and the
+verdict's `bloom_n="auto"` task — differential vs stdlib sqlite3
+through the engine front door where SQLite semantics apply."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import filesql_spark as fs  # noqa: E402
+
+
+def _diff(spark, tmp_path, stmt, rows, ddl, header, name="t"):
+    con = sqlite3.connect(":memory:")
+    con.execute(ddl)
+    ph = ",".join("?" * len(rows[0]))
+    con.executemany(f"INSERT INTO {name} VALUES ({ph})", rows)
+    expected = con.execute(stmt).fetchall()
+    con.close()
+    csv = header + "\n" + "\n".join(
+        ",".join("" if v is None else str(v) for v in r) for r in rows
+    )
+    (tmp_path / f"{name}.csv").write_text(csv + "\n")
+    eng = fs.open(str(tmp_path / f"{name}.csv"), spark=spark)
+    try:
+        got = [tuple(r) for r in eng.query(stmt).collect()]
+    finally:
+        eng.close()
+    assert got == expected, (stmt, got, expected)
+
+
+# ------------------------- r14 advice (high): truthiness in declined CAST
+
+@pytest.mark.parametrize("stmt", [
+    # the truthiness pass emits CAST(… AS REAL) inside the WHEN; the
+    # cast pass must expand it even when the ENCLOSING cast target is
+    # declined (DATE here) — the raw REAL cast crashed Spark's ANSI
+    # mode on junk text. Whether the arm fired IS SQLite-comparable
+    # (the fired value itself is a pinned CAST-AS-DATE divergence).
+    "SELECT id, CASE WHEN CAST(CASE WHEN s THEN '2021-01-01' END AS DATE)"
+    " IS NULL THEN 1 ELSE 0 END AS isn FROM t ORDER BY id",
+    "SELECT id, CASE WHEN CAST(CASE WHEN s THEN '5' END AS DECIMAL(4,1))"
+    " IS NULL THEN 1 ELSE 0 END AS isn FROM t ORDER BY id",
+])
+def test_truthiness_inside_declined_cast(spark, tmp_path, stmt):
+    rows = [(1, "abc"), (2, "12abc"), (3, None), (4, "0"), (5, "3.5")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, s TEXT)", "id,s")
+
+
+def test_declined_cast_interior_expansion():
+    from filesql_spark.dialect import rewrite
+
+    out = rewrite(
+        "SELECT CAST(CASE WHEN s THEN '2021-01-01' END AS DATE) AS d FROM t",
+        {"s": "text"},
+    )
+    assert "AS REAL" not in out, out  # expanded to the prefix parse
+
+
+# ------------- r14 advice (low): rank-frame strip vs a column named range
+
+def test_rank_frame_strip_spares_range_column(spark, tmp_path):
+    rows = [(1, 30), (2, 10), (3, 20)]
+    _diff(
+        spark, tmp_path,
+        "SELECT id, row_number() OVER (ORDER BY range) AS rn "
+        "FROM t ORDER BY id",
+        rows, "CREATE TABLE t (id INTEGER, range INTEGER)", "id,range",
+    )
+
+
+def test_rank_frame_strip_still_strips_real_frames():
+    from filesql_spark.dialect import _strip_rank_frames
+
+    s = ("SELECT rank() OVER (ORDER BY x "
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    assert "BETWEEN" not in _strip_rank_frames(s)
+    s2 = "SELECT lag(x) OVER (ORDER BY x ROWS 2 PRECEDING) FROM t"
+    assert "PRECEDING" not in _strip_rank_frames(s2)
+
+
+# ------ r14 advice (low): word operators bound tighter than IS must not
+# have their right operand re-grouped by the IS affinity pass
+
+def test_is_pass_bails_on_word_operator_operand():
+    from filesql_spark.dialect import rewrite
+
+    out = rewrite(
+        "SELECT a LIKE b IS 0 AS c FROM t", {"a": "text", "b": "text"}
+    )
+    # (a LIKE b) IS 0 in SQLite; misgrouping rendered a ILIKE ((b) <=> 0)
+    # — silently wrong. The pass now bails: the form stays a loud Spark
+    # parse error, as before r14.
+    assert "ILIKE ((b)" not in out, out
+    assert "<=> (0)" not in out.replace("'", ""), out
+
+
+# -------------- r14 advice (low): x IN (empty subquery) is FALSE even
+# for NULL / junk-text x (SQLite in-operator rule)
+
+@pytest.mark.parametrize("stmt", [
+    # mixed-affinity (TEXT s vs INTEGER a) triggers the rewrite; the
+    # empty-set gate must fire before the IS NULL arm
+    "SELECT a, CASE WHEN s IN (SELECT a FROM t WHERE a > 100) THEN 'T' "
+    "WHEN NOT (s IN (SELECT a FROM t WHERE a > 100)) THEN 'F' "
+    "ELSE 'N' END AS m FROM t ORDER BY a",
+    # non-empty set: NULL s stays NULL (three-valued), matches kept
+    "SELECT a, CASE WHEN s IN (SELECT a FROM t WHERE a < 100) THEN 'T' "
+    "WHEN NOT (s IN (SELECT a FROM t WHERE a < 100)) THEN 'F' "
+    "ELSE 'N' END AS m FROM t ORDER BY a",
+    # NOT IN over the empty set is TRUE for every x, NULL included
+    "SELECT a, CASE WHEN s NOT IN (SELECT a FROM t WHERE a > 100) "
+    "THEN 'T' ELSE 'F' END AS m FROM t ORDER BY a",
+])
+def test_in_subquery_empty_set_null_operand(spark, tmp_path, stmt):
+    rows = [(1, "1"), (2, "junk"), (3, None), (4, "2.0")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (a INTEGER, s TEXT)", "a,s")
+
+
+# --------------------------- verdict r15 #3: bloom_n="auto" sizing mode
+
+def test_dup_spans_bloom_auto_same_results_and_mapside(spark):
+    """Auto mode sizes the Bloom from a count() on the persisted dup
+    set: results identical to plain and to explicit bloom_n, the prune
+    still adds no data shuffle (only the kilobyte word-table builds),
+    and the persisted handle is exposed for caller unpersist."""
+    import random
+    import re as _re
+
+    from tests.test_round14 import _exchange_keys, _formatted
+    from filesql_spark.pipeline.text import dup_spans, dup_spans_bytes
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rng = random.Random(7)
+    shared = " ".join(rng.choice(vocab) for _ in range(8))
+    docs = []
+    for i in range(10):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(6, 18))]
+        if i % 3 == 0:
+            pos = rng.randrange(0, len(words) + 1)
+            words[pos:pos] = shared.split()
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    plain = dup_spans(df, n=5)
+    auto = dup_spans(df, n=5, bloom_n="auto")
+    plan = _formatted(auto)
+    assert "shiftleft" in plan
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+    extra = list(_exchange_keys(auto))
+    for k in _exchange_keys(plain):
+        extra.remove(k)
+    assert extra and all(k.startswith(("word", "__w")) for k in extra), extra
+
+    rows = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    assert rows(plain) == rows(auto)
+    assert len(rows(plain)) > 0
+    assert auto._filesql_persisted is not None
+    auto._filesql_persisted.unpersist()
+    assert plain._filesql_persisted is None
+
+    plain_b = dup_spans_bytes(df, min_len=20)
+    auto_b = dup_spans_bytes(df, min_len=20, bloom_n="auto")
+    assert rows(plain_b) == rows(auto_b)
+    assert len(rows(plain_b)) > 0
+    auto_b._filesql_persisted.unpersist()
