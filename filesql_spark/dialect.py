@@ -2504,6 +2504,9 @@ def _rewrite_compare_affinity(
                 pos += 1
                 continue
             two = mask[pos:pos + 2]
+            if two in ("<<", ">>"):
+                pos += 2  # bitwise shift, not a comparison (r15)
+                continue
             op = two if two in _CMP_OPS else (c if c in "<>=" else None)
             if op is None or (c == "!" and two != "!="):
                 pos += 1
@@ -2945,6 +2948,27 @@ def _cmp_walk_back(sql, mask, e):
                 l_start = k  # unary sign binds into the operand
                 continue
             return None  # stray * / % with nothing to its left
+        # bitwise glue (& single-| << >>): binds tighter than any
+        # comparison, result INTEGER with NO affinity (r15) — include
+        # the left primary and walk on, like arithmetic
+        bit = 0
+        if c == "&" or (c == "|" and (k == 0 or mask[k - 1] != "|")):
+            bit = 1
+        elif c in "<>" and k > 0 and mask[k - 1] == c:
+            bit = 2
+        if bit:
+            k2 = k - bit
+            while k2 >= 0 and mask[k2] in " \t\r\n":
+                k2 -= 1
+            if k2 < 0:
+                return None
+            prev = _rev_primary_start(sql, mask, k2 + 1)
+            if prev is None:
+                prev = _rev_case_start(sql, mask, k2 + 1)
+            if prev is None:
+                return None
+            l_start = prev
+            continue
         if c in "|&<>=!~":
             return None
         if c.isalnum() or c == "_":
@@ -2955,12 +2979,71 @@ def _cmp_walk_back(sql, mask, e):
             ws = k
             while ws > 0 and (mask[ws - 1].isalnum() or mask[ws - 1] == "_"):
                 ws -= 1
-            if sql[ws:k + 1].lower() in (
+            w = sql[ws:k + 1].lower()
+            if w in (
                 "like", "glob", "regexp", "match", "escape", "is", "in",
+                "between",
             ):
+                return None
+            if w == "and" and _and_closes_between(sql, mask, ws):
+                # BETWEEN's AND: the operand is the upper bound of
+                # (a BETWEEN b AND c) = s — rewriting [c = s] spliced
+                # mid-expression (r15, was silent corruption)
                 return None
         break
     return l_start
+
+
+def _and_closes_between(sql, mask, pos) -> bool:
+    """True when the AND at ``pos`` is a BETWEEN's conjunction: scanning
+    BACKWARDS at the same paren depth, a `between` word appears before
+    any boolean/clause boundary (a boolean AND would hit the previous
+    predicate's comparison operator or keyword first)."""
+    low = sql.lower()
+    k = pos - 1
+    while k >= 0:
+        c = mask[k]
+        if c in " \t\r\n":
+            k -= 1
+            continue
+        if c == ")":
+            close_depth = 1
+            k -= 1
+            while k >= 0 and close_depth:
+                if mask[k] == ")":
+                    close_depth += 1
+                elif mask[k] == "(":
+                    close_depth -= 1
+                k -= 1
+            continue
+        if c == "(" or c in "=<>!,;":
+            return False
+        if c.isalnum() or c == "_":
+            ws = k
+            while ws > 0 and (mask[ws - 1].isalnum() or mask[ws - 1] == "_"):
+                ws -= 1
+            w = low[ws:k + 1]
+            if w == "between":
+                return True
+            if w in ("and", "or", "not", "where", "on", "when", "then",
+                     "else", "end", "having", "select", "from", "case",
+                     "is", "in", "like", "glob", "match", "regexp",
+                     "escape", "set", "by"):
+                return False
+            k = ws - 1
+            continue
+        k -= 1
+    return False
+
+
+# words that CONTINUE a comparison after a complete operand chain — a
+# same-band or looser word operator ((s = n) LIKE p), a postfix null
+# test, or an explicit collation; rewriting the inner site would splice
+# mid-expression, so the walkers bail and native semantics are kept
+_CMP_CONT_WORDS = frozenset({
+    "is", "in", "like", "glob", "regexp", "match", "between", "not",
+    "isnull", "notnull", "escape", "collate",
+})
 
 
 def _cmp_walk_fwd(sql, mask, pos, coltypes):
@@ -2993,11 +3076,38 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes):
                 return None
             r_end = ne
             continue
-        if j < len(sql) and (mask[j] in "|&" or mask[j] == "~"):
-            return None  # single-pipe/bitwise-glued: out of scope
+        # bitwise glue (& single-| << >>): tighter than any comparison,
+        # INTEGER result, NO affinity (r15) — include the next primary
+        bit = 0
+        if j < len(sql) and mask[j] == "&":
+            bit = 1
+        elif j < len(sql) and mask[j] == "|":
+            bit = 1  # single | (|| consumed above)
+        elif (
+            j + 1 < len(sql) and mask[j] in "<>" and mask[j + 1] == mask[j]
+        ):
+            bit = 2
+        if bit:
+            nf, ne, nt = _div_scan_primary(
+                sql, mask, j + bit, len(sql), coltypes, []
+            )
+            if nt == "kw" or ne <= j + bit:
+                return None
+            r_end = ne
+            continue
+        if j < len(sql) and mask[j] == "~":
+            return None  # unary-~ glued: out of scope
+        if j < len(sql) and mask[j] in "<>=!":
+            # chained comparison: the op we're the operand of binds
+            # LOOSER or equal (s = n < 1 is s = (n < 1) — SQLite's
+            # <-family binds tighter than =); rewriting [s = n] would
+            # splice mid-expression (r15, was silent corruption)
+            return None
         wmc = _WORD_RX.match(mask, j) if j < len(sql) else None
-        if wmc and sql[wmc.start():wmc.end()].lower() == "collate":
-            return None  # explicit collation: keep the native compare
+        if wmc and sql[wmc.start():wmc.end()].lower() in _CMP_CONT_WORDS:
+            # word-operator continuation ((s = n) LIKE p, (s = n) IS 0,
+            # x BETWEEN a AND (b = s) shapes): same mis-splice risk
+            return None
         break
     return r_first, r_end
 
@@ -3088,13 +3198,30 @@ def _cmp_classify(span: str, coltypes):
     ):
         return None, "text"  # text-RESULT function, no affinity
     depth = 0
-    for i0 in range(len(cm) - 1):
-        if cm[i0] == "(":
+    has_concat = has_bitwise = False
+    i0 = 0
+    while i0 < len(cm):
+        c0 = cm[i0]
+        if c0 == "(":
             depth += 1
-        elif cm[i0] == ")":
+        elif c0 == ")":
             depth -= 1
-        elif depth == 0 and cm[i0] == "|" and cm[i0 + 1] == "|":
-            return None, "text"  # || chain: TEXT value, no affinity
+        elif depth == 0:
+            if c0 == "|" and cm[i0 + 1:i0 + 2] == "|":
+                has_concat = True
+                i0 += 2
+                continue
+            if c0 in "&|" or (c0 in "<>" and cm[i0 + 1:i0 + 2] == c0):
+                has_bitwise = True
+                i0 += 2 if c0 in "<>" else 1
+                continue
+        i0 += 1
+    if has_bitwise:
+        # bitwise glue binds LOOSEST of the value operators: the span's
+        # top-level operator — result always INTEGER, no affinity (r15)
+        return None, "num"
+    if has_concat:
+        return None, "text"  # || chain: TEXT value, no affinity
     # arithmetic chain / function call / unary sign: affinity NONE,
     # value class from the static type tracker
     if t in ("int", "real"):
@@ -3266,6 +3393,21 @@ def _cmp_num_type(span: str, coltypes):
             return None
         return _cmp_num_type(item, coltypes)
     cm0 = _div_mask(core)
+    depth = 0
+    i0 = 0
+    while i0 < len(cm0):  # bitwise chain: result is ALWAYS INTEGER
+        c0 = cm0[i0]
+        if c0 == "(":
+            depth += 1
+        elif c0 == ")":
+            depth -= 1
+        elif depth == 0:
+            if c0 == "|" and cm0[i0 + 1:i0 + 2] == "|":
+                i0 += 2
+                continue
+            if c0 in "&|" or (c0 in "<>" and cm0[i0 + 1:i0 + 2] == c0):
+                return "int"
+        i0 += 1
     return _div_walk(core, cm0, 0, len(core), coltypes, [])
 
 

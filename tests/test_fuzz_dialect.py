@@ -2798,7 +2798,22 @@ def test_text_additive_and_unary_match_sqlite(spark, tmp_path):
 def _gen_cmp_operand(rng: random.Random) -> str:
     """One comparison operand over columns n (INTEGER), r (REAL),
     s (TEXT) and literals, with arithmetic chains and function calls."""
-    pick = rng.randrange(12)
+    pick = rng.randrange(14)
+    if pick == 12:
+        # bitwise glue (r15): binds tighter than any comparison, result
+        # INTEGER, NO affinity — integer operands only (SQLite coerces
+        # REAL/TEXT operands; Spark's &/|/<</>> are integral-typed, a
+        # documented operand-coercion residue)
+        return rng.choice([
+            "n & 3", "n | 1", "n & 1 | 4", "n << 1", "n >> 1",
+            "(n & 1)", "n & 1 + 1", "3 & n", "n << 1 & 6",
+        ])
+    if pick == 13:
+        # || chains as comparison operands: TEXT value, NO affinity
+        return rng.choice([
+            "s || ''", "s || '0'", "'' || s", "n || ''", "s || s",
+            "n || s",
+        ])
     if pick == 0:
         return rng.choice(["n", "r", "s", "(n)", "(s)", "(r)"])
     if pick == 1:

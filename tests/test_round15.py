@@ -173,3 +173,49 @@ def test_dup_spans_bloom_auto_same_results_and_mapside(spark):
     assert rows(plain_b) == rows(auto_b)
     assert len(rows(plain_b)) > 0
     auto_b._filesql_persisted.unpersist()
+
+
+# ---------------- verdict r15 #4: bitwise-glued comparison operands
+# (SQLite: & | << >> bind tighter than comparisons, result INTEGER with
+# NO affinity — a TEXT column on the other side wins, string compare)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT n, s, s = n & 1 AS c FROM t ORDER BY n",
+    "SELECT n, s, s = (n | 2) AS c FROM t ORDER BY n",
+    "SELECT n, s, s > n << 1 AS c FROM t ORDER BY n",
+    "SELECT n, s, s = 6 >> 1 AS c FROM t ORDER BY n",
+    "SELECT n, s, s != n & 1 | 4 AS c FROM t ORDER BY n",
+    # both sides numeric-valued: native semantics agree, no rewrite
+    "SELECT n, n & 1 = n % 2 AS c FROM t ORDER BY n",
+])
+def test_bitwise_glued_comparison_affinity(spark, tmp_path, stmt):
+    rows = [(1, "1"), (3, "3"), (2, "junk"), (6, "6"), (5, "4")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (n INTEGER, s TEXT)", "n,s")
+
+
+# ---------------- r15: chained comparisons must not be mis-spliced.
+# SQLite binds <-family tighter than =-family and left-associates the
+# rest; the affinity pass used to rewrite the inner [s = n] site and
+# splice mid-expression (silent corruption). Now it bails — the form
+# keeps native Spark semantics (typically a loud type error).
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT s = n < 1 AS c FROM t",
+    "SELECT s < n = 1 AS c FROM t",
+    "SELECT a BETWEEN 1 AND n = s AS c FROM t",
+    "SELECT s = n IS 0 AS c FROM t",
+])
+def test_chained_comparisons_not_spliced(stmt):
+    from filesql_spark.dialect import rewrite
+
+    out = rewrite(stmt, {"s": "text", "n": "int", "a": "int"})
+    assert "CASE WHEN" not in out, (stmt, out)  # no affinity splice
+
+
+def test_boolean_and_still_rewrites():
+    from filesql_spark.dialect import rewrite
+
+    out = rewrite("SELECT x FROM t WHERE a = 1 AND n = s",
+                  {"s": "text", "n": "int", "a": "int"})
+    assert "TRY_CAST" in out  # a boolean AND is not BETWEEN's AND
