@@ -2463,6 +2463,134 @@ _CMP_MIRROR = {
 }
 
 
+def _rewrite_row_values(sql: str) -> str:
+    """Row-value comparisons `(a, b) op (c, d)` (SQLite rowvalue.html;
+    Spark has no tuple-comparison syntax) expand to their scalar
+    equivalents BEFORE the affinity pass, so each element pair gets
+    per-element comparison affinity exactly as SQLite applies it:
+
+    - `=`  → (a=c) AND (b=d); `!=` → NOT of that — pinned equivalent
+      for every NULL placement (81-combination grid vs sqlite3, r15)
+    - `<`  → (a<c) OR ((a=c) AND (b<d)), recursive for arity > 2; the
+      non-strict ops relax only the LAST element (also grid-pinned)
+
+    Scope: both sides literal parenthesized lists of equal arity ≥ 2.
+    Row values vs subqueries, in IN lists, or under IS stay native
+    (Spark's loud error). Elements are duplicated by the ordering
+    expansion — same caveat as BETWEEN expansion for non-deterministic
+    element expressions."""
+    if "(" not in sql:
+        return sql
+    for _ in range(sql.count("(") + 1):
+        mask = _blank_comments(sql, _div_mask(sql))
+        low = sql.lower()
+        hit = None
+        pos = 0
+        while pos < len(sql) and hit is None:
+            c = mask[pos]
+            if c not in "<>=!":
+                pos += 1
+                continue
+            two = mask[pos:pos + 2]
+            if two in ("<<", ">>"):
+                pos += 2
+                continue
+            op = two if two in _CMP_OPS else (c if c in "<>=" else None)
+            if op is None or (c == "!" and two != "!="):
+                pos += 1
+                continue
+            if pos > 0 and mask[pos - 1] in "<>=!":
+                pos += 1
+                continue
+            # right side must be a bare paren group
+            j = _skip_ws(mask, pos + len(op))
+            if j >= len(sql) or mask[j] != "(":
+                pos += len(op)
+                continue
+            rclose = _div_find_close(mask, j, len(sql))
+            if rclose == -1:
+                pos += len(op)
+                continue
+            # left side must END with a paren group not glued to a name
+            e = pos
+            while e > 0 and mask[e - 1] in " \t\r\n":
+                e -= 1
+            if e == 0 or mask[e - 1] != ")":
+                pos += len(op)
+                continue
+            depth = 1
+            k = e - 2
+            while k >= 0 and depth:
+                if mask[k] == ")":
+                    depth += 1
+                elif mask[k] == "(":
+                    depth -= 1
+                k -= 1
+            if depth:
+                pos += len(op)
+                continue
+            lopen = k + 1
+            k2 = lopen - 1
+            while k2 >= 0 and mask[k2] in " \t\r\n":
+                k2 -= 1
+            if k2 >= 0 and (mask[k2].isalnum() or mask[k2] == "_"):
+                ws = k2
+                while ws > 0 and (mask[ws - 1].isalnum()
+                                  or mask[ws - 1] == "_"):
+                    ws -= 1
+                if low[ws:k2 + 1] not in (
+                    "select", "where", "and", "or", "not", "on", "when",
+                    "then", "else", "having", "by", "case", "union",
+                    "all", "except", "intersect", "distinct",
+                ):
+                    pos += len(op)  # function call glued to the group
+                    continue
+            elif k2 >= 0 and mask[k2] in "`\")'":
+                pos += len(op)  # identifier/close-paren glued
+                continue
+            ls = _div_split_args(mask, lopen + 1, e - 1)
+            rs = _div_split_args(mask, j + 1, rclose)
+            if (
+                len(ls) < 2 or len(ls) != len(rs)
+                or re.match(r"(?i)\s*select\b", sql[lopen + 1:e - 1])
+                or re.match(r"(?i)\s*select\b", sql[j + 1:rclose])
+                or re.match(r"(?i)\s*values\b", low[lopen + 1:e - 1])
+            ):
+                pos += len(op)
+                continue
+            lparts = [sql[a0:b0].strip() for a0, b0 in ls]
+            rparts = [sql[a0:b0].strip() for a0, b0 in rs]
+            hit = (lopen, rclose + 1, op, lparts, rparts)
+        if hit is None:
+            return sql
+        a, b, op, lparts, rparts = hit
+        if op in ("=", "=="):
+            body = " AND ".join(
+                f"({l}) = ({r})" for l, r in zip(lparts, rparts)
+            )
+            repl = f"({body})"
+        elif op in ("!=", "<>"):
+            body = " AND ".join(
+                f"({l}) = ({r})" for l, r in zip(lparts, rparts)
+            )
+            repl = f"(NOT ({body}))"
+        else:
+            strict = op[0]
+
+            def _rec(i: int) -> str:
+                l, r = lparts[i], rparts[i]
+                if i == len(lparts) - 1:
+                    return f"({l}) {op} ({r})"
+                return (
+                    f"(({l}) {strict} ({r})) OR "
+                    f"((({l}) = ({r})) AND ({_rec(i + 1)}))"
+                )
+
+            repl = f"({_rec(0)})"
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 def _rewrite_compare_affinity(
     sql: str, coltypes: dict[str, str] | None
 ) -> str:
@@ -3046,7 +3174,7 @@ _CMP_CONT_WORDS = frozenset({
 })
 
 
-def _cmp_walk_fwd(sql, mask, pos, coltypes):
+def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False):
     """(first, end) of the arithmetic operand chain STARTING at pos:
     primary ((+|-|*|/|%) primary)*. None when the next token is a
     structural keyword or the chain glues into ||/bitwise."""
@@ -3104,6 +3232,11 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes):
             # splice mid-expression (r15, was silent corruption)
             return None
         wmc = _WORD_RX.match(mask, j) if j < len(sql) else None
+        if (
+            stop_at_collate and wmc
+            and sql[wmc.start():wmc.end()].lower() == "collate"
+        ):
+            break  # caller handles the collation clause (r15)
         if wmc and sql[wmc.start():wmc.end()].lower() in _CMP_CONT_WORDS:
             # word-operator continuation ((s = n) LIKE p, (s = n) IS 0,
             # x BETWEEN a AND (b = s) shapes): same mis-splice risk
@@ -3418,10 +3551,31 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
     l_start = _cmp_walk_back(sql, mask, e)
     if l_start is None:
         return None
-    fwd = _cmp_walk_fwd(sql, mask, opos + len(op), coltypes)
+    fwd = _cmp_walk_fwd(sql, mask, opos + len(op), coltypes,
+                        stop_at_collate=True)
     if fwd is None:
         return None
     r_first, r_end = fwd
+    # trailing COLLATE (r15, datatype3.html §5.2): affinity conversion
+    # happens FIRST, then the collation applies only if the comparison
+    # is still textual. NOCASE on a text-compare site attaches as
+    # UTF8_LCASE; on a numeric-conversion or type-order site the
+    # collation is irrelevant and is consumed. Unknown collations and
+    # affinity-clean sites stay native (the collate pass renames them).
+    low = sql.lower()
+    coll = None
+    r_close = r_end
+    jc = _skip_ws(mask, r_end)
+    wmc = _WORD_RX.match(mask, jc) if jc < len(sql) else None
+    if wmc and low[wmc.start():wmc.end()] == "collate":
+        jn = _skip_ws(mask, wmc.end())
+        wmn = _WORD_RX.match(mask, jn) if jn < len(sql) else None
+        if not wmn or low[wmn.start():wmn.end()] not in ("nocase",
+                                                         "binary"):
+            return None  # RTRIM/custom: native (collate pass raises)
+        coll = low[wmn.start():wmn.end()]
+        r_close = wmn.end()
+    coll_sfx = " COLLATE UTF8_LCASE" if coll == "nocase" else ""
     p_text = sql[l_start:e].strip()
     r_text = sql[r_first:r_end].strip()
     if not p_text or not r_text:
@@ -3444,7 +3598,7 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
         const = _CMP_TEXT_GREATER[
             cmp_op if text_right else _CMP_MIRROR[cmp_op]
         ]
-        return l_start, r_end, (
+        return l_start, r_close, (
             f"(CASE WHEN ({num}) IS NULL OR ({txt}) IS NULL "
             f"THEN CAST(NULL AS BOOLEAN) "
             f"WHEN {d} IS NOT NULL THEN {n_op_d} "
@@ -3465,6 +3619,15 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
         x_text = p_text if x_is_left else r_text
         o_text = r_text if x_is_left else p_text
         ov = vclR if x_is_left else vclL
+        if ov in ("strlit", "numlit"):
+            # classify saw through balanced outer parens — peel them so
+            # the literal render/unquote paths see the bare token (r15:
+            # row-value expansion emits `(n) = ('2')` shapes)
+            while o_text.startswith("("):
+                om = _div_mask(o_text)
+                if _div_find_close(om, 0, len(o_text)) != len(o_text) - 1:
+                    break
+                o_text = o_text[1:-1].strip()
         if xa in NUM:
             if ov == "strlit":
                 if _div_str_lit_type(_literal_content(o_text)) in NUM:
@@ -3473,14 +3636,14 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
                     # the column's INTEGER type ANSI-crashes on '7.5')
                     bare = _literal_content(o_text).strip()
                     if x_is_left:
-                        return l_start, r_end, \
+                        return l_start, r_close, \
                             f"(({x_text}) {cmp_op} ({bare}))"
-                    return l_start, r_end, f"(({bare}) {cmp_op} ({x_text}))"
+                    return l_start, r_close, f"(({bare}) {cmp_op} ({x_text}))"
                 # junk literal: statically unconvertible → type order
                 const = _CMP_TEXT_GREATER[
                     cmp_op if x_is_left else _CMP_MIRROR[cmp_op]
                 ]
-                return l_start, r_end, (
+                return l_start, r_close, (
                     f"(CASE WHEN ({x_text}) IS NULL "
                     f"THEN CAST(NULL AS BOOLEAN) ELSE {const} END)"
                 )
@@ -3491,9 +3654,22 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             return None  # numeric-valued operand: both sides numeric
         # X carries TEXT affinity: it applies to the numeric other side
         if ov == "numlit":
-            # STRING comparison against SQLite's static rendering
-            body = o_text.lstrip("+- \t")
-            neg = o_text[:len(o_text) - len(body)].count("-") % 2 == 1
+            # STRING comparison against SQLite's static rendering;
+            # peel parens AND signs in any nesting order — classify
+            # saw through them, so `(1)` / `-(2)` reach here (r15)
+            body, neg = o_text, False
+            while True:
+                b2 = body.lstrip("+ \t")
+                while b2.startswith("-"):
+                    neg = not neg
+                    b2 = b2[1:].lstrip("+ \t")
+                if b2.startswith("("):
+                    bm0 = _div_mask(b2)
+                    if _div_find_close(bm0, 0, len(b2)) == len(b2) - 1:
+                        body = b2[1:-1].strip()
+                        continue
+                body = b2
+                break
             if _div_lit_type(body) == "real" or body[-1:] in "dDfF":
                 v = float(body.rstrip("dDfF"))
                 lit = _sqlite_double_text_static(-v if neg else v)
@@ -3501,8 +3677,10 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
                 lit = ("-" if neg else "") + body
             lit_sql = "'" + lit.replace("'", "''") + "'"
             if x_is_left:
-                return l_start, r_end, f"(({x_text}) {cmp_op} {lit_sql})"
-            return l_start, r_end, f"({lit_sql} {cmp_op} ({x_text}))"
+                return l_start, r_close, \
+                    f"(({x_text}) {cmp_op} ({lit_sql}{coll_sfx}))"
+            return l_start, r_close, \
+                f"(({lit_sql}{coll_sfx}) {cmp_op} ({x_text}))"
         if ov == "num":
             # numeric-valued compound/function (a+1, abs(a), a/2 …):
             # TEXT affinity renders the VALUE, then string-compares
@@ -3521,8 +3699,10 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             else:
                 return None
             if x_is_left:
-                return l_start, r_end, f"(({x_text}) {cmp_op} ({rend}))"
-            return l_start, r_end, f"(({rend}) {cmp_op} ({x_text}))"
+                return l_start, r_close, \
+                    f"(({x_text}) {cmp_op} ({rend}{coll_sfx}))"
+            return l_start, r_close, \
+                f"(({rend}{coll_sfx}) {cmp_op} ({x_text}))"
         return None  # strlit / text value vs TEXT affinity: native
     # ---- neither side carries affinity: raw values, type order
     num_l = vclL in ("num", "numlit")
@@ -3539,8 +3719,8 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             if vc in ("num", "text")  # literals are never NULL
         ]
         if not guards:
-            return l_start, r_end, f"({const})"
-        return l_start, r_end, (
+            return l_start, r_close, f"({const})"
+        return l_start, r_close, (
             f"(CASE WHEN {' OR '.join(guards)} "
             f"THEN CAST(NULL AS BOOLEAN) ELSE {const} END)"
         )
@@ -6022,6 +6202,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         _ACTIVE_COLUMN_TYPES = column_types
     sql = _rewrite_case_truthiness(sql)
     sql = _rewrite_clause_truthiness(sql)
+    sql = _rewrite_row_values(sql)
     if (column_types and "text" in column_types.values()) or "'" in sql:
         sql = _rewrite_range_affinity(sql, column_types)
     sql = _rewrite_compare_affinity(sql, column_types)

@@ -219,3 +219,85 @@ def test_boolean_and_still_rewrites():
     out = rewrite("SELECT x FROM t WHERE a = 1 AND n = s",
                   {"s": "text", "n": "int", "a": "int"})
     assert "TRY_CAST" in out  # a boolean AND is not BETWEEN's AND
+
+
+# --------------- verdict r15 #5: row-value comparisons (a,b) op (c,d)
+# expand to scalar equivalents BEFORE the affinity pass, so each element
+# pair gets per-element comparison affinity; grid-pinned vs sqlite3
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, CASE WHEN (n, m) = (1, 2) THEN 'T' "
+    "WHEN NOT ((n, m) = (1, 2)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN (n, m) != (1, 2) THEN 'T' "
+    "WHEN NOT ((n, m) != (1, 2)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN (n, m) < (2, 2) THEN 'T' "
+    "WHEN NOT ((n, m) < (2, 2)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN (n, m) >= (1, 3) THEN 'T' "
+    "WHEN NOT ((n, m) >= (1, 3)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    # per-element affinity: s TEXT vs numeric literal string-compares,
+    # n INTEGER vs clean-numeric string converts
+    "SELECT id, CASE WHEN (s, n) = (1, '2') THEN 'T' "
+    "WHEN NOT ((s, n) = (1, '2')) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id FROM t WHERE (n, m) <= (2, 9) ORDER BY id",
+    "SELECT id, CASE WHEN (n, m, id) > (1, 2, 0) THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+])
+def test_row_value_comparisons(spark, tmp_path, stmt):
+    rows = [(1, 1, 2, "1"), (2, 1, 3, "2"), (3, 2, 1, "junk"),
+            (4, None, 2, None), (5, 1, None, "1.0")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, m INTEGER, s TEXT)",
+          "id,n,m,s")
+
+
+def test_row_value_non_targets_untouched():
+    from filesql_spark.dialect import _rewrite_row_values
+
+    for s in [
+        "SELECT f(a, b) = (c, d) AS x FROM t",      # function call
+        "SELECT (a) = (c) AS x FROM t",             # arity 1
+        "SELECT (a, b) = (SELECT 1, 2) FROM t",     # subquery side
+        "SELECT max(a, b) = (1, 2) FROM t",
+    ]:
+        assert _rewrite_row_values(s) == s, s
+
+
+# ------------- verdict r15 #6: affinity-then-collation (datatype3 §5.2:
+# affinity conversion first, THEN the collation — which only matters if
+# the comparison is still textual)
+
+@pytest.mark.parametrize("stmt", [
+    # numeric affinity converts; the collation is irrelevant and dropped
+    "SELECT id, CASE WHEN s = n COLLATE NOCASE THEN 'T' "
+    "WHEN NOT (s = n COLLATE NOCASE) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    # TEXT affinity renders the literal; NOCASE applies to the compare
+    "SELECT id, CASE WHEN u = 'abc' COLLATE NOCASE THEN 'T' "
+    "ELSE 'F' END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN u = 7 COLLATE NOCASE THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    # both-TEXT comparison under NOCASE (native collation path)
+    "SELECT id, CASE WHEN u = v COLLATE NOCASE THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN u < v COLLATE NOCASE THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    # BINARY collation = both defaults
+    "SELECT id, CASE WHEN u = 'ABC' COLLATE BINARY THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    # no-affinity render + NOCASE ('1E2' matches the rendered '1e2'
+    # only case-insensitively — the interplay observable end-to-end)
+    "SELECT id, CASE WHEN u = n + 0.0 COLLATE NOCASE THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+])
+def test_affinity_then_collation(spark, tmp_path, stmt):
+    rows = [(1, 7, "7", "ABC", "abc"), (2, 100, "junk", "abc", "abc"),
+            (3, 0, "0.0", "AbC", "ABD"), (4, None, None, "7", "7"),
+            (5, 100, "100", "1E+21", "xyz")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT, u TEXT, v TEXT)",
+          "id,n,s,u,v")
