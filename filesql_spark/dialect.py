@@ -2463,6 +2463,200 @@ _CMP_MIRROR = {
 }
 
 
+def _bitop_positions(mask: str) -> list[tuple[int, str]]:
+    """Candidate (pos, op) of bitwise & | << >> in code text — skipping
+    ||, JSON arrows (->>), and <=>."""
+    out: list[tuple[int, str]] = []
+    i = 0
+    while i < len(mask):
+        c = mask[i]
+        if c == "&":
+            out.append((i, "&"))
+        elif c == "|":
+            if mask[i + 1:i + 2] == "|":
+                i += 2
+                continue
+            if i == 0 or mask[i - 1] != "|":
+                out.append((i, "|"))
+        elif c in "<>" and mask[i + 1:i + 2] == c:
+            if (i == 0 or mask[i - 1] not in "<>-") and \
+                    mask[i + 2:i + 3] != c:
+                out.append((i, c + c))
+            i += 2
+            continue
+        i += 1
+    return out
+
+
+_SHIFT_LIT_RX = re.compile(r"^\+?\s*(\d+)$")
+
+
+def _bit_shift_emit(op: str, a: str, b: str) -> str:
+    """Guarded shift with SQLite count semantics (vdbe.c OP_ShiftLeft):
+    negative count shifts the OTHER way, |count| >= 64 clamps to the
+    sign fill; Java/Spark wrap the count mod 64."""
+    # TRY_CAST / L-suffix literals for the plumbing: SQLite-spelled
+    # CAST(… AS INT*) here would be re-expanded by the later cast pass
+    if op == "<<":
+        big = "0L"
+        neg_big = f"(CASE WHEN ({a}) < 0 THEN -1L ELSE 0L END)"
+        fwd, rev = "shiftleft", "shiftright"
+    else:
+        big = f"(CASE WHEN ({a}) < 0 THEN -1L ELSE 0L END)"
+        neg_big = "0L"
+        fwd, rev = "shiftright", "shiftleft"
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+        f"THEN TRY_CAST(NULL AS BIGINT) "
+        f"WHEN ({b}) >= 64 THEN {big} "
+        f"WHEN ({b}) <= -64 THEN {neg_big} "
+        f"WHEN ({b}) < 0 THEN {rev}({a}, TRY_CAST(-({b}) AS INT)) "
+        f"ELSE {fwd}({a}, TRY_CAST(({b}) AS INT)) END)"
+    )
+
+
+def _rewrite_bitwise(sql: str, coltypes) -> str:
+    """SQLite coerces bitwise operands numerically (vdbe.c OP_BitAnd
+    family): TEXT prefix-parses, REAL truncates toward zero, NULL
+    poisons — '3.7' & 1 is 3 & 1, ~'2.5' is -3; Spark's & | << >> ~
+    are integral-typed and throw on TEXT/REAL operands. Shift counts
+    also differ at the edges (see _bit_shift_emit). Chains whose
+    leaves are all provably INTEGER with in-range literal shift counts
+    stay native — the common case, zero plan change. Anything else is
+    rebuilt left-associatively with CAST(… AS INTEGER)-coerced leaves
+    (the later cast pass expands those to the prefix parse). Leaves
+    appear twice in guarded shifts — non-deterministic element
+    expressions diverge, the BETWEEN-expansion caveat. Unary ~ over a
+    non-INTEGER primary is coerced in a first sweep; a ~ embedded
+    mid-chain still bails that chain to native (residue)."""
+    if not any(ch in sql for ch in "&|<>~"):
+        return sql
+
+    def _leaf_type(leaf: str) -> str | None:
+        m0 = _div_mask(leaf)
+        return _div_walk(leaf, m0, 0, len(leaf), coltypes, [])
+
+    def _coerce(leaf: str) -> str:
+        if _leaf_type(leaf) == "int":
+            return f"({leaf})"
+        return f"CAST(({leaf}) AS INTEGER)"
+
+    # sweep 1: unary ~ over a non-INTEGER primary
+    for _ in range(sql.count("~") + 1):
+        mask = _blank_comments(sql, _div_mask(sql))
+        done = False
+        i = len(sql) - 1
+        while i >= 0:
+            if mask[i] != "~":
+                i -= 1
+                continue
+            j = _skip_ws(mask, i + 1)
+            f0, e0, t0 = _div_scan_primary(sql, mask, j, len(sql),
+                                           coltypes, [])
+            if t0 == "kw" or e0 <= j:
+                i -= 1
+                continue
+            leaf = sql[j:e0].strip()
+            if _leaf_type(leaf) == "int":
+                i -= 1
+                continue
+            sql = sql[:j] + f"CAST(({leaf}) AS INTEGER)" + sql[e0:]
+            done = True
+            break
+        if not done:
+            break
+    # sweep 2: binary chains
+    for _ in range(len(sql)):
+        mask = _blank_comments(sql, _div_mask(sql))
+        cands = _bitop_positions(mask)
+        if not cands:
+            return sql
+        edited = False
+        skip_before = 0
+        for pos, op in cands:
+            if pos < skip_before:
+                continue
+            e = pos
+            while e > 0 and mask[e - 1] in " \t\r\n":
+                e -= 1
+            l_start = _cmp_walk_back(sql, mask, e, stop_at_cmp=True)
+            if l_start is None:
+                continue
+            fwd = _cmp_walk_fwd(sql, mask, pos + len(op), coltypes,
+                                stop_at_cmp=True)
+            if fwd is None:
+                continue
+            r_end = fwd[1]
+            # tokenize [l_start, r_end) at depth 0 into leaves/ops
+            sub = mask[l_start:r_end]
+            ops_in = [(p - l_start, o) for p, o in cands
+                      if l_start <= p < r_end]
+            depth = 0
+            top_ops: list[tuple[int, str]] = []
+            oset = dict(ops_in)
+            k = 0
+            while k < len(sub):
+                if sub[k] == "(":
+                    depth += 1
+                elif sub[k] == ")":
+                    depth -= 1
+                elif depth == 0 and k in oset:
+                    top_ops.append((k, oset[k]))
+                    k += len(oset[k])
+                    continue
+                k += 1
+            if not top_ops:
+                skip_before = r_end
+                continue
+            leaves: list[str] = []
+            prev = 0
+            for k, o in top_ops:
+                leaves.append(sql[l_start + prev:l_start + k].strip())
+                prev = k + len(o)
+            leaves.append(sql[l_start + prev:r_end].strip())
+            if not all(leaves):
+                skip_before = r_end
+                continue
+            need = any(_leaf_type(lf) != "int" for lf in leaves)
+            for idx, ((k, o), cnt) in enumerate(zip(top_ops, leaves[1:])):
+                if o in ("<<", ">>"):
+                    # native only when the count is an in-range literal
+                    # AND the left side is a bare int column: Spark
+                    # types small literals INT (32-bit) and shifts wrap
+                    # at 32 bits there, while SQLite is always int64
+                    # (1 << 63 read -2147483648 natively); engine
+                    # columns are BIGINT, so a simple column is safe
+                    m1 = _SHIFT_LIT_RX.match(cnt)
+                    left_col = idx == 0 and _VD_IDENT_RX.fullmatch(
+                        leaves[0])
+                    if not (m1 and int(m1.group(1)) <= 63 and left_col):
+                        need = True
+            if not need:
+                skip_before = r_end
+                continue
+            acc = _coerce(leaves[0])
+            for (k, o), leaf in zip(top_ops, leaves[1:]):
+                cl = _coerce(leaf)
+                if o in ("&", "|"):
+                    acc = f"({acc} {o} {cl})"
+                    continue
+                # 64-bit shift arithmetic regardless of how Spark typed
+                # the left side (int literals are 32-bit)
+                acc = f"TRY_CAST({acc} AS BIGINT)"
+                m1 = _SHIFT_LIT_RX.match(leaf)
+                if m1 and int(m1.group(1)) <= 63:
+                    fn = "shiftleft" if o == "<<" else "shiftright"
+                    acc = f"{fn}({acc}, {m1.group(1)})"
+                else:
+                    acc = _bit_shift_emit(o, acc, cl)
+            sql = sql[:l_start] + acc + sql[r_end:]
+            edited = True
+            break
+        if not edited:
+            return sql
+    return sql
+
+
 def _rewrite_row_values(sql: str) -> str:
     """Row-value comparisons `(a, b) op (c, d)` (SQLite rowvalue.html;
     Spark has no tuple-comparison syntax) expand to their scalar
@@ -2728,7 +2922,7 @@ def _in_subquery_affinity_edit(sql, mask, e, neg, p, close, coltypes):
     if not x:
         return None
     affX, vclX = _cmp_classify(x, coltypes)
-    if "unk" in (affX, vclX) or vclX == "null":
+    if "unk" in (affX, vclX) or vclX in ("null", "bool"):
         return None
     ia = _skip_ws(mask, p + 1)
     wsel = _WORD_RX.match(mask, ia)
@@ -2736,7 +2930,7 @@ def _in_subquery_affinity_edit(sql, mask, e, neg, p, close, coltypes):
     if item is None:
         return None
     affY, vclY = _cmp_classify(item, coltypes)
-    if "unk" in (affY, vclY) or vclY == "null":
+    if "unk" in (affY, vclY) or vclY in ("null", "bool"):
         return None
     sub = sql[p + 1:close].strip()
     NUM = ("int", "real")
@@ -2853,7 +3047,7 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         if not x:
             continue
         xa, xv = _cmp_classify(x, coltypes)
-        if "unk" in (xa, xv) or xv == "null":
+        if "unk" in (xa, xv) or xv in ("null", "bool"):
             continue
         fa = _cmp_walk_fwd(sql, mask, m.end(), coltypes)
         if fa is None:
@@ -2870,7 +3064,7 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         a_txt, b_txt = sql[a0:a1].strip(), sql[b0:b1].strip()
         aa, av = _cmp_classify(a_txt, coltypes)
         ba, bv = _cmp_classify(b_txt, coltypes)
-        if "unk" in (aa, av, ba, bv):
+        if "unk" in (aa, av, ba, bv) or "bool" in (av, bv):
             continue
         NUM = ("int", "real")
 
@@ -3025,12 +3219,14 @@ def _rev_case_start(sql, mask, e):
     return None
 
 
-def _cmp_walk_back(sql, mask, e):
+def _cmp_walk_back(sql, mask, e, stop_at_cmp=False):
     """Start of the arithmetic operand chain ENDING at e (exclusive):
     primary ((+|-|*|/|%) primary)* with unary +/- allowed; a primary
     may be a whole CASE … END. None when unscannable or glued to a
-    non-arithmetic operator (||, bitwise, another comparison — out of
-    scope, Spark semantics kept)."""
+    non-arithmetic operator (||, bitwise — stepped since r15 — or
+    another comparison: out of scope, Spark semantics kept).
+    ``stop_at_cmp`` (the bitwise pass): a comparison/word-operator
+    boundary ENDS the chain instead of bailing the site."""
     l_start = _rev_primary_start(sql, mask, e)
     if l_start is None:
         l_start = _rev_case_start(sql, mask, e)
@@ -3098,6 +3294,8 @@ def _cmp_walk_back(sql, mask, e):
             l_start = prev
             continue
         if c in "|&<>=!~":
+            if stop_at_cmp:
+                break  # chain boundary, not a bail (bitwise pass)
             return None
         if c.isalnum() or c == "_":
             # word OPERATOR glued to the chain (a LIKE b IS 0 parses as
@@ -3112,13 +3310,28 @@ def _cmp_walk_back(sql, mask, e):
                 "like", "glob", "regexp", "match", "escape", "is", "in",
                 "between",
             ):
+                if stop_at_cmp:
+                    break
                 return None
             if w == "and" and _and_closes_between(sql, mask, ws):
                 # BETWEEN's AND: the operand is the upper bound of
                 # (a BETWEEN b AND c) = s — rewriting [c = s] spliced
                 # mid-expression (r15, was silent corruption)
+                if stop_at_cmp:
+                    break
                 return None
         break
+    # a paren-group primary preceded by EXISTS: the EXISTS belongs to
+    # the operand (r15 — without this the span classified as a SCALAR
+    # subquery, the wrong semantics entirely)
+    if l_start < len(mask) and mask[l_start] == "(":
+        k = l_start - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        if k >= 5 and sql[k - 5:k + 1].lower() == "exists" and (
+            k == 5 or not (mask[k - 6].isalnum() or mask[k - 6] == "_")
+        ):
+            l_start = k - 5
     return l_start
 
 
@@ -3174,7 +3387,8 @@ _CMP_CONT_WORDS = frozenset({
 })
 
 
-def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False):
+def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False,
+                  stop_at_cmp=False):
     """(first, end) of the arithmetic operand chain STARTING at pos:
     primary ((+|-|*|/|%) primary)*. None when the next token is a
     structural keyword or the chain glues into ||/bitwise."""
@@ -3182,7 +3396,19 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False):
         sql, mask, pos, len(sql), coltypes, []
     )
     if rt == "kw":
-        return None
+        # EXISTS (…) is a valid operand primary (INTEGER 0/1 in
+        # SQLite): consume the keyword plus its paren group (r15)
+        j0 = _skip_ws(mask, pos)
+        wm0 = _WORD_RX.match(mask, j0)
+        if not (wm0 and sql[wm0.start():wm0.end()].lower() == "exists"):
+            return None
+        jp = _skip_ws(mask, wm0.end())
+        if jp >= len(sql) or mask[jp] != "(":
+            return None
+        close0 = _div_find_close(mask, jp, len(sql))
+        if close0 == -1:
+            return None
+        r_first, r_end = j0, close0 + 1
     while True:
         j = r_end
         while j < len(sql) and mask[j] in " \t\r\n":
@@ -3230,6 +3456,8 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False):
             # LOOSER or equal (s = n < 1 is s = (n < 1) — SQLite's
             # <-family binds tighter than =); rewriting [s = n] would
             # splice mid-expression (r15, was silent corruption)
+            if stop_at_cmp:
+                break
             return None
         wmc = _WORD_RX.match(mask, j) if j < len(sql) else None
         if (
@@ -3240,6 +3468,8 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False):
         if wmc and sql[wmc.start():wmc.end()].lower() in _CMP_CONT_WORDS:
             # word-operator continuation ((s = n) LIKE p, (s = n) IS 0,
             # x BETWEEN a AND (b = s) shapes): same mis-splice risk
+            if stop_at_cmp:
+                break
             return None
         break
     return r_first, r_end
@@ -3291,6 +3521,11 @@ def _cmp_classify(span: str, coltypes):
         elif vcl == "strlit":
             vcl = "text"
         return aff, vcl
+    em = re.match(r"(?i)^exists\s*\(", core)
+    if em and _div_find_close(cm, em.end() - 1, len(core)) == len(core) - 1:
+        # EXISTS is INTEGER 0/1 in SQLite (never NULL), boolean in
+        # Spark: the 'bool' class routes it through an INT cast (r15)
+        return None, "bool"
     t = _div_walk(core, cm, 0, len(core), coltypes, [])
     low = core.lower()
     if low == "null":
@@ -3331,7 +3566,7 @@ def _cmp_classify(span: str, coltypes):
     ):
         return None, "text"  # text-RESULT function, no affinity
     depth = 0
-    has_concat = has_bitwise = False
+    has_concat = has_bitwise = has_cmp = False
     i0 = 0
     while i0 < len(cm):
         c0 = cm[i0]
@@ -3344,11 +3579,40 @@ def _cmp_classify(span: str, coltypes):
                 has_concat = True
                 i0 += 2
                 continue
-            if c0 in "&|" or (c0 in "<>" and cm[i0 + 1:i0 + 2] == c0):
+            if (c0 in "<>" and cm[i0 + 1:i0 + 2] == c0):
                 has_bitwise = True
-                i0 += 2 if c0 in "<>" else 1
+                i0 += 2
+                continue
+            if c0 in "&|":
+                has_bitwise = True
+                i0 += 1
+                continue
+            if c0 in "<>=!":
+                has_cmp = True
+                i0 += 1
+                continue
+            w0 = _WORD_RX.match(cm, i0)
+            if w0:
+                word = core[i0:w0.end()].lower()
+                if word == "case":
+                    marks = _case_marks(core, cm, i0, len(core))
+                    if marks is None:
+                        return "unk", "unk"
+                    i0 = marks[-1][0] + 3
+                    continue
+                if word in ("is", "in", "like", "glob", "match",
+                            "regexp", "between", "isnull", "notnull",
+                            "and", "or", "not", "exists"):
+                    # boolean connective / predicate at the top level:
+                    # the span's VALUE is SQLite 0/1 INTEGER (r15)
+                    has_cmp = True
+                i0 = w0.end()
                 continue
         i0 += 1
+    if has_cmp:
+        # comparisons bind loosest: the span is a predicate — INTEGER
+        # 0/1 (possibly NULL) in SQLite, BOOLEAN in Spark
+        return None, "bool"
     if has_bitwise:
         # bitwise glue binds LOOSEST of the value operators: the span's
         # top-level operator — result always INTEGER, no affinity (r15)
@@ -3468,7 +3732,15 @@ def _is_body(x: str, r: str, coltypes) -> str:
                 return "(false)"  # junk literal never IS a numeric
             if ov == "text":
                 return _ns_rowwise(x_text, o_text)
+            if ov == "bool":
+                return (f"(({x_text}) <=> "
+                        f"(TRY_CAST(({o_text}) AS INT)))")
             return base
+        if ov == "bool":
+            # TEXT affinity: render the 0/1 through BIGINT (r15)
+            return (f"(({x_text}) <=> "
+                    f"(TRY_CAST(TRY_CAST(({o_text}) AS BIGINT) "
+                    f"AS STRING)))")
         if ov == "numlit":
             body = o_text.lstrip("+- \t")
             neg0 = o_text[:len(o_text) - len(body)].count("-") % 2 == 1
@@ -3651,8 +3923,24 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
                 # text-valued no-affinity operand (upper(s), s1||s2 via
                 # funcs): NUMERIC affinity converts per row
                 return _rowwise(x_text, o_text, x_is_left)
+            if ov == "bool":
+                # predicate operand: SQLite 0/1 INTEGER vs Spark
+                # BOOLEAN — numeric compare through an INT cast (r15)
+                ob = f"TRY_CAST(({o_text}) AS INT)"
+                if x_is_left:
+                    return l_start, r_close, f"(({x_text}) {cmp_op} ({ob}))"
+                return l_start, r_close, f"(({ob}) {cmp_op} ({x_text}))"
             return None  # numeric-valued operand: both sides numeric
         # X carries TEXT affinity: it applies to the numeric other side
+        if ov == "bool":
+            # TEXT affinity renders the 0/1 (BIGINT first: a bare
+            # boolean casts to 'true'/'false' strings in Spark)
+            rend = f"TRY_CAST(TRY_CAST(({o_text}) AS BIGINT) AS STRING)"
+            if x_is_left:
+                return l_start, r_close, \
+                    f"(({x_text}) {cmp_op} ({rend}{coll_sfx}))"
+            return l_start, r_close, \
+                f"(({rend}{coll_sfx}) {cmp_op} ({x_text}))"
         if ov == "numlit":
             # STRING comparison against SQLite's static rendering;
             # peel parens AND signs in any nesting order — classify
@@ -3705,9 +3993,21 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
                 f"(({rend}{coll_sfx}) {cmp_op} ({x_text}))"
         return None  # strlit / text value vs TEXT affinity: native
     # ---- neither side carries affinity: raw values, type order
-    num_l = vclL in ("num", "numlit")
+    if (vclL == "bool") != (vclR == "bool") and {vclL, vclR} <= {
+        "num", "numlit", "bool"
+    }:
+        # bool vs numeric value: SQLite compares the 0/1 numerically;
+        # Spark cannot compare BOOLEAN with a number — INT-cast it
+        bool_left = vclL == "bool"
+        b_t = p_text if bool_left else r_text
+        o_t = r_text if bool_left else p_text
+        ob = f"TRY_CAST(({b_t}) AS INT)"
+        if bool_left:
+            return l_start, r_close, f"(({ob}) {cmp_op} ({o_t}))"
+        return l_start, r_close, f"(({o_t}) {cmp_op} ({ob}))"
+    num_l = vclL in ("num", "numlit", "bool")
     txt_r = vclR in ("strlit", "text")
-    num_r = vclR in ("num", "numlit")
+    num_r = vclR in ("num", "numlit", "bool")
     txt_l = vclL in ("strlit", "text")
     if (num_l and txt_r) or (txt_l and num_r):
         const = _CMP_TEXT_GREATER[
@@ -3716,7 +4016,7 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
         guards = [
             f"({t0}) IS NULL"
             for t0, vc in ((p_text, vclL), (r_text, vclR))
-            if vc in ("num", "text")  # literals are never NULL
+            if vc in ("num", "text", "bool")  # literals are never NULL
         ]
         if not guards:
             return l_start, r_close, f"({const})"
@@ -6211,6 +6511,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = _rewrite_concat_real(sql, column_types)
     sql = _rewrite_value_dependent_div(sql, column_types)
     sql = _rewrite_division(sql, column_types)
+    sql = _rewrite_bitwise(sql, column_types)
     sql = _rewrite_real_literals(sql)
     sql = _rewrite_json_each(sql)
     sql = _rewrite_glob(sql)

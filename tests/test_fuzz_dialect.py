@@ -2801,12 +2801,14 @@ def _gen_cmp_operand(rng: random.Random) -> str:
     pick = rng.randrange(14)
     if pick == 12:
         # bitwise glue (r15): binds tighter than any comparison, result
-        # INTEGER, NO affinity — integer operands only (SQLite coerces
-        # REAL/TEXT operands; Spark's &/|/<</>> are integral-typed, a
-        # documented operand-coercion residue)
+        # INTEGER, NO affinity; operands coerce per vdbe.c (TEXT
+        # integer-prefix-parses, REAL truncates toward zero) and shift
+        # counts clamp at |64| / flip on negatives — all emulated
         return rng.choice([
             "n & 3", "n | 1", "n & 1 | 4", "n << 1", "n >> 1",
             "(n & 1)", "n & 1 + 1", "3 & n", "n << 1 & 6",
+            "s & 3", "r & 7", "~n", "~s", "n << 65", "1 << -1",
+            "n >> n", "s << 1", "r | n",
         ])
     if pick == 13:
         # || chains as comparison operands: TEXT value, NO affinity

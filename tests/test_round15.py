@@ -301,3 +301,85 @@ def test_affinity_then_collation(spark, tmp_path, stmt):
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT, u TEXT, v TEXT)",
           "id,n,s,u,v")
+
+
+# ---------------- r15: bitwise operand coercion (vdbe.c OP_BitAnd
+# family — TEXT integer-prefix-parses with int64 clamp, REAL truncates
+# toward zero, NULL poisons) and SQLite shift-count edge semantics
+# (negative count = opposite shift, |count| >= 64 clamps to sign fill)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, s & 1 AS c FROM t ORDER BY id",
+    "SELECT id, s | 4 AS c FROM t ORDER BY id",
+    "SELECT id, r & 3 AS c FROM t ORDER BY id",
+    "SELECT id, ~s AS c FROM t ORDER BY id",
+    "SELECT id, ~r AS c FROM t ORDER BY id",
+    "SELECT id, s << 1 AS c FROM t ORDER BY id",
+    "SELECT id, s >> 1 AS c FROM t ORDER BY id",
+    "SELECT id, n & s | 2 AS c FROM t ORDER BY id",
+    "SELECT id, '3.7' & 1 AS c FROM t ORDER BY id",
+    "SELECT id, '3e2' & 1023 AS c FROM t ORDER BY id",
+    # shift-count edges: negative, >= 64, non-literal counts
+    "SELECT id, 1 << -1 AS c FROM t ORDER BY id",
+    "SELECT id, 8 >> -2 AS c FROM t ORDER BY id",
+    "SELECT id, 1 << 65 AS c FROM t ORDER BY id",
+    "SELECT id, -1 >> 100 AS c FROM t ORDER BY id",
+    "SELECT id, n << n AS c FROM t ORDER BY id",
+    "SELECT id, n >> n AS c FROM t ORDER BY id",
+    "SELECT id, 1 << 63 AS c FROM t ORDER BY id",
+    # comparison affinity composes: TEXT column vs coerced bitwise
+    "SELECT id, CASE WHEN s = r & 1 THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    # all-int chains stay native (plan unchanged) — value check only
+    "SELECT id, n & 3 | 1 AS c FROM t ORDER BY id",
+    "SELECT id, n << 2 AS c FROM t ORDER BY id",
+])
+def test_bitwise_operand_coercion(spark, tmp_path, stmt):
+    rows = [(1, 1, "1", 1.0), (2, 3, "3.9", 2.9), (3, -2, "junk", -2.9),
+            (4, None, None, None), (5, 70, "12abc", 0.5),
+            (6, 0, " 12 ", 63.9)]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT, r REAL)",
+          "id,n,s,r")
+
+
+def test_bitwise_all_int_untouched():
+    from filesql_spark.dialect import rewrite
+
+    ct = {"n": "int", "m": "int"}
+    for s in ["SELECT n & 1 AS c FROM t", "SELECT n | m AS c FROM t",
+              "SELECT n << 1 AS c FROM t", "SELECT n >> 63 AS c FROM t",
+              "SELECT ~n AS c FROM t"]:
+        assert rewrite(s, ct) == s, s
+
+
+# ---------------- r15: predicate-valued comparison operands — SQLite
+# comparisons/EXISTS yield INTEGER 0/1 (never NULL for EXISTS), Spark
+# BOOLEAN; the 'bool' operand class routes them through INT casts /
+# digit rendering so mixed sites compare as SQLite does
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, CASE WHEN s = (n < 2) THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN (n < 2) = s THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN n = (s < '2') THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN 1 = (n < 2) THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN s = EXISTS (SELECT 1 FROM t WHERE n > 100) "
+    "THEN 'T' ELSE 'F' END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN s = EXISTS (SELECT 1 FROM t WHERE n < 100) "
+    "THEN 'T' ELSE 'F' END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN EXISTS (SELECT 1 FROM t WHERE n < 100) = s "
+    "THEN 'T' ELSE 'F' END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN s IS (n < 2) THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN s = (n IN (1, 2)) THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+])
+def test_bool_operand_comparisons(spark, tmp_path, stmt):
+    rows = [(1, 1, "1"), (2, 3, "0"), (3, 0, "junk"), (4, None, None),
+            (5, 2, "1.0")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)", "id,n,s")

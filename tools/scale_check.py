@@ -96,12 +96,18 @@ def _scale_table(spark, name: str, src: str, dst: str, mult: int) -> None:
             # mult > 5, replicas i and i+5 would be IDENTICAL text,
             # creating genuinely quadratic duplicate clusters real
             # scale-ups don't have (found the hard way: the ×20 run
-            # filled the spill disk). Vowels × consonants = 25 mappings.
+            # filled the spill disk). Vowels × consonants = 25 mappings;
+            # a second consonant group (r15, for the ×100 run) makes it
+            # 125 — same failure mode at mult > 25 otherwise.
             cons = "rstln"
+            cons2 = "dhcmf"
             rot = vowels[i % 5:] + vowels[: i % 5]
             crot = cons[(i // 5) % 5:] + cons[: (i // 5) % 5]
+            crot2 = cons2[(i // 25) % 5:] + cons2[: (i // 25) % 5]
             rep = rep.withColumn(
-                "text", F.translate("text", vowels + cons, rot + crot)
+                "text",
+                F.translate("text", vowels + cons + cons2,
+                            rot + crot + crot2),
             )
         if name == "embeddings" and i > 0:
             # per-(replica, dimension, row) perturbation that changes the
