@@ -3332,6 +3332,24 @@ def _cmp_walk_back(sql, mask, e, stop_at_cmp=False):
             k == 5 or not (mask[k - 6].isalnum() or mask[k - 6] == "_")
         ):
             l_start = k - 5
+    # a bare-word primary preceded by COLLATE is a collation NAME:
+    # the operand is `<expr> COLLATE <name>` — include the collated
+    # expression (r15; was an unconditional bail to native)
+    wl = _WORD_RX.match(mask, l_start)
+    if wl:
+        k = l_start - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        if k >= 6 and sql[k - 6:k + 1].lower() == "collate" and (
+            k == 6 or not (mask[k - 7].isalnum() or mask[k - 7] == "_")
+        ):
+            pe = k - 6
+            while pe > 0 and mask[pe - 1] in " \t\r\n":
+                pe -= 1
+            prev = _cmp_walk_back(sql, mask, pe, stop_at_cmp)
+            if prev is None or prev >= pe:
+                return None
+            l_start = prev
     return l_start
 
 
@@ -3503,6 +3521,11 @@ def _cmp_classify(span: str, coltypes):
         core = core[1:-1].strip()
     if not core:
         return "unk", "unk"
+    cmc = re.match(r"(?is)^(.*\S)\s+collate\s+[a-z_][a-z0-9_]*$", core)
+    if cmc:
+        # COLLATE is transparent for affinity (expr.c sqlite3ExprAffinity
+        # walks through TK_COLLATE) — classify the collated expression
+        return _cmp_classify(cmc.group(1), coltypes)
     cm = _div_mask(core)
     sm = re.match(r"(?i)^select\b", core)
     if sm:

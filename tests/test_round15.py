@@ -383,3 +383,27 @@ def test_bool_operand_comparisons(spark, tmp_path, stmt):
             (5, 2, "1.0")]
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)", "id,n,s")
+
+
+# -------- r15: LEFT-glued collation (`x COLLATE name op y`): COLLATE is
+# affinity-transparent (expr.c walks TK_COLLATE), so the site converts
+# exactly as without it; the collation rides along inline and only
+# matters where the comparison stays textual
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, CASE WHEN s COLLATE NOCASE = n THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN u COLLATE NOCASE = 7 THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN u COLLATE NOCASE = 'abc' THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN u COLLATE BINARY = 'ABC' THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+])
+def test_left_glued_collation(spark, tmp_path, stmt):
+    rows = [(1, 7, "7", "ABC"), (2, 100, "junk", "abc"),
+            (3, 0, "0.0", "AbC"), (4, None, None, "7"),
+            (5, 100, "100", "xyz")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT, u TEXT)",
+          "id,n,s,u")
