@@ -2812,8 +2812,14 @@ def _rewrite_compare_affinity(
     Scope: operands are primaries or +-*/% chains of primaries; ||/
     bitwise-glued operands, CASE operands, and unknown-typed spans keep
     Spark semantics (documented residue)."""
+    low0 = sql.lower()
     if not (
         (coltypes and "text" in coltypes.values()) or "'" in sql
+        # r15: bool-operand (EXISTS/predicate/TRUE/FALSE/~) and
+        # collation-consuming sites fire without any TEXT column
+        or "~" in sql
+        or re.search(r"(?i)\b(exists|collate|true|false)\b", low0)
+        or ("(" in sql and re.search(r"\)\s*[<>=!]|[<>=!]=?\s*\(", sql))
     ):
         return sql
     for _ in range(sql.count("=") + sql.count("<") + sql.count(">") + 1):
@@ -3293,7 +3299,10 @@ def _cmp_walk_back(sql, mask, e, stop_at_cmp=False):
                 return None
             l_start = prev
             continue
-        if c in "|&<>=!~":
+        if c == "~":
+            l_start = k  # unary ~ binds into the operand (r15)
+            continue
+        if c in "|&<>=!":
             if stop_at_cmp:
                 break  # chain boundary, not a bail (bitwise pass)
             return None
@@ -3410,13 +3419,20 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False,
     """(first, end) of the arithmetic operand chain STARTING at pos:
     primary ((+|-|*|/|%) primary)*. None when the next token is a
     structural keyword or the chain glues into ||/bitwise."""
+    j0 = _skip_ws(mask, pos)
+    tpos = j0
+    while tpos < len(sql) and mask[tpos] == "~":
+        tpos = _skip_ws(mask, tpos + 1)  # unary ~ binds in (r15)
     r_first, r_end, rt = _div_scan_primary(
-        sql, mask, pos, len(sql), coltypes, []
+        sql, mask, tpos, len(sql), coltypes, []
     )
+    if tpos > j0:
+        if rt == "kw" or r_end <= tpos:
+            return None
+        r_first, rt = j0, "expr"
     if rt == "kw":
         # EXISTS (…) is a valid operand primary (INTEGER 0/1 in
         # SQLite): consume the keyword plus its paren group (r15)
-        j0 = _skip_ws(mask, pos)
         wm0 = _WORD_RX.match(mask, j0)
         if not (wm0 and sql[wm0.start():wm0.end()].lower() == "exists"):
             return None
@@ -3549,13 +3565,19 @@ def _cmp_classify(span: str, coltypes):
         # EXISTS is INTEGER 0/1 in SQLite (never NULL), boolean in
         # Spark: the 'bool' class routes it through an INT cast (r15)
         return None, "bool"
+    tilde = core.startswith("~")
+    # NOTE: a leading ~ must NOT classify before the depth-0 scan —
+    # `~s < 10` is a COMPARISON at the top (bool), the ~ binds tighter
+    # (r15 campaign find); the flag resolves after the scan below
     t = _div_walk(core, cm, 0, len(core), coltypes, [])
     low = core.lower()
     if low == "null":
         return None, "null"
     if _VD_IDENT_RX.fullmatch(core):
         if low in ("true", "false"):
-            return "unk", "unk"
+            # TRUE/FALSE are INTEGER 1/0 literals in SQLite (3.23+),
+            # BOOLEAN in Spark: the bool class converts them (r15)
+            return None, "bool"
         if t in ("int", "real"):
             return t, "num"
         if t == "text":
@@ -3580,6 +3602,10 @@ def _cmp_classify(span: str, coltypes):
             return "real", "num"
         if any(x in target for x in ("char", "clob", "text", "string")):
             return "text", "text"
+        if target == "boolean":
+            # engine emissions (CAST(NULL AS BOOLEAN) guard arms) and
+            # Spark-typed user casts: boolean-valued (r15)
+            return None, "bool"
         return "unk", "unk"  # BLOB / NUMERIC targets: out of scope
     wm = re.match(r"(?i)^([a-z_][a-z0-9_]*)\s*\(", core)
     if (
@@ -3588,6 +3614,38 @@ def _cmp_classify(span: str, coltypes):
         and _div_find_close(cm, wm.end() - 1, len(core)) == len(core) - 1
     ):
         return None, "text"  # text-RESULT function, no affinity
+    if re.match(r"(?i)^case\b", core):
+        marks = _case_marks(core, cm, 0, len(core))
+        if marks and marks[-1][1] == "end" and \
+                marks[-1][0] + 3 == len(core):
+            # full-span CASE: the common class of its THEN/ELSE arms —
+            # engine emissions (rowwise guards, type-order constants)
+            # and user CASEs alike classify instead of bailing (r15).
+            # NULL arms don't decide; mixed or unknown arms bail.
+            arms = []
+            prev_kw, prev_pos = None, None
+            for mpos, kw in marks:
+                if prev_kw in ("then", "else"):
+                    arms.append(core[prev_pos:mpos].strip())
+                prev_kw, prev_pos = kw, mpos + len(kw)
+            cls = set()
+            for a0 in arms:
+                if not a0:
+                    return "unk", "unk"
+                _a0, v0 = _cmp_classify(a0, coltypes)
+                if v0 == "null":
+                    continue
+                if v0 in ("num", "numlit"):
+                    cls.add("num")
+                elif v0 in ("text", "strlit"):
+                    cls.add("text")
+                elif v0 == "bool":
+                    cls.add("bool")
+                else:
+                    return "unk", "unk"
+            if len(cls) == 1:
+                return None, cls.pop()
+            return "unk", "unk"
     depth = 0
     has_concat = has_bitwise = has_cmp = False
     i0 = 0
@@ -3642,6 +3700,11 @@ def _cmp_classify(span: str, coltypes):
         return None, "num"
     if has_concat:
         return None, "text"  # || chain: TEXT value, no affinity
+    if tilde:
+        # ~x is ALWAYS INTEGER in SQLite (operand coerced) — the type
+        # walker sees through to the operand and mis-typed ~s as TEXT,
+        # which fed a WRONG type-order constant (r15 campaign find)
+        return None, "num"
     # arithmetic chain / function call / unary sign: affinity NONE,
     # value class from the static type tracker
     if t in ("int", "real"):
@@ -3820,6 +3883,8 @@ def _cmp_num_type(span: str, coltypes):
         if item is None:
             return None
         return _cmp_num_type(item, coltypes)
+    if core.startswith("~"):
+        return "int"  # ~x is always INTEGER (r15)
     cm0 = _div_mask(core)
     depth = 0
     i0 = 0
@@ -3878,9 +3943,24 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
     cmp_op = "=" if op == "==" else op
     affL, vclL = _cmp_classify(p_text, coltypes)
     affR, vclR = _cmp_classify(r_text, coltypes)
-    if "unk" in (affL, affR, vclL, vclR) or "null" in (vclL, vclR):
+    if "unk" in (affL, affR, vclL, vclR):
+        return None
+    if "null" in (vclL, vclR):
+        if "bool" in (vclL, vclR) or coll is not None:
+            # NULL vs a predicate/EXISTS operand (boolean crash) or a
+            # trailing COLLATE (Spark rejects it on non-strings): the
+            # SQLite result is NULL unconditionally — emit it (r15)
+            return l_start, r_close, "TRY_CAST(NULL AS BOOLEAN)"
         return None
     NUM = ("int", "real")
+
+    def _strip_coll():
+        # the comparison resolved NUMERIC on both sides: SQLite ignores
+        # the collation there, but Spark rejects COLLATE on a numeric —
+        # re-emit the bare comparison, consuming the clause (r15)
+        if coll is None:
+            return None
+        return l_start, r_close, f"(({p_text}) {cmp_op} ({r_text}))"
 
     def _rowwise(num, txt, text_right):
         # numeric-affinity side vs text-VALUED side: NUMERIC conversion
@@ -3906,7 +3986,9 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             return _rowwise(p_text, r_text, True)
         if affL == "text" and affR in NUM:
             return _rowwise(r_text, p_text, False)
-        return None  # both numeric / both text: native semantics agree
+        if affL in NUM and affR in NUM:
+            return _strip_coll()  # numeric compare: collation inert
+        return None  # both text: native semantics agree
     # ---- exactly one side carries affinity: it applies to the other
     if (affL is None) != (affR is None):
         x_is_left = affR is None
@@ -3953,7 +4035,8 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
                 if x_is_left:
                     return l_start, r_close, f"(({x_text}) {cmp_op} ({ob}))"
                 return l_start, r_close, f"(({ob}) {cmp_op} ({x_text}))"
-            return None  # numeric-valued operand: both sides numeric
+            # numeric-valued operand: both sides numeric
+            return _strip_coll()
         # X carries TEXT affinity: it applies to the numeric other side
         if ov == "bool":
             # TEXT affinity renders the 0/1 (BIGINT first: a bare
@@ -4047,6 +4130,8 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             f"(CASE WHEN {' OR '.join(guards)} "
             f"THEN CAST(NULL AS BOOLEAN) ELSE {const} END)"
         )
+    if not (txt_l or txt_r):
+        return _strip_coll()  # numeric/bool compare: collation inert
     return None
 
 

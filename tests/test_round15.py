@@ -407,3 +407,53 @@ def test_left_glued_collation(spark, tmp_path, stmt):
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT, u TEXT)",
           "id,n,s,u")
+
+
+# ------- r15 closing campaign finds (80-seed scratch differential over
+# the widened grammar ran clean after these):
+
+@pytest.mark.parametrize("stmt", [
+    # ~s mis-typed TEXT fed a WRONG type-order constant in row-value
+    # elements (silent corruption — the round's one wrong-value find)
+    "SELECT id, CASE WHEN (n, 5 + n) <= (n % 3, ~s) THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN 5 <= ~s THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    # trailing COLLATE on a numeric comparison is inert in SQLite and
+    # must be consumed (Spark rejects COLLATE on numerics)
+    "SELECT id, CASE WHEN n + 5 - 5 = 7 COLLATE NOCASE THEN 'T' "
+    "ELSE 'F' END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN 1.47 > 9.78 COLLATE BINARY THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN n % 3 = r COLLATE BINARY THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    # ~ binds tighter than the comparison: (~s < 10) is a bool operand
+    "SELECT id, CASE WHEN (~s < 10.35) = -4.0 THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    # engine emissions classify: chained affinity comparisons compose
+    "SELECT id, CASE WHEN (n = s) != -3 THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN (lower(s) >= r) = CASE WHEN s THEN 7 ELSE 8 "
+    "END THEN 'T' ELSE 'F' END AS c FROM t ORDER BY id",
+    # TRUE/FALSE are INTEGER 1/0 literals in SQLite
+    "SELECT id, CASE WHEN s = TRUE THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN n = FALSE THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+])
+def test_campaign_finds_r15(spark, tmp_path, stmt):
+    rows = [(1, 7, 7.5, "7"), (2, 0, 0.5, "abc"), (3, -3, 70.0, "1"),
+            (4, None, None, None), (5, 1, -0.5, "0")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
+          "id,n,r,s")
+
+
+def test_null_vs_exists_constant(spark, tmp_path):
+    _diff(
+        spark, tmp_path,
+        "SELECT id, CASE WHEN (NULL = EXISTS (SELECT 1 FROM t)) IS NULL "
+        "THEN 1 ELSE 0 END AS c FROM t ORDER BY id",
+        [(1, 5), (2, 7)], "CREATE TABLE t (id INTEGER, n INTEGER)",
+        "id,n",
+    )
