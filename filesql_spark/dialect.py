@@ -2238,6 +2238,9 @@ def _cond_truthy_edits(sql, mask, low, a, b, edits) -> None:
                 return  # unbalanced: bail on the whole condition
             i = close + 1
             continue
+        if c in "<>" and mask[i + 1:i + 2] == c:
+            i += 2  # << / >> is a SHIFT — not a boolean context (r15)
+            continue
         if c in "=<>!":
             has_cmp = True
             i += 1
@@ -3027,6 +3030,120 @@ def _in_subquery_affinity_edit(sql, mask, e, neg, p, close, coltypes):
     return l_start, close + 1, body
 
 
+def _in_list_mixed_edit(sql, mask, e, neg, p, close, coltypes):
+    """`x IN (e1, e2, …)` with non-literal or compound operands of
+    mixed value class (r15 campaign find): natively Spark type-crashes
+    ('abc' IN (-n, CAST(s AS REAL))). SQLite's IN uses ONLY the LEFT
+    operand's affinity — item affinities are IGNORED (pinned: '7.0' IN
+    (CAST('7' AS REAL)) is 0 while '7.0' = CAST('7' AS REAL) is 1, and
+    7 IN (s) is 0 while 7 = s is 1). Expand to the OR chain — exactly
+    IN's three-valued semantics — converting each item per x's
+    affinity: numeric x converts text items per row, TEXT x renders
+    numeric items, no-affinity x compares storage classes raw
+    (cross-family pairs are constant false, NULL-guarded). x is
+    duplicated per item (the BETWEEN-expansion caveat). Lists needing
+    no conversion stay native."""
+    l_start = _cmp_walk_back(sql, mask, e)
+    if l_start is None:
+        return None
+    x = sql[l_start:e].strip()
+    if not x:
+        return None
+    affX, vclX = _cmp_classify(x, coltypes)
+    if "unk" in (affX, vclX) or vclX == "null":
+        return None
+    NUM = ("int", "real")
+    NUMISH = ("num", "numlit", "bool")
+    TEXTISH = ("text", "strlit")
+
+    def fam(aff, vcl):
+        if aff in NUM or (aff is None and vcl in NUMISH):
+            return "n"
+        if aff == "text" or (aff is None and vcl in TEXTISH):
+            return "t"
+        return "?"
+
+    fx = fam(affX, vclX)
+    if fx == "?":
+        return None
+
+    def wr(t):
+        return t if _vd_simple_primary(t) else f"({t})"
+
+    x_r = wr(x)
+    if affX is None and vclX == "bool":
+        x_r = f"TRY_CAST(({x}) AS INT)"
+    parts = []
+    any_help = False
+    for s0, s1 in _div_split_args(mask, p + 1, close):
+        t = sql[s0:s1].strip()
+        if not t:
+            return None
+        if t.lower() == "null":
+            parts.append(f"{x_r} = NULL")
+            continue
+        affI, vclI = _cmp_classify(t, coltypes)
+        if "unk" in (affI, vclI) or vclI == "null":
+            return None
+        fi = fam(affI, vclI)
+        if fi == "?":
+            return None
+        ib = vclI == "bool"
+        if affX in NUM:
+            if fi == "t":
+                parts.append(
+                    f"(CASE WHEN ({x}) IS NULL OR ({t}) IS NULL "
+                    f"THEN CAST(NULL AS BOOLEAN) "
+                    f"WHEN TRY_CAST(({t}) AS DOUBLE) IS NOT NULL "
+                    f"THEN ({x}) = TRY_CAST(({t}) AS DOUBLE) "
+                    f"ELSE false END)"
+                )
+                any_help = True
+            elif ib:
+                parts.append(f"{x_r} = TRY_CAST(({t}) AS INT)")
+                any_help = True
+            else:
+                parts.append(f"{x_r} = {wr(t)}")
+        elif affX == "text":
+            if fi == "n":
+                if ib:
+                    rend = f"TRY_CAST(TRY_CAST(({t}) AS BIGINT) AS STRING)"
+                else:
+                    t0 = _cmp_num_type(t, coltypes)
+                    if t0 == "int":
+                        rend = f"TRY_CAST(({t}) AS STRING)"
+                    elif t0 == "real":
+                        rend = (f"filesql_double_text("
+                                f"TRY_CAST(({t}) AS DOUBLE))")
+                    else:
+                        return None
+                parts.append(f"{x_r} = ({rend})")
+                any_help = True
+            else:
+                parts.append(f"{x_r} = {wr(t)}")
+        else:  # x carries NO affinity: raw storage-class compare
+            if fi != fx:
+                parts.append(
+                    f"(CASE WHEN ({x}) IS NULL OR ({t}) IS NULL "
+                    f"THEN CAST(NULL AS BOOLEAN) ELSE false END)"
+                )
+                any_help = True
+            elif ib != (vclX == "bool"):
+                ir = f"TRY_CAST(({t}) AS INT)" if ib else wr(t)
+                parts.append(f"{x_r} = {ir}")
+                any_help = True
+            elif ib:
+                parts.append(f"{wr(x)} = {wr(t)}")  # both boolean
+            else:
+                parts.append(f"{x_r} = {wr(t)}")
+    if not any_help or not parts:
+        return None
+    body = "(" + " OR ".join(parts) + ")"
+    if neg:
+        body = f"(NOT {body})"
+    return l_start, close + 1, body
+
+
 def _rewrite_range_affinity(sql: str, coltypes) -> str:
     """BETWEEN and literal IN-lists under comparison affinity (r13b —
     runs BEFORE _rewrite_compare_affinity so its sites land there):
@@ -3123,12 +3240,24 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
             continue
         l_start = _rev_primary_start(sql, mask, e)
         if l_start is None:
+            edit = _in_list_mixed_edit(
+                sql, mask, e, bool(m.group(1)), p, close, coltypes)
+            if edit is not None:
+                edits.append(edit)
             continue
         x = sql[l_start:e].strip()
         if not _vd_simple_primary(x):
+            edit = _in_list_mixed_edit(
+                sql, mask, e, bool(m.group(1)), p, close, coltypes)
+            if edit is not None:
+                edits.append(edit)
             continue
         xt = _div_walk(sql, mask, l_start, e, coltypes, [])
         if xt not in ("int", "real", "text"):
+            edit = _in_list_mixed_edit(
+                sql, mask, e, bool(m.group(1)), p, close, coltypes)
+            if edit is not None:
+                edits.append(edit)
             continue
         items = []
         changed = False
@@ -3164,7 +3293,13 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
                     changed = True
                 else:
                     items.append(t)
-        if not ok or not changed:
+        if not ok:
+            edit = _in_list_mixed_edit(
+                sql, mask, e, bool(m.group(1)), p, close, coltypes)
+            if edit is not None:
+                edits.append(edit)
+            continue
+        if not changed:
             continue
         neg = bool(m.group(1))
         if not items:
@@ -3815,7 +3950,7 @@ def _is_body(x: str, r: str, coltypes) -> str:
                 if _div_str_lit_type(_literal_content(o_text)) in NUM:
                     bare = _literal_content(o_text).strip()
                     return f"(({x_text}) <=> ({bare}))"
-                return "(false)"  # junk literal never IS a numeric
+                return "(1 = 0)"  # junk literal never IS a numeric
             if ov == "text":
                 return _ns_rowwise(x_text, o_text)
             if ov == "bool":
@@ -3858,10 +3993,10 @@ def _is_body(x: str, r: str, coltypes) -> str:
             if vc in ("num", "text")
         ]
         if not guards:
-            return "(false)"  # literal vs literal of mixed classes
+            return "(1 = 0)"  # literal vs literal of mixed classes
         if len(guards) == 2:
             return f"({guards[0]} AND {guards[1]})"
-        return "(false)"  # one side a literal: never both NULL
+        return "(1 = 0)"  # one side a literal: never both NULL
     return base
 
 
@@ -4125,7 +4260,11 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             if vc in ("num", "text", "bool")  # literals are never NULL
         ]
         if not guards:
-            return l_start, r_close, f"({const})"
+            # (1 = 1)/(1 = 0), not (true)/(false): a bare paren'd
+            # identifier after WHERE parses as a relation column-alias
+            # list in Spark (r15 campaign find)
+            safe = "(1 = 1)" if const == "true" else "(1 = 0)"
+            return l_start, r_close, safe
         return l_start, r_close, (
             f"(CASE WHEN {' OR '.join(guards)} "
             f"THEN CAST(NULL AS BOOLEAN) ELSE {const} END)"

@@ -457,3 +457,42 @@ def test_null_vs_exists_constant(spark, tmp_path):
         [(1, 5), (2, 7)], "CREATE TABLE t (id INTEGER, n INTEGER)",
         "id,n",
     )
+
+
+# ------- r15: IN-list affinity uses ONLY the left operand (pinned:
+# item affinities are IGNORED — 7 IN (s) is 0 while 7 = s is 1); mixed
+# non-literal lists expand to the per-item OR chain, WHERE-context
+# shifts get truthiness, and boolean constants emit parser-safe forms
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, CASE WHEN 7 IN (s) THEN 'T' WHEN NOT (7 IN (s)) "
+    "THEN 'F' ELSE 'N' END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN '64' IN (64, n) THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN n IN ('7.0', s) THEN 'T' "
+    "WHEN NOT (n IN ('7.0', s)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN s IN (r, 7) THEN 'T' "
+    "WHEN NOT (s IN (r, 7)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN 'abc' IN (-n, CAST(s AS REAL)) THEN 'T' "
+    "WHEN NOT ('abc' IN (-n, CAST(s AS REAL))) THEN 'F' ELSE 'N' "
+    "END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN n NOT IN (s, r) THEN 'T' "
+    "WHEN NOT (n NOT IN (s, r)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    # WHERE-context: shifts are values (truthiness), literal compares
+    # are parser-safe constants
+    "SELECT id FROM t WHERE n >> 1 ORDER BY id",
+    "SELECT id FROM t WHERE -3 >> 1 ORDER BY id",
+    "SELECT id FROM t WHERE s >> n ORDER BY id",
+    "SELECT id FROM t WHERE 105 <= '7' ORDER BY id",
+    "SELECT id FROM t WHERE NOT (105 <= '7') ORDER BY id",
+    "SELECT id FROM t WHERE -2.39 IS lower(s) ORDER BY id",
+])
+def test_in_list_left_affinity_and_where_context(spark, tmp_path, stmt):
+    rows = [(1, 7, 7.5, "7"), (2, 63, 64.0, "64"), (3, 0, 0.5, "abc"),
+            (4, None, None, None)]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
+          "id,n,r,s")
