@@ -2320,6 +2320,90 @@ def _rewrite_case_truthiness(sql: str) -> str:
     return sql
 
 
+_NOT_WORD_RX = re.compile(r"(?i)\bnot\b")
+_NOT_SKIP_NEXT = frozenset({
+    "in", "like", "glob", "regexp", "match", "between", "null",
+    "exists", "indexed", "deferrable",
+})
+_NOT_STOP_WORDS = frozenset({
+    "as", "from", "where", "group", "order", "limit", "having", "then",
+    "else", "end", "when", "and", "or", "union", "intersect", "except",
+    "offset", "on", "join", "inner", "left", "right", "full", "cross",
+    "natural", "using", "window", "returning", "set", "values",
+})
+
+
+def _not_operand_end(sql, mask, low, j) -> int:
+    depth = 0
+    i = j
+    while i < len(sql):
+        c = mask[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0:
+            if c in ",;":
+                break
+            w = _WORD_RX.match(mask, i)
+            if w:
+                word = low[i:w.end()]
+                if word == "case":
+                    marks = _case_marks(sql, mask, i, len(sql))
+                    if marks is None:
+                        return j
+                    i = marks[-1][0] + 3
+                    continue
+                if word in _NOT_STOP_WORDS:
+                    break
+                i = w.end()
+                continue
+        i += 1
+    return i
+
+
+def _rewrite_bare_not(sql: str) -> str:
+    """Value-context NOT (`SELECT NOT s`, `SELECT NOT n + 1 AS c`):
+    SQLite applies truthiness to the operand and yields 0/1/NULL
+    INTEGER; Spark rejects NOT over a non-boolean. Wrap the operand
+    through the same truthiness machinery the clause passes use —
+    boolean-shaped operands (comparisons, IN, LIKE, EXISTS …) are left
+    native, `IS NOT` / `NOT IN`-family postfix forms are skipped, and
+    already-wrapped conditions are idempotent (the wrap itself scans
+    as a comparison). The projected VALUE stays Spark BOOLEAN vs
+    SQLite 0/1 — the pinned projected-predicate divergence — but the
+    form now runs instead of crashing (r15)."""
+    if not re.search(r"(?i)\bnot\b", sql):
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    low = sql.lower()
+    edits: list[tuple[int, int, str]] = []
+    for m in _NOT_WORD_RX.finditer(mask):
+        k = m.start() - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        if k >= 1 and low[k - 1:k + 1] == "is" and (
+            k == 1 or not (mask[k - 2].isalnum() or mask[k - 2] == "_")
+        ):
+            continue  # IS NOT
+        j = _skip_ws(mask, m.end())
+        wm = _WORD_RX.match(mask, j)
+        if wm and low[wm.start():wm.end()] in _NOT_SKIP_NEXT:
+            continue
+        end = _not_operand_end(sql, mask, low, j)
+        if end <= j:
+            continue
+        _cond_truthy_edits(sql, mask, low, j, end, edits)
+    if not edits:
+        return sql
+    for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]),
+                             reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 _INDEXED_RX = re.compile(
     r"(?i)\bNOT\s+INDEXED\b|\bINDEXED\s+BY\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
 )
@@ -6749,6 +6833,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         _ACTIVE_COLUMN_TYPES = column_types
     sql = _rewrite_case_truthiness(sql)
     sql = _rewrite_clause_truthiness(sql)
+    sql = _rewrite_bare_not(sql)
     sql = _rewrite_row_values(sql)
     if (column_types and "text" in column_types.values()) or "'" in sql:
         sql = _rewrite_range_affinity(sql, column_types)

@@ -496,3 +496,26 @@ def test_in_list_left_affinity_and_where_context(spark, tmp_path, stmt):
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
           "id,n,r,s")
+
+
+# ------- r15: value-context NOT (SELECT-list) applies truthiness; was
+# a Spark boolean-type crash on every non-boolean operand
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, CASE WHEN (NOT s) IS NULL THEN 'N' WHEN NOT s THEN 'T' "
+    "ELSE 'F' END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN (NOT n) IS NULL THEN 'N' WHEN NOT n THEN 'T' "
+    "ELSE 'F' END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN (NOT (n + 1)) IS NULL THEN 'N' "
+    "WHEN NOT (n + 1) THEN 'T' ELSE 'F' END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN NOT NOT s THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    # postfix NOT-forms keep their own semantics
+    "SELECT id, CASE WHEN s NOT LIKE '1%' THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+])
+def test_value_context_not_truthiness(spark, tmp_path, stmt):
+    rows = [(1, 1, "1"), (2, 0, "0"), (3, 2, "junk"), (4, None, None),
+            (5, -1, "12abc")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)", "id,n,s")
