@@ -3322,27 +3322,25 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
             if edit is not None:
                 edits.append(edit)
             continue
-        l_start = _rev_primary_start(sql, mask, e)
+        # x is the full operand CHAIN (r15: _rev_primary_start grabbed
+        # only the last primary, splicing `n + 1 IN (…)` into
+        # `n + ((1) IN …)` — silent corruption), and the literal fast
+        # path requires x to CARRY affinity: a literal/expression x has
+        # none, and SQLite then compares storage classes raw
+        # (7 IN ('7') is 0 — pinned), which the helper implements.
+        l_start = _cmp_walk_back(sql, mask, e)
         if l_start is None:
-            edit = _in_list_mixed_edit(
-                sql, mask, e, bool(m.group(1)), p, close, coltypes)
-            if edit is not None:
-                edits.append(edit)
             continue
         x = sql[l_start:e].strip()
-        if not _vd_simple_primary(x):
+        affX0, _vclX0 = _cmp_classify(x, coltypes)
+        if affX0 not in ("int", "real", "text") or \
+                not _vd_simple_primary(x):
             edit = _in_list_mixed_edit(
                 sql, mask, e, bool(m.group(1)), p, close, coltypes)
             if edit is not None:
                 edits.append(edit)
             continue
-        xt = _div_walk(sql, mask, l_start, e, coltypes, [])
-        if xt not in ("int", "real", "text"):
-            edit = _in_list_mixed_edit(
-                sql, mask, e, bool(m.group(1)), p, close, coltypes)
-            if edit is not None:
-                edits.append(edit)
-            continue
+        xt = affX0
         items = []
         changed = False
         ok = True

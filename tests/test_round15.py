@@ -519,3 +519,29 @@ def test_value_context_not_truthiness(spark, tmp_path, stmt):
             (5, -1, "12abc")]
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)", "id,n,s")
+
+
+# ------- r15: IN-list x is the full operand CHAIN and literal x has no
+# affinity (n + 1 IN ('2', 3) used to splice into n + ((1) IN (2, 3)))
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, CASE WHEN n + 1 IN ('2', 3) THEN 'T' "
+    "WHEN NOT (n + 1 IN ('2', 3)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN s || 'x' IN ('2x', 3) THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN r & 7 IN ('07', 5.0) THEN 'T' "
+    "WHEN NOT (r & 7 IN ('07', 5.0)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN 7 IN ('7', 3) THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN n IN ('7', 3) THEN 'T' "
+    "WHEN NOT (n IN ('7', 3)) THEN 'F' ELSE 'N' END AS c "
+    "FROM t ORDER BY id",
+])
+def test_in_list_chain_operand(spark, tmp_path, stmt):
+    rows = [(1, 1, 2.5, "2"), (2, 7, 5.5, "1"), (3, 2, 7.0, "junk"),
+            (4, None, None, None)]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
+          "id,n,r,s")
