@@ -2767,37 +2767,57 @@ def _rewrite_row_values(sql: str) -> str:
         low = sql.lower()
         hit = None
         pos = 0
+        low = sql.lower()
         while pos < len(sql) and hit is None:
             c = mask[pos]
-            if c not in "<>=!":
+            op = None
+            if c in "iI" and low[pos:pos + 2] == "is" and (
+                pos == 0 or not (mask[pos - 1].isalnum()
+                                 or mask[pos - 1] == "_")
+            ) and not (mask[pos + 2:pos + 3].isalnum()
+                       or mask[pos + 2:pos + 3] == "_"):
+                # row values under IS / IS NOT: element-wise IS
+                # conjunction (grid-pinned 162/162 vs sqlite3, r15)
+                op = "IS"
+                jn = _skip_ws(mask, pos + 2)
+                wn = _WORD_RX.match(mask, jn)
+                if wn and low[wn.start():wn.end()] == "not":
+                    op = "IS NOT"
+                    op_end = wn.end()
+                else:
+                    op_end = pos + 2
+            elif c not in "<>=!":
                 pos += 1
                 continue
-            two = mask[pos:pos + 2]
-            if two in ("<<", ">>"):
-                pos += 2
-                continue
-            op = two if two in _CMP_OPS else (c if c in "<>=" else None)
-            if op is None or (c == "!" and two != "!="):
-                pos += 1
-                continue
-            if pos > 0 and mask[pos - 1] in "<>=!":
-                pos += 1
-                continue
+            if op is None:
+                two = mask[pos:pos + 2]
+                if two in ("<<", ">>"):
+                    pos += 2
+                    continue
+                op = two if two in _CMP_OPS else (
+                    c if c in "<>=" else None)
+                if op is None or (c == "!" and two != "!="):
+                    pos += 1
+                    continue
+                if pos > 0 and mask[pos - 1] in "<>=!":
+                    pos += 1
+                    continue
+                op_end = pos + len(op)
             # right side must be a bare paren group
-            j = _skip_ws(mask, pos + len(op))
+            j = _skip_ws(mask, op_end)
             if j >= len(sql) or mask[j] != "(":
-                pos += len(op)
+                pos = max(op_end, pos + 1)
                 continue
             rclose = _div_find_close(mask, j, len(sql))
             if rclose == -1:
-                pos += len(op)
+                pos = max(op_end, pos + 1)
                 continue
             # left side must END with a paren group not glued to a name
             e = pos
             while e > 0 and mask[e - 1] in " \t\r\n":
                 e -= 1
             if e == 0 or mask[e - 1] != ")":
-                pos += len(op)
+                pos = max(op_end, pos + 1)
                 continue
             depth = 1
             k = e - 2
@@ -2808,7 +2828,7 @@ def _rewrite_row_values(sql: str) -> str:
                     depth -= 1
                 k -= 1
             if depth:
-                pos += len(op)
+                pos = max(op_end, pos + 1)
                 continue
             lopen = k + 1
             k2 = lopen - 1
@@ -2824,10 +2844,10 @@ def _rewrite_row_values(sql: str) -> str:
                     "then", "else", "having", "by", "case", "union",
                     "all", "except", "intersect", "distinct",
                 ):
-                    pos += len(op)  # function call glued to the group
+                    pos = max(op_end, pos + 1)  # function call glued to the group
                     continue
             elif k2 >= 0 and mask[k2] in "`\")'":
-                pos += len(op)  # identifier/close-paren glued
+                pos = max(op_end, pos + 1)  # identifier/close-paren glued
                 continue
             ls = _div_split_args(mask, lopen + 1, e - 1)
             rs = _div_split_args(mask, j + 1, rclose)
@@ -2837,7 +2857,7 @@ def _rewrite_row_values(sql: str) -> str:
                 or re.match(r"(?i)\s*select\b", sql[j + 1:rclose])
                 or re.match(r"(?i)\s*values\b", low[lopen + 1:e - 1])
             ):
-                pos += len(op)
+                pos = max(op_end, pos + 1)
                 continue
             lparts = [sql[a0:b0].strip() for a0, b0 in ls]
             rparts = [sql[a0:b0].strip() for a0, b0 in rs]
@@ -2845,7 +2865,12 @@ def _rewrite_row_values(sql: str) -> str:
         if hit is None:
             return sql
         a, b, op, lparts, rparts = hit
-        if op in ("=", "=="):
+        if op in ("IS", "IS NOT"):
+            body = " AND ".join(
+                f"({l}) IS ({r})" for l, r in zip(lparts, rparts)
+            )
+            repl = f"({body})" if op == "IS" else f"(NOT ({body}))"
+        elif op in ("=", "=="):
             body = " AND ".join(
                 f"({l}) = ({r})" for l, r in zip(lparts, rparts)
             )
@@ -4027,6 +4052,14 @@ def _is_body(x: str, r: str, coltypes) -> str:
         x_text = x if x_is_left else r
         o_text = r if x_is_left else x
         ov = vclR if x_is_left else vclL
+        if ov in ("strlit", "numlit"):
+            # peel balanced outer parens — classify saw through them
+            # (row-value IS expansion emits `(n) IS ('2')` shapes, r15)
+            while o_text.startswith("("):
+                om = _div_mask(o_text)
+                if _div_find_close(om, 0, len(o_text)) != len(o_text) - 1:
+                    break
+                o_text = o_text[1:-1].strip()
         if xa in NUM:
             if ov == "strlit":
                 if _div_str_lit_type(_literal_content(o_text)) in NUM:

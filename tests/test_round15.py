@@ -545,3 +545,25 @@ def test_in_list_chain_operand(spark, tmp_path, stmt):
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
           "id,n,r,s")
+
+
+# ------- r15: row values under IS / IS NOT expand element-wise
+# (grid-pinned 162/162 vs sqlite3)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, CASE WHEN (n, m) IS (1, 2) THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, CASE WHEN (n, m) IS NOT (1, 2) THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN (n, m) IS (NULL, NULL) THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+    # per-element affinity through the IS pass
+    "SELECT id, CASE WHEN (s, n) IS (1, '2') THEN 'T' ELSE 'F' "
+    "END AS c FROM t ORDER BY id",
+])
+def test_row_value_is(spark, tmp_path, stmt):
+    rows = [(1, 1, 2, "1"), (2, 1, 3, "2"), (3, None, None, None),
+            (4, 2, None, "junk")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, m INTEGER, s TEXT)",
+          "id,n,m,s")
