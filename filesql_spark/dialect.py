@@ -2624,9 +2624,14 @@ def _rewrite_bitwise(sql: str, coltypes) -> str:
         return _div_walk(leaf, m0, 0, len(leaf), coltypes, [])
 
     def _coerce(leaf: str) -> str:
-        if _leaf_type(leaf) == "int":
+        prefix, t = "", leaf
+        while t.startswith("~"):  # ~ binds in: coerce under it (r15)
+            prefix += "~"
+            t = t[1:].lstrip()
+        if _leaf_type(t) == "int":
             return f"({leaf})"
-        return f"CAST(({leaf}) AS INTEGER)"
+        core = f"CAST(({t}) AS INTEGER)"
+        return f"({prefix}{core})" if prefix else core
 
     # sweep 1: unary ~ over a non-INTEGER primary
     for _ in range(sql.count("~") + 1):
@@ -3718,10 +3723,13 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False,
         ):
             bit = 2
         if bit:
+            jn = _skip_ws(mask, j + bit)
+            while jn < len(sql) and mask[jn] == "~":
+                jn = _skip_ws(mask, jn + 1)  # unary ~ binds in (r15)
             nf, ne, nt = _div_scan_primary(
-                sql, mask, j + bit, len(sql), coltypes, []
+                sql, mask, jn, len(sql), coltypes, []
             )
-            if nt == "kw" or ne <= j + bit:
+            if nt == "kw" or ne <= jn:
                 return None
             r_end = ne
             continue

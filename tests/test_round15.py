@@ -567,3 +567,23 @@ def test_row_value_is(spark, tmp_path, stmt):
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, m INTEGER, s TEXT)",
           "id,n,m,s")
+
+
+# ------- r15: ~ embedded mid-chain in bitwise expressions (was a
+# bail-to-native residue)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, s & ~s AS c FROM t ORDER BY id",
+    "SELECT id, n & ~s AS c FROM t ORDER BY id",
+    "SELECT id, ~r & 7 AS c FROM t ORDER BY id",
+    "SELECT id, n & ~n AS c FROM t ORDER BY id",
+    "SELECT id, CASE WHEN s = n & ~r THEN 'T' ELSE 'F' END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id, n | ~s << 1 AS c FROM t ORDER BY id",
+])
+def test_tilde_mid_chain(spark, tmp_path, stmt):
+    rows = [(1, 7, 7.5, "7"), (2, 0, 0.5, "abc"), (3, -3, -2.9, "12"),
+            (4, None, None, None)]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
+          "id,n,r,s")
