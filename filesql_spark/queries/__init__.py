@@ -126,12 +126,12 @@ def register(name: str, oracle: str | None):
 _LAST_DRIVER_ROUND: dict[str, int] = {
     "agg_conditional_case": 14,
     "agg_count_distinct": 14,
-    "agg_cube": 10,
+    "agg_cube": 15,
     "agg_filter_clause": 12,
     "agg_group_concat": 14,
-    "agg_grouping_sets": 10,
+    "agg_grouping_sets": 15,
     "agg_having": 14,
-    "agg_median": 10,
+    "agg_median": 15,
     "agg_rollup": 14,
     "agg_salted_two_phase": 13,
     "ann_bruteforce_topk": 13,
@@ -147,24 +147,24 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "coalesce_cast": 14,
     "corpus_datacard": 11,
     "cte_vs_company_avg": 14,
-    "customers_rfm_segments": 11,
-    "customers_rfm_sketch": 11,
+    "customers_rfm_segments": 15,
+    "customers_rfm_sketch": 15,
     "date_functions": 14,
     "date_hour_histogram": 14,
-    "date_julianday_span": 10,
+    "date_julianday_span": 15,
     "dedup_cluster_representatives": 12,
     "dedup_connected_components": 13,
     "dedup_containment": 14,
     "dedup_embedding_cosine": 13,
     "dedup_exact": 14,
     "dedup_family_size_distribution": 14,
-    "dedup_incremental": 11,
+    "dedup_incremental": 15,
     "dedup_lsh_tuning_report": 13,
     "dedup_minhash_lsh": 13,
     "dedup_ngram_jaccard": 14,
     "dedup_simhash": 13,
     "dedup_threshold_sweep": 13,
-    "derived_table": 11,
+    "derived_table": 15,
     "docs_cross_source_dups": 13,
     "docs_lang_confusion": 13,
     "docs_ngram_novelty": 13,
@@ -172,17 +172,17 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "docs_quality_gate_sweep": 14,
     "docs_source_reputation": 12,
     "docs_tokenizer_fertility": 13,
-    "embedding_kmeans": 11,
+    "embedding_kmeans": 15,
     "embedding_knn_label": 12,
     "embedding_label_centroids": 13,
     "embedding_norm_stats": 13,
     "embedding_outliers": 12,
     "embedding_pair_distance_histogram": 14,
-    "embedding_quantize_int8": 11,
+    "embedding_quantize_int8": 15,
     "embedding_random_projection": 11,
     "embedding_standardize": 12,
     "events_ab_test_lift": 12,
-    "events_anomaly_zscore": 11,
+    "events_anomaly_zscore": 15,
     "events_bot_detection": 13,
     "events_changepoint_cusum": 12,
     "events_conversion_latency": 12,
@@ -191,12 +191,12 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_error_rate_monitor": 14,
     "events_forecast_seasonal": 12,
     "events_funnel": 14,
-    "events_gap_fill": 11,
+    "events_gap_fill": 15,
     "events_hazard_curve": 13,
     "events_ltv_cohort": 12,
-    "events_markov_transitions": 11,
+    "events_markov_transitions": 15,
     "events_retention_cohorts": 14,
-    "events_robust_stats": 11,
+    "events_robust_stats": 15,
     "events_session_funnel": 12,
     "events_sessionize": 14,
     "events_skew_report": 12,
@@ -207,33 +207,33 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_user_streaks": 12,
     "events_window_topk": 12,
     "features_user_wide": 12,
-    "filter_like_ci": 11,
+    "filter_like_ci": 15,
     "filter_predicates": 14,
     "graph_pagerank_events": 12,
     "graph_triangle_census": 13,
-    "in_subquery": 10,
-    "interval_join_banded": 11,
-    "join_bloom_semireduction": 11,
+    "in_subquery": 15,
+    "interval_join_banded": 15,
+    "join_bloom_semireduction": 15,
     "join_cross": 14,
-    "join_full_outer": 10,
+    "join_full_outer": 15,
     "join_left_anti": 14,
     "join_left_outer": 14,
-    "join_left_semi": 10,
+    "join_left_semi": 15,
     "join_multiway_inner": 14,
     "join_right_outer": 14,
     "join_salted_skew": 13,
-    "join_theta_selfjoin": 11,
+    "join_theta_selfjoin": 15,
     "json_extract": 14,
-    "layout_zorder_stats": 11,
+    "layout_zorder_stats": 15,
     "limit_offset": 14,
     "lineitem_discount_regression": 12,
     "lineitem_pareto_share": 12,
     "math_functions": 14,
     "multimodal_decode": 13,
-    "multimodal_extract_features": 11,
+    "multimodal_extract_features": 15,
     "multimodal_frame_dedup": 14,
     "multimodal_frame_sample": 13,
-    "multimodal_resize": 11,
+    "multimodal_resize": 15,
     "orders_association_rules": 12,
     "orders_cooccur_parts": 12,
     "orders_fulfillment_latency": 14,
@@ -244,63 +244,63 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "pipeline_contamination_report": 13,
     "pipeline_curate_full": 11,
     "pipeline_curriculum_order": 12,
-    "pipeline_dataset_manifest": 11,
-    "pipeline_decontaminate": 11,
+    "pipeline_dataset_manifest": 15,
+    "pipeline_decontaminate": 15,
     "pipeline_diversity_sample": 11,
     "pipeline_eval_set_builder": 13,
     "pipeline_incremental_decontaminate": 13,
     "pipeline_mixture_resample": 11,
     "pipeline_near_dup_eval": 12,
-    "pipeline_pack_sequences": 11,
+    "pipeline_pack_sequences": 15,
     "pipeline_per_source_cap": 11,
     "pipeline_semantic_decontaminate": 12,
     "pipeline_split_overlap_qa": 13,
     "pipeline_stage_metrics": 13,
     "pipeline_stratified_sample": 13,
-    "pipeline_train_prep": 11,
+    "pipeline_train_prep": 15,
     "pipeline_train_val_split": 13,
-    "pipeline_weighted_sample": 11,
+    "pipeline_weighted_sample": 15,
     "pivot_status_by_priority": 13,
     "profile_orders_stats": 12,
-    "q10_returned_items": 11,
-    "q14_promo_revenue": 11,
+    "q10_returned_items": 15,
+    "q14_promo_revenue": 15,
     "q18_large_orders": 12,
     "q1_pricing_summary": 13,
     "q3_shipping_priority": 14,
     "q5_local_supplier": 14,
-    "q6_forecast_revenue": 11,
+    "q6_forecast_revenue": 15,
     "q7_nation_volume": 12,
     "q8_market_share": 12,
     "quality_expectations_orders": 12,
     "quality_signal_correlation": 13,
     "recursive_cte": 14,
-    "scalar_subquery_correlated": 10,
-    "scalar_subquery_select": 11,
+    "scalar_subquery_correlated": 15,
+    "scalar_subquery_select": 15,
     "scd2_user_tier": 14,
     "select_case_expr": 14,
     "set_except": 14,
     "set_except_all": 12,
-    "set_intersect": 10,
+    "set_intersect": 15,
     "set_intersect_all": 12,
     "set_union_all": 14,
-    "set_union_distinct": 10,
+    "set_union_distinct": 15,
     "sketch_cms_heavy_hitters": 12,
-    "sketch_histogram_quantiles": 11,
+    "sketch_histogram_quantiles": 15,
     "sketch_hll_rollup": 12,
     "sketch_hll_sliding_wau": 12,
-    "sketch_hll_users": 11,
+    "sketch_hll_users": 15,
     "sketch_kmv_theta": 13,
     "snapshot_diff_docs": 11,
     "streaming_cdc_apply": 11,
     "streaming_cms_tokens": 12,
     "streaming_dedup_exact": 13,
-    "streaming_dedup_within_watermark": 11,
+    "streaming_dedup_within_watermark": 15,
     "streaming_events_enriched": 13,
     "streaming_events_hourly": 14,
-    "streaming_events_sessionize": 11,
-    "streaming_events_sliding": 11,
+    "streaming_events_sessionize": 15,
+    "streaming_events_sliding": 15,
     "streaming_events_user_state": 14,
-    "streaming_interval_join": 11,
+    "streaming_interval_join": 15,
     "streaming_kmv_sketch": 13,
     "string_functions": 14,
     "text_bigram_lm": 11,
@@ -315,7 +315,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "text_lm_perplexity": 12,
     "text_pii_redact": 13,
     "text_quality_score": 14,
-    "text_rarity_score": 11,
+    "text_rarity_score": 15,
     "text_readability_scores": 13,
     "text_repetition_filter": 13,
     "text_tfidf_topterms": 12,
@@ -325,17 +325,17 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "text_tokenizer_coverage": 12,
     "text_top_tokens": 13,
     "text_vocab_growth_heaps": 14,
-    "topk_orders": 10,
-    "window_agg_over": 11,
+    "topk_orders": 15,
+    "window_agg_over": 15,
     "window_cume_dist": 12,
     "window_groups_frame": 13,
-    "window_lag_lead": 10,
-    "window_nth_last_value": 11,
-    "window_ntile_dense_first": 10,
+    "window_lag_lead": 15,
+    "window_nth_last_value": 15,
+    "window_ntile_dense_first": 15,
     "window_percent_rank": 13,
     "window_range_interval": 14,
-    "window_rank": 11,
-    "window_row_number": 11,
+    "window_rank": 15,
+    "window_row_number": 15,
     "window_running_sum": 14,
 }
 
