@@ -2285,6 +2285,25 @@ def _cond_truthy_edits(sql, mask, low, a, b, edits) -> None:
     # (NOT NULL is NULL → the WHEN simply doesn't match). The earlier
     # TRY_CAST form mapped junk text to NULL, silently dropping
     # WHERE NOT s rows that SQLite keeps (r13 advice, medium).
+    # A trailing COLLATE is inert under numeric coercion (it never
+    # changes the value, only text comparison order) and breaks the
+    # prefix-parse's typeof()='string' guard (typeof of a collated
+    # Spark string is not 'string') — trim it from the operand (r16).
+    # A match implies depth 0: a paren-nested COLLATE is followed by
+    # its closing ')' before b.
+    trail = b
+    while True:
+        tm = re.search(r"(?i)\bcollate\s+[A-Za-z_][A-Za-z0-9_]*\s*$",
+                       mask[a:b])
+        if not tm:
+            break
+        b = a + tm.start()
+        while b > a and mask[b - 1] in " \t\r\n":
+            b -= 1
+    if a >= b:
+        return
+    if trail > b:
+        edits.append((b, trail, ""))  # delete the inert clause
     edits.append((a, a, "(CAST(("))
     edits.append((b, b, ") AS REAL) <> 0)"))
 
@@ -2330,6 +2349,9 @@ _NOT_STOP_WORDS = frozenset({
     "else", "end", "when", "and", "or", "union", "intersect", "except",
     "offset", "on", "join", "inner", "left", "right", "full", "cross",
     "natural", "using", "window", "returning", "set", "values",
+    # ORDER BY modifiers + COLLATE bind outside the NOT operand:
+    # `ORDER BY NOT s DESC` is `(NOT s) DESC`, not NOT (s DESC)
+    "asc", "desc", "nulls", "collate",
 })
 
 
@@ -2395,7 +2417,20 @@ def _rewrite_bare_not(sql: str) -> str:
         end = _not_operand_end(sql, mask, low, j)
         if end <= j:
             continue
+        before = len(edits)
         _cond_truthy_edits(sql, mask, low, j, end, edits)
+        # NOT always yields 0/1/NULL INTEGER, so a trailing COLLATE on
+        # it is inert (integer ordering/comparison ignores collation)
+        # while Spark rejects COLLATE on a boolean — consume the
+        # clause when the operand was wrapped (r16)
+        if len(edits) > before:
+            jc = _skip_ws(mask, end)
+            wc = _WORD_RX.match(mask, jc) if jc < len(sql) else None
+            if wc and low[wc.start():wc.end()] == "collate":
+                jn = _skip_ws(mask, wc.end())
+                wn = _WORD_RX.match(mask, jn) if jn < len(sql) else None
+                if wn:
+                    edits.append((jc, wn.end(), ""))
     if not edits:
         return sql
     for a, b, repl in sorted(edits, key=lambda e: (e[0], e[1]),
@@ -2902,6 +2937,26 @@ def _rewrite_row_values(sql: str) -> str:
     return sql
 
 
+def _affinity_triggers(sql: str, coltypes) -> bool:
+    """Shared gate for the comparison- and range-affinity passes: a
+    TEXT column or string literal (classic affinity sites), or an
+    r15 bool-operand site (EXISTS/predicate/TRUE/FALSE/~) or a
+    collation-consuming site — those fire without any TEXT column
+    (`true IN (n, 2)` must coerce the boolean even on an all-numeric
+    table; r16 advice extended this gate to the range pass too)."""
+    return bool(
+        (coltypes and "text" in coltypes.values()) or "'" in sql
+        or "~" in sql
+        or re.search(r"(?i)\b(exists|collate|true|false)\b", sql)
+        or ("(" in sql and re.search(r"\)\s*[<>=!]|[<>=!]=?\s*\(", sql))
+        # parenthesized predicate as IN/BETWEEN left operand:
+        # `(n = 1) IN (0, 2)` has its comparison chars inside the
+        # parens, so the adjacency regex above never fires (r16)
+        or (re.search(r"[<>=!]", sql)
+            and re.search(r"(?i)\)\s*(not\s+)?(in|between)\b", sql))
+    )
+
+
 def _rewrite_compare_affinity(
     sql: str, coltypes: dict[str, str] | None
 ) -> str:
@@ -2929,15 +2984,7 @@ def _rewrite_compare_affinity(
     Scope: operands are primaries or +-*/% chains of primaries; ||/
     bitwise-glued operands, CASE operands, and unknown-typed spans keep
     Spark semantics (documented residue)."""
-    low0 = sql.lower()
-    if not (
-        (coltypes and "text" in coltypes.values()) or "'" in sql
-        # r15: bool-operand (EXISTS/predicate/TRUE/FALSE/~) and
-        # collation-consuming sites fire without any TEXT column
-        or "~" in sql
-        or re.search(r"(?i)\b(exists|collate|true|false)\b", low0)
-        or ("(" in sql and re.search(r"\)\s*[<>=!]|[<>=!]=?\s*\(", sql))
-    ):
+    if not _affinity_triggers(sql, coltypes):
         return sql
     for _ in range(sql.count("=") + sql.count("<") + sql.count(">") + 1):
         mask = _blank_comments(sql, _div_mask(sql))
@@ -3284,7 +3331,7 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         if not x:
             continue
         xa, xv = _cmp_classify(x, coltypes)
-        if "unk" in (xa, xv) or xv in ("null", "bool"):
+        if "unk" in (xa, xv) or xv == "null":
             continue
         fa = _cmp_walk_fwd(sql, mask, m.end(), coltypes)
         if fa is None:
@@ -3301,7 +3348,7 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         a_txt, b_txt = sql[a0:a1].strip(), sql[b0:b1].strip()
         aa, av = _cmp_classify(a_txt, coltypes)
         ba, bv = _cmp_classify(b_txt, coltypes)
-        if "unk" in (aa, av, ba, bv) or "bool" in (av, bv):
+        if "unk" in (aa, av, ba, bv):
             continue
         NUM = ("int", "real")
 
@@ -3318,15 +3365,21 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         ) or (
             _nm(xa, xv) and (_tx(aa, av) or _tx(ba, bv))
         )
-        if not mixed:
+        # a bool-valued operand (TRUE/FALSE/EXISTS/predicate) is
+        # INTEGER 0/1 in SQLite but crashes Spark's BETWEEN against
+        # ints — expand with the operand cast to INT (r16, advice)
+        boolish = "bool" in (xv, av, bv)
+        if not mixed and not boolish:
             continue
         # expand to the conjunction the comparison-affinity pass then
         # converts site by site (expr.c evaluates BETWEEN exactly so);
         # compounds get parens (the chain walk re-scans through them),
         # simple primaries stay bare
-        wr = (lambda t: t if _vd_simple_primary(t) else f"({t})")
+        wr = (lambda t, v=None: f"TRY_CAST(({t}) AS INT)" if v == "bool"
+              else (t if _vd_simple_primary(t) else f"({t})"))
         body = (
-            f"({wr(x)} >= {wr(a_txt)} AND {wr(x)} <= {wr(b_txt)})"
+            f"({wr(x, xv)} >= {wr(a_txt, av)} "
+            f"AND {wr(x, xv)} <= {wr(b_txt, bv)})"
         )
         if m.group(1):
             body = f"(NOT {body})"
@@ -4193,6 +4246,19 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             return None  # RTRIM/custom: native (collate pass raises)
         coll = low[wmn.start():wmn.end()]
         r_close = wmn.end()
+        # COLLATE binds tighter than || / arithmetic / bitwise
+        # (datatype3.html §5.2): if such an operator follows the
+        # collation name, the right operand CONTINUES past it —
+        # `s = n COLLATE NOCASE || 'y'` is `s = ((n COLLATE NOCASE)
+        # || 'y')`. Consuming the clause here would splice the bare
+        # compare and leave the operator glued to a boolean; keep
+        # the native path instead (the collate-rename pass groups
+        # it correctly).
+        jp = _skip_ws(mask, r_close)
+        if jp < len(mask):
+            nx2 = mask[jp:jp + 2]
+            if nx2 in ("||", "<<", ">>") or mask[jp] in "+-*/%&|~":
+                return None
     coll_sfx = " COLLATE UTF8_LCASE" if coll == "nocase" else ""
     p_text = sql[l_start:e].strip()
     r_text = sql[r_first:r_end].strip()
@@ -6874,7 +6940,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = _rewrite_clause_truthiness(sql)
     sql = _rewrite_bare_not(sql)
     sql = _rewrite_row_values(sql)
-    if (column_types and "text" in column_types.values()) or "'" in sql:
+    if _affinity_triggers(sql, column_types):
         sql = _rewrite_range_affinity(sql, column_types)
     sql = _rewrite_compare_affinity(sql, column_types)
     sql = _rewrite_is_operator(sql, column_types)
