@@ -2386,6 +2386,191 @@ def _not_operand_end(sql, mask, low, j) -> int:
     return i
 
 
+_NULL_POSTFIX_RX = re.compile(
+    r"(?i)\b(notnull|isnull|not\s+null)\b"
+)
+# words that can precede a prefix-NOT / literal-NULL context — after
+# these, `NOT NULL` is NOT the postfix null test
+_NULL_POSTFIX_PREV_KEYWORDS = frozenset({
+    "select", "when", "then", "else", "and", "or", "not", "where",
+    "on", "case", "by", "from", "in", "like", "glob", "escape", "is",
+    "all", "distinct", "union", "intersect", "except", "having",
+    "between", "using", "values", "set", "returning", "limit",
+    "offset", "exists", "as",
+})
+
+
+def _rewrite_null_postfix(sql: str) -> str:
+    """SQLite's postfix null tests (expr.y: `expr NOTNULL`,
+    `expr ISNULL`, `expr NOT NULL`) → the portable `IS [NOT] NULL`
+    Spark parses (r16). Only fires when the preceding token ends an
+    expression (identifier/`)`/backtick — never after SELECT/WHEN/AND/
+    IS …, where NOT NULL is prefix-NOT over the literal) and the next
+    token does not continue an expression (SQLite lets the 0/1 result
+    feed arithmetic; that residue stays loud-native)."""
+    low = sql.lower()
+    if "null" not in low:
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    edits: list[tuple[int, int, str]] = []
+    for m in _NULL_POSTFIX_RX.finditer(mask):
+        word = re.sub(r"\s+", " ", low[m.start():m.end()])
+        k = m.start() - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        if k < 0:
+            continue
+        c = mask[k]
+        if c.isalnum() or c == "_":
+            s0 = k
+            while s0 >= 0 and (mask[s0].isalnum() or mask[s0] == "_"):
+                s0 -= 1
+            if low[s0 + 1:k + 1] in _NULL_POSTFIX_PREV_KEYWORDS:
+                continue
+        elif c != ")" and c != "`":
+            continue  # operator/paren-open/comma: prefix context
+        j = _skip_ws(mask, m.end())
+        if j < len(mask):
+            nc = mask[j]
+            if nc in "+-*/%&|~<>=!" or nc == "(":
+                continue  # result feeds an expression: stay native
+            wn = _WORD_RX.match(mask, j)
+            if wn and low[wn.start():wn.end()] == "collate":
+                continue
+        repl = "IS NULL" if word == "isnull" else "IS NOT NULL"
+        edits.append((m.start(), m.end(), repl))
+    if not edits:
+        return sql
+    for a, b, repl in reversed(edits):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
+_EXISTS_WORD_RX = re.compile(r"(?i)\bexists\b")
+
+
+def _rewrite_exists_operand(sql: str) -> str:
+    """EXISTS glued into an arithmetic/bitwise/concat chain (r16,
+    VERDICT r15 #4): SQLite evaluates EXISTS to INTEGER 0/1, so
+    `1 + EXISTS(SELECT …) = s` is a plain numeric chain; Spark types
+    EXISTS as BOOLEAN and either parse- or type-crashes. Coerce the
+    EXISTS term to `TRY_CAST((EXISTS …) AS INT)` whenever an operator
+    that binds it into a chain (+ - * / % & | << >> ~ ||) is adjacent
+    on either side — predicate-position EXISTS (WHERE EXISTS …,
+    NOT EXISTS …) is untouched. Runs BEFORE the truthiness passes so
+    a coerced chain in WHERE/CASE gets the numeric-truthiness wrap
+    (the raw EXISTS word would read as already-boolean)."""
+    if "exists" not in sql.lower():
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    edits: list[tuple[int, int, str]] = []
+    last_end = -1
+    for m in _EXISTS_WORD_RX.finditer(mask):
+        if m.start() < last_end:
+            continue  # inside an already-coerced outer EXISTS body
+        j = _skip_ws(mask, m.end())
+        if j >= len(sql) or mask[j] != "(":
+            continue
+        close = _div_find_close(mask, j, len(sql))
+        if close == -1:
+            continue
+        k = m.start() - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        prev_op = k >= 0 and (
+            mask[k] in "+-*/%&|~"
+            or (mask[k] in "<>" and k >= 1 and mask[k - 1] == mask[k])
+        )
+        nx = _skip_ws(mask, close + 1)
+        nxt_op = nx < len(mask) and (
+            mask[nx:nx + 2] in ("<<", ">>", "||")
+            or mask[nx] in "+-*/%&"
+            or (mask[nx] == "|" and mask[nx + 1:nx + 2] != "|")
+        )
+        if not (prev_op or nxt_op):
+            continue
+        edits.append((
+            m.start(), close + 1,
+            f"TRY_CAST(({sql[m.start():close + 1]}) AS INT)",
+        ))
+        last_end = close + 1
+    if not edits:
+        return sql
+    for a, b, repl in reversed(edits):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
+_NOT_ARG_NONCALL_WORDS = frozenset({
+    "in", "values", "exists", "select", "where", "on", "using", "over",
+    "all", "any", "some", "and", "or", "not", "when", "then", "else",
+    "case", "by", "distinct", "union", "intersect", "except", "from",
+    "join", "as", "between", "like", "glob", "having", "limit", "offset",
+})
+
+
+def _not_arg_cast_edit(sql, mask, low, not_start, j, end):
+    """When the bare-NOT at ``not_start`` (operand span [j, end)) is a
+    whole function-call argument, return the (a, b, repl) edit that
+    emits SQLite's INTEGER value: CAST((NOT <truthiness-wrapped
+    operand>) AS INT). None = not an argument position (caller keeps
+    the plain boolean wrap)."""
+    k = not_start - 1
+    while k >= 0 and mask[k] in " \t\r\n":
+        k -= 1
+    if k < 0 or mask[k] not in "(,":
+        return None
+    # find the enclosing call's name word
+    depth = 0
+    p = k if mask[k] == "(" else k - 1
+    while p >= 0:
+        c = mask[p]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        p -= 1
+    if p < 0:
+        return None
+    i = p - 1
+    while i >= 0 and mask[i] in " \t\r\n":
+        i -= 1
+    if i < 0 or not (mask[i].isalnum() or mask[i] == "_"):
+        return None  # grouping paren / subquery, not a call
+    s0 = i
+    while s0 >= 0 and (mask[s0].isalnum() or mask[s0] == "_"):
+        s0 -= 1
+    fname = low[s0 + 1:i + 1]
+    if not fname or fname in _NOT_ARG_NONCALL_WORDS:
+        return None
+    # consume an inert trailing COLLATE (NOT yields INTEGER)
+    span_end = end
+    jc = _skip_ws(mask, span_end)
+    wc = _WORD_RX.match(mask, jc) if jc < len(sql) else None
+    if wc and low[wc.start():wc.end()] == "collate":
+        jn = _skip_ws(mask, wc.end())
+        wn = _WORD_RX.match(mask, jn) if jn < len(sql) else None
+        if wn:
+            span_end = wn.end()
+    # the NOT expression must BE the whole argument
+    t = _skip_ws(mask, span_end)
+    if t >= len(sql) or mask[t] not in ",)":
+        return None
+    tmp: list[tuple[int, int, str]] = []
+    _cond_truthy_edits(sql, mask, low, j, end, tmp)
+    seg = sql[j:end]
+    for a2, b2, r2 in sorted(tmp, key=lambda e: (e[0], e[1]),
+                             reverse=True):
+        seg = seg[:a2 - j] + r2 + seg[b2 - j:]
+    # TRY_CAST, not CAST: the SQLite-CAST call pass would re-expand a
+    # spelled CAST(x AS INT) through the prefix parse; TRY_CAST is the
+    # Spark-native spelling every pass leaves alone, and
+    # try_cast(boolean AS INT) is exactly 0/1/NULL
+    return not_start, span_end, f"TRY_CAST((NOT {seg}) AS INT)"
+
+
 def _rewrite_bare_not(sql: str) -> str:
     """Value-context NOT (`SELECT NOT s`, `SELECT NOT n + 1 AS c`):
     SQLite applies truthiness to the operand and yields 0/1/NULL
@@ -2402,7 +2587,11 @@ def _rewrite_bare_not(sql: str) -> str:
     mask = _blank_comments(sql, _div_mask(sql))
     low = sql.lower()
     edits: list[tuple[int, int, str]] = []
+    consumed_end = -1
     for m in _NOT_WORD_RX.finditer(mask):
+        if m.start() < consumed_end:
+            continue  # inside an arg-cast replacement span (its seg
+            # already wrapped the nested NOT's operand)
         k = m.start() - 1
         while k >= 0 and mask[k] in " \t\r\n":
             k -= 1
@@ -2413,9 +2602,26 @@ def _rewrite_bare_not(sql: str) -> str:
         j = _skip_ws(mask, m.end())
         wm = _WORD_RX.match(mask, j)
         if wm and low[wm.start():wm.end()] in _NOT_SKIP_NEXT:
-            continue
+            # `NULL` skip guards the postfix `expr NOT NULL` operator;
+            # after '(' or ',' there is no preceding expr, so this is
+            # prefix NOT over the NULL literal (abs(NOT NULL)) — r16
+            if not (low[wm.start():wm.end()] == "null"
+                    and k >= 0 and mask[k] in "(,"):
+                continue
         end = _not_operand_end(sql, mask, low, j)
         if end <= j:
+            continue
+        # function-argument VALUE position (r16, VERDICT r15 #5):
+        # `abs(NOT s)` needs SQLite's 0/1/NULL INTEGER, not a Spark
+        # boolean (abs/greatest/coalesce type-crash on BOOLEAN). When
+        # the NOT expression is a whole argument of a function call —
+        # preceded by the call's '(' or a ',', terminated by ',' or
+        # ')' — emit CAST((NOT <wrapped>) AS INT). An inert trailing
+        # COLLATE is consumed (NOT yields INTEGER).
+        cast_edit = _not_arg_cast_edit(sql, mask, low, m.start(), j, end)
+        if cast_edit is not None:
+            edits.append(cast_edit)
+            consumed_end = cast_edit[1]
             continue
         before = len(edits)
         _cond_truthy_edits(sql, mask, low, j, end, edits)
@@ -6936,6 +7142,8 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         # rebind-adjusted types
         column_types = _apply_shadow(sql, _div_mask(sql), column_types)
         _ACTIVE_COLUMN_TYPES = column_types
+    sql = _rewrite_null_postfix(sql)
+    sql = _rewrite_exists_operand(sql)
     sql = _rewrite_case_truthiness(sql)
     sql = _rewrite_clause_truthiness(sql)
     sql = _rewrite_bare_not(sql)

@@ -103,6 +103,82 @@ def test_truthiness_trims_inert_collate(spark, tmp_path, stmt):
 # even with no TEXT column / quote in the SQL (the compare-pass gate's
 # r15 triggers, now shared via _affinity_triggers)
 
+# ------- VERDICT r15 #4: EXISTS glued into arithmetic/bitwise/concat
+# chains evaluates to INTEGER 0/1 (coerced via TRY_CAST AS INT before
+# the truthiness/affinity passes)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id FROM t WHERE 1 + EXISTS(SELECT 1) = s ORDER BY id",
+    "SELECT id FROM t WHERE s = 1 + EXISTS(SELECT 1) ORDER BY id",
+    "SELECT id, 1 + EXISTS(SELECT 1) * n AS v FROM t ORDER BY id",
+    "SELECT id FROM t WHERE n - EXISTS(SELECT 1 WHERE 0) = 2 "
+    "ORDER BY id",
+    "SELECT id FROM t WHERE EXISTS(SELECT 1) + 1 = n ORDER BY id",
+    "SELECT id, EXISTS(SELECT 1) || 'x' AS v FROM t ORDER BY id",
+    "SELECT id, -EXISTS(SELECT 1) AS v FROM t ORDER BY id",
+    "SELECT id, ~EXISTS(SELECT 1) AS v FROM t ORDER BY id",
+    "SELECT id, EXISTS(SELECT 1) << 2 AS v FROM t ORDER BY id",
+    "SELECT id FROM t WHERE 1 + EXISTS(SELECT 1) ORDER BY id",
+    "SELECT id FROM t WHERE n = EXISTS(SELECT 1) + EXISTS(SELECT 2) "
+    "ORDER BY id",
+    # predicate-position EXISTS stays native boolean
+    "SELECT id FROM t WHERE EXISTS(SELECT 1) ORDER BY id",
+    "SELECT id FROM t WHERE NOT EXISTS(SELECT 1) ORDER BY id",
+])
+def test_exists_in_arithmetic_chain(spark, tmp_path, stmt):
+    rows = [(1, "2", 5), (2, "abc", 0), (3, "2x", 2), (4, "0", 1)]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, s TEXT, n INTEGER)", "id,s,n")
+
+
+# ------- VERDICT r15 #5: value-context NOT inside function arguments
+# yields SQLite's 0/1/NULL INTEGER (TRY_CAST of the boolean wrap)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, abs(NOT s) AS v FROM t ORDER BY id",
+    "SELECT id, abs(NOT n) AS v FROM t ORDER BY id",
+    "SELECT id, max(NOT s, 0) AS v FROM t ORDER BY id",
+    "SELECT id, min(5, NOT s) AS v FROM t ORDER BY id",
+    "SELECT id, coalesce(NOT s, 9) AS v FROM t ORDER BY id",
+    "SELECT id, abs(NOT s = 1) AS v FROM t ORDER BY id",
+    "SELECT id, iif(NOT s, 'a', 'b') AS v FROM t ORDER BY id",
+    "SELECT id, length(NOT s) AS v FROM t ORDER BY id",
+    "SELECT id, abs(NOT s COLLATE NOCASE) AS v FROM t ORDER BY id",
+    "SELECT id, abs(NOT s + 1) AS v FROM t ORDER BY id",
+    "SELECT id, nullif(NOT s, 0) AS v FROM t ORDER BY id",
+    "SELECT id, abs(NOT NOT s) AS v FROM t ORDER BY id",
+    "SELECT id, abs(NOT NULL) AS v FROM t ORDER BY id",
+    "SELECT id, coalesce(NOT NULL, 3) AS v FROM t ORDER BY id",
+    "SELECT id FROM t WHERE abs(NOT s) = 1 ORDER BY id",
+    "SELECT id, iif(n, NOT s, 7) AS v FROM t ORDER BY id",
+])
+def test_not_in_function_arguments(spark, tmp_path, stmt):
+    rows = [(1, "2", 5), (2, "abc", 0), (3, "2x", 2), (4, "0", 1)]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, s TEXT, n INTEGER)", "id,s,n")
+
+
+# ------- SQLite postfix null tests: expr NOTNULL / ISNULL / NOT NULL
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id FROM t WHERE s NOTNULL ORDER BY id",
+    "SELECT id FROM t WHERE s ISNULL ORDER BY id",
+    "SELECT id FROM t WHERE s NOT NULL ORDER BY id",
+    "SELECT id FROM t WHERE (s) NOT NULL ORDER BY id",
+    "SELECT id FROM t WHERE s IS NOT NULL ORDER BY id",
+    "SELECT id FROM t WHERE s NOTNULL AND id NOT NULL ORDER BY id",
+    "SELECT id, CASE WHEN s NOT NULL THEN 1 ELSE 0 END AS c "
+    "FROM t ORDER BY id",
+    "SELECT id FROM t WHERE coalesce(s, '1') NOT NULL ORDER BY id",
+    # prefix NOT over the NULL literal is NOT the postfix test
+    "SELECT id FROM t WHERE NOT NULL ORDER BY id",
+])
+def test_postfix_null_tests(spark, tmp_path, stmt):
+    rows = [(1, "2"), (2, None), (3, "0")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, s TEXT)", "id,s")
+
+
 @pytest.mark.parametrize("stmt", [
     "SELECT id FROM t WHERE true IN (n, 2) ORDER BY id",
     "SELECT id FROM t WHERE false IN (n, 2) ORDER BY id",
