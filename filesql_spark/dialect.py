@@ -2022,6 +2022,17 @@ _DIV_PASSTHRU_FUNCS = frozenset({
 _DIV_SAMETYPE_FUNCS = frozenset({
     "ifnull", "coalesce", "min", "max", "iif", "least", "greatest", "nvl",
 })
+# TEXT-returning scalar functions (func.c): their results in arithmetic
+# take SQLite's numeric-prefix coercion, and the value-dependent pass
+# needs the static 'text' type to fire on `upper(s) * 2` (r16). The
+# Spark spellings earlier passes emit (translate for upper/lower,
+# concat for ||) are included — this tracker also types rewritten text.
+_DIV_TEXT_FUNCS = frozenset({
+    "upper", "lower", "trim", "ltrim", "rtrim", "replace", "hex",
+    "quote", "char", "translate", "substr", "substring", "typeof",
+    "printf", "format", "concat", "concat_ws", "group_concat",
+    "string_agg",
+})
 
 # the optional [dDfF] suffix: this tracker also types expressions the
 # real-literal pass has already rewritten (1.5 → 1.5D), e.g. inside
@@ -2386,6 +2397,129 @@ def _not_operand_end(sql, mask, low, j) -> int:
     return i
 
 
+def _concat_run_left(sql, mask, i):
+    """Start of the maximal ``||`` run whose operator sits at ``i``
+    (run = primaries joined by ||, each with optional unary ~/+/-
+    prefixes, which bind tighter than || in SQLite). None when a left
+    operand is unscannable."""
+    low = sql.lower()
+    a = i
+    while True:
+        e0 = a
+        while e0 > 0 and mask[e0 - 1] in " \t\r\n":
+            e0 -= 1
+        st = _rev_primary_start(sql, mask, e0)
+        if st is None and e0 >= 3 and low[e0 - 3:e0] == "end" and (
+            e0 - 4 < 0 or not (mask[e0 - 4].isalnum()
+                               or mask[e0 - 4] == "_")
+        ):
+            # unparenthesized CASE … END operand: word-level depth scan
+            depth = 0
+            for wm in reversed(list(_WORD_RX.finditer(mask, 0, e0))):
+                w = low[wm.start():wm.end()]
+                if w == "end":
+                    depth += 1
+                elif w == "case":
+                    depth -= 1
+                    if depth == 0:
+                        st = wm.start()
+                        break
+        if st is None:
+            return None
+        # absorb directly-preceding unary operators (tighter than ||)
+        while True:
+            k = st - 1
+            while k >= 0 and mask[k] in " \t\r\n":
+                k -= 1
+            if k >= 0 and mask[k] == "~":
+                st = k
+                continue
+            if k >= 0 and mask[k] in "+-":
+                k2 = k - 1
+                while k2 >= 0 and mask[k2] in " \t\r\n":
+                    k2 -= 1
+                if k2 < 0 or mask[k2] in "(,;+-*/%&|<>=!~":
+                    st = k  # unary sign
+                    continue
+            break
+        a = st
+        k = a - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        if k >= 1 and mask[k] == "|" and mask[k - 1] == "|":
+            a = k - 1  # another || to the left: keep extending
+            continue
+        return a
+
+
+def _concat_run_right(sql, mask, i):
+    """End (exclusive) of the maximal ``||`` run whose operator sits at
+    ``i`` (two-char op). None when a right operand is unscannable."""
+    b = i + 2
+    while True:
+        r0, r1, _t = _div_scan_primary(sql, mask, b, len(sql), None, [])
+        if r1 <= r0 or _t == "kw":
+            return None
+        b = r1
+        j = b
+        while j < len(mask) and mask[j] in " \t\r\n":
+            j += 1
+        if mask[j:j + 2] == "||":
+            b = j + 2
+            continue
+        return b
+
+
+def _rewrite_concat_grouping(sql: str) -> str:
+    """SQLite binds ``||`` ABOVE all arithmetic/bitwise operators
+    (expr.y: only COLLATE and unary bind tighter); Spark binds it
+    BELOW them, so `1 + n || s` silently mis-groups as `(1 + n) || s`
+    (r16 campaign find — silent wrong values, not just type errors).
+    Parenthesize every maximal ||-run that is adjacent to an
+    arithmetic/bitwise operator, restoring SQLite's grouping before
+    the affinity/coercion passes walk the chains."""
+    if "||" not in sql:
+        return sql
+    for _ in range(sql.count("||") + 1):
+        mask = _blank_comments(sql, _div_mask(sql))
+        edit = None
+        pos = 0
+        while edit is None:
+            i = mask.find("||", pos)
+            if i == -1:
+                break
+            pos = i + 2
+            a = _concat_run_left(sql, mask, i)
+            if a is None:
+                continue
+            b = _concat_run_right(sql, mask, i)
+            if b is None:
+                continue
+            k = a - 1
+            while k >= 0 and mask[k] in " \t\r\n":
+                k -= 1
+            left_adj = k >= 0 and (
+                mask[k] in "+-*/%&"
+                or (mask[k] == "|" and (k == 0 or mask[k - 1] != "|"))
+                or (mask[k] in "<>" and k >= 1 and mask[k - 1] == mask[k])
+            )
+            j = b
+            while j < len(mask) and mask[j] in " \t\r\n":
+                j += 1
+            right_adj = j < len(mask) and (
+                mask[j:j + 2] in ("<<", ">>")
+                or mask[j] in "+-*/%&"
+                or (mask[j] == "|" and mask[j + 1:j + 2] != "|")
+            )
+            if left_adj or right_adj:
+                edit = (a, b)
+        if edit is None:
+            return sql
+        a, b = edit
+        sql = f"{sql[:a]}({sql[a:b]}){sql[b:]}"
+    return sql
+
+
 _NULL_POSTFIX_RX = re.compile(
     r"(?i)\b(notnull|isnull|not\s+null)\b"
 )
@@ -2427,6 +2561,8 @@ def _rewrite_null_postfix(sql: str) -> str:
                 s0 -= 1
             if low[s0 + 1:k + 1] in _NULL_POSTFIX_PREV_KEYWORDS:
                 continue
+        elif c == "\x00" and sql[k] in "'`":
+            pass  # string literal / backtick identifier ends the expr
         elif c != ")" and c != "`":
             continue  # operator/paren-open/comma: prefix context
         j = _skip_ws(mask, m.end())
@@ -3573,7 +3709,11 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         )
         # a bool-valued operand (TRUE/FALSE/EXISTS/predicate) is
         # INTEGER 0/1 in SQLite but crashes Spark's BETWEEN against
-        # ints — expand with the operand cast to INT (r16, advice)
+        # ints — expand and let the comparison-affinity pass convert
+        # each site with its r15 bool-operand handling (an explicit
+        # TRY_CAST AS INT here would LEAK int affinity the bare SQLite
+        # boolean does not carry — r16 campaign find: `true BETWEEN s
+        # AND …` must TEXT-compare '1' vs s, not numeric-compare)
         boolish = "bool" in (xv, av, bv)
         if not mixed and not boolish:
             continue
@@ -3581,11 +3721,9 @@ def _rewrite_range_affinity(sql: str, coltypes) -> str:
         # converts site by site (expr.c evaluates BETWEEN exactly so);
         # compounds get parens (the chain walk re-scans through them),
         # simple primaries stay bare
-        wr = (lambda t, v=None: f"TRY_CAST(({t}) AS INT)" if v == "bool"
-              else (t if _vd_simple_primary(t) else f"({t})"))
+        wr = (lambda t: t if _vd_simple_primary(t) else f"({t})")
         body = (
-            f"({wr(x, xv)} >= {wr(a_txt, av)} "
-            f"AND {wr(x, xv)} <= {wr(b_txt, bv)})"
+            f"({wr(x)} >= {wr(a_txt)} AND {wr(x)} <= {wr(b_txt)})"
         )
         if m.group(1):
             body = f"(NOT {body})"
@@ -3821,6 +3959,25 @@ def _cmp_walk_back(sql, mask, e, stop_at_cmp=False):
             while ws > 0 and (mask[ws - 1].isalnum() or mask[ws - 1] == "_"):
                 ws -= 1
             w = sql[ws:k + 1].lower()
+            if w == "div":
+                # the division pass's own ` DIV ` emission (it runs
+                # before the bitwise pass, whose operand walk lands
+                # here): a mul-chain operator — include the left
+                # primary and walk on (r16: `n / 3 >> x` became
+                # `n DIV nullif(3,0) >> x` and the shift's left walk
+                # stopped at the keyword, regrouping the division)
+                k2 = ws - 1
+                while k2 >= 0 and mask[k2] in " \t\r\n":
+                    k2 -= 1
+                if k2 < 0:
+                    return None
+                prev = _rev_primary_start(sql, mask, k2 + 1)
+                if prev is None:
+                    prev = _rev_case_start(sql, mask, k2 + 1)
+                if prev is None:
+                    return None
+                l_start = prev
+                continue
             if w in (
                 "like", "glob", "regexp", "match", "escape", "is", "in",
                 "between",
@@ -3967,6 +4124,20 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False,
                 sql, mask, j + 1, len(sql), coltypes, []
             )
             if nt == "kw" or ne <= j + 1:
+                return None
+            r_end = ne
+            continue
+        # ` DIV ` — the division pass's own emission (that pass runs
+        # BEFORE the bitwise pass, whose operand walk lands here): a
+        # mul-chain operator, continue through it (r16: `1 << n / 2`
+        # became `1 << n DIV nullif(2,0)` and the count walk stopped
+        # at the keyword, regrouping the shift)
+        wdiv = _WORD_RX.match(mask, j) if j < len(sql) else None
+        if wdiv and sql[wdiv.start():wdiv.end()].lower() == "div":
+            nf, ne, nt = _div_scan_primary(
+                sql, mask, wdiv.end(), len(sql), coltypes, []
+            )
+            if nt == "kw" or ne <= wdiv.end():
                 return None
             r_end = ne
             continue
@@ -5274,6 +5445,8 @@ def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
                 t = "int"
             elif word in _DIV_REAL_FUNCS:
                 t = "real"
+            elif word in _DIV_TEXT_FUNCS:
+                t = "text"
             elif word in _DIV_PASSTHRU_FUNCS:
                 t = arg_types[0] if arg_types else None
             elif word in _DIV_SAMETYPE_FUNCS:
@@ -5390,6 +5563,7 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
     have_expr = False
     unknown = False
     pending_mul = False
+    saw_concat = False
     pos = start
 
     def fold_chain():
@@ -5452,14 +5626,24 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
                 # whole left mul-chain and the right primary. TRY_CAST,
                 # not CAST: the later SQLite-CAST pass would re-expand a
                 # CAST(… AS BIGINT) emission ~4× per nesting level
-                # (exponential on chained %), and the operands here are
-                # known-numeric so the TEXT-prefix machinery is moot.
+                # (exponential on chained %) — EXCEPT when a side may
+                # be a runtime STRING ('1e2' types real but TRY_CAST
+                # AS BIGINT strict-parses it to NULL where SQLite's
+                # integer prefix parse reads 1 — r16 campaign find):
+                # such sides take the SQLite-spelled CAST, expanded to
+                # the exact prefix parse by the cast pass.
+                l_str = "'" in sql[chain_start:op_pos]
+                r_str = "'" in sql[r_first:r_end]
+                l_cast = ("CAST((", ") AS INTEGER)") if l_str else \
+                    ("TRY_CAST((", ") AS BIGINT)")
+                r_cast = ("CAST((", ") AS INTEGER)") if r_str else \
+                    ("TRY_CAST((", ") AS BIGINT)")
                 edits.append((chain_start, chain_start,
-                              "TRY_CAST((TRY_CAST(("))
+                              f"TRY_CAST(({l_cast[0]}"))
                 edits.append((op_pos, op_pos + 1,
-                              ") AS BIGINT) % nullif(TRY_CAST(("))
+                              f"{l_cast[1]} % nullif({r_cast[0]}"))
                 edits.append((r_end, r_end,
-                              ") AS BIGINT), 0)) AS DOUBLE)"))
+                              f"{r_cast[1]}, 0)) AS DOUBLE)"))
                 chain = "real"
             else:
                 if rt in ("int", "real"):
@@ -5488,6 +5672,17 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
             continue
         if c == "~":
             pos += 1
+            continue
+        if c == "|" and mask[pos + 1:pos + 2] == "|":
+            # || yields TEXT (or NULL) regardless of operand types —
+            # a span whose top level is a concat chain types 'text'
+            # (r16: lets the value-dependent pass coerce `(n||s) + 1`;
+            # mixed ||-and-arithmetic spans are parenthesized by the
+            # grouping pass before any walk sees them)
+            saw_concat = True
+            have_chain = False
+            chain = None
+            pos += 2
             continue
         if c in ",;=<>!|&":
             unknown = True
@@ -5530,6 +5725,8 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
         pending_mul = False
         pos = p_end if p_end > pos else pos + 1
     fold_chain()
+    if saw_concat:
+        return None if unknown else "text"
     return None if unknown else expr
 
 
@@ -6247,6 +6444,40 @@ def _vd_simple_primary(text: str) -> bool:
     )
 
 
+_VD_TEXT_FN_RX = re.compile(
+    r"(?i)\b(upper|lower|trim|ltrim|rtrim|replace|hex|quote|char|"
+    r"translate|substr|substring|typeof|printf|format|concat|"
+    r"concat_ws|group_concat|string_agg)\s*\("
+)
+_VD_COMPOUND_BLOCK_RX = re.compile(
+    # nondeterministic / session-state calls cannot be duplicated into
+    # the dispatch CASE; windows (over) stay out for plan-cost reasons.
+    # Scalar subqueries/EXISTS are deterministic within a statement and
+    # bounded by the length cap — allowed (r16: `trim(s) - EXISTS(…)`)
+    r"(?i)\b(random|randomblob|changes|total_changes|"
+    r"last_insert_rowid|over)\b"
+)
+
+
+def _vd_compound_operand(text: str) -> bool:
+    """A call or paren group acceptable as a TEXT-coercion arithmetic
+    operand (r16: `upper(s) * 2`, `(n || s) + 1`). The operand text is
+    duplicated into the dispatch CASE, so it must be deterministic
+    (no random/changes), cheap (no subquery/window), and bounded."""
+    s = text.strip()
+    if not s or len(s) > 200 or s[-1] != ")":
+        return False
+    if _VD_COMPOUND_BLOCK_RX.search(s):
+        return False
+    mask = _blank_comments(s, _div_mask(s))
+    a, b, t = _div_scan_primary(s, mask, 0, len(s), None, [])
+    return a == 0 and b == len(s) and t != "kw"
+
+
+def _vd_operand_ok(text: str) -> bool:
+    return _vd_simple_primary(text) or _vd_compound_operand(text)
+
+
 _VD_PEEL_RX = re.compile(
     # affinity-preserving unary wrappers: the dispatch condition of the
     # wrapped call carries through (abs/trunc/ceil/floor keep int int
@@ -6771,7 +7002,7 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     r_text = sql[r_first:r_end]
     if op in "+-*":
         # TEXT coercion is the only dispatch for additive ops
-        if _vd_simple_primary(p_text.strip()) and _vd_simple_primary(
+        if _vd_operand_ok(p_text.strip()) and _vd_operand_ok(
             r_text.strip()
         ):
             lt0 = _div_walk(sql, mask, l_start, e, coltypes, [])
@@ -6792,9 +7023,11 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
         )
         if d is not None:
             return l_start, r_end, d
-    if _vd_simple_primary(p_text.strip()):
+    if _vd_operand_ok(p_text.strip()):
         lt0 = _div_walk(sql, mask, l_start, e, coltypes, [])
-        if lt0 in ("int", "real", "null"):
+        if lt0 in ("int", "real", "null") and _vd_simple_primary(
+            p_text.strip()
+        ):
             d = _vd_case_distribute(
                 sql, mask, low, r_first, r_end, p_text.strip(), op,
                 coltypes, other_left=True,
@@ -6806,7 +7039,7 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
             "text" in (lt0, rt)
             and lt0 in ("int", "real", "null", "text")
             and rt in ("int", "real", "null", "text")
-            and _vd_simple_primary(r_text.strip())
+            and _vd_operand_ok(r_text.strip())
         ):
             return l_start, r_end, _vd_text_repl(
                 p_text.strip(), r_text.strip(), lt0, rt, op
@@ -6899,9 +7132,9 @@ def _rewrite_value_dependent_div(
     pass then walks the emitted CASE — typing its DIV arm, zero-guarding
     its ELSE arm, and rewriting any constructs inside the duplicated
     argument text consistently across all copies)."""
-    maybe_text = "'" in sql or (
+    maybe_text = "'" in sql or "||" in sql or (
         column_types and "text" in column_types.values()
-    )
+    ) or _VD_TEXT_FN_RX.search(sql) is not None
     if "/" not in sql and "%" not in sql and not (
         maybe_text and any(c in sql for c in "+-*")
     ):
@@ -6915,10 +7148,9 @@ def _rewrite_value_dependent_div(
         return sql
     # TEXT-operand +/-/* sites (numeric-prefix coercion) are scanned
     # only when text affinity is possible — numeric-only statements pay
-    # nothing (r13b)
-    text_possible = "'" in sql or (
-        column_types and "text" in column_types.values()
-    )
+    # nothing (r13b; r16 added text-returning calls and || chains as
+    # triggers, so `hex(n) + 1` fires on an all-numeric table)
+    text_possible = maybe_text
     scan_chars = "/%" + ("+-*" if text_possible else "")
     # each pass replaces one site, then rescans; emitted CASE arms never
     # re-match (their operands are parenthesized, not direct calls), so
@@ -7144,6 +7376,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         _ACTIVE_COLUMN_TYPES = column_types
     sql = _rewrite_null_postfix(sql)
     sql = _rewrite_exists_operand(sql)
+    sql = _rewrite_concat_grouping(sql)
     sql = _rewrite_case_truthiness(sql)
     sql = _rewrite_clause_truthiness(sql)
     sql = _rewrite_bare_not(sql)

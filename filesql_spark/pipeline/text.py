@@ -385,6 +385,27 @@ def rarity_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# One pinned dup-hash set per dup-span operator at a time (r16,
+# VERDICT r15 #6): the persisted set must outlive the RESULT's first
+# action (the exact join re-reads it), so it cannot be unpersisted
+# inside the builder — but repeated calls in one session (driver
+# correctness run, registry sweeps) must not ACCUMULATE pinned
+# executor storage. Each new call swaps out the previous call's set.
+_ACTIVE_DUP_PERSIST: dict[str, DataFrame] = {}
+
+
+def _swap_persist(key: str, df: DataFrame) -> DataFrame:
+    prev = _ACTIVE_DUP_PERSIST.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session already stopped: nothing pinned anyway
+    p = df.persist()
+    _ACTIVE_DUP_PERSIST[key] = p
+    return p
+
+
 def dup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -455,7 +476,7 @@ def dup_spans(
     if bloom_n is not None:
         from filesql_spark.pipeline.sketch import bloom_semi_join
 
-        dup = persisted = dup.persist()  # Bloom build AND exact join
+        dup = persisted = _swap_persist("dup_spans", dup)
         n_keys = dup.count() if bloom_n == "auto" else bloom_n
         flagged = bloom_semi_join(g, "h", dup, "h", n_keys=n_keys).join(
             dup, "h"
@@ -559,7 +580,7 @@ def dup_spans_bytes(
     if bloom_n is not None:
         from filesql_spark.pipeline.sketch import bloom_semi_join
 
-        dup = persisted = dup.persist()  # Bloom build AND exact join
+        dup = persisted = _swap_persist("dup_spans_bytes", dup)
         n_keys = dup.count() if bloom_n == "auto" else bloom_n
         flagged = bloom_semi_join(
             g, "h1", dup.select("h1"), "h1", n_keys=n_keys

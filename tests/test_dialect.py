@@ -1040,12 +1040,13 @@ def test_float_modulo_matches_sqlite(spark, tmp_path):
 
 
 def test_divergence_concat_precedence(spark, tmp_path):
-    """Documented divergence (r11, dialect.py concat pass notes):
-    SQLite's `||` binds TIGHTER than arithmetic — `1 + 2 || 'x'` is
-    1 + ('2x' coerced to 2) = 3 — while Spark parses (1 + 2) || 'x' =
-    '3x'. Unparenthesized arithmetic mixed into a concat is out of shim
-    scope; parenthesized operands agree in both engines (the fuzz tier
-    covers those)."""
+    """CLOSED divergence (r16, was pinned since r11): SQLite's `||`
+    binds TIGHTER than arithmetic — `1 + 2 || 'x'` is
+    1 + ('2x' coerced to 2) = 3 — while Spark would parse
+    (1 + 2) || 'x' = '3x'. The _rewrite_concat_grouping pass now
+    parenthesizes ||-runs adjacent to arithmetic, restoring SQLite's
+    grouping, and the value-dependent pass coerces the concat result
+    numerically (value-exact; typed DOUBLE — the static-typing class)."""
     import sqlite3
 
     import filesql_spark as fs
@@ -1058,7 +1059,7 @@ def test_divergence_concat_precedence(spark, tmp_path):
     eng = fs.open(str(tmp_path / "one.csv"), spark=spark)
     try:
         got = eng.query("SELECT 1 + 2 || 'x' AS c FROM one").collect()[0].c
-        assert got == "3x"  # Spark's parse — the pinned delta
+        assert got == 3  # SQLite's grouping and coercion (r16)
     finally:
         eng.close()
 

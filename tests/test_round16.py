@@ -197,3 +197,173 @@ def test_bool_operand_range_affinity(spark, tmp_path, stmt):
     rows = [(1, 5), (2, 0), (3, 2), (4, 1)]
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n")
+
+
+# ------- VERDICT r15 #6: repeated dup-span calls must not accumulate
+# pinned executor storage (LRU-of-1 swap in _swap_persist)
+
+def test_dup_spans_no_storage_growth(spark):
+    from filesql_spark.pipeline.text import dup_spans
+    from filesql_spark.queries import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    counts = []
+    for _ in range(3):
+        dup_spans(docs, bloom_n="auto").count()
+        counts.append(n_persisted())
+    # level, not growing: each call swapped out the previous set
+    assert counts[0] == counts[1] == counts[2], counts
+
+
+# ------- r16 campaign find (silent wrong values, pre-existing since
+# r11): SQLite binds || ABOVE arithmetic/bitwise; Spark binds it below.
+# _rewrite_concat_grouping parenthesizes ||-runs adjacent to those
+# operators; the widened value-dependent pass then coerces the
+# TEXT-valued result (concat chains, text-returning function calls)
+# with the numeric-prefix parse.
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, 1 + n || s AS v FROM t ORDER BY id",
+    "SELECT id, 2 * n || s AS v FROM t ORDER BY id",
+    "SELECT id, n || s + 1 AS v FROM t ORDER BY id",
+    "SELECT id, 1 + n || s + 1 AS v FROM t ORDER BY id",
+    "SELECT id, n - s || 'x' AS v FROM t ORDER BY id",
+    "SELECT id, -n || s AS v FROM t ORDER BY id",
+    "SELECT id, ~n || s AS v FROM t ORDER BY id",
+    "SELECT id, 1 + ~n || s AS v FROM t ORDER BY id",
+    "SELECT id, n & 1 || s AS v FROM t ORDER BY id",
+    "SELECT id FROM t WHERE n || s = '107x' ORDER BY id",
+    "SELECT id, 'x' || s || 'y' AS v FROM t ORDER BY id",
+])
+def test_concat_binds_above_arithmetic(spark, tmp_path, stmt):
+    rows = [(1, 7, "7"), (2, 10, "7x"), (3, 0, "abc")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)", "id,n,s")
+
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, upper(s) * 2 AS v FROM t ORDER BY id",
+    "SELECT id, trim(s) - 1 AS v FROM t ORDER BY id",
+    "SELECT id, hex(n) + 1 AS v FROM t ORDER BY id",
+    "SELECT id, 1 + (n || s) AS v FROM t ORDER BY id",
+    "SELECT id, (s || 'x') + 1 AS v FROM t ORDER BY id",
+    "SELECT id, length(s || 'x') + 1 AS v FROM t ORDER BY id",
+    "SELECT id, trim(s) - EXISTS(SELECT 1) AS v FROM t ORDER BY id",
+    "SELECT id, upper(s) * EXISTS(SELECT 1) AS v FROM t ORDER BY id",
+    "SELECT id, 'abc' - EXISTS(SELECT 1) AS v FROM t ORDER BY id",
+])
+def test_text_valued_operands_in_arithmetic(spark, tmp_path, stmt):
+    rows = [(1, 7, "7"), (2, 10, "7x"), (3, 0, "abc")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)", "id,n,s")
+
+
+def test_shift_count_owns_division_chain(spark, tmp_path):
+    # `/` binds tighter than `<<` in both engines, but the division
+    # pass's ` DIV ` emission used to stop the bitwise pass's count
+    # walk, regrouping `1 << n / 2` as `(1 << n) / 2`
+    rows = [(1, 7), (2, 10), (3, 2)]
+    _diff(spark, tmp_path,
+          "SELECT id, 1 << n / 2 AS v FROM t ORDER BY id",
+          rows, "CREATE TABLE t (id INTEGER, n INTEGER)", "id,n")
+
+
+# ------- r16 closing: the campaign grammar, committed (pinned seeds) —
+# EXISTS in chains, NOT in function args, postfix null tests,
+# bool-operand IN/BETWEEN, || precedence over the operand grammar
+
+def _gen_r16_expr(rng):
+    from tests.test_fuzz_dialect import _gen_cmp_operand
+
+    op = lambda: _gen_cmp_operand(rng)
+    ar = lambda: rng.choice(["+", "-", "*", "%", "&", "|", "<<", ">>",
+                             "||"])
+    ex = lambda: f"EXISTS (SELECT 1 FROM t WHERE n > {rng.randint(-5, 200)})"
+    k = rng.randrange(9)
+    if k == 0:
+        return f"{op()} {ar()} {ex()}"
+    if k == 1:
+        return f"{ex()} {ar()} {op()}"
+    if k == 2:
+        return f"{op()} {rng.choice(['=', '<', '>=', '!='])} {op()} {ar()} {ex()}"
+    if k == 3:
+        f_ = rng.choice(["abs", "length", "coalesce2", "max2", "iif3"])
+        inner = f"NOT {op()}"
+        if f_ == "coalesce2":
+            return f"coalesce({inner}, {rng.randint(-3, 9)})"
+        if f_ == "max2":
+            return f"max({inner}, {op()})"
+        if f_ == "iif3":
+            return f"iif({inner}, {rng.randint(0, 9)}, {rng.randint(10, 19)})"
+        return f"{f_}({inner})"
+    if k == 4:
+        t_ = rng.choice(["NOTNULL", "ISNULL", "NOT NULL"])
+        return f"{op()} {t_}"
+    if k == 5:
+        t_ = rng.choice(["NOTNULL", "ISNULL", "NOT NULL"])
+        return f"CASE WHEN {op()} {t_} THEN 1 ELSE 0 END"
+    if k == 6:
+        x = rng.choice(["true", "false", f"({op()} = {op()})", ex()])
+        return f"{x} IN ({op()}, {op()})"
+    if k == 7:
+        x = rng.choice(["true", "false", f"({op()} = {op()})", ex()])
+        return f"{x} BETWEEN {op()} AND {op()}"
+    return f"{op()} {ar()} {op()} || {op()}"
+
+
+@pytest.mark.parametrize("seed", [1616, 2718])
+def test_r16_grammar_differential(spark, tmp_path, seed):
+    import random
+
+    from tests.test_fuzz_dialect import _norm
+
+    rng = random.Random(seed)
+    rows = [(1, 7, 7.5, "7"), (2, 7, 7.0, "07"), (3, 10, 2.0, "7x"),
+            (4, 0, 0.5, "abc"), (5, None, None, None),
+            (6, -3, 70.0, " 7 "), (7, 8, 8.25, "8.25"),
+            (8, 100, 1e2, "1e2"), (9, 2, -0.5, "0"), (10, 63, 64.0, "64")]
+
+    def sqlite_ok(e):
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)")
+        try:
+            con.execute(f"SELECT {e} FROM t")
+            return True
+        except sqlite3.OperationalError:
+            return False
+        finally:
+            con.close()
+
+    exprs = []
+    while len(exprs) < 25:
+        e = _gen_r16_expr(rng)
+        if sqlite_ok(e):
+            exprs.append(e)
+    select = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    expected = con.execute(select + " FROM t ORDER BY id").fetchall()
+    con.close()
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "n", "r", "s"])
+        for i, n, r, s in rows:
+            w.writerow([i, "" if n is None else n, "" if r is None else r,
+                        "\x01null" if s is None else s])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        eng.execute("UPDATE t SET s = NULL WHERE id = 5")
+        eng.execute("UPDATE t SET s = ' 7 ' WHERE id = 6")
+        got = eng.query(select + " FROM t ORDER BY id").collect()
+    finally:
+        eng.close()
+    for rx, (grow, xrow) in enumerate(zip(got, expected)):
+        for i, e in enumerate(exprs):
+            g, x = _norm(grow[i]), _norm(xrow[i])
+            assert g == x, (seed, rows[rx], e, g, x)
