@@ -2397,6 +2397,74 @@ def _not_operand_end(sql, mask, low, j) -> int:
     return i
 
 
+def _rewrite_numlit_arith(sql: str) -> str:
+    """Clean-numeric STRING literals glued to arithmetic/bitwise
+    operators unquote to their numeric form (r16): SQLite coerces
+    `'1e2' - 1` to 100.0 - 1 = 99.0 via numeric affinity, while Spark
+    strict-casts the string to the operator's type and crashes on
+    '1e2' (not a BIGINT literal). Only literals whose FULL content is
+    a clean int/real (per _div_str_lit_type) and whose int value fits
+    int64 are unquoted; junk text stays quoted (different coercion
+    class), and ||-adjacent literals stay quoted (concat is a string
+    context). Comparison adjacency is untouched — quoting matters
+    there (`s = '7'` is a TEXT compare)."""
+    if "'" not in sql:
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    edits: list[tuple[int, int, str]] = []
+    i = 0
+    while i < len(mask):
+        if mask[i] != "\x00" or sql[i] != "'":
+            i += 1
+            continue
+        run = i
+        while run < len(mask) and mask[run] == "\x00":
+            run += 1
+        text = sql[i:run]
+        i, a, b = run, i, run
+        if not text.startswith("'") or not text.endswith("'"):
+            continue
+        content = _literal_content(text)
+        t = _div_str_lit_type(content)
+        if t not in ("int", "real"):
+            continue
+        s = content.strip()
+        if t == "int" and not (_INT64_MIN <= int(s) <= _INT64_MAX):
+            continue  # SQLite would fall back to REAL; stay native
+        # adjacency classes (pinned vs sqlite3, r16): + - * / REAL-
+        # coerce the string ('2e1' -> 20.0) so unquoting is exact;
+        # % & | << >> ~ INTEGER-PREFIX-parse it ('2e1' -> 2, NOT 20)
+        # — those sides must stay quoted (the %-CAST and bitwise
+        # passes expand the exact prefix parse). An integer-coercion
+        # op adjacent on EITHER side vetoes the unquote.
+        k = a - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        prev_real = k >= 0 and mask[k] in "+-*/"
+        prev_int = k >= 0 and (
+            mask[k] in "%&~"
+            or (mask[k] == "|" and (k == 0 or mask[k - 1] != "|"))
+            or (mask[k] in "<>" and k >= 1 and mask[k - 1] == mask[k])
+        )
+        j = b
+        while j < len(mask) and mask[j] in " \t\r\n":
+            j += 1
+        nxt_real = j < len(mask) and mask[j] in "+-*/" and \
+            mask[j:j + 2] != "||"
+        nxt_int = j < len(mask) and (
+            mask[j:j + 2] in ("<<", ">>")
+            or mask[j] in "%&"
+            or (mask[j] == "|" and mask[j + 1:j + 2] != "|")
+        )
+        if (prev_real or nxt_real) and not (prev_int or nxt_int):
+            edits.append((a, b, s))
+    if not edits:
+        return sql
+    for a, b, repl in reversed(edits):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 def _concat_run_left(sql, mask, i):
     """Start of the maximal ``||`` run whose operator sits at ``i``
     (run = primaries joined by ||, each with optional unary ~/+/-
@@ -7376,6 +7444,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         _ACTIVE_COLUMN_TYPES = column_types
     sql = _rewrite_null_postfix(sql)
     sql = _rewrite_exists_operand(sql)
+    sql = _rewrite_numlit_arith(sql)
     sql = _rewrite_concat_grouping(sql)
     sql = _rewrite_case_truthiness(sql)
     sql = _rewrite_clause_truthiness(sql)

@@ -365,10 +365,18 @@ def ngram_jaccard_pairs(
     # ~30-char strings — measured ~4× less shuffle at sf0.1
     # persist: read by the token path AND both verify branches (3 evals of
     # the split+md5 build otherwise — measured 2× the query at sf0.1)
+    from filesql_spark.pipeline.contamination import _hash60
+
+    # 60-bit shingle hash (r16: was _hash32 — at 100x replication the
+    # distinct-shingle count makes 32-bit birthday collisions grow
+    # QUADRATICALLY, merging unrelated posting lists into false
+    # candidates; measured e100 = 0.88 before, the one exponent over
+    # the 0.7 gate. 60 bits keeps collisions negligible at 10^9 grams
+    # and the DuckDB oracle applies the identical transform.)
     sets = (
         add_shingles(df, text_col)
         .select(
-            "doc_id", F.array_distinct(F.transform(F.col("sh"), _hash32)).alias("sh")
+            "doc_id", F.array_distinct(F.transform(F.col("sh"), _hash60)).alias("sh")
         )
         .persist()
     )

@@ -373,7 +373,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets AS (
         SELECT doc_id,
                list_distinct(list_transform({_SHINGLES},
-                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
         FROM t0
     ),
     tok AS (

@@ -367,3 +367,33 @@ def test_r16_grammar_differential(spark, tmp_path, seed):
         for i, e in enumerate(exprs):
             g, x = _norm(grow[i]), _norm(xrow[i])
             assert g == x, (seed, rows[rx], e, g, x)
+
+
+# ------- r16: clean-numeric STRING literals glued to arithmetic
+# unquote to their numeric form (SQLite coerces '1e2' - 1 to 99.0;
+# Spark strict-casts the string and crashes); comparison/concat
+# adjacency stays quoted (different semantics)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, '1e2' - 1 AS v FROM t ORDER BY id",
+    "SELECT id, '1e2' % 1 AS v FROM t ORDER BY id",
+    "SELECT id, '7.5' % 2 AS v FROM t ORDER BY id",
+    "SELECT id, 7 % '2e1' AS v FROM t ORDER BY id",
+    "SELECT id, NOT '1e2' - EXISTS(SELECT 1) AS v FROM t ORDER BY id",
+    "SELECT id, '' + EXISTS(SELECT 1 WHERE 0) AS v FROM t ORDER BY id",
+    "SELECT id, '5' * n AS v FROM t ORDER BY id",
+    "SELECT id, n + '2.5' AS v FROM t ORDER BY id",
+    "SELECT id, '3' & n AS v FROM t ORDER BY id",
+    "SELECT id, '-7' + 1 AS v FROM t ORDER BY id",
+    "SELECT id, -'1e2' + n AS v FROM t ORDER BY id",
+    # quoting preserved where it matters
+    "SELECT id FROM t WHERE s = '7' ORDER BY id",
+    "SELECT id FROM t WHERE s = '1e2' ORDER BY id",
+    "SELECT id, '1' || '2' AS v FROM t ORDER BY id",
+    "SELECT id, '2' < n AS v FROM t ORDER BY id",
+    "SELECT id, '1' + '2' AS v FROM t ORDER BY id",
+])
+def test_numeric_string_literals_in_arithmetic(spark, tmp_path, stmt):
+    rows = [(1, 7, "7"), (2, 10, "7x"), (3, 0, "abc")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)", "id,n,s")
