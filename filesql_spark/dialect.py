@@ -2397,6 +2397,83 @@ def _not_operand_end(sql, mask, low, j) -> int:
     return i
 
 
+_UNARY_CTX_WORDS = frozenset({
+    "select", "when", "then", "else", "and", "or", "not", "where",
+    "by", "having", "on", "set", "returning", "limit", "offset", "in",
+    "case", "between", "escape", "like", "glob", "union", "all",
+    "intersect", "except", "values", "distinct",
+})
+
+
+def _is_unary_sign(sql, mask, low, k) -> bool:
+    """True when the +/- at ``k`` is UNARY: nothing but an operator,
+    an opener, or an expression-starting keyword precedes it."""
+    k2 = k - 1
+    while k2 >= 0 and mask[k2] in " \t\r\n":
+        k2 -= 1
+    if k2 < 0 or mask[k2] in "(,;=<>!~+-*/%&|":
+        return True
+    if mask[k2].isalnum() or mask[k2] == "_":
+        ws = k2
+        while ws >= 0 and (mask[ws].isalnum() or mask[ws] == "_"):
+            ws -= 1
+        return low[ws + 1:k2 + 1] in _UNARY_CTX_WORDS
+    return False
+
+
+def _strip_unary_plus(sql: str) -> str:
+    """SQLite's unary ``+`` is a VALUE no-op (expr.c: `+'2e1' | 0` is
+    2 — the STRING survives into the bitwise int-prefix parse) while
+    Spark's unary ``+`` numerically COERCES its operand (`+'2e1'` is
+    20.0, `+s` crashes on junk text). BUT `+column` also strips the
+    column's AFFINITY in comparisons (datatype3 §4.2: `+s >= 6`
+    storage-compares), which the comparison passes model explicitly —
+    so the + is deleted ONLY when its operand is glued to an
+    arithmetic/bitwise/concat operator, where affinity is already
+    gone and only the value no-op matters (r16 campaign find). The
+    exponent sign inside a numeric literal (1e+5) is untouched — its
+    predecessor is a word char."""
+    if "+" not in sql:
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    low = sql.lower()
+    edits = []
+    i = 0
+    while i < len(mask):
+        if mask[i] != "+" or not _is_unary_sign(sql, mask, low, i):
+            i += 1
+            continue
+        k = i - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        prev_arith = k >= 0 and (
+            mask[k] in "+-*/%&~"
+            or mask[k] == "|"
+            or (mask[k] in "<>" and k >= 1 and mask[k - 1] == mask[k])
+        )
+        f0, e0, t0 = _div_scan_primary(sql, mask, i + 1, len(sql),
+                                       None, [])
+        if t0 == "kw" or e0 <= i + 1:
+            i += 1
+            continue
+        j = e0
+        while j < len(mask) and mask[j] in " \t\r\n":
+            j += 1
+        nxt_arith = j < len(mask) and (
+            mask[j:j + 2] in ("<<", ">>", "||")
+            or mask[j] in "+-*/%&"
+            or (mask[j] == "|" and mask[j + 1:j + 2] != "|")
+        )
+        if prev_arith or nxt_arith:
+            edits.append((i, i + 1, ""))
+        i += 1
+    if not edits:
+        return sql
+    for a, b, repl in reversed(edits):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 def _rewrite_numlit_arith(sql: str) -> str:
     """Clean-numeric STRING literals glued to arithmetic/bitwise
     operators unquote to their numeric form (r16): SQLite coerces
@@ -2435,17 +2512,28 @@ def _rewrite_numlit_arith(sql: str) -> str:
         # coerce the string ('2e1' -> 20.0) so unquoting is exact;
         # % & | << >> ~ INTEGER-PREFIX-parse it ('2e1' -> 2, NOT 20)
         # — those sides must stay quoted (the %-CAST and bitwise
-        # passes expand the exact prefix parse). An integer-coercion
-        # op adjacent on EITHER side vetoes the unquote.
+        # passes expand the exact prefix parse); || keeps the string
+        # VERBATIM ('2e1' || x is '2e1x') and binds tighter than
+        # every binary operator, so a ||-adjacent literal belongs to
+        # the concat and must stay quoted. EXCEPTION: a directly
+        # attached unary - binds tighter than everything and REAL-
+        # coerces the string (-'2e1' is -20.0, -'2e1' & 3 is -20 & 3
+        # — pinned), so a signed literal unquotes unconditionally.
         k = a - 1
         while k >= 0 and mask[k] in " \t\r\n":
             k -= 1
+        low0 = sql.lower()
+        if k >= 0 and mask[k] == "-" and _is_unary_sign(sql, mask,
+                                                        low0, k):
+            edits.append((a, b, s))
+            continue
         prev_real = k >= 0 and mask[k] in "+-*/"
         prev_int = k >= 0 and (
             mask[k] in "%&~"
             or (mask[k] == "|" and (k == 0 or mask[k - 1] != "|"))
             or (mask[k] in "<>" and k >= 1 and mask[k - 1] == mask[k])
         )
+        prev_concat = k >= 1 and mask[k] == "|" and mask[k - 1] == "|"
         j = b
         while j < len(mask) and mask[j] in " \t\r\n":
             j += 1
@@ -2456,7 +2544,10 @@ def _rewrite_numlit_arith(sql: str) -> str:
             or mask[j] in "%&"
             or (mask[j] == "|" and mask[j + 1:j + 2] != "|")
         )
-        if (prev_real or nxt_real) and not (prev_int or nxt_int):
+        nxt_concat = j + 1 < len(mask) and mask[j:j + 2] == "||"
+        if (prev_real or nxt_real) and not (
+            prev_int or nxt_int or prev_concat or nxt_concat
+        ):
             edits.append((a, b, s))
     if not edits:
         return sql
@@ -5939,6 +6030,19 @@ def _rewrite_concat_real(sql: str, coltypes: dict[str, str] | None) -> str:
     return sql
 
 
+def _concat_strlit(sql, mask, a, b) -> bool:
+    """Span [a, b) is a bare STRING literal: SQLite's || keeps it
+    VERBATIM ('2e1' || x is '2e1x'), so the real/value-dependent
+    rendering wraps must never fire on it (r16 campaign find — the
+    'real' static type from _div_str_lit_type describes its coercion
+    class in arithmetic, not its identity under concat)."""
+    t = sql[a:b].strip()
+    if not (t.startswith("'") and t.endswith("'")):
+        return False
+    return all(mask[i] == "\x00" or mask[i] in " \t\r\n"
+               for i in range(a, b))
+
+
 def _concat_walk(sql, mask, start, end, coltypes, edits) -> None:
     throwaway: list = []  # nested div edits belong to the later div pass
     pos = start
@@ -5950,7 +6054,11 @@ def _concat_walk(sql, mask, start, end, coltypes, edits) -> None:
             pos += 1
             continue
         if c == "|" and pos + 1 < end and mask[pos + 1] == "|":
-            if last is not None and last_clean and last[2] == "real":
+            if last is not None and last_clean and _concat_strlit(
+                sql, mask, last[0], last[1]
+            ):
+                pass  # bare string literal: verbatim under ||
+            elif last is not None and last_clean and last[2] == "real":
                 _dtext_wrap(edits, last[0], last[1])
             elif last is not None and last_clean and last[2] is None:
                 _vd_dtext_edit(sql, mask, last[0], last[1], coltypes, edits)
@@ -5964,7 +6072,9 @@ def _concat_walk(sql, mask, start, end, coltypes, edits) -> None:
             while k < end and mask[k] in " \t\r\n":
                 k += 1
             clean_right = not (k < end and mask[k] in "*/%+-")
-            if rt == "real" and clean_right:
+            if _concat_strlit(sql, mask, rf, re_):
+                pass  # bare string literal: verbatim under ||
+            elif rt == "real" and clean_right:
                 _dtext_wrap(edits, rf, re_)
             elif rt is None and clean_right:
                 _vd_dtext_edit(sql, mask, rf, re_, coltypes, edits)
@@ -6546,6 +6656,20 @@ def _vd_operand_ok(text: str) -> bool:
     return _vd_simple_primary(text) or _vd_compound_operand(text)
 
 
+def _vd_emitted_type(text: str) -> str | None:
+    """'real' when the span is one of this pass's own dispatch-CASE
+    emissions (their VALUE is always numeric — int or real per the
+    runtime dispatch, exactly representable in the static DOUBLE), so
+    a later site can use them as numeric operands (r16: `s - -s` —
+    the inner -s repl feeds the outer subtraction)."""
+    t = text.strip()
+    if len(t) <= 4000 and (
+        _VD_EMITTED_RX.match(t) or _VD_TEXTREPL_RX.match(t)
+    ):
+        return "real"
+    return None
+
+
 _VD_PEEL_RX = re.compile(
     # affinity-preserving unary wrappers: the dispatch condition of the
     # wrapped call carries through (abs/trunc/ceil/floor keep int int
@@ -6942,6 +7066,17 @@ def _vd_case_distribute(sql, mask, low, a, b, other, op, coltypes,
 # fraction/exponent (or it starts with a bare decimal point); everything
 # else — clean ints, int-prefixed junk, junk (coerces to 0) — is INTEGER
 _VD_REAL_PREFIX_SQL = r"'^[ \\t\\r\\n]*[+-]?([0-9]+[.eE]|[.][0-9])'"
+# the text-repl dispatch CASE (emitted by _vd_text_repl below): its
+# value is int exactly when the NOT-RLIKE condition held, so a chained
+# / or % can dispatch on the same condition — the r16 closure of
+# `+s * n / 2` float-dividing where SQLite DIVs the int flavor
+_VD_TEXTREPL_RX = re.compile(
+    r"(?s)^\(CASE WHEN ("
+    r"NOT \(\(.+?\) RLIKE " + re.escape(_VD_REAL_PREFIX_SQL) + r"\)"
+    r"(?: AND NOT \(\(.+?\) RLIKE " + re.escape(_VD_REAL_PREFIX_SQL)
+    + r"\))?"
+    r") THEN .+ ELSE .+ END\)$"
+)
 
 
 def _vd_text_repl(l, r, lt, rt, op):
@@ -6996,7 +7131,9 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
         # unary +/- over a TEXT primary: + is identity (SQLite keeps the
         # operand verbatim), - is 0 - x under numeric-prefix coercion
         k = e - 1
-        ctx_ok = k < 0 or mask[k] in "(,;=<>"
+        # an arithmetic operator before the sign makes it unary too:
+        # `s - -s` — the inner -s is the right operand (r16)
+        ctx_ok = k < 0 or mask[k] in "(,;=<>+-*/%"
         if not ctx_ok:
             ws = k
             while ws >= 0 and (mask[ws].isalnum() or mask[ws] == "_"):
@@ -7015,8 +7152,48 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
                 j = r_end
                 while j < len(sql) and mask[j] in " \t\r\n":
                     j += 1
-                if j < len(sql) and mask[j] in "+-*/%|&":
-                    return None  # glued to arithmetic: out of scope
+                if j < len(sql) and mask[j] in "|&":
+                    return None  # bitwise-glued: integer coercion of
+                    # the SIGNED operand — the bitwise pass owns it
+                # continuation is value-safe (r16): an IMMEDIATE / or
+                # % chains on the repl's dispatch CASE (the
+                # _VD_TEXTREPL_RX recognizer dispatches DIV/int-cast
+                # on the same condition), and + - * & | << >> agree on
+                # the VALUE — but a / or % AFTER a + - * breaks the
+                # emission recognition (the chain is no longer a bare
+                # dispatch CASE) and would float-divide where SQLite
+                # DIVs the int flavor. Bail (loud-native) on that
+                # pattern only.
+                jj = j
+                depth = 0
+                seen_addmul = False
+                while jj < len(sql):
+                    c2 = mask[jj]
+                    if c2 == "(":
+                        depth += 1
+                    elif c2 == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0:
+                        if c2 in "/%" and seen_addmul:
+                            return None
+                        if c2 in "+-*":
+                            seen_addmul = True
+                        if c2 in ",;=<>!":
+                            break
+                        w2 = _WORD_RX.match(mask, jj)
+                        if w2:
+                            wl = low[jj:w2.end()]
+                            if wl in _DIV_KEYWORDS or wl in (
+                                "and", "or", "not", "is", "in",
+                                "like", "between",
+                            ):
+                                break
+                            jj = w2.end()
+                            continue
+                    jj += 1
+                # (`+s * EXISTS(…)` was an out-of-scope bail)
                 if op == "+":
                     return slash, r_end, f"({r_text})"
                 return slash, r_end, _vd_text_repl(
@@ -7055,6 +7232,17 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
         # additive ops are left-associative peers: `a + b + s` owns
         # (a + b) first — this site's primary is not the whole operand
         return None
+    if op in "/%" and k >= 0 and mask[k] in "+-" and _is_unary_sign(
+        sql, mask, low, k
+    ):
+        # unary minus over a TEXT-valued primary REAL-parses it
+        # (-'1e2' is -100.0) while this site's dispatch would INT-
+        # prefix-parse the bare string (1) — the sign does NOT commute
+        # through the string coercion (r16). The unary-repl site (the
+        # sign's own scan position, visited first) owns the operand;
+        # decline here so a bailed unary path stays loud-native.
+        if _div_walk(sql, mask, l_start, e, coltypes, []) == "text":
+            return None
     r_first, r_end, rt = _div_scan_primary(
         sql, mask, slash + 1, len(sql), coltypes, []
     )
@@ -7070,17 +7258,20 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     r_text = sql[r_first:r_end]
     if op in "+-*":
         # TEXT coercion is the only dispatch for additive ops
-        if _vd_operand_ok(p_text.strip()) and _vd_operand_ok(
-            r_text.strip()
+        p_s, r_s = p_text.strip(), r_text.strip()
+        pe_t, re_t = _vd_emitted_type(p_s), _vd_emitted_type(r_s)
+        if (_vd_operand_ok(p_s) or pe_t) and (
+            _vd_operand_ok(r_s) or re_t
         ):
-            lt0 = _div_walk(sql, mask, l_start, e, coltypes, [])
+            lt0 = pe_t or _div_walk(sql, mask, l_start, e, coltypes, [])
+            rt2 = re_t or rt
             if (
-                "text" in (lt0, rt)
+                "text" in (lt0, rt2)
                 and lt0 in ("int", "real", "null", "text")
-                and rt in ("int", "real", "null", "text")
+                and rt2 in ("int", "real", "null", "text")
             ):
                 return l_start, r_end, _vd_text_repl(
-                    p_text.strip(), r_text.strip(), lt0, rt, op
+                    p_s, r_s, lt0, rt2, op
                 )
         return None
     # searched-CASE operand → distribute the operator into the arms
@@ -7134,7 +7325,7 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     # is int exactly when its condition held, so the next / dispatches
     # on the same condition (`ifnull(n,2.5) / 2 / 3`) and the next %
     # reuses it for the REAL-iff-either-real result type
-    m = _VD_EMITTED_RX.match(p_text)
+    m = _VD_EMITTED_RX.match(p_text) or _VD_TEXTREPL_RX.match(p_text)
     if m and not _vd_analyze_call(
         sql, mask, low, r_first, r_end, coltypes
     ):
@@ -7149,6 +7340,14 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
             )
             return l_start, r_end, repl
     right_cond = _vd_analyze_call(sql, mask, low, r_first, r_end, coltypes)
+    if right_cond is None:
+        # a dispatch-CASE emission as the DIVISOR: its value is int
+        # exactly when its own condition held — reuse it (r16:
+        # `n / -s` DIVs on the int flavor instead of float-dividing)
+        mR = (_VD_EMITTED_RX.match(r_text.strip())
+              or _VD_TEXTREPL_RX.match(r_text.strip()))
+        if mR:
+            right_cond = mR.group(1)
     if right_cond is None:
         return None
     lt = _div_walk(sql, mask, l_start, e, coltypes, [])
@@ -7442,6 +7641,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
         # rebind-adjusted types
         column_types = _apply_shadow(sql, _div_mask(sql), column_types)
         _ACTIVE_COLUMN_TYPES = column_types
+    sql = _strip_unary_plus(sql)
     sql = _rewrite_null_postfix(sql)
     sql = _rewrite_exists_operand(sql)
     sql = _rewrite_numlit_arith(sql)

@@ -397,3 +397,64 @@ def test_numeric_string_literals_in_arithmetic(spark, tmp_path, stmt):
     rows = [(1, 7, "7"), (2, 10, "7x"), (3, 0, "abc")]
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)", "id,n,s")
+
+
+# ------- r16: unary sign over a TEXT operand glued to arithmetic
+# (was an out-of-scope bail; `+` is identity, `-` is 0 - coerce(x))
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, +s * EXISTS(SELECT 1) AS v FROM t ORDER BY id",
+    "SELECT id, -s * 2 AS v FROM t ORDER BY id",
+    "SELECT id, +s + 1 AS v FROM t ORDER BY id",
+    "SELECT id, -s - 1 AS v FROM t ORDER BY id",
+    "SELECT id, -s % 3 AS v FROM t ORDER BY id",
+    "SELECT id FROM t WHERE n + 4 - 4 != +s * EXISTS(SELECT 1 WHERE 1) "
+    "ORDER BY id",
+])
+def test_unary_sign_text_operand_glued(spark, tmp_path, stmt):
+    rows = [(1, 7, "7"), (2, 10, "7x"), (3, 0, "abc")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, s TEXT)", "id,n,s")
+
+
+# ------- r16 campaign 2 closures: unary +/- interplay with coercion
+
+@pytest.mark.parametrize("stmt", [
+    # unary + is a SQLite no-op: the STRING survives downstream
+    # coercion (Spark's unary + numerically coerces — stripped)
+    "SELECT id, +'1e2' | n AS v FROM t ORDER BY id",
+    "SELECT id, +'2e1' % 3 AS v FROM t ORDER BY id",
+    "SELECT id, +'7x' + 1 AS v FROM t ORDER BY id",
+    "SELECT id, +n | 0 AS v FROM t ORDER BY id",
+    # unary - REAL-coerces a string before any int context
+    "SELECT id, -'1e2' % (r) AS v FROM t ORDER BY id",
+    "SELECT id, -'2e1' & 3 AS v FROM t ORDER BY id",
+    "SELECT id, -'2e1' >> 1 AS v FROM t ORDER BY id",
+    # || keeps string literals VERBATIM ('2e1' stays '2e1')
+    "SELECT id, '2e1' || 'x' AS v FROM t ORDER BY id",
+    "SELECT id, '2e1' || n AS v FROM t ORDER BY id",
+    "SELECT id, r || '2e1' AS v FROM t ORDER BY id",
+    "SELECT id, '1e2' || n + 5 - 1 * n + 2 - 1 AS v FROM t ORDER BY id",
+    "SELECT id, n - '2e1' || s AS v FROM t ORDER BY id",
+    "SELECT id, '2e1' || (n) & CAST(s AS REAL) AS v FROM t ORDER BY id",
+    # unquoted real literals still render SQLite-style under ||
+    "SELECT id, 1e2 || n AS v FROM t ORDER BY id",
+    # unary-repl emissions chain through / % * and as right operands
+    "SELECT id, +s * n / 2 AS v FROM t ORDER BY id",
+    "SELECT id, -s % r / 2 AS v FROM t ORDER BY id",
+    "SELECT id, -s % 8 * r AS v FROM t ORDER BY id",
+    "SELECT id, -s % 3 / 2 AS v FROM t ORDER BY id",
+    "SELECT id, -s / 25 AS v FROM t ORDER BY id",
+    "SELECT id, s - -s AS v FROM t ORDER BY id",
+    "SELECT id, n / -s AS v FROM t ORDER BY id",
+    "SELECT id, n % -s AS v FROM t ORDER BY id",
+    "SELECT id, -s + -s AS v FROM t ORDER BY id",
+    "SELECT id, n - -s * 2 AS v FROM t ORDER BY id",
+    "SELECT id, 10 / -s AS v FROM t ORDER BY id",
+])
+def test_unary_sign_coercion_interplay(spark, tmp_path, stmt):
+    rows = [(1, 7, 7.5, "7"), (2, 10, 2.0, "7x"), (3, 0, 0.5, "abc"),
+            (8, 100, 100.0, "1e2")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
+          "id,n,r,s")
