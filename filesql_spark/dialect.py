@@ -2464,7 +2464,28 @@ def _strip_unary_plus(sql: str) -> str:
             or mask[j] in "+-*/%&"
             or (mask[j] == "|" and mask[j + 1:j + 2] != "|")
         )
-        if prev_arith or nxt_arith:
+        # string literals and function calls carry NO affinity for +
+        # to strip (datatype3 §4.2 lists only columns and CASTs), so
+        # + before them is identity in every context — strip it
+        # (r16 c3: `'2e1' IN (+'2e1', …)` must string-match verbatim;
+        # Spark's + would coerce the string). Columns and paren groups
+        # keep their + outside arithmetic (it strips their affinity in
+        # comparisons); numeric literals keep it too (`ORDER BY +5` is
+        # an expression while a stripped `ORDER BY 5` is positional,
+        # and Spark evaluates +5 natively anyway). CAST/TRY_CAST are
+        # calls that DO carry affinity — keep their +.
+        c0 = sql[f0] if f0 < len(sql) else ""
+        no_affinity = c0 == "'"
+        if not no_affinity and (c0.isalpha() or c0 == "_"):
+            wm0 = _WORD_RX.match(mask, f0)
+            if wm0:
+                j0 = _skip_ws(mask, wm0.end())
+                no_affinity = (
+                    j0 < len(mask) and mask[j0] == "("
+                    and low[wm0.start():wm0.end()] not in
+                    ("cast", "try_cast", "exists")
+                )
+        if prev_arith or nxt_arith or no_affinity:
             edits.append((i, i + 1, ""))
         i += 1
     if not edits:
@@ -2523,9 +2544,14 @@ def _rewrite_numlit_arith(sql: str) -> str:
         while k >= 0 and mask[k] in " \t\r\n":
             k -= 1
         low0 = sql.lower()
+        # parenthesize signed contents: a bare unquote of '-3' after a
+        # unary minus would splice `--3` — a line comment (r16 c3 find)
+        s_out = f"({s})" if s[:1] in "+-" else s
         if k >= 0 and mask[k] == "-" and _is_unary_sign(sql, mask,
                                                         low0, k):
-            edits.append((a, b, s))
+            # always parenthesized: `ORDER BY -'0'` must stay the
+            # constant -(0), never the positional ORDER BY -0 (r16 c3)
+            edits.append((a, b, f"({s})"))
             continue
         prev_real = k >= 0 and mask[k] in "+-*/"
         prev_int = k >= 0 and (
@@ -2545,10 +2571,20 @@ def _rewrite_numlit_arith(sql: str) -> str:
             or (mask[j] == "|" and mask[j + 1:j + 2] != "|")
         )
         nxt_concat = j + 1 < len(mask) and mask[j:j + 2] == "||"
+        # the int-op veto only matters for REAL-typed content: an
+        # int-typed literal's INTEGER prefix parse IS its full value
+        # ('+5' & x agrees quoted or not — r16 c3), so it can unquote
+        # into bitwise/% chains, where Spark would type-crash on the
+        # string
+        if t == "int" and (prev_int or nxt_int) and not (
+            prev_concat or nxt_concat
+        ):
+            edits.append((a, b, f"({s})" if s[:1] in "+-" else s))
+            continue
         if (prev_real or nxt_real) and not (
             prev_int or nxt_int or prev_concat or nxt_concat
         ):
-            edits.append((a, b, s))
+            edits.append((a, b, s_out))
     if not edits:
         return sql
     for a, b, repl in reversed(edits):
@@ -2593,13 +2629,13 @@ def _concat_run_left(sql, mask, i):
             if k >= 0 and mask[k] == "~":
                 st = k
                 continue
-            if k >= 0 and mask[k] in "+-":
-                k2 = k - 1
-                while k2 >= 0 and mask[k2] in " \t\r\n":
-                    k2 -= 1
-                if k2 < 0 or mask[k2] in "(,;+-*/%&|<>=!~":
-                    st = k  # unary sign
-                    continue
+            if k >= 0 and mask[k] in "+-" and _is_unary_sign(
+                sql, mask, low, k
+            ):
+                st = k  # unary sign (keyword-preceded included — r16
+                # c3: `WHERE -n || ''` groups (-n) || '', never
+                # -(n || ''))
+                continue
             break
         a = st
         k = a - 1
@@ -4486,7 +4522,8 @@ def _cmp_classify(span: str, coltypes):
                 return None, cls.pop()
             return "unk", "unk"
     depth = 0
-    has_concat = has_bitwise = has_cmp = False
+    has_concat = has_bitwise = has_cmp = has_arith = False
+    after_operand = False
     i0 = 0
     while i0 < len(cm):
         c0 = cm[i0]
@@ -4494,21 +4531,37 @@ def _cmp_classify(span: str, coltypes):
             depth += 1
         elif c0 == ")":
             depth -= 1
+            if depth == 0:
+                after_operand = True
         elif depth == 0:
             if c0 == "|" and cm[i0 + 1:i0 + 2] == "|":
                 has_concat = True
+                after_operand = False
                 i0 += 2
                 continue
             if (c0 in "<>" and cm[i0 + 1:i0 + 2] == c0):
                 has_bitwise = True
+                after_operand = False
                 i0 += 2
                 continue
             if c0 in "&|":
                 has_bitwise = True
+                after_operand = False
                 i0 += 1
                 continue
             if c0 in "<>=!":
                 has_cmp = True
+                after_operand = False
+                i0 += 1
+                continue
+            if c0 in "+-*/%":
+                # binary arithmetic (an operand precedes): the span's
+                # VALUE is numeric — SQLite coerces every operand, so
+                # `n + upper(s)` is a number even with text elements
+                # (r16 c3; leading signs stay unary and don't decide)
+                if after_operand:
+                    has_arith = True
+                after_operand = False
                 i0 += 1
                 continue
             w0 = _WORD_RX.match(cm, i0)
@@ -4519,6 +4572,7 @@ def _cmp_classify(span: str, coltypes):
                     if marks is None:
                         return "unk", "unk"
                     i0 = marks[-1][0] + 3
+                    after_operand = True
                     continue
                 if word in ("is", "in", "like", "glob", "match",
                             "regexp", "between", "isnull", "notnull",
@@ -4526,8 +4580,14 @@ def _cmp_classify(span: str, coltypes):
                     # boolean connective / predicate at the top level:
                     # the span's VALUE is SQLite 0/1 INTEGER (r15)
                     has_cmp = True
+                    after_operand = False
+                    i0 = w0.end()
+                    continue
+                after_operand = True
                 i0 = w0.end()
                 continue
+            if c0 not in " \t\r\n":
+                after_operand = True
         i0 += 1
     if has_cmp:
         # comparisons bind loosest: the span is a predicate — INTEGER
@@ -4546,12 +4606,17 @@ def _cmp_classify(span: str, coltypes):
         return None, "num"
     # arithmetic chain / function call / unary sign: affinity NONE,
     # value class from the static type tracker
+    if t == "null":
+        return None, "null"
+    if has_arith or core.startswith("-"):
+        # binary arithmetic, or unary MINUS (numeric coercion then
+        # negate — `-s` is a NUMBER; unary + is identity and keeps the
+        # operand's class): numeric VALUE regardless of operand types
+        return None, "num"
     if t in ("int", "real"):
         return None, "num"
     if t == "text":
         return None, "text"
-    if t == "null":
-        return None, "null"
     return "unk", "unk"
 
 
@@ -5723,6 +5788,7 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
     unknown = False
     pending_mul = False
     saw_concat = False
+    saw_bitwise = False
     pos = start
 
     def fold_chain():
@@ -5843,7 +5909,17 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
             chain = None
             pos += 2
             continue
-        if c in ",;=<>!|&":
+        if c in "&|" or (c in "<>" and mask[pos + 1:pos + 2] == c):
+            # bitwise chain: SQLite's & | << >> always yield INTEGER
+            # regardless of operand types (r16: lets the value-
+            # dependent pass coerce `s * (n & 1)`). The bitwise pass
+            # itself rewrites the operators later.
+            saw_bitwise = True
+            have_chain = False
+            chain = None
+            pos += 2 if c in "<>" else 1
+            continue
+        if c in ",;=<>!":
             unknown = True
             fold_chain()
             have_expr = False
@@ -5884,6 +5960,10 @@ def _div_walk(sql, mask, start, end, coltypes, edits):
         pending_mul = False
         pos = p_end if p_end > pos else pos + 1
     fold_chain()
+    if saw_bitwise:
+        # checked before concat: in a mixed span the || binds tighter
+        # (SQLite), so the top level is the bitwise chain — INTEGER
+        return None if unknown else "int"
     if saw_concat:
         return None if unknown else "text"
     return None if unknown else expr

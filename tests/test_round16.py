@@ -458,3 +458,50 @@ def test_unary_sign_coercion_interplay(spark, tmp_path, stmt):
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
           "id,n,r,s")
+
+
+# ------- r16 campaign 3 closures: comparison-context classification
+
+@pytest.mark.parametrize("stmt", [
+    # a binary-arithmetic chain's VALUE is numeric regardless of text
+    # elements (SQLite coerces every operand): no-affinity text vs the
+    # chain storage-compares (type order), never converts
+    "SELECT id FROM t WHERE '0' BETWEEN +n + upper(s) "
+    "AND +n * CAST(r AS INTEGER) ORDER BY id",
+    "SELECT id FROM t WHERE CAST(s AS INTEGER) || '0' <= "
+    "r + 2 || '1e2' ORDER BY id",
+    "SELECT id FROM t WHERE n + upper(s) = 14 ORDER BY id",
+    # unary minus numeric-coerces: -s is a NUMBER in comparisons
+    "SELECT id FROM t WHERE -s = -7 ORDER BY id",
+    "SELECT id FROM t WHERE -s IN ('7x' & trim(s), +n) ORDER BY id",
+    "SELECT id FROM t WHERE -'' BETWEEN +r AND '7.5' ORDER BY id",
+    "SELECT id FROM t WHERE +s * '07' >= '+5' ORDER BY id",
+    # + before a string literal is identity in every context
+    "SELECT id FROM t WHERE '2e1' IN (+'2e1', '7.5') ORDER BY id",
+    "SELECT id FROM t WHERE s = +'7' ORDER BY id",
+    # keyword-preceded unary minus binds INTO a concat operand
+    "SELECT id FROM t WHERE -n || '' IN (+n + coalesce(n, 0), "
+    "'1e2' || '1e2') ORDER BY id",
+    "SELECT id FROM t WHERE -r || '1e2' BETWEEN '-3' * abs(n) "
+    "AND '7x' ORDER BY id",
+    # signed-content unquote parenthesizes (never `--3` = a comment,
+    # never positional ORDER BY 0)
+    "SELECT id FROM t ORDER BY -'0', id",
+    "SELECT id FROM t ORDER BY -'-3', id",
+    "SELECT id, -'-3' - r AS v FROM t ORDER BY id",
+    # int-typed literals unquote into bitwise/% (prefix == value)
+    "SELECT id, '0' & '+5' | '-3' AS v FROM t ORDER BY id",
+    "SELECT id, ~'5' AS v FROM t ORDER BY id",
+    "SELECT id, '5' << 1 AS v FROM t ORDER BY id",
+    "SELECT id, r % '5' AS v FROM t ORDER BY id",
+    # bitwise chains type INTEGER for the coercion passes
+    "SELECT id, s * (n & 1) AS v FROM t ORDER BY id",
+    # affinity-stripping + on columns still modeled
+    "SELECT id FROM t WHERE +s >= 6 ORDER BY id",
+])
+def test_comparison_context_classification(spark, tmp_path, stmt):
+    rows = [(1, 7, 7.5, "7"), (2, 7, 7.0, "07"), (3, 10, 2.0, "7x"),
+            (4, 0, 0.5, "abc"), (9, 2, -0.5, "0")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
+          "id,n,r,s")
