@@ -505,3 +505,99 @@ def test_comparison_context_classification(spark, tmp_path, stmt):
     _diff(spark, tmp_path, stmt, rows,
           "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
           "id,n,r,s")
+
+
+# ------- r16 closing: the comparison-context campaign grammar,
+# committed with pinned seeds (signed/string-literal operands in
+# WHERE comparisons incl. IS/IS NOT, IN lists, BETWEEN bounds, and
+# ORDER BY keys)
+
+_R16C3_STRLITS = ["'1e2'", "'7.5'", "'-3'", "'0'", "'2e1'", "'7x'",
+                  "''", "'+5'"]
+
+
+def _gen_r16c3_operand(rng):
+    from tests.test_fuzz_dialect import _gen_cmp_operand
+
+    k = rng.randrange(6)
+    if k == 0:
+        return rng.choice(_R16C3_STRLITS)
+    if k == 1:
+        return (rng.choice(["+", "-"])
+                + rng.choice(["s", "n", "r"] + _R16C3_STRLITS))
+    if k == 2:
+        return (f"{rng.choice(_R16C3_STRLITS)} "
+                f"{rng.choice(['+', '-', '*', '%', '&', '<<'])} "
+                f"{_gen_cmp_operand(rng)}")
+    if k == 3:
+        return f"{_gen_cmp_operand(rng)} || {rng.choice(_R16C3_STRLITS)}"
+    if k == 4:
+        return (f"+{rng.choice(['s', 'n'])} {rng.choice(['*', '+'])} "
+                f"{_gen_cmp_operand(rng)}")
+    return _gen_cmp_operand(rng)
+
+
+def _gen_r16c3_query(rng):
+    a, b = _gen_r16c3_operand(rng), _gen_r16c3_operand(rng)
+    k = rng.randrange(5)
+    if k == 0:
+        op2 = rng.choice(["=", "<", ">=", "!=", "<=", "IS", "IS NOT"])
+        return f"SELECT id FROM t WHERE {a} {op2} {b} ORDER BY id"
+    if k == 1:
+        return f"SELECT id FROM t WHERE {a} ORDER BY id"
+    if k == 2:
+        return (f"SELECT id FROM t WHERE {a} BETWEEN {b} AND "
+                f"{_gen_r16c3_operand(rng)} ORDER BY id")
+    if k == 3:
+        return (f"SELECT id FROM t WHERE {a} IN ({b}, "
+                f"{_gen_r16c3_operand(rng)}) ORDER BY id")
+    return f"SELECT id FROM t ORDER BY {a}, id"
+
+
+@pytest.mark.parametrize("seed", [7007, 7707])
+def test_r16_comparison_grammar_differential(spark, tmp_path, seed):
+    import random
+
+    rows = [(1, 7, 7.5, "7"), (2, 7, 7.0, "07"), (3, 10, 2.0, "7x"),
+            (4, 0, 0.5, "abc"), (5, None, None, None),
+            (6, -3, 70.0, " 7 "), (7, 8, 8.25, "8.25"),
+            (8, 100, 1e2, "1e2"), (9, 2, -0.5, "0"), (10, 63, 64.0, "64")]
+
+    def sqlite_eval(q):
+        con = sqlite3.connect(":memory:")
+        con.execute(
+            "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)")
+        con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+        try:
+            return con.execute(q).fetchall()
+        finally:
+            con.close()
+
+    import csv as _csv
+    with open(tmp_path / "t.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "n", "r", "s"])
+        for i, n, r, s in rows:
+            w.writerow([i, "" if n is None else n, "" if r is None else r,
+                        "\x01null" if s is None else s])
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    rng = random.Random(seed)
+    checked = 0
+    try:
+        eng.execute("UPDATE t SET s = NULL WHERE id = 5")
+        eng.execute("UPDATE t SET s = ' 7 ' WHERE id = 6")
+        while checked < 25:
+            q = _gen_r16c3_query(rng)
+            try:
+                exp = sqlite_eval(q)
+            except sqlite3.OperationalError:
+                continue
+            try:
+                got = [tuple(r) for r in eng.query(q).collect()]
+            except Exception:
+                continue  # loud residue classes stay loud — only
+                # SILENT divergence fails this tier
+            checked += 1
+            assert got == exp, (seed, q, got, exp)
+    finally:
+        eng.close()
