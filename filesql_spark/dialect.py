@@ -3523,7 +3523,10 @@ def _rewrite_compare_affinity(
     Spark semantics (documented residue)."""
     if not _affinity_triggers(sql, coltypes):
         return sql
-    for _ in range(sql.count("=") + sql.count("<") + sql.count(">") + 1):
+    # the CASE-distribution emission (r16) adds one comparison site per
+    # arm, each needing its own iteration — budget for them
+    for _ in range(sql.count("=") + sql.count("<") + sql.count(">")
+                   + 1 + 4 * sql.lower().count("case")):
         mask = _blank_comments(sql, _div_mask(sql))
         pos = 0
         replaced = False
@@ -4816,6 +4819,68 @@ def _cmp_num_type(span: str, coltypes):
     return _div_walk(core, cm0, 0, len(core), coltypes, [])
 
 
+def _cmp_case_distribute(case_text, other_text, cmp_op, case_is_left):
+    """`CASE … END op other` with mixed-class arms → the CASE of the
+    per-arm comparisons (SQLite evaluates exactly one arm, so the
+    rewrite is identity; each emitted site is then re-processed by the
+    compare pass under that arm's own affinity). None when the span is
+    not a full searched CASE. A missing ELSE yields NULL — compared,
+    still NULL."""
+    core = case_text.strip()
+    while core.startswith("("):
+        cm0 = _div_mask(core)
+        if _div_find_close(cm0, 0, len(core)) != len(core) - 1:
+            break
+        core = core[1:-1].strip()
+    if not re.match(r"(?i)^case\b", core):
+        return None
+    cm = _div_mask(core)
+    marks = _case_marks(core, cm, 0, len(core))
+    if not marks or marks[-1][1] != "end" or \
+            marks[-1][0] + 3 != len(core.rstrip()) and \
+            marks[-1][0] + 3 != len(core):
+        return None
+    if marks[0][1] != "when" or core[4:marks[0][0]].strip():
+        return None  # simple CASE (compares values): out of scope
+    def _arm_wrap(arm):
+        # a CASE's VALUE carries NO affinity (sqlite3ExprAffinity:
+        # only columns and CASTs do, and TK_CASE is neither) — but a
+        # distributed arm that IS a column or CAST would re-carry it
+        # at the new site. Unary + strips affinity with the exact
+        # SQLite semantics (and this engine's classifier models it).
+        a0 = arm.strip()
+        if _VD_IDENT_RX.fullmatch(a0) and a0.lower() not in (
+            "null", "true", "false"
+        ):
+            return f"+{a0}"
+        if re.match(r"(?i)^(try_)?cast\s*\(", a0):
+            return f"+({a0})"
+        return a0
+
+    def site(arm):
+        if case_is_left:
+            return f"(({_arm_wrap(arm)}) {cmp_op} ({other_text}))"
+        return f"(({other_text}) {cmp_op} ({_arm_wrap(arm)}))"
+    parts = ["CASE"]
+    prev_kw, prev_pos = None, None
+    has_else = False
+    for mpos, kw in marks:
+        if prev_kw == "when":
+            parts.append(f"WHEN {core[prev_pos:mpos].strip()}")
+        elif prev_kw in ("then", "else"):
+            arm = core[prev_pos:mpos].strip()
+            if not arm:
+                return None
+            parts.append(f"THEN {site(arm)}" if prev_kw == "then"
+                         else f"ELSE {site(arm)}")
+            has_else = has_else or prev_kw == "else"
+        prev_kw, prev_pos = kw, mpos + len(kw)
+    if not has_else:
+        parts.append("ELSE CAST(NULL AS BOOLEAN)")
+    parts.append("END")
+    return "(" + " ".join(parts) + ")"
+
+
 def _cmp_match_site(sql, mask, opos, op, coltypes):
     e = opos
     while e > 0 and mask[e - 1] in " \t\r\n":
@@ -4869,6 +4934,27 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
     affL, vclL = _cmp_classify(p_text, coltypes)
     affR, vclR = _cmp_classify(r_text, coltypes)
     if "unk" in (affL, affR, vclL, vclR):
+        # a mixed-arm searched CASE operand (arms of DIFFERENT value
+        # classes — `CASE WHEN c THEN '0' ELSE abs(n) END`) has
+        # PER-ROW comparison semantics SQLite decides by the fired
+        # arm's storage class; no static class captures it. When the
+        # OTHER side is cheap to duplicate, DISTRIBUTE the comparison
+        # into the arms and let this pass re-process each site with
+        # its exact affinity (r16 campaign 4; Spark's static typing
+        # would coerce every arm to the common STRING type instead).
+        def _dup_ok(t0):
+            # the other side is duplicated per arm: simple/compound
+            # operands qualify directly; deterministic chains qualify
+            # through a paren wrap (same cap/blocklist)
+            return _vd_operand_ok(t0) or _vd_compound_operand(f"({t0})")
+
+        d = None
+        if "unk" in (affL, vclL) and coll is None and _dup_ok(r_text):
+            d = _cmp_case_distribute(p_text, r_text, cmp_op, True)
+        elif "unk" in (affR, vclR) and coll is None and _dup_ok(p_text):
+            d = _cmp_case_distribute(r_text, p_text, cmp_op, False)
+        if d is not None:
+            return l_start, r_close, d
         return None
     if "null" in (vclL, vclR):
         if "bool" in (vclL, vclR) or coll is not None:

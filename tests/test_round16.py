@@ -601,3 +601,34 @@ def test_r16_comparison_grammar_differential(spark, tmp_path, seed):
             assert got == exp, (seed, q, got, exp)
     finally:
         eng.close()
+
+
+# ------- r16 campaign 4: mixed-arm CASE comparison operands
+# distribute into per-arm sites (each re-processed under its own
+# affinity; column/CAST arms affinity-stripped via unary + exactly as
+# SQLite's no-affinity CASE value)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id FROM t WHERE (n & 1) < CASE WHEN n > 23 THEN '0' "
+    "ELSE abs(n) END ORDER BY id",
+    "SELECT id, CASE WHEN '7x' * r | n > CASE WHEN n > 20 THEN '1e2' "
+    "ELSE 2.8 + n END THEN 1 ELSE 0 END AS c FROM t ORDER BY id",
+    "SELECT id FROM t WHERE CASE WHEN n > 23 THEN '0' ELSE abs(n) END "
+    "= n ORDER BY id",
+    "SELECT id FROM t WHERE CASE WHEN n > 23 THEN '0' WHEN n > 5 "
+    "THEN s ELSE abs(n) END >= 7 ORDER BY id",
+    "SELECT id FROM t WHERE CASE WHEN n > 23 THEN '0' END = 0 "
+    "ORDER BY id",
+    "SELECT id FROM t WHERE CASE WHEN n > 5 THEN CAST(s AS INTEGER) "
+    "ELSE '9' END >= 7 ORDER BY id",
+    "SELECT id FROM t WHERE s = CASE WHEN n > 5 THEN 7 ELSE '0' END "
+    "ORDER BY id",
+])
+def test_mixed_arm_case_comparison(spark, tmp_path, stmt):
+    rows = [(1, 7, 7.5, "7"), (2, 7, 7.0, "07"), (3, 10, 2.0, "7x"),
+            (4, 0, 0.5, "abc"), (6, -3, 70.0, " 7 "),
+            (7, 8, 8.25, "8.25"), (8, 100, 1e2, "1e2"),
+            (9, 2, -0.5, "0"), (10, 63, 64.0, "64")]
+    _diff(spark, tmp_path, stmt, rows,
+          "CREATE TABLE t (id INTEGER, n INTEGER, r REAL, s TEXT)",
+          "id,n,r,s")
