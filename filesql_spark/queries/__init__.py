@@ -127,7 +127,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "agg_conditional_case": 14,
     "agg_count_distinct": 14,
     "agg_cube": 15,
-    "agg_filter_clause": 12,
+    "agg_filter_clause": 16,
     "agg_group_concat": 14,
     "agg_grouping_sets": 15,
     "agg_having": 14,
@@ -138,21 +138,21 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "ann_ivf_build": 13,
     "ann_ivf_topk": 13,
     "ann_lsh_topk": 13,
-    "ann_pq_build": 12,
-    "ann_pq_topk": 12,
+    "ann_pq_build": 16,
+    "ann_pq_topk": 16,
     "ann_recall_report": 13,
     "asof_join_latest_order": 14,
-    "asof_join_tolerance": 12,
-    "cdc_merge_apply": 11,
+    "asof_join_tolerance": 16,
+    "cdc_merge_apply": 16,
     "coalesce_cast": 14,
-    "corpus_datacard": 11,
+    "corpus_datacard": 16,
     "cte_vs_company_avg": 14,
     "customers_rfm_segments": 15,
     "customers_rfm_sketch": 15,
     "date_functions": 14,
     "date_hour_histogram": 14,
     "date_julianday_span": 15,
-    "dedup_cluster_representatives": 12,
+    "dedup_cluster_representatives": 16,
     "dedup_connected_components": 13,
     "dedup_containment": 14,
     "dedup_embedding_cosine": 13,
@@ -170,24 +170,24 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "docs_ngram_novelty": 13,
     "docs_pii_density_by_source": 14,
     "docs_quality_gate_sweep": 14,
-    "docs_source_reputation": 12,
+    "docs_source_reputation": 16,
     "docs_tokenizer_fertility": 13,
     "embedding_kmeans": 15,
-    "embedding_knn_label": 12,
+    "embedding_knn_label": 16,
     "embedding_label_centroids": 13,
     "embedding_norm_stats": 13,
-    "embedding_outliers": 12,
+    "embedding_outliers": 16,
     "embedding_pair_distance_histogram": 14,
     "embedding_quantize_int8": 15,
-    "embedding_random_projection": 11,
-    "embedding_standardize": 12,
+    "embedding_random_projection": 16,
+    "embedding_standardize": 16,
     "events_ab_test_lift": 12,
     "events_anomaly_zscore": 15,
     "events_bot_detection": 13,
     "events_changepoint_cusum": 12,
     "events_conversion_latency": 12,
-    "events_cumulative_distinct": 12,
-    "events_decayed_engagement": 12,
+    "events_cumulative_distinct": 16,
+    "events_decayed_engagement": 16,
     "events_error_rate_monitor": 14,
     "events_forecast_seasonal": 12,
     "events_funnel": 14,
@@ -199,17 +199,17 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_robust_stats": 15,
     "events_session_funnel": 12,
     "events_sessionize": 14,
-    "events_skew_report": 12,
+    "events_skew_report": 16,
     "events_sliding_window": 14,
     "events_stickiness_dau_wau": 13,
-    "events_top_paths": 12,
+    "events_top_paths": 16,
     "events_tumbling_window": 14,
-    "events_user_streaks": 12,
-    "events_window_topk": 12,
+    "events_user_streaks": 16,
+    "events_window_topk": 16,
     "features_user_wide": 12,
     "filter_like_ci": 15,
     "filter_predicates": 14,
-    "graph_pagerank_events": 12,
+    "graph_pagerank_events": 16,
     "graph_triangle_census": 13,
     "in_subquery": 15,
     "interval_join_banded": 15,
@@ -226,8 +226,8 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "json_extract": 14,
     "layout_zorder_stats": 15,
     "limit_offset": 14,
-    "lineitem_discount_regression": 12,
-    "lineitem_pareto_share": 12,
+    "lineitem_discount_regression": 16,
+    "lineitem_pareto_share": 16,
     "math_functions": 14,
     "multimodal_decode": 13,
     "multimodal_extract_features": 15,
@@ -235,25 +235,25 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "multimodal_frame_sample": 13,
     "multimodal_resize": 15,
     "orders_association_rules": 12,
-    "orders_cooccur_parts": 12,
+    "orders_cooccur_parts": 16,
     "orders_fulfillment_latency": 14,
-    "orders_open_interval_count": 12,
-    "orders_seasonality_index": 12,
-    "part_supplier_concentration": 12,
+    "orders_open_interval_count": 16,
+    "orders_seasonality_index": 16,
+    "part_supplier_concentration": 16,
     "pipeline_clean_corpus": 13,
     "pipeline_contamination_report": 13,
-    "pipeline_curate_full": 11,
-    "pipeline_curriculum_order": 12,
+    "pipeline_curate_full": 16,
+    "pipeline_curriculum_order": 16,
     "pipeline_dataset_manifest": 15,
     "pipeline_decontaminate": 15,
-    "pipeline_diversity_sample": 11,
+    "pipeline_diversity_sample": 16,
     "pipeline_eval_set_builder": 13,
     "pipeline_incremental_decontaminate": 13,
-    "pipeline_mixture_resample": 11,
+    "pipeline_mixture_resample": 16,
     "pipeline_near_dup_eval": 12,
     "pipeline_pack_sequences": 15,
-    "pipeline_per_source_cap": 11,
-    "pipeline_semantic_decontaminate": 12,
+    "pipeline_per_source_cap": 16,
+    "pipeline_semantic_decontaminate": 16,
     "pipeline_split_overlap_qa": 13,
     "pipeline_stage_metrics": 13,
     "pipeline_stratified_sample": 13,
@@ -261,17 +261,17 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "pipeline_train_val_split": 13,
     "pipeline_weighted_sample": 15,
     "pivot_status_by_priority": 13,
-    "profile_orders_stats": 12,
+    "profile_orders_stats": 16,
     "q10_returned_items": 15,
     "q14_promo_revenue": 15,
-    "q18_large_orders": 12,
+    "q18_large_orders": 16,
     "q1_pricing_summary": 13,
     "q3_shipping_priority": 14,
     "q5_local_supplier": 14,
     "q6_forecast_revenue": 15,
-    "q7_nation_volume": 12,
-    "q8_market_share": 12,
-    "quality_expectations_orders": 12,
+    "q7_nation_volume": 16,
+    "q8_market_share": 16,
+    "quality_expectations_orders": 16,
     "quality_signal_correlation": 13,
     "recursive_cte": 14,
     "scalar_subquery_correlated": 15,
@@ -279,20 +279,20 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "scd2_user_tier": 14,
     "select_case_expr": 14,
     "set_except": 14,
-    "set_except_all": 12,
+    "set_except_all": 16,
     "set_intersect": 15,
-    "set_intersect_all": 12,
+    "set_intersect_all": 16,
     "set_union_all": 14,
     "set_union_distinct": 15,
-    "sketch_cms_heavy_hitters": 12,
+    "sketch_cms_heavy_hitters": 16,
     "sketch_histogram_quantiles": 15,
     "sketch_hll_rollup": 12,
     "sketch_hll_sliding_wau": 12,
     "sketch_hll_users": 15,
     "sketch_kmv_theta": 13,
-    "snapshot_diff_docs": 11,
-    "streaming_cdc_apply": 11,
-    "streaming_cms_tokens": 12,
+    "snapshot_diff_docs": 16,
+    "streaming_cdc_apply": 16,
+    "streaming_cms_tokens": 16,
     "streaming_dedup_exact": 13,
     "streaming_dedup_within_watermark": 15,
     "streaming_events_enriched": 13,
@@ -303,12 +303,12 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "streaming_interval_join": 15,
     "streaming_kmv_sketch": 13,
     "string_functions": 14,
-    "text_bigram_lm": 11,
+    "text_bigram_lm": 16,
     "text_bm25_search": 13,
-    "text_bpe_merges": 12,
-    "text_chunk_stride": 11,
+    "text_bpe_merges": 16,
+    "text_chunk_stride": 16,
     "text_dup_span_removal": 13,
-    "text_dup_spans": 11,
+    "text_dup_spans": 16,
     "text_fingerprint": 14,
     "text_lang_id": 14,
     "text_length_percentiles": 13,
@@ -318,16 +318,16 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "text_rarity_score": 15,
     "text_readability_scores": 13,
     "text_repetition_filter": 13,
-    "text_tfidf_topterms": 12,
+    "text_tfidf_topterms": 16,
     "text_token_count": 13,
-    "text_token_drift": 11,
-    "text_token_entropy": 12,
+    "text_token_drift": 16,
+    "text_token_entropy": 16,
     "text_tokenizer_coverage": 12,
     "text_top_tokens": 13,
     "text_vocab_growth_heaps": 14,
     "topk_orders": 15,
     "window_agg_over": 15,
-    "window_cume_dist": 12,
+    "window_cume_dist": 16,
     "window_groups_frame": 13,
     "window_lag_lead": 15,
     "window_nth_last_value": 15,
