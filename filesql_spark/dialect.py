@@ -769,7 +769,13 @@ def _total(args: list[str]) -> str:
 
 def _log(args: list[str]) -> str:
     """SQLite log(X) is base-10 (log(B,X) is base-B) — Spark's 1-arg log is
-    natural; a silent divergence without this rewrite."""
+    natural; a silent divergence without this rewrite. TEXT args
+    strict-coerce like the rest of the math family (r17)."""
+    args = [
+        f"TRY_CAST(({a}) AS DOUBLE)"
+        if _static_affinity(a) == "text" else a
+        for a in args
+    ]
     if len(args) == 1:
         return f"log10({args[0]})"
     return f"log({', '.join(args)})"
@@ -1225,6 +1231,38 @@ def _iif_call(args: list[str]) -> str:
     z = args[2] if len(args) == 3 else "NULL"
     return f"if({cond}, {args[1]}, {z})"
 
+# Spark math functions that return NaN out of domain where SQLite's
+# return NULL ("SQLite returns NULL instead of NaN" — math-function
+# docs; func.c math1Func/math2Func check isnan); a nanvl wrap restores
+# the NULL (r17 — silent divergence: sqrt(-2) was NaN, SQLite NULL)
+_MATH_NAN_FUNCS = frozenset({
+    "sqrt", "asin", "acos", "acosh", "atanh", "pow", "power",
+})
+
+
+def _math_call(word: str):
+    """SQLite's 3.35 math functions (sqrt/exp/ln/log2/log10/trig/
+    pow/degrees/radians): TEXT arguments coerce via
+    sqlite3_value_numeric_type — a STRICT full parse ('5y' → NULL,
+    '2e1' → 20.0) — where Spark's implicit ANSI cast crashes; and any
+    NaN result returns SQL NULL. Wrap provably-TEXT args in TRY_CAST
+    AS DOUBLE and NaN-capable calls in nanvl(…, NULL) (r17)."""
+    def build(args: list[str]) -> str | None:
+        wrapped = []
+        changed = False
+        for a in args:
+            if _static_affinity(a) == "text":
+                wrapped.append(f"TRY_CAST(({a}) AS DOUBLE)")
+                changed = True
+            else:
+                wrapped.append(a)
+        core = f"{word}({', '.join(wrapped)})"
+        if word in _MATH_NAN_FUNCS:
+            return f"nanvl({core}, CAST(NULL AS DOUBLE))"
+        return core if changed else None
+    return build
+
+
 _CALL_REWRITES = {
     # concat FIRST: SQLite 3.44's concat() IGNORES NULL arguments and
     # renders numbers as text, where Spark's NULL-propagates — only
@@ -1345,8 +1383,13 @@ _CALL_REWRITES = {
     # SQLite's exact wording
     "raise": lambda args: _raise_outside_trigger(),
     # SQLite sign() returns INTEGER -1/0/1 (func.c signFunc); Spark's
-    # signum returns DOUBLE (r11 sweep finding)
-    "sign": lambda args: f"CAST(sign({args[0]}) AS BIGINT)",
+    # signum returns DOUBLE (r11 sweep finding). TEXT args strict-parse
+    # like the other math functions (sign('0.5x') is NULL — r17).
+    "sign": lambda args: (
+        f"CAST(sign(TRY_CAST(({args[0]}) AS DOUBLE)) AS BIGINT)"
+        if _static_affinity(args[0]) == "text"
+        else f"CAST(sign({args[0]}) AS BIGINT)"
+    ),
     # math-function affinity repairs (r13b; pinned vs stdlib sqlite3):
     # ceil/floor preserve input affinity, 1-arg trunc is toward-zero
     # truncation, mod is fmod (always REAL, NULL on zero divisor)
@@ -1360,6 +1403,30 @@ _CALL_REWRITES = {
     # provably-INTEGER operands; REAL/unknown stay untouched (abs of a
     # double must stay double). int64 min still errors in BOTH engines.
     "abs": lambda args: _abs_call(args),
+    # the 3.35 math-function family: strict TEXT coercion + NaN → NULL
+    # (r17; builders at _math_call)
+    "sqrt": _math_call("sqrt"),
+    "exp": _math_call("exp"),
+    "ln": _math_call("ln"),
+    "log2": _math_call("log2"),
+    "log10": _math_call("log10"),
+    "pow": _math_call("pow"),
+    "power": _math_call("power"),
+    "sin": _math_call("sin"),
+    "cos": _math_call("cos"),
+    "tan": _math_call("tan"),
+    "asin": _math_call("asin"),
+    "acos": _math_call("acos"),
+    "atan": _math_call("atan"),
+    "atan2": _math_call("atan2"),
+    "sinh": _math_call("sinh"),
+    "cosh": _math_call("cosh"),
+    "tanh": _math_call("tanh"),
+    "asinh": _math_call("asinh"),
+    "acosh": _math_call("acosh"),
+    "atanh": _math_call("atanh"),
+    "degrees": _math_call("degrees"),
+    "radians": _math_call("radians"),
     # randomblob(N): N pseudo-random bytes; N < 1 yields 1 byte (SQLite
     # parity, pinned). Per-element rand() inside a transform stays
     # JVM-side and nondeterministic per byte per row.
@@ -1393,8 +1460,16 @@ def _abs_call(args: list[str]) -> str | None:
         raise FilesqlError(f"abs expects 1 arg, got {len(args)}")
     expr = args[0]
     mask = _div_mask(expr)
-    if _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, []) == "int":
+    t = _div_walk(expr, mask, 0, len(expr), _ACTIVE_COLUMN_TYPES, [])
+    if t == "int":
         return f"abs(CAST(({expr}) AS BIGINT))"
+    if t == "text":
+        # SQLite abs() coerces TEXT via sqlite3_value_double — the
+        # numeric-PREFIX parse, junk → 0.0, result always REAL
+        # (func.c absFunc; r17 — was a loud ANSI cast error). The cast
+        # pass has already run at this table position, so expand the
+        # prefix parse directly instead of emitting CAST(… AS REAL).
+        return f"abs({_cast_call([f'({expr}) AS REAL'])})"
     return None  # REAL/unknown: leave exactly as written
 
 
@@ -1416,8 +1491,16 @@ def _ceil_floor_call(word: str):
     def build(args: list[str]) -> str | None:
         if len(args) != 1:
             raise FilesqlError(f"{word} expects 1 arg, got {len(args)}")
-        if _static_affinity(args[0]) == "real":
+        t = _static_affinity(args[0])
+        if t == "real":
             return f"CAST({word}({args[0]}) AS DOUBLE)"
+        if t == "text":
+            # strict numeric coercion like the other math functions
+            # (junk → NULL); SQLite's int-text-in/int-out vs
+            # real-text-in/real-out result TYPE is value-dependent —
+            # Spark's BIGINT result is value-exact (documented
+            # static-schema class, r17)
+            return f"{word}(TRY_CAST(({args[0]}) AS DOUBLE))"
         return None
     return build
 
@@ -2007,7 +2090,9 @@ _DIV_REAL_FUNCS = frozenset({
     "round", "avg", "total", "julianday", "exp", "ln", "log", "log2",
     "log10", "sqrt", "pow", "power", "acos", "asin", "atan", "atan2",
     "cos", "sin", "tan", "cosh", "sinh", "tanh", "degrees", "radians",
-    "pi", "mod",
+    "pi", "mod", "asinh", "acosh", "atanh",
+    # nanvl: the r17 NaN→NULL emission around the math family
+    "nanvl",
 })
 _DIV_PASSTHRU_FUNCS = frozenset({
     "abs", "sum", "nullif", "likely", "unlikely",
@@ -5737,6 +5822,14 @@ def _div_scan_primary(sql, mask, pos, end, coltypes, edits):
                     t = "int"
                 elif target in ("real", "float", "double", "doubleprecision"):
                     t = "real"
+                elif target in ("text", "char", "varchar", "clob", "nchar",
+                                "nvarchar", "string", "character"):
+                    # CAST to a TEXT-affinity target yields a string
+                    # value: arithmetic over it numeric-prefix-coerces
+                    # (SQLite castTo then applyNumericAffinity), so the
+                    # value-dependent pass must see it as 'text' (r17 —
+                    # closes the `n % CAST(s AS TEXT)` loud residue)
+                    t = "text"
                 else:
                     t = None
                 return first, close + 1, t
