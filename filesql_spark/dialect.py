@@ -1722,8 +1722,10 @@ def _cast_call(args: list[str]) -> str | None:
         d = _vd_render_text(inner)  # value-dependent: runtime dispatch
         if d is not None:
             return d
-        if "CHAR" in typ:
-            return None
+        if "CHAR" in typ and "(" in typ:
+            return None  # CHAR(n)/VARCHAR(n): Spark parses natively
+        # bare CHAR/NCHAR/VARCHAR have no Spark spelling (DATATYPE_
+        # MISSING_SIZE) — SQLite treats them as TEXT affinity (r17)
         return f"CAST(({inner}) AS STRING)"
     if "INT" in typ:
         to = "BIGINT"
@@ -7407,7 +7409,7 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
                 sql, mask, slash + 1, len(sql), coltypes, []
             )
             r_text = sql[r_first:r_end].strip()
-            if rt == "text" and _vd_simple_primary(r_text):
+            if rt == "text" and _vd_operand_ok(r_text):
                 j = r_end
                 while j < len(sql) and mask[j] in " \t\r\n":
                     j += 1

@@ -131,6 +131,41 @@ def test_math_function_text_operand(spark, tmp_path, stmt):
     _diff(spark, tmp_path, stmt, _ROWS, _DDL, _HDR)
 
 
+# ------- length-less CHAR-family CAST targets (TEXT affinity in
+# SQLite; Spark has no bare CHAR spelling) and affinity-stripped +CAST
+# comparison operands (unary + removes the CAST's affinity — storage
+# compare, number < text)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, CAST(s AS CHAR) = n AS v FROM t ORDER BY id",
+    "SELECT id FROM t WHERE CAST(s AS CHAR) = n ORDER BY id",
+    "SELECT id, CAST(n AS VARCHAR) AS v FROM t ORDER BY id",
+    "SELECT id, CAST(s AS CLOB) + 0 AS v FROM t ORDER BY id",
+    "SELECT id, +CAST(s AS TEXT) = 5 AS v FROM t ORDER BY id",
+    "SELECT id FROM t ORDER BY +CAST(s AS TEXT) = 5, id",
+])
+def test_bare_char_cast_and_plus_cast(spark, tmp_path, stmt):
+    _diff(spark, tmp_path, stmt, _ROWS, _DDL, _HDR)
+
+
+# ------- unary minus over COMPOUND text operands (calls, CAST, paren
+# groups): the unary-repl site now accepts any deterministic compound
+# operand, same gate as binary TEXT-coercion arithmetic (r16's
+# _vd_compound_operand)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, -upper(s) AS v FROM t ORDER BY id",
+    "SELECT id, -trim(s) AS v FROM t ORDER BY id",
+    "SELECT id, -CAST(s AS TEXT) AS v FROM t ORDER BY id",
+    "SELECT id, -(s || '') AS v FROM t ORDER BY id",
+    "SELECT id FROM t WHERE -CAST(s AS TEXT) ORDER BY id",
+    "SELECT id FROM t ORDER BY -CAST(s AS TEXT), id",
+    "SELECT id, -lower(s) * 2 AS v FROM t ORDER BY id",
+])
+def test_unary_minus_compound_text_operand(spark, tmp_path, stmt):
+    _diff(spark, tmp_path, stmt, _ROWS, _DDL, _HDR)
+
+
 def test_log10_text_operand_ulp_tolerance(spark, tmp_path):
     """log10/asinh differ from sqlite3 at the last ULP (SQLite derives
     them from ln; Java's are correctly rounded — a libm difference, not
