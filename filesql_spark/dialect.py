@@ -4687,7 +4687,11 @@ def _cmp_classify(span: str, coltypes):
         # bitwise glue binds LOOSEST of the value operators: the span's
         # top-level operator — result always INTEGER, no affinity (r15)
         return None, "num"
-    if has_concat:
+    if has_concat and not has_arith:
+        # || binds TIGHTER than + - * / % — a span with top-level
+        # binary arithmetic AND concat is an arithmetic chain over a
+        # concat operand (numeric VALUE, r17); only a pure || chain
+        # is a TEXT value
         return None, "text"  # || chain: TEXT value, no affinity
     if tilde:
         # ~x is ALWAYS INTEGER in SQLite (operand coerced) — the type
@@ -4904,6 +4908,92 @@ def _cmp_num_type(span: str, coltypes):
                 return "int"
         i0 += 1
     return _div_walk(core, cm0, 0, len(core), coltypes, [])
+
+
+def _cmp_chain_render(span: str, coltypes) -> str | None:
+    """SQLite TEXT-affinity rendering of a numeric-valued arithmetic
+    chain whose int-vs-real flavor is VALUE-dependent (TEXT operands
+    under numeric-prefix coercion — `n + (1 || '2')`, `n - s`): the
+    flavor is INTEGER exactly when no text operand carries a real
+    prefix, so dispatch the rendering on the same RLIKE condition the
+    value-dependent arithmetic pass uses (r17 — closes the concat-
+    inside-arithmetic-inside-comparison loud residue). None when the
+    span has non-analyzable operands (stays loud-native)."""
+    core = span.strip()
+    while core.startswith("("):
+        cm0 = _div_mask(core)
+        if _div_find_close(cm0, 0, len(core)) != len(core) - 1:
+            break
+        inner = core[1:-1].strip()
+        if not inner:
+            return None
+        core = inner
+    mask = _blank_comments(core, _div_mask(core))
+    conds: list[str] = []
+    saw_real = False
+    pos, end = 0, len(core)
+    expect_primary = True
+    while pos < end:
+        c = mask[pos]
+        if c in " \t\r\n":
+            pos += 1
+            continue
+        if expect_primary:
+            first, p_end, t = _div_scan_primary(
+                core, mask, pos, end, coltypes, []
+            )
+            if t == "kw" or p_end <= pos:
+                return None
+            p_text = core[first:p_end].strip()
+            # strip leading unary signs for the flavor probe (the sign
+            # commutes through the coercion's int/real decision; a ~
+            # coerces INTEGER regardless)
+            bare = p_text
+            tilde = False
+            while bare[:1] in "+-~":
+                tilde = tilde or bare[0] == "~"
+                bare = bare[1:].lstrip()
+            if t in ("int", "null") or tilde:
+                pass
+            elif t == "real":
+                saw_real = True
+            elif t == "text":
+                if not _vd_operand_ok(bare):
+                    return None
+                conds.append(
+                    f"NOT (({bare}) RLIKE {_VD_REAL_PREFIX_SQL})"
+                )
+            else:
+                return None
+            pos = p_end
+            expect_primary = False
+            continue
+        # operator position
+        if c in "+-*/%":
+            pos += 1
+            expect_primary = True
+            continue
+        if c == "|" and mask[pos + 1:pos + 2] == "|":
+            return None  # raw top-level concat: the grouping pass
+            # normally parenthesizes these; decline the rest
+        if c in "&|<>=!" or _WORD_RX.match(mask, pos):
+            return None  # bitwise/comparison/keyword glue: not a bare
+            # arithmetic chain — out of scope
+        return None
+    if expect_primary:
+        return None
+    if saw_real:
+        # a REAL element fixes the chain's flavor regardless of the
+        # text operands' content: render %!.15g unconditionally
+        return f"filesql_double_text(TRY_CAST(({span}) AS DOUBLE))"
+    if not conds:
+        return None  # statically typed: the caller's static path owns it
+    cond = " AND ".join(conds)
+    return (
+        f"(CASE WHEN {cond} "
+        f"THEN CAST(TRY_CAST(({span}) AS BIGINT) AS STRING) "
+        f"ELSE filesql_double_text(TRY_CAST(({span}) AS DOUBLE)) END)"
+    )
 
 
 def _cmp_case_distribute(case_text, other_text, cmp_op, case_is_left):
@@ -5189,7 +5279,11 @@ def _cmp_match_site(sql, mask, opos, op, coltypes):
             elif t0 == "real":
                 rend = f"filesql_double_text(TRY_CAST(({o_text}) AS DOUBLE))"
             else:
-                return None
+                # value-dependent chain (TEXT operands): runtime
+                # flavor dispatch (r17)
+                rend = _cmp_chain_render(o_text, coltypes)
+                if rend is None:
+                    return None
             if x_is_left:
                 return l_start, r_close, \
                     f"(({x_text}) {cmp_op} ({rend}{coll_sfx}))"
@@ -6865,6 +6959,23 @@ _VD_CALL_RX = re.compile(
 _VD_EMITTED_RX = re.compile(
     r"(?s)^\(CASE WHEN (.*?) THEN TRY_CAST\(.* DIV .* END\)$"
 )
+# the r17 absorption emission: `emission op int-operand` re-emitted as
+# a dispatch CASE on the same condition (value int exactly when the
+# condition held), so later / % sites keep recognizing the chain
+_VD_ABSORB_RX = re.compile(
+    r"(?s)^\(CASE WHEN (.*?) THEN TRY_CAST\(.+ AS BIGINT\) [-+*] .+"
+    r" ELSE .+ END\)$"
+)
+
+
+def _vd_emission_match(text: str):
+    """Match any of this pass's int-iff-condition dispatch emissions
+    (division, text-repl, r17 absorption); group(1) is the condition."""
+    return (
+        _VD_EMITTED_RX.match(text)
+        or _VD_TEXTREPL_RX.match(text)
+        or _VD_ABSORB_RX.match(text)
+    )
 _VD_IDENT_RX = re.compile(
     r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*"
     r"|`[^`]+`(\.`[^`]+`)?"
@@ -6924,9 +7035,7 @@ def _vd_emitted_type(text: str) -> str | None:
     a later site can use them as numeric operands (r16: `s - -s` —
     the inner -s repl feeds the outer subtraction)."""
     t = text.strip()
-    if len(t) <= 4000 and (
-        _VD_EMITTED_RX.match(t) or _VD_TEXTREPL_RX.match(t)
-    ):
+    if len(t) <= 4000 and _vd_emission_match(t):
         return "real"
     return None
 
@@ -7379,6 +7488,40 @@ def _vd_text_repl(l, r, lt, rt, op):
     )
 
 
+def _vd_chain_back(sql, mask, low, l_start, coltypes, site_op):
+    """Start position of the whole left OPERAND of a ``site_op`` site
+    whose adjacent primary begins at ``l_start``; None unless every
+    chained operand is a duplication-safe primary (the chain text is
+    copied into both dispatch arms). Precedence-aware (r17): an
+    additive site's operand extends back across + - * / %; a
+    multiplicative site's only across * / % (binary + - bind looser
+    and END the operand)."""
+    stop_additive = site_op not in "+-"
+    start = l_start
+    for _guard in range(64):  # chains are short; hard bound
+        k = start - 1
+        while k >= 0 and mask[k] in " \t\r\n":
+            k -= 1
+        if k < 0:
+            return start
+        if mask[k] in "+-" and _is_unary_sign(sql, mask, low, k):
+            start = k  # the sign belongs to this operand; keep walking
+            continue
+        if mask[k] not in "+-*/%" or (stop_additive and mask[k] in "+-"):
+            return start
+        e2 = k
+        while e2 > 0 and mask[e2 - 1] in " \t\r\n":
+            e2 -= 1
+        p0 = _rev_primary_start(sql, mask, e2)
+        if p0 is None:
+            return None
+        p_text = sql[p0:e2].strip()
+        if not p_text or not _vd_operand_ok(p_text):
+            return None
+        start = p0
+    return None
+
+
 def _vd_match_site(sql, mask, low, slash, coltypes):
     """Try to match one value-dependent site around the `/`, `%` (full
     dispatch family) or `+`, `-`, `*` (TEXT-coercion only, r13b) at
@@ -7420,40 +7563,35 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
                 # % chains on the repl's dispatch CASE (the
                 # _VD_TEXTREPL_RX recognizer dispatches DIV/int-cast
                 # on the same condition), and + - * & | << >> agree on
-                # the VALUE — but a / or % AFTER a + - * breaks the
-                # emission recognition (the chain is no longer a bare
-                # dispatch CASE) and would float-divide where SQLite
-                # DIVs the int flavor. Bail (loud-native) on that
-                # pattern only.
+                # the VALUE. A / or % AFTER a + - * needs every
+                # intervening operand statically numeric: int/null
+                # operands are ABSORBED into the dispatch CASE (r17),
+                # a real operand fixes the flavor real (native float
+                # is then correct) — only an unknown/text operand
+                # breaks the chain (bail, loud-native).
                 jj = j
-                depth = 0
                 seen_addmul = False
+                unsafe = False
                 while jj < len(sql):
                     c2 = mask[jj]
-                    if c2 == "(":
-                        depth += 1
-                    elif c2 == ")":
-                        if depth == 0:
-                            break
-                        depth -= 1
-                    elif depth == 0:
-                        if c2 in "/%" and seen_addmul:
+                    if c2 in " \t\r\n":
+                        jj += 1
+                        continue
+                    if c2 in "+-*/%":
+                        if c2 in "/%" and seen_addmul and unsafe:
                             return None
                         if c2 in "+-*":
                             seen_addmul = True
-                        if c2 in ",;=<>!":
+                        nf, ne, nt = _div_scan_primary(
+                            sql, mask, jj + 1, len(sql), coltypes, []
+                        )
+                        if nt == "kw" or ne <= jj:
                             break
-                        w2 = _WORD_RX.match(mask, jj)
-                        if w2:
-                            wl = low[jj:w2.end()]
-                            if wl in _DIV_KEYWORDS or wl in (
-                                "and", "or", "not", "is", "in",
-                                "like", "between",
-                            ):
-                                break
-                            jj = w2.end()
-                            continue
-                    jj += 1
+                        if nt not in ("int", "real", "null"):
+                            unsafe = True
+                        jj = ne
+                        continue
+                    break  # any other token ends the arithmetic chain
                 # (`+s * EXISTS(…)` was an out-of-scope bail)
                 if op == "+":
                     return slash, r_end, f"({r_text})"
@@ -7487,11 +7625,28 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     k = l_start - 1
     while k >= 0 and mask[k] in " \t\r\n":
         k -= 1
-    if k >= 0 and mask[k] in "*%/~":
+    chain_ok = False
+    if op in "+-*" and k >= 0 and mask[k] in "+-*%/" and not (
+        mask[k] in "+-" and _is_unary_sign(sql, mask, low, k)
+    ):
+        # the site's primary is MID-CHAIN (`n + 4 - s`, `a * b + s`):
+        # extend the left operand to the whole chain when every earlier
+        # operand is a duplication-safe primary; the chain's static
+        # flavor then joins the dispatch (r17 — text operands past the
+        # second chain position were bailed loud-native)
+        cs = _vd_chain_back(sql, mask, low, l_start, coltypes, op)
+        if cs is None:
+            return None
+        # a multiplicative site stopped at a binary +/- without
+        # extending: the primary IS the whole left operand — plain
+        # primary path (text operands allowed), no chain constraint
+        chain_ok = cs < l_start
+        l_start = cs
+    elif k >= 0 and mask[k] in "*%/~":
         return None
-    if op in "+-*" and k >= 0 and mask[k] in "+-":
-        # additive ops are left-associative peers: `a + b + s` owns
-        # (a + b) first — this site's primary is not the whole operand
+    elif op in "+-*" and k >= 0 and mask[k] in "+-":
+        # a unary sign before the primary: the unary-repl site (visited
+        # first) owns signed operands — decline, as before r17
         return None
     if op in "/%" and k >= 0 and mask[k] in "+-" and _is_unary_sign(
         sql, mask, low, k
@@ -7509,23 +7664,81 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     )
     if rt == "kw":
         return None
+    r_chain_ok = False
     if op in "+-":
         j = r_end
         while j < len(sql) and mask[j] in " \t\r\n":
             j += 1
         if j < len(sql) and mask[j] in "*/%":
-            return None  # a tighter op owns the right primary
+            # a tighter op owns the right primary — the right operand
+            # is a multiplicative CHAIN. Extend across * / % when every
+            # element is a duplication-safe, statically numeric primary
+            # (r17 — `s + 1 / 2` was bailed loud-native); a text or
+            # unknown element still declines.
+            if rt not in ("int", "real", "null") or not _vd_operand_ok(
+                sql[r_first:r_end].strip()
+            ):
+                return None
+            r_chain_ok = True
+            types = {rt}
+            cur = j
+            while cur < len(sql) and mask[cur] in "*/%":
+                nf, ne, nt = _div_scan_primary(
+                    sql, mask, cur + 1, len(sql), coltypes, []
+                )
+                if nt not in ("int", "real", "null") or ne <= cur:
+                    return None
+                if not _vd_operand_ok(sql[nf:ne].strip()):
+                    return None
+                types.add(nt)
+                r_end = ne
+                cur = ne
+                while cur < len(sql) and mask[cur] in " \t\r\n":
+                    cur += 1
+            rt = "real" if "real" in types else "int"
     p_text = sql[l_start:e]
     r_text = sql[r_first:r_end]
     if op in "+-*":
         # TEXT coercion is the only dispatch for additive ops
         p_s, r_s = p_text.strip(), r_text.strip()
         pe_t, re_t = _vd_emitted_type(p_s), _vd_emitted_type(r_s)
-        if (_vd_operand_ok(p_s) or pe_t) and (
-            _vd_operand_ok(r_s) or re_t
+        if (chain_ok or _vd_operand_ok(p_s) or pe_t) and (
+            r_chain_ok or _vd_operand_ok(r_s) or re_t
         ):
             lt0 = pe_t or _div_walk(sql, mask, l_start, e, coltypes, [])
             rt2 = re_t or rt
+            if pe_t and not re_t and rt2 in ("int", "null"):
+                # dispatch-CASE emission op int operand: ABSORB the
+                # operator into a new dispatch CASE on the same
+                # condition, so a LATER / or % still recognizes the
+                # chain and DIVs the int flavor (r17 — `s / 2 * 3 / 4`
+                # float-divided where SQLite DIVs)
+                m0 = _vd_emission_match(p_s)
+                if m0:
+                    return l_start, r_end, (
+                        f"(CASE WHEN {m0.group(1)} "
+                        f"THEN TRY_CAST(({p_s}) AS BIGINT) {op} ({r_s}) "
+                        f"ELSE ({p_s}) {op} ({r_s}) END)"
+                    )
+            if (not pe_t and not re_t and rt2 in ("int", "null")
+                    and lt0 is None):
+                # conditional-call left operand (ifnull(n, 2.5) * 2):
+                # absorb on its own int-iff condition, same pattern
+                # (r17 — a later / float-divided where SQLite DIVs)
+                left_cond = _vd_analyze_call(
+                    sql, mask, low, l_start, e, coltypes
+                )
+                if left_cond is not None:
+                    return l_start, r_end, (
+                        f"(CASE WHEN {left_cond} "
+                        f"THEN TRY_CAST(({p_s}) AS BIGINT) {op} ({r_s}) "
+                        f"ELSE ({p_s}) {op} ({r_s}) END)"
+                    )
+            if chain_ok and lt0 not in ("int", "real", "null"):
+                # an extended chain must be statically numeric (a text
+                # or signed-text element inside it would need its own
+                # dispatch) — decline, stays loud-native
+                return None
             if (
                 "text" in (lt0, rt2)
                 and lt0 in ("int", "real", "null", "text")
@@ -7586,7 +7799,7 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
     # is int exactly when its condition held, so the next / dispatches
     # on the same condition (`ifnull(n,2.5) / 2 / 3`) and the next %
     # reuses it for the REAL-iff-either-real result type
-    m = _VD_EMITTED_RX.match(p_text) or _VD_TEXTREPL_RX.match(p_text)
+    m = _vd_emission_match(p_text.strip())
     if m and not _vd_analyze_call(
         sql, mask, low, r_first, r_end, coltypes
     ):
@@ -7605,8 +7818,7 @@ def _vd_match_site(sql, mask, low, slash, coltypes):
         # a dispatch-CASE emission as the DIVISOR: its value is int
         # exactly when its own condition held — reuse it (r16:
         # `n / -s` DIVs on the int flavor instead of float-dividing)
-        mR = (_VD_EMITTED_RX.match(r_text.strip())
-              or _VD_TEXTREPL_RX.match(r_text.strip()))
+        mR = _vd_emission_match(r_text.strip())
         if mR:
             right_cond = mR.group(1)
     if right_cond is None:

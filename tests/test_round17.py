@@ -166,6 +166,88 @@ def test_unary_minus_compound_text_operand(spark, tmp_path, stmt):
     _diff(spark, tmp_path, stmt, _ROWS, _DDL, _HDR)
 
 
+# ------- concat-inside-arithmetic-inside-comparison (the r16 residue):
+# || binds tighter than + - * / %, so `n + 1 || '2' = s` is an
+# arithmetic chain over a concat operand — a numeric VALUE with no
+# affinity; the TEXT-affinity column side renders it per the runtime
+# int/real flavor (the _cmp_chain_render dispatch)
+
+_ROWS4 = [(1, "5y", 5, 2), (2, "5", 0, 3), (3, "abc", 7, -1),
+          (4, "-2", -2, 4), (6, "2e1", 20, 5), (7, "0.5x", 1, 2),
+          (8, "07", 3, 0), (9, "17", 4, 2)]
+_DDL4 = "CREATE TABLE t (id INTEGER, s TEXT, n INTEGER, m INTEGER)"
+_HDR4 = "id,s,n,m"
+
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id FROM t WHERE n + 1 || '2' = s ORDER BY id",
+    "SELECT id FROM t WHERE s = n + 1 || '2' ORDER BY id",
+    "SELECT id FROM t WHERE n + 1 || '2' > s ORDER BY id",
+    "SELECT id FROM t WHERE n - s || 'x' = 3 ORDER BY id",
+    "SELECT id FROM t WHERE n + 1 || '2e1' = s ORDER BY id",
+    "SELECT id FROM t WHERE s = n * (1 || '0') ORDER BY id",
+    "SELECT id FROM t WHERE n - s = s ORDER BY id",
+    "SELECT id FROM t WHERE coalesce(n,0) BETWEEN n+4-1 || '2e1' AND +''"
+    " ORDER BY id",
+    "SELECT id FROM t WHERE 4.5 + s = s ORDER BY id",
+])
+def test_concat_in_arithmetic_comparison(spark, tmp_path, stmt):
+    _diff(spark, tmp_path, stmt, _ROWS4, _DDL4, _HDR4)
+
+
+# ------- mid-chain text operands in VALUE context: text operands past
+# the second chain position (`n + 4 - s`), right-side multiplicative
+# chains (`s + 1 / 2`), and chained division off an emission
+# (`s / 2 * 3 / 4`, `ifnull(n,2.5) * 2 / 4` — both SILENTLY
+# float-divided where SQLite DIVs the int flavor, r17 finds)
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id, n + 4 - s AS v FROM t ORDER BY id",
+    "SELECT id, n + 4 - (1 || '2') AS v FROM t ORDER BY id",
+    "SELECT id, 1 + 2 + s AS v FROM t ORDER BY id",
+    "SELECT id, n * m + s AS v FROM t ORDER BY id",
+    "SELECT id, n * 2 + m * s AS v FROM t ORDER BY id",
+    "SELECT id, s + 1 / 2 AS v FROM t ORDER BY id",
+    "SELECT id, s + n / m AS v FROM t ORDER BY id",
+    "SELECT id, s - 3 * 2 / 4 AS v FROM t ORDER BY id",
+    "SELECT id, upper(s) + 1 / 2 AS v FROM t ORDER BY id",
+    "SELECT id, s / 2 * 3 / 4 AS v FROM t ORDER BY id",
+    "SELECT id, s * 2 / 4 % 3 AS v FROM t ORDER BY id",
+    "SELECT id, ifnull(n, 2.5) * 2 / 4 AS v FROM t ORDER BY id",
+    "SELECT id, ifnull(n, 2.5) / 2 * 3 / 4 AS v FROM t ORDER BY id",
+    "SELECT id, ifnull(n, 2.5) * m / 2 AS v FROM t ORDER BY id",
+    "SELECT id, -s * 2 / 4 AS v FROM t ORDER BY id",
+    "SELECT id, -upper(s) * 2 / 4 AS v FROM t ORDER BY id",
+    "SELECT id, -(s || 'x') * 2 % 4 AS v FROM t ORDER BY id",
+    "SELECT id, 4.5 + s * 2 AS v FROM t ORDER BY id",
+])
+def test_mid_chain_text_operands(spark, tmp_path, stmt):
+    # int-vs-float rendering: SQLite types the int flavor INTEGER where
+    # the engine's dispatch CASE is statically DOUBLE — compare values
+    con = sqlite3.connect(":memory:")
+    con.execute(_DDL4)
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", _ROWS4)
+    expected = con.execute(stmt).fetchall()
+    con.close()
+    csv = _HDR4 + "\n" + "\n".join(
+        ",".join(str(v) for v in r) for r in _ROWS4
+    )
+    (tmp_path / "t.csv").write_text(csv + "\n")
+    eng = fs.open(str(tmp_path / "t.csv"), spark=spark)
+    try:
+        got = [tuple(r) for r in eng.query(stmt).collect()]
+    finally:
+        eng.close()
+
+    def norm(rs):
+        return [
+            tuple(float(v) if isinstance(v, (int, float)) else v
+                  for v in r)
+            for r in rs
+        ]
+    assert norm(got) == norm(expected), (stmt, got, expected)
+
+
 def test_log10_text_operand_ulp_tolerance(spark, tmp_path):
     """log10/asinh differ from sqlite3 at the last ULP (SQLite derives
     them from ln; Java's are correctly rounded — a libm difference, not
