@@ -1451,6 +1451,58 @@ _CALL_REWRITES = {
 }
 
 
+_TOTAL_OVER_RX = re.compile(r"(?i)\btotal\s*\(")
+
+
+def _rewrite_total_over(sql: str) -> str:
+    """``total(X) OVER …``: the aggregate rewrite wraps sum() in
+    coalesce, which cannot carry the OVER clause (Spark:
+    MISSING_GROUP_BY) — rewrite the windowed form directly with
+    coalesce AROUND the windowed sum. Plain total(X) stays for the
+    call pass (r17). The SQLite-spelled CAST(… AS DOUBLE) is expanded
+    to the prefix parse by the cast pass, as in _total."""
+    if "total" not in sql.lower():
+        return sql
+    mask = _blank_comments(sql, _div_mask(sql))
+    low = sql.lower()
+    edits: list[tuple[int, int, str]] = []
+    for m in _TOTAL_OVER_RX.finditer(mask):
+        o = m.start()
+        if o > 0 and (mask[o - 1].isalnum() or mask[o - 1] in "_."):
+            continue
+        close = _div_find_close(mask, m.end() - 1, len(sql))
+        if close == -1:
+            continue
+        j = close + 1
+        while j < len(sql) and mask[j] in " \t\r\n":
+            j += 1
+        w = _WORD_RX.match(mask, j)
+        if not w or low[j:w.end()] != "over":
+            continue
+        k = w.end()
+        while k < len(sql) and mask[k] in " \t\r\n":
+            k += 1
+        if k < len(sql) and mask[k] == "(":
+            spec_close = _div_find_close(mask, k, len(sql))
+            if spec_close == -1:
+                continue
+            spec_end = spec_close + 1
+        else:
+            w2 = _WORD_RX.match(mask, k)
+            if not w2:
+                continue
+            spec_end = w2.end()  # named window: OVER w
+        arg = sql[m.end():close]
+        spec = sql[j:spec_end]
+        edits.append((o, spec_end, (
+            f"coalesce(sum(CAST(({arg}) AS DOUBLE)) {spec}, "
+            f"CAST(0 AS DOUBLE))"
+        )))
+    for a, b, r0 in sorted(edits, reverse=True):
+        sql = sql[:a] + r0 + sql[b:]
+    return sql
+
+
 def _raise_outside_trigger():
     raise FilesqlError("RAISE() may only be used within a trigger-program")
 
@@ -4476,6 +4528,15 @@ def _cmp_walk_fwd(sql, mask, pos, coltypes, stop_at_collate=False,
 
 # SQLite functions whose RESULT is text (func.c/date.c) — used only by
 # the comparison classifier for the value class; they carry NO affinity
+# numeric-RESULT functions whose passthru/static typing follows the
+# argument, but whose SQLite VALUE is always a number (args coerce):
+# the comparison classifier must not treat them as text (r17)
+_CMP_NUM_RESULT_FUNCS = frozenset({
+    "sum", "abs", "ceil", "ceiling", "floor", "trunc",
+})
+_CMP_AGG_CALL_RX = re.compile(
+    r"(?i)\b(sum|avg|total|count|min|max|group_concat|string_agg)\s*\("
+)
 _CMP_TEXT_FUNCS = frozenset({
     "upper", "lower", "trim", "ltrim", "rtrim", "substr", "substring",
     "replace", "hex", "quote", "char", "typeof", "printf", "format",
@@ -4579,6 +4640,17 @@ def _cmp_classify(span: str, coltypes):
         and _div_find_close(cm, wm.end() - 1, len(core)) == len(core) - 1
     ):
         return None, "text"  # text-RESULT function, no affinity
+    if (
+        wm and core.endswith(")")
+        and wm.group(1).lower() in _CMP_NUM_RESULT_FUNCS
+        and _div_find_close(cm, wm.end() - 1, len(core)) == len(core) - 1
+    ):
+        # numeric-RESULT call even over TEXT args: SQLite coerces the
+        # arguments, so sum(s)/abs(s)/ceil(s) are NUMBERS — the
+        # passthru tracker types them by the argument, which fed a
+        # WRONG type-order constant (`HAVING sum(s) > 10` was always
+        # true — r17 silent find)
+        return None, "num"
     if re.match(r"(?i)^case\b", core):
         marks = _case_marks(core, cm, 0, len(core))
         if marks and marks[-1][1] == "end" and \
@@ -4958,7 +5030,11 @@ def _cmp_chain_render(span: str, coltypes) -> str | None:
             elif t == "real":
                 saw_real = True
             elif t == "text":
-                if not _vd_operand_ok(bare):
+                if not _vd_operand_ok(bare) or _CMP_AGG_CALL_RX.search(
+                    bare
+                ):
+                    # aggregates have their own group-level flavor
+                    # dispatch (_sum_text_render) — out of scope here
                     return None
                 conds.append(
                     f"NOT (({bare}) RLIKE {_VD_REAL_PREFIX_SQL})"
@@ -8138,6 +8214,7 @@ def rewrite(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = _rewrite_calls(sql, "like", _like_call)  # before the operator pass
     sql = _rewrite_like(sql)
     sql = _rewrite_collate(sql)
+    sql = _rewrite_total_over(sql)  # before the call pass (r17)
     for name, fn in _CALL_REWRITES.items():
         sql = _rewrite_calls(sql, name, fn)
     for old, new in _SIMPLE_RENAMES.items():

@@ -248,6 +248,27 @@ def test_mid_chain_text_operands(spark, tmp_path, stmt):
     assert norm(got) == norm(expected), (stmt, got, expected)
 
 
+# ------- aggregate typing in comparisons (SILENT r17 find): sum(s)
+# over TEXT classified 'text' in the static tracker, so a HAVING/WHERE
+# comparison against it took the WRONG type-order constant (always
+# true); SQLite aggregates return numbers. total(X) OVER needs the
+# coalesce wrapped AROUND the windowed sum.
+
+@pytest.mark.parametrize("stmt", [
+    "SELECT id FROM t GROUP BY id HAVING sum(s) > 10 ORDER BY id",
+    "SELECT m, count(*) AS c FROM t GROUP BY m HAVING sum(s) > 5"
+    " ORDER BY m",
+    "SELECT id FROM t WHERE abs(s) > 4 ORDER BY id",
+    "SELECT id FROM t WHERE ceil(s) >= 5 ORDER BY id",
+    "SELECT id, sum(s) OVER (ORDER BY id) AS v FROM t ORDER BY id",
+    "SELECT id, total(s) OVER (ORDER BY id) AS v FROM t ORDER BY id",
+    "SELECT id, total(n) OVER (PARTITION BY m) AS v FROM t ORDER BY id",
+    "SELECT id, total(s) AS v FROM t GROUP BY id ORDER BY id",
+])
+def test_aggregate_text_typing_and_total_over(spark, tmp_path, stmt):
+    _diff(spark, tmp_path, stmt, _ROWS4, _DDL4, _HDR4)
+
+
 def test_log10_text_operand_ulp_tolerance(spark, tmp_path):
     """log10/asinh differ from sqlite3 at the last ULP (SQLite derives
     them from ln; Java's are correctly rounded — a libm difference, not
