@@ -491,7 +491,13 @@ def _cosine_vec(qa: Column, na: Column, qb: Column, nb: Column) -> Column:
     (dot ÷ √na) ÷ √nb IEEE sequence — every op correctly rounded, so the
     result is bit-identical to the fold expression and the DuckDB oracle.
     ~10× over the interpreted aggregate/zip_with fold at 10⁵+ pairs; dots
-    are < 2⁵³ (64 dims × (3·10⁴)²) so the float conversion is exact."""
+    are < 2⁵³ (64 dims × (3·10⁴)²) so the float conversion is exact.
+
+    Marked non-deterministic (it is in fact deterministic): both call
+    sites filter on the returned cosine, and filter pushdown otherwise
+    duplicates the ArrowEvalPython node — every candidate pair paid the
+    Python boundary and the matmul twice (guide §4.4 pattern; plan
+    showed ArrowEvalPython below the Filter AND above it)."""
     global _cosine_udf
     if _cosine_udf is None:
         import numpy as np
@@ -511,7 +517,7 @@ def _cosine_vec(qa: Column, na: Column, qb: Column, nb: Column) -> Column:
                 / np.sqrt(nb_s.to_numpy().astype(np.float64))
             )
 
-        _cosine_udf = pandas_udf(cos_fn, "double")
+        _cosine_udf = pandas_udf(cos_fn, "double").asNondeterministic()
     return _cosine_udf(qa, na, qb, nb)
 
 
