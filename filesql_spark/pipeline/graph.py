@@ -95,7 +95,14 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
             .withColumnRenamed("dst", "node")
-        ).localCheckpoint()  # eager: one small job per iteration
+        ).localCheckpoint(eager=False)  # lazy: truncates lineage and still
+        # deduplicates the two downstream reads (dangling + new ranks) once
+        # materialized, but WITHOUT an extra per-iteration driver-synchronized
+        # job — the checkpoint RDD computes inside the next broadcast build,
+        # so the whole 10-round loop collapses from 10 eager checkpoint jobs
+        # + a final action into one materialization cascade (guide §2.4/§5:
+        # fewer jobs, one fewer pass per round — the eager form computed
+        # contribs, wrote it, then re-read it for the broadcast)
         dangling = contribs.agg(
             (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dang")
         )
