@@ -126,16 +126,28 @@ def _hash32(col: Column) -> Column:
 # ---------------------------------------------------------- MinHash + LSH
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", sets: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, mh0..mh15): one explode + one 16-way min aggregation.
 
     The md5-based base hash is materialized once per shingle in a project
     *before* the aggregation — 16 agg expressions then share the cheap
     ``(a·h+b) mod p`` arithmetic instead of 16 md5 evaluations each.
+
+    ``sets``: an already-built (and typically persisted) ``(doc_id, sh)``
+    shingle-array table from :func:`add_shingles`. Callers that need the
+    shingle sets anyway (every verify-join consumer) pass it so the
+    text scan + split + n-gram build runs ONCE instead of once for the
+    signature path and once for the verify path — exploding the cached
+    array yields bit-identical shingle strings, so the signatures are
+    unchanged (same derive-from-sets shape ngram_jaccard_pairs uses).
     """
-    sh = exploded_shingles(df, text_col).select(
-        "doc_id", _hash32(F.col("shingle")).alias("h")
-    )
+    if sets is None:
+        exploded = exploded_shingles(df, text_col)
+    else:
+        exploded = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    sh = exploded.select("doc_id", _hash32(F.col("shingle")).alias("h"))
     h = F.col("h")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
@@ -169,13 +181,27 @@ def band_table(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, text_col: str = "text", jaccard_threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs via banding, verified with exact shingle Jaccard.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``shingle_sets``: optional pre-built persisted (doc_id, sh) table
+    (callers like near_dup_eval that already hold one pass it in).
     """
-    bands = band_table(minhash_signatures(df, text_col))
+    # persist: the signature path AND both verify branches (sa/sb) read
+    # this — one text scan + split + n-gram build total, instead of one
+    # for the band path and one for the verify path (r17: the band path
+    # previously re-derived shingles from raw text; deriving the
+    # signature explode from the cached array halves the heavy
+    # tokenize/concat work and drops a full scan of the corpus)
+    if shingle_sets is None:
+        shingle_sets = add_shingles(df, text_col).select("doc_id", "sh").persist()
+    bands = band_table(minhash_signatures(df, text_col, sets=shingle_sets))
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -190,10 +216,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # persist: both verify branches (sa/sb) read this — without it the
-    # whole split+md5 shingle build re-runs per branch (self-join dedup's
-    # standard signature-table materialization point)
-    shingle_sets = add_shingles(df, text_col).select("doc_id", "sh").persist()
     a = shingle_sets.alias("sa")
     b = shingle_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
@@ -762,10 +784,13 @@ def dedup_base_index(
         .groupBy("ch")
         .agg(F.min("doc_id").alias("exact_dup_of"))
     )
-    bands = band_table(minhash_signatures(base, text_col)).withColumnRenamed(
-        "doc_id", "base_id"
-    )
-    sets = add_shingles(base, text_col).select(
+    # one shingle build feeds both the band table and the shingle sets
+    # (r17 — the bands previously re-derived shingles from raw text)
+    sets0 = add_shingles(base, text_col).select("doc_id", "sh").persist()
+    bands = band_table(
+        minhash_signatures(base, text_col, sets=sets0)
+    ).withColumnRenamed("doc_id", "base_id")
+    sets = sets0.select(
         F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b")
     )
     if materialize:
@@ -774,6 +799,9 @@ def dedup_base_index(
             bands.localCheckpoint(),
             sets.localCheckpoint(),
         )
+        # the checkpoints above are eager — the shared shingle cache has
+        # served both consumers and must not stay pinned for the session
+        sets0.unpersist()
     return DedupBaseIndex(ledger, bands, sets)
 
 
@@ -818,7 +846,12 @@ def incremental_dedup(
         .select("doc_id", "exact_dup_of")
     )
 
-    bands_inc = band_table(minhash_signatures(incoming, text_col))
+    # one incoming-side shingle build feeds both the probe bands and the
+    # verify sets (r17 — the bands previously re-derived from raw text)
+    sets_inc = (
+        add_shingles(incoming, text_col).select("doc_id", "sh").persist()
+    )
+    bands_inc = band_table(minhash_signatures(incoming, text_col, sets=sets_inc))
     cand = (
         bands_inc.join(index.bands, ["band", "bh"])
         .select("doc_id", "base_id")
@@ -826,7 +859,6 @@ def incremental_dedup(
     )
 
     sets_base = index.sets
-    sets_inc = add_shingles(incoming, text_col).select("doc_id", "sh")
     inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_b")))
     union = F.size(F.col("sh")) + F.size(F.col("sh_b")) - inter
     jac = inter.cast("double") / union
@@ -945,9 +977,9 @@ def near_dup_eval(
             F.col("ta.doc_id").alias("doc_a"), F.col("tb.doc_id").alias("doc_b")
         )
     )
-    detected = minhash_lsh_pairs(sample, text_col, jaccard_threshold).select(
-        "doc_a", "doc_b"
-    )
+    detected = minhash_lsh_pairs(
+        sample, text_col, jaccard_threshold, shingle_sets=sets
+    ).select("doc_a", "doc_b")
     # the quadratic truth relation and the detector output each feed TWO
     # branches (their own count + the intersection); without lineage
     # truncation both recompute per branch (measured 2x) — they are
@@ -993,9 +1025,14 @@ def lsh_tuning_report(
     One derivation end-to-end: the band table is persisted and feeds
     BOTH the per-band bucket statistics and the candidate self-join, so
     the signature pipeline runs once (same materialization discipline
-    as minhash_lsh_pairs' shingle sets).
+    as minhash_lsh_pairs' shingle sets), and the signatures themselves
+    derive from the persisted shingle sets the verify join reads — one
+    text scan + n-gram build total (r17).
     """
-    bands = band_table(minhash_signatures(df, text_col)).persist()
+    shingle_sets = add_shingles(df, text_col).select("doc_id", "sh").persist()
+    bands = band_table(
+        minhash_signatures(df, text_col, sets=shingle_sets)
+    ).persist()
     buckets = bands.groupBy("band", "bh").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -1017,7 +1054,6 @@ def lsh_tuning_report(
         .distinct()
         .localCheckpoint()  # feeds the total count AND the verify join
     )
-    shingle_sets = add_shingles(df, text_col).select("doc_id", "sh").persist()
     a, b = shingle_sets.alias("sa"), shingle_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
