@@ -96,14 +96,15 @@ def kmeans_fit(
 
     The per-iteration driver traffic is k·(d+1) longs — independent of
     data size; the data-side cost is one scan plus one map-combined
-    groupBy per iteration. Each iteration re-reads the source (the
-    quantization is a scan-level expression, so this is the cheapest
-    default at few iterations); for many-iteration runs at scale,
-    persist ``with_quantized(df)`` once before calling — the loop
-    composes with a cached input transparently, which is exactly what
-    MLlib's KMeans does with its input RDD.
+    groupBy per iteration. The quantized input is persisted once and
+    shared by the seed scan, every iteration and the final assignment
+    (the MLlib KMeans input-caching pattern; r17 — re-deriving the
+    64-dim quantize+norm per pass cost ~15% at sf0.1 and a full extra
+    scan per iteration at scale). The cache entry is plan-keyed, so
+    repeated fits over the same input reuse one entry rather than
+    accumulating.
     """
-    q = with_quantized(df, vec_col)
+    q = with_quantized(df, vec_col).persist()
     seed_rows = q.orderBy(key_col).limit(k).select("qv").collect()
     centroids = [list(r.qv) for r in seed_rows]
     dims = len(centroids[0])
