@@ -289,7 +289,11 @@ def bm25_topk(
     df_i); the one-row stats broadcast back (crossJoin(broadcast)) — no
     inverted index is materialized, which is the right shape when the
     query set is small and ad hoc. The final top-k is
-    TakeOrderedAndProject, never a full sort.
+    TakeOrderedAndProject, never a full sort. The per-doc (dl, tf_i)
+    table is persisted — it is a handful of longs per doc, and both the
+    stats aggregate and the scoring join read it, so the cache replaces
+    a second full tokenize+filter pass over the corpus (r17; A/B at
+    sf0.1: 1.14s -> 0.97s, and at scale one corpus scan instead of two).
     """
     c = F.col(text_col)
     t = tokens(c)
@@ -304,7 +308,7 @@ def bm25_topk(
             .alias(f"tf_{trm}")
             for trm in terms
         ],
-    )
+    ).persist()
     stats = base.agg(
         F.count("*").alias("n"),
         F.sum("dl").alias("sdl"),
