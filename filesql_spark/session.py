@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join when its size conditions
+        # hold instead of always preferring sort-merge: skips the per-side
+        # sorts on equi-joins whose build side fits a partition hash table
+        # (r17, guide-recommended baseline; measured over the SMJ-heavy
+        # query basket at sf0.1: -8% total, no query slower; AQE skew-join
+        # splitting still applies to SHJ, and size conditions — not this
+        # flag — keep huge build sides on sort-merge at cluster scale).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Files: pack small files, split big ones, at ~128MB per task.
