@@ -470,6 +470,14 @@ def dup_spans(
         F.col("pg.p").cast("long").alias("p"),
         _hash60(F.col("pg.gm")).alias("h"),
     )
+    # persist the positional gram-hash stream: the dup-set aggregation and
+    # the flagged-position join both read it, and each uncached read
+    # re-pays the text scan + split + n-gram concat + md5 (r17; A/B at
+    # sf0.1: 2.11s -> 1.10s). The stream is 3 longs per gram —
+    # MEMORY_AND_DISK spills it at corpus scale, trading disk-backed
+    # re-read for a second full gram build; the same swap discipline as
+    # the dup set keeps repeated calls from accumulating pinned storage.
+    g = _swap_persist("dup_spans_grams", g)
     dup = (
         g.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -574,6 +582,9 @@ def dup_spans_bytes(
         F.col("pg.h1").alias("h1"),
         F.col("pg.h2").alias("h2"),
     )
+    # same gram-stream persist as dup_spans (r17): the dup aggregation and
+    # the flagged join otherwise each re-pay the suffix-hash generator
+    g = _swap_persist("dup_spans_bytes_grams", g)
     dup = (
         g.groupBy("h1", "h2")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -829,7 +840,13 @@ def lm_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
     doc regroup). Training and scoring are the same two passes — no
     external model artifact.
     """
-    toks = df.select("doc_id", tokens(F.col(text_col)).alias("t"))
+    # persisted: the bigram stream reads this twice (bigram counts +
+    # scoring) and the unigram table once — one tokenize pass instead of
+    # three (r17; the unigram branch previously re-tokenized the source)
+    toks = _swap_persist(
+        "lm_perplexity_toks",
+        df.select("doc_id", tokens(F.col(text_col)).alias("t")),
+    )
     n = F.size("t")
     bigrams = F.when(
         n >= 2,
@@ -845,7 +862,7 @@ def lm_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", "bi.a", "bi.b"
     )
     uni = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("a"))
+        toks.select(F.explode("t").alias("a"))
         .groupBy("a")
         .agg(F.count(F.lit(1)).alias("ca"))
     )
@@ -910,6 +927,9 @@ def remove_dup_spans(
         F.col("pg.p").cast("long").alias("p"),
         _hash60(F.col("pg.gm")).alias("h"),
     )
+    # same gram-stream persist as dup_spans (r17): dup agg + rm join both
+    # read it, saving a second text scan + gram build
+    g = _swap_persist("remove_dup_spans_grams", g)
     dup = (
         g.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
