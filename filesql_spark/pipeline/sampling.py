@@ -99,12 +99,19 @@ def hashed_prefix_sum(
         "long"
     )
     w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    # persisted: the intra-bucket window, the bucket totals and the grand
+    # total all read this 4-numeric-column frame, and in the composed
+    # pipelines ``df`` is the ENTIRE cleaned corpus — each uncached read
+    # re-ran that whole upstream chain (r17; A/B on pipeline_train_prep at
+    # sf0.1: 11.9 s -> 5.7 s median). The grand total derives from it too
+    # (Σw over t == Σ greatest(w,1) over df, identical clamped values).
     t = df.select(
         F.col(key_col),
         w.alias("w"),
         h.alias("h"),
         F.shiftright(h, 60 - ORDER_BUCKET_BITS).alias("bkt"),
-    )
+    ).persist()
+    total = t.agg(F.sum("w").alias("total"))
     intra = (
         Window.partitionBy("bkt")
         .orderBy("h", key_col)
@@ -116,7 +123,6 @@ def hashed_prefix_sum(
     offsets = totals.select(
         "bkt", F.coalesce(F.sum("bw").over(prior), F.lit(0)).alias("off")
     )
-    total = df.agg(F.sum(w).alias("total"))
     return (
         t.join(F.broadcast(offsets), "bkt")
         .crossJoin(F.broadcast(total))
