@@ -284,12 +284,14 @@ def curriculum_order(
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
+    # same persist rationale as hashed_prefix_sum (r17): the bucket-count
+    # aggregate and the final position join both read this narrow frame
     t = df.select(
         F.col(key_col),
         F.col(stage_col).alias("__stage"),
         h.alias("__h"),
         F.shiftright(h, 60 - ORDER_BUCKET_BITS).alias("__bkt"),
-    )
+    ).persist()
     intra = Window.partitionBy("__stage", "__bkt").orderBy("__h", key_col)
     t = t.withColumn("__rk", F.row_number().over(intra))
     bkt_tot = t.groupBy("__stage", "__bkt").agg(F.count(F.lit(1)).alias("__bn"))
