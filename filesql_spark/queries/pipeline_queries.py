@@ -3861,10 +3861,7 @@ def orders_cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
     items = items.persist()  # feeds totals, singles and pairs
-    # the order total rides the DAG as a broadcast 1-row aggregate instead
-    # of an eager items.count() — one job instead of two, identical value
-    # (r17; the count previously existed only to embed a literal in lift)
-    total = F.broadcast(items.agg(F.count(F.lit(1)).alias("__n_orders")))
+    n_orders = items.count()
     singles = (
         items.select(F.explode("ps").alias("p"))
         .groupBy("p")
@@ -3899,13 +3896,12 @@ def orders_cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(a), "p1")
         .join(F.broadcast(b), "p2")
-        .crossJoin(total)
         .select(
             "p1",
             "p2",
             "support",
             (
-                (F.col("support") * F.col("__n_orders")).cast("double")
+                (F.col("support") * F.lit(n_orders)).cast("double")
                 / (F.col("ca") * F.col("cb"))
             ).alias("lift"),
         )
@@ -4575,9 +4571,7 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .persist()
     )
-    # in-plan broadcast total instead of an eager count() job (r17, same
-    # rewrite as orders_cooccur_parts — identical value, one fewer job)
-    total = F.broadcast(items.agg(F.count(F.lit(1)).alias("__n_orders")))
+    n_orders = items.count()
     singles = (
         items.select(F.explode("ps").alias("p"))
         .groupBy("p")
@@ -4606,10 +4600,8 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = singles.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
     b = singles.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
-    joined = (
-        pairs.join(F.broadcast(a), "pa").join(F.broadcast(b), "pb").crossJoin(total)
-    )
-    lift = (F.col("support") * F.col("__n_orders")).cast("double") / (
+    joined = pairs.join(F.broadcast(a), "pa").join(F.broadcast(b), "pb")
+    lift = (F.col("support") * F.lit(n_orders)).cast("double") / (
         F.col("ca") * F.col("cb")
     )
     # both directions from ONE pass over the joined pair relation — a
