@@ -133,11 +133,11 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "agg_having": 14,
     "agg_median": 15,
     "agg_rollup": 14,
-    "agg_salted_two_phase": 13,
-    "ann_bruteforce_topk": 13,
-    "ann_ivf_build": 13,
-    "ann_ivf_topk": 13,
-    "ann_lsh_topk": 13,
+    "agg_salted_two_phase": 17,
+    "ann_bruteforce_topk": 17,
+    "ann_ivf_build": 17,
+    "ann_ivf_topk": 17,
+    "ann_lsh_topk": 17,
     "ann_pq_build": 16,
     "ann_pq_topk": 16,
     "ann_recall_report": 13,
@@ -153,20 +153,20 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "date_hour_histogram": 14,
     "date_julianday_span": 15,
     "dedup_cluster_representatives": 16,
-    "dedup_connected_components": 13,
+    "dedup_connected_components": 17,
     "dedup_containment": 14,
-    "dedup_embedding_cosine": 13,
+    "dedup_embedding_cosine": 17,
     "dedup_exact": 14,
     "dedup_family_size_distribution": 14,
     "dedup_incremental": 15,
     "dedup_lsh_tuning_report": 13,
-    "dedup_minhash_lsh": 13,
+    "dedup_minhash_lsh": 17,
     "dedup_ngram_jaccard": 14,
-    "dedup_simhash": 13,
+    "dedup_simhash": 17,
     "dedup_threshold_sweep": 13,
     "derived_table": 15,
-    "docs_cross_source_dups": 13,
-    "docs_lang_confusion": 13,
+    "docs_cross_source_dups": 17,
+    "docs_lang_confusion": 17,
     "docs_ngram_novelty": 13,
     "docs_pii_density_by_source": 14,
     "docs_quality_gate_sweep": 14,
@@ -174,30 +174,30 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "docs_tokenizer_fertility": 13,
     "embedding_kmeans": 15,
     "embedding_knn_label": 16,
-    "embedding_label_centroids": 13,
+    "embedding_label_centroids": 17,
     "embedding_norm_stats": 13,
     "embedding_outliers": 16,
     "embedding_pair_distance_histogram": 14,
     "embedding_quantize_int8": 15,
     "embedding_random_projection": 16,
     "embedding_standardize": 16,
-    "events_ab_test_lift": 12,
+    "events_ab_test_lift": 17,
     "events_anomaly_zscore": 15,
-    "events_bot_detection": 13,
-    "events_changepoint_cusum": 12,
-    "events_conversion_latency": 12,
+    "events_bot_detection": 17,
+    "events_changepoint_cusum": 17,
+    "events_conversion_latency": 17,
     "events_cumulative_distinct": 16,
     "events_decayed_engagement": 16,
     "events_error_rate_monitor": 14,
-    "events_forecast_seasonal": 12,
+    "events_forecast_seasonal": 17,
     "events_funnel": 14,
     "events_gap_fill": 15,
-    "events_hazard_curve": 13,
-    "events_ltv_cohort": 12,
+    "events_hazard_curve": 17,
+    "events_ltv_cohort": 17,
     "events_markov_transitions": 15,
     "events_retention_cohorts": 14,
     "events_robust_stats": 15,
-    "events_session_funnel": 12,
+    "events_session_funnel": 17,
     "events_sessionize": 14,
     "events_skew_report": 16,
     "events_sliding_window": 14,
@@ -206,11 +206,11 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "events_tumbling_window": 14,
     "events_user_streaks": 16,
     "events_window_topk": 16,
-    "features_user_wide": 12,
+    "features_user_wide": 17,
     "filter_like_ci": 15,
     "filter_predicates": 14,
     "graph_pagerank_events": 16,
-    "graph_triangle_census": 13,
+    "graph_triangle_census": 17,
     "in_subquery": 15,
     "interval_join_banded": 15,
     "join_bloom_semireduction": 15,
@@ -221,7 +221,7 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "join_left_semi": 15,
     "join_multiway_inner": 14,
     "join_right_outer": 14,
-    "join_salted_skew": 13,
+    "join_salted_skew": 17,
     "join_theta_selfjoin": 15,
     "json_extract": 14,
     "layout_zorder_stats": 15,
@@ -229,19 +229,19 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "lineitem_discount_regression": 16,
     "lineitem_pareto_share": 16,
     "math_functions": 14,
-    "multimodal_decode": 13,
+    "multimodal_decode": 17,
     "multimodal_extract_features": 15,
     "multimodal_frame_dedup": 14,
-    "multimodal_frame_sample": 13,
+    "multimodal_frame_sample": 17,
     "multimodal_resize": 15,
-    "orders_association_rules": 12,
+    "orders_association_rules": 17,
     "orders_cooccur_parts": 16,
     "orders_fulfillment_latency": 14,
     "orders_open_interval_count": 16,
     "orders_seasonality_index": 16,
     "part_supplier_concentration": 16,
-    "pipeline_clean_corpus": 13,
-    "pipeline_contamination_report": 13,
+    "pipeline_clean_corpus": 17,
+    "pipeline_contamination_report": 17,
     "pipeline_curate_full": 16,
     "pipeline_curriculum_order": 16,
     "pipeline_dataset_manifest": 15,
@@ -250,22 +250,22 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "pipeline_eval_set_builder": 13,
     "pipeline_incremental_decontaminate": 13,
     "pipeline_mixture_resample": 16,
-    "pipeline_near_dup_eval": 12,
+    "pipeline_near_dup_eval": 17,
     "pipeline_pack_sequences": 15,
     "pipeline_per_source_cap": 16,
     "pipeline_semantic_decontaminate": 16,
     "pipeline_split_overlap_qa": 13,
-    "pipeline_stage_metrics": 13,
-    "pipeline_stratified_sample": 13,
+    "pipeline_stage_metrics": 17,
+    "pipeline_stratified_sample": 17,
     "pipeline_train_prep": 15,
-    "pipeline_train_val_split": 13,
+    "pipeline_train_val_split": 17,
     "pipeline_weighted_sample": 15,
-    "pivot_status_by_priority": 13,
+    "pivot_status_by_priority": 17,
     "profile_orders_stats": 16,
     "q10_returned_items": 15,
     "q14_promo_revenue": 15,
     "q18_large_orders": 16,
-    "q1_pricing_summary": 13,
+    "q1_pricing_summary": 17,
     "q3_shipping_priority": 14,
     "q5_local_supplier": 14,
     "q6_forecast_revenue": 15,
@@ -286,53 +286,53 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     "set_union_distinct": 15,
     "sketch_cms_heavy_hitters": 16,
     "sketch_histogram_quantiles": 15,
-    "sketch_hll_rollup": 12,
-    "sketch_hll_sliding_wau": 12,
+    "sketch_hll_rollup": 17,
+    "sketch_hll_sliding_wau": 17,
     "sketch_hll_users": 15,
-    "sketch_kmv_theta": 13,
+    "sketch_kmv_theta": 17,
     "snapshot_diff_docs": 16,
     "streaming_cdc_apply": 16,
     "streaming_cms_tokens": 16,
-    "streaming_dedup_exact": 13,
+    "streaming_dedup_exact": 17,
     "streaming_dedup_within_watermark": 15,
-    "streaming_events_enriched": 13,
+    "streaming_events_enriched": 17,
     "streaming_events_hourly": 14,
     "streaming_events_sessionize": 15,
     "streaming_events_sliding": 15,
     "streaming_events_user_state": 14,
     "streaming_interval_join": 15,
-    "streaming_kmv_sketch": 13,
+    "streaming_kmv_sketch": 17,
     "string_functions": 14,
     "text_bigram_lm": 16,
-    "text_bm25_search": 13,
+    "text_bm25_search": 17,
     "text_bpe_merges": 16,
     "text_chunk_stride": 16,
     "text_dup_span_removal": 13,
     "text_dup_spans": 16,
     "text_fingerprint": 14,
     "text_lang_id": 14,
-    "text_length_percentiles": 13,
-    "text_lm_perplexity": 12,
-    "text_pii_redact": 13,
+    "text_length_percentiles": 17,
+    "text_lm_perplexity": 17,
+    "text_pii_redact": 17,
     "text_quality_score": 14,
     "text_rarity_score": 15,
     "text_readability_scores": 13,
-    "text_repetition_filter": 13,
+    "text_repetition_filter": 17,
     "text_tfidf_topterms": 16,
-    "text_token_count": 13,
+    "text_token_count": 17,
     "text_token_drift": 16,
     "text_token_entropy": 16,
-    "text_tokenizer_coverage": 12,
-    "text_top_tokens": 13,
+    "text_tokenizer_coverage": 17,
+    "text_top_tokens": 17,
     "text_vocab_growth_heaps": 14,
     "topk_orders": 15,
     "window_agg_over": 15,
     "window_cume_dist": 16,
-    "window_groups_frame": 13,
+    "window_groups_frame": 17,
     "window_lag_lead": 15,
     "window_nth_last_value": 15,
     "window_ntile_dense_first": 15,
-    "window_percent_rank": 13,
+    "window_percent_rank": 17,
     "window_range_interval": 14,
     "window_rank": 15,
     "window_row_number": 15,
