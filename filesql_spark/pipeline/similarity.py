@@ -234,8 +234,10 @@ _sqdist_udf = None
 
 
 def _sqdist(qv: Column, c: Column) -> Column:
-    """Arrow-batched twin of ``_sqdist_fold`` (~30× on the Lloyd hot path:
-    higher-order-function folds are interpreted per element). Bit-exact to
+    """Arrow-batched twin of ``_sqdist_fold`` (~30× over the interpreted
+    fold; used on the serve-side probe ranking, where the top-nprobe
+    window needs a per-(query, centroid) distance COLUMN — the build-side
+    argmin assignment uses :func:`_assign_cid_udf` instead). Bit-exact to
     the fold: the accumulation loops over DIMENSIONS in order (vectorized
     across rows), so each row's sum is the identical left-assoc IEEE
     sequence t1 + t2 + … — NOT numpy's pairwise .sum(), which reorders and
@@ -262,6 +264,101 @@ def _sqdist(qv: Column, c: Column) -> Column:
     return _sqdist_udf(qv, c)
 
 
+def _assign_cid_udf(cent_rows: list[tuple[int, list[float]]]):
+    """Arrow-batched nearest-centroid assignment against DRIVER-HELD
+    centroids (guide §4.2: one vectorized kernel per batch, and §2.4:
+    zero shuffle). The centroid matrix — k·d doubles, ≤ 0.5 MB at the
+    k=1024 cap — ships inside the UDF closure, so assignment is a pure
+    map over (qv) rows: n Python-boundary crossings of one 64-int column,
+    instead of the previous broadcast crossJoin that fanned n·k rows
+    (each carrying qv AND the centroid) through Arrow and paid a
+    ``min_by`` shuffle to collapse them (r18; the fan-out was the whole
+    ann_ivf_build cost, and at 100 TB it is k× the corpus through the
+    Python boundary).
+
+    Bit-exact to ``_sqdist_fold``/the DuckDB oracle: distances accumulate
+    SEQUENTIALLY in dimension order (vectorized across rows/centroids,
+    never numpy's pairwise sum), and ``argmin`` takes the FIRST minimum
+    over centroids sorted by cid — the same (dist, cid) tie order as the
+    oracle's ROW_NUMBER."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([c for _, c in cent_rows], dtype=np.float64)  # k × d
+
+    def fn(qv_s: pd.Series) -> pd.Series:
+        if len(qv_s) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.vstack(qv_s.to_numpy()).astype(np.float64)  # exact: |qv| < 2^53
+        d = np.zeros((x.shape[0], cmat.shape[0]), dtype=np.float64)
+        for i in range(cmat.shape[1]):  # sequential in dimension order
+            t = x[:, i, None] - cmat[None, :, i]
+            d += t * t
+        return pd.Series(cids[np.argmin(d, axis=1)])
+
+    return pandas_udf(fn, "long")
+
+
+def _lloyd_rows(
+    pts: DataFrame, k: int, iters: int = IVF_ITERS, sample_factor: int = 1
+) -> list[tuple[int, list[float]]]:
+    """Driver-held Lloyd loop: ``iters`` rounds of (closure-UDF assign →
+    per-cell exact int64 dimension sums → one double division per
+    coordinate), returning the converged centroids as (cid, coords)
+    sorted by cid. The driver traffic is k·(d+1) numbers per round —
+    independent of data size (the same bounded-collect contract as
+    ``clustering.kmeans_fit``); the data-side cost per round is ONE scan
+    with a map-combined k-row aggregate and zero joins (r18 — previously
+    each round was a broadcast crossJoin fanning n·k rows through Arrow
+    plus an eager localCheckpoint job). Cells that lose all points drop
+    out (standard Lloyd, mirrored by the oracle's GROUP BY); the
+    float(s)/float(n) mean is the identical cast-then-divide IEEE
+    sequence both engines run."""
+    seed = (
+        pts.filter(F.col("vec_id") < k * sample_factor)
+        .select(F.col("vec_id").alias("cid"), "qv")
+        .collect()
+    )
+    rows = sorted((r.cid, [float(v) for v in r.qv]) for r in seed)
+    dims = range(len(HYPERPLANES_ALL[0]))
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.col("qv")[i]).alias(f"s{i}") for i in dims
+    ]
+    for _ in range(iters):
+        assign = pts.withColumn("cid", _assign_cid_udf(rows)(F.col("qv")))
+        stats = assign.groupBy("cid").agg(*aggs).collect()
+        rows = sorted(
+            (r["cid"], [float(r[f"s{i}"]) / float(r["n"]) for i in dims])
+            for r in stats
+        )
+    return rows
+
+
+def _cents_df(spark: SparkSession, rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """(cid, c: array<double>) DataFrame from driver-held centroid rows —
+    a LocalTableScan (k ≤ 1024 rows), no lineage to truncate. Values are
+    bit-preserved: collect and createDataFrame round-trip float64 exactly."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("cid", LongType(), False),
+            StructField("c", ArrayType(DoubleType(), False), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(cid), list(c)) for cid, c in rows], schema
+    )
+
+
 def ivf_centroids(
     pts: DataFrame, k: int, iters: int = IVF_ITERS, sample_factor: int = 1
 ) -> DataFrame:
@@ -270,56 +367,11 @@ def ivf_centroids(
     training set by vec_id — ids < k·sample_factor when the caller passes
     a vec_id % sample_factor == 0 training sample — as doubles).
 
-    Pure DataFrame dataflow — no driver-side collect: each iteration is
-    corpus × broadcast(centroids) (k ≤ 1024 rows) → argmin assignment via
-    ROW_NUMBER (ties → lowest cid) → per-cell exact int64 dimension sums →
-    one double division per dimension. Cells that lose all points drop out
-    (standard Lloyd behavior, mirrored by the oracle's GROUP BY).
-    Exact-integer sums + single divisions keep every centroid coordinate
-    bit-reproducible in DuckDB."""
-    cents = pts.filter(F.col("vec_id") < k * sample_factor).select(
-        F.col("vec_id").alias("cid"),
-        F.transform("qv", lambda x: x.cast("double")).alias("c"),
-    )
-    dims = range(len(HYPERPLANES_ALL[0]))
-    for _ in range(iters):
-        assign = _assign_cells(pts, cents).select("vec_id", "cid", "qv")
-        sums = assign.groupBy("cid").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in dims],
-        )
-        cents = sums.select(
-            "cid",
-            F.array(*[F.col(f"s{i}") / F.col("n") for i in dims]).alias("c"),
-        )
-        # truncate lineage per iteration (k ≤ 1024 rows): without this,
-        # iteration t's plan nests t-1 whole Lloyd rounds and every
-        # consumer re-analyzes/optimizes the full chain — measured ~25%
-        # of the query on plan overhead alone. Values are unchanged
-        # (checkpointing materializes, it does not recompute).
-        cents = cents.localCheckpoint(eager=True)
-    return cents
-
-
-def _assign_cells(pts: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment via map-side ``min_by`` aggregation.
-
-    The broadcast crossJoin fans each point out to k rows, but the argmin
-    collapses them in the SAME map task (partial min_by) — only the n
-    winning structs cross the shuffle, not n·k rows. A window/ROW_NUMBER
-    formulation would shuffle the full n·k fan-out (k× amplification at
-    100 TB — the difference between feasible and not at k=1024). Ties on
-    distance break to the lowest cid, matching the oracle's ROW_NUMBER
-    ORDER BY (dist, cid)."""
-    d = _sqdist(F.col("qv"), F.col("c"))
-    payload = F.struct(F.col("cid"), F.col("qv"), F.col("nrm")) if "nrm" in pts.columns \
-        else F.struct(F.col("cid"), F.col("qv"))
-    best = (
-        pts.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(F.min_by(payload, F.struct(d.alias("d"), F.col("cid"))).alias("b"))
-    )
-    return best.select("vec_id", "b.*")
+    The Lloyd loop holds the k·d centroid state on the driver
+    (:func:`_lloyd_rows` — the MLlib structure: centroids are driver
+    state, data never moves); exact-integer sums + single divisions keep
+    every centroid coordinate bit-reproducible in DuckDB."""
+    return _cents_df(pts.sparkSession, _lloyd_rows(pts, k, iters, sample_factor))
 
 
 @dataclass(frozen=True)
@@ -358,9 +410,10 @@ def ivf_index(df: DataFrame, n: int | None = None) -> IvfIndex:
     Centroid count 2^bits grows with log(n) (scaled_bits) so expected
     cell population stays bounded; Lloyd runs on a deterministic modulo
     sample (~IVF_TRAIN_TARGET_ROWS rows) regardless of corpus size, and
-    the final assignment is a map-side ``min_by`` argmin (only n winners
-    shuffle, never n·k rows). Both outputs are eagerly checkpointed, so
-    ``ivf_topk`` over the returned index is pure serving.
+    the final assignment is a zero-shuffle Arrow map against the
+    driver-held centroid matrix (:func:`_assign_cid_udf`). The corpus
+    output is eagerly checkpointed (the centroids are a local relation),
+    so ``ivf_topk`` over the returned index is pure serving.
 
     ``n`` feeds the scale knobs; pass it explicitly for derived frames —
     the ``df.count()`` fallback is metadata-only on a parquet scan but a
@@ -372,19 +425,21 @@ def ivf_index(df: DataFrame, n: int | None = None) -> IvfIndex:
     kk = 1 << scaled_bits(n, IVF_MIN_K_BITS, IVF_MAX_K_BITS, IVF_TARGET_CELL_ROWS)
     m = 1 << scaled_bits(n, 0, IVF_MAX_TRAIN_BITS, IVF_TRAIN_TARGET_ROWS)
     pts = with_quantized(df).select("vec_id", "qv", "nrm")
-    # persist: read by 3 Lloyd iterations + the final assignment
+    # persist: read by the seed collect, 3 Lloyd iterations + the final
+    # assignment
     pts = pts.persist()
     train = pts.filter(F.col("vec_id") % m == 0)
-    # ivf_centroids localCheckpoints each iteration, so `cents` is already
-    # materialized k≤1024 rows with no lineage back to training
-    cents = ivf_centroids(train, kk, sample_factor=m)
+    rows = _lloyd_rows(train, kk, sample_factor=m)
+    # final assignment: a pure map over the corpus (closure-held
+    # centroids), zero joins/shuffles — at 100 TB the corpus crosses the
+    # Python boundary once (qv only), never fanned k× (r18)
     corpus = (
-        _assign_cells(pts, cents)
+        pts.withColumn("cid", _assign_cid_udf(rows)(F.col("qv")))
         .select("vec_id", "qv", "nrm", "cid")
         .localCheckpoint(eager=True)
     )
     pts.unpersist()
-    return IvfIndex(cents=cents, corpus=corpus)
+    return IvfIndex(cents=_cents_df(df.sparkSession, rows), corpus=corpus)
 
 
 def ivf_serve(index: IvfIndex, queries: DataFrame, k: int = 5) -> DataFrame:
