@@ -104,7 +104,9 @@ def kmeans_fit(
     repeated fits over the same input reuse one entry rather than
     accumulating.
     """
-    q = with_quantized(df, vec_col).persist()
+    from filesql_spark.pipeline._persist import swap_persist
+
+    q = swap_persist("kmeans_fit.q", with_quantized(df, vec_col))
     seed_rows = q.orderBy(key_col).limit(k).select("qv").collect()
     centroids = [list(r.qv) for r in seed_rows]
     dims = len(centroids[0])

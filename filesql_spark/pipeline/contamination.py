@@ -137,11 +137,13 @@ def semantic_decontaminate(
     from filesql_spark.pipeline.similarity import _bucket
 
     bits = emb_band_bits(train.count() if n is None else n)
-    pre_t = (
+    from filesql_spark.pipeline._persist import swap_persist
+
+    pre_t = swap_persist(
+        "semantic_decon.pre_t",
         with_quantized(train.select("vec_id", "embedding"))
         .select("vec_id", "qv", "nrm")
-        .withColumn("bucket", _bucket(F.col("qv")))
-        .persist()
+        .withColumn("bucket", _bucket(F.col("qv"))),
     )
     pre_b = (
         with_quantized(bench.select("vec_id", "embedding"))

@@ -13,12 +13,20 @@ join + aggregate rounds with lineage truncation), different recurrence.
   graph, so they ride as broadcast relations here; at billions of nodes
   the same loop works with the broadcasts replaced by hash joins (the
   shuffle keys don't change).
-- ONE eager ``localCheckpoint`` per iteration, on the contribution
+- One LAZY ``localCheckpoint`` per iteration, on the contribution
   table (node-sized, cheap): it truncates lineage AND deduplicates the
-  two downstream reads (new ranks + dangling total). Without it the
-  double-reference doubles the recompute tree every round (2^iters),
-  and Catalyst analysis itself becomes the bottleneck — the same guard
-  the connected-components loop uses.
+  two downstream reads (new ranks + dangling total) once materialized.
+  Without it the double-reference doubles the recompute tree every
+  round (2^iters), and Catalyst analysis itself becomes the bottleneck
+  — the same guard the connected-components loop uses. The lazy form
+  (r17) collapses the 10 per-iteration driver-synchronized checkpoint
+  jobs into one materialization cascade at the first action; the
+  trade-off is fault-recovery granularity — an executor loss
+  mid-cascade recomputes the whole cascade, where the eager form only
+  re-ran the lost iteration. On a long-lived cluster run, flip back to
+  eager (or checkpoint every j-th iteration) if recompute-on-failure
+  dominates; locally the cascade wins (A/B r17: 4.06 → 3.63 s median,
+  lazy 7/8 pairwise).
 - Dangling mass (nodes with no out-edges) is folded in as
   ``1 − Σ contributions`` — an identity because each out-node's
   normalized weights sum to 1, so contributed mass is exactly the rank
@@ -38,6 +46,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from filesql_spark.pipeline._persist import swap_persist
 
 
 def pagerank(
@@ -61,9 +71,9 @@ def pagerank(
     # persist the caller's edge relation: nodes, out-weights and the
     # transition table all derive from it, and without the cache each
     # derivation re-runs the (possibly data-sized) plan that produced it
-    e = edges.select(
+    e = swap_persist("pagerank.edges", edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    ).persist()
+    ))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -74,7 +84,7 @@ def pagerank(
     trans = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
     )
-    nodes = nodes.persist()
+    nodes = swap_persist("pagerank.nodes", nodes)
     n_nodes = nodes.count()  # one tiny action; also materializes the persist
     if n_nodes <= 100_000:
         # the AGGREGATED graph is small even when the edge input is 100 TB
@@ -83,7 +93,7 @@ def pagerank(
         # shuffle-partitions tasks. repartition — not coalesce — so the
         # data-sized edge aggregation upstream keeps its parallelism.
         trans = trans.repartition(1)
-    trans = trans.persist()
+    trans = swap_persist("pagerank.trans", trans)
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
@@ -144,13 +154,13 @@ def triangle_stats(
     the DuckDB oracle's arithmetic identical, and the swap is a
     one-line orientation change on the persisted edge table.
     """
-    e = (
+    e = swap_persist(
+        "triangle.edges",
         edges.select(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
         )
         .filter(F.col("a") < F.col("b"))
-        .distinct()
-        .persist()
+        .distinct(),
     )
     deg = (
         e.select(F.col("a").alias("v"))

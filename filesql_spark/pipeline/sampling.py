@@ -105,12 +105,14 @@ def hashed_prefix_sum(
     # re-ran that whole upstream chain (r17; A/B on pipeline_train_prep at
     # sf0.1: 11.9 s -> 5.7 s median). The grand total derives from it too
     # (Σw over t == Σ greatest(w,1) over df, identical clamped values).
-    t = df.select(
+    from filesql_spark.pipeline._persist import swap_persist
+
+    t = swap_persist("sampling.prefix_sum", df.select(
         F.col(key_col),
         w.alias("w"),
         h.alias("h"),
         F.shiftright(h, 60 - ORDER_BUCKET_BITS).alias("bkt"),
-    ).persist()
+    ))
     total = t.agg(F.sum("w").alias("total"))
     intra = (
         Window.partitionBy("bkt")
@@ -286,12 +288,14 @@ def curriculum_order(
     ).cast("long")
     # same persist rationale as hashed_prefix_sum (r17): the bucket-count
     # aggregate and the final position join both read this narrow frame
-    t = df.select(
+    from filesql_spark.pipeline._persist import swap_persist
+
+    t = swap_persist("sampling.curriculum", df.select(
         F.col(key_col),
         F.col(stage_col).alias("__stage"),
         h.alias("__h"),
         F.shiftright(h, 60 - ORDER_BUCKET_BITS).alias("__bkt"),
-    ).persist()
+    ))
     intra = Window.partitionBy("__stage", "__bkt").orderBy("__h", key_col)
     t = t.withColumn("__rk", F.row_number().over(intra))
     bkt_tot = t.groupBy("__stage", "__bkt").agg(F.count(F.lit(1)).alias("__bn"))

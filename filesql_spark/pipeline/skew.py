@@ -122,7 +122,11 @@ def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
     # persisted: both the grand total and the top-k read this relation —
     # uncached, each branch would re-scan and re-aggregate the raw table
     # (2× the only data-sized work in the operator)
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows")).persist()
+    from filesql_spark.pipeline._persist import swap_persist
+
+    counts = swap_persist(
+        "skew.counts", df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    )
     total = counts.agg(F.sum("n_rows").alias("__total"))
     topk = (
         counts.join(F.broadcast(total))

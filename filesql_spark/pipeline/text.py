@@ -295,9 +295,15 @@ def bm25_topk(
     a second full tokenize+filter pass over the corpus (r17; A/B at
     sf0.1: 1.14s -> 0.97s, and at scale one corpus scan instead of two).
     """
+    from filesql_spark.pipeline._persist import swap_persist
+
     c = F.col(text_col)
     t = tokens(c)
-    base = df.select(
+    # swap-persisted (r18): the old bare persist was plan-keyed on the
+    # per-call QUERY TERMS, so every distinct term set pinned a new entry
+    # for the session's lifetime (VERDICT r17 #6); the keyed swap keeps
+    # exactly one pinned stats table at a time.
+    base = swap_persist("bm25.base", df.select(
         "doc_id",
         F.size(t).cast("long").alias("dl"),
         # NB: the closure must keep arity 1 — a `lambda x, trm=trm:` default
@@ -308,7 +314,7 @@ def bm25_topk(
             .alias(f"tf_{trm}")
             for trm in terms
         ],
-    ).persist()
+    ))
     stats = base.agg(
         F.count("*").alias("n"),
         F.sum("dl").alias("sdl"),
@@ -395,19 +401,9 @@ def rarity_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 # inside the builder — but repeated calls in one session (driver
 # correctness run, registry sweeps) must not ACCUMULATE pinned
 # executor storage. Each new call swaps out the previous call's set.
-_ACTIVE_DUP_PERSIST: dict[str, DataFrame] = {}
-
-
-def _swap_persist(key: str, df: DataFrame) -> DataFrame:
-    prev = _ACTIVE_DUP_PERSIST.pop(key, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session already stopped: nothing pinned anyway
-    p = df.persist()
-    _ACTIVE_DUP_PERSIST[key] = p
-    return p
+# The mechanism was generalized to every operator-internal persist in
+# r18 and now lives in pipeline/_persist.py.
+from filesql_spark.pipeline._persist import swap_persist as _swap_persist  # noqa: E402
 
 
 def dup_spans(

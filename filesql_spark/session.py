@@ -63,6 +63,12 @@ def get_spark(
         # query basket at sf0.1: -8% total, no query slower; AQE skew-join
         # splitting still applies to SHJ, and size conditions — not this
         # flag — keep huge build sides on sort-merge at cluster scale).
+        # Cluster-scale caveat (ADVICE r17): SHJ build sides do not spill,
+        # and the size conditions are ESTIMATE-based — a bad post-filter
+        # estimate can hand SHJ an oversized build partition and OOM an
+        # executor. At cluster scale keep AQE skew splitting on (it is,
+        # above) and consider scoping this flag per-job or reverting to
+        # the sort-merge default where stats are known-poor.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

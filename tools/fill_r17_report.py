@@ -8,10 +8,13 @@ fin = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_r17_final
 
 bq, fq = base["queries"], fin["queries"]
 
+# baseline figures formatted from the loaded JSON (ADVICE r17: hardcoded
+# literals could contradict the computed delta if the file differs)
 line = (
-    f"headline **{fin['value']:.2f} s** (baseline 96.30 s, **"
+    f"headline **{fin['value']:.2f} s** (baseline {base['value']:.2f} s, **"
     f"{(1 - fin['value'] / base['value']) * 100:+.1f}%**), intersection21 "
-    f"{fin.get('intersection21_sec', float('nan')):.2f} s (baseline 11.68 s), "
+    f"{fin.get('intersection21_sec', float('nan')):.2f} s (baseline "
+    f"{base.get('intersection21_sec', float('nan')):.2f} s), "
     f"loadavg {fin.get('loadavg')}, n_queries {len(fq)}"
 )
 
