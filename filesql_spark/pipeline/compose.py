@@ -20,7 +20,7 @@ def _gate(df: DataFrame, min_tokens: int) -> DataFrame:
     return df.filter(F.size(F.split(F.col("text"), " ")) >= min_tokens)
 
 
-def _exact_kept(gated: DataFrame) -> DataFrame:
+def _exact_kept(gated: DataFrame, base: DataFrame | None = None) -> DataFrame:
     # persist the KEEP-ID list, not the doc-sized joined frame (the r7
     # measurement in pipeline_curate_full applies here too): exact_kept is
     # consumed by both the near-dup shingle path and the final anti-join,
@@ -29,13 +29,22 @@ def _exact_kept(gated: DataFrame) -> DataFrame:
     # and re-filtering the scan per consumer stays cheap; plan-keyed
     # caching dedupes repeated pipeline invocations. A/B at sf0.1:
     # clean_corpus 4.47s -> 3.74s (r17).
-    keep = (
-        dedup_exact(gated)
-        .filter(F.col("is_duplicate") == 0)
-        .select("doc_id")
-        .persist()
+    #
+    # ``base``: the PRE-GATE frame to re-attach the keep list to. The keep
+    # ids already encode every upstream filter (keep ⊆ gated by
+    # construction and doc_id is unique), so the inner join against the
+    # wider base is row-identical — but it lets the optimizer prune the
+    # gate's tokenize out of every consumer, and prune the text COLUMN
+    # out of the scan for consumers that only need metadata (r18,
+    # guide §2.3/§6: the gate predicate references text, which kept the
+    # text bytes in every downstream read even when nothing used them).
+    from filesql_spark.pipeline._persist import swap_persist
+
+    keep = swap_persist(
+        "compose.exact_keep",
+        dedup_exact(gated).filter(F.col("is_duplicate") == 0).select("doc_id"),
     )
-    return gated.join(keep, "doc_id")
+    return (gated if base is None else base).join(keep, "doc_id")
 
 
 def _near_final(
@@ -70,7 +79,7 @@ def _stages(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(gated, exact_kept, final) — the three lazy stage frames."""
     gated = _gate(df, min_tokens)
-    exact_kept = _exact_kept(gated)
+    exact_kept = _exact_kept(gated, base=df)
     return gated, exact_kept, _near_final(exact_kept, jaccard_threshold)
 
 
@@ -108,8 +117,12 @@ def clean_corpus_metrics(
     (directly or through the near-dup stage); the minhash signatures
     persist inside their own operator. Nothing collects to the driver.
     """
+    from filesql_spark.pipeline._persist import swap_persist
+
     gated = _gate(df, min_tokens)
-    exact_kept = _exact_kept(gated).persist()
+    exact_kept = swap_persist(
+        "compose.metrics_exact_kept", _exact_kept(gated, base=df)
+    )
     final = _near_final(exact_kept, jaccard_threshold, pairs=pairs)
     gate_cond = F.size(F.split(F.col("text"), " ")) >= min_tokens
     counts = (

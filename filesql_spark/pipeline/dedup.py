@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from filesql_spark.pipeline._persist import swap_persist
 from filesql_spark.pipeline.constants import (
     LSH_BANDS,
     LSH_ROWS,
@@ -200,7 +201,10 @@ def minhash_lsh_pairs(
     # signature explode from the cached array halves the heavy
     # tokenize/concat work and drops a full scan of the corpus)
     if shingle_sets is None:
-        shingle_sets = add_shingles(df, text_col).select("doc_id", "sh").persist()
+        shingle_sets = swap_persist(
+            "minhash_lsh_pairs.sets",
+            add_shingles(df, text_col).select("doc_id", "sh"),
+        )
     bands = band_table(minhash_signatures(df, text_col, sets=shingle_sets))
 
     left = bands.alias("l")
@@ -309,7 +313,9 @@ def simhash_pairs(
     (VERDICT r1 #4); tests/test_pipeline plants such a pair.
     """
     # persist: the band self-join reads the signature table from both sides
-    return simhash_band_pairs(simhash(df, text_col).persist(), max_hamming)
+    return simhash_band_pairs(
+        swap_persist("simhash_pairs.sigs", simhash(df, text_col)), max_hamming
+    )
 
 
 def simhash_band_pairs(s: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -395,12 +401,11 @@ def ngram_jaccard_pairs(
     # candidates; measured e100 = 0.88 before, the one exponent over
     # the 0.7 gate. 60 bits keeps collisions negligible at 10^9 grams
     # and the DuckDB oracle applies the identical transform.)
-    sets = (
-        add_shingles(df, text_col)
-        .select(
+    sets = swap_persist(
+        "ngram_jaccard.sets",
+        add_shingles(df, text_col).select(
             "doc_id", F.array_distinct(F.transform(F.col("sh"), _hash60)).alias("sh")
-        )
-        .persist()
+        ),
     )
     # arrays are distinct post-hash, so this explode is already unique
     tok = sets.select("doc_id", F.explode("sh").alias("h"))
@@ -416,7 +421,9 @@ def ngram_jaccard_pairs(
         .withColumn("sz", F.count("*").over(w_doc))
         .filter(F.col("rnk") <= F.col("sz") - ceil_t_sz + 1)
         .select("doc_id", "h", "sz")
-    ).persist()  # both sides of the candidate self-join read this
+    )
+    # both sides of the candidate self-join read this
+    prefix = swap_persist("ngram_jaccard.prefix", prefix)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # length filter: J ≥ t ⟹ den·min(|A|,|B|) ≥ num·max(|A|,|B|)
     len_ok = den * F.least(F.col("pa.sz"), F.col("pb.sz")) >= num * F.greatest(
@@ -519,7 +526,15 @@ def _cosine_vec(qa: Column, na: Column, qb: Column, nb: Column) -> Column:
     sites filter on the returned cosine, and filter pushdown otherwise
     duplicates the ArrowEvalPython node — every candidate pair paid the
     Python boundary and the matmul twice (guide §4.4 pattern; plan
-    showed ArrowEvalPython below the Filter AND above it)."""
+    showed ArrowEvalPython below the Filter AND above it).
+
+    CALL-SITE CONTRACT (ADVICE r17): because the expression is declared
+    non-deterministic, the returned Column may only appear in a Project
+    or a Filter ABOVE it — using it inside a join condition, groupBy
+    key, or window spec raises AnalysisException, and no predicate
+    pushes through it. The two call sites (embedding_dup_pairs,
+    semantic_decontaminate) both project it then filter; keep any new
+    caller to that shape or use ``cosine_pre`` (the JVM fold twin)."""
     global _cosine_udf
     if _cosine_udf is None:
         import numpy as np
@@ -577,11 +592,11 @@ def embedding_dup_pairs(
     # must not carry unused source columns (label) through the pipeline
     # persist: cells (×2 sides) and both vector re-join branches read this;
     # uncached, the Arrow bucket-UDF stage re-runs per branch
-    pre = (
+    pre = swap_persist(
+        "embedding_dup_pairs.pre",
         with_quantized(df.select("vec_id", "embedding"))
         .select("vec_id", "qv", "nrm")
-        .withColumn("bucket", _bucket(F.col("qv")))
-        .persist()
+        .withColumn("bucket", _bucket(F.col("qv"))),
     )
     # candidate generation runs over (vec_id, band, cell) ONLY — the
     # candidate rows that cross the shuffle are 3 ints each; the 64-dim
@@ -652,6 +667,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    jump_from: int = 3,
 ) -> DataFrame:
     """Connected components over an undirected pair-edge list.
 
@@ -659,33 +675,44 @@ def connected_components(
     where ``component`` is the MINIMUM node id reachable from it — the
     canonical representative of its duplicate cluster.
 
-    Algorithm: min-label propagation with pointer jumping. Each round
-    does (1) a neighbor-min step — label(v) := min(label(v), min over
-    adjacent labels), one shuffle on the symmetrized edge list — and
-    (2) a pointer-jump step — label(v) := label(label(v)), one self-join
-    on the label table. The jump halves label-chain depth per round
-    (Shiloach-Vishkin style), so convergence is O(log diameter) rounds,
-    not O(diameter). Duplicate graphs are near-cliques (diameter 2-3 in
-    practice), so this settles in 2-3 rounds; the loop still verifies a
-    fixpoint (zero labels changed) rather than assuming one.
+    Algorithm: min-label propagation with DEPTH-GATED pointer jumping.
+    Each round does a neighbor-min step — label(v) := min(label(v), min
+    over adjacent labels), one shuffle on the symmetrized edge list —
+    and, from round ``jump_from`` on, additionally a pointer-jump step —
+    label(v) := label(label(v)), one self-join on the label table, which
+    halves label-chain depth per round (Shiloach-Vishkin style).
+    Duplicate graphs are near-cliques (diameter 2-3 in practice), so
+    min propagation alone settles them within ``jump_from`` rounds and
+    the self-join never runs (r18 — the jump is O(log diameter)
+    INSURANCE for chain-shaped graphs, not a cost the common case should
+    pay; a fixpoint still not reached after ``jump_from`` rounds IS the
+    cheap diameter probe: only then is the graph deep enough for
+    jumping to matter, and convergence stays O(jump_from + log d)).
+    The loop always verifies a fixpoint (zero labels changed) rather
+    than assuming one, so the gate cannot change the result — the
+    fixpoint of min propagation is the component minimum either way.
 
-    Scale design: the edge list is symmetrized once and persisted (read
-    every round); labels are localCheckpoint()ed per round to truncate
-    the growing lineage (an iterative plan otherwise re-executes all
-    prior rounds per action — the standard Spark iterative-algorithm
-    trap). Per-round cost is two hash-shuffles on node id. All label
-    math is exact integer mins — bit-identical to the recursive-CTE
-    closure the DuckDB oracle runs.
+    Scale design: the edge list is symmetrized once, hash-REPARTITIONED
+    on the neighbor key and persisted (guide §2.2: every round's
+    neighbor-min join reads it keyed on ``n``, so pinning that
+    partitioning in the cached relation lets each iteration reuse the
+    exchange instead of re-shuffling the data-sized edge list per
+    round); labels are localCheckpoint()ed per round to truncate the
+    growing lineage (an iterative plan otherwise re-executes all prior
+    rounds per action — the standard Spark iterative-algorithm trap).
+    All label math is exact integer mins — bit-identical to the
+    recursive-CTE closure the DuckDB oracle runs.
     """
     sym = (
         edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
         .unionAll(edges.select(F.col(dst).alias("v"), F.col(src).alias("n")))
         .distinct()
+        .repartition("n")
         .persist()
     )
     labels = sym.select("v").distinct().withColumn("lbl", F.col("v"))
     labels = labels.localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = (
             sym.join(
                 labels.select(F.col("v").alias("n"), F.col("lbl").alias("nlbl")),
@@ -701,26 +728,27 @@ def connected_components(
             F.col("lbl").alias("old"),
             F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
         )
-        jumped = (
-            stepped.alias("x")
-            .join(
-                stepped.select(
-                    F.col("v").alias("jv"), F.col("lbl").alias("jlbl")
-                ).alias("y"),
-                F.col("x.lbl") == F.col("y.jv"),
-                "left",
+        if it + 1 >= jump_from:
+            stepped = (
+                stepped.alias("x")
+                .join(
+                    stepped.select(
+                        F.col("v").alias("jv"), F.col("lbl").alias("jlbl")
+                    ).alias("y"),
+                    F.col("x.lbl") == F.col("y.jv"),
+                    "left",
+                )
+                .select(
+                    F.col("x.v").alias("v"),
+                    F.col("x.old").alias("old"),
+                    F.coalesce("jlbl", "x.lbl").alias("lbl"),
+                )
             )
-            .select(
-                F.col("x.v").alias("v"),
-                F.col("x.old").alias("old"),
-                F.coalesce("jlbl", "x.lbl").alias("lbl"),
-            )
-        )
         # lazy checkpoint: the fixpoint count is the materializing action,
         # so each round runs ONE job instead of checkpoint-job + count-job
-        jumped = jumped.localCheckpoint(eager=False)
-        changed = jumped.filter(F.col("lbl") != F.col("old")).count()
-        labels = jumped.select("v", "lbl")
+        stepped = stepped.localCheckpoint(eager=False)
+        changed = stepped.filter(F.col("lbl") != F.col("old")).count()
+        labels = stepped.select("v", "lbl")
         if changed == 0:
             break
     sym.unpersist()
@@ -786,7 +814,10 @@ def dedup_base_index(
     )
     # one shingle build feeds both the band table and the shingle sets
     # (r17 — the bands previously re-derived shingles from raw text)
-    sets0 = add_shingles(base, text_col).select("doc_id", "sh").persist()
+    sets0 = swap_persist(
+        "dedup_base_index.sets",
+        add_shingles(base, text_col).select("doc_id", "sh"),
+    )
     bands = band_table(
         minhash_signatures(base, text_col, sets=sets0)
     ).withColumnRenamed("doc_id", "base_id")
@@ -848,8 +879,9 @@ def incremental_dedup(
 
     # one incoming-side shingle build feeds both the probe bands and the
     # verify sets (r17 — the bands previously re-derived from raw text)
-    sets_inc = (
-        add_shingles(incoming, text_col).select("doc_id", "sh").persist()
+    sets_inc = swap_persist(
+        "incremental_dedup.sets_inc",
+        add_shingles(incoming, text_col).select("doc_id", "sh"),
     )
     bands_inc = band_table(minhash_signatures(incoming, text_col, sets=sets_inc))
     cand = (
@@ -961,7 +993,9 @@ def near_dup_eval(
     with the same exact Jaccard — the number to watch is recall, i.e.
     pairs the BANDS never surfaced)."""
     sample = df.filter(F.col("doc_id") % sample_mod == 0)
-    sets = add_shingles(sample, text_col).select("doc_id", "sh").persist()
+    sets = swap_persist(
+        "near_dup_eval.sets", add_shingles(sample, text_col).select("doc_id", "sh")
+    )
     a = sets.alias("ta")
     b = sets.alias("tb")
     inter = F.size(F.array_intersect(F.col("ta.sh"), F.col("tb.sh")))
@@ -1029,10 +1063,13 @@ def lsh_tuning_report(
     derive from the persisted shingle sets the verify join reads — one
     text scan + n-gram build total (r17).
     """
-    shingle_sets = add_shingles(df, text_col).select("doc_id", "sh").persist()
-    bands = band_table(
-        minhash_signatures(df, text_col, sets=shingle_sets)
-    ).persist()
+    shingle_sets = swap_persist(
+        "lsh_tuning.sets", add_shingles(df, text_col).select("doc_id", "sh")
+    )
+    bands = swap_persist(
+        "lsh_tuning.bands",
+        band_table(minhash_signatures(df, text_col, sets=shingle_sets)),
+    )
     buckets = bands.groupBy("band", "bh").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -1128,7 +1165,9 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
-    sets = add_shingles(df, text_col).select("doc_id", "sh").persist()
+    sets = swap_persist(
+        "containment.sets", add_shingles(df, text_col).select("doc_id", "sh")
+    )
     ex = sets.select("doc_id", F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_ord = Window.partitionBy("doc_id").orderBy("df", "shingle")

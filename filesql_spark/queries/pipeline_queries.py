@@ -2636,9 +2636,17 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full text rows is not (measured 2.6 s vs 4.7 s at sf0.1;
     # VERDICT r7 #6's consumed-twice ⇒ persist, applied at the right
     # granularity).
-    contaminated = decontaminate(corpus, bench).persist()
+    from filesql_spark.pipeline._persist import swap_persist
+
+    contaminated = swap_persist(
+        "curate_full.contaminated", decontaminate(corpus, bench)
+    )
     decon = corpus.join(contaminated, "doc_id", "left_anti")
-    exact_kept = _exact_kept(_gate(decon, 10))
+    # keep ids encode decon + gate + dedup, so consumers re-attach them to
+    # the RAW corpus slice: the per-consumer re-read is a pruned-column
+    # scan + one join against the cached id list — no anti-join, no gate
+    # tokenize, no text bytes for the metadata-only consumers (r18)
+    exact_kept = _exact_kept(_gate(decon, 10), base=corpus)
     mixed = mixture_resample(exact_kept, "lang", _MIXTURE_WEIGHTS)
     train = (
         train_val_test_split(mixed)
@@ -3860,7 +3868,9 @@ def orders_cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    items = items.persist()  # feeds totals, singles and pairs
+    from filesql_spark.pipeline._persist import swap_persist
+
+    items = swap_persist("cooccur.items", items)  # feeds totals, singles, pairs
     n_orders = items.count()
     singles = (
         items.select(F.explode("ps").alias("p"))
@@ -4566,10 +4576,13 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios are single IEEE divisions of exact integers. Top-20 by
     (confidence desc, antecedent, consequent) — a total order."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .persist()
+    from filesql_spark.pipeline._persist import swap_persist
+
+    items = swap_persist(
+        "association.items",
+        li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        ),
     )
     n_orders = items.count()
     singles = (
