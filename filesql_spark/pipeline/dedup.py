@@ -407,18 +407,22 @@ def ngram_jaccard_pairs(
             "doc_id", F.array_distinct(F.transform(F.col("sh"), _hash60)).alias("sh")
         ),
     )
-    # arrays are distinct post-hash, so this explode is already unique
-    tok = sets.select("doc_id", F.explode("sh").alias("h"))
+    # arrays are distinct post-hash, so this explode is already unique —
+    # and the per-doc set size is therefore just size(sh), carried along
+    # from the array instead of a second count(*) window over the
+    # exploded stream (r18: one Window operator fewer; identical values
+    # because the explode of a distinct array has exactly size(sh) rows)
+    tok = sets.select(
+        "doc_id", F.explode("sh").alias("h"), F.size("sh").cast("long").alias("sz")
+    )
     dfreq = tok.groupBy("h").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "h")
-    w_doc = Window.partitionBy("doc_id")
     # ceil(t·sz) = (num·sz + den - 1) // den, exact: q + r/den (r ≥ 1)
     # never rounds across the next integer for den ≤ 10⁴ and sz < 2^40.
     ceil_t_sz = F.floor((num * F.col("sz") + den - 1) / den)
     prefix = (
         tok.join(dfreq, "h")
         .withColumn("rnk", F.row_number().over(w_rank))
-        .withColumn("sz", F.count("*").over(w_doc))
         .filter(F.col("rnk") <= F.col("sz") - ceil_t_sz + 1)
         .select("doc_id", "h", "sz")
     )
@@ -1168,14 +1172,15 @@ def containment_pairs(
     sets = swap_persist(
         "containment.sets", add_shingles(df, text_col).select("doc_id", "sh")
     )
-    ex = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    # sh is array_distinct by construction, so the per-doc set size is
+    # size(sh) carried from the array — not a second count(*) window over
+    # the exploded stream (r18, same rewrite as ngram_jaccard_pairs)
+    ex = sets.select(
+        "doc_id", F.explode("sh").alias("shingle"), F.size("sh").alias("sz")
+    )
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_ord = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    sized = (
-        ex.join(freq, "shingle")
-        .withColumn("rn", F.row_number().over(w_ord))
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
+    sized = ex.join(freq, "shingle").withColumn("rn", F.row_number().over(w_ord))
     prefix = sized.filter(
         F.col("rn")
         <= F.expr(
