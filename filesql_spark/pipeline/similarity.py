@@ -553,18 +553,61 @@ def pq_fit(
     (256 B) compresses to m log2(k) bits (2 B here) while distances stay
     computable from per-query lookup tables — the standard IVF+PQ combo
     serves billion-vector indexes from RAM this way.
-    """
-    sub_d = dims // m
-    books = []
-    for mi in range(m):
-        sub = df.select(
-            "vec_id",
-            F.slice(F.col(vec_col), mi * sub_d + 1, sub_d).alias("embedding"),
-        )
-        from filesql_spark.pipeline.clustering import kmeans_fit
 
-        cents, _ = kmeans_fit(sub, k=k, iters=iters)
-        books.append(cents)
+    All ``m`` sub-codebooks train from ONE corpus pass per iteration
+    (r18): each row emits its m (subspace, nearest-codeword, subvector)
+    structs in a single generator projection and one map-combined
+    groupBy aggregates every (subspace, cell) together — previously each
+    subspace ran its own ``kmeans_fit`` with its own quantize, seed scan
+    and per-iteration scan+shuffle, i.e. m×(iters+1) corpus passes
+    instead of (iters+1). The arithmetic is unchanged and exact:
+    identical quantized slices (quantize is elementwise, so
+    slice∘quantize = quantize∘slice), the identical literal-codeword
+    argmin with ties to the lowest codeword id, identical integer
+    dimension sums and FLOOR((2Σ+n)/(2n)) rounding — so the books are
+    bit-identical to the per-subspace loop and to the unrolled DuckDB
+    oracle.
+    """
+    from filesql_spark.pipeline._persist import swap_persist
+    from filesql_spark.pipeline.clustering import _round_half_up_mean
+    from filesql_spark.pipeline.dedup import quantize
+
+    sub_d = dims // m
+    q = swap_persist(
+        "pq_fit.q", df.select("vec_id", quantize(F.col(vec_col)).alias("qv"))
+    )
+    seed = q.orderBy("vec_id").limit(k).select("qv").collect()
+    books = [
+        [list(r.qv[mi * sub_d : (mi + 1) * sub_d]) for r in seed]
+        for mi in range(m)
+    ]
+    sum_exprs = [F.expr("count(1) AS _n")] + [
+        F.expr(f"sum(sv[{i}]) AS _s{i}") for i in range(sub_d)
+    ]
+    for _ in range(iters):
+        structs = [
+            (
+                lambda d: f"struct({mi} AS mi, "
+                f"CAST(array_position({d}, array_min({d})) - 1 AS INT) AS cluster, "
+                f"slice(qv, {mi * sub_d + 1}, {sub_d}) AS sv)"
+            )(_sub_dists_expr(book, mi * sub_d, sub_d))
+            for mi, book in enumerate(books)
+        ]
+        exploded = q.select(
+            F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("e")
+        ).select("e.*")
+        stats = exploded.groupBy("mi", "cluster").agg(*sum_exprs).collect()
+        upd = {
+            (row["mi"], row["cluster"]): [
+                _round_half_up_mean(row[f"_s{i}"], row["_n"])
+                for i in range(sub_d)
+            ]
+            for row in stats
+        }
+        books = [
+            [upd.get((mi, c), books[mi][c]) for c in range(k)]
+            for mi in range(m)
+        ]
     return books
 
 
