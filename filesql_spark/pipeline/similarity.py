@@ -338,8 +338,11 @@ def _lloyd_rows(
 
 def _cents_df(spark: SparkSession, rows: list[tuple[int, list[float]]]) -> DataFrame:
     """(cid, c: array<double>) DataFrame from driver-held centroid rows —
-    a LocalTableScan (k ≤ 1024 rows), no lineage to truncate. Values are
-    bit-preserved: collect and createDataFrame round-trip float64 exactly."""
+    k ≤ 1024 rows, no lineage to truncate (callers that serve from it
+    repeatedly should localCheckpoint it once — the relation otherwise
+    executes as applySchemaToPythonRDD, a driver-Python serialization job
+    repeated per action). Values are bit-preserved: collect and
+    createDataFrame round-trip float64 exactly."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -412,8 +415,10 @@ def ivf_index(df: DataFrame, n: int | None = None) -> IvfIndex:
     sample (~IVF_TRAIN_TARGET_ROWS rows) regardless of corpus size, and
     the final assignment is a zero-shuffle Arrow map against the
     driver-held centroid matrix (:func:`_assign_cid_udf`). The corpus
-    output is eagerly checkpointed (the centroids are a local relation),
-    so ``ivf_topk`` over the returned index is pure serving.
+    output is eagerly checkpointed, and so is the (tiny) centroid frame —
+    a createDataFrame relation would otherwise re-run its driver-Python
+    serialization job per serve — so ``ivf_topk`` over the returned index
+    is pure serving.
 
     ``n`` feeds the scale knobs; pass it explicitly for derived frames —
     the ``df.count()`` fallback is metadata-only on a parquet scan but a
@@ -439,7 +444,14 @@ def ivf_index(df: DataFrame, n: int | None = None) -> IvfIndex:
         .localCheckpoint(eager=True)
     )
     pts.unpersist()
-    return IvfIndex(cents=_cents_df(df.sparkSession, rows), corpus=corpus)
+    # The cents frame must be materialized too: a createDataFrame local
+    # relation executes as applySchemaToPythonRDD — a driver-Python
+    # serialization job that re-runs on EVERY serve execution (measured
+    # ~+0.3 s per ivf_topk at sf0.1). One eager localCheckpoint at build
+    # time (k ≤ 1024 rows) makes serving scan a materialized RDD, the
+    # same serve shape the pre-r18 build had.
+    cents = _cents_df(df.sparkSession, rows).localCheckpoint(eager=True)
+    return IvfIndex(cents=cents, corpus=corpus)
 
 
 def ivf_serve(index: IvfIndex, queries: DataFrame, k: int = 5) -> DataFrame:

@@ -236,6 +236,11 @@ def test_ivf_serve_plan_has_no_training(spark):
     assert "% " not in plan.replace("(0 + 1) %", "")  # vec_id % m filter
     assert plan.count("HashAggregate") <= 2  # top-k only, no Lloyd sums
     assert "CartesianProduct" not in plan
+    # both index frames must be MATERIALIZED scans: a createDataFrame
+    # cents relation would execute as applySchemaToPythonRDD — a
+    # driver-Python serialization job re-run on every serve (r18)
+    assert "applySchemaToPythonRDD" not in plan
+    assert "localCheckpoint" in _formatted(idx.cents)
 
 
 def test_lsh_multiband_dedup_is_partial_agg(spark):
